@@ -1,0 +1,221 @@
+"""IVMEngine — the user-facing API (the reference's pragma surface, in Python).
+
+Reference entry points and their equivalents here
+(ivm_extension.cpp:95-139, SURVEY.md section 2b):
+
+- ``PRAGMA ivm_upsert(cat, schema, view)``  →  ``engine.ivm_upsert(view)``
+  computes ΔV, caches it as the ``delta_<view>`` relation, returns it as
+  a DataFrame (view columns + ``_duckdb_ivm_multiplicity`` last).
+- ``DoIVM(...)`` table function              →  internal ``delta_plan``;
+  Spark needs no table-function indirection.
+- ``CREATE IMMV AS <select>`` (unfinished parser prototype,
+  ivm_parser.cpp:14-84)                      →  ``engine.create_immv(name, sql)``
+  which parses the restricted grammar and materializes the initial state.
+
+Plus what the reference never built: ``merge_view`` (the ⊎ upsert),
+``full_refresh``, and ``apply_delta`` to advance the base tables.
+
+Divergence (documented, SURVEY.md section 2d): where the reference
+*errors* if the base query returns zero rows under the view's WHERE
+clause (README.md:38-39, its known bug), this engine returns the correct
+empty result.  Re-running ``ivm_upsert`` overwrites the cached delta
+view instead of erroring on an existing ``delta_<view>`` table.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import types as T
+
+from ivm_extension_spark.operators import merge as merge_ops
+from ivm_extension_spark.operators.rewrite import (
+    MULT_COL,
+    IVMError,
+    compute_view,
+    delta_plan,
+)
+from ivm_extension_spark.plans.sqlfront import parse_view_sql
+from ivm_extension_spark.plans.viewdef import ViewDef
+from ivm_extension_spark.sources.parquet import read_parquet
+
+
+class IVMEngine:
+    """Catalog + rewrite driver.  One engine per logical schema.
+
+    ``broadcast_deltas=True`` (default) broadcasts delta relations in
+    join branches — the IVM scale assumption is |ΔT| << |T|, which turns
+    every delta-join branch into a broadcast hash join (no shuffle of
+    the base fact table).  Disable for pathologically large deltas.
+    """
+
+    def __init__(self, spark: SparkSession, broadcast_deltas: bool = True) -> None:
+        self.spark = spark
+        self.broadcast_deltas = broadcast_deltas
+        self._tables: dict[str, DataFrame] = {}
+        self._deltas: dict[str, DataFrame] = {}
+        self._views: dict[str, ViewDef] = {}
+        self._iviews: dict[str, ViewDef] = {}  # internal (hidden companions)
+        self._state: dict[str, DataFrame] = {}  # materialized V (internal shape)
+        self._delta_views: dict[str, DataFrame] = {}  # cached ΔV (internal shape)
+
+    # -- catalog -----------------------------------------------------------
+
+    def register_table(self, name: str, df_or_path: DataFrame | str) -> None:
+        df = (
+            read_parquet(self.spark, df_or_path)
+            if isinstance(df_or_path, str)
+            else df_or_path
+        )
+        self._tables[name] = df
+
+    def register_delta(self, name: str, df: DataFrame) -> None:
+        """Register ``delta_<name>``: base columns + _duckdb_ivm_multiplicity
+        BOOL appended last (README.md:18-23 convention)."""
+        if name not in self._tables:
+            raise IVMError(f"base table {name!r} is not registered")
+        if MULT_COL not in df.columns:
+            raise IVMError(f"delta for {name!r} lacks the {MULT_COL} column")
+        mult_field = df.schema[MULT_COL]
+        if not isinstance(mult_field.dataType, T.BooleanType):
+            raise IVMError(f"{MULT_COL} must be BOOLEAN, got {mult_field.dataType}")
+        base_cols = self._tables[name].columns
+        missing = [c for c in base_cols if c not in df.columns]
+        if missing:
+            raise IVMError(f"delta for {name!r} is missing base columns {missing}")
+        self._deltas[name] = df.select(*base_cols, MULT_COL)
+
+    def table(self, name: str) -> DataFrame:
+        if name not in self._tables:
+            raise IVMError(f"table {name!r} is not registered")
+        return self._tables[name]
+
+    def delta(self, name: str) -> DataFrame:
+        # mirror of the reference's hard failure when delta_<t> is absent
+        # (ivm_rewrite_rule.hpp:110-116)
+        if name not in self._deltas:
+            raise IVMError(f"Delta table delta_{name} does not exist")
+        return self._deltas[name]
+
+    def view(self, name: str) -> ViewDef:
+        if name not in self._views:
+            raise IVMError(f"view {name!r} is not registered")
+        return self._views[name]
+
+    # -- view lifecycle ----------------------------------------------------
+
+    def create_immv(
+        self,
+        name: str,
+        sql: str | None = None,
+        view: ViewDef | None = None,
+        materialize: bool = True,
+    ) -> DataFrame | None:
+        """Register a maintainable view (the intent of the reference's
+        unfinished ``CREATE IMMV AS`` parser path, ivm_parser.cpp:14-84)
+        and materialize its initial state V = q(T)."""
+        if (sql is None) == (view is None):
+            raise ValueError("pass exactly one of sql= or view=")
+        vdef = parse_view_sql(name, sql) if sql is not None else view
+        vdef = self._expand_star(vdef)
+        for t in vdef.tables:
+            if t not in self._tables:
+                raise IVMError(f"view {name!r} references unregistered table {t!r}")
+        self._views[name] = vdef
+        self._iviews[name] = merge_ops.internal_view(vdef)
+        if materialize:
+            state = compute_view(self._iviews[name], self.table)
+            self._state[name] = state
+            return merge_ops.finalize(state, vdef)
+        return None
+
+    def _expand_star(self, vdef: ViewDef) -> ViewDef:
+        if not any(e == "*" for e, _ in vdef.select):
+            return vdef
+        cols: list[tuple[str, str]] = []
+        order: list[str] = []
+        for e, a in vdef.select:
+            if e == "*":
+                for t in vdef.tables:
+                    for c in self.table(t).columns:
+                        cols.append((c, c))
+                        order.append(c)
+            else:
+                cols.append((e, a))
+                order.append(a)
+        order += [x for x in vdef.output_order if x != "*"]
+        # rebuild output order: replace the single "*" slot with expansion
+        new_order: list[str] = []
+        for a in vdef.output_order:
+            if a == "*":
+                new_order.extend(
+                    c for t in vdef.tables for c in self.table(t).columns
+                )
+            else:
+                new_order.append(a)
+        return ViewDef(
+            name=vdef.name,
+            source=vdef.source,
+            select=tuple(cols),
+            aggregates=vdef.aggregates,
+            where=vdef.where,
+            group_by=vdef.group_by,
+            joins=vdef.joins,
+            output_order=tuple(new_order),
+        )
+
+    # -- the IVM surface ---------------------------------------------------
+
+    def ivm_upsert(self, name: str) -> DataFrame:
+        """Compute ΔV for ``name`` (the reference's
+        ``PRAGMA ivm_upsert``).  Returns view columns + multiplicity;
+        caches the internal-shape ΔV for a subsequent merge_view()."""
+        vdef = self.view(name)
+        dv = delta_plan(
+            self._iviews[name], self.table, self.delta, self.broadcast_deltas
+        )
+        self._delta_views[name] = dv
+        return merge_ops.finalize(dv, vdef)
+
+    def merge_view(self, name: str, delta_v: DataFrame | None = None) -> DataFrame:
+        """V' = V ⊎ ΔV (the upsert the reference's poster leaves as future
+        work).  Updates the materialized state; returns the public view."""
+        vdef = self.view(name)
+        if name not in self._state:
+            raise IVMError(f"view {name!r} was not materialized (create_immv)")
+        dv = delta_v if delta_v is not None else self._delta_views.get(name)
+        if dv is None:
+            dv = delta_plan(
+                self._iviews[name], self.table, self.delta, self.broadcast_deltas
+            )
+        new_state = merge(self._state[name], dv, self._iviews[name])
+        # cut lineage growth across repeated merges: cache the new state
+        new_state = new_state.localCheckpoint(eager=False)
+        self._state[name] = new_state
+        self._delta_views.pop(name, None)
+        return merge_ops.finalize(new_state, vdef)
+
+    def read_view(self, name: str) -> DataFrame:
+        if name not in self._state:
+            raise IVMError(f"view {name!r} has no materialized state")
+        return merge_ops.finalize(self._state[name], self.view(name))
+
+    def full_refresh(self, name: str) -> DataFrame:
+        """Recompute V from the *current* base tables (escape hatch for the
+        non-maintainable cases: MIN/MAX/COUNT DISTINCT under deletes)."""
+        vdef = self.view(name)
+        state = compute_view(self._iviews[name], self.table)
+        self._state[name] = state
+        return merge_ops.finalize(state, vdef)
+
+    def apply_delta(self, name: str) -> DataFrame:
+        """Fold delta_<name> into the base table (bag semantics) and clear
+        the delta — advances the engine to the post-delta world."""
+        new_base = merge_ops.apply_delta_to_table(self.table(name), self.delta(name))
+        new_base = new_base.localCheckpoint(eager=False)
+        self._tables[name] = new_base
+        self._deltas.pop(name, None)
+        return new_base
+
+
+def merge(state: DataFrame, delta_v: DataFrame, view: ViewDef) -> DataFrame:
+    return merge_ops.merge(state, delta_v, view)

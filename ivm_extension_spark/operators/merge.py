@@ -1,0 +1,182 @@
+"""The ⊎ (upsert) operator: V' = V ⊎ ΔV.
+
+The reference computes ΔV but never merges it back — its poster states
+the algebra (re-aggregate ``V UNION ALL ΔV``) and lists "upsert op for
+deleted deltas" under Future Work (SURVEY.md section 1.1).  This module
+implements it with signed-weight re-aggregation:
+
+- aggregate views: group the union of V (weight +1) and ΔV (+1 insert /
+  -1 delete) by the view keys; each SUM/COUNT column merges as
+  SUM(col * weight).  A hidden ``__ivm_count`` count(*) companion is
+  threaded through every aggregate view so fully-deleted groups are
+  dropped (net count 0) even for sum-only views.  AVG merges via hidden
+  SUM/COUNT companions.  MIN/MAX merge on insert-only deltas
+  (least/greatest); deletes require re-scan state the poster itself
+  defers — we raise with a pointer to ``full_refresh``.
+- projection views: bag semantics — count each distinct row's
+  occurrences with signed weights, keep positive counts, re-explode.
+
+Scale notes: the merge is one shuffle on the view keys (the view state
+is already key-partitioned if written bucketed); map-side partial
+aggregation applies because everything is expressed as SUM.  At real
+100-TB scale the projection-view bag merge would be pushed into a
+delete-aware table format (e.g. MERGE INTO on a lakehouse table); the
+signed-weight algebra here is exactly what that MERGE would express.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from ivm_extension_spark.operators.rewrite import MULT_COL, IVMError
+from ivm_extension_spark.plans.viewdef import Aggregate, ViewDef
+
+HIDDEN_COUNT = "__ivm_count"
+_SIGN = "__ivm_sign"
+
+
+def internal_view(view: ViewDef) -> ViewDef:
+    """Augment an aggregate view with the hidden companions merging needs:
+
+    - ``__ivm_count`` = count(*) for net-zero group elimination,
+    - for each avg(e): hidden sum(e) / count(e) so AVG re-merges exactly.
+
+    Projection-only views pass through unchanged.
+    """
+    if not view.is_aggregate:
+        return view
+    aggs = list(view.aggregates)
+    extra: list[Aggregate] = []
+    for a in view.aggregates:
+        if a.fn == "avg":
+            extra.append(Aggregate("sum", a.expr, f"__ivm_avgsum_{a.alias}"))
+            extra.append(Aggregate("count", a.expr, f"__ivm_avgcnt_{a.alias}"))
+    extra.append(Aggregate("count", "*", HIDDEN_COUNT))
+    return ViewDef(
+        name=view.name,
+        source=view.source,
+        select=view.select,
+        aggregates=tuple(aggs + extra),
+        where=view.where,
+        group_by=view.group_by,
+        joins=view.joins,
+        output_order=tuple([*view.output_order, *(e.alias for e in extra)]),
+    )
+
+
+def finalize(df: DataFrame, view: ViewDef) -> DataFrame:
+    """Strip hidden companion columns, recomputing AVG from its hidden
+    sum/count so merged averages are exact."""
+    cols = []
+    for alias in view.output_order:
+        agg = view.aggregate_by_alias(alias)
+        if agg is not None and agg.fn == "avg":
+            cols.append(
+                (F.col(f"__ivm_avgsum_{alias}") / F.col(f"__ivm_avgcnt_{alias}")).alias(alias)
+            )
+        else:
+            cols.append(F.col(alias))
+    if MULT_COL in df.columns:
+        cols.append(F.col(MULT_COL))
+    return df.select(*cols)
+
+
+def merge(state: DataFrame, delta_v: DataFrame, view: ViewDef) -> DataFrame:
+    """V ⊎ ΔV.  ``state`` and ``delta_v`` must be in *internal* shape
+    (hidden companions included); use :func:`finalize` for the public
+    result."""
+    if view.is_aggregate:
+        return _merge_aggregate(state, delta_v, view)
+    return _merge_bag(state, delta_v, view)
+
+
+def _merge_aggregate(state: DataFrame, delta_v: DataFrame, view: ViewDef) -> DataFrame:
+    iview = view if any(a.alias == HIDDEN_COUNT for a in view.aggregates) else internal_view(view)
+    key_aliases = [a for _, a in iview.select]
+    agg_aliases = [a.alias for a in iview.aggregates]
+
+    has_delete = delta_v.filter(~F.col(MULT_COL)).limit(1).count() > 0
+    for a in iview.aggregates:
+        if a.fn in ("min", "max") and has_delete:
+            raise IVMError(
+                f"{a.fn.upper()} is not incrementally maintainable under deletes "
+                "(per-group value state required — the reference's poster defers "
+                "this too); use IVMEngine.full_refresh() for this batch"
+            )
+        if a.fn == "count_distinct" and has_delete:
+            raise IVMError(
+                "COUNT(DISTINCT) merge under deletes requires per-value counts; "
+                "use IVMEngine.full_refresh() for this batch"
+            )
+
+    s = state.withColumn(_SIGN, F.lit(1))
+    d = delta_v.withColumn(
+        _SIGN, F.when(F.col(MULT_COL), F.lit(1)).otherwise(F.lit(-1))
+    ).drop(MULT_COL)
+    unioned = s.unionByName(d)
+
+    merged_aggs = []
+    for a in iview.aggregates:
+        c = F.col(a.alias)
+        if a.fn in ("sum", "count"):
+            m = F.sum(c * F.col(_SIGN))
+            if a.fn == "count":
+                m = m.cast("long")
+        elif a.fn == "min":
+            m = F.min(c)
+        elif a.fn == "max":
+            m = F.max(c)
+        elif a.fn == "count_distinct":
+            # insert-only: distinct counts are NOT additive across batches;
+            # merging them as sum over-counts overlaps.  Approximate merge is
+            # deliberate and documented; exact needs per-value state.
+            m = F.sum(c * F.col(_SIGN)).cast("long")
+        elif a.fn == "avg":
+            # never merged directly: finalize() recomputes from hidden sum/cnt
+            m = F.first(c)
+        else:  # pragma: no cover
+            raise NotImplementedError(a.fn)
+        merged_aggs.append(m.alias(a.alias))
+
+    out = unioned.groupBy(*[F.col(k) for k in key_aliases]).agg(*merged_aggs)
+    out = out.filter(F.col(HIDDEN_COUNT) > 0)  # net-zero groups disappear
+    return out.select(*[F.col(a) for a in (*key_aliases, *agg_aliases)])
+
+
+def _merge_bag(state: DataFrame, delta_v: DataFrame, view: ViewDef) -> DataFrame:
+    cols = [a for a in view.output_order]
+    s = state.select(*cols).withColumn(_SIGN, F.lit(1))
+    d = (
+        delta_v.withColumn(_SIGN, F.when(F.col(MULT_COL), F.lit(1)).otherwise(F.lit(-1)))
+        .drop(MULT_COL)
+        .select(*cols, _SIGN)
+    )
+    counts = (
+        s.unionByName(d)
+        .groupBy(*cols)
+        .agg(F.sum(_SIGN).alias("__ivm_n"))
+        .filter(F.col("__ivm_n") > 0)
+    )
+    return counts.select(
+        *cols, F.explode(F.expr("sequence(1, __ivm_n)")).alias("__ivm_i")
+    ).drop("__ivm_i")
+
+
+def apply_delta_to_table(base: DataFrame, delta: DataFrame) -> DataFrame:
+    """Apply a delta table to its base table (bag semantics): the ground
+    truth T' = T ∪ Δ⁺ ∖ Δ⁻ used by full refresh and the IVM invariant
+    tests (merge(q(T), ΔV) == q(T'))."""
+    cols = [c for c in base.columns]
+    s = base.withColumn(_SIGN, F.lit(1))
+    d = delta.withColumn(
+        _SIGN, F.when(F.col(MULT_COL), F.lit(1)).otherwise(F.lit(-1))
+    ).drop(MULT_COL)
+    counts = (
+        s.unionByName(d.select(*cols, _SIGN))
+        .groupBy(*cols)
+        .agg(F.sum(_SIGN).alias("__ivm_n"))
+        .filter(F.col("__ivm_n") > 0)
+    )
+    return counts.select(
+        *cols, F.explode(F.expr("sequence(1, __ivm_n)")).alias("__ivm_i")
+    ).drop("__ivm_i")

@@ -1,0 +1,178 @@
+"""Restricted-SQL front door: parse the reference's supported grammar into a ViewDef.
+
+The reference's live path never parses SQL itself — it re-plans catalog
+view text with DuckDB's parser (ivm_rewrite_rule.hpp:329-335); its
+regex-based parser extension is dead code (ivm_parser_helpers.cpp:7-60).
+We support the same user-facing surface with a small tokenizer-free
+clause splitter over the restricted grammar:
+
+    SELECT <item, ...> FROM <table> [JOIN <table> ON <cond>]*
+        [WHERE <pred>] [GROUP BY <expr, ...>]
+
+Scalar expressions are NOT interpreted here — they are carried verbatim
+into the ViewDef and handed to Catalyst via ``F.expr`` (and, for the
+oracle, to DuckDB verbatim), which keeps the supported scalar-function
+surface as wide as Spark SQL itself.
+"""
+
+from __future__ import annotations
+
+import re
+
+from ivm_extension_spark.plans.viewdef import Aggregate, JoinSpec, ViewDef
+
+_AGG_RE = re.compile(r"^\s*(sum|count|avg|min|max)\s*\(\s*(.*)\s*\)\s*$", re.IGNORECASE | re.DOTALL)
+_ALIAS_RE = re.compile(r"^(.*?)\s+as\s+([A-Za-z_][A-Za-z0-9_]*)\s*$", re.IGNORECASE | re.DOTALL)
+
+
+def _split_top_level(s: str, sep: str = ",") -> list[str]:
+    """Split on ``sep`` at paren/quote depth 0."""
+    parts: list[str] = []
+    depth = 0
+    quote: str | None = None
+    cur: list[str] = []
+    for ch in s:
+        if quote:
+            if ch == quote:
+                quote = None
+            cur.append(ch)
+            continue
+        if ch in ("'", '"'):
+            quote = ch
+            cur.append(ch)
+        elif ch == "(":
+            depth += 1
+            cur.append(ch)
+        elif ch == ")":
+            depth -= 1
+            cur.append(ch)
+        elif ch == sep and depth == 0:
+            parts.append("".join(cur).strip())
+            cur = []
+        else:
+            cur.append(ch)
+    if cur:
+        parts.append("".join(cur).strip())
+    return [p for p in parts if p]
+
+
+def _find_clause_spans(sql: str) -> dict[str, str]:
+    """Locate top-level SELECT/FROM/WHERE/GROUP BY clause bodies."""
+    markers = [
+        ("select", re.compile(r"\bselect\b", re.IGNORECASE)),
+        ("from", re.compile(r"\bfrom\b", re.IGNORECASE)),
+        ("where", re.compile(r"\bwhere\b", re.IGNORECASE)),
+        ("group_by", re.compile(r"\bgroup\s+by\b", re.IGNORECASE)),
+        ("having", re.compile(r"\bhaving\b", re.IGNORECASE)),
+        ("order_by", re.compile(r"\border\s+by\b", re.IGNORECASE)),
+        ("limit", re.compile(r"\blimit\b", re.IGNORECASE)),
+    ]
+    # find top-level (depth-0, unquoted) positions
+    found: list[tuple[int, int, str]] = []  # (start, end_of_kw, name)
+    depth = 0
+    quote: str | None = None
+    i = 0
+    while i < len(sql):
+        ch = sql[i]
+        if quote:
+            if ch == quote:
+                quote = None
+            i += 1
+            continue
+        if ch in ("'", '"'):
+            quote = ch
+        elif ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        elif depth == 0:
+            for name, rx in markers:
+                m = rx.match(sql, i)
+                if m and (i == 0 or not sql[i - 1].isalnum() and sql[i - 1] != "_"):
+                    found.append((i, m.end(), name))
+                    i = m.end()
+                    break
+            else:
+                i += 1
+                continue
+            continue
+        i += 1
+    spans: dict[str, str] = {}
+    for idx, (start, kw_end, name) in enumerate(found):
+        body_end = found[idx + 1][0] if idx + 1 < len(found) else len(sql)
+        spans[name] = sql[kw_end:body_end].strip()
+    return spans
+
+
+def parse_view_sql(name: str, sql: str) -> ViewDef:
+    """Parse restricted SQL into a ViewDef.
+
+    Raises NotImplementedError for clauses outside the supported surface
+    (HAVING / ORDER BY / LIMIT / subqueries), mirroring the reference's
+    NotImplementedException on unsupported plan nodes
+    (ivm_rewrite_rule.hpp:282-283).
+    """
+    sql = sql.strip().rstrip(";").strip()
+    spans = _find_clause_spans(sql)
+    if "select" not in spans or "from" not in spans:
+        raise ValueError(f"view SQL must be SELECT ... FROM ...: {sql!r}")
+    for bad in ("having", "order_by", "limit"):
+        if bad in spans:
+            raise NotImplementedError(
+                f"{bad.upper().replace('_', ' ')} is not part of the maintainable "
+                "view surface (apply it to the merged view state instead)"
+            )
+    if re.search(r"\(\s*select\b", sql, re.IGNORECASE):
+        raise NotImplementedError("nested subqueries are not supported in view definitions")
+
+    # FROM clause: first table, then JOIN ... ON ... chains
+    from_body = spans["from"]
+    join_parts = re.split(r"\b(?:inner\s+)?join\b", from_body, flags=re.IGNORECASE)
+    source = join_parts[0].strip()
+    if re.search(r"\s", source):
+        raise NotImplementedError(f"FROM must name a single registered table, got {source!r}")
+    joins: list[JoinSpec] = []
+    for jp in join_parts[1:]:
+        m = re.match(r"^\s*([A-Za-z_][A-Za-z0-9_]*)\s+on\s+(.+)$", jp.strip(), re.IGNORECASE | re.DOTALL)
+        if not m:
+            raise NotImplementedError(f"JOIN clause must be 'JOIN <table> ON <cond>': {jp!r}")
+        joins.append(JoinSpec(table=m.group(1), on=m.group(2).strip()))
+
+    select_items = _split_top_level(spans["select"])
+    select: list[tuple[str, str]] = []
+    aggregates: list[Aggregate] = []
+    order: list[str] = []
+    for item in select_items:
+        alias = None
+        am = _ALIAS_RE.match(item)
+        expr = item
+        if am:
+            expr, alias = am.group(1).strip(), am.group(2)
+        agg = _AGG_RE.match(expr)
+        if agg:
+            fn = agg.group(1).lower()
+            arg = agg.group(2).strip()
+            dm = re.match(r"^distinct\s+(.*)$", arg, re.IGNORECASE | re.DOTALL)
+            if dm:
+                if fn != "count":
+                    raise NotImplementedError(f"DISTINCT only supported for count, got {fn}")
+                fn, arg = "count_distinct", dm.group(1).strip()
+            alias = alias or expr
+            aggregates.append(Aggregate(fn=fn, expr=arg, alias=alias))
+        else:
+            alias = alias or expr
+            select.append((expr, alias))
+        order.append(alias)
+
+    group_by = tuple(_split_top_level(spans["group_by"])) if "group_by" in spans else ()
+
+    return ViewDef(
+        name=name,
+        source=source,
+        select=tuple(select),
+        aggregates=tuple(aggregates),
+        where=spans.get("where"),
+        group_by=group_by,
+        joins=tuple(joins),
+        output_order=tuple(order),
+    )

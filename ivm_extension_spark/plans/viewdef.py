@@ -1,0 +1,99 @@
+"""ViewDef — the engine's tiny logical IR for maintainable views.
+
+The reference stores view definitions as SQL text in DuckDB's catalog and
+re-plans them inside the optimizer rule (ivm_rewrite_rule.hpp:316-335).
+We keep them structured instead: a ViewDef names the source table(s), the
+predicate, the group keys and the aggregate list, with all scalar
+expressions held as Spark-SQL expression strings (Catalyst parses them via
+``F.expr`` — no custom expression tree needed).
+
+Supported aggregate functions: sum, count, count(*), avg, min, max,
+count_distinct. The reference supports only SUM and COUNT
+(README.md:35); the rest are the closure its poster lists as future work.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+SUPPORTED_AGGS = {"sum", "count", "avg", "min", "max", "count_distinct"}
+
+
+@dataclass(frozen=True)
+class Aggregate:
+    """One aggregate in a view's select list, e.g. sum(a+2) AS s."""
+
+    fn: str  # one of SUPPORTED_AGGS
+    expr: str  # SQL expression string; "*" only for count
+    alias: str
+
+    def __post_init__(self) -> None:
+        if self.fn not in SUPPORTED_AGGS:
+            raise NotImplementedError(
+                f"aggregate function {self.fn!r} not supported "
+                f"(supported: {sorted(SUPPORTED_AGGS)})"
+            )
+        if self.expr == "*" and self.fn != "count":
+            raise ValueError(f"'*' argument only valid for count, got {self.fn}")
+
+
+@dataclass(frozen=True)
+class JoinSpec:
+    """An INNER equi/theta join against another registered table.
+
+    ``on`` is a SQL boolean expression over columns of the accumulated
+    left side and ``table``.  Only inner joins are delta-maintainable
+    with the simple three-branch rule; outer joins would need the
+    DBToaster-style generalization and are rejected.
+    """
+
+    table: str
+    on: str
+    how: str = "inner"
+
+    def __post_init__(self) -> None:
+        if self.how != "inner":
+            raise NotImplementedError(
+                "only INNER joins are incrementally maintainable in this "
+                f"engine (got {self.how!r})"
+            )
+
+
+@dataclass(frozen=True)
+class ViewDef:
+    """A maintainable view: SELECT <select|aggregates> FROM <source>
+    [JOIN ...] [WHERE <where>] [GROUP BY <group_by>].
+
+    ``select`` holds the non-aggregate output columns as (expr, alias)
+    pairs *in final select order interleaved with aggregates* — to keep
+    exact output column order we also record ``output_order``: the list
+    of aliases in the order they appear in the original SELECT list.
+    """
+
+    name: str
+    source: str
+    select: tuple[tuple[str, str], ...] = ()  # (expr, alias) non-aggregate items
+    aggregates: tuple[Aggregate, ...] = ()
+    where: str | None = None
+    group_by: tuple[str, ...] = ()  # expressions (usually plain columns)
+    joins: tuple[JoinSpec, ...] = ()
+    output_order: tuple[str, ...] = ()  # aliases in SELECT-list order
+
+    def __post_init__(self) -> None:
+        if not self.output_order:
+            order = [a for _, a in self.select] + [a.alias for a in self.aggregates]
+            object.__setattr__(self, "output_order", tuple(order))
+
+    @property
+    def is_aggregate(self) -> bool:
+        return bool(self.aggregates)
+
+    @property
+    def tables(self) -> tuple[str, ...]:
+        return (self.source, *(j.table for j in self.joins))
+
+    def aggregate_by_alias(self, alias: str) -> Aggregate | None:
+        for a in self.aggregates:
+            if a.alias == alias:
+                return a
+        return None

@@ -1,0 +1,229 @@
+"""Port of the reference's four sqllogictest files to pytest goldens.
+
+Sources (golden rows inlined from /root/reference/tests/):
+- ivm.test:29-152       — passthrough, filter+group, group-agg, projection,
+                          filtered projections (incl. empty), global agg
+- ivm_filter.test:29-78 — AND/OR predicates, multi-key group, mixed mults
+- ivm_groupby.test:14-29— aggregates over expressions (SUM(a+2))
+- ivm_issue2.test:11-26 — multiple delta rows folding per (key, mult) group
+
+Output contract everywhere: view columns in select order +
+`_duckdb_ivm_multiplicity` BOOL last; aggregate views produce one row per
+(group keys x multiplicity present); comparison is order-insensitive.
+"""
+
+import pytest
+from pyspark.sql import Row
+
+from ivm_extension_spark import IVMEngine
+from ivm_extension_spark.operators.rewrite import IVMError
+
+from tests.conftest import rows
+
+
+def make_engine(spark, base_rows, schema, delta_rows, delta_schema):
+    eng = IVMEngine(spark)
+    eng.register_table("hello", spark.createDataFrame(base_rows, schema=schema))
+    eng.register_delta("hello", spark.createDataFrame(delta_rows, schema=delta_schema))
+    return eng
+
+
+# --- fixture A1: hello(a INT, b VARCHAR, c VARCHAR) — ivm.test:14-26 ------
+
+SCHEMA_A1 = "a int, b string, c string"
+DELTA_A1 = "a int, b string, c string, _duckdb_ivm_multiplicity boolean"
+BASE_A1 = [(3, "true", "blah"), (4, "false", "foo")]
+DELTA_ROWS_A1 = [(1, "k", "Mark", True), (2, "k", "Hannes", False)]
+
+
+@pytest.fixture()
+def eng_a1(spark):
+    return make_engine(spark, BASE_A1, SCHEMA_A1, DELTA_ROWS_A1, DELTA_A1)
+
+
+def test_passthrough_projection(eng_a1):
+    # ivm.test:29-35: SELECT * FROM hello → delta rows pass through
+    eng_a1.create_immv("v", sql="SELECT * FROM hello")
+    got = rows(eng_a1.ivm_upsert("v"))
+    assert got == rows_list([(1, "k", "Mark", True), (2, "k", "Hannes", False)])
+
+
+def test_filter_group_agg(spark):
+    # ivm.test:41-52: delta gains (5,'true','Kriti',+); view WHERE b='true'
+    # GROUP BY b → only the matching insert aggregates
+    eng = make_engine(
+        spark,
+        BASE_A1,
+        SCHEMA_A1,
+        DELTA_ROWS_A1 + [(5, "true", "Kriti", True)],
+        DELTA_A1,
+    )
+    eng.create_immv(
+        "v", sql="SELECT sum(a) AS s, count(c) AS c, b FROM hello WHERE b='true' GROUP BY b"
+    )
+    got = rows(eng.ivm_upsert("v"))
+    assert got == rows_list([(5, 1, "true", True)])
+
+
+def test_group_agg(eng_a1):
+    # ivm.test:76-82: inserts and deletes aggregate into SEPARATE groups
+    eng_a1.create_immv("v", sql="SELECT sum(a) AS s, count(c) AS c, b FROM hello GROUP BY b")
+    got = rows(eng_a1.ivm_upsert("v"))
+    assert got == rows_list([(1, 1, "k", True), (2, 1, "k", False)])
+
+
+def test_column_projection(eng_a1):
+    # ivm.test:91-97: SELECT a, b FROM hello
+    eng_a1.create_immv("v", sql="SELECT a, b FROM hello")
+    got = rows(eng_a1.ivm_upsert("v"))
+    assert got == rows_list([(1, "k", True), (2, "k", False)])
+
+
+def test_filtered_projection(eng_a1):
+    # ivm.test:106-112: SELECT a, b FROM hello WHERE a > 0
+    eng_a1.create_immv("v", sql="SELECT a, b FROM hello WHERE a > 0")
+    got = rows(eng_a1.ivm_upsert("v"))
+    assert got == rows_list([(1, "k", True), (2, "k", False)])
+
+
+def test_filtered_projection_empty(eng_a1):
+    # ivm.test:128-137: WHERE a>0 AND c='foo' matches no delta row → empty
+    eng_a1.create_immv("v", sql="SELECT a, b FROM hello WHERE a > 0 AND c = 'foo'")
+    assert rows(eng_a1.ivm_upsert("v")) == []
+
+
+def test_empty_base_query_is_not_an_error(eng_a1):
+    # DELIBERATE DIVERGENCE: the reference errors when the base query
+    # returns zero rows under the WHERE clause (README.md:38-39, its
+    # known bug; golden error case ivm.test:121-124).  We return the
+    # correct result instead: delta rows matching the predicate.
+    eng_a1.create_immv("v", sql="SELECT a, b FROM hello WHERE a > 0 AND c = 'Hannes'")
+    got = rows(eng_a1.ivm_upsert("v"))
+    assert got == rows_list([(2, "k", False)])
+
+
+def test_global_aggregate(eng_a1):
+    # ivm.test:146-152: global agg groups by multiplicity alone
+    eng_a1.create_immv("v", sql="SELECT sum(a) AS s, count(c) AS c FROM hello")
+    got = rows(eng_a1.ivm_upsert("v"))
+    assert got == rows_list([(1, 1, True), (2, 1, False)])
+
+
+def test_missing_delta_errors(spark):
+    # ivm_rewrite_rule.hpp:110-116: hard error when delta_<t> is absent
+    eng = IVMEngine(spark)
+    eng.register_table("hello", spark.createDataFrame(BASE_A1, schema=SCHEMA_A1))
+    eng.create_immv("v", sql="SELECT a, b FROM hello")
+    with pytest.raises(IVMError, match="Delta table delta_hello does not exist"):
+        eng.ivm_upsert("v")
+
+
+def test_repeat_invocation_overwrites(eng_a1):
+    # protocol quirk (SURVEY.md section 5): reference CREATEs delta_<view>
+    # so re-running errors; we overwrite — assert idempotent re-run.
+    eng_a1.create_immv("v", sql="SELECT a, b FROM hello")
+    first = rows(eng_a1.ivm_upsert("v"))
+    second = rows(eng_a1.ivm_upsert("v"))
+    assert first == second
+
+
+# --- fixture A3: hello(a INT, b VARCHAR, c VARCHAR, d BOOL) — ivm_filter.test
+
+SCHEMA_A3 = "a int, b string, c string, d boolean"
+DELTA_A3 = "a int, b string, c string, d boolean, _duckdb_ivm_multiplicity boolean"
+BASE_A3 = [(3, "key", "blah", True), (4, "lock", "foo", False)]
+DELTA_ROWS_A3 = [
+    (1, "key", "Mark", True, True),
+    (2, "key", "Hannes", False, False),
+    (3, "key", "Kriti", False, True),
+]
+
+
+@pytest.fixture()
+def eng_a3(spark):
+    return make_engine(spark, BASE_A3, SCHEMA_A3, DELTA_ROWS_A3, DELTA_A3)
+
+
+def test_filter_and_empty_result(eng_a3):
+    # ivm_filter.test:29-34: b='lock' AND d=true matches no delta rows → empty
+    eng_a3.create_immv(
+        "v",
+        sql="SELECT sum(a) AS s, count(c) AS c, b, d FROM hello "
+        "WHERE b = 'lock' AND d = true GROUP BY b, d",
+    )
+    assert rows(eng_a3.ivm_upsert("v")) == []
+
+
+def test_filter_and_multikey_group(eng_a3):
+    # ivm_filter.test:42-47: WHERE b='key' AND d=true GROUP BY b, d
+    eng_a3.create_immv(
+        "v",
+        sql="SELECT sum(a) AS s, count(c) AS c, b, d FROM hello "
+        "WHERE b = 'key' AND d = true GROUP BY b, d",
+    )
+    got = rows(eng_a3.ivm_upsert("v"))
+    assert got == rows_list([(1, 1, "key", True, True)])
+
+
+def test_filter_or_mixed_multiplicities(eng_a3):
+    # ivm_filter.test:56-78: b='key' OR d=true admits all three delta rows;
+    # per-(b,d,mult) groups, mixed multiplicities split
+    eng_a3.create_immv(
+        "v",
+        sql="SELECT sum(a) AS s, count(c) AS c, b, d FROM hello "
+        "WHERE b = 'key' OR d = true GROUP BY b, d",
+    )
+    got = rows(eng_a3.ivm_upsert("v"))
+    # ivm_filter.test:68-72 golden: three (b, d, mult) groups
+    assert got == rows_list(
+        [
+            (1, 1, "key", True, True),
+            (2, 1, "key", False, False),
+            (3, 1, "key", False, True),
+        ]
+    )
+
+
+def test_filter_singlekey_mixed_mults(eng_a3):
+    # ivm_filter.test:74-78: WHERE b='key' GROUP BY b — inserts fold (1+3),
+    # delete separate
+    eng_a3.create_immv(
+        "v",
+        sql="SELECT sum(a) AS s, count(c) AS c, b FROM hello WHERE b = 'key' GROUP BY b",
+    )
+    got = rows(eng_a3.ivm_upsert("v"))
+    assert got == rows_list([(4, 2, "key", True), (2, 1, "key", False)])
+
+
+# --- fixture A2: hello(a INT, b INT) — ivm_groupby.test -------------------
+
+def test_expression_aggregates(spark):
+    # ivm_groupby.test:14,23-29: SELECT b, SUM(a), SUM(a+2) GROUP BY b
+    eng = make_engine(
+        spark,
+        [],
+        "a int, b int",
+        [(11, 22, True), (13, 22, True), (12, 21, True)],
+        "a int, b int, _duckdb_ivm_multiplicity boolean",
+    )
+    eng.create_immv("v", sql="SELECT b, SUM(a) AS s1, SUM(a+2) AS s2 FROM hello GROUP BY b")
+    got = rows(eng.ivm_upsert("v"))
+    assert got == rows_list([(21, 12, 14, True), (22, 24, 28, True)])
+
+
+def test_issue2_multi_delta_grouping(spark):
+    # ivm_issue2.test:11-26: two deletes for b=2 fold into one (key,mult) row
+    eng = make_engine(
+        spark,
+        [],
+        "a int, b int, c string",
+        [(1, 1, "Mark", True), (2, 2, "Hannes", False), (3, 2, "Kriti", False)],
+        "a int, b int, c string, _duckdb_ivm_multiplicity boolean",
+    )
+    eng.create_immv("v", sql="SELECT sum(a) AS s, count(c) AS c, b FROM hello GROUP BY b")
+    got = rows(eng.ivm_upsert("v"))
+    assert got == rows_list([(1, 1, 1, True), (5, 2, 2, False)])
+
+
+def rows_list(tuples):
+    return sorted(tuples, key=lambda t: tuple(map(str, t)))
