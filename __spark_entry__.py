@@ -70,6 +70,20 @@ def _delta_sql(table: str) -> str:
     )
 
 
+def _applied_sql(table: str) -> str:
+    """DuckDB-side post-delta base table T' = T ∖ Δ⁻ ⊎ Δ⁺ (bag semantics).
+
+    Because deltas are derived from the base table itself, applying them
+    is: remove the rows tagged as deletes, duplicate the rows tagged as
+    inserts.  Used as the ground truth for merge (⊎) oracle queries.
+    """
+    pred, mult = DELTA_DEFS[table]
+    return (
+        f"(SELECT * FROM {table} WHERE NOT (({pred}) AND NOT ({mult})) "
+        f"UNION ALL SELECT * FROM {table} WHERE ({pred}) AND ({mult}))"
+    )
+
+
 # --------------------------------------------------------------------------
 # flagship
 # --------------------------------------------------------------------------
@@ -79,6 +93,10 @@ def entry(spark: SparkSession) -> DataFrame:
     group-by SUM/COUNT, SURVEY.md 2d case 3) on sf0.001."""
     return _q_ivm_groupby(spark, "/root/testdata/sf0.001")
 
+
+# --------------------------------------------------------------------------
+# IVM core surface (SURVEY.md §2a/2c/2d) — each returns ΔV or a merged view
+# --------------------------------------------------------------------------
 
 def _q_ivm_groupby(spark: SparkSession, sf_dir: str) -> DataFrame:
     eng = _engine(spark, sf_dir, deltas=("lineitem",))
@@ -94,21 +112,275 @@ def _q_ivm_groupby(spark: SparkSession, sf_dir: str) -> DataFrame:
     return eng.ivm_upsert("pricing")
 
 
+def _q_ivm_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # SURVEY.md 2d case 1: pure projection — delta rows pass through
+    eng = _engine(spark, sf_dir, deltas=("orders",))
+    eng.create_immv(
+        "v", sql="SELECT o_orderkey, o_custkey, o_orderstatus FROM orders",
+        materialize=False,
+    )
+    return eng.ivm_upsert("v")
+
+
+def _q_ivm_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # SURVEY.md 2d case 2: filtered projection (timestamp + numeric predicate)
+    eng = _engine(spark, sf_dir, deltas=("lineitem",))
+    eng.create_immv(
+        "v",
+        sql="SELECT l_orderkey, l_linenumber, l_returnflag FROM lineitem "
+        "WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00' AND l_discount > 0.02",
+        materialize=False,
+    )
+    return eng.ivm_upsert("v")
+
+
+def _q_ivm_filter_groupby(spark: SparkSession, sf_dir: str) -> DataFrame:
+    eng = _engine(spark, sf_dir, deltas=("lineitem",))
+    eng.create_immv(
+        "v",
+        sql="SELECT l_returnflag, sum(cast(l_quantity AS bigint)) AS sum_qty, "
+        "count(l_orderkey) AS cnt FROM lineitem "
+        "WHERE l_shipdate < TIMESTAMP '1997-01-01 00:00:00' GROUP BY l_returnflag",
+        materialize=False,
+    )
+    return eng.ivm_upsert("v")
+
+
+def _q_ivm_expr_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # aggregates over expressions (ivm_groupby.test:14 analogue)
+    eng = _engine(spark, sf_dir, deltas=("lineitem",))
+    eng.create_immv(
+        "v",
+        sql="SELECT l_linestatus, "
+        "sum(cast(l_quantity AS bigint) + 2) AS sum_qty_plus2, "
+        "sum(cast(round(l_extendedprice * (1 - l_discount) * 100) AS bigint)) AS sum_disc_cents "
+        "FROM lineitem GROUP BY l_linestatus",
+        materialize=False,
+    )
+    return eng.ivm_upsert("v")
+
+
+def _q_ivm_global_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # SURVEY.md 2d case 4: global aggregate groups by multiplicity alone
+    eng = _engine(spark, sf_dir, deltas=("lineitem",))
+    eng.create_immv(
+        "v",
+        sql="SELECT sum(cast(l_quantity AS bigint)) AS sum_qty, "
+        "count(l_orderkey) AS cnt FROM lineitem",
+        materialize=False,
+    )
+    return eng.ivm_upsert("v")
+
+
+def _q_ivm_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # AVG (beyond reference; poster future work) — exact: hidden SUM/COUNT
+    # companions, finalized as their ratio (ints → deterministic division)
+    eng = _engine(spark, sf_dir, deltas=("lineitem",))
+    eng.create_immv(
+        "v",
+        sql="SELECT l_returnflag, avg(cast(l_quantity AS bigint)) AS avg_qty, "
+        "count(l_quantity) AS cnt FROM lineitem GROUP BY l_returnflag",
+        materialize=False,
+    )
+    return eng.ivm_upsert("v")
+
+
+def _q_ivm_min_max(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # MIN/MAX over an insert-only delta (the maintainable case)
+    eng = _engine(spark, sf_dir)
+    pred, _ = DELTA_DEFS["lineitem"]
+    d = eng.table("lineitem").filter(F.expr(pred)).withColumn(MULT_COL, F.lit(True))
+    eng.register_delta("lineitem", d)
+    eng.create_immv(
+        "v",
+        sql="SELECT l_returnflag, min(cast(l_quantity AS bigint)) AS min_qty, "
+        "max(cast(round(l_extendedprice * 100) AS bigint)) AS max_price_cents "
+        "FROM lineitem GROUP BY l_returnflag",
+        materialize=False,
+    )
+    return eng.ivm_upsert("v")
+
+
+def _q_ivm_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    eng = _engine(spark, sf_dir, deltas=("orders",))
+    eng.create_immv(
+        "v",
+        sql="SELECT o_orderstatus, count(DISTINCT o_custkey) AS n_custs "
+        "FROM orders GROUP BY o_orderstatus",
+        materialize=False,
+    )
+    return eng.ivm_upsert("v")
+
+
+def _q_ivm_join_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # the poster's join delta rule: Δ(O ⋈ C) = ΔO⋈C ∪ O⋈ΔC ∪ ΔO⋈ΔC
+    eng = _engine(spark, sf_dir, deltas=("orders", "customer"))
+    eng.create_immv(
+        "v",
+        sql="SELECT c_mktsegment, count(o_orderkey) AS n_orders, "
+        "sum(cast(round(o_totalprice * 100) AS bigint)) AS sum_price_cents "
+        "FROM orders JOIN customer ON o_custkey = c_custkey "
+        "GROUP BY c_mktsegment",
+        materialize=False,
+    )
+    return eng.ivm_upsert("v")
+
+
+def _q_ivm_merge_groupby(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # the ⊎ upsert the reference never built: V' = V ⊎ ΔV; oracle is the
+    # recompute over the delta-applied base (the IVM invariant itself)
+    eng = _engine(spark, sf_dir, deltas=("lineitem",))
+    eng.create_immv(
+        "v",
+        sql="SELECT l_returnflag, l_linestatus, "
+        "sum(cast(l_quantity AS bigint)) AS sum_qty, "
+        "count(l_orderkey) AS cnt FROM lineitem "
+        "GROUP BY l_returnflag, l_linestatus",
+    )
+    eng.ivm_upsert("v")
+    return eng.merge_view("v")
+
+
+def _q_ivm_merge_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # merge after a two-sided join delta — full lifecycle over a join view
+    eng = _engine(spark, sf_dir, deltas=("orders", "customer"))
+    eng.create_immv(
+        "v",
+        sql="SELECT c_mktsegment, count(o_orderkey) AS n_orders, "
+        "sum(cast(round(o_totalprice * 100) AS bigint)) AS sum_price_cents "
+        "FROM orders JOIN customer ON o_custkey = c_custkey "
+        "GROUP BY c_mktsegment",
+    )
+    eng.ivm_upsert("v")
+    return eng.merge_view("v")
+
+
+def _q_ivm_merge_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # bag-semantics merge of a projection view (dupes kept, deletes removed)
+    eng = _engine(spark, sf_dir, deltas=("customer",))
+    eng.create_immv(
+        "v", sql="SELECT c_custkey, c_nationkey, c_mktsegment FROM customer"
+    )
+    eng.ivm_upsert("v")
+    return eng.merge_view("v")
+
+
+_IVM_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "ivm_projection": _q_ivm_projection,
+    "ivm_filter": _q_ivm_filter,
+    "ivm_groupby_agg": _q_ivm_groupby,
+    "ivm_filter_groupby": _q_ivm_filter_groupby,
+    "ivm_expr_agg": _q_ivm_expr_agg,
+    "ivm_global_agg": _q_ivm_global_agg,
+    "ivm_avg": _q_ivm_avg,
+    "ivm_min_max_insert_only": _q_ivm_min_max,
+    "ivm_count_distinct": _q_ivm_count_distinct,
+    "ivm_join_delta": _q_ivm_join_delta,
+    "ivm_merge_groupby": _q_ivm_merge_groupby,
+    "ivm_merge_join": _q_ivm_merge_join,
+    "ivm_merge_projection": _q_ivm_merge_projection,
+}
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    return {
-        "ivm_groupby_agg": _q_ivm_groupby,
-    }
+    return dict(_IVM_QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:
+    dl = _delta_sql("lineitem")
+    do = _delta_sql("orders")
+    dc = _delta_sql("customer")
+    m = MULT_COL
     return {
+        "ivm_projection": f"""
+            SELECT o_orderkey, o_custkey, o_orderstatus, {m} FROM {do} d
+        """,
+        "ivm_filter": f"""
+            SELECT l_orderkey, l_linenumber, l_returnflag, {m} FROM {dl} d
+            WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00' AND l_discount > 0.02
+        """,
         "ivm_groupby_agg": f"""
             SELECT l_returnflag, l_linestatus,
                    CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
                    CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sum_base_cents,
                    count(l_orderkey) AS count_order,
-                   {MULT_COL}
-            FROM {_delta_sql('lineitem')} d
-            GROUP BY l_returnflag, l_linestatus, {MULT_COL}
+                   {m}
+            FROM {dl} d
+            GROUP BY l_returnflag, l_linestatus, {m}
+        """,
+        "ivm_filter_groupby": f"""
+            SELECT l_returnflag,
+                   CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+                   count(l_orderkey) AS cnt, {m}
+            FROM {dl} d
+            WHERE l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+            GROUP BY l_returnflag, {m}
+        """,
+        "ivm_expr_agg": f"""
+            SELECT l_linestatus,
+                   CAST(sum(CAST(l_quantity AS BIGINT) + 2) AS BIGINT) AS sum_qty_plus2,
+                   CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS BIGINT) AS sum_disc_cents,
+                   {m}
+            FROM {dl} d GROUP BY l_linestatus, {m}
+        """,
+        "ivm_global_agg": f"""
+            SELECT CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+                   count(l_orderkey) AS cnt, {m}
+            FROM {dl} d GROUP BY {m}
+        """,
+        "ivm_avg": f"""
+            SELECT l_returnflag, avg(CAST(l_quantity AS BIGINT)) AS avg_qty,
+                   count(l_quantity) AS cnt, {m}
+            FROM {dl} d GROUP BY l_returnflag, {m}
+        """,
+        "ivm_min_max_insert_only": f"""
+            SELECT l_returnflag,
+                   CAST(min(CAST(l_quantity AS BIGINT)) AS BIGINT) AS min_qty,
+                   CAST(max(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS max_price_cents,
+                   true AS {m}
+            FROM lineitem WHERE {DELTA_DEFS['lineitem'][0]}
+            GROUP BY l_returnflag
+        """,
+        "ivm_count_distinct": f"""
+            SELECT o_orderstatus, count(DISTINCT o_custkey) AS n_custs, {m}
+            FROM {do} d GROUP BY o_orderstatus, {m}
+        """,
+        "ivm_join_delta": f"""
+            WITH branches AS (
+                SELECT c_mktsegment, o_orderkey, o_totalprice,
+                       CASE WHEN d.{m} THEN 1 ELSE -1 END AS sign
+                FROM {do} d JOIN customer c ON d.o_custkey = c.c_custkey
+                UNION ALL
+                SELECT c_mktsegment, o_orderkey, o_totalprice,
+                       CASE WHEN d.{m} THEN 1 ELSE -1 END AS sign
+                FROM orders o JOIN {dc} d ON o.o_custkey = d.c_custkey
+                UNION ALL
+                SELECT c_mktsegment, o_orderkey, o_totalprice,
+                       (CASE WHEN a.{m} THEN 1 ELSE -1 END)
+                       * (CASE WHEN b.{m} THEN 1 ELSE -1 END) AS sign
+                FROM {do} a JOIN {dc} b ON a.o_custkey = b.c_custkey
+            )
+            SELECT c_mktsegment, count(o_orderkey) AS n_orders,
+                   CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS sum_price_cents,
+                   (sign > 0) AS {m}
+            FROM branches GROUP BY c_mktsegment, (sign > 0)
+        """,
+        "ivm_merge_groupby": f"""
+            SELECT l_returnflag, l_linestatus,
+                   CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+                   count(l_orderkey) AS cnt
+            FROM {_applied_sql('lineitem')} t
+            GROUP BY l_returnflag, l_linestatus
+        """,
+        "ivm_merge_join": f"""
+            SELECT c_mktsegment, count(o_orderkey) AS n_orders,
+                   CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS sum_price_cents
+            FROM {_applied_sql('orders')} o JOIN {_applied_sql('customer')} c
+              ON o.o_custkey = c.c_custkey
+            GROUP BY c_mktsegment
+        """,
+        "ivm_merge_projection": f"""
+            SELECT c_custkey, c_nationkey, c_mktsegment
+            FROM {_applied_sql('customer')} c
         """,
     }

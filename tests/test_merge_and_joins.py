@@ -1,0 +1,226 @@
+"""Merge (⊎) semantics and the join delta rule.
+
+The reference computes ΔV only; merging is specified by its poster's
+algebra (V' = V ⊎ ΔV, re-aggregation of V UNION ALL ΔV) and pinned here
+by the IVM invariant: merge(q(T), ivm(Δ)) == q(T ∖ Δ⁻ ⊎ Δ⁺).
+"""
+
+import pytest
+
+from ivm_extension_spark import IVMEngine
+from ivm_extension_spark.operators.rewrite import IVMError
+
+from tests.conftest import rows
+
+SCHEMA = "a int, b string, c string"
+DELTA_SCHEMA = "a int, b string, c string, _duckdb_ivm_multiplicity boolean"
+
+
+def engine_with(spark, base, delta):
+    eng = IVMEngine(spark)
+    eng.register_table("t", spark.createDataFrame(base, schema=SCHEMA))
+    if delta is not None:
+        eng.register_delta("t", spark.createDataFrame(delta, schema=DELTA_SCHEMA))
+    return eng
+
+
+def check_invariant(spark, eng, sql):
+    """merge(V, ΔV) must equal the recompute over the delta-applied base."""
+    eng.create_immv("v", sql=sql)
+    eng.ivm_upsert("v")
+    merged = rows(eng.merge_view("v"))
+    eng.apply_delta("t")
+    truth = rows(eng.full_refresh("v"))
+    assert merged == truth, (merged, truth)
+    return merged
+
+
+def test_merge_agg_updates_groups(spark):
+    base = [(1, "x", "p"), (2, "x", "q"), (5, "y", "r")]
+    delta = [(10, "x", "s", True), (2, "x", "q", False), (7, "z", "t", True)]
+    eng = engine_with(spark, base, delta)
+    merged = check_invariant(
+        spark, eng, "SELECT b, sum(a) AS s, count(c) AS c FROM t GROUP BY b"
+    )
+    assert merged == sorted(
+        [("x", 11, 2), ("y", 5, 1), ("z", 7, 1)], key=lambda t: tuple(map(str, t))
+    )
+
+
+def test_merge_group_drop_on_net_zero(spark):
+    # deleting every row of group y removes the group entirely
+    base = [(1, "x", "p"), (5, "y", "r"), (6, "y", "s")]
+    delta = [(5, "y", "r", False), (6, "y", "s", False)]
+    eng = engine_with(spark, base, delta)
+    merged = check_invariant(
+        spark, eng, "SELECT b, sum(a) AS s, count(c) AS c FROM t GROUP BY b"
+    )
+    assert merged == [("x", 1, 1)]
+
+
+def test_merge_sum_only_view_still_drops_groups(spark):
+    # hidden count(*) companion makes group-drop work without a COUNT output
+    base = [(1, "x", "p"), (5, "y", "r")]
+    delta = [(5, "y", "r", False)]
+    eng = engine_with(spark, base, delta)
+    merged = check_invariant(spark, eng, "SELECT b, sum(a) AS s FROM t GROUP BY b")
+    assert merged == [("x", 1)]
+
+
+def test_merge_global_agg(spark):
+    base = [(1, "x", "p"), (2, "y", "q")]
+    delta = [(3, "z", "r", True), (1, "x", "p", False)]
+    eng = engine_with(spark, base, delta)
+    merged = check_invariant(spark, eng, "SELECT sum(a) AS s, count(c) AS c FROM t")
+    assert merged == [(5, 2)]
+
+
+def test_merge_avg_exact(spark):
+    base = [(1, "x", "p"), (3, "x", "q"), (10, "y", "r")]
+    delta = [(5, "x", "s", True), (1, "x", "p", False)]
+    eng = engine_with(spark, base, delta)
+    merged = check_invariant(spark, eng, "SELECT b, avg(a) AS m FROM t GROUP BY b")
+    assert merged == [("x", 4.0), ("y", 10.0)]
+
+
+def test_merge_projection_bag_semantics(spark):
+    # duplicate rows survive as a bag; delete removes exactly one occurrence
+    base = [(1, "x", "p"), (1, "x", "p"), (2, "y", "q")]
+    delta = [(1, "x", "p", False), (3, "z", "r", True)]
+    eng = engine_with(spark, base, delta)
+    merged = check_invariant(spark, eng, "SELECT a, b, c FROM t")
+    assert merged == sorted(
+        [(1, "x", "p"), (2, "y", "q"), (3, "z", "r")],
+        key=lambda t: tuple(map(str, t)),
+    )
+
+
+def test_merge_min_max_insert_only(spark):
+    base = [(5, "x", "p"), (9, "y", "q")]
+    delta = [(1, "x", "s", True), (20, "y", "t", True)]
+    eng = engine_with(spark, base, delta)
+    merged = check_invariant(
+        spark, eng, "SELECT b, min(a) AS lo, max(a) AS hi FROM t GROUP BY b"
+    )
+    assert merged == [("x", 1, 5), ("y", 9, 20)]
+
+
+def test_merge_min_max_delete_raises(spark):
+    base = [(5, "x", "p")]
+    delta = [(5, "x", "p", False)]
+    eng = engine_with(spark, base, delta)
+    eng.create_immv("v", sql="SELECT b, min(a) AS lo FROM t GROUP BY b")
+    eng.ivm_upsert("v")
+    with pytest.raises(IVMError, match="MIN is not incrementally maintainable"):
+        eng.merge_view("v")
+    # escape hatch: full refresh over the applied base works
+    eng.apply_delta("t")
+    assert rows(eng.full_refresh("v")) == []
+
+
+def test_repeated_merge_rounds(spark):
+    # two delta rounds: apply, re-delta, merge again — state stays exact
+    base = [(1, "x", "p"), (2, "y", "q")]
+    eng = engine_with(spark, base, [(3, "x", "r", True)])
+    eng.create_immv("v", sql="SELECT b, sum(a) AS s, count(c) AS c FROM t GROUP BY b")
+    eng.ivm_upsert("v")
+    eng.merge_view("v")
+    eng.apply_delta("t")
+    eng.register_delta(
+        "t",
+        eng.spark.createDataFrame([(2, "y", "q", False), (9, "y", "z", True)], schema=DELTA_SCHEMA),
+    )
+    eng.ivm_upsert("v")
+    merged = rows(eng.merge_view("v"))
+    eng.apply_delta("t")
+    assert merged == rows(eng.full_refresh("v"))
+    assert merged == sorted(
+        [("x", 4, 2), ("y", 9, 1)], key=lambda t: tuple(map(str, t))
+    )
+
+
+# --- join delta rule ------------------------------------------------------
+
+def test_join_delta_rule_projection(spark):
+    eng = IVMEngine(spark)
+    eng.register_table(
+        "o", spark.createDataFrame([(1, 10, 5.0), (2, 20, 7.0)], "ok int, ck int, amt double")
+    )
+    eng.register_table(
+        "c", spark.createDataFrame([(10, "A"), (20, "B")], "ck2 int, seg string")
+    )
+    eng.register_delta(
+        "o",
+        spark.createDataFrame(
+            [(3, 10, 9.0, True), (2, 20, 7.0, False)],
+            "ok int, ck int, amt double, _duckdb_ivm_multiplicity boolean",
+        ),
+    )
+    eng.register_delta(
+        "c",
+        spark.createDataFrame(
+            [(30, "C", True)], "ck2 int, seg string, _duckdb_ivm_multiplicity boolean"
+        ),
+    )
+    eng.create_immv(
+        "v", sql="SELECT ok, seg FROM o JOIN c ON ck = ck2", materialize=False
+    )
+    got = rows(eng.ivm_upsert("v"))
+    # ΔO⋈C: (3,A,+), (2,B,-); O⋈ΔC: none (no order has ck=30); ΔO⋈ΔC: none
+    assert got == sorted(
+        [(3, "A", True), (2, "B", False)], key=lambda t: tuple(map(str, t))
+    )
+
+
+def test_join_delta_both_sides_and_merge(spark):
+    # ΔO⋈ΔC branch fires: new order for a new customer
+    eng = IVMEngine(spark)
+    eng.register_table("o", spark.createDataFrame([(1, 10, 5.0)], "ok int, ck int, amt double"))
+    eng.register_table("c", spark.createDataFrame([(10, "A")], "ck2 int, seg string"))
+    eng.register_delta(
+        "o",
+        spark.createDataFrame(
+            [(2, 30, 4.0, True)], "ok int, ck int, amt double, _duckdb_ivm_multiplicity boolean"
+        ),
+    )
+    eng.register_delta(
+        "c",
+        spark.createDataFrame(
+            [(30, "C", True)], "ck2 int, seg string, _duckdb_ivm_multiplicity boolean"
+        ),
+    )
+    eng.create_immv(
+        "v",
+        sql="SELECT seg, sum(amt) AS s, count(ok) AS n FROM o JOIN c ON ck = ck2 GROUP BY seg",
+    )
+    dv = rows(eng.ivm_upsert("v"))
+    assert dv == [("C", 4.0, 1, True)]
+    merged = rows(eng.merge_view("v"))
+    # truth: recompute over applied bases
+    eng.apply_delta("o")
+    eng.apply_delta("c")
+    assert merged == rows(eng.full_refresh("v"))
+    assert merged == sorted(
+        [("A", 5.0, 1), ("C", 4.0, 1)], key=lambda t: tuple(map(str, t))
+    )
+
+
+def test_join_delta_delete_propagates_sign(spark):
+    # deleting a customer deletes its joined rows (sign product)
+    eng = IVMEngine(spark)
+    eng.register_table("o", spark.createDataFrame([(1, 10, 5.0), (2, 10, 3.0)], "ok int, ck int, amt double"))
+    eng.register_table("c", spark.createDataFrame([(10, "A")], "ck2 int, seg string"))
+    eng.register_delta(
+        "o", spark.createDataFrame([], "ok int, ck int, amt double, _duckdb_ivm_multiplicity boolean")
+    )
+    eng.register_delta(
+        "c",
+        spark.createDataFrame(
+            [(10, "A", False)], "ck2 int, seg string, _duckdb_ivm_multiplicity boolean"
+        ),
+    )
+    eng.create_immv("v", sql="SELECT ok, seg FROM o JOIN c ON ck = ck2", materialize=False)
+    got = rows(eng.ivm_upsert("v"))
+    assert got == sorted(
+        [(1, "A", False), (2, "A", False)], key=lambda t: tuple(map(str, t))
+    )
