@@ -265,6 +265,136 @@ def _q_ivm_merge_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     return eng.merge_view("v")
 
 
+# --------------------------------------------------------------------------
+# beyond-reference: LLM-data-pipeline operators (dedup / similarity /
+# text analysis / multimodal) — ivm_extension_spark.functions
+# --------------------------------------------------------------------------
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ivm_extension_spark.sources import read_parquet
+
+    return read_parquet(spark, f"{sf_dir}/documents.parquet")
+
+
+def _embs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ivm_extension_spark.sources import read_parquet
+
+    return read_parquet(spark, f"{sf_dir}/embeddings.parquet")
+
+
+def _q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ivm_extension_spark.functions import text as tx
+
+    d = _docs(spark, sf_dir)
+    return d.select(
+        "doc_id",
+        tx.char_count("text").alias("n_chars_raw"),
+        tx.token_count("text").alias("n_tokens"),
+        tx.fingerprint("text").alias("fp"),
+    )
+
+
+def _q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ivm_extension_spark.functions import text as tx
+
+    d = _docs(spark, sf_dir)
+    return tx.with_quality(d, "text").select(
+        "doc_id",
+        "n_tokens",
+        "alpha_ratio",
+        "digit_ratio",
+        "punct_ratio",
+        "stopword_ratio",
+        "mean_token_len",
+        "quality_score",
+    )
+
+
+def _q_text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ivm_extension_spark.functions import text as tx
+
+    d = _docs(spark, sf_dir)
+    return tx.with_lang_id(d, "text").select("doc_id", "lang_pred")
+
+
+def _q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ivm_extension_spark.functions import dedup
+
+    return dedup.exact_dedup(_docs(spark, sf_dir), "doc_id", "text")
+
+
+def _q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ivm_extension_spark.functions import dedup
+
+    return dedup.ngram_jaccard_pairs(
+        _docs(spark, sf_dir), "doc_id", "text", n=3, min_jaccard=0.05
+    )
+
+
+def _q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # rows-only check: minhash permutations are not SQL-expressible
+    from ivm_extension_spark.functions import dedup
+
+    return dedup.minhash_lsh_pairs(
+        _docs(spark, sf_dir), "doc_id", "text", num_hashes=64, bands=16
+    )
+
+
+def _q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # rows-only check: bit-majority voting is not SQL-expressible
+    from ivm_extension_spark.functions import dedup
+
+    return dedup.simhash_near_pairs(_docs(spark, sf_dir), "doc_id", "text", max_hamming=16)
+
+
+def _q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ivm_extension_spark.functions import dedup
+
+    return dedup.embedding_near_dups(
+        _embs(spark, sf_dir), "vec_id", "embedding", threshold=0.3
+    )
+
+
+def _q_sim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ivm_extension_spark.functions import similarity
+
+    embs = _embs(spark, sf_dir)
+    queries_df = embs.filter(F.expr("vec_id % 50 = 0"))
+    return similarity.brute_force_topk(embs, queries_df, "vec_id", "embedding", k=5)
+
+
+def _q_sim_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # rows-only: approximate path (bucketed candidates ≠ exact result set)
+    from ivm_extension_spark.functions import similarity
+
+    embs = _embs(spark, sf_dir)
+    queries_df = embs.filter(F.expr("vec_id % 50 = 0"))
+    return similarity.lsh_bucketed_topk(
+        embs, queries_df, "vec_id", "embedding", k=5, planes=4
+    )
+
+
+def _q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ivm_extension_spark.functions import multimodal
+
+    media = multimodal.with_binary_payload(_docs(spark, sf_dir), "doc_id", "text")
+    return media.select(
+        "media_id",
+        F.col("meta.format").alias("format"),
+        F.col("meta.n_bytes").alias("n_bytes"),
+        F.col("meta.checksum").alias("checksum"),
+    )
+
+
+def _q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # rows-only: decode is a stub (no codecs in container); the Arrow
+    # mapInPandas plumbing and schema are the real, tested part
+    from ivm_extension_spark.functions import multimodal
+
+    media = multimodal.with_binary_payload(_docs(spark, sf_dir), "doc_id", "text")
+    return multimodal.decode_features(media, dim=8)
+
+
 _IVM_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ivm_projection": _q_ivm_projection,
     "ivm_filter": _q_ivm_filter,
@@ -281,9 +411,24 @@ _IVM_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ivm_merge_projection": _q_ivm_merge_projection,
 }
 
+_EXTRA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "text_stats": _q_text_stats,
+    "text_quality": _q_text_quality,
+    "text_lang_id": _q_text_lang_id,
+    "dedup_exact": _q_dedup_exact,
+    "dedup_ngram_jaccard": _q_dedup_ngram_jaccard,
+    "dedup_minhash_lsh": _q_dedup_minhash_lsh,
+    "dedup_simhash": _q_dedup_simhash,
+    "dedup_embedding": _q_dedup_embedding,
+    "sim_topk_bruteforce": _q_sim_topk,
+    "sim_topk_lsh": _q_sim_topk_lsh,
+    "multimodal_meta": _q_multimodal_meta,
+    "multimodal_decode_stub": _q_multimodal_decode,
+}
+
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    return dict(_IVM_QUERIES)
+    return {**_IVM_QUERIES, **_EXTRA_QUERIES}
 
 
 def oracle_sql() -> dict[str, str]:
@@ -382,5 +527,150 @@ def oracle_sql() -> dict[str, str]:
         "ivm_merge_projection": f"""
             SELECT c_custkey, c_nationkey, c_mktsegment
             FROM {_applied_sql('customer')} c
+        """,
+        **_extras_oracle_sql(),
+    }
+
+
+# DuckDB twins of ivm_extension_spark.functions.text expressions.
+# regexp_replace needs the 'g' flag (Spark replaces all by default).
+_NORM = (
+    "trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\\s]', ' ', 'g'), "
+    "'\\s+', ' ', 'g'))"
+)
+_TOKS = f"string_split({_NORM}, ' ')"
+
+
+def _stop_filter(words: tuple[str, ...]) -> str:
+    cond = " OR ".join(f"w = '{x}'" for x in words)
+    return f"len(list_filter(toks, w -> {cond}))"
+
+
+def _extras_oracle_sql() -> dict[str, str]:
+    from ivm_extension_spark.functions.text import LANG_ORDER, STOPWORDS
+
+    score_cols = ", ".join(
+        f"{_stop_filter(STOPWORDS[lang])} AS s_{lang}" for lang in LANG_ORDER
+    )
+    best = "greatest(" + ", ".join(f"s_{lang}" for lang in LANG_ORDER) + ")"
+    lang_case = "CASE WHEN " + best + " <= 0 THEN 'und' " + " ".join(
+        f"WHEN s_{lang} = {best} THEN '{lang}'" for lang in LANG_ORDER
+    ) + " END"
+
+    # cosine as an explicit sequential fold — mirrors Spark's aggregate()
+    # exactly (left fold in array order, double precision end-to-end)
+    def dot(a: str, b: str) -> str:
+        return (
+            f"list_reduce(list_transform(list_zip({a}, {b}), p -> p[1] * p[2]), "
+            "(x, y) -> x + y)"
+        )
+
+    def nrm(a: str) -> str:
+        return f"sqrt(list_reduce(list_transform({a}, v -> v * v), (x, y) -> x + y))"
+
+    cos = (
+        f"round(({dot('av', 'bv')}) / (({nrm('av')}) * ({nrm('bv')})), 4)"
+    )
+
+    return {
+        "text_stats": f"""
+            SELECT doc_id,
+                   CAST(length(text) AS INT) AS n_chars_raw,
+                   CAST(len({_TOKS}) AS INT) AS n_tokens,
+                   md5({_NORM}) AS fp
+            FROM documents
+        """,
+        "text_quality": f"""
+            WITH feats AS (
+                SELECT doc_id,
+                       CAST(len(toks) AS INT) AS n_tokens,
+                       round(length(regexp_replace(text, '[^A-Za-z]', '', 'g'))
+                             / greatest(length(text), 1), 6) AS alpha_ratio,
+                       round(length(regexp_replace(text, '[^0-9]', '', 'g'))
+                             / greatest(length(text), 1), 6) AS digit_ratio,
+                       round(length(regexp_replace(text, '[^.,;:!?]', '', 'g'))
+                             / greatest(length(text), 1), 6) AS punct_ratio,
+                       round({_stop_filter(STOPWORDS['en'])}
+                             / greatest(len(toks), 1), 6) AS stopword_ratio,
+                       round((length(norm) - len(toks) + 1)
+                             / greatest(len(toks), 1), 6) AS mean_token_len
+                FROM (SELECT doc_id, text, {_NORM} AS norm, {_TOKS} AS toks
+                      FROM documents) t
+            )
+            SELECT doc_id, n_tokens, alpha_ratio, digit_ratio, punct_ratio,
+                   stopword_ratio, mean_token_len,
+                   round(least(n_tokens / 100.0, 1.0) * 0.3
+                         + alpha_ratio * 0.4
+                         + least(stopword_ratio * 5, 1.0) * 0.3, 6) AS quality_score
+            FROM feats
+        """,
+        "text_lang_id": f"""
+            SELECT doc_id, {lang_case} AS lang_pred
+            FROM (SELECT doc_id, {score_cols}
+                  FROM (SELECT doc_id, {_TOKS} AS toks FROM documents) t) s
+        """,
+        "dedup_exact": f"""
+            SELECT md5({_NORM}) AS fp,
+                   min(doc_id) AS keep_id,
+                   count(*) AS n_dupes
+            FROM documents GROUP BY md5({_NORM})
+        """,
+        "dedup_ngram_jaccard": f"""
+            WITH sh AS (
+                SELECT doc_id AS id,
+                       list_distinct(CASE WHEN len(toks) >= 3 THEN
+                           list_transform(range(1, len(toks) - 1),
+                               i -> array_to_string(list_slice(toks, i, i + 2), ' '))
+                           ELSE [] END) AS shingles
+                FROM (SELECT doc_id, {_TOKS} AS toks FROM documents) t
+            ),
+            exploded AS (
+                SELECT id, len(shingles) AS n_sh, unnest(shingles) AS g FROM sh
+            ),
+            pairs AS (
+                SELECT a.id AS id_a, b.id AS id_b,
+                       count(*) AS n_common,
+                       any_value(a.n_sh) AS n_a, any_value(b.n_sh) AS n_b
+                FROM exploded a JOIN exploded b
+                  ON a.g = b.g AND a.id < b.id
+                GROUP BY a.id, b.id
+            )
+            SELECT id_a, id_b, n_common, CAST(n_a AS INT) AS n_a,
+                   CAST(n_b AS INT) AS n_b,
+                   round(n_common / (n_a + n_b - n_common), 6) AS jaccard
+            FROM pairs
+            WHERE round(n_common / (n_a + n_b - n_common), 6) >= 0.05
+        """,
+        "dedup_embedding": f"""
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b, {cos} AS cos_sim
+            FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS av FROM embeddings) a
+            JOIN (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS bv FROM embeddings) b
+              ON a.vec_id < b.vec_id
+            WHERE {cos} >= 0.3
+        """,
+        "sim_topk_bruteforce": f"""
+            WITH scored AS (
+                SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
+                       round(({dot('qv', 'nv')}) / (({nrm('qv')}) * ({nrm('nv')})), 4) AS cos_sim
+                FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS qv
+                      FROM embeddings WHERE vec_id % 50 = 0) q
+                JOIN (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS nv
+                      FROM embeddings) n
+                  ON n.vec_id <> q.vec_id
+            )
+            SELECT query_id, neighbor_id, cos_sim,
+                   CAST(rank AS INT) AS rank
+            FROM (SELECT *, row_number() OVER
+                      (PARTITION BY query_id
+                       ORDER BY cos_sim DESC, neighbor_id ASC) AS rank
+                  FROM scored) r
+            WHERE rank <= 5
+        """,
+        "multimodal_meta": """
+            SELECT CAST(doc_id AS BIGINT) AS media_id,
+                   'fake/utf8' AS format,
+                   CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+                   md5(text) AS checksum
+            FROM documents
         """,
     }

@@ -1,0 +1,3 @@
+from ivm_extension_spark.functions import dedup, multimodal, similarity, text
+
+__all__ = ["dedup", "multimodal", "similarity", "text"]

@@ -1,0 +1,323 @@
+"""Deduplication operators: exact, n-gram Jaccard, MinHash+LSH, SimHash,
+embedding-cosine near-dup.
+
+Scale design (the point of each implementation):
+
+- exact: one hash-groupBy shuffle on a 16-byte key — the cheapest
+  possible full-corpus dedup; survivors picked deterministically
+  (min id) so re-runs are stable.
+- n-gram Jaccard: inverted-index self-join on shingles (explode →
+  shuffle on shingle → pair counts).  Never materializes the O(n²)
+  pair matrix — only pairs sharing ≥1 shingle. The frequency cap drops
+  stop-shingles that would otherwise create quadratic hot keys (skew).
+- MinHash+LSH: signatures via a vectorized Arrow pandas_udf (numpy,
+  batch-at-a-time — the sanctioned slow path), then band-explode →
+  bucket groupBy → pairs within buckets.  Candidate generation is
+  O(n·bands), not O(n²).
+- SimHash: 64-bit signature per doc (pandas_udf), near-dup = equal
+  16-bit chunk (banding) + Hamming distance ≤ k verification.
+- embedding cosine: exact dot-product join for moderate n; the ANN
+  path for large n is in similarity.py (LSH hyperplane buckets).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import struct
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F, types as T
+
+from ivm_extension_spark.functions.text import normalized, with_word_shingles
+
+# fixed MinHash parameters — deterministic across runs and engines
+_MERSENNE = (1 << 61) - 1
+
+
+def _hash_family(num_hashes: int, seed: int = 42):
+    rng = np.random.RandomState(seed)
+    a = rng.randint(1, _MERSENNE, size=num_hashes, dtype=np.int64)
+    b = rng.randint(0, _MERSENNE, size=num_hashes, dtype=np.int64)
+    return a, b
+
+
+def _shingle_hash_array(shingles: list[str]) -> np.ndarray:
+    """Stable 64-bit shingle hashes via md5 (no PYTHONHASHSEED dependence)."""
+    if not shingles:
+        return np.empty(0, dtype=np.uint64)
+    return np.fromiter(
+        (
+            struct.unpack("<Q", hashlib.md5(s.encode("utf-8")).digest()[:8])[0]
+            for s in shingles
+        ),
+        dtype=np.uint64,
+        count=len(shingles),
+    )
+
+
+# --------------------------------------------------------------------------
+# exact dedup
+# --------------------------------------------------------------------------
+
+def exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Keep one survivor (min id) per exact normalized-text fingerprint.
+
+    Returns (fingerprint, keep_id, n_dupes).  One shuffle on the md5 key.
+    """
+    from ivm_extension_spark.functions.text import fingerprint
+
+    return (
+        df.select(F.col(id_col), fingerprint(text_col).alias("fp"))
+        .groupBy("fp")
+        .agg(
+            F.min(id_col).alias("keep_id"),
+            F.count(F.lit(1)).alias("n_dupes"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# n-gram Jaccard (exact near-dup)
+# --------------------------------------------------------------------------
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    min_jaccard: float = 0.0,
+    max_shingle_freq: int | None = None,
+) -> DataFrame:
+    """All pairs (a < b) sharing ≥1 n-word shingle, with exact Jaccard
+    similarity of their distinct-shingle sets.
+
+    ``max_shingle_freq`` drops shingles appearing in more than that many
+    documents before the self-join — the standard skew guard (a shingle
+    present in every doc would generate an O(n²) hot partition).
+    """
+    sh = with_word_shingles(df.select(id_col, text_col), text_col, n=n)
+    sh = sh.select(F.col(id_col).alias("id"), F.col("shingles"))
+    sh = sh.withColumn("n_sh", F.size("shingles"))
+    exploded = sh.select("id", "n_sh", F.explode("shingles").alias("g"))
+    if max_shingle_freq is not None:
+        freq = exploded.groupBy("g").agg(F.count(F.lit(1)).alias("__f"))
+        exploded = exploded.join(
+            F.broadcast(freq.filter(F.col("__f") <= max_shingle_freq).select("g")),
+            on="g",
+            how="inner",
+        )
+    a = exploded.alias("a")
+    b = exploded.alias("b")
+    pairs = (
+        a.join(b, on=[F.col("a.g") == F.col("b.g"), F.col("a.id") < F.col("b.id")])
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(
+            F.count(F.lit(1)).alias("n_common"),
+            F.first(F.col("a.n_sh")).alias("n_a"),
+            F.first(F.col("b.n_sh")).alias("n_b"),
+        )
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("n_common")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_common")),
+                6,
+            ),
+        )
+    )
+    if min_jaccard > 0:
+        pairs = pairs.filter(F.col("jaccard") >= min_jaccard)
+    return pairs
+
+
+# --------------------------------------------------------------------------
+# MinHash + LSH
+# --------------------------------------------------------------------------
+
+def minhash_signatures(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 128,
+    shingle_n: int = 3,
+    seed: int = 42,
+) -> DataFrame:
+    """(id, signature array<long>) via a vectorized Arrow pandas_udf.
+
+    Permutation family h_i(x) = (a_i * x + b_i) mod (2^61 - 1) over
+    64-bit md5 shingle hashes; the whole batch is a numpy broadcast
+    (num_hashes x num_shingles), no per-row Python loops beyond hashing.
+    """
+    a_coef, b_coef = _hash_family(num_hashes, seed)
+
+    @F.pandas_udf(T.ArrayType(T.LongType()))
+    def sig_udf(shingles: pd.Series) -> pd.Series:
+        out = []
+        for sh in shingles:
+            hs = _shingle_hash_array(list(sh) if sh is not None else [])
+            if hs.size == 0:
+                out.append([0] * num_hashes)
+                continue
+            x = hs.astype(np.object_)  # python ints: exact mod-arith, no overflow
+            mins = [
+                int(min((int(ai) * xi + int(bi)) % _MERSENNE for xi in x))
+                for ai, bi in zip(a_coef, b_coef)
+            ]
+            out.append(mins)
+        return pd.Series(out)
+
+    sh = with_word_shingles(df.select(id_col, text_col), text_col, n=shingle_n)
+    return sh.select(F.col(id_col).alias("id"), sig_udf(F.col("shingles")).alias("sig"))
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 128,
+    bands: int = 32,
+    shingle_n: int = 3,
+    seed: int = 42,
+) -> DataFrame:
+    """Candidate near-dup pairs via LSH banding: docs agreeing on all
+    rows of ≥1 band collide.  Output: (id_a, id_b, n_bands_agree).
+
+    Pipeline: signature (Arrow UDF) → explode bands → groupBy (band,
+    band-hash) — a shuffle on band buckets, never all-pairs.
+    """
+    rows_per_band = num_hashes // bands
+    sigs = minhash_signatures(df, id_col, text_col, num_hashes, shingle_n, seed)
+    banded = sigs.select(
+        "id",
+        F.explode(
+            F.expr(
+                f"transform(sequence(0, {bands - 1}), "
+                f"b -> struct(b AS band, slice(sig, b * {rows_per_band} + 1, {rows_per_band}) AS chunk))"
+            )
+        ).alias("bk"),
+    ).select("id", F.col("bk.band").alias("band"), F.md5(F.to_json(F.col("bk.chunk"))).alias("bh"))
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(
+            b,
+            on=[
+                F.col("a.band") == F.col("b.band"),
+                F.col("a.bh") == F.col("b.bh"),
+                F.col("a.id") < F.col("b.id"),
+            ],
+        )
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("n_bands_agree"))
+    )
+
+
+# --------------------------------------------------------------------------
+# SimHash
+# --------------------------------------------------------------------------
+
+def simhash64(
+    df: DataFrame, id_col: str, text_col: str, shingle_n: int = 2
+) -> DataFrame:
+    """64-bit SimHash per document (Arrow pandas_udf, numpy bit-count)."""
+
+    @F.pandas_udf(T.LongType())
+    def sim_udf(shingles: pd.Series) -> pd.Series:
+        out = []
+        for sh in shingles:
+            hs = _shingle_hash_array(list(sh) if sh is not None else [])
+            if hs.size == 0:
+                out.append(0)
+                continue
+            bits = ((hs[:, None] >> np.arange(64, dtype=np.uint64)) & 1).astype(
+                np.int64
+            )  # (n_shingles, 64)
+            votes = bits.sum(axis=0) * 2 - hs.size  # +1 / -1 majority
+            val = 0
+            for i in range(64):
+                if votes[i] > 0:
+                    val |= 1 << i
+            # store as signed 64-bit
+            out.append(val - (1 << 64) if val >= (1 << 63) else val)
+        return pd.Series(out)
+
+    sh = with_word_shingles(df.select(id_col, text_col), text_col, n=shingle_n)
+    return sh.select(F.col(id_col).alias("id"), sim_udf(F.col("shingles")).alias("simhash"))
+
+
+def simhash_near_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    max_hamming: int = 8,
+    shingle_n: int = 2,
+) -> DataFrame:
+    """Near-dup pairs by SimHash: band on 16-bit chunks (any equal chunk
+    → candidate; guarantees recall for Hamming ≤ 3 by pigeonhole at
+    4 chunks), then verify Hamming distance ≤ max_hamming JVM-side
+    (bit_count of xor — no Python in the join path)."""
+    sigs = simhash64(df, id_col, text_col, shingle_n)
+    chunks = sigs.select(
+        "id",
+        "simhash",
+        F.explode(
+            F.expr(
+                "transform(sequence(0, 3), "
+                "c -> struct(c AS chunk, shiftright(simhash, c * 16) & 65535 AS val))"
+            )
+        ).alias("ck"),
+    ).select("id", "simhash", F.col("ck.chunk").alias("chunk"), F.col("ck.val").alias("val"))
+    a = chunks.alias("a")
+    b = chunks.alias("b")
+    return (
+        a.join(
+            b,
+            on=[
+                F.col("a.chunk") == F.col("b.chunk"),
+                F.col("a.val") == F.col("b.val"),
+                F.col("a.id") < F.col("b.id"),
+            ],
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.expr("bit_count(a.simhash ^ b.simhash)").alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .distinct()
+    )
+
+
+# --------------------------------------------------------------------------
+# embedding-cosine near-dup
+# --------------------------------------------------------------------------
+
+def embedding_near_dups(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    threshold: float = 0.95,
+) -> DataFrame:
+    """Exact cosine near-dup pairs (a < b, cos ≥ threshold).
+
+    O(n²/2) dot products via a self-join — exact baseline, fine up to
+    ~10⁵ vectors per group; beyond that use
+    similarity.lsh_bucketed_topk's hyperplane buckets as the pre-filter.
+    """
+    from ivm_extension_spark.functions.similarity import cosine_expr
+
+    v = df.select(
+        F.col(id_col).alias("id"), F.col(vec_col).cast("array<double>").alias("v")
+    )
+    a = v.alias("a")
+    b = v.alias("b")
+    return (
+        a.join(b, on=[F.col("a.id") < F.col("b.id")])
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.round(cosine_expr("a.v", "b.v"), 4).alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= threshold)
+    )

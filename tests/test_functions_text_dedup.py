@@ -1,0 +1,155 @@
+"""Semantics tests for the LLM-pipeline operators (functions/)."""
+
+import pytest
+from pyspark.sql import Row, functions as F
+
+from ivm_extension_spark.functions import dedup, multimodal, similarity, text
+
+from tests.conftest import rows
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    data = [
+        (1, "The cat sat on the mat and the dog barked."),
+        (2, "The cat sat on the mat and the dog barked!"),  # near-dup of 1
+        (3, "Der Hund und die Katze sind ein Team und das ist gut."),
+        (4, "completely different words here about spark engines"),
+        (5, ""),
+    ]
+    return spark.createDataFrame(data, "doc_id long, text string")
+
+
+def test_normalized_and_tokens(spark):
+    df = spark.createDataFrame([("  Hello,   WORLD!  42 ",)], "t string")
+    got = df.select(
+        text.normalized("t").alias("n"), text.token_count("t").alias("c")
+    ).first()
+    assert got["n"] == "hello world 42"
+    assert got["c"] == 3
+
+
+def test_fingerprint_matches_on_normalized_equal(docs):
+    # docs 1 and 2 differ only in trailing punctuation → same fingerprint
+    fps = {
+        r["doc_id"]: r["fp"]
+        for r in docs.select("doc_id", text.fingerprint("text").alias("fp")).collect()
+    }
+    assert fps[1] == fps[2]
+    assert fps[1] != fps[3]
+
+
+def test_lang_id(docs):
+    got = {r["doc_id"]: r["lang_pred"] for r in text.with_lang_id(docs, "text").collect()}
+    assert got[1] == "en"
+    assert got[3] == "de"
+    assert got[5] == "und"
+
+
+def test_quality_score_bounds(docs):
+    out = text.with_quality(docs, "text").select("doc_id", "quality_score").collect()
+    for r in out:
+        assert 0.0 <= r["quality_score"] <= 1.0
+
+
+def test_exact_dedup_groups(docs):
+    out = dedup.exact_dedup(docs, "doc_id", "text")
+    groups = {r["keep_id"]: r["n_dupes"] for r in out.collect()}
+    assert groups[1] == 2  # docs 1+2 collapse, keeper = min id
+    assert groups[3] == 1
+
+
+def test_ngram_jaccard_near_dup(docs):
+    pairs = dedup.ngram_jaccard_pairs(docs, "doc_id", "text", n=3)
+    got = {(r["id_a"], r["id_b"]): r["jaccard"] for r in pairs.collect()}
+    assert got[(1, 2)] == 1.0  # identical after normalization
+    assert all(j < 0.5 for (a, b), j in got.items() if (a, b) != (1, 2))
+
+
+def test_minhash_lsh_finds_near_dup(docs):
+    pairs = dedup.minhash_lsh_pairs(docs, "doc_id", "text", num_hashes=32, bands=8)
+    got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+    assert (1, 2) in got  # identical shingle sets → all bands agree
+
+
+def test_minhash_deterministic_across_runs(docs):
+    s1 = rows(dedup.minhash_signatures(docs, "doc_id", "text", num_hashes=16))
+    s2 = rows(dedup.minhash_signatures(docs, "doc_id", "text", num_hashes=16))
+    assert s1 == s2
+
+
+def test_simhash_near_pairs(docs):
+    pairs = dedup.simhash_near_pairs(docs, "doc_id", "text", max_hamming=4)
+    got = {(r["id_a"], r["id_b"]): r["hamming"] for r in pairs.collect()}
+    assert got[(1, 2)] == 0
+
+
+def test_embedding_near_dups(spark):
+    vecs = spark.createDataFrame(
+        [
+            (1, [1.0, 0.0, 0.0]),
+            (2, [0.999, 0.01, 0.0]),  # near-dup of 1
+            (3, [0.0, 1.0, 0.0]),     # orthogonal
+        ],
+        "vec_id long, embedding array<float>",
+    )
+    out = dedup.embedding_near_dups(vecs, "vec_id", "embedding", threshold=0.95)
+    got = {(r["id_a"], r["id_b"]) for r in out.collect()}
+    assert got == {(1, 2)}
+
+
+def test_brute_force_topk_exact(spark):
+    vecs = spark.createDataFrame(
+        [
+            (0, [1.0, 0.0]),
+            (1, [0.9, 0.1]),
+            (2, [0.0, 1.0]),
+            (3, [-1.0, 0.0]),
+        ],
+        "vec_id long, embedding array<float>",
+    )
+    q = vecs.filter("vec_id = 0")
+    out = similarity.brute_force_topk(vecs, q, k=2).collect()
+    ranked = sorted([(r["rank"], r["neighbor_id"]) for r in out])
+    assert ranked == [(1, 1), (2, 2)]  # closest first; anti-parallel last
+
+
+def test_lsh_topk_is_subset_of_bucket(spark):
+    import numpy as np
+
+    rng = np.random.RandomState(0)
+    data = [(i, rng.randn(8).astype(float).tolist()) for i in range(50)]
+    vecs = spark.createDataFrame(data, "vec_id long, embedding array<float>")
+    q = vecs.filter("vec_id < 3")
+    out = similarity.lsh_bucketed_topk(vecs, q, k=3, planes=2, dim=8)
+    got = out.collect()
+    assert len(got) > 0
+    for r in got:
+        assert r["query_id"] != r["neighbor_id"]
+        assert 1 <= r["rank"] <= 3
+
+
+def test_multimodal_payload_and_decode(docs):
+    media = multimodal.with_binary_payload(docs, "doc_id", "text")
+    # same shape (nullability may differ between builder and declared schema)
+    assert media.schema.simpleString() == multimodal.MEDIA_SCHEMA.simpleString()
+    feats = multimodal.decode_features(media, dim=4)
+    got = {r["media_id"]: r for r in feats.collect()}
+    assert len(got[1]["feature"]) == 4
+    # deterministic: same payload → same fake feature
+    assert got[1]["feature"] == got[2]["feature"] or got[1]["checksum"] != got[2]["checksum"]
+    r1 = {r["media_id"]: r["feature"] for r in multimodal.decode_features(media, dim=4).collect()}
+    assert r1[3] == got[3]["feature"]
+
+
+def test_multimodal_decode_fail_real(docs):
+    media = multimodal.with_binary_payload(docs, "doc_id", "text")
+    with pytest.raises(Exception, match="NotImplementedError|decode requires"):
+        multimodal.decode_features(media, dim=4, fail_real=True).collect()
+
+
+def test_frame_sample(docs):
+    media = multimodal.with_binary_payload(docs.filter("doc_id = 1"), "doc_id", "text")
+    frames = multimodal.frame_sample(media, every_n_bytes=8, max_frames=4).collect()
+    assert 1 <= len(frames) <= 4
+    assert all(r["frame_checksum"] is not None for r in frames)
