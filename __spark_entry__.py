@@ -271,15 +271,15 @@ def _q_ivm_merge_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ivm_extension_spark.sources import read_parquet
+    from ivm_extension_spark.sources import ensure_parallelism, read_parquet
 
-    return read_parquet(spark, f"{sf_dir}/documents.parquet")
+    return ensure_parallelism(read_parquet(spark, f"{sf_dir}/documents.parquet"))
 
 
 def _embs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ivm_extension_spark.sources import read_parquet
+    from ivm_extension_spark.sources import ensure_parallelism, read_parquet
 
-    return read_parquet(spark, f"{sf_dir}/embeddings.parquet")
+    return ensure_parallelism(read_parquet(spark, f"{sf_dir}/embeddings.parquet"))
 
 
 def _q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -1,0 +1,87 @@
+"""Per-round benchmark: run the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and print ONE
+JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+Each query is forced end-to-end with the noop sink (full materialization,
+no driver transfer).  A small warmup query first removes JVM/codegen
+startup from the per-query numbers.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+from pyspark.sql import SparkSession
+
+import __spark_entry__ as entrymod
+
+
+def build_spark(cpus: int) -> SparkSession:
+    return (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName("ivm_extension_spark-bench")
+        .config("spark.sql.shuffle.partitions", str(cpus))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_MEM", "48g"))
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+
+
+def main() -> int:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    only = set(sys.argv[1:])
+
+    spark = build_spark(cpus)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # warmup: JVM, codegen, parquet footer caches
+    spark.read.parquet(f"{sf_dir}/lineitem.parquet").limit(1000).write.format(
+        "noop"
+    ).mode("overwrite").save()
+
+    timings: dict[str, float] = {}
+    total = 0.0
+    for name, fn in entrymod.queries().items():
+        if only and name not in only:
+            continue
+        t0 = time.perf_counter()
+        try:
+            df = fn(spark, sf_dir)
+            df.write.format("noop").mode("overwrite").save()
+            dt = time.perf_counter() - t0
+        except Exception as e:  # a failing query must not hide the others
+            print(f"# ERROR {name}: {e}", file=sys.stderr)
+            dt = float("nan")
+        timings[name] = round(dt, 3)
+        if dt == dt:
+            total += dt
+
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    print(
+        json.dumps(
+            {
+                "metric": "total_runtime_all_queries",
+                "value": round(total, 3),
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

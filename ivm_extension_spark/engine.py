@@ -188,8 +188,9 @@ class IVMEngine:
                 self._iviews[name], self.table, self.delta, self.broadcast_deltas
             )
         new_state = merge(self._state[name], dv, self._iviews[name])
-        # cut lineage growth across repeated merges: cache the new state
-        new_state = new_state.localCheckpoint(eager=False)
+        # eager checkpoint: cuts lineage growth across repeated merges AND
+        # pins the state so streaming micro-batch sources can be released
+        new_state = new_state.localCheckpoint(eager=True)
         self._state[name] = new_state
         self._delta_views.pop(name, None)
         return merge_ops.finalize(new_state, vdef)
@@ -211,7 +212,7 @@ class IVMEngine:
         """Fold delta_<name> into the base table (bag semantics) and clear
         the delta — advances the engine to the post-delta world."""
         new_base = merge_ops.apply_delta_to_table(self.table(name), self.delta(name))
-        new_base = new_base.localCheckpoint(eager=False)
+        new_base = new_base.localCheckpoint(eager=True)
         self._tables[name] = new_base
         self._deltas.pop(name, None)
         return new_base

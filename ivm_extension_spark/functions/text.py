@@ -27,11 +27,29 @@ STOPWORDS: dict[str, tuple[str, ...]] = {
 LANG_ORDER = ("en", "de", "fr", "es")
 
 
+def _norm_sql(col: str) -> str:
+    return (
+        f"trim(regexp_replace(regexp_replace(lower({col}), '[^a-z0-9\\\\s]', ' '), "
+        "'\\\\s+', ' '))"
+    )
+
+
+def _bind(inner: str, bound_expr: str, var: str = "s") -> str:
+    """Evaluate ``bound_expr`` ONCE and reference it as ``var`` inside
+    ``inner`` — a lambda-variable binding via a single-element transform.
+
+    Why: Catalyst's CollapseProject inlines column aliases into every
+    reference, so an aliased tokens() column used inside a per-element
+    lambda re-runs the whole regex normalization for EVERY element
+    (measured 20x slowdown on shingling).  Lambda variables are never
+    inlined, making this the expression-level `let`.
+    """
+    return f"element_at(transform(array({bound_expr}), {var} -> {inner}), 1)"
+
+
 def normalized(col: str) -> Column:
     """lowercase, strip non-alphanumerics, collapse whitespace."""
-    return F.expr(
-        f"trim(regexp_replace(regexp_replace(lower({col}), '[^a-z0-9\\\\s]', ' '), '\\\\s+', ' '))"
-    )
+    return F.expr(_norm_sql(col))
 
 
 def tokens(col: str) -> Column:
@@ -53,67 +71,71 @@ def fingerprint(col: str) -> Column:
     return F.md5(normalized(col))
 
 
-def _stopword_hits(col: str, words: tuple[str, ...]) -> Column:
+def _hits_sql(words: tuple[str, ...], toks_var: str = "t") -> str:
     in_list = " OR ".join(f"w = '{w}'" for w in words)
-    return F.expr(f"size(filter(__toks_{col}, w -> {in_list}))")
-
-
-def lang_scores(col: str):
-    """Per-language stopword hit counts. Internal: requires a
-    ``__toks_<col>`` column (see with_lang_id)."""
-    return {lang: _stopword_hits(col, STOPWORDS[lang]) for lang in LANG_ORDER}
+    return f"size(filter({toks_var}, w -> {in_list}))"
 
 
 def with_lang_id(df, col: str, out: str = "lang_pred"):
-    """n-gram/stopword language-ID heuristic.  Deterministic: the first
+    """Stopword language-ID heuristic.  Deterministic: the first
     language in LANG_ORDER with the (strictly) highest hit count wins;
-    'und' when no stopword hits at all."""
-    df = df.withColumn(f"__toks_{col}", tokens(col))
-    scores = lang_scores(col)
-    best = F.greatest(*[scores[lang] for lang in LANG_ORDER])
+    'und' when no stopword hits at all.  All per-language counts come
+    from ONE tokenization pass (lambda-bound, see _bind)."""
+    fields = ", ".join(
+        f"{_hits_sql(STOPWORDS[lang])} AS s_{lang}" for lang in LANG_ORDER
+    )
+    scores_expr = _bind(
+        _bind(f"struct({fields})", "split(s, ' ')", var="t"), _norm_sql(col)
+    )
+    df = df.withColumn("__ls", F.expr(scores_expr))
+    scores = {lang: F.col(f"__ls.s_{lang}") for lang in LANG_ORDER}
+    best = F.greatest(*scores.values())
     expr = F.when(best <= 0, F.lit("und"))
     for lang in LANG_ORDER:
         expr = expr.when(scores[lang] == best, F.lit(lang))
-    return df.withColumn(out, expr).drop(f"__toks_{col}")
+    return df.withColumn(out, expr).drop("__ls")
 
 
 def quality_features(df, col: str):
     """Length / punctuation / stopword / digit ratios — the standard
     cheap quality signals for corpus filtering.  Ratios are rounded to
-    6 decimals (hash-stable: numerators and denominators are exact ints)."""
+    6 decimals (hash-stable: numerators and denominators are exact ints).
+    One normalization+tokenization pass (lambda-bound)."""
     n_chars = F.length(F.col(col))
     n_alpha = F.length(F.regexp_replace(F.col(col), "[^A-Za-z]", ""))
     n_digit = F.length(F.regexp_replace(F.col(col), "[^0-9]", ""))
     n_punct = F.length(F.regexp_replace(F.col(col), "[^.,;:!?]", ""))
-    toks = tokens(col)
-    n_toks = F.size(toks)
-    n_stop = F.size(F.filter(toks, lambda w: _w_in(w, STOPWORDS["en"])))
+    tok_struct = _bind(
+        _bind(
+            f"struct(size(t) AS n_toks, length(s) AS n_norm, "
+            f"{_hits_sql(STOPWORDS['en'])} AS n_stop)",
+            "split(s, ' ')",
+            var="t",
+        ),
+        _norm_sql(col),
+    )
+    ts = F.expr(tok_struct)
+    n_toks = ts["n_toks"]
     return {
         "n_chars": n_chars,
         "n_tokens": n_toks,
         "alpha_ratio": F.round(n_alpha / F.greatest(n_chars, F.lit(1)), 6),
         "digit_ratio": F.round(n_digit / F.greatest(n_chars, F.lit(1)), 6),
         "punct_ratio": F.round(n_punct / F.greatest(n_chars, F.lit(1)), 6),
-        "stopword_ratio": F.round(n_stop / F.greatest(n_toks, F.lit(1)), 6),
+        "stopword_ratio": F.round(ts["n_stop"] / F.greatest(n_toks, F.lit(1)), 6),
         "mean_token_len": F.round(
-            (F.length(normalized(col)) - n_toks + 1) / F.greatest(n_toks, F.lit(1)), 6
+            (ts["n_norm"] - n_toks + 1) / F.greatest(n_toks, F.lit(1)), 6
         ),
     }
 
 
-def _w_in(w: Column, words: tuple[str, ...]) -> Column:
-    cond = F.lit(False)
-    for x in words:
-        cond = cond | (w == F.lit(x))
-    return cond
-
-
 def with_quality(df, col: str):
     feats = quality_features(df, col)
-    for name, c in feats.items():
-        df = df.withColumn(name, c)
+    df = df.withColumns(feats)
     # simple composite score in [0,1]: favors alphabetic, stopword-bearing,
-    # medium-length documents (weights are arbitrary but fixed)
+    # medium-length documents (weights are arbitrary but fixed).
+    # computed from the ROUNDED feature columns (oracle parity) — selected
+    # in a separate projection below so the ratios aren't re-inlined.
     score = F.round(
         F.least(F.col("n_tokens") / F.lit(100.0), F.lit(1.0)) * 0.3
         + F.col("alpha_ratio") * 0.4
@@ -123,20 +145,17 @@ def with_quality(df, col: str):
     return df.withColumn("quality_score", score)
 
 
-def word_shingles(col: str, n: int = 3) -> Column:
-    """Distinct n-word shingles (the dedup unit).  Empty array for
-    documents shorter than n tokens."""
-    return F.expr(
-        f"""CASE WHEN size(__toks) >= {n} THEN
-              array_distinct(transform(sequence(1, size(__toks) - {n - 1}),
-                i -> concat_ws(' ', slice(__toks, i, {n}))))
-            ELSE array() END"""
+def shingles_expr(col: str, n: int = 3) -> str:
+    """Distinct n-word shingles (the dedup unit) as one expression with a
+    single tokenization (lambda-bound).  Empty array below n tokens."""
+    inner = (
+        f"CASE WHEN size(t) >= {n} THEN "
+        f"array_distinct(transform(sequence(1, size(t) - {n - 1}), "
+        f"i -> concat_ws(' ', slice(t, i, {n})))) "
+        "ELSE array() END"
     )
+    return _bind(_bind(inner, "split(s, ' ')", var="t"), _norm_sql(col))
 
 
 def with_word_shingles(df, col: str, n: int = 3, out: str = "shingles"):
-    return (
-        df.withColumn("__toks", tokens(col))
-        .withColumn(out, word_shingles(col, n))
-        .drop("__toks")
-    )
+    return df.withColumn(out, F.expr(shingles_expr(col, n)))

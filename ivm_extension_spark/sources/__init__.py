@@ -1,3 +1,3 @@
-from ivm_extension_spark.sources.parquet import read_parquet
+from ivm_extension_spark.sources.parquet import ensure_parallelism, read_parquet
 
-__all__ = ["read_parquet"]
+__all__ = ["ensure_parallelism", "read_parquet"]

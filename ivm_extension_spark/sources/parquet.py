@@ -24,7 +24,35 @@ def _nanos_columns(path: str) -> list[str]:
         return []
 
 
+# (session-id, path) -> DataFrame; DataFrames are immutable plans, so
+# reuse avoids re-reading footers when many queries touch the same table
+_CACHE: dict[tuple[int, str], DataFrame] = {}
+
+
 def read_parquet(spark: SparkSession, path: str) -> DataFrame:
+    key = (id(spark), path)
+    if key in _CACHE:
+        return _CACHE[key]
+    df = _read_parquet_uncached(spark, path)
+    _CACHE[key] = df
+    return df
+
+
+def ensure_parallelism(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
+    """Round-robin repartition when the source has too few splits.
+
+    Small/single-row-group parquet files arrive as one partition, which
+    serializes every narrow per-row operator (regex, shingling, UDFs)
+    onto one core.  At real scale inputs are already split; this guard
+    only pays its (tiny) shuffle when the source under-splits.
+    """
+    target = min_partitions or df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < max(2, target // 2):
+        return df.repartition(target)
+    return df
+
+
+def _read_parquet_uncached(spark: SparkSession, path: str) -> DataFrame:
     ns_cols = _nanos_columns(path)
     if not ns_cols:
         return spark.read.parquet(path)

@@ -1,0 +1,103 @@
+"""Continuous view maintenance: the reference's batch-pull model
+(deltas accumulate in delta_T, processed on explicit PRAGMA ivm_upsert,
+README.md:24-31) lifted to Structured Streaming.
+
+Two modes:
+
+1. ``StreamingViewMaintainer`` — micro-batch IVM: each arriving batch of
+   delta rows (with the bool multiplicity column) is registered as
+   delta_T, ΔV is computed with the SAME rewrite as batch mode, and
+   merged into the view state inside ``foreachBatch``.  This supports
+   the full view surface incl. deletes — exactly-once per batch via the
+   streaming checkpoint.
+2. ``windowed_aggregate`` — the native path for append-only event
+   streams: watermark + tumbling/sliding window + groupBy aggregation
+   in update mode.  Spark's own state store does the incremental
+   maintenance; use this when the view is an insert-only windowed agg
+   (no multiplicity needed — the platform-preferred shape at scale).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.streaming import StreamingQuery
+
+from ivm_extension_spark.engine import IVMEngine
+
+
+class StreamingViewMaintainer:
+    """Maintain one IMMV continuously from a stream of delta rows.
+
+    The delta stream must carry the base table's columns plus
+    ``_duckdb_ivm_multiplicity`` (true=insert, false=delete) — i.e. a
+    CDC feed.  State after each micro-batch equals the batch engine's
+    merge result; reads see it via ``engine.read_view(name)``.
+    """
+
+    def __init__(self, engine: IVMEngine, view_name: str, table: str) -> None:
+        self.engine = engine
+        self.view_name = view_name
+        self.table = table
+        self.batches_applied = 0
+
+    def _process_batch(self, batch_df: DataFrame, batch_id: int) -> None:
+        if len(batch_df.take(1)) == 0:
+            return
+        # engine state is eagerly localCheckpoint'ed on merge, so nothing
+        # keeps referencing this micro-batch's source after the batch ends
+        self.engine.register_delta(self.table, batch_df)
+        self.engine.ivm_upsert(self.view_name)
+        self.engine.merge_view(self.view_name)
+        self.engine.apply_delta(self.table)
+        self.batches_applied += 1
+
+    def start(
+        self,
+        delta_stream: DataFrame,
+        checkpoint_dir: str,
+        trigger_available_now: bool = True,
+    ) -> StreamingQuery:
+        writer = (
+            delta_stream.writeStream.foreachBatch(self._process_batch)
+            .option("checkpointLocation", checkpoint_dir)
+            .outputMode("update")
+        )
+        if trigger_available_now:
+            writer = writer.trigger(availableNow=True)
+        return writer.start()
+
+
+def windowed_aggregate(
+    events: DataFrame,
+    ts_col: str,
+    window_duration: str,
+    slide: str | None = None,
+    watermark: str = "10 minutes",
+    group_cols: tuple[str, ...] = (),
+    aggs: dict[str, str] | None = None,
+) -> DataFrame:
+    """Watermarked windowed aggregation over an (append-only) event
+    stream — Spark-native incremental maintenance in update mode.
+
+    ``aggs`` maps output alias -> SQL aggregate expression, e.g.
+    {"n_events": "count(*)", "total": "sum(value)"}.  Works on batch
+    DataFrames too (same plan, no watermark effect).
+    """
+    aggs = aggs or {"n_events": "count(*)"}
+    out = events
+    if out.isStreaming:
+        out = out.withWatermark(ts_col, watermark)
+    win = F.window(F.col(ts_col), window_duration, slide) if slide else F.window(
+        F.col(ts_col), window_duration
+    )
+    agg_cols = [F.expr(e).alias(a) for a, e in aggs.items()]
+    return (
+        out.groupBy(win.alias("w"), *[F.col(c) for c in group_cols])
+        .agg(*agg_cols)
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            *[F.col(c) for c in group_cols],
+            *[F.col(a) for a in aggs],
+        )
+    )
