@@ -411,6 +411,70 @@ _IVM_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ivm_merge_projection": _q_ivm_merge_projection,
 }
 
+# --------------------------------------------------------------------------
+# general OLAP queries on the engine's substrate (incl. the reference
+# poster's motivating TPC-H Q13 — aspirational there, real here)
+# --------------------------------------------------------------------------
+
+def _q13_custdist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Poster's motivating query: orders-per-customer distribution
+    (customer ⋈ orders, double aggregation).  Left join keeps
+    zero-order customers (c_count = 0)."""
+    eng = _engine(spark, sf_dir)
+    cust = eng.table("customer")
+    orders = eng.table("orders")
+    per_cust = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left_outer")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count(F.lit(1)).alias("custdist"))
+
+
+def _q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1-shaped full pricing summary over the base table (exact
+    integer-cents arithmetic for hash stability)."""
+    eng = _engine(spark, sf_dir)
+    li = eng.table("lineitem").filter(
+        F.expr("l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'")
+    )
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.sum(F.expr("CAST(l_quantity AS BIGINT)")).alias("sum_qty"),
+        F.sum(F.expr("CAST(round(l_extendedprice * 100) AS BIGINT)")).alias(
+            "sum_base_cents"
+        ),
+        F.sum(
+            F.expr("CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)")
+        ).alias("sum_disc_cents"),
+        F.count(F.lit(1)).alias("count_order"),
+        F.avg(F.expr("CAST(l_quantity AS BIGINT)")).alias("avg_qty"),
+    )
+
+
+def _q_events_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling-window event rollup via the streaming helper (same plan
+    batch/streaming; also exercises the nanos-timestamp source path)."""
+    from ivm_extension_spark.streaming import windowed_aggregate
+
+    eng = _engine(spark, sf_dir)
+    return windowed_aggregate(
+        eng.table("events"),
+        "ts",
+        "1 hour",
+        group_cols=("event_type",),
+        aggs={
+            "n_events": "count(*)",
+            "sum_value_cents": "CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)",
+        },
+    )
+
+
+_OLAP_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "q13_custdist": _q13_custdist,
+    "q1_pricing_summary": _q1_pricing_summary,
+    "events_window_rollup": _q_events_window,
+}
+
 _EXTRA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_stats": _q_text_stats,
     "text_quality": _q_text_quality,
@@ -428,7 +492,7 @@ _EXTRA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    return {**_IVM_QUERIES, **_EXTRA_QUERIES}
+    return {**_IVM_QUERIES, **_OLAP_QUERIES, **_EXTRA_QUERIES}
 
 
 def oracle_sql() -> dict[str, str]:
@@ -527,6 +591,34 @@ def oracle_sql() -> dict[str, str]:
         "ivm_merge_projection": f"""
             SELECT c_custkey, c_nationkey, c_mktsegment
             FROM {_applied_sql('customer')} c
+        """,
+        "q13_custdist": """
+            SELECT c_count, count(*) AS custdist
+            FROM (SELECT c.c_custkey, count(o.o_orderkey) AS c_count
+                  FROM customer c LEFT OUTER JOIN orders o
+                    ON c.c_custkey = o.o_custkey
+                  GROUP BY c.c_custkey) cc
+            GROUP BY c_count
+        """,
+        "q1_pricing_summary": """
+            SELECT l_returnflag, l_linestatus,
+                   CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+                   CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sum_base_cents,
+                   CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS BIGINT) AS sum_disc_cents,
+                   count(*) AS count_order,
+                   avg(CAST(l_quantity AS BIGINT)) AS avg_qty
+            FROM lineitem
+            WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+            GROUP BY l_returnflag, l_linestatus
+        """,
+        "events_window_rollup": """
+            SELECT date_trunc('hour', ts) AS window_start,
+                   date_trunc('hour', ts) + INTERVAL 1 HOUR AS window_end,
+                   event_type,
+                   count(*) AS n_events,
+                   CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_value_cents
+            FROM events
+            GROUP BY date_trunc('hour', ts), event_type
         """,
         **_extras_oracle_sql(),
     }

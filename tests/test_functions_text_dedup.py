@@ -1,7 +1,7 @@
 """Semantics tests for the LLM-pipeline operators (functions/)."""
 
 import pytest
-from pyspark.sql import Row, functions as F
+from pyspark.sql import functions as F
 
 from ivm_extension_spark.functions import dedup, multimodal, similarity, text
 

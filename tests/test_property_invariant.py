@@ -1,0 +1,68 @@
+"""Property-based check of the IVM invariant (SURVEY.md §5):
+
+    merge(q(T), ivm(Δ)) == q(T ∖ Δ⁻ ⊎ Δ⁺)
+
+for random base tables, random consistent deltas (deletes drawn from the
+base — the Δ⁻ ⊆ T precondition), and every supported view shape.  The
+reference never automated this; its poster states it as the correctness
+criterion.
+"""
+
+
+from hypothesis import HealthCheck, given, settings, strategies as st
+
+from ivm_extension_spark import IVMEngine
+
+from tests.conftest import rows
+
+KEYS = ["k0", "k1", "k2"]
+
+row_st = st.tuples(
+    st.integers(min_value=-50, max_value=50),
+    st.sampled_from(KEYS),
+    st.text(alphabet="abc", min_size=0, max_size=2),
+)
+
+base_st = st.lists(row_st, min_size=0, max_size=12)
+
+VIEW_SHAPES = [
+    "SELECT b, sum(a) AS s, count(c) AS n FROM t GROUP BY b",
+    "SELECT b, sum(a + 2) AS s2, avg(a) AS m FROM t GROUP BY b",
+    "SELECT sum(a) AS s, count(c) AS n FROM t",
+    "SELECT a, b FROM t",
+    "SELECT b, sum(a) AS s FROM t WHERE a > 0 GROUP BY b",
+]
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+@given(
+    base=base_st,
+    inserts=st.lists(row_st, min_size=0, max_size=6),
+    delete_mask=st.lists(st.booleans(), min_size=12, max_size=12),
+    shape=st.sampled_from(VIEW_SHAPES),
+)
+def test_ivm_invariant(spark, base, inserts, delete_mask, shape):
+    deletes = [r for r, m in zip(base, delete_mask) if m]
+    delta = [(*r, True) for r in inserts] + [(*r, False) for r in deletes]
+
+    eng = IVMEngine(spark)
+    eng.register_table(
+        "t", spark.createDataFrame(base, schema="a int, b string, c string")
+    )
+    eng.register_delta(
+        "t",
+        spark.createDataFrame(
+            delta, schema="a int, b string, c string, _duckdb_ivm_multiplicity boolean"
+        ),
+    )
+    eng.create_immv("v", sql=shape)
+    eng.ivm_upsert("v")
+    merged = rows(eng.merge_view("v"))
+
+    eng.apply_delta("t")
+    truth = rows(eng.full_refresh("v"))
+    assert merged == truth, (base, delta, shape)

@@ -13,7 +13,7 @@ Output contract everywhere: view columns in select order +
 """
 
 import pytest
-from pyspark.sql import Row
+
 
 from ivm_extension_spark import IVMEngine
 from ivm_extension_spark.operators.rewrite import IVMError
