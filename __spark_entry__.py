@@ -255,6 +255,22 @@ def _q_ivm_merge_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return eng.merge_view("v")
 
 
+def _q_ivm_merge_minmax_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # MIN/MAX + COUNT(DISTINCT) merged under a delta WITH deletes — the
+    # case the reference's poster defers to future work; exact via the
+    # auxiliary per-(group, value) state (operators/auxstate.py)
+    eng = _engine(spark, sf_dir, deltas=("lineitem",))
+    eng.create_immv(
+        "v",
+        sql="SELECT l_returnflag, min(cast(l_quantity AS bigint)) AS min_qty, "
+        "max(cast(round(l_extendedprice * 100) AS bigint)) AS max_price_cents, "
+        "count(DISTINCT l_suppkey) AS n_supps "
+        "FROM lineitem GROUP BY l_returnflag",
+    )
+    eng.ivm_upsert("v")
+    return eng.merge_view("v")
+
+
 def _q_ivm_merge_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     # bag-semantics merge of a projection view (dupes kept, deletes removed)
     eng = _engine(spark, sf_dir, deltas=("customer",))
@@ -408,6 +424,7 @@ _IVM_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ivm_join_delta": _q_ivm_join_delta,
     "ivm_merge_groupby": _q_ivm_merge_groupby,
     "ivm_merge_join": _q_ivm_merge_join,
+    "ivm_merge_minmax_distinct": _q_ivm_merge_minmax_distinct,
     "ivm_merge_projection": _q_ivm_merge_projection,
 }
 
@@ -591,6 +608,14 @@ def oracle_sql() -> dict[str, str]:
         "ivm_merge_projection": f"""
             SELECT c_custkey, c_nationkey, c_mktsegment
             FROM {_applied_sql('customer')} c
+        """,
+        "ivm_merge_minmax_distinct": f"""
+            SELECT l_returnflag,
+                   min(cast(l_quantity AS bigint)) AS min_qty,
+                   max(cast(round(l_extendedprice * 100) AS bigint)) AS max_price_cents,
+                   count(DISTINCT l_suppkey) AS n_supps
+            FROM {_applied_sql('lineitem')} l
+            GROUP BY l_returnflag
         """,
         "q13_custdist": """
             SELECT c_count, count(*) AS custdist

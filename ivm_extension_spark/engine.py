@@ -27,7 +27,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, functions as F
 from pyspark.sql import types as T
 
-from ivm_extension_spark.operators import merge as merge_ops
+from ivm_extension_spark.operators import auxstate, merge as merge_ops
 from ivm_extension_spark.operators.rewrite import (
     MULT_COL,
     IVMError,
@@ -57,6 +57,9 @@ class IVMEngine:
         self._iviews: dict[str, ViewDef] = {}  # internal (hidden companions)
         self._state: dict[str, DataFrame] = {}  # materialized V (internal shape)
         self._delta_views: dict[str, DataFrame] = {}  # cached ΔV (internal shape)
+        # per-view, per-aggregate-alias value multisets (operators/auxstate.py)
+        # that make MIN/MAX/COUNT(DISTINCT) exactly maintainable under deletes
+        self._aux: dict[str, dict[str, DataFrame]] = {}
 
     # -- catalog -----------------------------------------------------------
 
@@ -125,6 +128,12 @@ class IVMEngine:
         if materialize:
             state = compute_view(self._iviews[name], self.table)
             self._state[name] = state
+            self._aux[name] = {
+                a.alias: auxstate.init_aux(vdef, a, self.table).localCheckpoint(
+                    eager=True
+                )
+                for a in auxstate.aux_aggregates(vdef)
+            }
             return merge_ops.finalize(state, vdef)
         return None
 
@@ -187,13 +196,37 @@ class IVMEngine:
             dv = delta_plan(
                 self._iviews[name], self.table, self.delta, self.broadcast_deltas
             )
-        new_state = merge(self._state[name], dv, self._iviews[name])
+        derived = self._advance_aux(name)
+        new_state = merge_ops.merge(self._state[name], dv, self._iviews[name], derived)
         # eager checkpoint: cuts lineage growth across repeated merges AND
         # pins the state so streaming micro-batch sources can be released
         new_state = new_state.localCheckpoint(eager=True)
         self._state[name] = new_state
         self._delta_views.pop(name, None)
         return merge_ops.finalize(new_state, vdef)
+
+    def _advance_aux(self, name: str) -> dict[str, DataFrame]:
+        """Advance the view's auxiliary value multisets with the current
+        delta tables and re-derive exact MIN/MAX/COUNT(DISTINCT) values.
+        Returns {aggregate alias -> (keys..., value)} for the merge patch."""
+        vdef = self._views[name]
+        aux_aggs = auxstate.aux_aggregates(vdef)
+        if not aux_aggs:
+            return {}
+        if any(t not in self._deltas for t in vdef.tables):
+            # deltas already consumed / registered elsewhere: the caller is
+            # merging an external ΔV; fall back to the delete-rejecting path
+            return {}
+        derived: dict[str, DataFrame] = {}
+        for a in aux_aggs:
+            da = auxstate.delta_aux(
+                vdef, a, self.table, self.delta, self.broadcast_deltas
+            )
+            new_aux = auxstate.merge_aux(self._aux[name][a.alias], da)
+            new_aux = new_aux.localCheckpoint(eager=True)
+            self._aux[name][a.alias] = new_aux
+            derived[a.alias] = auxstate.derive_from_aux(vdef, a, new_aux)
+        return derived
 
     def read_view(self, name: str) -> DataFrame:
         if name not in self._state:
@@ -206,6 +239,10 @@ class IVMEngine:
         vdef = self.view(name)
         state = compute_view(self._iviews[name], self.table)
         self._state[name] = state
+        self._aux[name] = {
+            a.alias: auxstate.init_aux(vdef, a, self.table).localCheckpoint(eager=True)
+            for a in auxstate.aux_aggregates(vdef)
+        }
         return merge_ops.finalize(state, vdef)
 
     def apply_delta(self, name: str) -> DataFrame:

@@ -81,32 +81,50 @@ def finalize(df: DataFrame, view: ViewDef) -> DataFrame:
     return df.select(*cols)
 
 
-def merge(state: DataFrame, delta_v: DataFrame, view: ViewDef) -> DataFrame:
+def merge(
+    state: DataFrame,
+    delta_v: DataFrame,
+    view: ViewDef,
+    derived: dict[str, DataFrame] | None = None,
+) -> DataFrame:
     """V ⊎ ΔV.  ``state`` and ``delta_v`` must be in *internal* shape
     (hidden companions included); use :func:`finalize` for the public
-    result."""
+    result.
+
+    ``derived`` maps aggregate aliases to exact re-derived per-group
+    values from auxiliary value state (operators/auxstate.py) — when
+    present, MIN/MAX/COUNT(DISTINCT) merge exactly even under deletes;
+    without it those aggregates reject delete-bearing deltas.
+    """
     if view.is_aggregate:
-        return _merge_aggregate(state, delta_v, view)
+        return _merge_aggregate(state, delta_v, view, derived or {})
     return _merge_bag(state, delta_v, view)
 
 
-def _merge_aggregate(state: DataFrame, delta_v: DataFrame, view: ViewDef) -> DataFrame:
+def _merge_aggregate(
+    state: DataFrame,
+    delta_v: DataFrame,
+    view: ViewDef,
+    derived: dict[str, DataFrame],
+) -> DataFrame:
+    from ivm_extension_spark.operators import auxstate
+
     iview = view if any(a.alias == HIDDEN_COUNT for a in view.aggregates) else internal_view(view)
     key_aliases = [a for _, a in iview.select]
     agg_aliases = [a.alias for a in iview.aggregates]
 
     has_delete = delta_v.filter(~F.col(MULT_COL)).limit(1).count() > 0
     for a in iview.aggregates:
-        if a.fn in ("min", "max") and has_delete:
+        if a.fn in ("min", "max") and has_delete and a.alias not in derived:
             raise IVMError(
-                f"{a.fn.upper()} is not incrementally maintainable under deletes "
-                "(per-group value state required — the reference's poster defers "
-                "this too); use IVMEngine.full_refresh() for this batch"
+                f"{a.fn.upper()} merge under deletes needs auxiliary value "
+                "state — maintain the view through IVMEngine (which keeps "
+                "it automatically) or use full_refresh() for this batch"
             )
-        if a.fn == "count_distinct" and has_delete:
+        if a.fn == "count_distinct" and has_delete and a.alias not in derived:
             raise IVMError(
                 "COUNT(DISTINCT) merge under deletes requires per-value counts; "
-                "use IVMEngine.full_refresh() for this batch"
+                "maintain the view through IVMEngine or use full_refresh()"
             )
 
     s = state.withColumn(_SIGN, F.lit(1))
@@ -140,7 +158,8 @@ def _merge_aggregate(state: DataFrame, delta_v: DataFrame, view: ViewDef) -> Dat
 
     out = unioned.groupBy(*[F.col(k) for k in key_aliases]).agg(*merged_aggs)
     out = out.filter(F.col(HIDDEN_COUNT) > 0)  # net-zero groups disappear
-    return out.select(*[F.col(a) for a in (*key_aliases, *agg_aliases)])
+    out = out.select(*[F.col(a) for a in (*key_aliases, *agg_aliases)])
+    return auxstate.patch_merged(out, iview, derived)
 
 
 def _merge_bag(state: DataFrame, delta_v: DataFrame, view: ViewDef) -> DataFrame:

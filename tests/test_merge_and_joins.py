@@ -105,17 +105,72 @@ def test_merge_min_max_insert_only(spark):
     assert merged == [("x", 1, 5), ("y", 9, 20)]
 
 
-def test_merge_min_max_delete_raises(spark):
+def test_merge_min_max_delete_of_extreme(spark):
+    # deleting the current min exposes the runner-up: needs the auxiliary
+    # per-(group, value) state the engine maintains (operators/auxstate.py)
+    base = [(5, "x", "p"), (8, "x", "q"), (9, "y", "r")]
+    delta = [(5, "x", "p", False), (30, "y", "t", True)]
+    eng = engine_with(spark, base, delta)
+    merged = check_invariant(
+        spark, eng, "SELECT b, min(a) AS lo, max(a) AS hi FROM t GROUP BY b"
+    )
+    assert merged == [("x", 8, 8), ("y", 9, 30)]
+
+
+def test_merge_min_max_delete_whole_group(spark):
+    base = [(5, "x", "p"), (1, "y", "q")]
+    delta = [(5, "x", "p", False)]
+    eng = engine_with(spark, base, delta)
+    merged = check_invariant(spark, eng, "SELECT b, min(a) AS lo FROM t GROUP BY b")
+    assert merged == [("y", 1)]
+
+
+def test_merge_count_distinct_under_deletes(spark):
+    # two rows share a=1 in group x; deleting one keeps the value alive,
+    # deleting both removes it — exactly what per-value counts track
+    base = [(1, "x", "p"), (1, "x", "q"), (2, "x", "r"), (7, "y", "s")]
+    delta = [(1, "x", "p", False), (2, "x", "r", False), (7, "y", "s", False), (8, "y", "t", True)]
+    eng = engine_with(spark, base, delta)
+    merged = check_invariant(
+        spark, eng, "SELECT b, count(DISTINCT a) AS nd FROM t GROUP BY b"
+    )
+    assert merged == [("x", 1), ("y", 1)]
+
+
+def test_merge_min_max_repeated_rounds(spark):
+    # aux state must stay exact across multiple delta/merge/apply rounds
+    base = [(5, "x", "p"), (8, "x", "q")]
+    eng = engine_with(spark, base, [(2, "x", "r", True)])
+    eng.create_immv("v", sql="SELECT b, min(a) AS lo, max(a) AS hi FROM t GROUP BY b")
+    eng.ivm_upsert("v")
+    eng.merge_view("v")
+    eng.apply_delta("t")
+    assert rows(eng.read_view("v")) == [("x", 2, 8)]
+    eng.register_delta(
+        "t",
+        eng.spark.createDataFrame(
+            [(2, "x", "r", False), (8, "x", "q", False)], schema=DELTA_SCHEMA
+        ),
+    )
+    eng.ivm_upsert("v")
+    merged = rows(eng.merge_view("v"))
+    eng.apply_delta("t")
+    assert merged == rows(eng.full_refresh("v"))
+    assert merged == [("x", 5, 5)]
+
+
+def test_direct_merge_without_aux_still_raises(spark):
+    # the low-level merge() API (no engine, no aux state) keeps the guard
+    from ivm_extension_spark.operators import merge as merge_ops
+
     base = [(5, "x", "p")]
     delta = [(5, "x", "p", False)]
     eng = engine_with(spark, base, delta)
     eng.create_immv("v", sql="SELECT b, min(a) AS lo FROM t GROUP BY b")
-    eng.ivm_upsert("v")
-    with pytest.raises(IVMError, match="MIN is not incrementally maintainable"):
-        eng.merge_view("v")
-    # escape hatch: full refresh over the applied base works
-    eng.apply_delta("t")
-    assert rows(eng.full_refresh("v")) == []
+    dv = eng.ivm_upsert("v")
+    with pytest.raises(IVMError, match="MIN merge under deletes"):
+        merge_ops.merge(eng._state["v"], eng._delta_views["v"], eng._iviews["v"])
+    del dv
 
 
 def test_repeated_merge_rounds(spark):
