@@ -271,6 +271,20 @@ def _q_ivm_merge_minmax_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     return eng.merge_view("v")
 
 
+def _q_ivm_merge_having(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # HAVING (explicitly unsupported in the reference, README.md:36):
+    # applied to the public merged view; state is maintained pre-HAVING
+    eng = _engine(spark, sf_dir, deltas=("orders",))
+    eng.create_immv(
+        "v",
+        sql="SELECT o_custkey, count(o_orderkey) AS n_orders, "
+        "sum(cast(round(o_totalprice * 100) AS bigint)) AS sum_cents "
+        "FROM orders GROUP BY o_custkey HAVING n_orders >= 3",
+    )
+    eng.ivm_upsert("v")
+    return eng.merge_view("v")
+
+
 def _q_ivm_merge_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     # bag-semantics merge of a projection view (dupes kept, deletes removed)
     eng = _engine(spark, sf_dir, deltas=("customer",))
@@ -425,6 +439,7 @@ _IVM_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ivm_merge_groupby": _q_ivm_merge_groupby,
     "ivm_merge_join": _q_ivm_merge_join,
     "ivm_merge_minmax_distinct": _q_ivm_merge_minmax_distinct,
+    "ivm_merge_having": _q_ivm_merge_having,
     "ivm_merge_projection": _q_ivm_merge_projection,
 }
 
@@ -486,10 +501,97 @@ def _q_events_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_window_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Analytic window function (SURVEY.md 2c: absent in reference):
+    per-customer running order total, deterministic frame via the unique
+    (o_orderdate, o_orderkey) ordering."""
+    from pyspark.sql import Window
+
+    eng = _engine(spark, sf_dir)
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        eng.table("orders")
+        .filter(F.col("o_custkey") % 10 == 0)
+        .select(
+            "o_custkey",
+            "o_orderkey",
+            F.sum(F.expr("CAST(round(o_totalprice * 100) AS BIGINT)"))
+            .over(w)
+            .alias("running_cents"),
+        )
+    )
+
+
+def _q_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranking window + top-k per group (ties broken by unique orderkey)."""
+    from pyspark.sql import Window
+
+    eng = _engine(spark, sf_dir)
+    cust = eng.table("customer").select("c_custkey", "c_mktsegment")
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.col("price_cents").desc(), F.col("o_orderkey")
+    )
+    joined = (
+        eng.table("orders")
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .select(
+            "c_mktsegment",
+            "o_orderkey",
+            F.expr("CAST(round(o_totalprice * 100) AS BIGINT)").alias("price_cents"),
+        )
+    )
+    return (
+        joined.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select("c_mktsegment", "o_orderkey", "price_cents", "rk")
+    )
+
+
+def _q_rollup_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP grouping sets (reference touches grouping_sets only
+    defensively, ivm_rewrite_rule.hpp:237-242 — real here)."""
+    eng = _engine(spark, sf_dir)
+    return (
+        eng.table("lineitem")
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(F.expr("CAST(l_quantity AS BIGINT)")).alias("sum_qty"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+    )
+
+
+def _q_setops_active_custkeys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set operators (absent in reference): customers ordering in both
+    halves of 1995-1996, minus the top-spender segment drop-out set."""
+    eng = _engine(spark, sf_dir)
+    orders = eng.table("orders")
+    first = orders.filter(F.expr("o_orderdate < TIMESTAMP '1996-01-01 00:00:00'")).select(
+        "o_custkey"
+    )
+    second = orders.filter(
+        F.expr("o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'")
+    ).select("o_custkey")
+    big = orders.filter(F.col("o_totalprice") > 400000).select("o_custkey")
+    return (
+        first.intersect(second)
+        .exceptAll(big.distinct())
+        .withColumnRenamed("o_custkey", "custkey")
+    )
+
+
 _OLAP_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q13_custdist": _q13_custdist,
     "q1_pricing_summary": _q1_pricing_summary,
     "events_window_rollup": _q_events_window,
+    "window_running_total": _q_window_running_total,
+    "topk_per_group": _q_topk_per_group,
+    "rollup_sales": _q_rollup_sales,
+    "setops_active_custkeys": _q_setops_active_custkeys,
 }
 
 _EXTRA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -617,6 +719,14 @@ def oracle_sql() -> dict[str, str]:
             FROM {_applied_sql('lineitem')} l
             GROUP BY l_returnflag
         """,
+        "ivm_merge_having": f"""
+            SELECT o_custkey,
+                   count(o_orderkey) AS n_orders,
+                   sum(cast(round(o_totalprice * 100) AS bigint)) AS sum_cents
+            FROM {_applied_sql('orders')} o
+            GROUP BY o_custkey
+            HAVING count(o_orderkey) >= 3
+        """,
         "q13_custdist": """
             SELECT c_count, count(*) AS custdist
             FROM (SELECT c.c_custkey, count(o.o_orderkey) AS c_count
@@ -635,6 +745,41 @@ def oracle_sql() -> dict[str, str]:
             FROM lineitem
             WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
             GROUP BY l_returnflag, l_linestatus
+        """,
+        "window_running_total": """
+            SELECT o_custkey, o_orderkey,
+                   sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                     OVER (PARTITION BY o_custkey
+                           ORDER BY o_orderdate, o_orderkey
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                     AS running_cents
+            FROM orders WHERE o_custkey % 10 = 0
+        """,
+        "topk_per_group": """
+            SELECT c_mktsegment, o_orderkey, price_cents, rk
+            FROM (SELECT c_mktsegment, o_orderkey,
+                         CAST(round(o_totalprice * 100) AS BIGINT) AS price_cents,
+                         row_number() OVER (PARTITION BY c_mktsegment
+                                            ORDER BY CAST(round(o_totalprice * 100) AS BIGINT) DESC,
+                                                     o_orderkey) AS rk
+                  FROM orders JOIN customer ON o_custkey = c_custkey) t
+            WHERE rk <= 3
+        """,
+        "rollup_sales": """
+            SELECT l_returnflag, l_linestatus,
+                   sum(CAST(l_quantity AS BIGINT)) AS sum_qty,
+                   count(*) AS n_rows
+            FROM lineitem
+            GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        """,
+        "setops_active_custkeys": """
+            SELECT o_custkey AS custkey FROM orders
+            WHERE o_orderdate < TIMESTAMP '1996-01-01 00:00:00'
+            INTERSECT
+            SELECT o_custkey FROM orders
+            WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+            EXCEPT ALL
+            SELECT DISTINCT o_custkey FROM orders WHERE o_totalprice > 400000
         """,
         "events_window_rollup": """
             SELECT date_trunc('hour', ts) AS window_start,

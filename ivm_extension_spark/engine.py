@@ -170,6 +170,7 @@ class IVMEngine:
             group_by=vdef.group_by,
             joins=vdef.joins,
             output_order=tuple(new_order),
+            having=vdef.having,
         )
 
     # -- the IVM surface ---------------------------------------------------

@@ -61,12 +61,16 @@ def internal_view(view: ViewDef) -> ViewDef:
         group_by=view.group_by,
         joins=view.joins,
         output_order=tuple([*view.output_order, *(e.alias for e in extra)]),
+        having=view.having,
     )
 
 
 def finalize(df: DataFrame, view: ViewDef) -> DataFrame:
     """Strip hidden companion columns, recomputing AVG from its hidden
-    sum/count so merged averages are exact."""
+    sum/count so merged averages are exact.  HAVING applies here — to the
+    public view only, never to ΔV (which carries the multiplicity column):
+    maintained state stays pre-HAVING so a group can enter/leave the
+    visible result as later deltas move it across the threshold."""
     cols = []
     for alias in view.output_order:
         agg = view.aggregate_by_alias(alias)
@@ -76,9 +80,13 @@ def finalize(df: DataFrame, view: ViewDef) -> DataFrame:
             )
         else:
             cols.append(F.col(alias))
-    if MULT_COL in df.columns:
+    is_delta = MULT_COL in df.columns
+    if is_delta:
         cols.append(F.col(MULT_COL))
-    return df.select(*cols)
+    out = df.select(*cols)
+    if view.having and not is_delta:
+        out = out.filter(F.expr(view.having))
+    return out
 
 
 def merge(

@@ -108,15 +108,18 @@ def parse_view_sql(name: str, sql: str) -> ViewDef:
     """Parse restricted SQL into a ViewDef.
 
     Raises NotImplementedError for clauses outside the supported surface
-    (HAVING / ORDER BY / LIMIT / subqueries), mirroring the reference's
+    (ORDER BY / LIMIT / subqueries), mirroring the reference's
     NotImplementedException on unsupported plan nodes
-    (ivm_rewrite_rule.hpp:282-283).
+    (ivm_rewrite_rule.hpp:282-283).  HAVING (which the reference rejects,
+    README.md:36) is accepted: it must reference output aliases or group
+    columns, and is applied to the *public* view on read — maintained
+    state stays pre-HAVING so groups can cross the threshold later.
     """
     sql = sql.strip().rstrip(";").strip()
     spans = _find_clause_spans(sql)
     if "select" not in spans or "from" not in spans:
         raise ValueError(f"view SQL must be SELECT ... FROM ...: {sql!r}")
-    for bad in ("having", "order_by", "limit"):
+    for bad in ("order_by", "limit"):
         if bad in spans:
             raise NotImplementedError(
                 f"{bad.upper().replace('_', ' ')} is not part of the maintainable "
@@ -175,4 +178,5 @@ def parse_view_sql(name: str, sql: str) -> ViewDef:
         group_by=group_by,
         joins=tuple(joins),
         output_order=tuple(order),
+        having=spans.get("having"),
     )

@@ -78,6 +78,10 @@ class ViewDef:
     group_by: tuple[str, ...] = ()  # expressions (usually plain columns)
     joins: tuple[JoinSpec, ...] = ()
     output_order: tuple[str, ...] = ()  # aliases in SELECT-list order
+    # HAVING over output aliases/group columns.  Maintained state is always
+    # pre-HAVING (a group can cross the threshold in a later batch); the
+    # filter is applied when the public view is read (merge.finalize).
+    having: str | None = None
 
     def __post_init__(self) -> None:
         if not self.output_order:

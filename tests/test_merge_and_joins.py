@@ -159,6 +159,29 @@ def test_merge_min_max_repeated_rounds(spark):
     assert merged == [("x", 5, 5)]
 
 
+def test_having_applies_to_public_view_not_state(spark):
+    # group y starts below the threshold, crosses it after the delta;
+    # group x starts above and drops below — state must stay pre-HAVING
+    base = [(6, "x", "p"), (2, "y", "q")]
+    delta = [(9, "y", "r", True), (6, "x", "p", False), (1, "x", "s", True)]
+    eng = engine_with(spark, base, delta)
+    initial = rows(
+        eng.create_immv("v", sql="SELECT b, sum(a) AS s FROM t GROUP BY b HAVING s > 5")
+    )
+    assert initial == [("x", 6)]
+    eng.ivm_upsert("v")
+    merged = rows(eng.merge_view("v"))
+    assert merged == [("y", 11)]  # y entered, x left (but x stays in state)
+    eng.apply_delta("t")
+    assert merged == rows(eng.full_refresh("v"))
+    # x is still tracked pre-HAVING: pushing it back over the line works
+    eng.register_delta(
+        "t", eng.spark.createDataFrame([(20, "x", "z", True)], schema=DELTA_SCHEMA)
+    )
+    eng.ivm_upsert("v")
+    assert rows(eng.merge_view("v")) == [("x", 21), ("y", 11)]
+
+
 def test_direct_merge_without_aux_still_raises(spark):
     # the low-level merge() API (no engine, no aux state) keeps the guard
     from ivm_extension_spark.operators import merge as merge_ops
