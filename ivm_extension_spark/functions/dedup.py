@@ -104,7 +104,13 @@ def ngram_jaccard_pairs(
     sh = with_word_shingles(df.select(id_col, text_col), text_col, n=n)
     sh = sh.select(F.col(id_col).alias("id"), F.col("shingles"))
     sh = sh.withColumn("n_sh", F.size("shingles"))
-    exploded = sh.select("id", "n_sh", F.explode("shingles").alias("g"))
+    # join on the 8-byte xxhash64 of each shingle, not the ~n-word string:
+    # the self-join shuffles (id, n_sh, g) twice, so key width dominates
+    # shuffle volume; a 64-bit key over distinct-per-doc shingles makes a
+    # false positive ~n²/2⁶⁴ — negligible against the Jaccard threshold
+    exploded = sh.select(
+        "id", "n_sh", F.explode("shingles").alias("gs")
+    ).select("id", "n_sh", F.xxhash64("gs").alias("g"))
     # materialize once: both self-join sides read it, and shingling is the
     # expensive part (regex normalization + per-position slicing)
     exploded = exploded.localCheckpoint(eager=True)
@@ -153,35 +159,38 @@ def minhash_signatures(
 ) -> DataFrame:
     """(id, signature array<long>) via a vectorized Arrow pandas_udf.
 
-    Permutation family h_i(x) = (a_i * x + b_i) mod (2^61 - 1) over
-    64-bit md5 shingle hashes; the whole batch is a numpy broadcast
-    (num_hashes x num_shingles), no per-row Python loops beyond hashing.
+    Shingles are hashed to 32 bits JVM-side (``xxhash64 & 0xFFFFFFFF``
+    inside whole-stage codegen — no Python hashing in the loop); the UDF
+    only does the permutation family h_i(x) = (a_i * x + b_i) mod
+    (2^31 - 1) as one numpy broadcast (num_hashes x num_shingles) per
+    row.  32-bit x and 31-bit a keep a*x+b inside uint64.
     """
     a_coef, b_coef = _hash_family(num_hashes, seed)
 
     @F.pandas_udf(T.ArrayType(T.LongType()))
-    def sig_udf(shingles: pd.Series) -> pd.Series:
+    def sig_udf(hashes: pd.Series) -> pd.Series:
         out = []
-        for sh in shingles:
-            # 32-bit shingle hashes: a*x+b stays < 2^64 (a < 2^31, x < 2^32)
-            hs = _shingle_hash_array(list(sh) if sh is not None else [], nbytes=4)
-            if hs.size == 0:
+        for hs_list in hashes:
+            if hs_list is None or len(hs_list) == 0:
                 out.append([0] * num_hashes)
                 continue
+            hs = np.asarray(hs_list, dtype=np.uint64)
             # (num_hashes x num_shingles) broadcast, min along shingles
             perm = (a_coef[:, None] * hs[None, :] + b_coef[:, None]) % _MERSENNE
             out.append(perm.min(axis=1).astype(np.int64).tolist())
         return pd.Series(out)
 
     sh = with_word_shingles(df.select(id_col, text_col), text_col, n=shingle_n)
-    # materialize shingles before the UDF: (a) the shingling expression
-    # must not be inlined into the UDF argument (plans with lambda-typed
-    # UDF args cannot be checkpointed downstream), (b) consumers
-    # self-join the signatures, and the UDF must not run twice
-    sh = sh.select(F.col(id_col).alias("id"), F.col("shingles")).localCheckpoint(
-        eager=True
+    sh = sh.select(
+        F.col(id_col).alias("id"),
+        F.expr("transform(shingles, s -> xxhash64(s) & 4294967295)").alias("hs"),
     )
-    return sh.select("id", sig_udf(F.col("shingles")).alias("sig"))
+    # materialize the hashed shingles before the UDF: (a) the shingling
+    # expression must not be inlined into the UDF argument (plans with
+    # lambda-typed UDF args cannot be checkpointed downstream), (b)
+    # consumers self-join the signatures, and the UDF must not run twice
+    sh = sh.localCheckpoint(eager=True)
+    return sh.select("id", sig_udf(F.col("hs")).alias("sig"))
 
 
 def minhash_lsh_pairs(
@@ -209,7 +218,7 @@ def minhash_lsh_pairs(
                 f"b -> struct(b AS band, slice(sig, b * {rows_per_band} + 1, {rows_per_band}) AS chunk))"
             )
         ).alias("bk"),
-    ).select("id", F.col("bk.band").alias("band"), F.md5(F.to_json(F.col("bk.chunk"))).alias("bh"))
+    ).select("id", F.col("bk.band").alias("band"), F.xxhash64(F.col("bk.chunk")).alias("bh"))
     # cache once: the signature UDF must not run twice for the self-join
     # (persist, not localCheckpoint — plans containing Python UDFs are not
     # checkpointable, the input side is checkpointed instead)
