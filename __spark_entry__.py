@@ -584,6 +584,16 @@ def _q_setops_active_custkeys(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user session windows (30 min gap) via the stateful streaming
+    operator's batch plan (streaming/stateful.py — same code path runs
+    with the state store on a live stream)."""
+    from ivm_extension_spark.streaming import sessionize
+
+    eng = _engine(spark, sf_dir)
+    return sessionize(eng.table("events"), "user_id", "ts", gap="30 minutes")
+
+
 _OLAP_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q13_custdist": _q13_custdist,
     "q1_pricing_summary": _q1_pricing_summary,
@@ -592,6 +602,7 @@ _OLAP_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "topk_per_group": _q_topk_per_group,
     "rollup_sales": _q_rollup_sales,
     "setops_active_custkeys": _q_setops_active_custkeys,
+    "sessionize_users": _q_sessionize,
 }
 
 _EXTRA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -780,6 +791,26 @@ def oracle_sql() -> dict[str, str]:
             WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
             EXCEPT ALL
             SELECT DISTINCT o_custkey FROM orders WHERE o_totalprice > 400000
+        """,
+        "sessionize_users": """
+            WITH marks AS (
+                SELECT user_id, ts,
+                       CASE WHEN lag(ts) OVER w IS NULL
+                                 OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+                            THEN 1 ELSE 0 END AS new_s
+                FROM events
+                WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            ), sess AS (
+                SELECT user_id, ts,
+                       sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                                        ROWS UNBOUNDED PRECEDING) AS sid
+                FROM marks
+            )
+            SELECT user_id,
+                   min(ts) AS session_start,
+                   max(ts) + INTERVAL 30 MINUTE AS session_end,
+                   count(*) AS n_events
+            FROM sess GROUP BY user_id, sid
         """,
         "events_window_rollup": """
             SELECT date_trunc('hour', ts) AS window_start,

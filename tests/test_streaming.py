@@ -11,7 +11,12 @@ import pytest
 from pyspark.sql import functions as F
 
 from ivm_extension_spark import IVMEngine
-from ivm_extension_spark.streaming import StreamingViewMaintainer, windowed_aggregate
+from ivm_extension_spark.streaming import (
+    StreamingViewMaintainer,
+    sessionize,
+    streaming_dedup,
+    windowed_aggregate,
+)
 
 from tests.conftest import rows
 
@@ -118,6 +123,84 @@ def test_windowed_aggregate_batch_parity(spark):
     got = {(str(r["window_start"]), r["event_type"]): (r["n"], r["total"]) for r in out.collect()}
     assert got[("2024-01-01 00:00:00", "click")] == (2, 3.0)
     assert got[("2024-01-01 01:00:00", "view")] == (1, 3.0)
+
+
+def test_streaming_dedup_across_batches(spark, tmpdir):
+    """First occurrence of each fingerprint is emitted exactly once, even
+    when the duplicate arrives in a LATER micro-batch (cross-batch state
+    via applyInPandasWithState)."""
+    src = f"{tmpdir}/docs"
+    # one file per logical batch: maxFilesPerTrigger=1 then maps files to
+    # micro-batches 1:1 (multi-part writes would split a batch arbitrarily)
+    spark.createDataFrame(
+        [(1, "aaa"), (2, "bbb"), (3, "aaa")], "doc_id long, fp string"
+    ).coalesce(1).write.parquet(f"{src}/b0")
+    spark.createDataFrame(
+        [(4, "bbb"), (5, "ccc"), (6, "ccc")], "doc_id long, fp string"
+    ).coalesce(1).write.parquet(f"{src}/b1")
+
+    stream = (
+        spark.readStream.schema("doc_id long, fp string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{src}/*")
+    )
+    out = streaming_dedup(stream, "doc_id", "fp", shard_mod=4)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("dedup_out")
+        .outputMode("append")
+        .option("checkpointLocation", f"{tmpdir}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        r["fingerprint"]: r["id"]
+        for r in spark.sql("SELECT * FROM dedup_out").collect()
+    }
+    # one survivor per fingerprint: min id within a batch wins; earlier
+    # batches beat later ones (cross-batch state), so bbb's survivor is 2
+    assert set(got) == {"aaa", "bbb", "ccc"}
+    assert got["aaa"] == 1 and got["bbb"] == 2 and got["ccc"] == 5
+    assert spark.sql("SELECT count(*) n FROM dedup_out").collect()[0]["n"] == 3
+
+
+def test_sessionize_batch_and_stream_agree(spark, tmpdir):
+    data = [
+        ("u1", "2024-01-01 00:00:00"),
+        ("u1", "2024-01-01 00:10:00"),  # same session (gap 30m)
+        ("u1", "2024-01-01 02:00:00"),  # new session
+        ("u2", "2024-01-01 00:05:00"),
+    ]
+    batch = spark.createDataFrame(data, "user string, ts string").withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    got_batch = {
+        (r["user"], str(r["session_start"])): r["n_events"]
+        for r in sessionize(batch, "user", "ts", gap="30 minutes").collect()
+    }
+    assert got_batch[("u1", "2024-01-01 00:00:00")] == 2
+    assert got_batch[("u1", "2024-01-01 02:00:00")] == 1
+    assert got_batch[("u2", "2024-01-01 00:05:00")] == 1
+
+    src = f"{tmpdir}/events"
+    batch.write.parquet(f"{src}/b0")
+    stream = spark.readStream.schema("user string, ts timestamp").parquet(f"{src}/*")
+    q = (
+        sessionize(stream, "user", "ts", gap="30 minutes")
+        .writeStream.format("memory")
+        .queryName("sessions")
+        .outputMode("complete")
+        .option("checkpointLocation", f"{tmpdir}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got_stream = {
+        (r["user"], str(r["session_start"])): r["n_events"]
+        for r in spark.sql("SELECT * FROM sessions").collect()
+    }
+    assert got_stream == got_batch
 
 
 def test_windowed_aggregate_streaming_update_mode(spark, tmpdir):
