@@ -255,6 +255,23 @@ def _q_ivm_merge_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return eng.merge_view("v")
 
 
+def _q_ivm_merge_join3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # 3-table view with deltas on only TWO tables: nation is a static
+    # dimension (Δ=∅), so the rewrite generates 3 branches, not 7 —
+    # and each delta branch broadcasts the delta side
+    eng = _engine(spark, sf_dir, deltas=("orders", "customer"))
+    eng.create_immv(
+        "v",
+        sql="SELECT n_name, count(o_orderkey) AS n_orders, "
+        "sum(cast(round(o_totalprice * 100) AS bigint)) AS sum_cents "
+        "FROM orders JOIN customer ON o_custkey = c_custkey "
+        "JOIN nation ON c_nationkey = n_nationkey "
+        "GROUP BY n_name",
+    )
+    eng.ivm_upsert("v")
+    return eng.merge_view("v")
+
+
 def _q_ivm_merge_minmax_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     # MIN/MAX + COUNT(DISTINCT) merged under a delta WITH deletes — the
     # case the reference's poster defers to future work; exact via the
@@ -438,6 +455,7 @@ _IVM_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ivm_join_delta": _q_ivm_join_delta,
     "ivm_merge_groupby": _q_ivm_merge_groupby,
     "ivm_merge_join": _q_ivm_merge_join,
+    "ivm_merge_join3": _q_ivm_merge_join3,
     "ivm_merge_minmax_distinct": _q_ivm_merge_minmax_distinct,
     "ivm_merge_having": _q_ivm_merge_having,
     "ivm_merge_projection": _q_ivm_merge_projection,
@@ -717,6 +735,14 @@ def oracle_sql() -> dict[str, str]:
             FROM {_applied_sql('orders')} o JOIN {_applied_sql('customer')} c
               ON o.o_custkey = c.c_custkey
             GROUP BY c_mktsegment
+        """,
+        "ivm_merge_join3": f"""
+            SELECT n_name, count(o_orderkey) AS n_orders,
+                   sum(cast(round(o_totalprice * 100) AS bigint)) AS sum_cents
+            FROM {_applied_sql('orders')} o
+            JOIN {_applied_sql('customer')} c ON o.o_custkey = c.c_custkey
+            JOIN nation n ON c.c_nationkey = n.n_nationkey
+            GROUP BY n_name
         """,
         "ivm_merge_projection": f"""
             SELECT c_custkey, c_nationkey, c_mktsegment

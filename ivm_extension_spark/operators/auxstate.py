@@ -56,9 +56,11 @@ def init_aux(
 ) -> DataFrame:
     """Initial aux state from the base tables: the value multiset of
     ``agg.expr`` per group."""
-    acc = get_table(view.source)
+    acc = get_table(view.source).alias(view.source)
     for join in view.joins:
-        acc = acc.join(get_table(join.table), on=F.expr(join.on), how="inner")
+        acc = acc.join(
+            get_table(join.table).alias(join.table), on=F.expr(join.on), how="inner"
+        )
     if view.where:
         acc = acc.filter(F.expr(view.where))
     keys = _group_cols(view)

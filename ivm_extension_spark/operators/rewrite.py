@@ -87,23 +87,45 @@ def _delta_source(
     """Build the delta source relation with a single ``__ivm_sign`` column.
 
     Single table: the delta scan itself.  Joins: union of all branches
-    where at least one side is a delta (2^n - 1 branches for n tables).
+    where at least one side is a delta (up to 2^n - 1 branches for n
+    tables).  A joined table with no registered delta is simply
+    unchanged (Δ=∅): every branch marking it delta is empty and is
+    skipped — so a fact⋈dim⋈dim view with a delta only on the fact
+    table generates exactly one branch.  If NO table has a delta the
+    hard error mirrors the reference (ivm_rewrite_rule.hpp:110-116).
     """
     tables = view.tables
     if len(tables) == 1:
         return _signed_delta(get_delta(tables[0]), _SIGN)
 
+    def _has_delta(t: str) -> bool:
+        try:
+            get_delta(t)
+            return True
+        except IVMError:
+            return False
+
+    with_delta = {t for t in tables if _has_delta(t)}
+    if not with_delta:
+        get_delta(tables[0])  # re-raise the reference's missing-delta error
+
     branches: list[DataFrame] = []
     for combo in product((False, True), repeat=len(tables)):
         if not any(combo):
             continue  # the all-base branch is V itself, not part of ΔV
+        if any(is_d and t not in with_delta for t, is_d in zip(tables, combo)):
+            continue  # Δ=∅ for a deltaless table: the branch is empty
         sides: list[DataFrame] = []
         for tname, is_delta in zip(tables, combo):
+            # alias each side with its table name so join conditions may
+            # use qualified columns (f.k = d1.k) when names collide
             if is_delta:
-                d = _signed_delta(get_delta(tname), f"__w_{tname}")
+                d = _signed_delta(get_delta(tname), f"__w_{tname}").alias(tname)
                 sides.append(F.broadcast(d) if broadcast_deltas else d)
             else:
-                sides.append(get_table(tname).withColumn(f"__w_{tname}", F.lit(1)))
+                sides.append(
+                    get_table(tname).withColumn(f"__w_{tname}", F.lit(1)).alias(tname)
+                )
         acc = sides[0]
         for join, side in zip(view.joins, sides[1:]):
             acc = acc.join(side, on=F.expr(join.on), how="inner")
@@ -170,9 +192,11 @@ def compute_view(
 ) -> DataFrame:
     """Run the view query over the base tables (no deltas) — used for the
     initial materialization of V and for full-refresh / invariant checks."""
-    acc = get_table(view.source)
+    acc = get_table(view.source).alias(view.source)
     for join in view.joins:
-        acc = acc.join(get_table(join.table), on=F.expr(join.on), how="inner")
+        acc = acc.join(
+            get_table(join.table).alias(join.table), on=F.expr(join.on), how="inner"
+        )
     if view.where:
         acc = acc.filter(F.expr(view.where))
     if view.is_aggregate:

@@ -159,6 +159,43 @@ def test_merge_min_max_repeated_rounds(spark):
     assert merged == [("x", 5, 5)]
 
 
+def test_join_view_with_static_dimension(spark):
+    # 3-table view, delta only on the fact table: the dim tables are
+    # unchanged (Δ=∅) so the rewrite emits exactly one branch
+    eng = IVMEngine(spark)
+    eng.register_table("f", spark.createDataFrame([(1, 10, 100)], "id int, k int, v int"))
+    eng.register_table("d1", spark.createDataFrame([(10, "a")], "k int, name string"))
+    eng.register_table("d2", spark.createDataFrame([(100, "z")], "v int, tag string"))
+    eng.register_delta(
+        "f",
+        spark.createDataFrame(
+            [(2, 10, 100, True)], "id int, k int, v int, _duckdb_ivm_multiplicity boolean"
+        ),
+    )
+    eng.create_immv(
+        "v",
+        sql="SELECT name, tag, sum(id) AS s FROM f "
+        "JOIN d1 ON f.k = d1.k JOIN d2 ON f.v = d2.v GROUP BY name, tag",
+    )
+    dv = rows(eng.ivm_upsert("v"))
+    assert dv == [("a", "z", 2, True)]
+    merged = rows(eng.merge_view("v"))
+    eng.apply_delta("f")
+    assert merged == rows(eng.full_refresh("v")) == [("a", "z", 3)]
+
+
+def test_join_view_no_delta_anywhere_raises(spark):
+    eng = IVMEngine(spark)
+    eng.register_table("f", spark.createDataFrame([(1, 10)], "id int, k int"))
+    eng.register_table("d", spark.createDataFrame([(10, "a")], "k int, name string"))
+    eng.create_immv(
+        "v", sql="SELECT name, sum(id) AS s FROM f JOIN d ON f.k = d.k GROUP BY name",
+        materialize=False,
+    )
+    with pytest.raises(IVMError, match="delta_f does not exist"):
+        eng.ivm_upsert("v")
+
+
 def test_having_applies_to_public_view_not_state(spark):
     # group y starts below the threshold, crosses it after the delta;
     # group x starts above and drops below — state must stay pre-HAVING
