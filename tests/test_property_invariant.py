@@ -31,11 +31,17 @@ VIEW_SHAPES = [
     "SELECT sum(a) AS s, count(c) AS n FROM t",
     "SELECT a, b FROM t",
     "SELECT b, sum(a) AS s FROM t WHERE a > 0 GROUP BY b",
+    # aux-state aggregates: exact under deletes via per-(group,value) counts
+    "SELECT b, min(a) AS lo, max(a) AS hi FROM t GROUP BY b",
+    "SELECT b, count(DISTINCT a) AS nd FROM t GROUP BY b",
+    "SELECT min(a) AS lo, count(DISTINCT c) AS nd FROM t",
+    # HAVING: applied on read, state pre-HAVING
+    "SELECT b, sum(a) AS s FROM t GROUP BY b HAVING s > 0",
 ]
 
 
 @settings(
-    max_examples=12,
+    max_examples=20,
     deadline=None,
     suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
 )
