@@ -421,6 +421,18 @@ def _q_sim_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_sim_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # rows-only: approximate path (IVF cell probing; k-means quantizer
+    # trained on a bounded sample — the FAISS-style scale path)
+    from ivm_extension_spark.functions import similarity
+
+    embs = _embs(spark, sf_dir)
+    queries_df = embs.filter(F.expr("vec_id % 50 = 0"))
+    return similarity.ivf_topk(
+        embs, queries_df, "vec_id", "embedding", k=5, n_centroids=16, n_probe=4
+    )
+
+
 def _q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ivm_extension_spark.functions import multimodal
 
@@ -634,6 +646,7 @@ _EXTRA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_embedding": _q_dedup_embedding,
     "sim_topk_bruteforce": _q_sim_topk,
     "sim_topk_lsh": _q_sim_topk_lsh,
+    "sim_topk_ivf": _q_sim_topk_ivf,
     "multimodal_meta": _q_multimodal_meta,
     "multimodal_decode_stub": _q_multimodal_decode,
 }

@@ -1,26 +1,32 @@
 """Similarity search over embedding columns (array<float>).
 
-Two paths, per the standard ANN playbook:
+Three paths, per the standard ANN playbook:
 
 - ``brute_force_topk``: exact cosine top-k.  The query side is small
   (a handful of probe vectors) and is BROADCAST, so the big vector table
   is scanned once, never shuffled; ranking is a per-query-key window.
   The dot product is a built-in fold (``aggregate`` over ``zip_with``)
   — JVM-side, no Python.
-- ``lsh_bucketed_topk``: the scale path.  Sign-random-projection LSH
-  (deterministic hyperplanes from a fixed seed) buckets vectors; each
-  query only scores its own bucket, turning O(n·q) into O(n·q/2^planes)
-  at some recall cost.  Bucket id is computed with the same broadcast
+- ``lsh_bucketed_topk``: sign-random-projection LSH (deterministic
+  hyperplanes from a fixed seed) buckets vectors; each query only
+  scores its own bucket, turning O(n·q) into O(n·q/2^planes) at some
+  recall cost.  Bucket id is computed with the same broadcast
   hyperplane constants on both sides.
+- ``ivf_topk``: IVF (inverted-file) — a k-means coarse quantizer
+  trained once on a sample partitions vectors into cells; each query
+  probes its ``n_probe`` nearest cells.  Data-adaptive (unlike LSH's
+  oblivious hyperplanes), the classical FAISS-style scale path.
 
 At real 100-TB scale the vector table would additionally be written
-bucketed-by(bucket) so the probe join is shuffle-free on the table side.
+bucketed-by(bucket/cell) so the probe join is shuffle-free on the table
+side, and the centroid set (tiny: k·d doubles) stays a broadcast.
 """
 
 from __future__ import annotations
 
 import numpy as np
-from pyspark.sql import Column, DataFrame, Window, functions as F
+import pandas as pd
+from pyspark.sql import Column, DataFrame, Window, functions as F, types as T
 
 
 def cosine_expr(a: str, b: str) -> Column:
@@ -86,6 +92,124 @@ def bucket_expr(vec_col: str, planes: list[list[float]]) -> Column:
         dot = f"aggregate(zip_with({vec_col}, {arr}, (x, y) -> x * y), 0D, (acc, v) -> acc + v)"
         bits.append(f"(CASE WHEN ({dot}) >= 0 THEN {1 << i} ELSE 0 END)")
     return F.expr(" + ".join(bits))
+
+
+def ivf_train(
+    vectors: DataFrame,
+    vec_col: str = "embedding",
+    n_centroids: int = 16,
+    sample: int = 4096,
+    iters: int = 10,
+    seed: int = 11,
+) -> np.ndarray:
+    """Train the IVF coarse quantizer: spherical k-means (Lloyd's on
+    unit vectors, cosine assignment) over a bounded driver-side sample.
+
+    The sample is the only driver-side data in the IVF path and is
+    capped at ``sample`` rows regardless of table size — training cost
+    does not grow with the corpus.  Returns (n_centroids, dim) unit
+    centroids, deterministic for a fixed seed.
+    """
+    rows = (
+        vectors.select(F.col(vec_col).cast("array<double>").alias("v"))
+        .limit(sample)
+        .collect()
+    )
+    X = np.array([r["v"] for r in rows], dtype=np.float64)
+    norms = np.linalg.norm(X, axis=1)
+    norms[norms == 0] = 1.0
+    X = X / norms[:, None]
+    k = min(n_centroids, len(X))
+    rng = np.random.RandomState(seed)
+    C = X[rng.choice(len(X), size=k, replace=False)]
+    for _ in range(iters):
+        assign = np.argmax(X @ C.T, axis=1)
+        for c in range(k):
+            members = X[assign == c]
+            if len(members):
+                m = members.sum(axis=0)
+                n = np.linalg.norm(m)
+                if n > 0:
+                    C[c] = m / n
+    return C
+
+
+def ivf_assign(
+    df: DataFrame,
+    vec_col: str,
+    centroids: np.ndarray,
+    n_probe: int = 1,
+    out: str = "cells",
+) -> DataFrame:
+    """Append ``out``: the ids of the ``n_probe`` nearest centroids
+    (cosine) as array<int>.  One Arrow-batched matmul per batch; the
+    centroid matrix rides along in the UDF closure (broadcast once per
+    executor)."""
+    C = np.asarray(centroids, dtype=np.float64)
+    np_ = min(n_probe, len(C))
+
+    @F.pandas_udf(T.ArrayType(T.IntegerType()))
+    def cells_udf(vs: pd.Series) -> pd.Series:
+        M = np.array(list(vs), dtype=np.float64)
+        norms = np.linalg.norm(M, axis=1)
+        norms[norms == 0] = 1.0
+        sims = (M / norms[:, None]) @ C.T  # (batch, k)
+        top = np.argsort(-sims, kind="stable", axis=1)[:, :np_]
+        return pd.Series([r.astype(np.int32).tolist() for r in top])
+
+    return df.withColumn(out, cells_udf(F.col(vec_col).cast("array<double>")))
+
+
+def ivf_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    n_centroids: int = 16,
+    n_probe: int = 2,
+    seed: int = 11,
+) -> DataFrame:
+    """Approximate top-k via IVF: vectors live in their single nearest
+    cell; each query scores only its ``n_probe`` nearest cells.
+
+    Candidate volume is ~n·(n_probe/n_centroids) per query.  With
+    ``n_probe = n_centroids`` this degenerates to exact brute force
+    (useful as a recall ceiling in tests).
+    """
+    C = ivf_train(vectors, vec_col, n_centroids, seed=seed)
+    v = ivf_assign(
+        vectors.select(
+            F.col(id_col).alias("nid"), F.col(vec_col).cast("array<double>").alias("nv")
+        ),
+        "nv",
+        C,
+        n_probe=1,
+    ).select("nid", "nv", F.element_at("cells", 1).alias("cell"))
+    q = ivf_assign(
+        queries.select(
+            F.col(id_col).alias("qid"), F.col(vec_col).cast("array<double>").alias("qv")
+        ),
+        "qv",
+        C,
+        n_probe=n_probe,
+    ).select("qid", "qv", F.explode("cells").alias("cell"))
+    scored = (
+        v.join(F.broadcast(q), on="cell")
+        .filter(F.col("nid") != F.col("qid"))
+        .select("qid", "nid", F.round(cosine_expr("qv", "nv"), 4).alias("cos_sim"))
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("cos_sim").desc(), F.col("nid").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            F.col("qid").alias("query_id"),
+            F.col("nid").alias("neighbor_id"),
+            "cos_sim",
+            "rank",
+        )
+    )
 
 
 def lsh_bucketed_topk(

@@ -129,6 +129,43 @@ def test_lsh_topk_is_subset_of_bucket(spark):
         assert 1 <= r["rank"] <= 3
 
 
+def test_ivf_full_probe_equals_brute_force(spark):
+    # n_probe = n_centroids degenerates to exact search: the recall ceiling
+    import numpy as np
+
+    rng = np.random.RandomState(1)
+    data = [(i, rng.randn(8).astype(float).tolist()) for i in range(60)]
+    vecs = spark.createDataFrame(data, "vec_id long, embedding array<float>")
+    q = vecs.filter("vec_id < 3")
+    exact = {
+        (r["query_id"], r["rank"]): r["neighbor_id"]
+        for r in similarity.brute_force_topk(vecs, q, k=3).collect()
+    }
+    ivf = {
+        (r["query_id"], r["rank"]): r["neighbor_id"]
+        for r in similarity.ivf_topk(
+            vecs, q, k=3, n_centroids=4, n_probe=4
+        ).collect()
+    }
+    assert ivf == exact
+
+
+def test_ivf_partial_probe_reasonable_recall(spark):
+    import numpy as np
+
+    rng = np.random.RandomState(2)
+    # two well-separated clusters: IVF with 1 probe must find same-cluster
+    # neighbors (cells align with clusters)
+    data = [(i, (rng.randn(8) * 0.05 + (5.0 if i % 2 else -5.0)).tolist()) for i in range(40)]
+    vecs = spark.createDataFrame(data, "vec_id long, embedding array<float>")
+    q = vecs.filter("vec_id IN (0, 1)")
+    out = similarity.ivf_topk(vecs, q, k=3, n_centroids=2, n_probe=1).collect()
+    assert len(out) == 6
+    for r in out:
+        # neighbors share the query's cluster (same parity)
+        assert r["neighbor_id"] % 2 == r["query_id"] % 2
+
+
 def test_multimodal_payload_and_decode(docs):
     media = multimodal.with_binary_payload(docs, "doc_id", "text")
     # same shape (nullability may differ between builder and declared schema)
