@@ -337,6 +337,7 @@ def _q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         tx.char_count("text").alias("n_chars_raw"),
         tx.token_count("text").alias("n_tokens"),
+        tx.subword_token_count("text").alias("n_subwords"),
         tx.fingerprint("text").alias("fp"),
     )
 
@@ -909,6 +910,9 @@ def _extras_oracle_sql() -> dict[str, str]:
             SELECT doc_id,
                    CAST(length(text) AS INT) AS n_chars_raw,
                    CAST(len({_TOKS}) AS INT) AS n_tokens,
+                   CAST(len(regexp_extract_all(lower(text),
+                        '''(?:s|t|re|ve|m|ll|d)| ?[a-z]+| ?[0-9]+| ?[^a-z0-9\\s'']+'))
+                        AS INT) AS n_subwords,
                    md5({_NORM}) AS fp
             FROM documents
         """,

@@ -65,6 +65,19 @@ def char_count(col: str) -> Column:
     return F.length(F.col(col))
 
 
+# GPT-2-style pre-tokenizer shape: contractions, letter runs, digit runs,
+# punctuation runs (no lookarounds — identical under Java regex and RE2,
+# so the DuckDB oracle runs the same pattern verbatim)
+BPE_SPLIT_RE = r"'(?:s|t|re|ve|m|ll|d)| ?[a-z]+| ?[0-9]+| ?[^a-z0-9\s']+"
+
+
+def subword_token_count(col: str) -> Column:
+    """BPE-ish token count: matches of the pre-tokenizer regex over the
+    lowercased text — the standard cheap proxy for LLM token budgets
+    (whitespace tokens undercount punctuation-heavy text)."""
+    return F.size(F.expr(f"regexp_extract_all(lower({col}), \"{BPE_SPLIT_RE}\", 0)"))
+
+
 def fingerprint(col: str) -> Column:
     """Document fingerprint: md5 of the normalized text.  Stable across
     engines and runs; used for order-insensitive exact dedup."""
