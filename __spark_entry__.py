@@ -625,6 +625,24 @@ def _q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sessionize(eng.table("events"), "user_id", "ts", gap="30 minutes")
 
 
+def _q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (operators/asof.py): each event picks up the latest
+    preceding 'snapshot' value for its user.  Snapshots = every 10th
+    event, deduped to one per (user, ts).  Oracle: DuckDB's native
+    ASOF JOIN."""
+    from ivm_extension_spark.operators.asof import asof_join
+
+    eng = _engine(spark, sf_dir)
+    ev = eng.table("events").select("event_id", "user_id", "ts")
+    snaps = (
+        eng.table("events")
+        .filter(F.expr("event_id % 10 = 0"))
+        .groupBy("user_id", "ts")
+        .agg(F.max(F.expr("CAST(round(value * 100) AS BIGINT)")).alias("snap_cents"))
+    )
+    return asof_join(ev, snaps, ("user_id",), "ts", ("snap_cents",))
+
+
 _OLAP_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q13_custdist": _q13_custdist,
     "q1_pricing_summary": _q1_pricing_summary,
@@ -634,6 +652,7 @@ _OLAP_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "rollup_sales": _q_rollup_sales,
     "setops_active_custkeys": _q_setops_active_custkeys,
     "sessionize_users": _q_sessionize,
+    "asof_snapshots": _q_asof_join,
 }
 
 _EXTRA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -831,6 +850,19 @@ def oracle_sql() -> dict[str, str]:
             WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
             EXCEPT ALL
             SELECT DISTINCT o_custkey FROM orders WHERE o_totalprice > 400000
+        """,
+        "asof_snapshots": """
+            WITH snaps AS (
+                SELECT user_id, ts,
+                       max(CAST(round(value * 100) AS BIGINT)) AS snap_cents
+                FROM events WHERE event_id % 10 = 0
+                GROUP BY user_id, ts
+            )
+            SELECT e.event_id, e.user_id, e.ts,
+                   s.snap_cents, s.ts AS asof_ts
+            FROM events e
+            ASOF LEFT JOIN snaps s
+              ON e.user_id = s.user_id AND e.ts >= s.ts
         """,
         "sessionize_users": """
             WITH marks AS (
