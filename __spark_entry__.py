@@ -643,6 +643,29 @@ def _q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return asof_join(ev, snaps, ("user_id",), "ts", ("snap_cents",))
 
 
+def _q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-interval join via binning (operators/rangejoin.py): order
+    totals classified into overlapping price bands.  Oracle: the plain
+    inequality join DuckDB runs directly."""
+    from ivm_extension_spark.operators.rangejoin import range_join
+
+    eng = _engine(spark, sf_dir)
+    orders = eng.table("orders").select(
+        "o_orderkey", F.col("o_totalprice").alias("price")
+    )
+    bands = spark.createDataFrame(
+        [
+            ("small", 0.0, 50_000.0),
+            ("mid", 40_000.0, 200_000.0),
+            ("large", 150_000.0, 1_000_000.0),
+        ],
+        "band string, lo double, hi double",
+    )
+    return range_join(orders, bands, "price", "lo", "hi", bin_width=25_000.0).select(
+        "o_orderkey", "band"
+    )
+
+
 _OLAP_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q13_custdist": _q13_custdist,
     "q1_pricing_summary": _q1_pricing_summary,
@@ -653,6 +676,7 @@ _OLAP_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "setops_active_custkeys": _q_setops_active_custkeys,
     "sessionize_users": _q_sessionize,
     "asof_snapshots": _q_asof_join,
+    "range_join_bands": _q_range_join,
 }
 
 _EXTRA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -850,6 +874,14 @@ def oracle_sql() -> dict[str, str]:
             WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
             EXCEPT ALL
             SELECT DISTINCT o_custkey FROM orders WHERE o_totalprice > 400000
+        """,
+        "range_join_bands": """
+            SELECT o_orderkey, band
+            FROM (SELECT o_orderkey, o_totalprice AS price FROM orders) o
+            JOIN (VALUES ('small', 0.0, 50000.0),
+                         ('mid', 40000.0, 200000.0),
+                         ('large', 150000.0, 1000000.0)) AS b(band, lo, hi)
+              ON o.price >= b.lo AND o.price <= b.hi
         """,
         "asof_snapshots": """
             WITH snaps AS (
