@@ -666,6 +666,41 @@ def _q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated quantiles per group (Spark percentile ==
+    DuckDB quantile_cont; quartile fractions over integer cents
+    interpolate exactly in binary floating point)."""
+    eng = _engine(spark, sf_dir)
+    cents = F.expr("CAST(round(o_totalprice * 100) AS BIGINT)")
+    return eng.table("orders").groupBy("o_orderstatus").agg(
+        F.expr(
+            "percentile(CAST(round(o_totalprice * 100) AS BIGINT), 0.25)"
+        ).alias("p25_cents"),
+        F.expr(
+            "percentile(CAST(round(o_totalprice * 100) AS BIGINT), 0.5)"
+        ).alias("p50_cents"),
+        F.expr(
+            "percentile(CAST(round(o_totalprice * 100) AS BIGINT), 0.75)"
+        ).alias("p75_cents"),
+        F.count(F.lit(1)).alias("n"),
+        F.min(cents).alias("min_cents"),
+        F.max(cents).alias("max_cents"),
+    )
+
+
+def _q_approx_distinct_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # rows-only: HLL++ estimates are engine-specific; the check pins row
+    # count + schema, the test pins the error bound vs exact
+    eng = _engine(spark, sf_dir)
+    return eng.table("lineitem").groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_orderkey", rsd=0.02).alias("approx_orders"),
+        F.expr(
+            "approx_percentile(CAST(round(l_extendedprice * 100) AS BIGINT), "
+            "array(0.5, 0.99), 10000)"
+        ).alias("approx_price_pcts"),
+    )
+
+
 _OLAP_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q13_custdist": _q13_custdist,
     "q1_pricing_summary": _q1_pricing_summary,
@@ -677,6 +712,8 @@ _OLAP_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sessionize_users": _q_sessionize,
     "asof_snapshots": _q_asof_join,
     "range_join_bands": _q_range_join,
+    "percentiles_by_status": _q_percentiles,
+    "approx_distinct_sketch": _q_approx_distinct_sketch,
 }
 
 _EXTRA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -874,6 +911,16 @@ def oracle_sql() -> dict[str, str]:
             WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
             EXCEPT ALL
             SELECT DISTINCT o_custkey FROM orders WHERE o_totalprice > 400000
+        """,
+        "percentiles_by_status": """
+            SELECT o_orderstatus,
+                   quantile_cont(CAST(round(o_totalprice * 100) AS BIGINT), 0.25) AS p25_cents,
+                   quantile_cont(CAST(round(o_totalprice * 100) AS BIGINT), 0.5)  AS p50_cents,
+                   quantile_cont(CAST(round(o_totalprice * 100) AS BIGINT), 0.75) AS p75_cents,
+                   count(*) AS n,
+                   min(CAST(round(o_totalprice * 100) AS BIGINT)) AS min_cents,
+                   max(CAST(round(o_totalprice * 100) AS BIGINT)) AS max_cents
+            FROM orders GROUP BY o_orderstatus
         """,
         "range_join_bands": """
             SELECT o_orderkey, band
