@@ -47,6 +47,32 @@ def test_range_join_boundaries_inclusive(spark):
     assert {(r[0], r[2]) for r in out} == {(1, 7), (2, 7)}
 
 
+def test_range_join_randomized_equals_bruteforce(spark):
+    import numpy as np
+
+    rng = np.random.RandomState(7)
+    pts = spark.createDataFrame(
+        [(int(i), float(rng.uniform(0, 100))) for i in range(200)],
+        "pid int, pt double",
+    )
+    ivs = []
+    for i in range(40):
+        lo = float(rng.uniform(0, 95))
+        ivs.append((int(i), lo, lo + float(rng.uniform(0, 20))))
+    iv = spark.createDataFrame(ivs, "iid int, lo double, hi double")
+    brute = {
+        (r["pid"], r["iid"])
+        for r in pts.crossJoin(iv)
+        .filter((F.col("pt") >= F.col("lo")) & (F.col("pt") <= F.col("hi")))
+        .collect()
+    }
+    binned = {
+        (r["pid"], r["iid"])
+        for r in range_join(pts, iv, "pt", "lo", "hi", bin_width=7.3).collect()
+    }
+    assert binned == brute
+
+
 def test_range_join_with_key_and_no_nested_loop(spark):
     pts = spark.createDataFrame(
         [("a", 1, 5.0), ("b", 2, 5.0)], "k string, pid int, pt double"
