@@ -24,6 +24,8 @@ view instead of erroring on an existing ``delta_<view>`` table.
 
 from __future__ import annotations
 
+from concurrent.futures import ThreadPoolExecutor
+
 from pyspark.sql import DataFrame, SparkSession, functions as F
 from pyspark.sql import types as T
 
@@ -128,14 +130,28 @@ class IVMEngine:
         if materialize:
             state = compute_view(self._iviews[name], self.table)
             self._state[name] = state
-            self._aux[name] = {
-                a.alias: auxstate.init_aux(vdef, a, self.table).localCheckpoint(
-                    eager=True
-                )
-                for a in auxstate.aux_aggregates(vdef)
-            }
+            self._aux[name] = self._init_all_aux(vdef)
             return merge_ops.finalize(state, vdef)
         return None
+
+    def _init_all_aux(self, vdef: ViewDef) -> dict[str, DataFrame]:
+        """Materialize each aux relation; the per-aggregate checkpoints are
+        independent Spark jobs, submitted concurrently (they share the
+        same scan, so the cluster overlaps them instead of rescanning
+        serially)."""
+        aggs = auxstate.aux_aggregates(vdef)
+        if not aggs:
+            return {}
+        with ThreadPoolExecutor(max_workers=max(1, len(aggs))) as ex:
+            futs = {
+                a.alias: ex.submit(
+                    lambda agg=a: auxstate.init_aux(vdef, agg, self.table).localCheckpoint(
+                        eager=True
+                    )
+                )
+                for a in aggs
+            }
+            return {alias: f.result() for alias, f in futs.items()}
 
     def _expand_star(self, vdef: ViewDef) -> ViewDef:
         if not any(e == "*" for e, _ in vdef.select):
@@ -218,13 +234,18 @@ class IVMEngine:
             # deltas already consumed / registered elsewhere: the caller is
             # merging an external ΔV; fall back to the delete-rejecting path
             return {}
-        derived: dict[str, DataFrame] = {}
-        for a in aux_aggs:
+        def advance_one(a):
             da = auxstate.delta_aux(
                 vdef, a, self.table, self.delta, self.broadcast_deltas
             )
             new_aux = auxstate.merge_aux(self._aux[name][a.alias], da)
-            new_aux = new_aux.localCheckpoint(eager=True)
+            return a, new_aux.localCheckpoint(eager=True)
+
+        # independent per-aggregate pipelines: run their jobs concurrently
+        with ThreadPoolExecutor(max_workers=max(1, len(aux_aggs))) as ex:
+            results = list(ex.map(advance_one, aux_aggs))
+        derived: dict[str, DataFrame] = {}
+        for a, new_aux in results:
             self._aux[name][a.alias] = new_aux
             derived[a.alias] = auxstate.derive_from_aux(vdef, a, new_aux)
         return derived
