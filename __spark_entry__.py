@@ -701,6 +701,23 @@ def _q_approx_distinct_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_scalar_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar-function surface (SURVEY.md 2c: 'string/date/math/json'
+    row): JSON extraction, date parts, string ops, math — one pass,
+    all whole-stage-codegen expressions."""
+    eng = _engine(spark, sf_dir)
+    return eng.table("events").select(
+        "event_id",
+        F.expr("CAST(get_json_object(props, '$.k') AS INT)").alias("prop_k"),
+        F.expr("year(ts)").alias("y"),
+        F.expr("month(ts)").alias("m"),
+        F.expr("upper(substring(event_type, 1, 3))").alias("etype3"),
+        F.expr("length(props)").alias("props_len"),
+        F.expr("CAST(round(abs(value) * 100) AS BIGINT)").alias("abs_cents"),
+        F.expr("concat(event_type, '#', CAST(user_id AS STRING))").alias("tag"),
+    )
+
+
 _OLAP_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q13_custdist": _q13_custdist,
     "q1_pricing_summary": _q1_pricing_summary,
@@ -714,6 +731,7 @@ _OLAP_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "range_join_bands": _q_range_join,
     "percentiles_by_status": _q_percentiles,
     "approx_distinct_sketch": _q_approx_distinct_sketch,
+    "scalar_functions": _q_scalar_functions,
 }
 
 _EXTRA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -911,6 +929,17 @@ def oracle_sql() -> dict[str, str]:
             WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
             EXCEPT ALL
             SELECT DISTINCT o_custkey FROM orders WHERE o_totalprice > 400000
+        """,
+        "scalar_functions": """
+            SELECT event_id,
+                   CAST(props->>'$.k' AS INT) AS prop_k,
+                   CAST(year(ts) AS INT) AS y,
+                   CAST(month(ts) AS INT) AS m,
+                   upper(substring(event_type, 1, 3)) AS etype3,
+                   CAST(length(props) AS INT) AS props_len,
+                   CAST(round(abs(value) * 100) AS BIGINT) AS abs_cents,
+                   concat(event_type, '#', CAST(user_id AS VARCHAR)) AS tag
+            FROM events
         """,
         "percentiles_by_status": """
             SELECT o_orderstatus,
