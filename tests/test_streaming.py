@@ -125,6 +125,36 @@ def test_windowed_aggregate_batch_parity(spark):
     assert got[("2024-01-01 01:00:00", "view")] == (1, 3.0)
 
 
+def test_streaming_join_view_with_static_dim(spark, tmpdir):
+    """A join view maintained from the FACT table's delta stream alone:
+    the dimension is static (Δ=∅ — partial-delta join rewrite)."""
+    eng = IVMEngine(spark)
+    eng.register_table(
+        "f", spark.createDataFrame([(1, 10), (2, 20)], "a int, k int")
+    )
+    eng.register_table(
+        "dim", spark.createDataFrame([(10, "x"), (20, "y")], "k int, name string")
+    )
+    eng.create_immv(
+        "v",
+        sql="SELECT name, sum(a) AS s FROM f JOIN dim ON f.k = dim.k GROUP BY name",
+    )
+
+    delta_dir = f"{tmpdir}/deltas"
+    spark.createDataFrame(
+        [(5, 10, True), (2, 20, False)],
+        "a int, k int, _duckdb_ivm_multiplicity boolean",
+    ).coalesce(1).write.parquet(f"{delta_dir}/b0")
+
+    stream = (
+        spark.readStream.schema("a int, k int, _duckdb_ivm_multiplicity boolean")
+        .parquet(f"{delta_dir}/*")
+    )
+    q = StreamingViewMaintainer(eng, "v", "f").start(stream, f"{tmpdir}/ckpt")
+    q.awaitTermination(120)
+    assert rows(eng.read_view("v")) == [("x", 6)]  # y net-deleted
+
+
 def test_streaming_dedup_across_batches(spark, tmpdir):
     """First occurrence of each fingerprint is emitted exactly once, even
     when the duplicate arrives in a LATER micro-batch (cross-batch state
