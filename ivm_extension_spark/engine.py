@@ -106,6 +106,30 @@ class IVMEngine:
             raise IVMError(f"view {name!r} is not registered")
         return self._views[name]
 
+    def list_tables(self) -> list[str]:
+        return sorted(self._tables)
+
+    def list_views(self) -> list[str]:
+        return sorted(self._views)
+
+    def drop_view(self, name: str) -> None:
+        """Drop a view and all its materialized/auxiliary state (the
+        reference's tests DROP delta tables between cases — here the
+        whole view lifecycle is engine-owned)."""
+        self.view(name)
+        for d in (self._views, self._iviews, self._state, self._delta_views, self._aux):
+            d.pop(name, None)
+
+    def drop_table(self, name: str) -> None:
+        self.table(name)
+        users = [v for v, vd in self._views.items() if name in vd.tables]
+        if users:
+            raise IVMError(
+                f"table {name!r} is referenced by views {users}; drop them first"
+            )
+        self._tables.pop(name)
+        self._deltas.pop(name, None)
+
     # -- view lifecycle ----------------------------------------------------
 
     def create_immv(

@@ -14,7 +14,7 @@ count_distinct. The reference supports only SUM and COUNT
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 
 SUPPORTED_AGGS = {"sum", "count", "avg", "min", "max", "count_distinct"}
 
