@@ -354,7 +354,7 @@ def _q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         "punct_ratio",
         "stopword_ratio",
         "mean_token_len",
-        "quality_score",
+        "quality_score_ppm",
     )
 
 
@@ -1075,9 +1075,10 @@ def _extras_oracle_sql() -> dict[str, str]:
             )
             SELECT doc_id, n_tokens, alpha_ratio, digit_ratio, punct_ratio,
                    stopword_ratio, mean_token_len,
-                   round(least(n_tokens / 100.0, 1.0) * 0.3
-                         + alpha_ratio * 0.4
-                         + least(stopword_ratio * 5, 1.0) * 0.3, 6) AS quality_score
+                   CAST(round(least(n_tokens / 100.0, 1.0) * 300000
+                              + alpha_ratio * 400000
+                              + least(stopword_ratio * 5, 1.0) * 300000) AS BIGINT)
+                       AS quality_score_ppm
             FROM feats
         """,
         "text_lang_id": f"""

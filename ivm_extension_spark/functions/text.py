@@ -145,17 +145,19 @@ def quality_features(df, col: str):
 def with_quality(df, col: str):
     feats = quality_features(df, col)
     df = df.withColumns(feats)
-    # simple composite score in [0,1]: favors alphabetic, stopword-bearing,
-    # medium-length documents (weights are arbitrary but fixed).
-    # computed from the ROUNDED feature columns (oracle parity) — selected
-    # in a separate projection below so the ratios aren't re-inlined.
-    score = F.round(
-        F.least(F.col("n_tokens") / F.lit(100.0), F.lit(1.0)) * 0.3
-        + F.col("alpha_ratio") * 0.4
-        + F.least(F.col("stopword_ratio") * 5, F.lit(1.0)) * 0.3,
-        6,
+    # simple composite score in [0, 1e6] ppm: favors alphabetic,
+    # stopword-bearing, medium-length documents (weights arbitrary but
+    # fixed).  Integer ppm, not round(x, 6): decimal rounding of a double
+    # hits representation-boundary cases where engines disagree in the
+    # 6th decimal (observed at sf0.1); rounding to integer scale is the
+    # same hash-stable pattern as money-in-cents.  Computed from the
+    # ROUNDED feature columns in a separate projection (no re-inlining).
+    score_ppm = F.expr(
+        "CAST(round(least(n_tokens / 100.0, 1.0) * 300000 "
+        "+ alpha_ratio * 400000 "
+        "+ least(stopword_ratio * 5, 1.0) * 300000) AS BIGINT)"
     )
-    return df.withColumn("quality_score", score)
+    return df.withColumn("quality_score_ppm", score_ppm)
 
 
 def shingles_expr(col: str, n: int = 3) -> str:

@@ -47,9 +47,11 @@ def test_lang_id(docs):
 
 
 def test_quality_score_bounds(docs):
-    out = text.with_quality(docs, "text").select("doc_id", "quality_score").collect()
+    out = (
+        text.with_quality(docs, "text").select("doc_id", "quality_score_ppm").collect()
+    )
     for r in out:
-        assert 0.0 <= r["quality_score"] <= 1.0
+        assert 0 <= r["quality_score_ppm"] <= 1_000_000
 
 
 def test_exact_dedup_groups(docs):
