@@ -1061,15 +1061,15 @@ def _extras_oracle_sql() -> dict[str, str]:
                 SELECT doc_id,
                        CAST(len(toks) AS INT) AS n_tokens,
                        round(length(regexp_replace(text, '[^A-Za-z]', '', 'g'))
-                             / greatest(length(text), 1), 6) AS alpha_ratio,
+                             / greatest(length(text), 1) * 1000000.0) / 1000000.0 AS alpha_ratio,
                        round(length(regexp_replace(text, '[^0-9]', '', 'g'))
-                             / greatest(length(text), 1), 6) AS digit_ratio,
+                             / greatest(length(text), 1) * 1000000.0) / 1000000.0 AS digit_ratio,
                        round(length(regexp_replace(text, '[^.,;:!?]', '', 'g'))
-                             / greatest(length(text), 1), 6) AS punct_ratio,
+                             / greatest(length(text), 1) * 1000000.0) / 1000000.0 AS punct_ratio,
                        round({_stop_filter(STOPWORDS['en'])}
-                             / greatest(len(toks), 1), 6) AS stopword_ratio,
+                             / greatest(len(toks), 1) * 1000000.0) / 1000000.0 AS stopword_ratio,
                        round((length(norm) - len(toks) + 1)
-                             / greatest(len(toks), 1), 6) AS mean_token_len
+                             / greatest(len(toks), 1) * 1000000.0) / 1000000.0 AS mean_token_len
                 FROM (SELECT doc_id, text, {_NORM} AS norm, {_TOKS} AS toks
                       FROM documents) t
             )
@@ -1114,9 +1114,9 @@ def _extras_oracle_sql() -> dict[str, str]:
             )
             SELECT id_a, id_b, n_common, CAST(n_a AS INT) AS n_a,
                    CAST(n_b AS INT) AS n_b,
-                   round(n_common / (n_a + n_b - n_common), 6) AS jaccard
+                   round(n_common / (n_a + n_b - n_common) * 1000000.0) / 1000000.0 AS jaccard
             FROM pairs
-            WHERE round(n_common / (n_a + n_b - n_common), 6) >= 0.05
+            WHERE round(n_common / (n_a + n_b - n_common) * 1000000.0) / 1000000.0 >= 0.05
         """,
         "dedup_embedding": f"""
             SELECT a.vec_id AS id_a, b.vec_id AS id_b, {cos} AS cos_sim

@@ -132,12 +132,15 @@ def ngram_jaccard_pairs(
             F.first(F.col("b.n_sh")).alias("n_b"),
         )
         .withColumn(
+            # round(q*1e6)/1e6 not round(q, 6): integer-scale rounding is
+            # engine-stable, decimal rounding diverges on ulp boundaries
             "jaccard",
             F.round(
                 F.col("n_common")
-                / (F.col("n_a") + F.col("n_b") - F.col("n_common")),
-                6,
-            ),
+                / (F.col("n_a") + F.col("n_b") - F.col("n_common"))
+                * F.lit(1000000.0)
+            )
+            / F.lit(1000000.0),
         )
     )
     if min_jaccard > 0:

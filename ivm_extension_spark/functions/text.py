@@ -129,15 +129,23 @@ def quality_features(df, col: str):
     )
     ts = F.expr(tok_struct)
     n_toks = ts["n_toks"]
+
+    # round(q * 1e6) / 1e6, NOT round(q, 6): integer-scale rounding of a
+    # positive double agrees across engines (HALF_UP == half-away-from-zero
+    # and the multiply/divide are identical IEEE ops), while decimal
+    # rounding diverges on representation boundaries (observed at sf0.1)
+    def r6(x):
+        return F.round(x * F.lit(1000000.0)) / F.lit(1000000.0)
+
     return {
         "n_chars": n_chars,
         "n_tokens": n_toks,
-        "alpha_ratio": F.round(n_alpha / F.greatest(n_chars, F.lit(1)), 6),
-        "digit_ratio": F.round(n_digit / F.greatest(n_chars, F.lit(1)), 6),
-        "punct_ratio": F.round(n_punct / F.greatest(n_chars, F.lit(1)), 6),
-        "stopword_ratio": F.round(ts["n_stop"] / F.greatest(n_toks, F.lit(1)), 6),
-        "mean_token_len": F.round(
-            (ts["n_norm"] - n_toks + 1) / F.greatest(n_toks, F.lit(1)), 6
+        "alpha_ratio": r6(n_alpha / F.greatest(n_chars, F.lit(1))),
+        "digit_ratio": r6(n_digit / F.greatest(n_chars, F.lit(1))),
+        "punct_ratio": r6(n_punct / F.greatest(n_chars, F.lit(1))),
+        "stopword_ratio": r6(ts["n_stop"] / F.greatest(n_toks, F.lit(1))),
+        "mean_token_len": r6(
+            (ts["n_norm"] - n_toks + 1) / F.greatest(n_toks, F.lit(1))
         ),
     }
 
