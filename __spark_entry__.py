@@ -1042,7 +1042,7 @@ def _extras_oracle_sql() -> dict[str, str]:
         return f"sqrt(list_reduce(list_transform({a}, v -> v * v), (x, y) -> x + y))"
 
     cos = (
-        f"round(({dot('av', 'bv')}) / (({nrm('av')}) * ({nrm('bv')})), 4)"
+        f"round(({dot('av', 'bv')}) / (({nrm('av')}) * ({nrm('bv')})) * 10000.0) / 10000.0"
     )
 
     return {
@@ -1128,7 +1128,7 @@ def _extras_oracle_sql() -> dict[str, str]:
         "sim_topk_bruteforce": f"""
             WITH scored AS (
                 SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
-                       round(({dot('qv', 'nv')}) / (({nrm('qv')}) * ({nrm('nv')})), 4) AS cos_sim
+                       round(({dot('qv', 'nv')}) / (({nrm('qv')}) * ({nrm('nv')})) * 10000.0) / 10000.0 AS cos_sim
                 FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS qv
                       FROM embeddings WHERE vec_id % 50 = 0) q
                 JOIN (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS nv

@@ -373,7 +373,10 @@ def embedding_near_dups(
             bnorm = np.sqrt((bmat * bmat).sum(axis=1))
             bnorm[bnorm == 0] = 1.0
             sims = (bmat / bnorm[:, None]) @ all_unit.T  # (block, n)
-            sims = np.round(sims, 4)
+            # half-up at integer scale (np.round is half-even; DuckDB and
+            # Spark round half-away/up — emitted sims are positive, so
+            # floor(x*1e4 + 0.5) matches both)
+            sims = np.floor(sims * 1e4 + 0.5) / 1e4
             mask = (sims >= threshold) & (bids[:, None] < all_ids[None, :])
             ai, bi = np.nonzero(mask)
             yield pd.DataFrame(

@@ -62,7 +62,7 @@ def brute_force_topk(
         .select(
             "qid",
             "nid",
-            F.round(cosine_expr("qv", "nv"), 4).alias("cos_sim"),
+            (F.round(cosine_expr("qv", "nv") * F.lit(10000.0)) / F.lit(10000.0)).alias("cos_sim"),
         )
     )
     w = Window.partitionBy("qid").orderBy(F.col("cos_sim").desc(), F.col("nid").asc())
@@ -197,7 +197,7 @@ def ivf_topk(
     scored = (
         v.join(F.broadcast(q), on="cell")
         .filter(F.col("nid") != F.col("qid"))
-        .select("qid", "nid", F.round(cosine_expr("qv", "nv"), 4).alias("cos_sim"))
+        .select("qid", "nid", (F.round(cosine_expr("qv", "nv") * F.lit(10000.0)) / F.lit(10000.0)).alias("cos_sim"))
     )
     w = Window.partitionBy("qid").orderBy(F.col("cos_sim").desc(), F.col("nid").asc())
     return (
@@ -237,7 +237,7 @@ def lsh_bucketed_topk(
     scored = (
         v.join(F.broadcast(q), on="bucket")
         .filter(F.col("nid") != F.col("qid"))
-        .select("qid", "nid", F.round(cosine_expr("qv", "nv"), 4).alias("cos_sim"))
+        .select("qid", "nid", (F.round(cosine_expr("qv", "nv") * F.lit(10000.0)) / F.lit(10000.0)).alias("cos_sim"))
     )
     w = Window.partitionBy("qid").orderBy(F.col("cos_sim").desc(), F.col("nid").asc())
     return (
