@@ -434,6 +434,17 @@ def _q_sim_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-size token chunking with overlap (functions/text.py:
+    chunk_tokens) — the canonical LLM training-data prep step."""
+    from ivm_extension_spark.functions import text as tx
+
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    return tx.chunk_tokens(d, "text", size=24, overlap=6).select(
+        "doc_id", "chunk_id", "chunk_text", "chunk_tokens"
+    )
+
+
 def _q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ivm_extension_spark.functions import multimodal
 
@@ -746,6 +757,7 @@ _EXTRA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sim_topk_bruteforce": _q_sim_topk,
     "sim_topk_lsh": _q_sim_topk_lsh,
     "sim_topk_ivf": _q_sim_topk_ivf,
+    "chunk_documents": _q_chunk_documents,
     "multimodal_meta": _q_multimodal_meta,
     "multimodal_decode_stub": _q_multimodal_decode,
 }
@@ -1080,6 +1092,25 @@ def _extras_oracle_sql() -> dict[str, str]:
                               + least(stopword_ratio * 5, 1.0) * 300000) AS BIGINT)
                        AS quality_score_ppm
             FROM feats
+        """,
+        "chunk_documents": f"""
+            WITH toks AS (
+                SELECT doc_id, {_TOKS} AS t FROM documents
+            ), nch AS (
+                SELECT doc_id, t,
+                       CAST((greatest(len(t) - 24, 0) + 17) // 18 AS INT) AS maxi
+                FROM toks
+            )
+            , expl AS (
+                SELECT doc_id, t,
+                       CAST(unnest(range(0, maxi + 1)) AS INT) AS chunk_id
+                FROM nch
+            )
+            SELECT doc_id, chunk_id,
+                   array_to_string(t[(chunk_id*18 + 1):(chunk_id*18 + 24)], ' ') AS chunk_text,
+                   CAST(len(string_split(array_to_string(t[(chunk_id*18 + 1):(chunk_id*18 + 24)], ' '), ' '))
+                        AS INT) AS chunk_tokens
+            FROM expl
         """,
         "text_lang_id": f"""
             SELECT doc_id, {lang_case} AS lang_pred

@@ -168,6 +168,35 @@ def with_quality(df, col: str):
     return df.withColumn("quality_score_ppm", score_ppm)
 
 
+def chunk_tokens(df, col: str, size: int = 64, overlap: int = 8):
+    """Split each document into fixed-size token windows with overlap —
+    the canonical LLM training-data chunking step.  Output: one row per
+    chunk with (original columns..., chunk_id, chunk_text, chunk_tokens).
+
+    stride = size - overlap; chunk i covers tokens [i*stride+1,
+    i*stride+size]; the last chunk may be short.  All JVM expressions
+    (tokenize once, slice per chunk) — no Python in the row loop.
+    """
+    if overlap >= size:
+        raise ValueError(f"overlap ({overlap}) must be < size ({size})")
+    stride = size - overlap
+    chunks_inner = (
+        f"transform(sequence(0, CAST((greatest(size(t) - {size}, 0) + {stride} - 1) "
+        f"DIV {stride} AS INT)), "
+        f"i -> concat_ws(' ', slice(t, i * {stride} + 1, {size})))"
+    )
+    expr = _bind(_bind(chunks_inner, "split(s, ' ')", var="t"), _norm_sql(col))
+    return (
+        df.withColumn("__chunks", F.expr(expr))
+        .select(
+            *df.columns,
+            F.posexplode(F.col("__chunks")).alias("chunk_id", "chunk_text"),
+        )
+        .withColumn("chunk_tokens", F.size(F.split(F.col("chunk_text"), " ")))
+        .drop("__chunks")
+    )
+
+
 def shingles_expr(col: str, n: int = 3) -> str:
     """Distinct n-word shingles (the dedup unit) as one expression with a
     single tokenization (lambda-bound).  Empty array below n tokens."""

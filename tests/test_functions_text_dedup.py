@@ -168,6 +168,30 @@ def test_ivf_partial_probe_reasonable_recall(spark):
         assert r["neighbor_id"] % 2 == r["query_id"] % 2
 
 
+def test_chunk_tokens_coverage_and_overlap(spark):
+    words = " ".join(f"w{i}" for i in range(100))
+    df = spark.createDataFrame([(1, words)], "doc_id long, text string")
+    chunks = text.chunk_tokens(df, "text", size=40, overlap=10).collect()
+    # stride 30: chunks at 1..40, 31..70, 61..100 -> 3 chunks
+    assert [r["chunk_id"] for r in chunks] == [0, 1, 2]
+    assert all(r["chunk_tokens"] == 40 for r in chunks)
+    c0, c1 = chunks[0]["chunk_text"].split(), chunks[1]["chunk_text"].split()
+    assert c0[-10:] == c1[:10]  # overlap region shared
+    # every token covered
+    covered = set()
+    for r in chunks:
+        covered.update(r["chunk_text"].split())
+    assert len(covered) == 100
+
+
+def test_chunk_tokens_short_doc_single_chunk(spark):
+    df = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    chunks = text.chunk_tokens(df, "text", size=40, overlap=10).collect()
+    assert len(chunks) == 1
+    assert chunks[0]["chunk_text"] == "a b c"
+    assert chunks[0]["chunk_tokens"] == 3
+
+
 def test_multimodal_payload_and_decode(docs):
     media = multimodal.with_binary_payload(docs, "doc_id", "text")
     # same shape (nullability may differ between builder and declared schema)
