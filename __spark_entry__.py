@@ -434,6 +434,19 @@ def _q_sim_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: containment of each 'benchmark' doc's
+    3-grams inside corpus docs (functions/dedup.py:contamination_pairs)."""
+    from ivm_extension_spark.functions import dedup
+
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    corpus = d.filter(F.expr("doc_id % 25 != 0"))
+    benchmark = d.filter(F.expr("doc_id % 25 = 0"))
+    return dedup.contamination_pairs(
+        corpus, benchmark, "doc_id", "text", n=3, min_containment=0.05
+    )
+
+
 def _q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fixed-size token chunking with overlap (functions/text.py:
     chunk_tokens) — the canonical LLM training-data prep step."""
@@ -758,6 +771,7 @@ _EXTRA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sim_topk_lsh": _q_sim_topk_lsh,
     "sim_topk_ivf": _q_sim_topk_ivf,
     "chunk_documents": _q_chunk_documents,
+    "contamination_check": _q_contamination,
     "multimodal_meta": _q_multimodal_meta,
     "multimodal_decode_stub": _q_multimodal_decode,
 }
@@ -1122,6 +1136,36 @@ def _extras_oracle_sql() -> dict[str, str]:
                    min(doc_id) AS keep_id,
                    count(*) AS n_dupes
             FROM documents GROUP BY md5({_NORM})
+        """,
+        "contamination_check": f"""
+            WITH sh AS (
+                SELECT doc_id,
+                       list_distinct(CASE WHEN len(toks) >= 3 THEN
+                           list_transform(range(1, len(toks) - 1),
+                               i -> array_to_string(list_slice(toks, i, i + 2), ' '))
+                           ELSE [] END) AS shingles
+                FROM (SELECT doc_id, {_TOKS} AS toks FROM documents) t
+            ),
+            corpus AS (
+                SELECT doc_id AS corpus_id, unnest(shingles) AS g
+                FROM sh WHERE doc_id % 25 != 0
+            ),
+            bench AS (
+                SELECT doc_id AS bench_id, len(shingles) AS n_bench,
+                       unnest(shingles) AS g
+                FROM sh WHERE doc_id % 25 = 0
+            ),
+            pairs AS (
+                SELECT corpus_id, bench_id, count(*) AS n_common,
+                       any_value(n_bench) AS n_bench
+                FROM corpus JOIN bench USING (g)
+                GROUP BY corpus_id, bench_id
+            )
+            SELECT corpus_id, bench_id, n_common,
+                   CAST(n_bench AS INT) AS n_bench,
+                   round(n_common / n_bench * 1000000.0) / 1000000.0 AS containment
+            FROM pairs
+            WHERE round(n_common / n_bench * 1000000.0) / 1000000.0 >= 0.05
         """,
         "dedup_ngram_jaccard": f"""
             WITH sh AS (

@@ -148,6 +148,51 @@ def ngram_jaccard_pairs(
     return pairs
 
 
+def contamination_pairs(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    min_containment: float = 0.0,
+) -> DataFrame:
+    """Benchmark-contamination check: for each (corpus doc, benchmark
+    doc) pair sharing ≥1 n-gram, the CONTAINMENT |shared| / |benchmark
+    shingles| — the standard decontamination score (a benchmark quote
+    inside a long document scores high even though Jaccard is low).
+
+    Same inverted-index shape as ngram_jaccard_pairs: explode → equi-join
+    on 64-bit shingle hashes → pair counts.  The benchmark side is small
+    and broadcast; the corpus is scanned once, never shuffled.
+    Output: (corpus_id, bench_id, n_common, n_bench, containment).
+    """
+    c = with_word_shingles(corpus.select(id_col, text_col), text_col, n=n)
+    c = c.select(F.col(id_col).alias("corpus_id"), F.explode("shingles").alias("gs"))
+    c = c.select("corpus_id", F.xxhash64("gs").alias("g"))
+    b = with_word_shingles(benchmark.select(id_col, text_col), text_col, n=n)
+    b = b.select(
+        F.col(id_col).alias("bench_id"),
+        F.size("shingles").alias("n_bench"),
+        F.explode("shingles").alias("gs"),
+    ).select("bench_id", "n_bench", F.xxhash64("gs").alias("g"))
+    pairs = (
+        c.join(F.broadcast(b), on="g")
+        .groupBy("corpus_id", "bench_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_common"),
+            F.first("n_bench").alias("n_bench"),
+        )
+        .withColumn(
+            "containment",
+            F.round(F.col("n_common") / F.col("n_bench") * F.lit(1000000.0))
+            / F.lit(1000000.0),
+        )
+    )
+    if min_containment > 0:
+        pairs = pairs.filter(F.col("containment") >= min_containment)
+    return pairs
+
+
 # --------------------------------------------------------------------------
 # MinHash + LSH
 # --------------------------------------------------------------------------

@@ -168,6 +168,24 @@ def test_ivf_partial_probe_reasonable_recall(spark):
         assert r["neighbor_id"] % 2 == r["query_id"] % 2
 
 
+def test_contamination_containment_not_jaccard(spark):
+    # a short benchmark quote embedded in a long document: containment is
+    # high (all bench shingles present) even though jaccard would be low
+    bench = spark.createDataFrame(
+        [(100, "the quick brown fox jumps")], "doc_id long, text string"
+    )
+    long_doc = "lorem ipsum " * 20 + "the quick brown fox jumps" + " dolor sit" * 20
+    corpus = spark.createDataFrame(
+        [(1, long_doc), (2, "completely unrelated words here")],
+        "doc_id long, text string",
+    )
+    out = dedup.contamination_pairs(corpus, bench, "doc_id", "text", n=3).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r["corpus_id"], r["bench_id"]) == (1, 100)
+    assert r["containment"] == 1.0  # every bench 3-gram found
+
+
 def test_chunk_tokens_coverage_and_overlap(spark):
     words = " ".join(f"w{i}" for i in range(100))
     df = spark.createDataFrame([(1, words)], "doc_id long, text string")
