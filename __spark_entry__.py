@@ -447,6 +447,18 @@ def _q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup clustering: connected components (iterative min-label
+    propagation) over the deterministic n-gram-jaccard candidate pairs.
+    Oracle: recursive-CTE transitive closure in DuckDB."""
+    from ivm_extension_spark.functions import dedup
+
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    pairs = dedup.ngram_jaccard_pairs(d, "doc_id", "text", n=3, min_jaccard=0.2)
+    verts = d.select(F.col("doc_id").alias("id"))
+    return dedup.connected_components(verts, pairs).withColumnRenamed("id", "doc_id")
+
+
 def _q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fixed-size token chunking with overlap (functions/text.py:
     chunk_tokens) — the canonical LLM training-data prep step."""
@@ -772,6 +784,7 @@ _EXTRA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sim_topk_ivf": _q_sim_topk_ivf,
     "chunk_documents": _q_chunk_documents,
     "contamination_check": _q_contamination,
+    "dedup_clusters": _q_dedup_clusters,
     "multimodal_meta": _q_multimodal_meta,
     "multimodal_decode_stub": _q_multimodal_decode,
 }
@@ -1106,6 +1119,40 @@ def _extras_oracle_sql() -> dict[str, str]:
                               + least(stopword_ratio * 5, 1.0) * 300000) AS BIGINT)
                        AS quality_score_ppm
             FROM feats
+        """,
+        "dedup_clusters": f"""
+            WITH RECURSIVE sh AS (
+                SELECT doc_id AS id,
+                       list_distinct(CASE WHEN len(toks) >= 3 THEN
+                           list_transform(range(1, len(toks) - 1),
+                               i -> array_to_string(list_slice(toks, i, i + 2), ' '))
+                           ELSE [] END) AS shingles
+                FROM (SELECT doc_id, {_TOKS} AS toks FROM documents) t
+            ),
+            exploded AS (
+                SELECT id, len(shingles) AS n_sh, unnest(shingles) AS g FROM sh
+            ),
+            jpairs AS (
+                SELECT a.id AS id_a, b.id AS id_b,
+                       count(*) AS n_common,
+                       any_value(a.n_sh) AS n_a, any_value(b.n_sh) AS n_b
+                FROM exploded a JOIN exploded b
+                  ON a.g = b.g AND a.id < b.id
+                GROUP BY a.id, b.id
+            ),
+            edges AS (
+                SELECT id_a AS src, id_b AS dst FROM jpairs
+                WHERE round(n_common / (n_a + n_b - n_common) * 1000000.0) / 1000000.0 >= 0.2
+                UNION ALL
+                SELECT id_b, id_a FROM jpairs
+                WHERE round(n_common / (n_a + n_b - n_common) * 1000000.0) / 1000000.0 >= 0.2
+            ),
+            cc(id, label) AS (
+                SELECT doc_id, doc_id FROM documents
+                UNION
+                SELECT e.dst, cc.label FROM cc JOIN edges e ON cc.id = e.src
+            )
+            SELECT id AS doc_id, min(label) AS cluster FROM cc GROUP BY id
         """,
         "chunk_documents": f"""
             WITH toks AS (

@@ -368,6 +368,73 @@ def simhash_near_pairs(
 
 
 # --------------------------------------------------------------------------
+# near-dup clustering (connected components over candidate pairs)
+# --------------------------------------------------------------------------
+
+def connected_components(
+    vertices: DataFrame,
+    edges: DataFrame,
+    id_col: str = "id",
+    src_col: str = "id_a",
+    dst_col: str = "id_b",
+    max_iter: int = 30,
+) -> DataFrame:
+    """Label every vertex with the MIN vertex id of its connected
+    component — the standard final step of a near-dup pipeline (pairs →
+    clusters → keep one doc per cluster).
+
+    Iterative min-label propagation: each round every vertex takes the
+    minimum of its own label and its neighbors' labels; converges in
+    O(graph diameter) rounds (near-dup components are tiny, so 2-4
+    rounds in practice).  Each round is ONE shuffle (edge join +
+    min-aggregate); labels are localCheckpoint'ed per round to keep the
+    plan flat.  The driver loop only checks a scalar convergence count —
+    no vertex data ever reaches the driver.
+
+    Output: (``id_col``, cluster) — cluster = component's min id.
+    """
+    e = edges.select(
+        F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
+    )
+    sym = e.unionByName(
+        e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).distinct()
+    sym = sym.localCheckpoint(eager=True)
+
+    labels = vertices.select(
+        F.col(id_col).alias("vid"), F.col(id_col).alias("label")
+    ).localCheckpoint(eager=True)
+
+    for _ in range(max_iter):
+        neighbor_min = (
+            sym.join(labels, on=[sym.dst == labels.vid])
+            .groupBy("src")
+            .agg(F.min("label").alias("nbr_label"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, on=[labels.vid == neighbor_min.src], how="left")
+            .select(
+                "vid",
+                F.least(
+                    F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))
+                ).alias("label"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), on="vid")
+            .filter(F.expr("n.label != o.label"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(F.col("vid").alias(id_col), F.col("label").alias("cluster"))
+
+
+# --------------------------------------------------------------------------
 # embedding-cosine near-dup
 # --------------------------------------------------------------------------
 

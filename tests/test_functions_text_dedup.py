@@ -168,6 +168,19 @@ def test_ivf_partial_probe_reasonable_recall(spark):
         assert r["neighbor_id"] % 2 == r["query_id"] % 2
 
 
+def test_connected_components_clusters(spark):
+    # two components: {1,2,3,4} (chain) and {10,11}; 20 isolated
+    verts = spark.createDataFrame([(i,) for i in (1, 2, 3, 4, 10, 11, 20)], "id long")
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11)], "id_a long, id_b long"
+    )
+    out = {
+        r["id"]: r["cluster"]
+        for r in dedup.connected_components(verts, edges).collect()
+    }
+    assert out == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 20: 20}
+
+
 def test_contamination_containment_not_jaccard(spark):
     # a short benchmark quote embedded in a long document: containment is
     # high (all bench shingles present) even though jaccard would be low
