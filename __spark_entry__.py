@@ -632,6 +632,21 @@ def _q_rollup_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_cube_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE with grouping_id — distinguishes a NULL group value from a
+    subtotal row (bitmask semantics match DuckDB's GROUPING)."""
+    eng = _engine(spark, sf_dir)
+    return (
+        eng.table("lineitem")
+        .cube("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(F.expr("CAST(l_quantity AS BIGINT)")).alias("sum_qty"),
+            F.count(F.lit(1)).alias("n_rows"),
+            F.grouping_id().alias("gid"),
+        )
+    )
+
+
 def _q_setops_active_custkeys(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Set operators (absent in reference): customers ordering in both
     halves of 1995-1996, minus the top-spender segment drop-out set."""
@@ -761,6 +776,7 @@ _OLAP_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "window_running_total": _q_window_running_total,
     "topk_per_group": _q_topk_per_group,
     "rollup_sales": _q_rollup_sales,
+    "cube_sales": _q_cube_sales,
     "setops_active_custkeys": _q_setops_active_custkeys,
     "sessionize_users": _q_sessionize,
     "asof_snapshots": _q_asof_join,
@@ -959,6 +975,14 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n_rows
             FROM lineitem
             GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        """,
+        "cube_sales": """
+            SELECT l_returnflag, l_linestatus,
+                   sum(CAST(l_quantity AS BIGINT)) AS sum_qty,
+                   count(*) AS n_rows,
+                   CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid
+            FROM lineitem
+            GROUP BY CUBE (l_returnflag, l_linestatus)
         """,
         "setops_active_custkeys": """
             SELECT o_custkey AS custkey FROM orders
