@@ -50,6 +50,15 @@ def main() -> int:
     spark.read.parquet(f"{sf_dir}/lineitem.parquet").limit(1000).write.format(
         "noop"
     ).mode("overwrite").save()
+    # warmup: Python worker pool + Arrow serialization (otherwise the
+    # first pandas-UDF query absorbs the whole pool spin-up)
+    from pyspark.sql import functions as F, types as T
+
+    _warm = F.pandas_udf(lambda x: x, T.LongType())
+
+    spark.range(0, 1000, 1, cpus).select(_warm("id")).write.format("noop").mode(
+        "overwrite"
+    ).save()
 
     timings: dict[str, float] = {}
     total = 0.0
