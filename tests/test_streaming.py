@@ -233,6 +233,58 @@ def test_sessionize_batch_and_stream_agree(spark, tmpdir):
     assert got_stream == got_batch
 
 
+def test_watermark_drops_late_data(spark, tmpdir):
+    """An event arriving after its window fell behind the watermark is
+    dropped.  The watermark is persisted in the checkpoint, so two
+    sequential runs over the same checkpoint pin the cross-run semantics
+    (within one availableNow run the global watermark does not advance
+    between micro-batches — late drop is a cross-restart guarantee)."""
+    src = f"{tmpdir}/events"
+
+    emitted: list = []
+
+    def run_batch():
+        stream = spark.readStream.schema(
+            "ts timestamp, event_type string, value double"
+        ).parquet(f"{src}/*")
+        agg = windowed_aggregate(
+            stream, "ts", "1 hour", watermark="30 minutes",
+            group_cols=("event_type",), aggs={"n": "count(*)"},
+        )
+        emitted.clear()
+        q = (
+            agg.writeStream.foreachBatch(
+                lambda df, bid: emitted.extend(df.collect())
+            )
+            .outputMode("update")
+            .option("checkpointLocation", f"{tmpdir}/ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        return {str(r["window_start"]): r["n"] for r in emitted}
+
+    spark.createDataFrame(
+        [("2024-01-01 06:00:00", "click", 1.0)],
+        "ts string, event_type string, value double",
+    ).withColumn("ts", F.col("ts").cast("timestamp")).coalesce(1).write.parquet(
+        f"{src}/b0"
+    )
+    got = run_batch()
+    assert got.get("2024-01-01 06:00:00") == 1
+
+    # 5 hours late — far beyond the 30-minute watermark (now persisted
+    # at 05:30 in the checkpoint); must be dropped on the next run
+    spark.createDataFrame(
+        [("2024-01-01 01:00:30", "click", 100.0)],
+        "ts string, event_type string, value double",
+    ).withColumn("ts", F.col("ts").cast("timestamp")).coalesce(1).write.parquet(
+        f"{src}/b1"
+    )
+    got = run_batch()
+    assert "2024-01-01 01:00:00" not in got
+
+
 def test_windowed_aggregate_streaming_update_mode(spark, tmpdir):
     """Native streaming path: watermark + tumbling window, update mode."""
     src = f"{tmpdir}/events"
