@@ -1,5 +1,12 @@
 from ivm_extension_spark.operators.asof import asof_join
-from ivm_extension_spark.operators.merge import apply_delta_to_table, finalize, merge
+from ivm_extension_spark.operators.merge import (  # noqa: F401
+    apply_delta_to_table,
+    finalize,
+)
+# NOTE: the bare name ``merge`` must stay bound to the SUBMODULE
+# (engine.py does ``from ...operators import merge as merge_ops``) — the
+# merge function is reachable as ``operators.merge.merge``.
+from ivm_extension_spark.operators import merge  # noqa: F401
 from ivm_extension_spark.operators.rangejoin import range_join
 from ivm_extension_spark.operators.rewrite import (
     MULT_COL,
@@ -17,7 +24,6 @@ __all__ = [
     "compute_view",
     "delta_plan",
     "finalize",
-    "merge",
     "range_join",
     "salted_join",
     "two_phase_agg",
