@@ -22,14 +22,11 @@ Scale design (the point of each implementation):
 
 from __future__ import annotations
 
-import hashlib
-import struct
-
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, functions as F, types as T
 
-from ivm_extension_spark.functions.text import normalized, with_word_shingles
+from ivm_extension_spark.functions.text import with_word_shingles
 
 # fixed MinHash parameters — deterministic across runs and engines.
 # 31-bit Mersenne prime keeps a*x+b inside uint64 so the whole
@@ -42,23 +39,6 @@ def _hash_family(num_hashes: int, seed: int = 42):
     a = rng.randint(1, _MERSENNE, size=num_hashes).astype(np.uint64)
     b = rng.randint(0, _MERSENNE, size=num_hashes).astype(np.uint64)
     return a, b
-
-
-def _shingle_hash_array(shingles: list[str], nbytes: int = 8) -> np.ndarray:
-    """Stable shingle hashes via md5 (no PYTHONHASHSEED dependence)."""
-    if not shingles:
-        return np.empty(0, dtype=np.uint64)
-    pad = 8 - nbytes
-    return np.fromiter(
-        (
-            struct.unpack(
-                "<Q", hashlib.md5(s.encode("utf-8")).digest()[:nbytes] + b"\0" * pad
-            )[0]
-            for s in shingles
-        ),
-        dtype=np.uint64,
-        count=len(shingles),
-    )
 
 
 # --------------------------------------------------------------------------
@@ -217,15 +197,33 @@ def minhash_signatures(
 
     @F.pandas_udf(T.ArrayType(T.LongType()))
     def sig_udf(hashes: pd.Series) -> pd.Series:
-        out = []
-        for hs_list in hashes:
-            if hs_list is None or len(hs_list) == 0:
+        # whole-batch vectorization: concatenate every row's shingle
+        # hashes into ONE flat array, permute once, then take per-row
+        # segment minima with minimum.reduceat — no per-row numpy-call
+        # overhead (rows are short, so per-row dispatch dominates a
+        # naive loop)
+        lens = np.array(
+            [0 if h is None else len(h) for h in hashes], dtype=np.int64
+        )
+        if lens.sum() == 0:
+            return pd.Series([[0] * num_hashes] * len(hashes))
+        flat = np.concatenate(
+            [np.asarray(h, dtype=np.uint64) for h in hashes if h is not None and len(h)]
+        )
+        # (num_hashes x total_shingles) in one broadcast
+        perm = (a_coef[:, None] * flat[None, :] + b_coef[:, None]) % _MERSENNE
+        nonempty = lens > 0
+        starts = np.zeros(int(nonempty.sum()), dtype=np.int64)
+        np.cumsum(lens[nonempty][:-1], out=starts[1:])
+        mins = np.minimum.reduceat(perm, starts, axis=1)  # (num_hashes, n_nonempty)
+        mins = mins.astype(np.int64)
+        out, j = [], 0
+        for empty in ~nonempty:
+            if empty:
                 out.append([0] * num_hashes)
-                continue
-            hs = np.asarray(hs_list, dtype=np.uint64)
-            # (num_hashes x num_shingles) broadcast, min along shingles
-            perm = (a_coef[:, None] * hs[None, :] + b_coef[:, None]) % _MERSENNE
-            out.append(perm.min(axis=1).astype(np.int64).tolist())
+            else:
+                out.append(mins[:, j].tolist())
+                j += 1
         return pd.Series(out)
 
     sh = with_word_shingles(df.select(id_col, text_col), text_col, n=shingle_n)
@@ -297,29 +295,41 @@ def simhash64(
     """64-bit SimHash per document (Arrow pandas_udf, numpy bit-count)."""
 
     @F.pandas_udf(T.LongType())
-    def sim_udf(shingles: pd.Series) -> pd.Series:
-        out = []
-        for sh in shingles:
-            hs = _shingle_hash_array(list(sh) if sh is not None else [])
-            if hs.size == 0:
-                out.append(0)
-                continue
-            bits = ((hs[:, None] >> np.arange(64, dtype=np.uint64)) & 1).astype(
-                np.int64
-            )  # (n_shingles, 64)
-            votes = bits.sum(axis=0) * 2 - hs.size  # +1 / -1 majority
-            val = int(
-                ((votes > 0).astype(np.uint64) << np.arange(64, dtype=np.uint64)).sum()
-            )
-            # store as signed 64-bit
-            out.append(val - (1 << 64) if val >= (1 << 63) else val)
-        return pd.Series(out)
+    def sim_udf(hashes: pd.Series) -> pd.Series:
+        # whole-batch vectorization (see sig_udf): flat bit matrix once,
+        # per-row bit-vote sums via add.reduceat
+        lens = np.array([0 if h is None else len(h) for h in hashes], dtype=np.int64)
+        if lens.sum() == 0:
+            return pd.Series([0] * len(hashes), dtype=np.int64)
+        flat = np.concatenate(
+            [np.asarray(h, dtype=np.int64) for h in hashes if h is not None and len(h)]
+        ).astype(np.uint64)
+        bits = ((flat[:, None] >> np.arange(64, dtype=np.uint64)) & 1).astype(np.int64)
+        nonempty = lens > 0
+        starts = np.zeros(int(nonempty.sum()), dtype=np.int64)
+        np.cumsum(lens[nonempty][:-1], out=starts[1:])
+        sums = np.add.reduceat(bits, starts, axis=0)  # (n_nonempty, 64)
+        votes = sums * 2 - lens[nonempty][:, None]
+        packed = ((votes > 0).astype(np.uint64) << np.arange(64, dtype=np.uint64)).sum(
+            axis=1
+        )
+        signed = packed.astype(np.int64)  # two's-complement reinterpret
+        vals, j = [], 0
+        for empty in ~nonempty:
+            if empty:
+                vals.append(0)
+            else:
+                vals.append(int(signed[j]))
+                j += 1
+        return pd.Series(vals, dtype=np.int64)
 
     sh = with_word_shingles(df.select(id_col, text_col), text_col, n=shingle_n)
-    sh = sh.select(F.col(id_col).alias("id"), F.col("shingles")).localCheckpoint(
-        eager=True
-    )
-    return sh.select("id", sim_udf(F.col("shingles")).alias("simhash"))
+    # full 64-bit JVM-side shingle hashes (no Python hashing in the loop)
+    sh = sh.select(
+        F.col(id_col).alias("id"),
+        F.expr("transform(shingles, s -> xxhash64(s))").alias("hs"),
+    ).localCheckpoint(eager=True)
+    return sh.select("id", sim_udf(F.col("hs")).alias("simhash"))
 
 
 def simhash_near_pairs(
