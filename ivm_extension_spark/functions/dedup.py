@@ -416,15 +416,27 @@ def connected_components(
     ).localCheckpoint(eager=True)
 
     for _ in range(max_iter):
+        # label table is one row per vertex — broadcast both joins so the
+        # (much larger) edge relation is never shuffled; the only exchange
+        # per round is the groupBy(src) partial-aggregated min.  (At
+        # extreme vertex counts this becomes a sort-merge join on a
+        # bucketed label table; same algorithm.)
         neighbor_min = (
-            sym.join(labels, on=[sym.dst == labels.vid])
+            sym.join(F.broadcast(labels), on=[sym.dst == labels.vid])
             .groupBy("src")
             .agg(F.min("label").alias("nbr_label"))
         )
+        # carry the old label through the SAME checkpointed frame, so the
+        # convergence probe reads materialized data instead of re-joining
         new_labels = (
-            labels.join(neighbor_min, on=[labels.vid == neighbor_min.src], how="left")
+            labels.join(
+                F.broadcast(neighbor_min),
+                on=[labels.vid == neighbor_min.src],
+                how="left",
+            )
             .select(
                 "vid",
+                F.col("label").alias("old_label"),
                 F.least(
                     F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))
                 ).alias("label"),
@@ -432,13 +444,9 @@ def connected_components(
             .localCheckpoint(eager=True)
         )
         changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), on="vid")
-            .filter(F.expr("n.label != o.label"))
-            .limit(1)
-            .count()
+            new_labels.filter(F.col("label") != F.col("old_label")).limit(1).count()
         )
-        labels = new_labels
+        labels = new_labels.select("vid", "label")
         if changed == 0:
             break
     return labels.select(F.col("vid").alias(id_col), F.col("label").alias("cluster"))
