@@ -769,6 +769,23 @@ def _q_scalar_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_events_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding (overlapping) windows: 1-hour windows every 30 minutes —
+    each event lands in exactly two windows.  Oracle: DuckDB time_bucket
+    with the two containing starts unnested."""
+    from ivm_extension_spark.streaming import windowed_aggregate
+
+    eng = _engine(spark, sf_dir)
+    return windowed_aggregate(
+        eng.table("events"),
+        "ts",
+        "1 hour",
+        slide="30 minutes",
+        group_cols=("event_type",),
+        aggs={"n_events": "count(*)"},
+    )
+
+
 _OLAP_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q13_custdist": _q13_custdist,
     "q1_pricing_summary": _q1_pricing_summary,
@@ -779,6 +796,7 @@ _OLAP_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "cube_sales": _q_cube_sales,
     "setops_active_custkeys": _q_setops_active_custkeys,
     "sessionize_users": _q_sessionize,
+    "events_sliding_window": _q_events_sliding_window,
     "asof_snapshots": _q_asof_join,
     "range_join_bands": _q_range_join,
     "percentiles_by_status": _q_percentiles,
@@ -1021,6 +1039,17 @@ def oracle_sql() -> dict[str, str]:
                          ('mid', 40000.0, 200000.0),
                          ('large', 150000.0, 1000000.0)) AS b(band, lo, hi)
               ON o.price >= b.lo AND o.price <= b.hi
+        """,
+        "events_sliding_window": """
+            SELECT ws AS window_start,
+                   ws + INTERVAL 1 HOUR AS window_end,
+                   event_type,
+                   count(*) AS n_events
+            FROM (SELECT event_type,
+                         unnest([time_bucket(INTERVAL 30 MINUTE, ts),
+                                 time_bucket(INTERVAL 30 MINUTE, ts) - INTERVAL 30 MINUTE]) AS ws
+                  FROM events)
+            GROUP BY ws, event_type
         """,
         "asof_snapshots": """
             WITH snaps AS (
