@@ -447,6 +447,17 @@ def _q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_text_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling-hash (MOD-p) document fingerprints — content-defined
+    selection stable under edits elsewhere in the document."""
+    from ivm_extension_spark.functions import text as tx
+
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    return tx.rolling_fingerprints(d, "text", k=16, mod_p=8).select(
+        "doc_id", "fingerprints"
+    )
+
+
 def _q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup clustering: connected components (iterative min-label
     propagation) over the deterministic n-gram-jaccard candidate pairs.
@@ -808,6 +819,7 @@ _EXTRA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_stats": _q_text_stats,
     "text_quality": _q_text_quality,
     "text_lang_id": _q_text_lang_id,
+    "text_fingerprints": _q_text_fingerprints,
     "dedup_exact": _q_dedup_exact,
     "dedup_ngram_jaccard": _q_dedup_ngram_jaccard,
     "dedup_minhash_lsh": _q_dedup_minhash_lsh,
@@ -1172,6 +1184,20 @@ def _extras_oracle_sql() -> dict[str, str]:
                               + least(stopword_ratio * 5, 1.0) * 300000) AS BIGINT)
                        AS quality_score_ppm
             FROM feats
+        """,
+        "text_fingerprints": f"""
+            SELECT doc_id,
+                   CASE WHEN length(norm) >= 16 THEN
+                       list_sort(list_distinct(list_filter(
+                           list_transform(range(1, length(norm) - 16 + 2),
+                               i -> list_reduce(
+                                        list_prepend(CAST(0 AS BIGINT),
+                                            list_transform(range(i, i + 16),
+                                                j -> CAST(ascii(substring(norm, j, 1)) AS BIGINT))),
+                                        (acc, x) -> (acc * 257 + x) % 2147483647)),
+                           h -> h % 8 = 0)))
+                   ELSE [] END AS fingerprints
+            FROM (SELECT doc_id, {_NORM} AS norm FROM documents) t
         """,
         "dedup_clusters": f"""
             WITH RECURSIVE sh AS (

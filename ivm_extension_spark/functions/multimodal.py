@@ -99,6 +99,49 @@ def decode_features(media: DataFrame, dim: int = 8, fail_real: bool = False) -> 
     return media.mapInPandas(decode_batches, schema=FEATURE_SCHEMA)
 
 
+RESIZED_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("width", T.IntegerType(), False),
+        T.StructField("height", T.IntegerType(), False),
+        T.StructField("resized", T.BinaryType(), True),
+    ]
+)
+
+
+def resize(media: DataFrame, width: int = 16, height: int = 16) -> DataFrame:
+    """STUB resize via mapInPandas: emits a deterministic width*height
+    byte payload derived from the source bytes (a real implementation
+    swaps the body for PIL's ``Image.resize`` — the Arrow batch plumbing,
+    declared schema and narrow-map partitioning are the real parts).
+    Resampling is per-row and stateless: no shuffle at any scale."""
+
+    n_out = width * height
+
+    def resize_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for p in pdf["payload"]:
+                src = bytes(p) if p is not None else b""
+                if not src:
+                    out.append(bytes(n_out))
+                    continue
+                # nearest-neighbor over the byte stream: deterministic,
+                # size-exact — stands in for real pixel resampling
+                step = max(1, len(src) // n_out)
+                out.append(bytes(src[min(i * step, len(src) - 1)] for i in range(n_out)))
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "width": width,
+                    "height": height,
+                    "resized": out,
+                }
+            )
+
+    return media.mapInPandas(resize_batches, schema=RESIZED_SCHEMA)
+
+
 def frame_sample(media: DataFrame, every_n_bytes: int = 64, max_frames: int = 8) -> DataFrame:
     """'Frame sampling' over the opaque payload: one row per sampled
     offset (JVM-side posexplode — the real video analogue would sample

@@ -168,6 +168,37 @@ def with_quality(df, col: str):
     return df.withColumn("quality_score_ppm", score_ppm)
 
 
+def rolling_fingerprints(
+    df, col: str, k: int = 16, mod_p: int = 8, out: str = "fingerprints"
+):
+    """MOD-p rolling-hash document fingerprinting (the Rabin-Karp /
+    Moss-style selection scheme): hash every k-char gram of the
+    normalized text with a polynomial rolling hash, keep the hashes
+    ≡ 0 (mod ``mod_p``) — a content-defined ~1/p sample that is stable
+    under insertions elsewhere in the document (unlike fixed-stride
+    sampling).  Output column: sorted array<bigint> of selected hashes.
+
+    Whole expression is JVM-side: base-257 polynomial over a 2^31-1
+    modulus, positions via transform(sequence(...)) on ONE normalization
+    pass (lambda-bound).  Identical arithmetic runs in the DuckDB oracle.
+    """
+    m = (1 << 31) - 1
+    # h(i) = sum_j c[i+j] * 257^(k-1-j) mod m, computed per position from
+    # scratch (k is small and constant; true O(1) rolling needs a scan
+    # dependency Spark expressions can't express — O(n*k) is still narrow)
+    gram_hash = (
+        f"aggregate(sequence(1, {k}), 0L, "
+        f"(acc, j) -> (acc * 257 + ascii(substring(s, i + j - 1, 1))) % {m})"
+    )
+    inner = (
+        f"CASE WHEN length(s) >= {k} THEN "
+        f"array_sort(array_distinct(filter(transform(sequence(1, length(s) - {k} + 1), "
+        f"i -> {gram_hash}), h -> h % {mod_p} = 0))) "
+        "ELSE array() END"
+    )
+    return df.withColumn(out, F.expr(_bind(inner, _norm_sql(col))))
+
+
 def chunk_tokens(df, col: str, size: int = 64, overlap: int = 8):
     """Split each document into fixed-size token windows with overlap —
     the canonical LLM training-data chunking step.  Output: one row per

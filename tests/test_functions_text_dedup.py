@@ -168,6 +168,34 @@ def test_ivf_partial_probe_reasonable_recall(spark):
         assert r["neighbor_id"] % 2 == r["query_id"] % 2
 
 
+def test_rolling_fingerprints_stable_under_prefix_insert(spark):
+    # content-defined selection: inserting text at the FRONT leaves the
+    # fingerprints of the untouched suffix intact (fixed-stride wouldn't)
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    df = spark.createDataFrame(
+        [(1, base), (2, "zzz prefix added " + base)], "doc_id long, text string"
+    )
+    out = {
+        r["doc_id"]: set(r["fingerprints"])
+        for r in text.rolling_fingerprints(df, "text", k=8, mod_p=4).collect()
+    }
+    assert out[1] and out[1] <= out[2]  # suffix grams all survive
+
+
+def test_resize_stub_shape(spark):
+    from ivm_extension_spark.functions import multimodal as mm
+
+    docs = spark.createDataFrame(
+        [(1, "hello world " * 50), (2, "")], "doc_id long, text string"
+    )
+    media = mm.with_binary_payload(docs, "doc_id", "text")
+    out = {r["media_id"]: r for r in mm.resize(media, width=4, height=4).collect()}
+    assert len(out[1]["resized"]) == 16 and len(out[2]["resized"]) == 16
+    # deterministic across runs
+    again = {r["media_id"]: r for r in mm.resize(media, width=4, height=4).collect()}
+    assert bytes(again[1]["resized"]) == bytes(out[1]["resized"])
+
+
 def test_connected_components_clusters(spark):
     # two components: {1,2,3,4} (chain) and {10,11}; 20 isolated
     verts = spark.createDataFrame([(i,) for i in (1, 2, 3, 4, 10, 11, 20)], "id long")
