@@ -79,6 +79,13 @@ def main() -> int:
         timings[name] = round(dt, 3)
         if dt == dt:
             total += dt
+        # free persisted/checkpointed blocks between queries: 48 queries'
+        # worth of retained blocks otherwise builds GC pressure that
+        # inflates the tail of the run
+        spark.catalog.clearCache()
+        import gc
+
+        gc.collect()
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     print(
