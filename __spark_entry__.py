@@ -658,6 +658,36 @@ def _q_cube_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_pivot_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIVOT: one column per l_linestatus value (explicit value list so
+    the plan is a single pass, no distinct-discovery job)."""
+    eng = _engine(spark, sf_dir)
+    return (
+        eng.table("lineitem")
+        .groupBy("l_returnflag")
+        .pivot("l_linestatus", ["F", "O"])
+        .agg(F.sum(F.expr("CAST(l_quantity AS BIGINT)")))
+        .withColumnRenamed("F", "qty_f")
+        .withColumnRenamed("O", "qty_o")
+    )
+
+
+def _q_unpivot_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT (melt): wide per-status sums back to long form."""
+    eng = _engine(spark, sf_dir)
+    wide = (
+        eng.table("lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(F.expr("CASE WHEN l_linestatus = 'F' THEN CAST(l_quantity AS BIGINT) END")).alias("qty_f"),
+            F.sum(F.expr("CASE WHEN l_linestatus = 'O' THEN CAST(l_quantity AS BIGINT) END")).alias("qty_o"),
+        )
+    )
+    return wide.unpivot(
+        ["l_returnflag"], ["qty_f", "qty_o"], "status_col", "sum_qty"
+    ).filter(F.col("sum_qty").isNotNull())
+
+
 def _q_setops_active_custkeys(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Set operators (absent in reference): customers ordering in both
     halves of 1995-1996, minus the top-spender segment drop-out set."""
@@ -805,6 +835,8 @@ _OLAP_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "topk_per_group": _q_topk_per_group,
     "rollup_sales": _q_rollup_sales,
     "cube_sales": _q_cube_sales,
+    "pivot_sales": _q_pivot_sales,
+    "unpivot_sales": _q_unpivot_sales,
     "setops_active_custkeys": _q_setops_active_custkeys,
     "sessionize_users": _q_sessionize,
     "events_sliding_window": _q_events_sliding_window,
@@ -1013,6 +1045,25 @@ def oracle_sql() -> dict[str, str]:
                    CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid
             FROM lineitem
             GROUP BY CUBE (l_returnflag, l_linestatus)
+        """,
+        "pivot_sales": """
+            SELECT l_returnflag,
+                   sum(CASE WHEN l_linestatus = 'F' THEN CAST(l_quantity AS BIGINT) END) AS qty_f,
+                   sum(CASE WHEN l_linestatus = 'O' THEN CAST(l_quantity AS BIGINT) END) AS qty_o
+            FROM lineitem GROUP BY l_returnflag
+        """,
+        "unpivot_sales": """
+            WITH wide AS (
+                SELECT l_returnflag,
+                       sum(CASE WHEN l_linestatus = 'F' THEN CAST(l_quantity AS BIGINT) END) AS qty_f,
+                       sum(CASE WHEN l_linestatus = 'O' THEN CAST(l_quantity AS BIGINT) END) AS qty_o
+                FROM lineitem GROUP BY l_returnflag
+            )
+            SELECT l_returnflag, status_col, sum_qty FROM (
+                SELECT l_returnflag, 'qty_f' AS status_col, qty_f AS sum_qty FROM wide
+                UNION ALL
+                SELECT l_returnflag, 'qty_o', qty_o FROM wide
+            ) u WHERE sum_qty IS NOT NULL
         """,
         "setops_active_custkeys": """
             SELECT o_custkey AS custkey FROM orders
