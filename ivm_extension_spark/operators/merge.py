@@ -165,7 +165,20 @@ def _merge_aggregate(
         merged_aggs.append(m.alias(a.alias))
 
     out = unioned.groupBy(*[F.col(k) for k in key_aliases]).agg(*merged_aggs)
-    out = out.filter(F.col(HIDDEN_COUNT) > 0)  # net-zero groups disappear
+    if key_aliases:
+        out = out.filter(F.col(HIDDEN_COUNT) > 0)  # net-zero groups disappear
+    else:
+        # a global aggregate always returns exactly ONE row (SQL semantics,
+        # matched by full refresh); when the net count reaches zero every
+        # aggregate reverts to its empty-input value: 0 for COUNT /
+        # COUNT(DISTINCT), NULL for SUM/MIN/MAX/AVG companions
+        alive = F.coalesce(F.col(HIDDEN_COUNT), F.lit(0)) > 0
+        for a in iview.aggregates:
+            if a.fn in ("count", "count_distinct"):
+                empty_v = F.lit(0).cast("long")
+            else:
+                empty_v = F.lit(None).cast(out.schema[a.alias].dataType)
+            out = out.withColumn(a.alias, F.when(alive, F.col(a.alias)).otherwise(empty_v))
     out = out.select(*[F.col(a) for a in (*key_aliases, *agg_aliases)])
     return auxstate.patch_merged(out, iview, derived)
 

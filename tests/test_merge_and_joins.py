@@ -75,6 +75,27 @@ def test_merge_global_agg(spark):
     assert merged == [(5, 2)]
 
 
+def test_merge_global_agg_drained_to_empty(spark):
+    """A global aggregate always returns ONE row; draining the table (or
+    starting empty) yields the SQL empty-input row: NULL sums/extremes,
+    zero counts — never zero rows (regression: the net-zero-group filter
+    used to swallow the global row)."""
+    # empty base, empty delta
+    eng = engine_with(spark, [], [])
+    merged = check_invariant(
+        spark, eng, "SELECT min(a) AS lo, count(DISTINCT c) AS nd FROM t"
+    )
+    assert merged == [(None, 0)]
+    # non-empty base fully deleted by the delta
+    base = [(1, "x", "p"), (2, "y", "q")]
+    delta = [(1, "x", "p", False), (2, "y", "q", False)]
+    eng = engine_with(spark, base, delta)
+    merged = check_invariant(
+        spark, eng, "SELECT sum(a) AS s, count(c) AS c FROM t"
+    )
+    assert merged == [(None, 0)]
+
+
 def test_merge_avg_exact(spark):
     base = [(1, "x", "p"), (3, "x", "q"), (10, "y", "r")]
     delta = [(5, "x", "s", True), (1, "x", "p", False)]
