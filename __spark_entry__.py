@@ -658,6 +658,28 @@ def _q_cube_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_grouping_sets_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPING SETS with sets a cube/rollup can't express (a 2-col set, a
+    disjoint 1-col set, and the grand total); grouping_id disambiguates
+    subtotal rows from NULL group values.  One pass: Spark expands the
+    sets into a single Expand + HashAggregate, no per-set rescan."""
+    eng = _engine(spark, sf_dir)
+    return (
+        eng.table("lineitem")
+        .groupingSets(
+            [["l_returnflag", "l_linestatus"], ["l_linenumber"], []],
+            "l_returnflag",
+            "l_linestatus",
+            "l_linenumber",
+        )
+        .agg(
+            F.sum(F.expr("CAST(l_quantity AS BIGINT)")).alias("sum_qty"),
+            F.count(F.lit(1)).alias("n_rows"),
+            F.grouping_id().alias("gid"),
+        )
+    )
+
+
 def _q_pivot_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PIVOT: one column per l_linestatus value (explicit value list so
     the plan is a single pass, no distinct-discovery job)."""
@@ -835,6 +857,7 @@ _OLAP_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "topk_per_group": _q_topk_per_group,
     "rollup_sales": _q_rollup_sales,
     "cube_sales": _q_cube_sales,
+    "grouping_sets_sales": _q_grouping_sets_sales,
     "pivot_sales": _q_pivot_sales,
     "unpivot_sales": _q_unpivot_sales,
     "setops_active_custkeys": _q_setops_active_custkeys,
@@ -1045,6 +1068,14 @@ def oracle_sql() -> dict[str, str]:
                    CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid
             FROM lineitem
             GROUP BY CUBE (l_returnflag, l_linestatus)
+        """,
+        "grouping_sets_sales": """
+            SELECT l_returnflag, l_linestatus, l_linenumber,
+                   sum(CAST(l_quantity AS BIGINT)) AS sum_qty,
+                   count(*) AS n_rows,
+                   CAST(GROUPING(l_returnflag, l_linestatus, l_linenumber) AS BIGINT) AS gid
+            FROM lineitem
+            GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_linenumber), ())
         """,
         "pivot_sales": """
             SELECT l_returnflag,
