@@ -24,8 +24,6 @@ view instead of erroring on an existing ``delta_<view>`` table.
 
 from __future__ import annotations
 
-from concurrent.futures import ThreadPoolExecutor
-
 from pyspark.sql import DataFrame, SparkSession, functions as F
 from pyspark.sql import types as T
 
@@ -59,9 +57,11 @@ class IVMEngine:
         self._iviews: dict[str, ViewDef] = {}  # internal (hidden companions)
         self._state: dict[str, DataFrame] = {}  # materialized V (internal shape)
         self._delta_views: dict[str, DataFrame] = {}  # cached ΔV (internal shape)
-        # per-view, per-aggregate-alias value multisets (operators/auxstate.py)
-        # that make MIN/MAX/COUNT(DISTINCT) exactly maintainable under deletes
-        self._aux: dict[str, dict[str, DataFrame]] = {}
+        # per-view tagged value multiset (operators/auxstate.py) that makes
+        # MIN/MAX/COUNT(DISTINCT) exactly maintainable under deletes, plus
+        # alias -> (lane, value type) metadata for re-derivation
+        self._aux: dict[str, DataFrame] = {}
+        self._aux_meta: dict[str, dict[str, tuple]] = {}
 
     # -- catalog -----------------------------------------------------------
 
@@ -117,7 +117,14 @@ class IVMEngine:
         reference's tests DROP delta tables between cases — here the
         whole view lifecycle is engine-owned)."""
         self.view(name)
-        for d in (self._views, self._iviews, self._state, self._delta_views, self._aux):
+        for d in (
+            self._views,
+            self._iviews,
+            self._state,
+            self._delta_views,
+            self._aux,
+            self._aux_meta,
+        ):
             d.pop(name, None)
 
     def drop_table(self, name: str) -> None:
@@ -154,28 +161,19 @@ class IVMEngine:
         if materialize:
             state = compute_view(self._iviews[name], self.table)
             self._state[name] = state
-            self._aux[name] = self._init_all_aux(vdef)
+            self._init_aux(name, vdef)
             return merge_ops.finalize(state, vdef)
         return None
 
-    def _init_all_aux(self, vdef: ViewDef) -> dict[str, DataFrame]:
-        """Materialize each aux relation; the per-aggregate checkpoints are
-        independent Spark jobs, submitted concurrently (they share the
-        same scan, so the cluster overlaps them instead of rescanning
-        serially)."""
-        aggs = auxstate.aux_aggregates(vdef)
-        if not aggs:
-            return {}
-        with ThreadPoolExecutor(max_workers=max(1, len(aggs))) as ex:
-            futs = {
-                a.alias: ex.submit(
-                    lambda agg=a: auxstate.init_aux(vdef, agg, self.table).localCheckpoint(
-                        eager=True
-                    )
-                )
-                for a in aggs
-            }
-            return {alias: f.result() for alias, f in futs.items()}
+    def _init_aux(self, name: str, vdef: ViewDef) -> None:
+        """Materialize the view's tagged aux relation (ONE shuffle / ONE
+        checkpoint job for all MIN/MAX/COUNT DISTINCT aggregates)."""
+        meta = auxstate.agg_meta(vdef, self.table)
+        self._aux_meta[name] = meta
+        if meta:
+            self._aux[name] = auxstate.init_aux(
+                vdef, self.table, meta
+            ).localCheckpoint(eager=True)
 
     def _expand_star(self, vdef: ViewDef) -> ViewDef:
         if not any(e == "*" for e, _ in vdef.select):
@@ -258,21 +256,18 @@ class IVMEngine:
             # deltas already consumed / registered elsewhere: the caller is
             # merging an external ΔV; fall back to the delete-rejecting path
             return {}
-        def advance_one(a):
-            da = auxstate.delta_aux(
-                vdef, a, self.table, self.delta, self.broadcast_deltas
-            )
-            new_aux = auxstate.merge_aux(self._aux[name][a.alias], da)
-            return a, new_aux.localCheckpoint(eager=True)
-
-        # independent per-aggregate pipelines: run their jobs concurrently
-        with ThreadPoolExecutor(max_workers=max(1, len(aux_aggs))) as ex:
-            results = list(ex.map(advance_one, aux_aggs))
-        derived: dict[str, DataFrame] = {}
-        for a, new_aux in results:
-            self._aux[name][a.alias] = new_aux
-            derived[a.alias] = auxstate.derive_from_aux(vdef, a, new_aux)
-        return derived
+        meta = self._aux_meta[name]
+        da = auxstate.delta_aux(
+            vdef, self.table, self.delta, meta, self.broadcast_deltas
+        )
+        # one job advances the whole tagged multiset; re-derivation is a
+        # filter on the checkpointed (small) result, not a new scan
+        new_aux = auxstate.merge_aux(self._aux[name], da).localCheckpoint(eager=True)
+        self._aux[name] = new_aux
+        return {
+            a.alias: auxstate.derive_from_aux(a, new_aux, *meta[a.alias])
+            for a in aux_aggs
+        }
 
     def read_view(self, name: str) -> DataFrame:
         if name not in self._state:
@@ -285,10 +280,7 @@ class IVMEngine:
         vdef = self.view(name)
         state = compute_view(self._iviews[name], self.table)
         self._state[name] = state
-        self._aux[name] = {
-            a.alias: auxstate.init_aux(vdef, a, self.table).localCheckpoint(eager=True)
-            for a in auxstate.aux_aggregates(vdef)
-        }
+        self._init_aux(name, vdef)
         return merge_ops.finalize(state, vdef)
 
     def apply_delta(self, name: str) -> DataFrame:

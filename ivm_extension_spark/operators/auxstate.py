@@ -3,24 +3,31 @@
 The reference's poster defers MIN/MAX maintenance ("Future Work" panel)
 because a delete of the current extreme requires knowing the runner-up.
 The classical fix (DBToaster / DBSP "reduction with retractions") is to
-maintain, per aggregate, a small auxiliary relation
+maintain a small auxiliary relation holding the signed multiset of each
+aggregate's input values per group.  Then after any batch of inserts AND
+deletes:
 
-    aux[alias] = (group keys..., __ivm_value, __ivm_vcnt)
+    MIN(e)            = min(value)   over live rows (vcnt > 0)
+    MAX(e)            = max(value)
+    COUNT(DISTINCT e) = count(*)     (one live row per value)
 
-holding the signed multiset of the aggregate's input values per group.
-Then after any batch of inserts AND deletes:
+All aux aggregates of a view share ONE tagged relation
 
-    MIN(e)            = min(__ivm_value)   over aux rows with vcnt > 0
-    MAX(e)            = max(__ivm_value)
-    COUNT(DISTINCT e) = count(*)           (one aux row per live value)
+    (__ivm_agg, group keys..., __ivm_vlong, __ivm_vdouble, __ivm_vstr, __ivm_vcnt)
 
-Everything is plain DataFrame algebra — no driver loops, no Python UDFs:
+with the value carried in the lane matching its Spark type (integral →
+long, fractional → double, string/date/timestamp → string; string casts
+of dates/timestamps are ISO so lane ordering matches value ordering).
+One tagged relation instead of one per aggregate means the whole aux
+lifecycle is ONE shuffle per batch, not one per aggregate:
 
-- aux maintenance is ONE shuffle on (keys, value); map-side partial
-  aggregation compresses duplicate values before the exchange.
-- re-derivation is ONE shuffle on the view keys, output O(|groups|).
+- init / advance: a union of per-aggregate projections over the SAME
+  scan, then a single groupBy — map-side partial aggregation compresses
+  duplicate values before the one exchange.
+- re-derivation is a filter on the (checkpointed, small) aux relation
+  per aggregate — no extra scan of the base data.
 - the merge patch joins re-derived values onto the merged state; the
-  re-derived side is O(|groups|) so Spark broadcasts it under AQE.
+  re-derived side is O(|groups|) so it is broadcast.
 
 At 100 TB the aux relation is O(distinct (group, value)) — bounded by the
 base relation, usually far smaller; it would live as a key-bucketed
@@ -31,7 +38,8 @@ from __future__ import annotations
 
 from typing import Callable
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql import types as T
 
 from ivm_extension_spark.operators.rewrite import (
     _SIGN,
@@ -41,8 +49,9 @@ from ivm_extension_spark.operators.rewrite import (
 from ivm_extension_spark.plans.viewdef import Aggregate, ViewDef
 
 AUX_FNS = {"min", "max", "count_distinct"}
-VALUE_COL = "__ivm_value"
+AGG_COL = "__ivm_agg"
 VCNT_COL = "__ivm_vcnt"
+LANE_COLS = {"long": "__ivm_vlong", "double": "__ivm_vdouble", "str": "__ivm_vstr"}
 
 
 def aux_aggregates(view: ViewDef) -> list[Aggregate]:
@@ -51,11 +60,27 @@ def aux_aggregates(view: ViewDef) -> list[Aggregate]:
     return [a for a in view.aggregates if a.fn in AUX_FNS]
 
 
-def init_aux(
-    view: ViewDef, agg: Aggregate, get_table: Callable[[str], DataFrame]
-) -> DataFrame:
-    """Initial aux state from the base tables: the value multiset of
-    ``agg.expr`` per group."""
+def lane_for(dtype: T.DataType) -> str:
+    """Which lane column carries values of this type (ordering inside the
+    lane must match the value ordering, so MIN/MAX stay exact)."""
+    if isinstance(
+        dtype, (T.ByteType, T.ShortType, T.IntegerType, T.LongType, T.BooleanType)
+    ):
+        return "long"
+    if isinstance(dtype, (T.FloatType, T.DoubleType)):
+        return "double"
+    if isinstance(dtype, (T.StringType, T.DateType, T.TimestampType, T.TimestampNTZType)):
+        return "str"
+    from ivm_extension_spark.operators.rewrite import IVMError
+
+    raise IVMError(
+        f"MIN/MAX/COUNT(DISTINCT) maintenance under deletes does not support "
+        f"value type {dtype.simpleString()} (use an integer/double/string "
+        f"expression, e.g. integer cents for money)"
+    )
+
+
+def _source(view: ViewDef, get_table: Callable[[str], DataFrame]) -> DataFrame:
     acc = get_table(view.source).alias(view.source)
     for join in view.joins:
         acc = acc.join(
@@ -63,29 +88,89 @@ def init_aux(
         )
     if view.where:
         acc = acc.filter(F.expr(view.where))
-    keys = _group_cols(view)
-    return (
-        acc.groupBy(*keys, F.expr(agg.expr).alias(VALUE_COL))
-        .agg(F.count(F.lit(1)).alias(VCNT_COL))
+    return acc
+
+
+def agg_meta(
+    view: ViewDef, get_table: Callable[[str], DataFrame]
+) -> dict[str, tuple[str, T.DataType]]:
+    """alias -> (lane, original value type) for every aux aggregate.
+    Resolved once against the source relation (analysis only, no job)."""
+    aggs = aux_aggregates(view)
+    if not aggs:
+        return {}
+    acc = _source(view, get_table)
+    probe = acc.select(*[F.expr(a.expr).alias(a.alias) for a in aggs])
+    return {
+        a.alias: (lane_for(f.dataType), f.dataType)
+        for a, f in zip(aggs, probe.schema.fields)
+    }
+
+
+def _tagged_rows(
+    src: DataFrame,
+    keys: list[Column],
+    aggs: list[Aggregate],
+    meta: dict[str, tuple[str, T.DataType]],
+    weight: Column,
+) -> DataFrame:
+    """Union of one projection per aggregate over the same source scan:
+    (agg tag, keys..., one populated lane, weight)."""
+    branches = []
+    for a in aggs:
+        lane, _ = meta[a.alias]
+        lanes = [
+            (
+                F.expr(a.expr).cast("string" if ln == "str" else ln).alias(c)
+                if ln == lane
+                else F.lit(None).cast("string" if ln == "str" else ln).alias(c)
+            )
+            for ln, c in LANE_COLS.items()
+        ]
+        branches.append(
+            src.select(
+                F.lit(a.alias).alias(AGG_COL), *keys, *lanes, weight.alias("__w")
+            )
+        )
+    out = branches[0]
+    for b in branches[1:]:
+        out = out.unionByName(b)
+    return out
+
+
+def _fold(tagged: DataFrame) -> DataFrame:
+    key_cols = [c for c in tagged.columns if c != "__w"]
+    return tagged.groupBy(*[F.col(c) for c in key_cols]).agg(
+        F.sum("__w").cast("long").alias(VCNT_COL)
     )
+
+
+def init_aux(
+    view: ViewDef,
+    get_table: Callable[[str], DataFrame],
+    meta: dict[str, tuple[str, T.DataType]],
+) -> DataFrame:
+    """Initial tagged aux state from the base tables: the value multiset
+    of every aux aggregate per group, in ONE groupBy."""
+    aggs = aux_aggregates(view)
+    src = _source(view, get_table)
+    return _fold(_tagged_rows(src, _group_cols(view), aggs, meta, F.lit(1)))
 
 
 def delta_aux(
     view: ViewDef,
-    agg: Aggregate,
     get_table: Callable[[str], DataFrame],
     get_delta: Callable[[str], DataFrame],
+    meta: dict[str, tuple[str, T.DataType]],
     broadcast_deltas: bool = True,
 ) -> DataFrame:
-    """Signed change to the aux multiset from the current delta tables."""
+    """Signed change to the tagged aux multiset from the current delta
+    tables — one pass over the delta source for ALL aux aggregates."""
+    aggs = aux_aggregates(view)
     src = _delta_source(view, get_table, get_delta, broadcast_deltas)
     if view.where:
         src = src.filter(F.expr(view.where))
-    keys = _group_cols(view)
-    return (
-        src.groupBy(*keys, F.expr(agg.expr).alias(VALUE_COL))
-        .agg(F.sum(F.col(_SIGN)).cast("long").alias(VCNT_COL))
-    )
+    return _fold(_tagged_rows(src, _group_cols(view), aggs, meta, F.col(_SIGN)))
 
 
 def merge_aux(state_aux: DataFrame, delta_aux_df: DataFrame) -> DataFrame:
@@ -99,23 +184,32 @@ def merge_aux(state_aux: DataFrame, delta_aux_df: DataFrame) -> DataFrame:
     )
 
 
-def derive_from_aux(view: ViewDef, agg: Aggregate, aux: DataFrame) -> DataFrame:
-    """Re-derive the aggregate's exact value per group from live aux rows.
+def derive_from_aux(
+    agg: Aggregate, aux: DataFrame, lane: str, dtype: T.DataType
+) -> DataFrame:
+    """Re-derive the aggregate's exact value per group from its live aux
+    rows (a filter on the small tagged relation, no base-table scan).
 
     Output: (group key aliases..., <agg.alias>).  Groups with no live
     values simply don't appear (their view row is gone anyway).
     """
-    keys = [c for c in aux.columns if c not in (VALUE_COL, VCNT_COL)]
+    lane_col = LANE_COLS[lane]
+    keys = [
+        c
+        for c in aux.columns
+        if c not in (AGG_COL, VCNT_COL, *LANE_COLS.values())
+    ]
+    rows = aux.filter(F.col(AGG_COL) == agg.alias)
     if agg.fn == "min":
-        m = F.min(VALUE_COL)
+        m = F.min(lane_col).cast(dtype)
     elif agg.fn == "max":
-        m = F.max(VALUE_COL)
+        m = F.max(lane_col).cast(dtype)
     elif agg.fn == "count_distinct":
-        # one aux row per live value; count(VALUE_COL) skips a NULL-value row
-        m = F.count(F.col(VALUE_COL)).cast("long")
+        # one aux row per live value; count(lane) skips a NULL-value row
+        m = F.count(F.col(lane_col)).cast("long")
     else:  # pragma: no cover
         raise NotImplementedError(agg.fn)
-    return aux.groupBy(*[F.col(k) for k in keys]).agg(m.alias(agg.alias))
+    return rows.groupBy(*[F.col(k) for k in keys]).agg(m.alias(agg.alias))
 
 
 def patch_merged(

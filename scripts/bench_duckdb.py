@@ -50,15 +50,18 @@ def main() -> int:
     for name, sql in oracles.items():
         if only and name not in only:
             continue
-        t0 = time.perf_counter()
-        try:
-            # full materialization without client transfer, mirroring
-            # bench.py's noop sink
-            con.execute(f"CREATE OR REPLACE TEMP TABLE __bench_out AS ({sql})")
-            dt = time.perf_counter() - t0
-        except Exception as e:
-            print(f"# ERROR {name}: {e}", file=sys.stderr)
-            dt = float("nan")
+        dt = float("nan")
+        for _ in range(2):  # min-of-2, same policy as bench.py
+            t0 = time.perf_counter()
+            try:
+                # full materialization without client transfer, mirroring
+                # bench.py's noop sink
+                con.execute(f"CREATE OR REPLACE TEMP TABLE __bench_out AS ({sql})")
+                run = time.perf_counter() - t0
+            except Exception as e:
+                print(f"# ERROR {name}: {e}", file=sys.stderr)
+                break
+            dt = run if dt != dt else min(dt, run)
         timings[name] = round(dt, 3)
         if dt == dt:
             total += dt

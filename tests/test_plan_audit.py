@@ -1,0 +1,105 @@
+"""Plan-shape regression tests: pin the physical-plan properties the
+100 TB design depends on (SCALE_NOTES.md), so a refactor that silently
+introduces an extra shuffle, loses parquet pushdown, or degrades a
+broadcast join into a nested loop fails CI — not a cluster bill.
+
+Asserted on the sf0.001 parquet testdata; the properties are
+size-independent (they're about plan STRUCTURE, not runtime).
+"""
+
+from __future__ import annotations
+
+import re
+
+import __spark_entry__ as entry
+
+SF = "/root/testdata/sf0.001"
+
+
+def plan_of(df) -> str:
+    # formatted explain does not truncate node fields the way
+    # executedPlan().toString() does (PushedFilters/ReadSchema get "...")
+    sc = df.sparkSession.sparkContext
+    return sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+def n_shuffles(plan: str) -> int:
+    """Key-repartitioning exchanges only.  Excluded on purpose:
+    BroadcastExchange (that's the cheap side we WANT), and the
+    round-robin Exchange from sources.ensure_parallelism — a local-mode
+    guard for under-split single-row-group parquet inputs that is a
+    no-op on a cluster where inputs arrive pre-split (SCALE_NOTES.md)."""
+    return len(
+        re.findall(r"Arguments: (?:hash|range)partitioning", plan)
+    ) + len(re.findall(r"Exchange (?:hash|range)partitioning", plan))
+
+
+def q(spark, name):
+    return entry.queries()[name](spark, SF)
+
+
+def test_delta_scan_pushes_view_predicate_into_parquet(spark):
+    # the view WHERE must reach the delta parquet scan (PushedFilters),
+    # and the scan must not read all 16 lineitem columns (column pruning)
+    plan = plan_of(q(spark, "ivm_filter"))
+    pushed = re.findall(r"PushedFilters: \[([^\]]*)\]", plan)
+    assert any("l_discount" in p for p in pushed), plan
+    schemas = re.findall(r"ReadSchema: struct<([^>]*)>", plan)
+    assert schemas and all(len(s.split(",")) <= 6 for s in schemas), plan
+
+
+def test_ivm_groupby_one_shuffle(spark):
+    # ΔV for an aggregate view: map-side partial agg + ONE exchange
+    plan = plan_of(q(spark, "ivm_groupby_agg"))
+    assert n_shuffles(plan) == 1, plan
+    assert plan.count("HashAggregate") >= 2, plan  # partial + final
+
+
+def test_join_delta_rule_broadcasts_deltas_never_shuffles_base(spark):
+    # all delta-join branches are broadcast joins (|ΔT| << |T|); the only
+    # shuffle in the whole plan is the final aggregation
+    plan = plan_of(q(spark, "ivm_join_delta"))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert n_shuffles(plan) == 1, plan
+
+
+def test_exact_dedup_is_one_shuffle(spark):
+    plan = plan_of(q(spark, "dedup_exact"))
+    assert n_shuffles(plan) == 1, plan
+
+
+def test_text_pipeline_is_narrow(spark):
+    # per-document scoring is embarrassingly parallel: NO exchange at all
+    for name in ("text_stats", "text_quality", "text_lang_id"):
+        plan = plan_of(q(spark, name))
+        assert n_shuffles(plan) == 0, (name, plan)
+
+
+def test_asof_join_no_nested_loop(spark):
+    plan = plan_of(q(spark, "asof_snapshots"))
+    assert "NestedLoop" not in plan, plan
+
+
+def test_range_join_binned_not_nested_loop(spark):
+    # interval binning turns the theta-join into a broadcast equi-join
+    plan = plan_of(q(spark, "range_join_bands"))
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+
+
+def test_topk_per_group_rank_pushdown(spark):
+    # WindowGroupLimit keeps per-partition state bounded at k
+    plan = plan_of(q(spark, "topk_per_group"))
+    assert "WindowGroupLimit" in plan, plan
+
+
+def test_contamination_broadcasts_benchmark_side(spark):
+    # the 100 TB corpus is scanned, never shuffled: the (small) benchmark
+    # shingle side is broadcast
+    plan = plan_of(q(spark, "contamination_check"))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
