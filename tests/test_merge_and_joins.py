@@ -180,6 +180,74 @@ def test_merge_min_max_repeated_rounds(spark):
     assert merged == [("x", 5, 5)]
 
 
+def test_merge_min_max_string_lane(spark):
+    # aux values ride the string lane (auxstate.lane_for): deletes of the
+    # current extreme must fall back to the runner-up, per group
+    base = [(1, "x", "mango"), (2, "x", "apple"), (3, "y", "kiwi")]
+    delta = [(2, "x", "apple", False), (4, "y", "zebra", True)]
+    eng = engine_with(spark, base, delta)
+    merged = check_invariant(
+        spark,
+        eng,
+        "SELECT b, min(c) AS lo, max(c) AS hi, count(DISTINCT c) AS nd "
+        "FROM t GROUP BY b",
+    )
+    assert merged == [("x", "mango", "mango", 1), ("y", "kiwi", "zebra", 2)]
+
+
+def test_merge_min_max_global_timestamp_lane(spark):
+    # global aggregate (no GROUP BY) + timestamp values: the ISO string
+    # cast keeps lane order == value order, and the patch cross-joins the
+    # single re-derived row
+    import datetime as dt
+
+    def ts(s):
+        return dt.datetime.fromisoformat(s)
+
+    eng = IVMEngine(spark)
+    eng.register_table(
+        "e",
+        spark.createDataFrame(
+            [(1, ts("2024-01-02 03:04:05")), (2, ts("2024-06-01 00:00:00"))],
+            "id int, at timestamp",
+        ),
+    )
+    eng.register_delta(
+        "e",
+        spark.createDataFrame(
+            [
+                (2, ts("2024-06-01 00:00:00"), False),
+                (3, ts("2023-12-31 23:59:59"), True),
+            ],
+            "id int, at timestamp, _duckdb_ivm_multiplicity boolean",
+        ),
+    )
+    eng.create_immv("v", sql="SELECT min(at) AS lo, max(at) AS hi FROM e")
+    eng.ivm_upsert("v")
+    merged = rows(eng.merge_view("v"))
+    eng.apply_delta("e")
+    assert merged == rows(eng.full_refresh("v"))
+    assert merged == [(ts("2023-12-31 23:59:59"), ts("2024-01-02 03:04:05"))]
+
+
+def test_aux_rejects_unsupported_value_type(spark):
+    # decimal money must be expressed as integer cents (the engine-wide
+    # float-determinism rule); a raw array value has no ordered lane
+    eng = IVMEngine(spark)
+    eng.register_table(
+        "arr", spark.createDataFrame([(1, [1, 2])], "id int, xs array<int>")
+    )
+    eng.register_delta(
+        "arr",
+        spark.createDataFrame(
+            [(1, [1, 2], True)],
+            "id int, xs array<int>, _duckdb_ivm_multiplicity boolean",
+        ),
+    )
+    with pytest.raises(IVMError, match="does not support"):
+        eng.create_immv("v", sql="SELECT min(xs) AS lo FROM arr")
+
+
 def test_join_view_with_static_dimension(spark):
     # 3-table view, delta only on the fact table: the dim tables are
     # unchanged (Δ=∅) so the rewrite emits exactly one branch
