@@ -561,6 +561,59 @@ def _q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5-shaped 6-table star join: revenue by nation for orders
+    where customer and supplier are co-located, in one region + date
+    slice.  nation/region carry an explicit broadcast hint (always tiny,
+    at any scale); the customer/supplier/fact joins are left to AQE —
+    broadcast locally, shuffle joins on a real cluster where they exceed
+    the threshold."""
+    eng = _engine(spark, sf_dir)
+    li, o, c = eng.table("lineitem"), eng.table("orders"), eng.table("customer")
+    s, n, r = eng.table("supplier"), eng.table("nation"), eng.table("region")
+    rev = F.expr("CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(li, o.o_orderkey == li.l_orderkey)
+        .join(s, (li.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey))
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .filter(
+            (F.col("r_name") == "ASIA")
+            & (F.col("o_orderdate") >= F.expr("TIMESTAMP '1996-01-01 00:00:00'"))
+            & (F.col("o_orderdate") < F.expr("TIMESTAMP '1998-01-01 00:00:00'"))
+        )
+        .groupBy("n_name")
+        .agg(F.sum(rev).alias("revenue_cents"))
+    )
+
+
+def _q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14-shaped promo share by ship month (lineitem ⋈ part).
+    part is dim-sized — broadcast hint keeps the 100 TB fact side
+    unshuffled; ratio reported at integer ppm scale (engine-stable
+    rounding, see SCALE_NOTES)."""
+    eng = _engine(spark, sf_dir)
+    li, p = eng.table("lineitem"), eng.table("part")
+    rev = F.expr("CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)")
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy(F.date_trunc("month", "l_shipdate").alias("ship_month"))
+        .agg(
+            F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0))).alias(
+                "promo_cents"
+            ),
+            F.sum(rev).alias("total_cents"),
+        )
+        .withColumn(
+            "promo_ppm",
+            F.expr(
+                "CAST(round(1000000.0 * promo_cents / total_cents) AS BIGINT)"
+            ),
+        )
+    )
+
+
 def _q_events_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tumbling-window event rollup via the streaming helper (same plan
     batch/streaming; also exercises the nanos-timestamp source path)."""
@@ -852,6 +905,8 @@ def _q_events_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 _OLAP_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q13_custdist": _q13_custdist,
     "q1_pricing_summary": _q1_pricing_summary,
+    "q5_local_supplier_volume": _q5_local_supplier_volume,
+    "q14_promo_revenue": _q14_promo_revenue,
     "events_window_rollup": _q_events_window,
     "window_running_total": _q_window_running_total,
     "topk_per_group": _q_topk_per_group,
@@ -1034,6 +1089,32 @@ def oracle_sql() -> dict[str, str]:
             FROM lineitem
             WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
             GROUP BY l_returnflag, l_linestatus
+        """,
+        "q5_local_supplier_volume": """
+            SELECT n_name,
+                   sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS revenue_cents
+            FROM customer
+            JOIN orders   ON c_custkey = o_custkey
+            JOIN lineitem ON o_orderkey = l_orderkey
+            JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+            JOIN nation   ON s_nationkey = n_nationkey
+            JOIN region   ON n_regionkey = r_regionkey
+            WHERE r_name = 'ASIA'
+              AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+              AND o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
+            GROUP BY n_name
+        """,
+        "q14_promo_revenue": """
+            SELECT CAST(date_trunc('month', l_shipdate) AS TIMESTAMP) AS ship_month,
+                   sum(CASE WHEN p_type = 'PROMO'
+                            THEN CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)
+                            ELSE 0 END) AS promo_cents,
+                   sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS total_cents,
+                   CAST(round(1000000.0 * sum(CASE WHEN p_type = 'PROMO'
+                            THEN CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)
+                            ELSE 0 END) / sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT))) AS BIGINT) AS promo_ppm
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+            GROUP BY date_trunc('month', l_shipdate)
         """,
         "window_running_total": """
             SELECT o_custkey, o_orderkey,

@@ -97,6 +97,16 @@ def test_topk_per_group_rank_pushdown(spark):
     assert "WindowGroupLimit" in plan, plan
 
 
+def test_star_join_broadcasts_dims(spark):
+    # Q5 shape: nation/region are hint-broadcast; nothing degenerates
+    # into a nested loop
+    plan = plan_of(q(spark, "q5_local_supplier_volume"))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    plan = plan_of(q(spark, "q14_promo_revenue"))
+    assert "BroadcastHashJoin" in plan, plan
+
+
 def test_contamination_broadcasts_benchmark_side(spark):
     # the 100 TB corpus is scanned, never shuffled: the (small) benchmark
     # shingle side is broadcast
