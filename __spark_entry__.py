@@ -839,19 +839,29 @@ def _q_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     interpolate exactly in binary floating point)."""
     eng = _engine(spark, sf_dir)
     cents = F.expr("CAST(round(o_totalprice * 100) AS BIGINT)")
-    return eng.table("orders").groupBy("o_orderstatus").agg(
-        F.expr(
-            "percentile(CAST(round(o_totalprice * 100) AS BIGINT), 0.25)"
-        ).alias("p25_cents"),
-        F.expr(
-            "percentile(CAST(round(o_totalprice * 100) AS BIGINT), 0.5)"
-        ).alias("p50_cents"),
-        F.expr(
-            "percentile(CAST(round(o_totalprice * 100) AS BIGINT), 0.75)"
-        ).alias("p75_cents"),
-        F.count(F.lit(1)).alias("n"),
-        F.min(cents).alias("min_cents"),
-        F.max(cents).alias("max_cents"),
+    return (
+        eng.table("orders")
+        .groupBy("o_orderstatus")
+        .agg(
+            # one percentile buffer + one sort for all three fractions,
+            # not three independent buffers of the same values
+            F.expr(
+                "percentile(CAST(round(o_totalprice * 100) AS BIGINT), "
+                "array(0.25D, 0.5D, 0.75D))"
+            ).alias("__pcts"),
+            F.count(F.lit(1)).alias("n"),
+            F.min(cents).alias("min_cents"),
+            F.max(cents).alias("max_cents"),
+        )
+        .select(
+            "o_orderstatus",
+            F.col("__pcts")[0].alias("p25_cents"),
+            F.col("__pcts")[1].alias("p50_cents"),
+            F.col("__pcts")[2].alias("p75_cents"),
+            "n",
+            "min_cents",
+            "max_cents",
+        )
     )
 
 
