@@ -136,7 +136,12 @@ def _delta_source(
         branches.append(acc)
     out = branches[0]
     for b in branches[1:]:
-        out = out.unionByName(b)
+        # positional union: every branch is built with the identical
+        # column order (same table order, same per-side projections), and
+        # unlike unionByName it tolerates join columns that share a name
+        # across tables (f.k = d.k) — a name-keyed union would reject the
+        # duplicate column outright
+        out = out.union(b)
     return out
 
 

@@ -273,6 +273,44 @@ def test_join_view_with_static_dimension(spark):
     assert merged == rows(eng.full_refresh("v")) == [("a", "z", 3)]
 
 
+def test_join_view_with_minmax_aux_both_deltas(spark):
+    # MIN/MAX aux state over a JOIN view, deltas on BOTH tables: the
+    # tagged delta_aux must fold all 3 delta-join branches (Δf⋈d, f⋈Δd,
+    # Δf⋈Δd), including a delete of the current per-group minimum
+    eng = IVMEngine(spark)
+    eng.register_table(
+        "f", spark.createDataFrame([(1, 10), (5, 10), (9, 20)], "id int, k int")
+    )
+    eng.register_table(
+        "d", spark.createDataFrame([(10, "a"), (20, "b")], "k int, name string")
+    )
+    eng.register_delta(
+        "f",
+        spark.createDataFrame(
+            [(1, 10, False), (3, 20, True)],
+            "id int, k int, _duckdb_ivm_multiplicity boolean",
+        ),
+    )
+    eng.register_delta(
+        "d",
+        spark.createDataFrame(
+            [(30, "c", True)], "k int, name string, _duckdb_ivm_multiplicity boolean"
+        ),
+    )
+    eng.create_immv(
+        "v",
+        sql="SELECT name, min(id) AS lo, max(id) AS hi, count(id) AS n "
+        "FROM f JOIN d ON f.k = d.k GROUP BY name",
+    )
+    eng.ivm_upsert("v")
+    merged = rows(eng.merge_view("v"))
+    for t in ("f", "d"):
+        eng.apply_delta(t)
+    assert merged == rows(eng.full_refresh("v"))
+    # group a: {1,5}→{5} after the delete; group b: {9}→{3,9}
+    assert merged == [("a", 5, 5, 1), ("b", 3, 9, 2)]
+
+
 def test_join_view_no_delta_anywhere_raises(spark):
     eng = IVMEngine(spark)
     eng.register_table("f", spark.createDataFrame([(1, 10)], "id int, k int"))
