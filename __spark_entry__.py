@@ -312,6 +312,34 @@ def _q_ivm_merge_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     return eng.merge_view("v")
 
 
+def _q_ivm_multibatch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The IVM production loop, end-to-end: starting from an EMPTY base,
+    fold the orders table in as 4 successive insert delta batches
+    (upsert → merge per batch).  The returned state must be value-exact
+    vs a one-shot aggregation over the whole table — the cross-batch
+    maintenance invariant, checked by the DuckDB oracle.  Per batch:
+    one ΔV shuffle + one merge shuffle, state localCheckpoint'ed so
+    lineage stays flat at any batch count."""
+    eng = _engine(spark, sf_dir)
+    orders = eng.table("orders")
+    eng.register_table("o_stream", orders.filter(F.lit(False)))
+    eng.create_immv(
+        "v",
+        sql="SELECT o_orderstatus, count(o_orderkey) AS n_orders, "
+        "sum(cast(round(o_totalprice * 100) AS bigint)) AS sum_cents "
+        "FROM o_stream GROUP BY o_orderstatus",
+    )
+    out = None
+    for i in range(4):
+        batch = orders.filter(F.expr(f"o_orderkey % 4 = {i}")).withColumn(
+            MULT_COL, F.lit(True)
+        )
+        eng.register_delta("o_stream", batch)
+        eng.ivm_upsert("v")
+        out = eng.merge_view("v")
+    return out
+
+
 # --------------------------------------------------------------------------
 # beyond-reference: LLM-data-pipeline operators (dedup / similarity /
 # text analysis / multimodal) — ivm_extension_spark.functions
@@ -519,6 +547,7 @@ _IVM_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ivm_merge_minmax_distinct": _q_ivm_merge_minmax_distinct,
     "ivm_merge_having": _q_ivm_merge_having,
     "ivm_merge_projection": _q_ivm_merge_projection,
+    "ivm_multibatch_rollup": _q_ivm_multibatch_rollup,
 }
 
 # --------------------------------------------------------------------------
@@ -1064,6 +1093,11 @@ def oracle_sql() -> dict[str, str]:
         "ivm_merge_projection": f"""
             SELECT c_custkey, c_nationkey, c_mktsegment
             FROM {_applied_sql('customer')} c
+        """,
+        "ivm_multibatch_rollup": """
+            SELECT o_orderstatus, count(o_orderkey) AS n_orders,
+                   sum(cast(round(o_totalprice * 100) AS bigint)) AS sum_cents
+            FROM orders GROUP BY o_orderstatus
         """,
         "ivm_merge_minmax_distinct": f"""
             SELECT l_returnflag,
