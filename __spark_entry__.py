@@ -340,6 +340,39 @@ def _q_ivm_multibatch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+def _q_ivm_multibatch_deletes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-batch maintenance with DELETES interleaved: batch i inserts
+    quarter i and retracts the previous quarter's 'F'-status rows (the
+    reference's update model is delete+insert, README.md:10).  Net
+    result must equal the one-shot aggregate over rows that survive —
+    exercises merge's count-decrement and group-drop logic across
+    batches, not just within one."""
+    eng = _engine(spark, sf_dir)
+    orders = eng.table("orders")
+    eng.register_table("o_stream", orders.filter(F.lit(False)))
+    eng.create_immv(
+        "v",
+        sql="SELECT o_orderstatus, count(o_orderkey) AS n_orders, "
+        "sum(cast(round(o_totalprice * 100) AS bigint)) AS sum_cents "
+        "FROM o_stream GROUP BY o_orderstatus",
+    )
+    out = None
+    for i in range(4):
+        ins = orders.filter(F.expr(f"o_orderkey % 4 = {i}")).withColumn(
+            MULT_COL, F.lit(True)
+        )
+        delta = ins
+        if i > 0:
+            dels = orders.filter(
+                F.expr(f"o_orderkey % 4 = {i - 1} AND o_orderstatus = 'F'")
+            ).withColumn(MULT_COL, F.lit(False))
+            delta = ins.unionByName(dels)
+        eng.register_delta("o_stream", delta)
+        eng.ivm_upsert("v")
+        out = eng.merge_view("v")
+    return out
+
+
 # --------------------------------------------------------------------------
 # beyond-reference: LLM-data-pipeline operators (dedup / similarity /
 # text analysis / multimodal) — ivm_extension_spark.functions
@@ -548,6 +581,7 @@ _IVM_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ivm_merge_having": _q_ivm_merge_having,
     "ivm_merge_projection": _q_ivm_merge_projection,
     "ivm_multibatch_rollup": _q_ivm_multibatch_rollup,
+    "ivm_multibatch_deletes": _q_ivm_multibatch_deletes,
 }
 
 # --------------------------------------------------------------------------
@@ -1098,6 +1132,13 @@ def oracle_sql() -> dict[str, str]:
             SELECT o_orderstatus, count(o_orderkey) AS n_orders,
                    sum(cast(round(o_totalprice * 100) AS bigint)) AS sum_cents
             FROM orders GROUP BY o_orderstatus
+        """,
+        "ivm_multibatch_deletes": """
+            SELECT o_orderstatus, count(o_orderkey) AS n_orders,
+                   sum(cast(round(o_totalprice * 100) AS bigint)) AS sum_cents
+            FROM orders
+            WHERE NOT (o_orderstatus = 'F' AND o_orderkey % 4 < 3)
+            GROUP BY o_orderstatus
         """,
         "ivm_merge_minmax_distinct": f"""
             SELECT l_returnflag,
