@@ -426,6 +426,25 @@ def _q_text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tx.with_lang_id(d, "text").select("doc_id", "lang_pred")
 
 
+def _q_text_lang_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID quality rollup against the corpus ground-truth `lang`
+    column: per-language doc count and heuristic hit count.  One narrow
+    pass + one O(languages) aggregate."""
+    from ivm_extension_spark.functions import text as tx
+
+    d = _docs(spark, sf_dir)
+    return (
+        tx.with_lang_id(d, "text")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.when(F.col("lang_pred") == F.col("lang"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_correct"),
+        )
+    )
+
+
 def _q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ivm_extension_spark.functions import dedup
 
@@ -1002,6 +1021,7 @@ _EXTRA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_stats": _q_text_stats,
     "text_quality": _q_text_quality,
     "text_lang_id": _q_text_lang_id,
+    "text_lang_accuracy": _q_text_lang_accuracy,
     "text_fingerprints": _q_text_fingerprints,
     "dedup_exact": _q_dedup_exact,
     "dedup_ngram_jaccard": _q_dedup_ngram_jaccard,
@@ -1504,6 +1524,13 @@ def _extras_oracle_sql() -> dict[str, str]:
             SELECT doc_id, {lang_case} AS lang_pred
             FROM (SELECT doc_id, {score_cols}
                   FROM (SELECT doc_id, {_TOKS} AS toks FROM documents) t) s
+        """,
+        "text_lang_accuracy": f"""
+            SELECT lang, count(*) AS n_docs,
+                   CAST(sum(CASE WHEN {lang_case} = lang THEN 1 ELSE 0 END) AS BIGINT) AS n_correct
+            FROM (SELECT lang, {score_cols}
+                  FROM (SELECT lang, {_TOKS} AS toks FROM documents) t) s
+            GROUP BY lang
         """,
         "dedup_exact": f"""
             SELECT md5({_NORM}) AS fp,
