@@ -491,6 +491,44 @@ def _q_sim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.brute_force_topk(embs, queries_df, "vec_id", "embedding", k=5)
 
 
+def _q_sim_knn_label_consistency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-quality eval: of each query's exact top-5 neighbors, how
+    many share the query's ground-truth label (kNN label consistency).
+    The label side is dim-sized → broadcast joins onto the top-k frame;
+    the vector table itself is scanned once by the top-k kernel."""
+    from ivm_extension_spark.functions import similarity
+
+    embs = _embs(spark, sf_dir)
+    queries_df = embs.filter(F.expr("vec_id % 50 = 0"))
+    topk = similarity.brute_force_topk(embs, queries_df, "vec_id", "embedding", k=5)
+    labels = embs.select("vec_id", "label")
+    return (
+        topk.join(
+            F.broadcast(
+                labels.withColumnRenamed("vec_id", "neighbor_id").withColumnRenamed(
+                    "label", "nbr_label"
+                )
+            ),
+            on="neighbor_id",
+        )
+        .join(
+            F.broadcast(
+                labels.withColumnRenamed("vec_id", "query_id").withColumnRenamed(
+                    "label", "q_label"
+                )
+            ),
+            on="query_id",
+        )
+        .groupBy("query_id", "q_label")
+        .agg(
+            F.sum(F.when(F.col("nbr_label") == F.col("q_label"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_same_label"),
+            F.count(F.lit(1)).alias("k"),
+        )
+    )
+
+
 def _q_sim_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # rows-only: approximate path (bucketed candidates ≠ exact result set)
     from ivm_extension_spark.functions import similarity
@@ -1029,6 +1067,7 @@ _EXTRA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_simhash": _q_dedup_simhash,
     "dedup_embedding": _q_dedup_embedding,
     "sim_topk_bruteforce": _q_sim_topk,
+    "sim_knn_label_consistency": _q_sim_knn_label_consistency,
     "sim_topk_lsh": _q_sim_topk_lsh,
     "sim_topk_ivf": _q_sim_topk_ivf,
     "chunk_documents": _q_chunk_documents,
@@ -1618,6 +1657,28 @@ def _extras_oracle_sql() -> dict[str, str]:
                        ORDER BY cos_sim DESC, neighbor_id ASC) AS rank
                   FROM scored) r
             WHERE rank <= 5
+        """,
+        "sim_knn_label_consistency": f"""
+            WITH scored AS (
+                SELECT q.vec_id AS query_id, q.label AS q_label,
+                       n.label AS nbr_label,
+                       round(({dot('qv', 'nv')}) / (({nrm('qv')}) * ({nrm('nv')})) * 10000.0) / 10000.0 AS cos_sim,
+                       n.vec_id AS neighbor_id
+                FROM (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS qv
+                      FROM embeddings WHERE vec_id % 50 = 0) q
+                JOIN (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS nv
+                      FROM embeddings) n
+                  ON n.vec_id <> q.vec_id
+            )
+            SELECT query_id, q_label,
+                   CAST(sum(CASE WHEN nbr_label = q_label THEN 1 ELSE 0 END) AS BIGINT) AS n_same_label,
+                   count(*) AS k
+            FROM (SELECT *, row_number() OVER
+                      (PARTITION BY query_id
+                       ORDER BY cos_sim DESC, neighbor_id ASC) AS rank
+                  FROM scored) r
+            WHERE rank <= 5
+            GROUP BY query_id, q_label
         """,
         "multimodal_meta": """
             SELECT CAST(doc_id AS BIGINT) AS media_id,
