@@ -72,3 +72,70 @@ def test_ivm_invariant(spark, base, inserts, delete_mask, shape):
     eng.apply_delta("t")
     truth = rows(eng.full_refresh("v"))
     assert merged == truth, (base, delta, shape)
+
+
+# -- join views: deltas on both sides, shared join-column name -------------
+
+fact_row_st = st.tuples(
+    st.integers(min_value=-20, max_value=20),
+    st.integers(min_value=0, max_value=3),  # k: join key, small domain
+)
+dim_row_st = st.tuples(
+    st.integers(min_value=0, max_value=3),
+    st.sampled_from(["a", "b", "c"]),
+)
+
+JOIN_SHAPES = [
+    "SELECT name, sum(a) AS s, count(a) AS n FROM f JOIN d ON f.k = d.k "
+    "GROUP BY name",
+    "SELECT name, min(a) AS lo, max(a) AS hi FROM f JOIN d ON f.k = d.k "
+    "GROUP BY name",
+    "SELECT a, name FROM f JOIN d ON f.k = d.k",
+]
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+@given(
+    fact=st.lists(fact_row_st, min_size=0, max_size=8),
+    dim=st.lists(dim_row_st, min_size=0, max_size=4),
+    fact_ins=st.lists(fact_row_st, min_size=0, max_size=4),
+    dim_ins=st.lists(dim_row_st, min_size=0, max_size=2),
+    fact_del_mask=st.lists(st.booleans(), min_size=8, max_size=8),
+    dim_del_mask=st.lists(st.booleans(), min_size=4, max_size=4),
+    shape=st.sampled_from(JOIN_SHAPES),
+)
+def test_ivm_invariant_join_views(
+    spark, fact, dim, fact_ins, dim_ins, fact_del_mask, dim_del_mask, shape
+):
+    f_del = [r for r, m in zip(fact, fact_del_mask) if m]
+    d_del = [r for r, m in zip(dim, dim_del_mask) if m]
+    f_delta = [(*r, True) for r in fact_ins] + [(*r, False) for r in f_del]
+    d_delta = [(*r, True) for r in dim_ins] + [(*r, False) for r in d_del]
+
+    eng = IVMEngine(spark)
+    eng.register_table("f", spark.createDataFrame(fact, schema="a int, k int"))
+    eng.register_table("d", spark.createDataFrame(dim, schema="k int, name string"))
+    eng.register_delta(
+        "f",
+        spark.createDataFrame(
+            f_delta, schema="a int, k int, _duckdb_ivm_multiplicity boolean"
+        ),
+    )
+    eng.register_delta(
+        "d",
+        spark.createDataFrame(
+            d_delta, schema="k int, name string, _duckdb_ivm_multiplicity boolean"
+        ),
+    )
+    eng.create_immv("v", sql=shape)
+    eng.ivm_upsert("v")
+    merged = rows(eng.merge_view("v"))
+
+    for t in ("f", "d"):
+        eng.apply_delta(t)
+    truth = rows(eng.full_refresh("v"))
+    assert merged == truth, (fact, dim, f_delta, d_delta, shape)
