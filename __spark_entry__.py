@@ -272,6 +272,50 @@ def _q_ivm_merge_join3(spark: SparkSession, sf_dir: str) -> DataFrame:
     return eng.merge_view("v")
 
 
+def _q_ivm_left_join_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # ΔV of a projection LEFT JOIN view (beyond the reference — joins are
+    # unsupported there, README.md:36): three inner branches plus the
+    # NULL-padded anti terms that fire where the right side's per-key
+    # match count crosses zero (operators/rewrite.py:_left_join_delta)
+    eng = _engine(spark, sf_dir, deltas=("orders", "customer"))
+    eng.create_immv(
+        "v",
+        sql="SELECT c_custkey, c_mktsegment, o_orderkey "
+        "FROM customer LEFT JOIN orders ON c_custkey = o_custkey",
+        materialize=False,
+    )
+    return eng.ivm_upsert("v")
+
+
+def _q_ivm_merge_left_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # the reference poster's motivating TPC-H Q13 inner block as a
+    # maintained view: customer LEFT JOIN orders, customers with zero
+    # orders surviving as count-0 groups; deltas on BOTH sides
+    eng = _engine(spark, sf_dir, deltas=("orders", "customer"))
+    eng.create_immv(
+        "v",
+        sql="SELECT c_custkey, count(o_orderkey) AS n_orders "
+        "FROM customer LEFT JOIN orders ON c_custkey = o_custkey "
+        "GROUP BY c_custkey",
+    )
+    eng.ivm_upsert("v")
+    return eng.merge_view("v")
+
+
+def _q_ivm_merge_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # FULL OUTER projection view, deltas on both sides: deleting a
+    # customer orphans its orders into NULL-left rows, and vice versa —
+    # both anti directions of rewrite._outer_join_delta exercised
+    eng = _engine(spark, sf_dir, deltas=("orders", "customer"))
+    eng.create_immv(
+        "v",
+        sql="SELECT c_custkey, c_mktsegment, o_orderkey "
+        "FROM customer FULL OUTER JOIN orders ON c_custkey = o_custkey",
+    )
+    eng.ivm_upsert("v")
+    return eng.merge_view("v")
+
+
 def _q_ivm_merge_minmax_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     # MIN/MAX + COUNT(DISTINCT) merged under a delta WITH deletes — the
     # case the reference's poster defers to future work; exact via the
@@ -634,6 +678,9 @@ _IVM_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ivm_merge_groupby": _q_ivm_merge_groupby,
     "ivm_merge_join": _q_ivm_merge_join,
     "ivm_merge_join3": _q_ivm_merge_join3,
+    "ivm_left_join_delta": _q_ivm_left_join_delta,
+    "ivm_merge_left_join": _q_ivm_merge_left_join,
+    "ivm_merge_full_outer": _q_ivm_merge_full_outer,
     "ivm_merge_minmax_distinct": _q_ivm_merge_minmax_distinct,
     "ivm_merge_having": _q_ivm_merge_having,
     "ivm_merge_projection": _q_ivm_merge_projection,
@@ -1182,6 +1229,61 @@ def oracle_sql() -> dict[str, str]:
             JOIN {_applied_sql('customer')} c ON o.o_custkey = c.c_custkey
             JOIN nation n ON c.c_nationkey = n.n_nationkey
             GROUP BY n_name
+        """,
+        # branch-exact Δ(C ⟕ O): 3 inner branches + the two anti terms —
+        # ΔC rows unmatched in O' (term 1), and existing C rows whose key's
+        # match count crosses zero (term 2): gain retracts the NULL row,
+        # loss emits it.  Mirrors rewrite._left_join_delta exactly.
+        "ivm_left_join_delta": f"""
+            WITH dcust AS (
+                SELECT c_custkey, c_mktsegment,
+                       CASE WHEN {m} THEN 1 ELSE -1 END AS w FROM {dc} d
+            ),
+            dord AS (
+                SELECT o_orderkey, o_custkey,
+                       CASE WHEN {m} THEN 1 ELSE -1 END AS w FROM {do} d
+            ),
+            oc AS (
+                SELECT k, sum(CASE WHEN src = 0 THEN 1 ELSE 0 END) AS cold,
+                       sum(w) AS cnew
+                FROM (
+                    SELECT o_custkey AS k, 0 AS src, 1 AS w FROM orders
+                    UNION ALL SELECT o_custkey, 1, w FROM dord
+                ) GROUP BY k
+            ),
+            branches AS (
+                SELECT d.c_custkey, d.c_mktsegment, o.o_orderkey, d.w AS sign
+                FROM dcust d JOIN orders o ON d.c_custkey = o.o_custkey
+                UNION ALL
+                SELECT c.c_custkey, c.c_mktsegment, d.o_orderkey, d.w
+                FROM customer c JOIN dord d ON c.c_custkey = d.o_custkey
+                UNION ALL
+                SELECT a.c_custkey, a.c_mktsegment, b.o_orderkey, a.w * b.w
+                FROM dcust a JOIN dord b ON a.c_custkey = b.o_custkey
+                UNION ALL
+                SELECT d.c_custkey, d.c_mktsegment, NULL, d.w
+                FROM dcust d LEFT JOIN oc ON d.c_custkey = oc.k
+                WHERE coalesce(oc.cnew, 0) <= 0
+                UNION ALL
+                SELECT c.c_custkey, c.c_mktsegment, NULL,
+                       CASE WHEN oc.cold = 0 THEN -1 ELSE 1 END
+                FROM customer c JOIN oc ON c.c_custkey = oc.k
+                WHERE (oc.cold = 0 AND oc.cnew > 0)
+                   OR (oc.cold > 0 AND oc.cnew <= 0)
+            )
+            SELECT c_custkey, c_mktsegment, o_orderkey, (sign > 0) AS {m}
+            FROM branches
+        """,
+        "ivm_merge_left_join": f"""
+            SELECT c_custkey, count(o_orderkey) AS n_orders
+            FROM {_applied_sql('customer')} c
+            LEFT JOIN {_applied_sql('orders')} o ON c.c_custkey = o.o_custkey
+            GROUP BY c_custkey
+        """,
+        "ivm_merge_full_outer": f"""
+            SELECT c_custkey, c_mktsegment, o_orderkey
+            FROM {_applied_sql('customer')} c
+            FULL OUTER JOIN {_applied_sql('orders')} o ON c.c_custkey = o.o_custkey
         """,
         "ivm_merge_projection": f"""
             SELECT c_custkey, c_nationkey, c_mktsegment

@@ -84,7 +84,7 @@ def _source(view: ViewDef, get_table: Callable[[str], DataFrame]) -> DataFrame:
     acc = get_table(view.source).alias(view.source)
     for join in view.joins:
         acc = acc.join(
-            get_table(join.table).alias(join.table), on=F.expr(join.on), how="inner"
+            get_table(join.table).alias(join.table), on=F.expr(join.on), how=join.how
         )
     if view.where:
         acc = acc.filter(F.expr(view.where))

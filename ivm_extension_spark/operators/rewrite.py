@@ -28,10 +28,26 @@ multiplied across sides.  Delta sides are broadcast by default — at
 scale ΔT is small relative to T, so every branch becomes a broadcast
 hash join and the 100-TB base table is only ever scanned, never
 shuffled.
+
+LEFT OUTER joins (DBToaster-style counting):  L ⟕ R  =  (L ⋈ R)  ∪
+(L ▷ R) × {NULL_R}, where ▷ is anti-join.  The inner part uses the
+three-branch rule; the anti part's delta is driven by per-key match
+counts m(key) = |σ_key R|:
+
+    Δanti =   Σ_{ℓ ∈ ΔL} w_ℓ · [m'(ℓ.key) = 0]          (term 1)
+            + Σ_{ℓ ∈ L}  w_ℓ · ([m'(key)=0] − [m(key)=0])  (term 2)
+
+Term 2 is non-zero only for keys whose zero-status flips, and those are
+a subset of ΔR's keys — so both terms touch R only through small,
+broadcastable key sets: the 100-TB base sides are scanned (semi-joined
+against broadcast delta keys), never shuffled.  When only the leftmost
+table has a delta, any inner/left chain is linear in it and ΔV is a
+plain substitution (ΔL joined through unchanged).
 """
 
 from __future__ import annotations
 
+import re
 from itertools import product
 from typing import Callable
 
@@ -109,6 +125,34 @@ def _delta_source(
     if not with_delta:
         get_delta(tables[0])  # re-raise the reference's missing-delta error
 
+    if any(j.how != "inner" for j in view.joins):
+        if with_delta == {tables[0]} and all(j.how != "full" for j in view.joins):
+            # every inner/left chain is linear in its leftmost argument
+            # when the other sides are unchanged: ΔV's source is just ΔL
+            # joined through the chain as-is.  (FULL OUTER is NOT linear
+            # in either side — its anti parts count matches both ways.)
+            acc = _signed_delta(get_delta(tables[0]), _SIGN).alias(tables[0])
+            for join in view.joins:
+                acc = acc.join(
+                    get_table(join.table).alias(join.table),
+                    on=F.expr(join.on),
+                    how=join.how,
+                )
+            return acc
+        if len(tables) == 2:
+            return _outer_join_delta(
+                view,
+                get_table,
+                get_delta,
+                broadcast_deltas,
+                full=view.joins[0].how == "full",
+            )
+        raise IVMError(
+            "outer-join views are maintainable with deltas on any table only "
+            "for two-table views; longer chains support deltas on the "
+            "leftmost (fact) table only"
+        )
+
     branches: list[DataFrame] = []
     for combo in product((False, True), repeat=len(tables)):
         if not any(combo):
@@ -142,6 +186,247 @@ def _delta_source(
         # across tables (f.k = d.k) — a name-keyed union would reject the
         # duplicate column outright
         out = out.union(b)
+    return out
+
+
+def _split_depth0(s: str, rx) -> list[str] | None:
+    """Split ``s`` on regex matches occurring at paren/quote depth 0."""
+    parts: list[str] = []
+    depth = 0
+    quote: str | None = None
+    i = last = 0
+    while i < len(s):
+        ch = s[i]
+        if quote:
+            if ch == quote:
+                quote = None
+            i += 1
+            continue
+        if ch in ("'", '"'):
+            quote = ch
+        elif ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        elif depth == 0:
+            m = rx.match(s, i)
+            if m and m.end() > i:
+                parts.append(s[last : i])
+                last = i = m.end()
+                continue
+        i += 1
+    parts.append(s[last:])
+    return [p.strip() for p in parts if p.strip()]
+
+
+_AND_RX = re.compile(r"\bAND\b", re.IGNORECASE)
+# a single '=' that is not part of  <=  >=  !=  ==  <=>
+_EQ_RX = re.compile(r"(?<![<>!=])=(?![=>])")
+
+
+def _equi_pairs(
+    cond: str, lname: str, rname: str, lcols: list[str], rcols: list[str]
+) -> list[tuple[str, str]] | None:
+    """Parse a join condition into conjunctive equi pairs (lexpr, rexpr),
+    classifying each equality side by table qualifier or bare-column
+    membership.  Returns None when the condition is not a pure
+    conjunctive equi-join (theta/OR/ambiguous) — callers then fall back
+    or reject, depending on what the delta rule needs."""
+
+    def side(e: str) -> str | None:
+        if re.search(rf"\b{re.escape(lname)}\s*\.", e):
+            return None if re.search(rf"\b{re.escape(rname)}\s*\.", e) else "l"
+        if re.search(rf"\b{re.escape(rname)}\s*\.", e):
+            return "r"
+        bare = e.strip()
+        in_l, in_r = bare in lcols, bare in rcols
+        if in_l != in_r:
+            return "l" if in_l else "r"
+        return None
+
+    pairs: list[tuple[str, str]] = []
+    for conj in _split_depth0(cond, _AND_RX):
+        sides = _split_depth0(conj, _EQ_RX)
+        if len(sides) != 2:
+            return None
+        a, b = sides
+        sa, sb = side(a), side(b)
+        if sa == "l" and sb == "r":
+            pairs.append((a, b))
+        elif sa == "r" and sb == "l":
+            pairs.append((b, a))
+        else:
+            return None
+    return pairs or None
+
+
+def _outer_join_delta(
+    view: ViewDef,
+    get_table: Callable[[str], DataFrame],
+    get_delta: Callable[[str], DataFrame],
+    broadcast_deltas: bool,
+    full: bool = False,
+) -> DataFrame:
+    """Δ(L ⟕ R) / Δ(L ⟗ R) for a two-table outer join with deltas on
+    either or both sides.  Inner part: three-branch rule.  Anti part(s):
+    the NULL-padded rows of a preserved side change exactly where the
+    other side's per-key match count crosses zero — see the module
+    docstring for the algebra.  FULL OUTER runs the anti machinery in
+    both directions.
+
+    Scale shape: each base side is only ever semi-joined against a
+    BROADCAST set of delta keys or joined against a BROADCAST set of
+    zero-status-flip keys (never shuffled); every shuffle in the plan is
+    a match-count aggregation over O(|Δ| + affected keys).
+    """
+    join = view.joins[0]
+    lname, rname = view.tables
+    L, R = get_table(lname), get_table(rname)
+    lcols, rcols = L.columns, R.columns
+    bc = F.broadcast if broadcast_deltas else (lambda df: df)
+    wl, wr = f"__w_{lname}", f"__w_{rname}"
+
+    def _maybe_delta(name: str, w: str) -> DataFrame | None:
+        try:
+            return _signed_delta(get_delta(name), w)
+        except IVMError:
+            return None
+
+    dl, dr = _maybe_delta(lname, wl), _maybe_delta(rname, wr)
+
+    pairs = _equi_pairs(join.on, lname, rname, lcols, rcols)
+    if pairs is None:
+        raise IVMError(
+            "outer-join maintenance requires a conjunctive equi-join "
+            f"condition, got {join.on!r}"
+        )
+    null_l = [F.lit(None).cast(L.schema[c].dataType).alias(c) for c in lcols]
+    null_r = [F.lit(None).cast(R.schema[c].dataType).alias(c) for c in rcols]
+
+    base_l = L.withColumn(wl, F.lit(1)).alias(lname)
+    base_r = R.withColumn(wr, F.lit(1)).alias(rname)
+
+    def _inner(lside: DataFrame, rside: DataFrame) -> DataFrame:
+        acc = lside.join(rside, on=F.expr(join.on), how="inner")
+        return acc.withColumn(_SIGN, F.col(wl) * F.col(wr)).drop(wl, wr)
+
+    branches: list[DataFrame] = []
+    if dl is not None:
+        branches.append(_inner(bc(dl.alias(lname)), base_r))
+    if dr is not None:
+        branches.append(_inner(base_l, bc(dr.alias(rname))))
+    if dl is not None and dr is not None:
+        branches.append(_inner(bc(dl.alias(lname)), bc(dr.alias(rname))))
+
+    def _anti(
+        pname: str,
+        P: DataFrame,
+        dP: DataFrame | None,
+        wp: str,
+        bname: str,
+        B: DataFrame,
+        dB: DataFrame | None,
+        wb: str,
+        opairs: list[tuple[str, str]],
+        pad: Callable[[list], list],
+    ) -> list[DataFrame]:
+        """Anti-part branches for the preserved side P, counting matches
+        in the build side B.  ``opairs`` is (probe_expr, build_expr);
+        ``pad(pcols)`` lays the preserved columns + NULLs out in the
+        view's lcols+rcols order."""
+        knames = [f"__k{i}" for i in range(len(opairs))]
+        out: list[DataFrame] = []
+
+        def _bkeys(df: DataFrame, extra: list) -> DataFrame:
+            return df.select(
+                *[F.expr(be).alias(k) for (_, be), k in zip(opairs, knames)], *extra
+            )
+
+        # term 1: dP rows with no match in B' = B ∪ dB  (m'(key) = 0)
+        if dP is not None:
+            dp_keys = dP.alias(pname).select(
+                *[F.expr(pe).alias(k) for (pe, _), k in zip(opairs, knames)]
+            ).distinct()
+            b_prime_keys = _bkeys(B.alias(bname), [F.lit(1).alias("__w")])
+            if dB is not None:
+                b_prime_keys = b_prime_keys.unionByName(
+                    _bkeys(dB.alias(bname), [F.col(wb).alias("__w")])
+                )
+            m_pos = (
+                b_prime_keys.join(bc(dp_keys), on=knames, how="leftsemi")
+                .groupBy(*knames)
+                .agg(F.sum("__w").alias("__m"))
+                .filter(F.col("__m") > 0)
+                .alias("__mp")
+            )
+            anti_cond = None
+            for (pe, _), k in zip(opairs, knames):
+                c = F.expr(pe) == F.col(f"__mp.{k}")
+                anti_cond = c if anti_cond is None else (anti_cond & c)
+            t1 = dP.alias(pname).join(bc(m_pos), on=anti_cond, how="left_anti")
+            out.append(
+                t1.select(
+                    *pad([F.col(f"{pname}.{c}") for c in P.columns]),
+                    F.col(wp).alias(_SIGN),
+                )
+            )
+
+        # term 2: existing P rows whose key's match count crosses zero.
+        # Affected keys ⊆ dB keys; old counts come from B semi-filtered
+        # by the broadcast dB key set.  gain (0 → >0) retracts NULL rows
+        # (−1), loss (>0 → 0) emits them (+1).
+        if dB is not None:
+            db_key_dm = (
+                _bkeys(dB.alias(bname), [F.col(wb).alias("__w")])
+                .groupBy(*knames)
+                .agg(F.sum("__w").alias("__dm"))
+            )
+            m_old = (
+                _bkeys(B.alias(bname), [])
+                .join(bc(db_key_dm.select(*knames)), on=knames, how="leftsemi")
+                .groupBy(*knames)
+                .agg(F.count(F.lit(1)).alias("__mold"))
+            )
+            flips = (
+                db_key_dm.join(m_old, on=knames, how="left")
+                .withColumn("__mold", F.coalesce(F.col("__mold"), F.lit(0)))
+                .withColumn("__mnew", F.col("__mold") + F.col("__dm"))
+                .withColumn(
+                    "__flip",
+                    F.when(
+                        (F.col("__mold") == 0) & (F.col("__mnew") > 0), F.lit(-1)
+                    ).when((F.col("__mold") > 0) & (F.col("__mnew") <= 0), F.lit(1)),
+                )
+                .filter(F.col("__flip").isNotNull())
+                .select(*knames, "__flip")
+                .alias("__fl")
+            )
+            flip_cond = None
+            for (pe, _), k in zip(opairs, knames):
+                c = F.expr(pe) == F.col(f"__fl.{k}")
+                flip_cond = c if flip_cond is None else (flip_cond & c)
+            t2 = P.alias(pname).join(bc(flips), on=flip_cond, how="inner")
+            out.append(
+                t2.select(
+                    *pad([F.col(f"{pname}.{c}") for c in P.columns]),
+                    F.col("__fl.__flip").alias(_SIGN),
+                )
+            )
+        return out
+
+    # L is preserved in both LEFT and FULL
+    branches += _anti(
+        lname, L, dl, wl, rname, R, dr, wr, pairs, lambda pcols: [*pcols, *null_r]
+    )
+    if full:  # R is preserved too
+        rpairs = [(be, pe) for (pe, be) in pairs]
+        branches += _anti(
+            rname, R, dr, wr, lname, L, dl, wl, rpairs, lambda pcols: [*null_l, *pcols]
+        )
+
+    out = branches[0]
+    for b in branches[1:]:
+        out = out.union(b)  # positional: every branch is lcols + rcols + _SIGN
     return out
 
 
@@ -200,7 +485,7 @@ def compute_view(
     acc = get_table(view.source).alias(view.source)
     for join in view.joins:
         acc = acc.join(
-            get_table(join.table).alias(join.table), on=F.expr(join.on), how="inner"
+            get_table(join.table).alias(join.table), on=F.expr(join.on), how=join.how
         )
     if view.where:
         acc = acc.filter(F.expr(view.where))

@@ -128,18 +128,35 @@ def parse_view_sql(name: str, sql: str) -> ViewDef:
     if re.search(r"\(\s*select\b", sql, re.IGNORECASE):
         raise NotImplementedError("nested subqueries are not supported in view definitions")
 
-    # FROM clause: first table, then JOIN ... ON ... chains
+    # FROM clause: first table, then [INNER|LEFT|RIGHT [OUTER]] JOIN ... ON ...
     from_body = spans["from"]
-    join_parts = re.split(r"\b(?:inner\s+)?join\b", from_body, flags=re.IGNORECASE)
-    source = join_parts[0].strip()
+    jrx = re.compile(
+        r"\b(?:(left|right|full)\s+(?:outer\s+)?|(?:inner\s+))?join\b", re.IGNORECASE
+    )
+    jmatches = list(jrx.finditer(from_body))
+    source = (from_body[: jmatches[0].start()] if jmatches else from_body).strip()
     if re.search(r"\s", source):
         raise NotImplementedError(f"FROM must name a single registered table, got {source!r}")
-    joins: list[JoinSpec] = []
-    for jp in join_parts[1:]:
+    raw_joins: list[tuple[str, str, str]] = []  # (table, on, how)
+    for idx, jm in enumerate(jmatches):
+        how = (jm.group(1) or "inner").lower()
+        end = jmatches[idx + 1].start() if idx + 1 < len(jmatches) else len(from_body)
+        jp = from_body[jm.end() : end]
         m = re.match(r"^\s*([A-Za-z_][A-Za-z0-9_]*)\s+on\s+(.+)$", jp.strip(), re.IGNORECASE | re.DOTALL)
         if not m:
             raise NotImplementedError(f"JOIN clause must be 'JOIN <table> ON <cond>': {jp!r}")
-        joins.append(JoinSpec(table=m.group(1), on=m.group(2).strip()))
+        raw_joins.append((m.group(1), m.group(2).strip(), how))
+    # RIGHT JOIN normalization: 'L RIGHT JOIN R ON c' == 'R LEFT JOIN L ON c'
+    # (table swap only possible for the two-table case; select exprs are
+    # name-resolved so they are unaffected by the FROM reordering)
+    if len(raw_joins) == 1 and raw_joins[0][2] == "right":
+        table, on, _ = raw_joins[0]
+        source, raw_joins = table, [(source, on, "left")]
+    elif any(how == "right" for _, _, how in raw_joins):
+        raise NotImplementedError(
+            "RIGHT JOIN is only supported in two-table views (normalized to LEFT)"
+        )
+    joins = [JoinSpec(table=t, on=on, how=how) for t, on, how in raw_joins]
 
     select_items = _split_top_level(spans["select"])
     select: list[tuple[str, str]] = []

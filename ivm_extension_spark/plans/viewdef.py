@@ -39,12 +39,15 @@ class Aggregate:
 
 @dataclass(frozen=True)
 class JoinSpec:
-    """An INNER equi/theta join against another registered table.
+    """An INNER, LEFT OUTER, or FULL OUTER join against another
+    registered table.
 
     ``on`` is a SQL boolean expression over columns of the accumulated
-    left side and ``table``.  Only inner joins are delta-maintainable
-    with the simple three-branch rule; outer joins would need the
-    DBToaster-style generalization and are rejected.
+    left side and ``table``.  Inner joins use the three-branch delta
+    rule; LEFT/FULL joins additionally maintain the NULL-padded anti
+    part(s) with match-count deltas (DBToaster-style counting — see
+    operators/rewrite.py).  RIGHT joins are normalized to LEFT by the
+    SQL front door.
     """
 
     table: str
@@ -52,10 +55,10 @@ class JoinSpec:
     how: str = "inner"
 
     def __post_init__(self) -> None:
-        if self.how != "inner":
+        if self.how not in ("inner", "left", "full"):
             raise NotImplementedError(
-                "only INNER joins are incrementally maintainable in this "
-                f"engine (got {self.how!r})"
+                "only INNER, LEFT OUTER, and FULL OUTER joins are "
+                f"incrementally maintainable in this engine (got {self.how!r})"
             )
 
 

@@ -466,3 +466,192 @@ def test_join_delta_delete_propagates_sign(spark):
     assert got == sorted(
         [(1, "A", False), (2, "A", False)], key=lambda t: tuple(map(str, t))
     )
+
+
+# -- LEFT OUTER JOIN delta rule (counting-based anti part) -----------------
+#
+# L ⟕ R = (L ⋈ R) ∪ (L ▷ R) × {NULL_R}: the NULL-padded rows change exactly
+# where R's per-key match count crosses zero.  Beyond the reference (joins
+# unsupported, README.md:36); semantics pinned by the IVM invariant.
+
+LJ_CUST = [(1, "a"), (2, "b"), (3, "c"), (4, "d")]
+LJ_ORD = [(10, 1), (11, 1), (12, 2), (13, 99)]
+
+
+def lj_engine(spark, dcust=None, dord=None):
+    eng = IVMEngine(spark)
+    eng.register_table("cust", spark.createDataFrame(LJ_CUST, "ck int, seg string"))
+    eng.register_table("orders", spark.createDataFrame(LJ_ORD, "ok int, ck2 int"))
+    if dcust is not None:
+        eng.register_delta(
+            "cust",
+            spark.createDataFrame(
+                dcust, "ck int, seg string, _duckdb_ivm_multiplicity boolean"
+            ),
+        )
+    if dord is not None:
+        eng.register_delta(
+            "orders",
+            spark.createDataFrame(
+                dord, "ok int, ck2 int, _duckdb_ivm_multiplicity boolean"
+            ),
+        )
+    return eng
+
+
+def lj_check(eng, sql):
+    eng.create_immv("v", sql=sql)
+    eng.ivm_upsert("v")
+    merged = rows(eng.merge_view("v"))
+    for t in ("cust", "orders"):
+        try:
+            eng.delta(t)
+        except IVMError:
+            continue
+        eng.apply_delta(t)
+    truth = rows(eng.full_refresh("v"))
+    assert merged == truth, (merged, truth)
+    return merged
+
+
+def test_left_join_projection_zero_crossings(spark):
+    # cust 3 gains its first order (NULL row retracted), cust 2 loses its
+    # only one (NULL row appears), cust 4 (unmatched) deleted, cust 5
+    # (unmatched) inserted — every anti-part term in one batch
+    merged = lj_check(
+        lj_engine(
+            spark,
+            dcust=[(5, "e", True), (4, "d", False)],
+            dord=[(20, 3, True), (12, 2, False)],
+        ),
+        "SELECT ck, seg, ok FROM cust LEFT JOIN orders ON ck = ck2",
+    )
+    assert (2, "b", None) in merged and (5, "e", None) in merged
+    assert (3, "c", 20) in merged and not any(
+        r == (3, "c", None) or r[0] == 4 for r in merged
+    )
+
+
+def test_left_join_aggregate_counts_null_matches(spark):
+    merged = lj_check(
+        lj_engine(
+            spark,
+            dcust=[(5, "e", True)],
+            dord=[(20, 3, True), (12, 2, False)],
+        ),
+        "SELECT seg, count(ok) AS n, count(*) AS rows_n "
+        "FROM cust LEFT JOIN orders ON ck = ck2 GROUP BY seg",
+    )
+    # count(ok) skips NULLs from unmatched rows; count(*) does not
+    assert ("b", 0, 1) in merged and ("e", 0, 1) in merged and ("c", 1, 1) in merged
+
+
+def test_left_join_right_delta_only(spark):
+    lj_check(
+        lj_engine(spark, dord=[(20, 3, True), (12, 2, False), (14, 1, True)]),
+        "SELECT ck, seg, ok FROM cust LEFT JOIN orders ON ck = ck2",
+    )
+
+
+def test_left_join_left_delta_only_linear_path(spark):
+    lj_check(
+        lj_engine(spark, dcust=[(5, "e", True), (1, "a", False)]),
+        "SELECT ck, seg, ok FROM cust LEFT JOIN orders ON ck = ck2",
+    )
+
+
+def test_left_join_chain_fact_delta(spark):
+    # 3-table inner/left mix, delta on the leftmost table only (linear)
+    eng = lj_engine(spark, dcust=[(5, "e", True), (2, "b", False)])
+    eng.register_table(
+        "seg_dim",
+        spark.createDataFrame([("a", "A"), ("b", "B"), ("e", "E")], "sg string, nm string"),
+    )
+    eng.create_immv(
+        "v",
+        sql="SELECT ck, ok, nm FROM cust LEFT JOIN orders ON ck = ck2 "
+        "LEFT JOIN seg_dim ON seg = sg",
+    )
+    eng.ivm_upsert("v")
+    merged = rows(eng.merge_view("v"))
+    eng.apply_delta("cust")
+    truth = rows(eng.full_refresh("v"))
+    assert merged == truth, (merged, truth)
+
+
+def test_left_join_chain_dim_delta_rejected(spark):
+    eng = lj_engine(spark, dord=[(20, 3, True)])
+    eng.register_table(
+        "seg_dim", spark.createDataFrame([("a", "A")], "sg string, nm string")
+    )
+    eng.create_immv(
+        "v",
+        sql="SELECT ck, ok, nm FROM cust LEFT JOIN orders ON ck = ck2 "
+        "LEFT JOIN seg_dim ON seg = sg",
+    )
+    with pytest.raises(IVMError, match="leftmost"):
+        eng.ivm_upsert("v")
+
+
+def test_left_join_theta_condition_right_delta_rejected(spark):
+    eng = lj_engine(spark, dord=[(20, 3, True)])
+    eng.create_immv(
+        "v", sql="SELECT ck, seg, ok FROM cust LEFT JOIN orders ON ck < ck2"
+    )
+    with pytest.raises(IVMError, match="equi-join"):
+        eng.ivm_upsert("v")
+
+
+def test_right_join_normalized_to_left(spark):
+    # 'orders RIGHT JOIN cust' ≡ 'cust LEFT JOIN orders'
+    merged = lj_check(
+        lj_engine(spark, dord=[(20, 3, True), (12, 2, False)]),
+        "SELECT ck, seg, ok FROM orders RIGHT JOIN cust ON ck = ck2",
+    )
+    assert (2, "b", None) in merged and (3, "c", 20) in merged
+
+
+def test_full_outer_join_both_deltas(spark):
+    # both sides preserved: order 13 (ck2=99, no customer) is a NULL-left
+    # row; deleting it must retract that row, and cust 3 gaining its
+    # first order must retract its NULL-right row
+    merged = lj_check(
+        lj_engine(
+            spark,
+            dcust=[(5, "e", True), (4, "d", False)],
+            dord=[(20, 3, True), (13, 99, False), (12, 2, False)],
+        ),
+        "SELECT ck, seg, ok FROM cust FULL OUTER JOIN orders ON ck = ck2",
+    )
+    assert (None, None, 13) not in merged  # unmatched order deleted
+    assert (2, "b", None) in merged and (3, "c", 20) in merged
+
+
+def test_full_outer_join_left_delta_only(spark):
+    # FULL is not linear in either side: a new cust matching a formerly
+    # unmatched order must retract the order's NULL-left row
+    merged = lj_check(
+        lj_engine(spark, dcust=[(99, "z", True), (1, "a", False)]),
+        "SELECT ck, seg, ok FROM cust FULL OUTER JOIN orders ON ck = ck2",
+    )
+    assert (99, "z", 13) in merged and (None, None, 13) not in merged
+
+
+def test_full_outer_join_right_delta_only(spark):
+    merged = lj_check(
+        lj_engine(spark, dord=[(21, 77, True), (12, 2, False)]),
+        "SELECT ck, seg, ok FROM cust FULL OUTER JOIN orders ON ck = ck2",
+    )
+    assert (None, None, 21) in merged and (2, "b", None) in merged
+
+
+def test_full_outer_join_aggregate(spark):
+    lj_check(
+        lj_engine(
+            spark,
+            dcust=[(5, "e", True)],
+            dord=[(20, 3, True), (13, 99, False)],
+        ),
+        "SELECT seg, count(ok) AS n, count(*) AS rows_n "
+        "FROM cust FULL OUTER JOIN orders ON ck = ck2 GROUP BY seg",
+    )

@@ -91,6 +91,12 @@ JOIN_SHAPES = [
     "SELECT name, min(a) AS lo, max(a) AS hi FROM f JOIN d ON f.k = d.k "
     "GROUP BY name",
     "SELECT a, name FROM f JOIN d ON f.k = d.k",
+    # LEFT JOIN: the anti part (NULL-padded f rows) must track R's per-key
+    # match count crossing zero under the same random deltas
+    "SELECT a, name FROM f LEFT JOIN d ON f.k = d.k",
+    "SELECT name, count(a) AS n, count(*) AS rows_n "
+    "FROM f LEFT JOIN d ON f.k = d.k GROUP BY name",
+    "SELECT a, name FROM f FULL OUTER JOIN d ON f.k = d.k",
 ]
 
 
