@@ -316,6 +316,54 @@ def _q_ivm_merge_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
     return eng.merge_view("v")
 
 
+def _q_ivm_semi_join_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # ΔV of a projection EXISTS view (lowered to a semi join — nested
+    # subqueries are rejected by the reference, README.md:36): membership
+    # is [m(o_orderkey) > 0] over lineitem, so ΔV is the two counting
+    # terms of rewrite._semi_anti_delta, deltas on BOTH sides
+    eng = _engine(spark, sf_dir, deltas=("orders", "lineitem"))
+    eng.create_immv(
+        "v",
+        sql="SELECT o_orderkey, o_orderpriority FROM orders WHERE EXISTS "
+        "(SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey)",
+        materialize=False,
+    )
+    return eng.ivm_upsert("v")
+
+
+def _q_ivm_merge_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # TPC-H Q4 shape: priority rollup of orders having at least one
+    # qualifying lineitem (the EXISTS carries an R-local predicate,
+    # pushed into the build side before match counting); deltas on both
+    # sides, merged
+    eng = _engine(spark, sf_dir, deltas=("orders", "lineitem"))
+    eng.create_immv(
+        "v",
+        sql="SELECT o_orderpriority, count(*) AS n_orders FROM orders "
+        "WHERE EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey "
+        "AND l_discount > 0.05) GROUP BY o_orderpriority",
+    )
+    eng.ivm_upsert("v")
+    return eng.merge_view("v")
+
+
+def _q_ivm_merge_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # TPC-H Q22 shape: customers with no large orders, per segment — the
+    # anti complement (the R-local price predicate keeps the view
+    # non-empty at test SFs); a customer enters/leaves as its qualifying
+    # order count crosses zero under deltas on both sides
+    eng = _engine(spark, sf_dir, deltas=("orders", "customer"))
+    eng.create_immv(
+        "v",
+        sql="SELECT c_mktsegment, count(*) AS n_cust FROM customer "
+        "WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey "
+        "AND o_totalprice > 300000) "
+        "GROUP BY c_mktsegment",
+    )
+    eng.ivm_upsert("v")
+    return eng.merge_view("v")
+
+
 def _q_ivm_merge_minmax_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     # MIN/MAX + COUNT(DISTINCT) merged under a delta WITH deletes — the
     # case the reference's poster defers to future work; exact via the
@@ -681,6 +729,9 @@ _IVM_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ivm_left_join_delta": _q_ivm_left_join_delta,
     "ivm_merge_left_join": _q_ivm_merge_left_join,
     "ivm_merge_full_outer": _q_ivm_merge_full_outer,
+    "ivm_semi_join_delta": _q_ivm_semi_join_delta,
+    "ivm_merge_semi_join": _q_ivm_merge_semi_join,
+    "ivm_merge_anti_join": _q_ivm_merge_anti_join,
     "ivm_merge_minmax_distinct": _q_ivm_merge_minmax_distinct,
     "ivm_merge_having": _q_ivm_merge_having,
     "ivm_merge_projection": _q_ivm_merge_projection,
@@ -1284,6 +1335,57 @@ def oracle_sql() -> dict[str, str]:
             SELECT c_custkey, c_mktsegment, o_orderkey
             FROM {_applied_sql('customer')} c
             FULL OUTER JOIN {_applied_sql('orders')} o ON c.c_custkey = o.o_custkey
+        """,
+        # branch-exact Δ(O ⋉ L): membership is [m(o_orderkey) > 0] over
+        # lineitem, so ΔV = ΔO rows judged against the NEW count m' plus
+        # existing O rows whose key's zero-status flips (semi: gain +1,
+        # loss −1).  Mirrors rewrite._semi_anti_delta exactly.
+        "ivm_semi_join_delta": f"""
+            WITH dord AS (
+                SELECT o_orderkey, o_orderpriority,
+                       CASE WHEN {m} THEN 1 ELSE -1 END AS w FROM {do} d
+            ),
+            dli AS (
+                SELECT l_orderkey, CASE WHEN {m} THEN 1 ELSE -1 END AS w
+                FROM {dl} d
+            ),
+            lc AS (
+                SELECT k, sum(CASE WHEN src = 0 THEN 1 ELSE 0 END) AS cold,
+                       sum(w) AS cnew
+                FROM (
+                    SELECT l_orderkey AS k, 0 AS src, 1 AS w FROM lineitem
+                    UNION ALL SELECT l_orderkey, 1, w FROM dli
+                ) GROUP BY k
+            ),
+            branches AS (
+                SELECT d.o_orderkey, d.o_orderpriority, d.w AS sign
+                FROM dord d LEFT JOIN lc ON d.o_orderkey = lc.k
+                WHERE coalesce(lc.cnew, 0) > 0
+                UNION ALL
+                SELECT o.o_orderkey, o.o_orderpriority,
+                       CASE WHEN lc.cold = 0 THEN 1 ELSE -1 END
+                FROM orders o JOIN lc ON o.o_orderkey = lc.k
+                WHERE (lc.cold = 0 AND lc.cnew > 0)
+                   OR (lc.cold > 0 AND lc.cnew <= 0)
+            )
+            SELECT o_orderkey, o_orderpriority, (sign > 0) AS {m}
+            FROM branches
+        """,
+        "ivm_merge_semi_join": f"""
+            SELECT o_orderpriority, count(*) AS n_orders
+            FROM {_applied_sql('orders')} o
+            WHERE EXISTS (SELECT 1 FROM {_applied_sql('lineitem')} l
+                          WHERE l.l_orderkey = o.o_orderkey
+                            AND l.l_discount > 0.05)
+            GROUP BY o_orderpriority
+        """,
+        "ivm_merge_anti_join": f"""
+            SELECT c_mktsegment, count(*) AS n_cust
+            FROM {_applied_sql('customer')} c
+            WHERE NOT EXISTS (SELECT 1 FROM {_applied_sql('orders')} o
+                              WHERE o.o_custkey = c.c_custkey
+                                AND o.o_totalprice > 300000)
+            GROUP BY c_mktsegment
         """,
         "ivm_merge_projection": f"""
             SELECT c_custkey, c_nationkey, c_mktsegment

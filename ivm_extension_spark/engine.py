@@ -178,11 +178,15 @@ class IVMEngine:
     def _expand_star(self, vdef: ViewDef) -> ViewDef:
         if not any(e == "*" for e, _ in vdef.select):
             return vdef
+        # semi/anti-joined tables contribute no output columns
+        visible = [vdef.source] + [
+            j.table for j in vdef.joins if j.how not in ("semi", "anti")
+        ]
         cols: list[tuple[str, str]] = []
         order: list[str] = []
         for e, a in vdef.select:
             if e == "*":
-                for t in vdef.tables:
+                for t in visible:
                     for c in self.table(t).columns:
                         cols.append((c, c))
                         order.append(c)
@@ -195,7 +199,7 @@ class IVMEngine:
         for a in vdef.output_order:
             if a == "*":
                 new_order.extend(
-                    c for t in vdef.tables for c in self.table(t).columns
+                    c for t in visible for c in self.table(t).columns
                 )
             else:
                 new_order.append(a)

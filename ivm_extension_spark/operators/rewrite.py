@@ -43,6 +43,11 @@ broadcastable key sets: the 100-TB base sides are scanned (semi-joined
 against broadcast delta keys), never shuffled.  When only the leftmost
 table has a delta, any inner/left chain is linear in it and ΔV is a
 plain substitution (ΔL joined through unchanged).
+
+SEMI/ANTI joins (WHERE [NOT] EXISTS / IN-subquery views, lowered by the
+SQL front): membership is [m(key) > 0] (semi) or [m(key) = 0] (anti),
+so the delta is the same counting machinery with the L rows themselves
+as output — see ``_semi_anti_delta``.
 """
 
 from __future__ import annotations
@@ -140,17 +145,22 @@ def _delta_source(
                 )
             return acc
         if len(tables) == 2:
+            how = view.joins[0].how
+            if how in ("semi", "anti"):
+                return _semi_anti_delta(
+                    view, get_table, get_delta, broadcast_deltas, anti=how == "anti"
+                )
             return _outer_join_delta(
                 view,
                 get_table,
                 get_delta,
                 broadcast_deltas,
-                full=view.joins[0].how == "full",
+                full=how == "full",
             )
         raise IVMError(
-            "outer-join views are maintainable with deltas on any table only "
-            "for two-table views; longer chains support deltas on the "
-            "leftmost (fact) table only"
+            "outer/semi/anti-join views are maintainable with deltas on any "
+            "table only for two-table views; longer chains support deltas on "
+            "the leftmost (fact) table only"
         )
 
     branches: list[DataFrame] = []
@@ -427,6 +437,163 @@ def _outer_join_delta(
     out = branches[0]
     for b in branches[1:]:
         out = out.union(b)  # positional: every branch is lcols + rcols + _SIGN
+    return out
+
+
+def _semi_anti_delta(
+    view: ViewDef,
+    get_table: Callable[[str], DataFrame],
+    get_delta: Callable[[str], DataFrame],
+    broadcast_deltas: bool,
+    anti: bool = False,
+) -> DataFrame:
+    """Δ(L ⋉ R) / Δ(L ▷ R) for a two-table semi/anti join with deltas on
+    either or both sides.  A row's membership depends only on its key's
+    match count m(k) = |σ_k R|:
+
+        semi:  ΔV = Σ_{ℓ∈ΔL} w_ℓ·[m'(k)>0] + Σ_{ℓ∈L} w_ℓ·([m'(k)>0]−[m(k)>0])
+        anti:  same with [m=0] — the complement, so term 2 flips sign.
+
+    Term 2 is non-zero only where the zero-status flips, and flip keys
+    are a subset of ΔR's keys.  Scale shape (same as the outer-join anti
+    part): R' is semi-joined against BROADCAST ΔL keys, R against
+    BROADCAST ΔR keys, L inner-joined against the BROADCAST flip set —
+    the 100-TB sides are scanned, never shuffled; every shuffle is a
+    match-count aggregation over O(|Δ| + affected keys).
+
+    The join condition must be a conjunction of equi pairs plus optional
+    R-local predicates (the EXISTS-subquery shape: ``l_orderkey =
+    o_orderkey AND l_commitdate < l_receiptdate``); R-local conjuncts
+    are pushed into R and ΔR before counting.
+    """
+    join = view.joins[0]
+    lname, rname = view.tables
+    L, R = get_table(lname), get_table(rname)
+    lcols, rcols = L.columns, R.columns
+    bc = F.broadcast if broadcast_deltas else (lambda df: df)
+    wl, wr = f"__w_{lname}", f"__w_{rname}"
+
+    def _maybe_delta(name: str, w: str) -> DataFrame | None:
+        try:
+            return _signed_delta(get_delta(name), w)
+        except IVMError:
+            return None
+
+    dl, dr = _maybe_delta(lname, wl), _maybe_delta(rname, wr)
+
+    pairs: list[tuple[str, str]] = []
+    rlocal: list[str] = []
+    for conj in _split_depth0(join.on, _AND_RX):
+        p = _equi_pairs(conj, lname, rname, lcols, rcols)
+        if p:
+            pairs += p
+            continue
+        # R-local predicate: no reference to the preserved side
+        mentions_l = re.search(rf"\b{re.escape(lname)}\s*\.", conj) or any(
+            re.search(rf"\b{re.escape(c)}\b", conj) and c not in rcols
+            for c in lcols
+        )
+        if not mentions_l:
+            rlocal.append(conj)
+            continue
+        raise IVMError(
+            "semi/anti-join maintenance requires a conjunctive equi "
+            f"condition plus optional build-side-local predicates, got {conj!r}"
+        )
+    if not pairs:
+        raise IVMError(
+            f"semi/anti-join maintenance needs at least one equi pair in {join.on!r}"
+        )
+    if rlocal:
+        pred = " AND ".join(f"({c})" for c in rlocal)
+        R = R.alias(rname).filter(F.expr(pred))
+        if dr is not None:
+            dr = dr.alias(rname).filter(F.expr(pred))
+
+    knames = [f"__k{i}" for i in range(len(pairs))]
+
+    def _bkeys(df: DataFrame, extra: list) -> DataFrame:
+        return df.select(
+            *[F.expr(be).alias(k) for (_, be), k in zip(pairs, knames)], *extra
+        )
+
+    branches: list[DataFrame] = []
+
+    # term 1: ΔL rows, membership judged against m' over R' = R ∪ ΔR
+    if dl is not None:
+        dp_keys = (
+            dl.alias(lname)
+            .select(*[F.expr(pe).alias(k) for (pe, _), k in zip(pairs, knames)])
+            .distinct()
+        )
+        b_prime_keys = _bkeys(R.alias(rname), [F.lit(1).alias("__w")])
+        if dr is not None:
+            b_prime_keys = b_prime_keys.unionByName(
+                _bkeys(dr.alias(rname), [F.col(wr).alias("__w")])
+            )
+        m_pos = (
+            b_prime_keys.join(bc(dp_keys), on=knames, how="leftsemi")
+            .groupBy(*knames)
+            .agg(F.sum("__w").alias("__m"))
+            .filter(F.col("__m") > 0)
+            .alias("__mp")
+        )
+        cond = None
+        for (pe, _), k in zip(pairs, knames):
+            c = F.expr(pe) == F.col(f"__mp.{k}")
+            cond = c if cond is None else (cond & c)
+        t1 = dl.alias(lname).join(
+            bc(m_pos), on=cond, how="left_anti" if anti else "left_semi"
+        )
+        branches.append(
+            t1.select(*[F.col(f"{lname}.{c}") for c in lcols], F.col(wl).alias(_SIGN))
+        )
+
+    # term 2: existing L rows whose key's match count crosses zero.
+    # semi: gain (0 → >0) emits them (+1), loss retracts (−1); anti is
+    # the complement, so the signs flip.
+    if dr is not None:
+        db_key_dm = (
+            _bkeys(dr.alias(rname), [F.col(wr).alias("__w")])
+            .groupBy(*knames)
+            .agg(F.sum("__w").alias("__dm"))
+        )
+        m_old = (
+            _bkeys(R.alias(rname), [])
+            .join(bc(db_key_dm.select(*knames)), on=knames, how="leftsemi")
+            .groupBy(*knames)
+            .agg(F.count(F.lit(1)).alias("__mold"))
+        )
+        gain, loss = (F.lit(-1), F.lit(1)) if anti else (F.lit(1), F.lit(-1))
+        flips = (
+            db_key_dm.join(m_old, on=knames, how="left")
+            .withColumn("__mold", F.coalesce(F.col("__mold"), F.lit(0)))
+            .withColumn("__mnew", F.col("__mold") + F.col("__dm"))
+            .withColumn(
+                "__flip",
+                F.when((F.col("__mold") == 0) & (F.col("__mnew") > 0), gain).when(
+                    (F.col("__mold") > 0) & (F.col("__mnew") <= 0), loss
+                ),
+            )
+            .filter(F.col("__flip").isNotNull())
+            .select(*knames, "__flip")
+            .alias("__fl")
+        )
+        cond = None
+        for (pe, _), k in zip(pairs, knames):
+            c = F.expr(pe) == F.col(f"__fl.{k}")
+            cond = c if cond is None else (cond & c)
+        t2 = L.alias(lname).join(bc(flips), on=cond, how="inner")
+        branches.append(
+            t2.select(
+                *[F.col(f"{lname}.{c}") for c in lcols],
+                F.col("__fl.__flip").alias(_SIGN),
+            )
+        )
+
+    out = branches[0]
+    for b in branches[1:]:
+        out = out.union(b)  # positional: every branch is lcols + _SIGN
     return out
 
 

@@ -104,6 +104,104 @@ def _find_clause_spans(sql: str) -> dict[str, str]:
     return spans
 
 
+def _split_top_level_kw(s: str, kw_pattern: str) -> list[str]:
+    """Split on a keyword regex at paren/quote depth 0 (e.g. ``\\bAND\\b``)."""
+    rx = re.compile(kw_pattern, re.IGNORECASE)
+    parts: list[str] = []
+    depth = 0
+    quote: str | None = None
+    i = last = 0
+    while i < len(s):
+        ch = s[i]
+        if quote:
+            if ch == quote:
+                quote = None
+            i += 1
+            continue
+        if ch in ("'", '"'):
+            quote = ch
+        elif ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        elif depth == 0:
+            m = rx.match(s, i)
+            if m and m.end() > i:
+                parts.append(s[last:i])
+                last = i = m.end()
+                continue
+        i += 1
+    parts.append(s[last:])
+    return [p.strip() for p in parts if p.strip()]
+
+
+_EXISTS_RX = re.compile(
+    r"^\s*(not\s+)?exists\s*\((.*)\)\s*$", re.IGNORECASE | re.DOTALL
+)
+_IN_RX = re.compile(
+    r"^\s*(.+?)\s+(not\s+)?in\s*\(\s*(select\b.*)\)\s*$", re.IGNORECASE | re.DOTALL
+)
+
+
+def _lower_existence(conj: str) -> tuple[str, str, str] | None:
+    """Lower one WHERE conjunct of the form ``[NOT] EXISTS (SELECT ...
+    FROM t WHERE cond)`` or ``x IN (SELECT col FROM t [WHERE pred])`` to
+    a ``(table, on, how)`` semi/anti join spec; None if the conjunct is
+    not an existence test.  ``NOT IN`` is rejected: its SQL semantics
+    differ from an anti join when the subquery column is NULLable (the
+    whole predicate becomes NULL) — users should write NOT EXISTS, which
+    is what an anti join actually computes."""
+    m = _EXISTS_RX.match(conj)
+    if m:
+        sub = _find_clause_spans(m.group(2).strip())
+        if "from" not in sub or "where" not in sub:
+            raise NotImplementedError(
+                "EXISTS subquery must be SELECT ... FROM <table> WHERE "
+                f"<correlation>: {conj!r}"
+            )
+        table = sub["from"].strip()
+        if re.search(r"\s|\bjoin\b", table, re.IGNORECASE):
+            raise NotImplementedError(
+                f"EXISTS subquery FROM must name a single table, got {table!r}"
+            )
+        for k in ("group_by", "having", "order_by", "limit"):
+            if k in sub:
+                raise NotImplementedError(
+                    f"EXISTS subquery may not contain {k.upper().replace('_', ' ')}"
+                )
+        return (table, sub["where"].strip(), "anti" if m.group(1) else "semi")
+    m = _IN_RX.match(conj)
+    if m:
+        if m.group(2):
+            raise NotImplementedError(
+                "NOT IN (SELECT ...) is not supported: with a NULLable "
+                "subquery column it is not an anti join — write NOT EXISTS"
+            )
+        sub = _find_clause_spans(m.group(3).strip())
+        if "from" not in sub:
+            raise NotImplementedError(f"IN subquery must have FROM: {conj!r}")
+        table = sub["from"].strip()
+        if re.search(r"\s|\bjoin\b", table, re.IGNORECASE):
+            raise NotImplementedError(
+                f"IN subquery FROM must name a single table, got {table!r}"
+            )
+        cols = _split_top_level(sub.get("select", ""))
+        if len(cols) != 1:
+            raise NotImplementedError(
+                f"IN subquery must select exactly one column: {conj!r}"
+            )
+        for k in ("group_by", "having", "order_by", "limit"):
+            if k in sub:
+                raise NotImplementedError(
+                    f"IN subquery may not contain {k.upper().replace('_', ' ')}"
+                )
+        on = f"{m.group(1).strip()} = {cols[0]}"
+        if "where" in sub:
+            on += f" AND {sub['where'].strip()}"
+        return (table, on, "semi")
+    return None
+
+
 def parse_view_sql(name: str, sql: str) -> ViewDef:
     """Parse restricted SQL into a ViewDef.
 
@@ -125,13 +223,42 @@ def parse_view_sql(name: str, sql: str) -> ViewDef:
                 f"{bad.upper().replace('_', ' ')} is not part of the maintainable "
                 "view surface (apply it to the merged view state instead)"
             )
-    if re.search(r"\(\s*select\b", sql, re.IGNORECASE):
-        raise NotImplementedError("nested subqueries are not supported in view definitions")
 
-    # FROM clause: first table, then [INNER|LEFT|RIGHT [OUTER]] JOIN ... ON ...
+    # WHERE [NOT] EXISTS / IN (SELECT ...) conjuncts lower to semi/anti
+    # joins BEFORE the blanket nested-subquery rejection — the reference
+    # rejects all subqueries (README.md:36); correlated existence tests
+    # are the one shape our delta algebra covers (counting rule).
+    exists_joins: list[tuple[str, str, str]] = []
+    if "where" in spans:
+        spans = dict(spans)
+        remaining: list[str] = []
+        for conj in _split_top_level_kw(spans["where"], r"\bAND\b"):
+            lowered = _lower_existence(conj)
+            if lowered is None:
+                remaining.append(conj)
+            else:
+                exists_joins.append(lowered)
+        if remaining:
+            spans["where"] = " AND ".join(
+                f"({c})" if len(remaining) > 1 else c for c in remaining
+            )
+        else:
+            del spans["where"]
+    for part in spans.values():
+        if re.search(r"\(\s*select\b", part, re.IGNORECASE):
+            raise NotImplementedError(
+                "nested subqueries are not supported in view definitions "
+                "(except top-level WHERE [NOT] EXISTS / IN (SELECT ...) "
+                "existence tests, which lower to semi/anti joins)"
+            )
+
+    # FROM clause: first table, then
+    # [INNER|LEFT|RIGHT|FULL [OUTER]|[LEFT] SEMI|[LEFT] ANTI] JOIN ... ON ...
     from_body = spans["from"]
     jrx = re.compile(
-        r"\b(?:(left|right|full)\s+(?:outer\s+)?|(?:inner\s+))?join\b", re.IGNORECASE
+        r"\b(?:(left|right|full)\s+(?:outer\s+)?|(?:left\s+)?(semi|anti)\s+"
+        r"|(?:inner\s+))?join\b",
+        re.IGNORECASE,
     )
     jmatches = list(jrx.finditer(from_body))
     source = (from_body[: jmatches[0].start()] if jmatches else from_body).strip()
@@ -139,7 +266,7 @@ def parse_view_sql(name: str, sql: str) -> ViewDef:
         raise NotImplementedError(f"FROM must name a single registered table, got {source!r}")
     raw_joins: list[tuple[str, str, str]] = []  # (table, on, how)
     for idx, jm in enumerate(jmatches):
-        how = (jm.group(1) or "inner").lower()
+        how = (jm.group(1) or jm.group(2) or "inner").lower()
         end = jmatches[idx + 1].start() if idx + 1 < len(jmatches) else len(from_body)
         jp = from_body[jm.end() : end]
         m = re.match(r"^\s*([A-Za-z_][A-Za-z0-9_]*)\s+on\s+(.+)$", jp.strip(), re.IGNORECASE | re.DOTALL)
@@ -157,6 +284,7 @@ def parse_view_sql(name: str, sql: str) -> ViewDef:
             "RIGHT JOIN is only supported in two-table views (normalized to LEFT)"
         )
     joins = [JoinSpec(table=t, on=on, how=how) for t, on, how in raw_joins]
+    joins += [JoinSpec(table=t, on=on, how=how) for t, on, how in exists_joins]
 
     select_items = _split_top_level(spans["select"])
     select: list[tuple[str, str]] = []

@@ -39,15 +39,18 @@ class Aggregate:
 
 @dataclass(frozen=True)
 class JoinSpec:
-    """An INNER, LEFT OUTER, or FULL OUTER join against another
-    registered table.
+    """An INNER, LEFT OUTER, FULL OUTER, SEMI, or ANTI join against
+    another registered table.
 
     ``on`` is a SQL boolean expression over columns of the accumulated
     left side and ``table``.  Inner joins use the three-branch delta
     rule; LEFT/FULL joins additionally maintain the NULL-padded anti
     part(s) with match-count deltas (DBToaster-style counting — see
     operators/rewrite.py).  RIGHT joins are normalized to LEFT by the
-    SQL front door.
+    SQL front door, which also lowers ``WHERE [NOT] EXISTS (...)`` and
+    ``WHERE x IN (SELECT ...)`` to semi/anti JoinSpecs — the reference
+    rejects nested subqueries outright (README.md:36); this is the
+    natural closure.  Semi/anti joins emit only the left side's columns.
     """
 
     table: str
@@ -55,10 +58,10 @@ class JoinSpec:
     how: str = "inner"
 
     def __post_init__(self) -> None:
-        if self.how not in ("inner", "left", "full"):
+        if self.how not in ("inner", "left", "full", "semi", "anti"):
             raise NotImplementedError(
-                "only INNER, LEFT OUTER, and FULL OUTER joins are "
-                f"incrementally maintainable in this engine (got {self.how!r})"
+                "only INNER, LEFT OUTER, FULL OUTER, SEMI, and ANTI joins "
+                f"are incrementally maintainable in this engine (got {self.how!r})"
             )
 
 

@@ -655,3 +655,123 @@ def test_full_outer_join_aggregate(spark):
         "SELECT seg, count(ok) AS n, count(*) AS rows_n "
         "FROM cust FULL OUTER JOIN orders ON ck = ck2 GROUP BY seg",
     )
+
+
+# -- SEMI / ANTI join delta rule (WHERE [NOT] EXISTS lowering) --------------
+#
+# Membership is [m(key) > 0] (semi) / [m(key) = 0] (anti) — the counting
+# machinery of the outer-join anti part, with the L rows themselves as
+# output.  Beyond the reference (nested subqueries unsupported,
+# README.md:36); semantics pinned by the IVM invariant via lj_check.
+
+
+def test_semi_join_exists_both_deltas(spark):
+    # cust 3 gains its first order (enters), cust 2 loses its only one
+    # (leaves), matched cust 1 deleted, unmatched cust 5 inserted (stays out)
+    merged = lj_check(
+        lj_engine(
+            spark,
+            dcust=[(5, "e", True), (1, "a", False)],
+            dord=[(20, 3, True), (12, 2, False)],
+        ),
+        "SELECT ck, seg FROM cust WHERE EXISTS "
+        "(SELECT 1 FROM orders WHERE ck = ck2)",
+    )
+    assert merged == [(3, "c")]
+
+
+def test_anti_join_not_exists_both_deltas(spark):
+    merged = lj_check(
+        lj_engine(
+            spark,
+            dcust=[(5, "e", True), (4, "d", False)],
+            dord=[(20, 3, True), (12, 2, False)],
+        ),
+        "SELECT ck, seg FROM cust WHERE NOT EXISTS "
+        "(SELECT 1 FROM orders WHERE ck = ck2)",
+    )
+    # cust 2 lost its only order (enters), cust 3 gained one (leaves),
+    # unmatched cust 4 deleted, unmatched cust 5 inserted
+    assert merged == [(2, "b"), (5, "e")]
+
+
+def test_semi_join_aggregate_groupby(spark):
+    lj_check(
+        lj_engine(
+            spark,
+            dcust=[(5, "b", True), (1, "a", False)],
+            dord=[(20, 3, True), (20, 5, True), (12, 2, False)],
+        ),
+        "SELECT seg, count(*) AS n FROM cust WHERE EXISTS "
+        "(SELECT 1 FROM orders WHERE ck = ck2) GROUP BY seg",
+    )
+
+
+def test_semi_join_build_local_predicate(spark):
+    # the EXISTS shape with an extra R-local conjunct: only orders with
+    # ok < 13 count as matches — pushed into R/ΔR before counting
+    merged = lj_check(
+        lj_engine(
+            spark,
+            dord=[(9, 3, True), (30, 4, True), (12, 2, False)],
+        ),
+        "SELECT ck, seg FROM cust WHERE EXISTS "
+        "(SELECT 1 FROM orders WHERE ck = ck2 AND ok < 13)",
+    )
+    # order 30 fails the local predicate: cust 4 must NOT enter
+    assert (3, "c") in merged and (4, "d") not in merged
+
+
+def test_semi_join_syntax_linear_left_delta(spark):
+    # explicit SEMI JOIN syntax; delta on L only takes the linear path
+    lj_check(
+        lj_engine(spark, dcust=[(5, "e", True), (1, "a", False)]),
+        "SELECT ck, seg FROM cust SEMI JOIN orders ON ck = ck2",
+    )
+
+
+def test_anti_join_syntax_linear_left_delta(spark):
+    lj_check(
+        lj_engine(spark, dcust=[(99, "z", True), (2, "b", False)]),
+        "SELECT ck, seg FROM cust LEFT ANTI JOIN orders ON ck = ck2",
+    )
+
+
+def test_in_subquery_lowers_to_semi(spark):
+    merged = lj_check(
+        lj_engine(spark, dord=[(20, 3, True), (12, 2, False)]),
+        "SELECT ck, seg FROM cust WHERE ck IN (SELECT ck2 FROM orders)",
+    )
+    assert (3, "c") in merged and (2, "b") not in merged
+
+
+def test_not_in_subquery_rejected(spark):
+    eng = lj_engine(spark, dord=[(20, 3, True)])
+    with pytest.raises(NotImplementedError, match="NOT EXISTS"):
+        eng.create_immv(
+            "v",
+            sql="SELECT ck FROM cust WHERE ck NOT IN (SELECT ck2 FROM orders)",
+        )
+
+
+def test_semi_join_theta_condition_rejected(spark):
+    eng = lj_engine(spark, dord=[(20, 3, True)])
+    eng.create_immv(
+        "v", sql="SELECT ck, seg FROM cust SEMI JOIN orders ON ck < ck2"
+    )
+    with pytest.raises(IVMError, match="equi"):
+        eng.ivm_upsert("v")
+
+
+def test_semi_join_chain_dim_delta_rejected(spark):
+    eng = lj_engine(spark, dord=[(20, 3, True)])
+    eng.register_table(
+        "seg_dim", spark.createDataFrame([("a", "A")], "sg string, nm string")
+    )
+    eng.create_immv(
+        "v",
+        sql="SELECT ck, seg FROM cust JOIN seg_dim ON seg = sg "
+        "AND nm = 'A' WHERE EXISTS (SELECT 1 FROM orders WHERE ck = ck2)",
+    )
+    with pytest.raises(IVMError, match="leftmost"):
+        eng.ivm_upsert("v")

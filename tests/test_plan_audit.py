@@ -113,3 +113,23 @@ def test_contamination_broadcasts_benchmark_side(spark):
     plan = plan_of(q(spark, "contamination_check"))
     assert "BroadcastHashJoin" in plan, plan
     assert "SortMergeJoin" not in plan, plan
+
+
+def test_outer_join_delta_no_sort_merge(spark):
+    # LEFT/FULL OUTER delta: base sides touched only through broadcast
+    # key sets (semi/flip joins); no shuffle-side join anywhere
+    for name in ("ivm_left_join_delta",):
+        plan = plan_of(q(spark, name))
+        assert "SortMergeJoin" not in plan, (name, plan)
+        assert "BroadcastNestedLoopJoin" not in plan, (name, plan)
+        assert "BroadcastHashJoin" in plan, (name, plan)
+
+
+def test_semi_anti_delta_no_sort_merge(spark):
+    # semi/anti counting rule: ΔL keys and flip sets are broadcast; the
+    # lineitem/orders base scans are never shuffle-joined.  Shuffles are
+    # match-count aggregations over semi-filtered keys only.
+    plan = plan_of(q(spark, "ivm_semi_join_delta"))
+    assert "SortMergeJoin" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "BroadcastHashJoin" in plan, plan

@@ -97,6 +97,12 @@ JOIN_SHAPES = [
     "SELECT name, count(a) AS n, count(*) AS rows_n "
     "FROM f LEFT JOIN d ON f.k = d.k GROUP BY name",
     "SELECT a, name FROM f FULL OUTER JOIN d ON f.k = d.k",
+    # SEMI/ANTI: membership must track the per-key match count crossing
+    # zero under random deltas on both sides (duplicate keys included)
+    "SELECT a FROM f WHERE EXISTS (SELECT 1 FROM d WHERE f.k = d.k)",
+    "SELECT a FROM f WHERE NOT EXISTS (SELECT 1 FROM d WHERE f.k = d.k)",
+    "SELECT a, count(*) AS n FROM f WHERE EXISTS "
+    "(SELECT 1 FROM d WHERE f.k = d.k) GROUP BY a",
 ]
 
 
