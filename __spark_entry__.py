@@ -364,6 +364,20 @@ def _q_ivm_merge_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return eng.merge_view("v")
 
 
+def _q_ivm_merge_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # SELECT DISTINCT over a join (no reference support): maintained by
+    # counting — the (nationkey, priority) tuple survives while its
+    # multiset count over the join is positive; deltas on both sides
+    eng = _engine(spark, sf_dir, deltas=("orders", "customer"))
+    eng.create_immv(
+        "v",
+        sql="SELECT DISTINCT c_nationkey, o_orderpriority "
+        "FROM customer JOIN orders ON c_custkey = o_custkey",
+    )
+    eng.ivm_upsert("v")
+    return eng.merge_view("v")
+
+
 def _q_ivm_merge_minmax_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     # MIN/MAX + COUNT(DISTINCT) merged under a delta WITH deletes — the
     # case the reference's poster defers to future work; exact via the
@@ -732,6 +746,7 @@ _IVM_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ivm_semi_join_delta": _q_ivm_semi_join_delta,
     "ivm_merge_semi_join": _q_ivm_merge_semi_join,
     "ivm_merge_anti_join": _q_ivm_merge_anti_join,
+    "ivm_merge_distinct": _q_ivm_merge_distinct,
     "ivm_merge_minmax_distinct": _q_ivm_merge_minmax_distinct,
     "ivm_merge_having": _q_ivm_merge_having,
     "ivm_merge_projection": _q_ivm_merge_projection,
@@ -1386,6 +1401,11 @@ def oracle_sql() -> dict[str, str]:
                               WHERE o.o_custkey = c.c_custkey
                                 AND o.o_totalprice > 300000)
             GROUP BY c_mktsegment
+        """,
+        "ivm_merge_distinct": f"""
+            SELECT DISTINCT c_nationkey, o_orderpriority
+            FROM {_applied_sql('customer')} c
+            JOIN {_applied_sql('orders')} o ON c.c_custkey = o.o_custkey
         """,
         "ivm_merge_projection": f"""
             SELECT c_custkey, c_nationkey, c_mktsegment

@@ -213,6 +213,7 @@ class IVMEngine:
             joins=vdef.joins,
             output_order=tuple(new_order),
             having=vdef.having,
+            distinct=vdef.distinct,
         )
 
     # -- the IVM surface ---------------------------------------------------

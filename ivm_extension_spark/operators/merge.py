@@ -41,9 +41,13 @@ def internal_view(view: ViewDef) -> ViewDef:
     - ``__ivm_count`` = count(*) for net-zero group elimination,
     - for each avg(e): hidden sum(e) / count(e) so AVG re-merges exactly.
 
-    Projection-only views pass through unchanged.
+    SELECT DISTINCT views lower to exactly this shape: the select items
+    are the group keys and the hidden count is the tuple's multiset
+    count — a tuple is visible while it is positive.
+
+    Projection-only (non-DISTINCT) views pass through unchanged.
     """
-    if not view.is_aggregate:
+    if not view.is_aggregate and not view.distinct:
         return view
     aggs = list(view.aggregates)
     extra: list[Aggregate] = []

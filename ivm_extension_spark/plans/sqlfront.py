@@ -286,7 +286,12 @@ def parse_view_sql(name: str, sql: str) -> ViewDef:
     joins = [JoinSpec(table=t, on=on, how=how) for t, on, how in raw_joins]
     joins += [JoinSpec(table=t, on=on, how=how) for t, on, how in exists_joins]
 
-    select_items = _split_top_level(spans["select"])
+    select_body = spans["select"]
+    dm = re.match(r"^\s*distinct\b(.*)$", select_body, re.IGNORECASE | re.DOTALL)
+    distinct = bool(dm)
+    if dm:
+        select_body = dm.group(1)
+    select_items = _split_top_level(select_body)
     select: list[tuple[str, str]] = []
     aggregates: list[Aggregate] = []
     order: list[str] = []
@@ -324,4 +329,5 @@ def parse_view_sql(name: str, sql: str) -> ViewDef:
         joins=tuple(joins),
         output_order=tuple(order),
         having=spans.get("having"),
+        distinct=distinct,
     )

@@ -88,11 +88,21 @@ class ViewDef:
     # pre-HAVING (a group can cross the threshold in a later batch); the
     # filter is applied when the public view is read (merge.finalize).
     having: str | None = None
+    # SELECT DISTINCT: duplicate elimination is maintained by counting —
+    # the select items become group keys and merge.internal_view threads
+    # a hidden count(*) so a tuple survives exactly while its multiset
+    # count is positive.  (The reference has no DISTINCT support.)
+    distinct: bool = False
 
     def __post_init__(self) -> None:
         if not self.output_order:
             order = [a for _, a in self.select] + [a.alias for a in self.aggregates]
             object.__setattr__(self, "output_order", tuple(order))
+        if self.distinct and (self.aggregates or self.group_by):
+            raise NotImplementedError(
+                "SELECT DISTINCT with aggregates or GROUP BY is redundant "
+                "or ambiguous — drop DISTINCT (grouping already dedups)"
+            )
 
     @property
     def is_aggregate(self) -> bool:

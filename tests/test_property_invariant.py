@@ -103,6 +103,10 @@ JOIN_SHAPES = [
     "SELECT a FROM f WHERE NOT EXISTS (SELECT 1 FROM d WHERE f.k = d.k)",
     "SELECT a, count(*) AS n FROM f WHERE EXISTS "
     "(SELECT 1 FROM d WHERE f.k = d.k) GROUP BY a",
+    # DISTINCT: tuple visibility must track its multiset count crossing
+    # zero as join branches add/remove duplicates
+    "SELECT DISTINCT name FROM f JOIN d ON f.k = d.k",
+    "SELECT DISTINCT a, name FROM f LEFT JOIN d ON f.k = d.k",
 ]
 
 
