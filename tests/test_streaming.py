@@ -319,3 +319,63 @@ def test_windowed_aggregate_streaming_update_mode(spark, tmpdir):
     }
     assert got[("2024-01-01 00:00:00", "click")] == 2
     assert got[("2024-01-01 01:00:00", "view")] == 1
+
+
+def test_streaming_semi_join_view(spark, tmpdir):
+    """A WHERE EXISTS (semi-join) view maintained from the BUILD side's
+    delta stream: rows enter/leave as their key's match count crosses
+    zero across micro-batches (the counting rule, streaming-composed)."""
+    eng = IVMEngine(spark)
+    eng.register_table(
+        "f", spark.createDataFrame([(1, "a"), (2, "b"), (3, "c")], "k int, s string")
+    )
+    eng.register_table(
+        "d", spark.createDataFrame([(1, 100), (2, 200)], "k int, x int")
+    )
+    eng.create_immv(
+        "v", sql="SELECT k, s FROM f WHERE EXISTS (SELECT 1 FROM d WHERE d.k = f.k)"
+    )
+
+    delta_dir = f"{tmpdir}/deltas"
+    # batch 0: key 3 gains its first match; batch 1: key 1 loses its only
+    # one — ordered batch dirs so available-now processes them in order
+    spark.createDataFrame(
+        [(3, 300, True)], "k int, x int, _duckdb_ivm_multiplicity boolean"
+    ).coalesce(1).write.parquet(f"{delta_dir}/b0")
+    spark.createDataFrame(
+        [(1, 100, False)], "k int, x int, _duckdb_ivm_multiplicity boolean"
+    ).coalesce(1).write.parquet(f"{delta_dir}/b1")
+
+    stream = (
+        spark.readStream.schema("k int, x int, _duckdb_ivm_multiplicity boolean")
+        .parquet(f"{delta_dir}/*")
+    )
+    q = StreamingViewMaintainer(eng, "v", "d").start(stream, f"{tmpdir}/ckpt")
+    q.awaitTermination(120)
+    assert rows(eng.read_view("v")) == [(2, "b"), (3, "c")]
+
+
+def test_streaming_left_join_view(spark, tmpdir):
+    """LEFT JOIN view from the right side's delta stream: the NULL-padded
+    row for key 2 must be retracted when its first match arrives."""
+    eng = IVMEngine(spark)
+    eng.register_table(
+        "f", spark.createDataFrame([(1, "a"), (2, "b")], "k int, s string")
+    )
+    eng.register_table("d", spark.createDataFrame([(1, 100)], "k int, x int"))
+    eng.create_immv(
+        "v", sql="SELECT s, x FROM f LEFT JOIN d ON f.k = d.k"
+    )
+
+    delta_dir = f"{tmpdir}/deltas"
+    spark.createDataFrame(
+        [(2, 200, True)], "k int, x int, _duckdb_ivm_multiplicity boolean"
+    ).coalesce(1).write.parquet(f"{delta_dir}/b0")
+
+    stream = (
+        spark.readStream.schema("k int, x int, _duckdb_ivm_multiplicity boolean")
+        .parquet(f"{delta_dir}/*")
+    )
+    q = StreamingViewMaintainer(eng, "v", "d").start(stream, f"{tmpdir}/ckpt")
+    q.awaitTermination(120)
+    assert rows(eng.read_view("v")) == [("a", 100), ("b", 200)]
