@@ -364,6 +364,30 @@ def _q_ivm_merge_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return eng.merge_view("v")
 
 
+def _q_ivm_q13_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # the poster's motivating TPC-H Q13 as a TWO-LEVEL maintained view
+    # (cascading IVM): the inner per-customer order count is an IMMV;
+    # merge_view_cdc turns its merge into a CDC stream that is the delta
+    # of the outer distribution view — both levels maintained
+    # incrementally, deltas on both base tables
+    eng = _engine(spark, sf_dir, deltas=("orders", "customer"))
+    eng.create_immv(
+        "percust",
+        sql="SELECT c_custkey, count(o_orderkey) AS c_count "
+        "FROM customer LEFT JOIN orders ON c_custkey = o_custkey "
+        "GROUP BY c_custkey",
+    )
+    eng.register_table("percust_v", eng.read_view("percust"))
+    eng.create_immv(
+        "custdist",
+        sql="SELECT c_count, count(*) AS custdist FROM percust_v GROUP BY c_count",
+    )
+    cdc = eng.merge_view_cdc("percust")
+    eng.register_delta("percust_v", cdc)
+    eng.ivm_upsert("custdist")
+    return eng.merge_view("custdist")
+
+
 def _q_ivm_merge_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     # SELECT DISTINCT over a join (no reference support): maintained by
     # counting — the (nationkey, priority) tuple survives while its
@@ -747,6 +771,7 @@ _IVM_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ivm_merge_semi_join": _q_ivm_merge_semi_join,
     "ivm_merge_anti_join": _q_ivm_merge_anti_join,
     "ivm_merge_distinct": _q_ivm_merge_distinct,
+    "ivm_q13_cascade": _q_ivm_q13_cascade,
     "ivm_merge_minmax_distinct": _q_ivm_merge_minmax_distinct,
     "ivm_merge_having": _q_ivm_merge_having,
     "ivm_merge_projection": _q_ivm_merge_projection,
@@ -1401,6 +1426,14 @@ def oracle_sql() -> dict[str, str]:
                               WHERE o.o_custkey = c.c_custkey
                                 AND o.o_totalprice > 300000)
             GROUP BY c_mktsegment
+        """,
+        "ivm_q13_cascade": f"""
+            SELECT c_count, count(*) AS custdist FROM (
+                SELECT c.c_custkey, count(o.o_orderkey) AS c_count
+                FROM {_applied_sql('customer')} c
+                LEFT JOIN {_applied_sql('orders')} o ON c.c_custkey = o.o_custkey
+                GROUP BY c.c_custkey
+            ) GROUP BY c_count
         """,
         "ivm_merge_distinct": f"""
             SELECT DISTINCT c_nationkey, o_orderpriority

@@ -229,17 +229,33 @@ class IVMEngine:
         self._delta_views[name] = dv
         return merge_ops.finalize(dv, vdef)
 
+    def _materialized_delta(self, name: str) -> DataFrame:
+        """ΔV materialized exactly once (reference parity: the pragma
+        INSERTs the DoIVM result into a real ``delta_<view>`` table,
+        ivm_extension.cpp:100-104).  ΔV is O(|Δ| + affected groups) —
+        small by the IVM scale assumption — and every merge-side consumer
+        (delete-probe, merge union, cascade CDC) reuses the checkpoint
+        instead of re-running the delta plan's counting/join subqueries.
+        ``ivm_upsert`` itself stays lazy so the user-visible ΔV keeps its
+        declarative plan (pushdown/broadcast shapes remain auditable)."""
+        dv = self._delta_views.get(name)
+        if dv is None or not getattr(dv, "_ivm_materialized", False):
+            if dv is None:
+                dv = delta_plan(
+                    self._iviews[name], self.table, self.delta, self.broadcast_deltas
+                )
+            dv = dv.localCheckpoint(eager=True)
+            dv._ivm_materialized = True
+            self._delta_views[name] = dv
+        return dv
+
     def merge_view(self, name: str, delta_v: DataFrame | None = None) -> DataFrame:
         """V' = V ⊎ ΔV (the upsert the reference's poster leaves as future
         work).  Updates the materialized state; returns the public view."""
         vdef = self.view(name)
         if name not in self._state:
             raise IVMError(f"view {name!r} was not materialized (create_immv)")
-        dv = delta_v if delta_v is not None else self._delta_views.get(name)
-        if dv is None:
-            dv = delta_plan(
-                self._iviews[name], self.table, self.delta, self.broadcast_deltas
-            )
+        dv = delta_v if delta_v is not None else self._materialized_delta(name)
         derived = self._advance_aux(name)
         new_state = merge_ops.merge(self._state[name], dv, self._iviews[name], derived)
         # eager checkpoint: cuts lineage growth across repeated merges AND
@@ -248,6 +264,49 @@ class IVMEngine:
         self._state[name] = new_state
         self._delta_views.pop(name, None)
         return merge_ops.finalize(new_state, vdef)
+
+    def merge_view_cdc(self, name: str) -> DataFrame:
+        """Merge like :meth:`merge_view`, but return the *view-state CDC*
+        instead of the new state: the public rows the merge removed
+        (multiplicity false) plus the rows it produced (true), restricted
+        to the groups ΔV touched.
+
+        This is the cascading-IVM primitive (DBSP-style view
+        composition): the CDC is a valid delta table for a DOWNSTREAM
+        view whose base table is this view's public snapshot — register
+        it with ``register_delta(<snapshot>, cdc)``, maintain the outer
+        view, then ``apply_delta(<snapshot>)`` to advance the snapshot.
+        The poster's motivating TPC-H Q13 (two-level aggregation) runs
+        end-to-end this way.
+
+        Scale shape: the affected-group key set is O(|ΔV|) and is
+        broadcast; both old and new state are semi-joined against it —
+        never shuffled, never fully rescanned.
+        """
+        vdef = self.view(name)
+        if name not in self._state:
+            raise IVMError(f"view {name!r} was not materialized (create_immv)")
+        dv = self._materialized_delta(name)
+        old_pub = merge_ops.finalize(self._state[name], vdef)
+        if not vdef.is_aggregate and not vdef.distinct:
+            # projection views: ΔV is already row-level CDC
+            self.merge_view(name)
+            return merge_ops.finalize(dv, vdef)
+        keys = (
+            [a for _, a in vdef.select] if vdef.is_aggregate else list(vdef.output_order)
+        )
+        affected = dv.select(*keys).distinct()
+        if self.broadcast_deltas:
+            affected = F.broadcast(affected)
+        self.merge_view(name)
+        new_pub = merge_ops.finalize(self._state[name], vdef)
+        old_rows = old_pub.join(affected, on=keys, how="leftsemi").withColumn(
+            MULT_COL, F.lit(False)
+        )
+        new_rows = new_pub.join(affected, on=keys, how="leftsemi").withColumn(
+            MULT_COL, F.lit(True)
+        )
+        return old_rows.unionByName(new_rows)
 
     def _advance_aux(self, name: str) -> dict[str, DataFrame]:
         """Advance the view's auxiliary value multisets with the current

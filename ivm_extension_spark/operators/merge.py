@@ -125,7 +125,16 @@ def _merge_aggregate(
     key_aliases = [a for _, a in iview.select]
     agg_aliases = [a.alias for a in iview.aggregates]
 
-    has_delete = delta_v.filter(~F.col(MULT_COL)).limit(1).count() > 0
+    # the delete-probe is an eager job — run it only when some aggregate
+    # actually distinguishes insert-only batches (MIN/MAX/COUNT DISTINCT
+    # without derived aux state); SUM/COUNT/AVG views skip it entirely
+    needs_probe = any(
+        a.fn in ("min", "max", "count_distinct") and a.alias not in derived
+        for a in iview.aggregates
+    )
+    has_delete = (
+        needs_probe and delta_v.filter(~F.col(MULT_COL)).limit(1).count() > 0
+    )
     for a in iview.aggregates:
         if a.fn in ("min", "max") and has_delete and a.alias not in derived:
             raise IVMError(
