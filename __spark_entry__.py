@@ -388,6 +388,22 @@ def _q_ivm_q13_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
     return eng.merge_view("custdist")
 
 
+def _q_ivm_merge_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # UNION ALL view across two DIFFERENT base tables (reference: set ops
+    # unsupported): the delta rule is linear per branch, so each branch
+    # rewrites independently and deltas on both tables flow into one ΔV
+    eng = _engine(spark, sf_dir, deltas=("orders", "customer"))
+    eng.create_immv(
+        "v",
+        sql="SELECT o_custkey AS custkey, 'order' AS src FROM orders "
+        "WHERE o_totalprice > 200000 "
+        "UNION ALL SELECT c_custkey AS custkey, 'cust' AS src FROM customer "
+        "WHERE c_mktsegment = 'BUILDING'",
+    )
+    eng.ivm_upsert("v")
+    return eng.merge_view("v")
+
+
 def _q_ivm_merge_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     # SELECT DISTINCT over a join (no reference support): maintained by
     # counting — the (nationkey, priority) tuple survives while its
@@ -772,6 +788,7 @@ _IVM_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ivm_merge_anti_join": _q_ivm_merge_anti_join,
     "ivm_merge_distinct": _q_ivm_merge_distinct,
     "ivm_q13_cascade": _q_ivm_q13_cascade,
+    "ivm_merge_union": _q_ivm_merge_union,
     "ivm_merge_minmax_distinct": _q_ivm_merge_minmax_distinct,
     "ivm_merge_having": _q_ivm_merge_having,
     "ivm_merge_projection": _q_ivm_merge_projection,
@@ -1426,6 +1443,13 @@ def oracle_sql() -> dict[str, str]:
                               WHERE o.o_custkey = c.c_custkey
                                 AND o.o_totalprice > 300000)
             GROUP BY c_mktsegment
+        """,
+        "ivm_merge_union": f"""
+            SELECT o_custkey AS custkey, 'order' AS src
+            FROM {_applied_sql('orders')} o WHERE o_totalprice > 200000
+            UNION ALL
+            SELECT c_custkey AS custkey, 'cust' AS src
+            FROM {_applied_sql('customer')} c WHERE c_mktsegment = 'BUILDING'
         """,
         "ivm_q13_cascade": f"""
             SELECT c_count, count(*) AS custdist FROM (

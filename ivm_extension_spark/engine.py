@@ -34,7 +34,7 @@ from ivm_extension_spark.operators.rewrite import (
     compute_view,
     delta_plan,
 )
-from ivm_extension_spark.plans.sqlfront import parse_view_sql
+from ivm_extension_spark.plans.sqlfront import parse_view_sql, split_union_all
 from ivm_extension_spark.plans.viewdef import ViewDef
 from ivm_extension_spark.sources.parquet import read_parquet
 
@@ -62,6 +62,8 @@ class IVMEngine:
         # alias -> (lane, value type) metadata for re-derivation
         self._aux: dict[str, DataFrame] = {}
         self._aux_meta: dict[str, dict[str, tuple]] = {}
+        # UNION ALL views: per-branch ViewDefs (delta rule is linear)
+        self._union_branches: dict[str, list[ViewDef]] = {}
 
     # -- catalog -----------------------------------------------------------
 
@@ -124,6 +126,7 @@ class IVMEngine:
             self._delta_views,
             self._aux,
             self._aux_meta,
+            self._union_branches,
         ):
             d.pop(name, None)
 
@@ -151,7 +154,13 @@ class IVMEngine:
         and materialize its initial state V = q(T)."""
         if (sql is None) == (view is None):
             raise ValueError("pass exactly one of sql= or view=")
-        vdef = parse_view_sql(name, sql) if sql is not None else view
+        if sql is not None:
+            parts = split_union_all(sql)
+            if len(parts) > 1:
+                return self._create_union_immv(name, parts, materialize)
+            vdef = parse_view_sql(name, sql)
+        else:
+            vdef = view
         vdef = self._expand_star(vdef)
         for t in vdef.tables:
             if t not in self._tables:
@@ -164,6 +173,56 @@ class IVMEngine:
             self._init_aux(name, vdef)
             return merge_ops.finalize(state, vdef)
         return None
+
+    def _create_union_immv(
+        self, name: str, parts: list[str], materialize: bool
+    ) -> DataFrame | None:
+        """UNION ALL view: V = B1 ∪ B2 ∪ ... over projection branches.
+        The delta rule is linear — Δ(B1 ∪ B2) = ΔB1 ∪ ΔB2 — so each
+        branch is rewritten independently and branches whose tables have
+        no registered delta contribute nothing.  Branches must be
+        non-aggregate (an aggregate over a union is a different view
+        shape: maintain the branches and aggregate on read, or cascade).
+        Bare UNION (distinct union) is rejected: its dedup crosses
+        branches — write UNION ALL plus an outer SELECT DISTINCT view
+        over the cascade CDC if set semantics are needed.
+        """
+        branches = [
+            self._expand_star(parse_view_sql(f"{name}#{i}", p))
+            for i, p in enumerate(parts)
+        ]
+        first = branches[0]
+        for b in branches:
+            if b.is_aggregate or b.distinct:
+                raise NotImplementedError(
+                    "UNION ALL view branches must be plain projections "
+                    "(no aggregates / DISTINCT)"
+                )
+            if b.output_order != first.output_order:
+                raise IVMError(
+                    "UNION ALL branches must project identical column "
+                    f"names/order, got {first.output_order} vs {b.output_order}"
+                )
+            for t in b.tables:
+                if t not in self._tables:
+                    raise IVMError(
+                        f"view {name!r} references unregistered table {t!r}"
+                    )
+        self._union_branches[name] = branches
+        self._views[name] = first
+        self._iviews[name] = first
+        if materialize:
+            state = self._compute_union(branches)
+            self._state[name] = state
+            self._aux_meta[name] = {}
+            return merge_ops.finalize(state, first)
+        return None
+
+    def _compute_union(self, branches: list[ViewDef]) -> DataFrame:
+        out = compute_view(branches[0], self.table)
+        for b in branches[1:]:
+            out = out.unionByName(compute_view(b, self.table))
+        return out
 
     def _init_aux(self, name: str, vdef: ViewDef) -> None:
         """Materialize the view's tagged aux relation (ONE shuffle / ONE
@@ -223,11 +282,27 @@ class IVMEngine:
         ``PRAGMA ivm_upsert``).  Returns view columns + multiplicity;
         caches the internal-shape ΔV for a subsequent merge_view()."""
         vdef = self.view(name)
-        dv = delta_plan(
-            self._iviews[name], self.table, self.delta, self.broadcast_deltas
-        )
+        dv = self._delta_plan_for(name)
         self._delta_views[name] = dv
         return merge_ops.finalize(dv, vdef)
+
+    def _delta_plan_for(self, name: str) -> DataFrame:
+        if name in self._union_branches:
+            parts = [
+                delta_plan(b, self.table, self.delta, self.broadcast_deltas)
+                for b in self._union_branches[name]
+                if any(t in self._deltas for t in b.tables)
+            ]
+            if not parts:
+                # reference-style missing-delta error via the first table
+                self.delta(self._union_branches[name][0].tables[0])
+            out = parts[0]
+            for p in parts[1:]:
+                out = out.unionByName(p)
+            return out
+        return delta_plan(
+            self._iviews[name], self.table, self.delta, self.broadcast_deltas
+        )
 
     def _materialized_delta(self, name: str) -> DataFrame:
         """ΔV materialized exactly once (reference parity: the pragma
@@ -241,9 +316,7 @@ class IVMEngine:
         dv = self._delta_views.get(name)
         if dv is None or not getattr(dv, "_ivm_materialized", False):
             if dv is None:
-                dv = delta_plan(
-                    self._iviews[name], self.table, self.delta, self.broadcast_deltas
-                )
+                dv = self._delta_plan_for(name)
             dv = dv.localCheckpoint(eager=True)
             dv._ivm_materialized = True
             self._delta_views[name] = dv
@@ -342,7 +415,10 @@ class IVMEngine:
         """Recompute V from the *current* base tables (escape hatch for the
         non-maintainable cases: MIN/MAX/COUNT DISTINCT under deletes)."""
         vdef = self.view(name)
-        state = compute_view(self._iviews[name], self.table)
+        if name in self._union_branches:
+            state = self._compute_union(self._union_branches[name])
+        else:
+            state = compute_view(self._iviews[name], self.table)
         self._state[name] = state
         self._init_aux(name, vdef)
         return merge_ops.finalize(state, vdef)

@@ -202,6 +202,25 @@ def _lower_existence(conj: str) -> tuple[str, str, str] | None:
     return None
 
 
+def split_union_all(sql: str) -> list[str]:
+    """Split a view SQL on top-level UNION ALL into branch SELECTs.
+    Returns [sql] unchanged when no top-level union is present.  Bare
+    UNION (distinct union) is rejected — its duplicate elimination
+    crosses branches; the maintainable form is UNION ALL (linear delta
+    rule), optionally composed with a downstream SELECT DISTINCT view.
+    """
+    sql = sql.strip().rstrip(";").strip()
+    parts = _split_top_level_kw(sql, r"\bunion\s+all\b")
+    for p in parts:
+        if re.search(r"^union\b|\bunion\b(?!\s+all)", p, re.IGNORECASE):
+            raise NotImplementedError(
+                "bare UNION (distinct) is not maintainable across branches — "
+                "use UNION ALL (compose with a SELECT DISTINCT view for set "
+                "semantics)"
+            )
+    return parts
+
+
 def parse_view_sql(name: str, sql: str) -> ViewDef:
     """Parse restricted SQL into a ViewDef.
 

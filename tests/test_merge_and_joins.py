@@ -830,3 +830,90 @@ def test_distinct_with_groupby_rejected(spark):
     eng = lj_engine(spark)
     with pytest.raises(NotImplementedError, match="DISTINCT"):
         eng.create_immv("v", sql="SELECT DISTINCT seg FROM cust GROUP BY seg")
+
+
+# -- UNION ALL views (linear delta rule across branches) --------------------
+
+
+def test_union_all_view_both_branch_deltas(spark):
+    eng = IVMEngine(spark)
+    eng.register_table("a", spark.createDataFrame([(1, "x"), (2, "y")], "k int, s string"))
+    eng.register_table(
+        "b", spark.createDataFrame([(10, "p"), (2, "y")], "kk int, ss string")
+    )
+    eng.create_immv(
+        "u",
+        sql="SELECT k, s FROM a WHERE k < 100 "
+        "UNION ALL SELECT kk AS k, ss AS s FROM b",
+    )
+    eng.register_delta(
+        "a",
+        spark.createDataFrame(
+            [(3, "z", True), (1, "x", False)],
+            "k int, s string, _duckdb_ivm_multiplicity boolean",
+        ),
+    )
+    eng.register_delta(
+        "b",
+        spark.createDataFrame(
+            [(10, "p", False)], "kk int, ss string, _duckdb_ivm_multiplicity boolean"
+        ),
+    )
+    eng.ivm_upsert("u")
+    merged = rows(eng.merge_view("u"))
+    eng.apply_delta("a")
+    eng.apply_delta("b")
+    truth = rows(eng.full_refresh("u"))
+    # bag semantics: (2,y) appears once per branch
+    assert merged == truth == [(2, "y"), (2, "y"), (3, "z")]
+
+
+def test_union_all_single_branch_delta(spark):
+    eng = IVMEngine(spark)
+    eng.register_table("a", spark.createDataFrame([(1, "x")], "k int, s string"))
+    eng.register_table("b", spark.createDataFrame([(9, "q")], "k int, s string"))
+    eng.create_immv("u", sql="SELECT k, s FROM a UNION ALL SELECT k, s FROM b")
+    eng.register_delta(
+        "a",
+        spark.createDataFrame(
+            [(5, "w", True)], "k int, s string, _duckdb_ivm_multiplicity boolean"
+        ),
+    )
+    eng.ivm_upsert("u")
+    assert rows(eng.merge_view("u")) == [(1, "x"), (5, "w"), (9, "q")]
+
+
+def test_union_all_schema_mismatch_rejected(spark):
+    eng = IVMEngine(spark)
+    eng.register_table("a", spark.createDataFrame([(1, "x")], "k int, s string"))
+    eng.register_table("b", spark.createDataFrame([(9, "q")], "k int, s string"))
+    with pytest.raises(IVMError, match="identical column"):
+        eng.create_immv("u", sql="SELECT k, s FROM a UNION ALL SELECT s, k FROM b")
+
+
+def test_bare_union_rejected(spark):
+    eng = IVMEngine(spark)
+    eng.register_table("a", spark.createDataFrame([(1,)], "k int"))
+    eng.register_table("b", spark.createDataFrame([(2,)], "k int"))
+    with pytest.raises(NotImplementedError, match="UNION ALL"):
+        eng.create_immv("u", sql="SELECT k FROM a UNION SELECT k FROM b")
+
+
+def test_union_all_cascade_to_distinct(spark):
+    # UNION (set semantics) composed the maintainable way: UNION ALL
+    # upstream + SELECT DISTINCT downstream fed by the cascade CDC
+    eng = IVMEngine(spark)
+    eng.register_table("a", spark.createDataFrame([(1,), (2,)], "k int"))
+    eng.register_table("b", spark.createDataFrame([(2,), (3,)], "k int"))
+    eng.create_immv("u", sql="SELECT k FROM a UNION ALL SELECT k FROM b")
+    eng.register_table("u_v", eng.read_view("u"))
+    eng.create_immv("uset", sql="SELECT DISTINCT k FROM u_v")
+    eng.register_delta(
+        "a",
+        spark.createDataFrame([(2, False), (9, True)], "k int, _duckdb_ivm_multiplicity boolean"),
+    )
+    cdc = eng.merge_view_cdc("u")
+    eng.register_delta("u_v", cdc)
+    eng.ivm_upsert("uset")
+    # k=2 still present via b's copy; 9 enters
+    assert rows(eng.merge_view("uset")) == [(1,), (2,), (3,), (9,)]
