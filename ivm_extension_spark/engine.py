@@ -304,19 +304,33 @@ class IVMEngine:
             self._iviews[name], self.table, self.delta, self.broadcast_deltas
         )
 
-    def _materialized_delta(self, name: str) -> DataFrame:
-        """ΔV materialized exactly once (reference parity: the pragma
+    def _materialized_delta(self, name: str, force: bool = False) -> DataFrame:
+        """ΔV, materialized when that pays (reference parity: the pragma
         INSERTs the DoIVM result into a real ``delta_<view>`` table,
         ivm_extension.cpp:100-104).  ΔV is O(|Δ| + affected groups) —
-        small by the IVM scale assumption — and every merge-side consumer
-        (delete-probe, merge union, cascade CDC) reuses the checkpoint
-        instead of re-running the delta plan's counting/join subqueries.
-        ``ivm_upsert`` itself stays lazy so the user-visible ΔV keeps its
-        declarative plan (pushdown/broadcast shapes remain auditable)."""
+        small by the IVM scale assumption — so checkpointing it lets
+        every merge-side consumer (delete-probe, merge union, cascade
+        CDC) reuse one result instead of re-running the delta plan's
+        counting/join subqueries.  For single-pass delta plans consumed
+        exactly once (inner-join or single-table views with SUM/COUNT/AVG
+        aggregates: no probe, no counting terms) the checkpoint job is
+        pure overhead and ΔV stays lazy.  ``ivm_upsert`` always stays
+        lazy so the user-visible ΔV keeps its declarative plan
+        (pushdown/broadcast shapes remain auditable)."""
         dv = self._delta_views.get(name)
-        if dv is None or not getattr(dv, "_ivm_materialized", False):
-            if dv is None:
-                dv = self._delta_plan_for(name)
+        if dv is not None and getattr(dv, "_ivm_materialized", False):
+            return dv
+        if dv is None:
+            dv = self._delta_plan_for(name)
+        vdef = self._views[name]
+        multi_consumer = (
+            force
+            or any(j.how != "inner" for j in vdef.joins)
+            or any(
+                a.fn in ("min", "max", "count_distinct") for a in vdef.aggregates
+            )
+        )
+        if multi_consumer:
             dv = dv.localCheckpoint(eager=True)
             dv._ivm_materialized = True
             self._delta_views[name] = dv
@@ -359,11 +373,11 @@ class IVMEngine:
         vdef = self.view(name)
         if name not in self._state:
             raise IVMError(f"view {name!r} was not materialized (create_immv)")
-        dv = self._materialized_delta(name)
+        dv = self._materialized_delta(name, force=True)
         old_pub = merge_ops.finalize(self._state[name], vdef)
         if not vdef.is_aggregate and not vdef.distinct:
             # projection views: ΔV is already row-level CDC
-            self.merge_view(name)
+            self.merge_view(name, delta_v=dv)
             return merge_ops.finalize(dv, vdef)
         keys = (
             [a for _, a in vdef.select] if vdef.is_aggregate else list(vdef.output_order)
