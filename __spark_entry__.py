@@ -388,6 +388,21 @@ def _q_ivm_q13_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
     return eng.merge_view("custdist")
 
 
+def _q_ivm_merge_expr_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # GROUP BY an expression (not a bare column): the group key is
+    # year(o_orderdate) — exercised through delta aggregation AND the
+    # merge re-aggregation on the computed key
+    eng = _engine(spark, sf_dir, deltas=("orders",))
+    eng.create_immv(
+        "v",
+        sql="SELECT year(o_orderdate) AS o_year, count(*) AS n_orders, "
+        "sum(cast(round(o_totalprice * 100) as bigint)) AS sum_cents "
+        "FROM orders GROUP BY year(o_orderdate)",
+    )
+    eng.ivm_upsert("v")
+    return eng.merge_view("v")
+
+
 def _q_ivm_merge_union(spark: SparkSession, sf_dir: str) -> DataFrame:
     # UNION ALL view across two DIFFERENT base tables (reference: set ops
     # unsupported): the delta rule is linear per branch, so each branch
@@ -789,6 +804,7 @@ _IVM_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ivm_merge_distinct": _q_ivm_merge_distinct,
     "ivm_q13_cascade": _q_ivm_q13_cascade,
     "ivm_merge_union": _q_ivm_merge_union,
+    "ivm_merge_expr_key": _q_ivm_merge_expr_key,
     "ivm_merge_minmax_distinct": _q_ivm_merge_minmax_distinct,
     "ivm_merge_having": _q_ivm_merge_having,
     "ivm_merge_projection": _q_ivm_merge_projection,
@@ -1443,6 +1459,12 @@ def oracle_sql() -> dict[str, str]:
                               WHERE o.o_custkey = c.c_custkey
                                 AND o.o_totalprice > 300000)
             GROUP BY c_mktsegment
+        """,
+        "ivm_merge_expr_key": f"""
+            SELECT year(o_orderdate) AS o_year, count(*) AS n_orders,
+                   sum(cast(round(o_totalprice * 100) as bigint)) AS sum_cents
+            FROM {_applied_sql('orders')} o
+            GROUP BY year(o_orderdate)
         """,
         "ivm_merge_union": f"""
             SELECT o_custkey AS custkey, 'order' AS src

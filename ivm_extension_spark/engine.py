@@ -403,9 +403,12 @@ class IVMEngine:
         aux_aggs = auxstate.aux_aggregates(vdef)
         if not aux_aggs:
             return {}
-        if any(t not in self._deltas for t in vdef.tables):
+        if all(t not in self._deltas for t in vdef.tables):
             # deltas already consumed / registered elsewhere: the caller is
-            # merging an external ΔV; fall back to the delete-rejecting path
+            # merging an external ΔV; fall back to the delete-rejecting path.
+            # (A *partial* delta — some joined tables unchanged — is the
+            # normal fact/dim case and advances the aux state fine: the
+            # delta source simply skips branches for deltaless tables.)
             return {}
         meta = self._aux_meta[name]
         da = auxstate.delta_aux(

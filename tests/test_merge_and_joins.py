@@ -917,3 +917,21 @@ def test_union_all_cascade_to_distinct(spark):
     eng.ivm_upsert("uset")
     # k=2 still present via b's copy; 9 enters
     assert rows(eng.merge_view("uset")) == [(1,), (2,), (3,), (9,)]
+
+
+def test_minmax_aux_over_left_join_partial_delta(spark):
+    # MIN/MAX under deletes over an OUTER join with a PARTIAL delta (only
+    # orders changes): the aux multiset absorbs the anti part's NULL
+    # value, so a group that loses all matches re-derives lo=hi=NULL
+    eng = lj_engine(spark, dord=[(10, 1, False), (12, 2, False)])
+    eng.create_immv(
+        "v",
+        sql="SELECT seg, min(ok) AS lo, max(ok) AS hi "
+        "FROM cust LEFT JOIN orders ON ck = ck2 GROUP BY seg",
+    )
+    eng.ivm_upsert("v")
+    merged = rows(eng.merge_view("v"))
+    eng.apply_delta("orders")
+    truth = rows(eng.full_refresh("v"))
+    assert merged == truth
+    assert ("b", None, None) in merged and ("a", 11, 11) in merged

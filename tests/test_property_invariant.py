@@ -107,6 +107,10 @@ JOIN_SHAPES = [
     # zero as join branches add/remove duplicates
     "SELECT DISTINCT name FROM f JOIN d ON f.k = d.k",
     "SELECT DISTINCT a, name FROM f LEFT JOIN d ON f.k = d.k",
+    # MIN/MAX aux state over an outer join: the padded side's NULLs flow
+    # through the value multiset (all-NULL groups re-derive to NULL)
+    "SELECT a, min(name) AS lo, max(name) AS hi FROM f LEFT JOIN d "
+    "ON f.k = d.k GROUP BY a",
 ]
 
 
