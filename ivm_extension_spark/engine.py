@@ -168,9 +168,9 @@ class IVMEngine:
         self._views[name] = vdef
         self._iviews[name] = merge_ops.internal_view(vdef)
         if materialize:
-            state = compute_view(self._iviews[name], self.table)
-            self._state[name] = state
             self._init_aux(name, vdef)
+            state = self._materialize_state(name)
+            self._state[name] = state
             return merge_ops.finalize(state, vdef)
         return None
 
@@ -233,6 +233,52 @@ class IVMEngine:
             self._aux[name] = auxstate.init_aux(
                 vdef, self.table, meta
             ).localCheckpoint(eager=True)
+
+    def _materialize_state(self, name: str) -> DataFrame:
+        """Initial V in internal shape.  When the view carries
+        MIN/MAX/COUNT(DISTINCT) aggregates their values are derived from
+        the (just-checkpointed) aux relation instead of re-aggregating
+        the base: compute_view's COUNT(DISTINCT) plans an Expand +
+        two-shuffle distinct aggregation over the full source — work
+        init_aux has already done once as the per-(group, value) fold.
+        This keeps initial materialization at ONE pass over the base
+        data (aux build) plus a cheap groupBy for the SUM/COUNT lanes,
+        patched together with broadcast joins on the group keys
+        (null-safe: group keys may be NULL)."""
+        iview = self._iviews[name]
+        meta = self._aux_meta.get(name) or {}
+        aux_aggs = auxstate.aux_aggregates(iview)
+        if not (meta and aux_aggs and iview.select and name in self._aux):
+            # global aggregates (no group keys) keep the plain path: the
+            # empty-input row must still appear, which a join can't produce
+            return compute_view(iview, self.table)
+        import dataclasses
+
+        aux_aliases = {a.alias for a in aux_aggs}
+        stripped = dataclasses.replace(
+            iview,
+            aggregates=tuple(
+                a for a in iview.aggregates if a.alias not in aux_aliases
+            ),
+            output_order=tuple(
+                o for o in iview.output_order if o not in aux_aliases
+            ),
+        )
+        state = compute_view(stripped, self.table)
+        for a in aux_aggs:
+            d = auxstate.derive_from_aux(a, self._aux[name], *meta[a.alias])
+            keys = [c for c in d.columns if c != a.alias]
+            renamed = d.select(
+                *[F.col(k).alias(f"__ivm_dk_{k}") for k in keys], F.col(a.alias)
+            )
+            cond = None
+            for k in keys:
+                term = F.col(k).eqNullSafe(F.col(f"__ivm_dk_{k}"))
+                cond = term if cond is None else cond & term
+            state = state.join(F.broadcast(renamed), cond, "left").drop(
+                *[f"__ivm_dk_{k}" for k in keys]
+            )
+        return state.select(*[F.col(o) for o in iview.output_order])
 
     def _expand_star(self, vdef: ViewDef) -> ViewDef:
         if not any(e == "*" for e, _ in vdef.select):
@@ -411,12 +457,17 @@ class IVMEngine:
             # delta source simply skips branches for deltaless tables.)
             return {}
         meta = self._aux_meta[name]
+        # Δaux is O(|Δ| distinct values) — checkpoint it once so the three
+        # consumers inside merge_aux (anti-probe, semi-probe, union branch)
+        # reuse one result instead of re-running the delta-source scan
         da = auxstate.delta_aux(
             vdef, self.table, self.delta, meta, self.broadcast_deltas
-        )
+        ).localCheckpoint(eager=True)
         # one job advances the whole tagged multiset; re-derivation is a
         # filter on the checkpointed (small) result, not a new scan
-        new_aux = auxstate.merge_aux(self._aux[name], da).localCheckpoint(eager=True)
+        new_aux = auxstate.merge_aux(
+            self._aux[name], da, broadcast_delta=self.broadcast_deltas
+        ).localCheckpoint(eager=True)
         self._aux[name] = new_aux
         return {
             a.alias: auxstate.derive_from_aux(a, new_aux, *meta[a.alias])
@@ -435,9 +486,9 @@ class IVMEngine:
         if name in self._union_branches:
             state = self._compute_union(self._union_branches[name])
         else:
-            state = compute_view(self._iviews[name], self.table)
+            self._init_aux(name, vdef)
+            state = self._materialize_state(name)
         self._state[name] = state
-        self._init_aux(name, vdef)
         return merge_ops.finalize(state, vdef)
 
     def apply_delta(self, name: str) -> DataFrame:

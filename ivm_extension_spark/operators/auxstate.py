@@ -173,15 +173,41 @@ def delta_aux(
     return _fold(_tagged_rows(src, _group_cols(view), aggs, meta, F.col(_SIGN)))
 
 
-def merge_aux(state_aux: DataFrame, delta_aux_df: DataFrame) -> DataFrame:
-    """aux' = aux ⊎ Δaux: union + re-count, dead values dropped."""
+def merge_aux(
+    state_aux: DataFrame, delta_aux_df: DataFrame, broadcast_delta: bool = True
+) -> DataFrame:
+    """aux' = aux ⊎ Δaux: re-count touched keys, dead values dropped.
+
+    Scale shape: Δaux's key set is O(|Δ| distinct values) and is
+    broadcast; state rows whose tagged key is absent from Δaux pass
+    through NARROW (broadcast anti-join, no exchange), and only the
+    touched slice + Δaux go through the one re-count shuffle.  The
+    previous full union+re-aggregate shuffled the ENTIRE aux relation
+    (O(distinct (group, value)) — for max() over a near-unique column
+    that is O(base table)) on every batch; at 100 TB that full exchange
+    is the bottleneck, the touched slice is not.  Joins are null-safe:
+    lane columns are NULL off-lane by construction and group keys may be
+    legitimately NULL.  With ``broadcast_delta=False`` (delta comparable
+    to state) falls back to the full re-aggregation.
+    """
     key_cols = [c for c in state_aux.columns if c != VCNT_COL]
-    return (
-        state_aux.unionByName(delta_aux_df)
-        .groupBy(*[F.col(c) for c in key_cols])
+    refold = lambda df: (  # noqa: E731
+        df.groupBy(*[F.col(c) for c in key_cols])
         .agg(F.sum(VCNT_COL).cast("long").alias(VCNT_COL))
         .filter(F.col(VCNT_COL) > 0)
     )
+    if not broadcast_delta:
+        return refold(state_aux.unionByName(delta_aux_df))
+    probe = delta_aux_df.select(
+        *[F.col(c).alias(f"__ivm_probe_{c}") for c in key_cols]
+    )
+    cond = None
+    for c in key_cols:
+        term = F.col(c).eqNullSafe(F.col(f"__ivm_probe_{c}"))
+        cond = term if cond is None else cond & term
+    untouched = state_aux.join(F.broadcast(probe), cond, "left_anti")
+    touched = state_aux.join(F.broadcast(probe), cond, "left_semi")
+    return untouched.unionByName(refold(touched.unionByName(delta_aux_df)))
 
 
 def derive_from_aux(
