@@ -760,6 +760,40 @@ def _q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_STRATA_RATES = {"en": 250, "de": 500, "zh": 0}  # per-mille keep rates
+
+
+def _q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-language down-sampling (functions/sampling.py):
+    a narrow md5-bucket filter — no shuffle, no RNG, engine-portable."""
+    from ivm_extension_spark.functions import sampling
+
+    d = _docs(spark, sf_dir).select("doc_id", "lang")
+    return sampling.stratified_sample(
+        d, "doc_id", "lang", _STRATA_RATES, default_per_mille=750
+    )
+
+
+def _q_mix_quota_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-mixing quota: cap every source's contribution at its 10
+    longest documents (deterministic tie-break on doc_id)."""
+    from ivm_extension_spark.functions import sampling
+
+    d = _docs(spark, sf_dir).select("doc_id", "source", "n_chars")
+    return sampling.quota_per_group(
+        d, ["source"], [F.col("n_chars").desc(), F.col("doc_id").asc()], 10
+    )
+
+
+def _q_token_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-length distribution in width-32 buckets — the batch-packing
+    audit over the corpus; output is O(max_len/32) rows at any scale."""
+    from ivm_extension_spark.functions import sampling, text as tx
+
+    d = _docs(spark, sf_dir)
+    return sampling.length_histogram(d, tx.token_count("text"), 32)
+
+
 def _q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ivm_extension_spark.functions import multimodal
 
@@ -1242,6 +1276,9 @@ _EXTRA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sim_topk_lsh": _q_sim_topk_lsh,
     "sim_topk_ivf": _q_sim_topk_ivf,
     "chunk_documents": _q_chunk_documents,
+    "sample_stratified": _q_sample_stratified,
+    "mix_quota_per_source": _q_mix_quota_per_source,
+    "token_length_histogram": _q_token_length_histogram,
     "contamination_check": _q_contamination,
     "dedup_clusters": _q_dedup_clusters,
     "multimodal_meta": _q_multimodal_meta,
@@ -1719,6 +1756,9 @@ def oracle_sql() -> dict[str, str]:
     }
 
 
+# DuckDB twin of the sampling bucket (functions/sampling.py)
+from ivm_extension_spark.functions.sampling import oracle_bucket_sql as _oracle_bucket
+
 # DuckDB twins of ivm_extension_spark.functions.text expressions.
 # regexp_replace needs the 'g' flag (Spark replaces all by default).
 _NORM = (
@@ -1861,6 +1901,27 @@ def _extras_oracle_sql() -> dict[str, str]:
                    CAST(len(string_split(array_to_string(t[(chunk_id*18 + 1):(chunk_id*18 + 24)], ' '), ' '))
                         AS INT) AS chunk_tokens
             FROM expl
+        """,
+        "sample_stratified": f"""
+            SELECT doc_id, lang FROM documents
+            WHERE ({_oracle_bucket("doc_id")}) <
+                  CASE lang WHEN 'en' THEN 250 WHEN 'de' THEN 500
+                            WHEN 'zh' THEN 0 ELSE 750 END
+        """,
+        "mix_quota_per_source": """
+            SELECT doc_id, source, n_chars FROM (
+                SELECT doc_id, source, n_chars,
+                       row_number() OVER (PARTITION BY source
+                                          ORDER BY n_chars DESC, doc_id ASC) AS rn
+                FROM documents
+            ) WHERE rn <= 10
+        """,
+        "token_length_histogram": f"""
+            SELECT CAST(n_tokens // 32 AS BIGINT) * 32 AS bucket_lo,
+                   count(*) AS n_docs,
+                   CAST(sum(n_tokens) AS BIGINT) AS total_len
+            FROM (SELECT CAST(len({_TOKS}) AS INT) AS n_tokens FROM documents) t
+            GROUP BY 1
         """,
         "text_lang_id": f"""
             SELECT doc_id, {lang_case} AS lang_pred
