@@ -302,6 +302,21 @@ def _q_ivm_merge_left_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return eng.merge_view("v")
 
 
+def _q_ivm_merge_chain_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # 3-table LEFT-join chain with the delta on the MIDDLE (dimension)
+    # table — rewrite._chain_single_delta: the unchanged prefix is the
+    # "L" of the two-table rule, the unchanged suffix folds in linearly
+    eng = _engine(spark, sf_dir, deltas=("customer",))
+    eng.create_immv(
+        "v",
+        sql="SELECT o_orderkey, o_orderstatus, c_mktsegment, n_name "
+        "FROM orders LEFT JOIN customer ON o_custkey = c_custkey "
+        "LEFT JOIN nation ON c_nationkey = n_nationkey",
+    )
+    eng.ivm_upsert("v")
+    return eng.merge_view("v")
+
+
 def _q_ivm_merge_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
     # FULL OUTER projection view, deltas on both sides: deleting a
     # customer orphans its orders into NULL-left rows, and vice versa —
@@ -832,6 +847,7 @@ _IVM_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ivm_left_join_delta": _q_ivm_left_join_delta,
     "ivm_merge_left_join": _q_ivm_merge_left_join,
     "ivm_merge_full_outer": _q_ivm_merge_full_outer,
+    "ivm_merge_chain_dim": _q_ivm_merge_chain_dim,
     "ivm_semi_join_delta": _q_ivm_semi_join_delta,
     "ivm_merge_semi_join": _q_ivm_merge_semi_join,
     "ivm_merge_anti_join": _q_ivm_merge_anti_join,
@@ -1440,6 +1456,12 @@ def oracle_sql() -> dict[str, str]:
             FROM {_applied_sql('customer')} c
             LEFT JOIN {_applied_sql('orders')} o ON c.c_custkey = o.o_custkey
             GROUP BY c_custkey
+        """,
+        "ivm_merge_chain_dim": f"""
+            SELECT o_orderkey, o_orderstatus, c_mktsegment, n_name
+            FROM orders o
+            LEFT JOIN {_applied_sql('customer')} c ON o.o_custkey = c.c_custkey
+            LEFT JOIN nation n ON c.c_nationkey = n.n_nationkey
         """,
         "ivm_merge_full_outer": f"""
             SELECT c_custkey, c_mktsegment, o_orderkey

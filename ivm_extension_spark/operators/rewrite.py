@@ -157,10 +157,18 @@ def _delta_source(
                 broadcast_deltas,
                 full=how == "full",
             )
+        if len(with_delta) == 1 and all(j.how != "full" for j in view.joins):
+            (dt,) = with_delta
+            i = tables.index(dt)
+            if i > 0 and view.joins[i - 1].how in ("inner", "left"):
+                return _chain_single_delta(
+                    view, get_table, get_delta, broadcast_deltas, i
+                )
         raise IVMError(
-            "outer/semi/anti-join views are maintainable with deltas on any "
-            "table only for two-table views; longer chains support deltas on "
-            "the leftmost (fact) table only"
+            "this join-view shape is not maintainable: chains (>2 tables) "
+            "with outer/semi/anti joins take a delta on the leftmost table, "
+            "or on a single inner/left-joined table; FULL OUTER and "
+            "semi/anti positions accept deltas only in two-table views"
         )
 
     branches: list[DataFrame] = []
@@ -235,16 +243,23 @@ _EQ_RX = re.compile(r"(?<![<>!=])=(?![=>])")
 
 
 def _equi_pairs(
-    cond: str, lname: str, rname: str, lcols: list[str], rcols: list[str]
+    cond: str,
+    lname: str | list[str],
+    rname: str,
+    lcols: list[str],
+    rcols: list[str],
 ) -> list[tuple[str, str]] | None:
     """Parse a join condition into conjunctive equi pairs (lexpr, rexpr),
     classifying each equality side by table qualifier or bare-column
-    membership.  Returns None when the condition is not a pure
-    conjunctive equi-join (theta/OR/ambiguous) — callers then fall back
-    or reject, depending on what the delta rule needs."""
+    membership.  ``lname`` may be a list of table names when the left
+    side is a join prefix (chain maintenance).  Returns None when the
+    condition is not a pure conjunctive equi-join (theta/OR/ambiguous) —
+    callers then fall back or reject, depending on what the delta rule
+    needs."""
+    lnames = [lname] if isinstance(lname, str) else list(lname)
 
     def side(e: str) -> str | None:
-        if re.search(rf"\b{re.escape(lname)}\s*\.", e):
+        if any(re.search(rf"\b{re.escape(n)}\s*\.", e) for n in lnames):
             return None if re.search(rf"\b{re.escape(rname)}\s*\.", e) else "l"
         if re.search(rf"\b{re.escape(rname)}\s*\.", e):
             return "r"
@@ -437,6 +452,150 @@ def _outer_join_delta(
     out = branches[0]
     for b in branches[1:]:
         out = out.union(b)  # positional: every branch is lcols + rcols + _SIGN
+    return out
+
+
+def _chain_single_delta(
+    view: ViewDef,
+    get_table: Callable[[str], DataFrame],
+    get_delta: Callable[[str], DataFrame],
+    broadcast_deltas: bool,
+    i: int,
+) -> DataFrame:
+    """ΔV source for a left-deep chain T0 ∘ T1 ∘ ... with the delta on a
+    single non-leftmost table Ti (the dimension-update case the two-table
+    rule alone can't reach).  Decomposition:
+
+        V   = (P ∘_i Ti) ∘ suffix,   P = T0 ∘ ... ∘ T_{i-1} (unchanged)
+        ΔV  = Δ(P ∘_i Ti) ∘ suffix
+
+    The suffix folds in unchanged, because every join in it is linear in
+    its left argument when the right side is unchanged (Δ(X ∘ Y) =
+    ΔX ∘ Y for inner/left/semi/anti Y) — NULL-padded rows from the left
+    propagate correctly: a NULL join key finds no match, so left joins
+    extend the NULL padding and inner/semi joins drop the row, exactly
+    as the recomputed view would.  Δ(P ∘_i Ti) by join_i's kind:
+
+    - inner: linear in Ti → the single branch P ⋈ ΔTi.
+    - left: P ⋈ ΔTi plus the anti part — P rows whose join-key match
+      count in Ti crosses zero gain (+1) or lose (−1) their NULL-padded
+      row.  Match counts depend only on Ti, so the flip-key computation
+      is identical to the two-table rule's (see _outer_join_delta).
+
+    Scale shape: P and Ti are never shuffled — ΔTi and the flip-key set
+    are BROADCAST; the only aggregations are over O(|Δ| + affected
+    keys).  Join conditions at and after position i must use bare
+    (unambiguous) column names or qualify only prefix tables; the flip
+    rule additionally needs join_i to be a conjunctive equi-join.
+    """
+    tables = view.tables
+    joins = view.joins
+    bc = F.broadcast if broadcast_deltas else (lambda df: df)
+
+    P = get_table(tables[0]).alias(tables[0])
+    prefs = [(tables[0], c) for c in get_table(tables[0]).columns]
+    for j in joins[: i - 1]:
+        P = P.join(get_table(j.table).alias(j.table), on=F.expr(j.on), how=j.how)
+        if j.how not in ("semi", "anti"):
+            prefs += [(j.table, c) for c in get_table(j.table).columns]
+    pcols = [c for _, c in prefs]
+
+    join_i = joins[i - 1]
+    rname = join_i.table
+    R = get_table(rname)
+    dR = _signed_delta(get_delta(rname), _SIGN)
+
+    # inner part: P ⋈ ΔTi (the prefix side is unchanged, weight 1).
+    # Branches keep their per-table aliases so qualified column
+    # references in SUFFIX join conditions still resolve; the suffix is
+    # therefore folded into each branch and the union happens last.
+    branches = [P.join(bc(dR.alias(rname)), on=F.expr(join_i.on), how="inner")]
+
+    if join_i.how == "left":
+        pairs = _equi_pairs(join_i.on, list(tables[:i]), rname, pcols, R.columns)
+        if pairs is None:
+            raise IVMError(
+                "left-join chain maintenance requires a conjunctive "
+                f"equi-join at the delta position, got {join_i.on!r}"
+            )
+        knames = [f"__k{n}" for n in range(len(pairs))]
+        db_key_dm = (
+            dR.alias(rname)
+            .select(
+                *[F.expr(be).alias(k) for (_, be), k in zip(pairs, knames)],
+                F.col(_SIGN).alias("__w"),
+            )
+            .groupBy(*knames)
+            .agg(F.sum("__w").alias("__dm"))
+        )
+        m_old = (
+            R.alias(rname)
+            .select(*[F.expr(be).alias(k) for (_, be), k in zip(pairs, knames)])
+            .join(bc(db_key_dm.select(*knames)), on=knames, how="leftsemi")
+            .groupBy(*knames)
+            .agg(F.count(F.lit(1)).alias("__mold"))
+        )
+        flips = (
+            db_key_dm.join(m_old, on=knames, how="left")
+            .withColumn("__mold", F.coalesce(F.col("__mold"), F.lit(0)))
+            .withColumn("__mnew", F.col("__mold") + F.col("__dm"))
+            .withColumn(
+                "__flip",
+                F.when(
+                    (F.col("__mold") == 0) & (F.col("__mnew") > 0), F.lit(-1)
+                ).when((F.col("__mold") > 0) & (F.col("__mnew") <= 0), F.lit(1)),
+            )
+            .filter(F.col("__flip").isNotNull())
+            .select(*knames, "__flip")
+            .alias("__fl")
+        )
+        flip_cond = None
+        for (pe, _), k in zip(pairs, knames):
+            c = F.expr(pe) == F.col(f"__fl.{k}")
+            flip_cond = c if flip_cond is None else (flip_cond & c)
+        # NULL-padded Ti columns carried by a BROADCAST single-NULL-row
+        # relation aliased as Ti, so qualified suffix conditions resolve
+        null_row = (
+            R.sparkSession.range(1)
+            .select(
+                *[F.lit(None).cast(R.schema[c].dataType).alias(c) for c in R.columns]
+            )
+            .alias(rname)
+        )
+        t2 = (
+            P.join(bc(flips), on=flip_cond, how="inner")
+            .withColumn(_SIGN, F.col("__fl.__flip"))
+            .drop("__flip", *knames)
+            .crossJoin(F.broadcast(null_row))
+        )
+        branches.append(t2)
+
+    out_refs = [
+        *prefs,
+        *[(rname, c) for c in R.columns],
+        *[
+            (j.table, c)
+            for j in joins[i:]
+            if j.how not in ("semi", "anti")
+            for c in get_table(j.table).columns
+        ],
+    ]
+
+    flat: list[DataFrame] = []
+    for b in branches:
+        for j in joins[i:]:
+            b = b.join(get_table(j.table).alias(j.table), on=F.expr(j.on), how=j.how)
+        # qualified select (join keys share names across tables), bare
+        # aliases so the positional union lines up
+        flat.append(
+            b.select(
+                *[F.col(f"{t}.{c}").alias(c) for t, c in out_refs], F.col(_SIGN)
+            )
+        )
+
+    out = flat[0]
+    for b in flat[1:]:
+        out = out.union(b)  # positional: every branch is out_cols + _SIGN
     return out
 
 

@@ -579,8 +579,11 @@ def test_left_join_chain_fact_delta(spark):
     assert merged == truth, (merged, truth)
 
 
-def test_left_join_chain_dim_delta_rejected(spark):
-    eng = lj_engine(spark, dord=[(20, 3, True)])
+def test_left_join_chain_dim_delta_maintained(spark):
+    # delta on the MIDDLE table of a 3-table left chain: handled by
+    # rewrite._chain_single_delta (prefix = two-table rule's L, suffix
+    # folds in linearly); insert + delete flip NULL padding both ways
+    eng = lj_engine(spark, dord=[(20, 3, True), (10, 1, False), (11, 1, False)])
     eng.register_table(
         "seg_dim", spark.createDataFrame([("a", "A")], "sg string, nm string")
     )
@@ -589,7 +592,25 @@ def test_left_join_chain_dim_delta_rejected(spark):
         sql="SELECT ck, ok, nm FROM cust LEFT JOIN orders ON ck = ck2 "
         "LEFT JOIN seg_dim ON seg = sg",
     )
-    with pytest.raises(IVMError, match="leftmost"):
+    eng.ivm_upsert("v")
+    merged = rows(eng.merge_view("v"))
+    eng.apply_delta("orders")
+    truth = rows(eng.full_refresh("v"))
+    assert merged == truth, (merged, truth)
+
+
+def test_left_join_chain_multi_delta_still_rejected(spark):
+    # deltas on TWO tables of a >2-table chain stay out of scope
+    eng = lj_engine(spark, dcust=[(9, "z", True)], dord=[(20, 3, True)])
+    eng.register_table(
+        "seg_dim", spark.createDataFrame([("a", "A")], "sg string, nm string")
+    )
+    eng.create_immv(
+        "v",
+        sql="SELECT ck, ok, nm FROM cust LEFT JOIN orders ON ck = ck2 "
+        "LEFT JOIN seg_dim ON seg = sg",
+    )
+    with pytest.raises(IVMError, match="chains"):
         eng.ivm_upsert("v")
 
 

@@ -159,3 +159,77 @@ def test_ivm_invariant_join_views(
         eng.apply_delta(t)
     truth = rows(eng.full_refresh("v"))
     assert merged == truth, (fact, dim, f_delta, d_delta, shape)
+
+
+# -- chains (3 tables): delta on a single non-leftmost table ---------------
+
+g_row_st = st.tuples(
+    st.integers(min_value=10, max_value=12),
+    st.sampled_from(["p", "q"]),
+)
+dim3_row_st = st.tuples(
+    st.integers(min_value=0, max_value=3),
+    st.sampled_from(["a", "b"]),
+    st.integers(min_value=10, max_value=12),
+)
+
+CHAIN_SHAPES = [
+    # delta lands on d (middle) or g (last) — _chain_single_delta both ways
+    "SELECT a, name, label FROM f LEFT JOIN d ON f.k = d.k "
+    "LEFT JOIN g ON d.gk = g.gk",
+    "SELECT a, name, label FROM f JOIN d ON f.k = d.k "
+    "LEFT JOIN g ON d.gk = g.gk",
+    "SELECT a, name, label FROM f LEFT JOIN d ON f.k = d.k "
+    "JOIN g ON d.gk = g.gk",
+    "SELECT label, count(a) AS n, sum(a) AS s FROM f LEFT JOIN d ON f.k = d.k "
+    "JOIN g ON d.gk = g.gk GROUP BY label",
+    "SELECT name, min(a) AS lo, max(label) AS hi FROM f JOIN d ON f.k = d.k "
+    "LEFT JOIN g ON d.gk = g.gk GROUP BY name",
+]
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+@given(
+    fact=st.lists(fact_row_st, min_size=0, max_size=6),
+    dim=st.lists(dim3_row_st, min_size=0, max_size=4),
+    dim2=st.lists(g_row_st, min_size=0, max_size=3),
+    ins=st.lists(dim3_row_st, min_size=0, max_size=3),
+    ins2=st.lists(g_row_st, min_size=0, max_size=2),
+    del_mask=st.lists(st.booleans(), min_size=4, max_size=4),
+    which=st.sampled_from(["d", "g"]),
+    shape=st.sampled_from(CHAIN_SHAPES),
+)
+def test_ivm_invariant_chain_dim_delta(
+    spark, fact, dim, dim2, ins, ins2, del_mask, which, shape
+):
+    eng = IVMEngine(spark)
+    eng.register_table("f", spark.createDataFrame(fact, schema="a int, k int"))
+    eng.register_table(
+        "d", spark.createDataFrame(dim, schema="k int, name string, gk int")
+    )
+    eng.register_table(
+        "g", spark.createDataFrame(dim2, schema="gk int, label string")
+    )
+    if which == "d":
+        delta = [(*r, True) for r in ins] + [
+            (*r, False) for r, m in zip(dim, del_mask) if m
+        ]
+        schema = "k int, name string, gk int, _duckdb_ivm_multiplicity boolean"
+    else:
+        delta = [(*r, True) for r in ins2] + [
+            (*r, False) for r, m in zip(dim2, del_mask) if m
+        ]
+        schema = "gk int, label string, _duckdb_ivm_multiplicity boolean"
+    eng.register_delta(which, spark.createDataFrame(delta, schema))
+
+    eng.create_immv("v", sql=shape)
+    eng.ivm_upsert("v")
+    merged = rows(eng.merge_view("v"))
+
+    eng.apply_delta(which)
+    truth = rows(eng.full_refresh("v"))
+    assert merged == truth, (fact, dim, dim2, delta, which, shape)
