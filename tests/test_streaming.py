@@ -379,3 +379,42 @@ def test_streaming_left_join_view(spark, tmpdir):
     q = StreamingViewMaintainer(eng, "v", "d").start(stream, f"{tmpdir}/ckpt")
     q.awaitTermination(120)
     assert rows(eng.read_view("v")) == [("a", 100), ("b", 200)]
+
+
+def test_streaming_chain_view_dim_delta(spark, tmpdir):
+    """3-table LEFT-join chain maintained from the LAST dimension's delta
+    stream (rewrite._chain_single_delta under foreachBatch): batch 0
+    retracts key 11's NULL padding when its match arrives, batch 1
+    restores key 10's padding when its only match is deleted."""
+    eng = IVMEngine(spark)
+    eng.register_table(
+        "f", spark.createDataFrame([(1, 0), (2, 1)], "a int, k int")
+    )
+    eng.register_table(
+        "d",
+        spark.createDataFrame([(0, "x", 10), (1, "y", 11)], "k int, nm string, gk int"),
+    )
+    eng.register_table(
+        "g", spark.createDataFrame([(10, "L10")], "gk int, lb string")
+    )
+    eng.create_immv(
+        "v",
+        sql="SELECT a, nm, lb FROM f LEFT JOIN d ON f.k = d.k "
+        "LEFT JOIN g ON d.gk = g.gk",
+    )
+
+    delta_dir = f"{tmpdir}/deltas"
+    spark.createDataFrame(
+        [(11, "L11", True)], "gk int, lb string, _duckdb_ivm_multiplicity boolean"
+    ).coalesce(1).write.parquet(f"{delta_dir}/b0")
+    spark.createDataFrame(
+        [(10, "L10", False)], "gk int, lb string, _duckdb_ivm_multiplicity boolean"
+    ).coalesce(1).write.parquet(f"{delta_dir}/b1")
+
+    stream = (
+        spark.readStream.schema("gk int, lb string, _duckdb_ivm_multiplicity boolean")
+        .parquet(f"{delta_dir}/*")
+    )
+    q = StreamingViewMaintainer(eng, "v", "g").start(stream, f"{tmpdir}/ckpt")
+    q.awaitTermination(120)
+    assert rows(eng.read_view("v")) == [(1, "x", None), (2, "y", "L11")]
