@@ -500,6 +500,48 @@ class IVMEngine:
         self._deltas.pop(name, None)
         return new_base
 
+    def maintain(self, name: str) -> DataFrame:
+        """Advance view ``name`` through ALL registered deltas and return
+        the new public view — upsert + merge + apply in one call, the
+        engine's "process this batch" verb.
+
+        For every shape the one-shot delta rules cover, this is
+        ivm_upsert → merge_view → apply_delta per table.  The one shape
+        they don't — a >2-table chain with outer/semi/anti joins and
+        deltas on SEVERAL tables at once — is decomposed into sequential
+        single-table batches: maintain with t1's delta only (chain rule),
+        fold t1's delta into its base, then t2, and so on.  The batch
+        algebra composes (each step's state is exact for its intermediate
+        world), so the final state equals recomputation over the fully
+        advanced tables.
+
+        Note this CONSUMES the deltas (bases advance, delta registrations
+        clear), unlike ivm_upsert/merge_view which leave the base world
+        untouched.  At lakehouse scale each apply_delta step is the
+        storage layer's MERGE INTO on the base table.
+        """
+        vdef = self.view(name)
+        tabs = [t for t in vdef.tables if t in self._deltas]
+        if not tabs:
+            self.delta(vdef.tables[0])  # reference-style missing-delta error
+        try:
+            self.ivm_upsert(name)
+            out = self.merge_view(name)
+            for t in tabs:
+                self.apply_delta(t)
+            return out
+        except IVMError as e:
+            if "chains" not in str(e):
+                raise
+        saved = {t: self._deltas.pop(t) for t in tabs}
+        out = None
+        for t in tabs:
+            self._deltas[t] = saved[t]
+            self.ivm_upsert(name)
+            out = self.merge_view(name)
+            self.apply_delta(t)
+        return out
+
 
 def merge(state: DataFrame, delta_v: DataFrame, view: ViewDef) -> DataFrame:
     return merge_ops.merge(state, delta_v, view)

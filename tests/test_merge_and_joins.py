@@ -956,3 +956,51 @@ def test_minmax_aux_over_left_join_partial_delta(spark):
     truth = rows(eng.full_refresh("v"))
     assert merged == truth
     assert ("b", None, None) in merged and ("a", 11, 11) in merged
+
+
+def test_maintain_multi_delta_chain_sequential(spark):
+    # deltas on BOTH dims of a 3-table left chain: maintain() decomposes
+    # into sequential single-table batches and must equal recomputation
+    eng = IVMEngine(spark)
+    eng.register_table("f", spark.createDataFrame([(1, 0), (2, 1), (3, 2)], "a int, k int"))
+    eng.register_table(
+        "d",
+        spark.createDataFrame([(0, "x", 10), (1, "y", 11)], "k int, nm string, gk int"),
+    )
+    eng.register_table("g", spark.createDataFrame([(10, "L10")], "gk int, lb string"))
+    eng.register_delta(
+        "d",
+        spark.createDataFrame(
+            [(2, "z", 10, True), (0, "x", 10, False)],
+            "k int, nm string, gk int, _duckdb_ivm_multiplicity boolean",
+        ),
+    )
+    eng.register_delta(
+        "g",
+        spark.createDataFrame(
+            [(11, "L11", True), (10, "L10", False)],
+            "gk int, lb string, _duckdb_ivm_multiplicity boolean",
+        ),
+    )
+    eng.create_immv(
+        "v",
+        sql="SELECT a, nm, lb FROM f LEFT JOIN d ON f.k = d.k "
+        "LEFT JOIN g ON d.gk = g.gk",
+    )
+    maintained = rows(eng.maintain("v"))
+    truth = rows(eng.full_refresh("v"))  # bases already advanced by maintain
+    assert maintained == truth, (maintained, truth)
+    # deltas are consumed
+    with pytest.raises(IVMError):
+        eng.delta("d")
+
+
+def test_maintain_single_shot_shapes(spark):
+    # for shapes the one-shot rules cover, maintain == upsert+merge+apply
+    eng = lj_engine(spark, dcust=[(9, "z", True)], dord=[(20, 3, True), (10, 1, False)])
+    eng.create_immv(
+        "v", sql="SELECT ck, seg, ok FROM cust LEFT JOIN orders ON ck = ck2"
+    )
+    maintained = rows(eng.maintain("v"))
+    truth = rows(eng.full_refresh("v"))
+    assert maintained == truth, (maintained, truth)
