@@ -133,3 +133,25 @@ def test_semi_anti_delta_no_sort_merge(spark):
     assert "SortMergeJoin" not in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
     assert "BroadcastHashJoin" in plan, plan
+
+
+def test_chain_dim_delta_no_sort_merge(spark):
+    # >2-table chain, delta on the middle dimension (_chain_single_delta):
+    # prefix and suffix base tables are joined via broadcast only — the
+    # delta and the flip-key set are the build sides; no shuffle-side join
+    eng = entry._engine(spark, SF, deltas=("customer",))
+    eng.create_immv(
+        "v",
+        sql="SELECT o_orderkey, o_orderstatus, c_mktsegment, n_name "
+        "FROM orders LEFT JOIN customer ON o_custkey = c_custkey "
+        "LEFT JOIN nation ON c_nationkey = n_nationkey",
+        materialize=False,
+    )
+    plan = plan_of(eng.ivm_upsert("v"))
+    assert "SortMergeJoin" not in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+    # the only nested loop allowed is the single-NULL-row pad of the
+    # flip branch (build side = Range(0,1), one constant row — a
+    # projection in disguise, O(|affected rows|) with zero comparisons)
+    n_nlj = len(re.findall(r"^\(\d+\) BroadcastNestedLoopJoin", plan, re.M))
+    assert n_nlj <= 1 and (n_nlj == 0 or "Range (0, 1" in plan), plan
