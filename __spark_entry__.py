@@ -302,6 +302,21 @@ def _q_ivm_merge_left_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return eng.merge_view("v")
 
 
+def _q_ivm_merge_rollup_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # maintained ROLLUP view: deltas merge at the finest grouping, the
+    # rollup levels (incl. grand total) are expanded on read from the
+    # O(groups) state (merge._finalize_grouping_sets)
+    eng = _engine(spark, sf_dir, deltas=("lineitem",))
+    eng.create_immv(
+        "v",
+        sql="SELECT l_returnflag, l_linestatus, "
+        "sum(CAST(l_quantity AS BIGINT)) AS sum_qty, count(*) AS n "
+        "FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)",
+    )
+    eng.ivm_upsert("v")
+    return eng.merge_view("v")
+
+
 def _q_ivm_merge_chain_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
     # 3-table LEFT-join chain with the delta on the MIDDLE (dimension)
     # table — rewrite._chain_single_delta: the unchanged prefix is the
@@ -848,6 +863,7 @@ _IVM_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ivm_merge_left_join": _q_ivm_merge_left_join,
     "ivm_merge_full_outer": _q_ivm_merge_full_outer,
     "ivm_merge_chain_dim": _q_ivm_merge_chain_dim,
+    "ivm_merge_rollup_view": _q_ivm_merge_rollup_view,
     "ivm_semi_join_delta": _q_ivm_semi_join_delta,
     "ivm_merge_semi_join": _q_ivm_merge_semi_join,
     "ivm_merge_anti_join": _q_ivm_merge_anti_join,
@@ -1456,6 +1472,12 @@ def oracle_sql() -> dict[str, str]:
             FROM {_applied_sql('customer')} c
             LEFT JOIN {_applied_sql('orders')} o ON c.c_custkey = o.o_custkey
             GROUP BY c_custkey
+        """,
+        "ivm_merge_rollup_view": f"""
+            SELECT l_returnflag, l_linestatus,
+                   sum(CAST(l_quantity AS BIGINT)) AS sum_qty, count(*) AS n
+            FROM {_applied_sql('lineitem')}
+            GROUP BY ROLLUP (l_returnflag, l_linestatus)
         """,
         "ivm_merge_chain_dim": f"""
             SELECT o_orderkey, o_orderstatus, c_mktsegment, n_name

@@ -322,6 +322,7 @@ class IVMEngine:
             output_order=tuple(new_order),
             having=vdef.having,
             distinct=vdef.distinct,
+            grouping_sets=vdef.grouping_sets,
         )
 
     # -- the IVM surface ---------------------------------------------------

@@ -66,6 +66,7 @@ def internal_view(view: ViewDef) -> ViewDef:
         joins=view.joins,
         output_order=tuple([*view.output_order, *(e.alias for e in extra)]),
         having=view.having,
+        grouping_sets=view.grouping_sets,
     )
 
 
@@ -75,6 +76,9 @@ def finalize(df: DataFrame, view: ViewDef) -> DataFrame:
     public view only, never to ΔV (which carries the multiplicity column):
     maintained state stays pre-HAVING so a group can enter/leave the
     visible result as later deltas move it across the threshold."""
+    is_delta = MULT_COL in df.columns
+    if view.grouping_sets and not is_delta:
+        return _finalize_grouping_sets(df, view)
     cols = []
     for alias in view.output_order:
         agg = view.aggregate_by_alias(alias)
@@ -84,11 +88,67 @@ def finalize(df: DataFrame, view: ViewDef) -> DataFrame:
             )
         else:
             cols.append(F.col(alias))
-    is_delta = MULT_COL in df.columns
     if is_delta:
         cols.append(F.col(MULT_COL))
     out = df.select(*cols)
     if view.having and not is_delta:
+        out = out.filter(F.expr(view.having))
+    return out
+
+
+def _finalize_grouping_sets(state: DataFrame, view: ViewDef) -> DataFrame:
+    """Expand ROLLUP/CUBE/GROUPING SETS from the finest-grouping state:
+    one re-aggregation per listed set, rolled-up keys NULL-padded, all
+    levels unioned.  The state is O(finest groups) — tiny next to the
+    base data — so every level is an aggregation of already-aggregated
+    rows; sum/count re-add, min/max re-extremize, avg recomposes from
+    its hidden sum/count companions.  (ΔV stays at the finest grouping:
+    deltas compose there, and the expansion is a pure read transform.)"""
+    keys = [a for _, a in view.select]
+    levels: list[DataFrame] = []
+    for gs in view.grouping_sets:
+        aggs = []
+        for a in view.aggregates:
+            if a.alias.startswith("__ivm_"):
+                continue
+            if a.fn in ("sum",):
+                aggs.append(F.sum(F.col(a.alias)).alias(a.alias))
+            elif a.fn == "count":
+                # coalesce: the grand-total set over an EMPTY state is one
+                # row (global-aggregate semantics) where COUNT must be 0
+                aggs.append(
+                    F.coalesce(F.sum(F.col(a.alias)), F.lit(0))
+                    .cast("long")
+                    .alias(a.alias)
+                )
+            elif a.fn == "min":
+                aggs.append(F.min(F.col(a.alias)).alias(a.alias))
+            elif a.fn == "max":
+                aggs.append(F.max(F.col(a.alias)).alias(a.alias))
+            elif a.fn == "avg":
+                aggs.append(
+                    (
+                        F.sum(F.col(f"__ivm_avgsum_{a.alias}"))
+                        / F.sum(F.col(f"__ivm_avgcnt_{a.alias}"))
+                    ).alias(a.alias)
+                )
+            else:  # pragma: no cover — rejected in ViewDef.__post_init__
+                raise NotImplementedError(a.fn)
+        lvl = state.groupBy(*[F.col(k) for k in gs]).agg(*aggs)
+        pads = [
+            F.col(k) if k in gs else F.lit(None).cast(state.schema[k].dataType).alias(k)
+            for k in keys
+        ]
+        levels.append(
+            lvl.select(
+                *[p.alias(k) for p, k in zip(pads, keys)],
+                *[F.col(a) for a in view.output_order if a not in keys],
+            ).select(*[F.col(a) for a in view.output_order])
+        )
+    out = levels[0]
+    for lvl in levels[1:]:
+        out = out.unionByName(lvl)
+    if view.having:
         out = out.filter(F.expr(view.having))
     return out
 

@@ -336,7 +336,7 @@ def parse_view_sql(name: str, sql: str) -> ViewDef:
             select.append((expr, alias))
         order.append(alias)
 
-    group_by = tuple(_split_top_level(spans["group_by"])) if "group_by" in spans else ()
+    group_by, grouping_sets = _parse_group_by(spans.get("group_by"))
 
     return ViewDef(
         name=name,
@@ -349,4 +349,51 @@ def parse_view_sql(name: str, sql: str) -> ViewDef:
         output_order=tuple(order),
         having=spans.get("having"),
         distinct=distinct,
+        grouping_sets=grouping_sets,
     )
+
+
+def _parse_group_by(
+    body: str | None,
+) -> tuple[tuple[str, ...], tuple[tuple[str, ...], ...]]:
+    """GROUP BY body → (finest keys, grouping sets).  Plain GROUP BY
+    yields empty grouping sets; ROLLUP/CUBE/GROUPING SETS yield the
+    explicit set list (maintained at the finest grouping, expanded on
+    read — see ViewDef.grouping_sets)."""
+    if body is None:
+        return (), ()
+    body = body.strip()
+    m = re.match(r"^(rollup|cube)\s*\((.*)\)$", body, re.IGNORECASE | re.DOTALL)
+    if m:
+        keys = tuple(k.strip() for k in _split_top_level(m.group(2)))
+        if m.group(1).lower() == "rollup":
+            sets = tuple(tuple(keys[:k]) for k in range(len(keys), -1, -1))
+        else:
+            from itertools import combinations
+
+            sets = tuple(
+                tuple(c)
+                for k in range(len(keys), -1, -1)
+                for c in combinations(keys, k)
+            )
+        return keys, sets
+    m = re.match(r"^grouping\s+sets\s*\((.*)\)$", body, re.IGNORECASE | re.DOTALL)
+    if m:
+        sets = []
+        for part in _split_top_level(m.group(1)):
+            part = part.strip()
+            if not (part.startswith("(") and part.endswith(")")):
+                raise NotImplementedError(
+                    f"GROUPING SETS items must be parenthesized, got {part!r}"
+                )
+            inner = part[1:-1].strip()
+            sets.append(
+                tuple(k.strip() for k in _split_top_level(inner)) if inner else ()
+            )
+        keys: list[str] = []
+        for gs in sets:
+            for k in gs:
+                if k not in keys:
+                    keys.append(k)
+        return tuple(keys), tuple(sets)
+    return tuple(_split_top_level(body)), ()

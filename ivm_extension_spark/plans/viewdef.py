@@ -93,6 +93,14 @@ class ViewDef:
     # a hidden count(*) so a tuple survives exactly while its multiset
     # count is positive.  (The reference has no DISTINCT support.)
     distinct: bool = False
+    # GROUP BY ROLLUP/CUBE/GROUPING SETS: each inner tuple is a subset of
+    # the group-key aliases.  The maintained state is ALWAYS the finest
+    # grouping (all keys) — every delta/merge rule applies unchanged —
+    # and the listed sets are re-aggregated from that state on read
+    # (merge.finalize), NULL-padding the rolled-up keys.  The reference
+    # only brushes grouping sets defensively (ivm_rewrite_rule.hpp:
+    # 237-242, appending its multiplicity key to grouping_sets[0]).
+    grouping_sets: tuple[tuple[str, ...], ...] = ()
 
     def __post_init__(self) -> None:
         if not self.output_order:
@@ -103,6 +111,23 @@ class ViewDef:
                 "SELECT DISTINCT with aggregates or GROUP BY is redundant "
                 "or ambiguous — drop DISTINCT (grouping already dedups)"
             )
+        if self.grouping_sets:
+            keys = {a for _, a in self.select}
+            for gs in self.grouping_sets:
+                bad = [k for k in gs if k not in keys]
+                if bad:
+                    raise NotImplementedError(
+                        f"grouping set {gs} uses keys {bad} that are not "
+                        "plain projected group columns"
+                    )
+            for a in self.aggregates:
+                if a.fn == "count_distinct":
+                    raise NotImplementedError(
+                        "COUNT(DISTINCT) cannot be re-aggregated from the "
+                        "finest grouping (distinct values are not additive "
+                        "across groups) — rollup/cube views support "
+                        "sum/count/min/max/avg"
+                    )
 
     @property
     def is_aggregate(self) -> bool:

@@ -1004,3 +1004,49 @@ def test_maintain_single_shot_shapes(spark):
     maintained = rows(eng.maintain("v"))
     truth = rows(eng.full_refresh("v"))
     assert maintained == truth, (maintained, truth)
+
+
+def test_merge_rollup_view(spark):
+    # maintained ROLLUP: state at finest grouping, levels expanded on read
+    base = [(1, "x", "p"), (2, "x", "q"), (5, "y", "r")]
+    delta = [(10, "x", "s", True), (2, "x", "q", False)]
+    eng = engine_with(spark, base, delta)
+    eng.create_immv(
+        "v",
+        sql="SELECT b, c, sum(a) AS s, count(*) AS n, avg(a) AS m "
+        "FROM t GROUP BY ROLLUP (b, c)",
+    )
+    eng.ivm_upsert("v")
+    merged = rows(eng.merge_view("v"))
+    eng.apply_delta("t")
+    truth = rows(eng.full_refresh("v"))
+    assert merged == truth, (merged, truth)
+    # grand-total row present exactly once
+    assert sum(1 for r in merged if r[0] is None and r[1] is None) == 1
+
+
+def test_merge_cube_and_grouping_sets_views(spark):
+    base = [(1, "x", "p"), (2, "y", "p"), (5, "y", "r")]
+    delta = [(4, "z", "r", True), (1, "x", "p", False)]
+    for gb, n_sets in [
+        ("CUBE (b, c)", 4),
+        ("GROUPING SETS ((b), (c), ())", 3),
+    ]:
+        eng = engine_with(spark, base, delta)
+        eng.create_immv(
+            "v", sql=f"SELECT b, c, sum(a) AS s, min(a) AS lo FROM t GROUP BY {gb}"
+        )
+        eng.ivm_upsert("v")
+        merged = rows(eng.merge_view("v"))
+        eng.apply_delta("t")
+        truth = rows(eng.full_refresh("v"))
+        assert merged == truth, (gb, merged, truth)
+
+
+def test_rollup_count_distinct_rejected(spark):
+    eng = engine_with(spark, [(1, "x", "p")], None)
+    with pytest.raises(NotImplementedError, match="re-aggregated"):
+        eng.create_immv(
+            "v",
+            sql="SELECT b, count(DISTINCT c) AS nd FROM t GROUP BY ROLLUP (b)",
+        )
