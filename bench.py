@@ -78,22 +78,29 @@ def main() -> int:
     for name, fn in entrymod.queries().items():
         if only and name not in only:
             continue
-        dt = float("nan")
-        for _ in range(2):  # min-of-2: steady-state, codegen cached (see header)
+        # min-of-2 (steady-state, codegen cached — see header), plus up to
+        # 2 extra samples when the observed runs disagree by >1.8x: a
+        # shared host's transient CPU spikes otherwise inflate whichever
+        # query they land on, and the min of a wider sample recovers the
+        # true steady-state number at negligible cost in calm conditions
+        samples: list[float] = []
+        while len(samples) < 4:
             t0 = time.perf_counter()
             try:
                 df = fn(spark, sf_dir)
                 df.write.format("noop").mode("overwrite").save()
-                run = time.perf_counter() - t0
+                samples.append(time.perf_counter() - t0)
             except Exception as e:  # a failing query must not hide the others
                 print(f"# ERROR {name}: {e}", file=sys.stderr)
                 break
-            dt = run if dt != dt else min(dt, run)
             # free persisted/checkpointed blocks between runs: 50 queries'
             # worth of retained blocks otherwise builds GC pressure that
             # inflates the tail of the run
             spark.catalog.clearCache()
             gc.collect()
+            if len(samples) >= 2 and max(samples) / max(min(samples), 1e-9) <= 1.8:
+                break
+        dt = min(samples) if samples else float("nan")
         timings[name] = round(dt, 3)
         if dt == dt:
             total += dt
