@@ -27,6 +27,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from ivm_extension_spark import IVMEngine
+from ivm_extension_spark.operators.merge import variance_oracle_sql
 from ivm_extension_spark.operators.rewrite import MULT_COL
 
 TABLES = (
@@ -493,6 +494,41 @@ def _q_ivm_merge_having(spark: SparkSession, sf_dir: str) -> DataFrame:
     return eng.merge_view("v")
 
 
+def _q_ivm_merge_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # VAR/STDDEV maintained exactly through hidden SUM(x)/SUM(x*x)/COUNT(x)
+    # companions (all linear, so every delta/merge rule applies unchanged)
+    # and recomposed on read with a fixed IEEE expression tree whose SQL
+    # twin the oracle runs (merge.variance_col / variance_oracle_sql)
+    eng = _engine(spark, sf_dir, deltas=("lineitem",))
+    eng.create_immv(
+        "v",
+        sql="SELECT l_returnflag, "
+        "var_samp(cast(l_quantity AS bigint)) AS var_qty, "
+        "stddev_pop(cast(l_quantity AS bigint)) AS sd_qty, "
+        "sum(cast(l_quantity AS bigint)) AS sum_qty "
+        "FROM lineitem GROUP BY l_returnflag",
+    )
+    eng.ivm_upsert("v")
+    return eng.merge_view("v")
+
+
+def _q_ivm_merge_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # ORDER BY + LIMIT (top-k) view — no ORDER BY/LIMIT exists anywhere in
+    # the reference's surface (SURVEY.md §2c).  Maintained state is the
+    # full pre-limit view (ranks move under deltas); the read plans as
+    # TakeOrderedAndProject — per-partition partial top-k, no global sort
+    eng = _engine(spark, sf_dir, deltas=("orders",))
+    eng.create_immv(
+        "v",
+        sql="SELECT o_custkey, count(o_orderkey) AS n_orders, "
+        "sum(cast(round(o_totalprice * 100) AS bigint)) AS sum_cents "
+        "FROM orders GROUP BY o_custkey "
+        "ORDER BY sum_cents DESC, o_custkey ASC LIMIT 20",
+    )
+    eng.ivm_upsert("v")
+    return eng.merge_view("v")
+
+
 def _q_ivm_merge_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     # bag-semantics merge of a projection view (dupes kept, deletes removed)
     eng = _engine(spark, sf_dir, deltas=("customer",))
@@ -579,6 +615,16 @@ def _embs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ivm_extension_spark.sources import ensure_parallelism, read_parquet
 
     return ensure_parallelism(read_parquet(spark, f"{sf_dir}/embeddings.parquet"))
+
+
+def _q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Gopher-style repetition signals as exact integers; Spark computes
+    # the top-bigram multiplicity as a per-row sorted-array run length
+    # (ONE narrow projection, zero shuffles — functions/text.py), the
+    # oracle as a relational unnest + two GROUP BYs.  Same integers.
+    from ivm_extension_spark.functions import text as tx
+
+    return tx.repetition_stats(_docs(spark, sf_dir))
 
 
 def _q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -873,6 +919,8 @@ _IVM_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ivm_merge_expr_key": _q_ivm_merge_expr_key,
     "ivm_merge_minmax_distinct": _q_ivm_merge_minmax_distinct,
     "ivm_merge_having": _q_ivm_merge_having,
+    "ivm_merge_variance": _q_ivm_merge_variance,
+    "ivm_merge_topk": _q_ivm_merge_topk,
     "ivm_merge_projection": _q_ivm_merge_projection,
     "ivm_multibatch_rollup": _q_ivm_multibatch_rollup,
     "ivm_multibatch_deletes": _q_ivm_multibatch_deletes,
@@ -1294,6 +1342,7 @@ _OLAP_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 
 _EXTRA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_stats": _q_text_stats,
+    "text_repetition": _q_text_repetition,
     "text_quality": _q_text_quality,
     "text_lang_id": _q_text_lang_id,
     "text_lang_accuracy": _q_text_lang_accuracy,
@@ -1599,6 +1648,32 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY o_custkey
             HAVING count(o_orderkey) >= 3
         """,
+        # variance recomposed from exact integer companions with the SAME
+        # IEEE expression tree the Spark read uses (merge.variance_col) —
+        # identical double ops over identical integers are bit-identical
+        "ivm_merge_variance": f"""
+            SELECT l_returnflag,
+                   {variance_oracle_sql('var_samp', 's', 'q', 'n')} AS var_qty,
+                   {variance_oracle_sql('stddev_pop', 's', 'q', 'n')} AS sd_qty,
+                   CAST(s AS BIGINT) AS sum_qty
+            FROM (
+                SELECT l_returnflag,
+                       sum(CAST(l_quantity AS BIGINT)) AS s,
+                       sum(CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT)) AS q,
+                       count(CAST(l_quantity AS BIGINT)) AS n
+                FROM {_applied_sql('lineitem')} t
+                GROUP BY l_returnflag
+            )
+        """,
+        "ivm_merge_topk": f"""
+            SELECT o_custkey, n_orders, sum_cents FROM (
+                SELECT o_custkey, count(o_orderkey) AS n_orders,
+                       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS sum_cents
+                FROM {_applied_sql('orders')} o
+                GROUP BY o_custkey
+            )
+            ORDER BY sum_cents DESC, o_custkey ASC LIMIT 20
+        """,
         "q13_custdist": """
             SELECT c_count, count(*) AS custdist
             FROM (SELECT c.c_custkey, count(o.o_orderkey) AS c_count
@@ -1853,6 +1928,32 @@ def _extras_oracle_sql() -> dict[str, str]:
                         AS INT) AS n_subwords,
                    md5({_NORM}) AS fp
             FROM documents
+        """,
+        "text_repetition": f"""
+            WITH st AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+            base AS (
+                SELECT doc_id, len(t) AS n_tokens,
+                       len(list_distinct(t)) AS n_distinct_tokens,
+                       CASE WHEN len(t) >= 2
+                            THEN list_transform(range(1, len(t)),
+                                                i -> t[i] || ' ' || t[i + 1])
+                            ELSE [] END AS bg
+                FROM st
+            ),
+            cnt AS (
+                SELECT doc_id, b, count(*) AS c
+                FROM (SELECT doc_id, unnest(bg) AS b FROM base)
+                GROUP BY doc_id, b
+            ),
+            top AS (SELECT doc_id, max(c) AS topc FROM cnt GROUP BY doc_id)
+            SELECT base.doc_id,
+                   CAST(n_tokens AS BIGINT) AS n_tokens,
+                   CAST(n_distinct_tokens AS BIGINT) AS n_distinct_tokens,
+                   CAST(len(bg) AS BIGINT) AS n_bigrams,
+                   CAST(coalesce(top.topc, 0) AS BIGINT) AS top_bigram_count,
+                   (coalesce(top.topc, 0) * 5 >= len(bg) AND len(bg) > 0)
+                       AS is_repetitive
+            FROM base LEFT JOIN top ON base.doc_id = top.doc_id
         """,
         "text_quality": f"""
             WITH feats AS (

@@ -311,18 +311,10 @@ class IVMEngine:
                 )
             else:
                 new_order.append(a)
-        return ViewDef(
-            name=vdef.name,
-            source=vdef.source,
-            select=tuple(cols),
-            aggregates=vdef.aggregates,
-            where=vdef.where,
-            group_by=vdef.group_by,
-            joins=vdef.joins,
-            output_order=tuple(new_order),
-            having=vdef.having,
-            distinct=vdef.distinct,
-            grouping_sets=vdef.grouping_sets,
+        import dataclasses
+
+        return dataclasses.replace(
+            vdef, select=tuple(cols), output_order=tuple(new_order)
         )
 
     # -- the IVM surface ---------------------------------------------------

@@ -242,3 +242,59 @@ def shingles_expr(col: str, n: int = 3) -> str:
 
 def with_word_shingles(df, col: str, n: int = 3, out: str = "shingles"):
     return df.withColumn(out, F.expr(shingles_expr(col, n)))
+
+
+def repetition_stats(df, id_col: str = "doc_id", text_col: str = "text"):
+    """Gopher-style repetition signals, per document, as exact integers
+    (hash-stable across engines — no float ratios in the output):
+
+    - ``n_tokens`` / ``n_distinct_tokens``: token multiset vs set size —
+      their ratio is the classic duplicated-token fraction;
+    - ``n_bigrams`` / ``top_bigram_count``: total word bigrams vs the
+      multiplicity of the most frequent one — a high share flags
+      boilerplate/templated text (Rae et al. 2021, "Gopher" §A1.1);
+    - ``is_repetitive``: top bigram covers ≥ 20 % of all bigrams
+      (integer predicate ``top * 5 >= n_bigrams``).
+
+    Scale: the whole computation is ONE narrow per-row projection —
+    tokenize once (lambda-bound, see ``_bind``), build bigrams, sort
+    them, and take the max run length with ``aggregate`` (the
+    multiset's max multiplicity equals the longest equal-run in any
+    sorted order).  No explode, no shuffle, nothing leaves the JVM —
+    at 100 TB this runs at parquet-scan speed, unlike the naive
+    explode→groupBy(doc, bigram)→groupBy(doc) double shuffle."""
+    bigrams_over_s = (
+        "CASE WHEN size(s) >= 2 THEN transform(sequence(1, size(s) - 1), "
+        "i -> concat(element_at(s, i), ' ', element_at(s, i + 1))) "
+        "ELSE array() END"
+    )
+    top_over_b = (
+        "aggregate(b, named_struct('prev', cast(null as string), 'run', 0L, 'best', 0L), "
+        "(acc, x) -> named_struct("
+        "'prev', x, "
+        "'run', IF(x <=> acc.prev, acc.run + 1L, 1L), "
+        "'best', greatest(acc.best, IF(x <=> acc.prev, acc.run + 1L, 1L))), "
+        "acc -> acc.best)"
+    )
+    inner_b = f"named_struct('n_bigrams', size(b), 'top', {top_over_b})"
+    inner_s = (
+        "named_struct('n_tokens', size(s), "
+        "'n_distinct', size(array_distinct(s)), "
+        f"'rep', {_bind(inner_b, f'array_sort({bigrams_over_s})', var='b')})"
+    )
+    st = df.select(
+        F.col(id_col),
+        F.expr(_bind(inner_s, f"split({_norm_sql(text_col)}, ' ')")).alias("__st"),
+    )
+    out = st.select(
+        F.col(id_col),
+        F.col("__st.n_tokens").cast("long").alias("n_tokens"),
+        F.col("__st.n_distinct").cast("long").alias("n_distinct_tokens"),
+        F.col("__st.rep.n_bigrams").cast("long").alias("n_bigrams"),
+        F.col("__st.rep.top").cast("long").alias("top_bigram_count"),
+    )
+    return out.withColumn(
+        "is_repetitive",
+        (F.col("top_bigram_count") * 5 >= F.col("n_bigrams"))
+        & (F.col("n_bigrams") > 0),
+    )

@@ -28,11 +28,47 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
+from pyspark.sql import Column
+
 from ivm_extension_spark.operators.rewrite import MULT_COL, IVMError
-from ivm_extension_spark.plans.viewdef import Aggregate, ViewDef
+from ivm_extension_spark.plans.viewdef import VARIANCE_AGGS, Aggregate, ViewDef
 
 HIDDEN_COUNT = "__ivm_count"
 _SIGN = "__ivm_sign"
+
+
+def variance_col(fn: str, s: Column, q: Column, n: Column) -> Column:
+    """Recompose a variance-family aggregate from its exact linear
+    companions s=SUM(x), q=SUM(x*x), n=COUNT(x).
+
+    The arithmetic is written as one fixed IEEE-754 expression tree
+    (cast-to-double → q − s·s/n → divide → clamp at 0 → sqrt) so an
+    oracle engine evaluating the *same* tree over the same exact integer
+    companions produces bit-identical doubles — see
+    :func:`variance_oracle_sql`, the SQL-text twin used by the driver's
+    DuckDB gate.  The clamp guards the tiny negative residue the
+    two-pass formula can leave for near-constant inputs."""
+    pop = fn.endswith("_pop")
+    s_d, q_d, n_d = s.cast("double"), q.cast("double"), n.cast("double")
+    denom = n_d if pop else (n_d - F.lit(1.0))
+    core = F.greatest((q_d - s_d * s_d / n_d) / denom, F.lit(0.0))
+    if fn.startswith("stddev"):
+        core = F.sqrt(core)
+    return F.when(n >= (1 if pop else 2), core).otherwise(F.lit(None).cast("double"))
+
+
+def variance_oracle_sql(fn: str, s: str, q: str, n: str) -> str:
+    """ANSI-SQL twin of :func:`variance_col` over companion column/expr
+    names — the exact same IEEE expression tree, for oracle parity."""
+    pop = fn.endswith("_pop")
+    denom = f"CAST({n} AS DOUBLE)" if pop else f"(CAST({n} AS DOUBLE) - 1.0)"
+    core = (
+        f"greatest((CAST({q} AS DOUBLE) - CAST({s} AS DOUBLE) * CAST({s} AS DOUBLE) "
+        f"/ CAST({n} AS DOUBLE)) / {denom}, 0.0)"
+    )
+    if fn.startswith("stddev"):
+        core = f"sqrt({core})"
+    return f"CASE WHEN {n} >= {1 if pop else 2} THEN {core} ELSE CAST(NULL AS DOUBLE) END"
 
 
 def internal_view(view: ViewDef) -> ViewDef:
@@ -49,24 +85,31 @@ def internal_view(view: ViewDef) -> ViewDef:
     """
     if not view.is_aggregate and not view.distinct:
         return view
+    import dataclasses
+
     aggs = list(view.aggregates)
     extra: list[Aggregate] = []
     for a in view.aggregates:
         if a.fn == "avg":
             extra.append(Aggregate("sum", a.expr, f"__ivm_avgsum_{a.alias}"))
             extra.append(Aggregate("count", a.expr, f"__ivm_avgcnt_{a.alias}"))
+        elif a.fn in VARIANCE_AGGS:
+            # exact linear companions: SUM(x), SUM(x*x), COUNT(x) — every
+            # delta/merge rule treats them as ordinary sums/counts, and
+            # finalize() recomposes the variance on read
+            extra.append(Aggregate("sum", a.expr, f"__ivm_vs_{a.alias}"))
+            extra.append(
+                Aggregate("sum", f"({a.expr}) * ({a.expr})", f"__ivm_vq_{a.alias}")
+            )
+            extra.append(Aggregate("count", a.expr, f"__ivm_vn_{a.alias}"))
     extra.append(Aggregate("count", "*", HIDDEN_COUNT))
-    return ViewDef(
-        name=view.name,
-        source=view.source,
-        select=view.select,
+    # the DISTINCT flag is consumed by this lowering (select items become
+    # group keys of the hidden count) — the internal view must not carry it
+    return dataclasses.replace(
+        view,
         aggregates=tuple(aggs + extra),
-        where=view.where,
-        group_by=view.group_by,
-        joins=view.joins,
         output_order=tuple([*view.output_order, *(e.alias for e in extra)]),
-        having=view.having,
-        grouping_sets=view.grouping_sets,
+        distinct=False,
     )
 
 
@@ -78,7 +121,7 @@ def finalize(df: DataFrame, view: ViewDef) -> DataFrame:
     visible result as later deltas move it across the threshold."""
     is_delta = MULT_COL in df.columns
     if view.grouping_sets and not is_delta:
-        return _finalize_grouping_sets(df, view)
+        return _read_transforms(_finalize_grouping_sets(df, view), view)
     cols = []
     for alias in view.output_order:
         agg = view.aggregate_by_alias(alias)
@@ -86,13 +129,41 @@ def finalize(df: DataFrame, view: ViewDef) -> DataFrame:
             cols.append(
                 (F.col(f"__ivm_avgsum_{alias}") / F.col(f"__ivm_avgcnt_{alias}")).alias(alias)
             )
+        elif agg is not None and agg.fn in VARIANCE_AGGS:
+            cols.append(
+                variance_col(
+                    agg.fn,
+                    F.col(f"__ivm_vs_{alias}"),
+                    F.col(f"__ivm_vq_{alias}"),
+                    F.col(f"__ivm_vn_{alias}"),
+                ).alias(alias)
+            )
         else:
             cols.append(F.col(alias))
     if is_delta:
         cols.append(F.col(MULT_COL))
     out = df.select(*cols)
-    if view.having and not is_delta:
+    if is_delta:
+        return out
+    if view.having:
         out = out.filter(F.expr(view.having))
+    return _read_transforms(out, view)
+
+
+def _read_transforms(out: DataFrame, view: ViewDef) -> DataFrame:
+    """ORDER BY / LIMIT on the public view.  Maintained state is always
+    the full pre-limit relation (a row's rank can move under later
+    deltas); with a LIMIT the read plans as TakeOrderedAndProject —
+    per-partition partial top-k, no global sort (plan-audited)."""
+    if view.order_by:
+        out = out.orderBy(
+            *[
+                F.expr(e).asc() if d == "asc" else F.expr(e).desc()
+                for e, d in view.order_by
+            ]
+        )
+    if view.limit is not None:
+        out = out.limit(view.limit)
     return out
 
 
@@ -130,6 +201,17 @@ def _finalize_grouping_sets(state: DataFrame, view: ViewDef) -> DataFrame:
                     (
                         F.sum(F.col(f"__ivm_avgsum_{a.alias}"))
                         / F.sum(F.col(f"__ivm_avgcnt_{a.alias}"))
+                    ).alias(a.alias)
+                )
+            elif a.fn in VARIANCE_AGGS:
+                # the hidden companions are plain sums — additive across
+                # the finest groups, so each rollup level recomposes exactly
+                aggs.append(
+                    variance_col(
+                        a.fn,
+                        F.sum(F.col(f"__ivm_vs_{a.alias}")),
+                        F.sum(F.col(f"__ivm_vq_{a.alias}")),
+                        F.sum(F.col(f"__ivm_vn_{a.alias}")),
                     ).alias(a.alias)
                 )
             else:  # pragma: no cover — rejected in ViewDef.__post_init__
@@ -230,8 +312,8 @@ def _merge_aggregate(
             # merging them as sum over-counts overlaps.  Approximate merge is
             # deliberate and documented; exact needs per-value state.
             m = F.sum(c * F.col(_SIGN)).cast("long")
-        elif a.fn == "avg":
-            # never merged directly: finalize() recomputes from hidden sum/cnt
+        elif a.fn == "avg" or a.fn in VARIANCE_AGGS:
+            # never merged directly: finalize() recomputes from hidden companions
             m = F.first(c)
         else:  # pragma: no cover
             raise NotImplementedError(a.fn)

@@ -82,6 +82,14 @@ def _agg_expr(agg: Aggregate):
         out = F.max(e)
     elif agg.fn == "count_distinct":
         out = F.count_distinct(e)
+    elif agg.fn == "var_pop":
+        out = F.var_pop(e)
+    elif agg.fn == "var_samp":
+        out = F.var_samp(e)
+    elif agg.fn == "stddev_pop":
+        out = F.stddev_pop(e)
+    elif agg.fn == "stddev_samp":
+        out = F.stddev_samp(e)
     else:  # pragma: no cover - guarded by Aggregate.__post_init__
         raise NotImplementedError(agg.fn)
     return out.alias(agg.alias)

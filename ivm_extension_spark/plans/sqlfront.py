@@ -21,7 +21,13 @@ import re
 
 from ivm_extension_spark.plans.viewdef import Aggregate, JoinSpec, ViewDef
 
-_AGG_RE = re.compile(r"^\s*(sum|count|avg|min|max)\s*\(\s*(.*)\s*\)\s*$", re.IGNORECASE | re.DOTALL)
+_AGG_RE = re.compile(
+    r"^\s*(sum|count|avg|min|max|var_pop|var_samp|stddev_pop|stddev_samp|stddev|variance)"
+    r"\s*\(\s*(.*)\s*\)\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+# ANSI spellings: VARIANCE/STDDEV are the sample variants
+_AGG_CANON = {"variance": "var_samp", "stddev": "stddev_samp"}
 _ALIAS_RE = re.compile(r"^(.*?)\s+as\s+([A-Za-z_][A-Za-z0-9_]*)\s*$", re.IGNORECASE | re.DOTALL)
 
 
@@ -225,23 +231,36 @@ def parse_view_sql(name: str, sql: str) -> ViewDef:
     """Parse restricted SQL into a ViewDef.
 
     Raises NotImplementedError for clauses outside the supported surface
-    (ORDER BY / LIMIT / subqueries), mirroring the reference's
+    (subqueries other than existence tests), mirroring the reference's
     NotImplementedException on unsupported plan nodes
     (ivm_rewrite_rule.hpp:282-283).  HAVING (which the reference rejects,
     README.md:36) is accepted: it must reference output aliases or group
     columns, and is applied to the *public* view on read — maintained
     state stays pre-HAVING so groups can cross the threshold later.
+    ORDER BY / LIMIT (top-k views) likewise apply on read: maintained
+    state is the full pre-limit view (a row's rank can change under later
+    deltas); LIMIT requires an ORDER BY for determinism.
     """
     sql = sql.strip().rstrip(";").strip()
     spans = _find_clause_spans(sql)
     if "select" not in spans or "from" not in spans:
         raise ValueError(f"view SQL must be SELECT ... FROM ...: {sql!r}")
-    for bad in ("order_by", "limit"):
-        if bad in spans:
-            raise NotImplementedError(
-                f"{bad.upper().replace('_', ' ')} is not part of the maintainable "
-                "view surface (apply it to the merged view state instead)"
+    order_by: list[tuple[str, str]] = []
+    if "order_by" in spans:
+        for item in _split_top_level(spans["order_by"]):
+            om = re.match(
+                r"^(.*?)\s+(asc|desc)\s*$", item.strip(), re.IGNORECASE | re.DOTALL
             )
+            if om:
+                order_by.append((om.group(1).strip(), om.group(2).lower()))
+            else:
+                order_by.append((item.strip(), "asc"))
+    limit: int | None = None
+    if "limit" in spans:
+        body = spans["limit"].strip()
+        if not body.isdigit():
+            raise NotImplementedError(f"LIMIT must be an integer literal, got {body!r}")
+        limit = int(body)
 
     # WHERE [NOT] EXISTS / IN (SELECT ...) conjuncts lower to semi/anti
     # joins BEFORE the blanket nested-subquery rejection — the reference
@@ -323,6 +342,7 @@ def parse_view_sql(name: str, sql: str) -> ViewDef:
         agg = _AGG_RE.match(expr)
         if agg:
             fn = agg.group(1).lower()
+            fn = _AGG_CANON.get(fn, fn)
             arg = agg.group(2).strip()
             dm = re.match(r"^distinct\s+(.*)$", arg, re.IGNORECASE | re.DOTALL)
             if dm:
@@ -350,6 +370,8 @@ def parse_view_sql(name: str, sql: str) -> ViewDef:
         having=spans.get("having"),
         distinct=distinct,
         grouping_sets=grouping_sets,
+        order_by=tuple(order_by),
+        limit=limit,
     )
 
 

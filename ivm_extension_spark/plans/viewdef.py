@@ -8,15 +8,20 @@ expressions held as Spark-SQL expression strings (Catalyst parses them via
 ``F.expr`` — no custom expression tree needed).
 
 Supported aggregate functions: sum, count, count(*), avg, min, max,
-count_distinct. The reference supports only SUM and COUNT
-(README.md:35); the rest are the closure its poster lists as future work.
+count_distinct, var_pop, var_samp, stddev_pop, stddev_samp. The
+reference supports only SUM and COUNT (README.md:35); the rest are the
+closure its poster lists as future work.  Variance-family aggregates are
+maintained exactly through hidden SUM(x), SUM(x*x), COUNT(x) companions
+(all linear, so every delta/merge rule applies unchanged) and recomposed
+on read.
 """
 
 from __future__ import annotations
 
 from dataclasses import dataclass
 
-SUPPORTED_AGGS = {"sum", "count", "avg", "min", "max", "count_distinct"}
+VARIANCE_AGGS = {"var_pop", "var_samp", "stddev_pop", "stddev_samp"}
+SUPPORTED_AGGS = {"sum", "count", "avg", "min", "max", "count_distinct"} | VARIANCE_AGGS
 
 
 @dataclass(frozen=True)
@@ -101,6 +106,16 @@ class ViewDef:
     # only brushes grouping sets defensively (ivm_rewrite_rule.hpp:
     # 237-242, appending its multiplicity key to grouping_sets[0]).
     grouping_sets: tuple[tuple[str, ...], ...] = ()
+    # ORDER BY / LIMIT (top-k) — the reference has no ORDER BY/LIMIT in any
+    # supported view (SURVEY.md §2c "sorts/limits").  Maintained state is
+    # ALWAYS the full pre-limit view: a row can enter or leave the top-k as
+    # later deltas move its rank, so the limit is applied when the public
+    # view is read (merge.finalize), like HAVING.  Each order_by item is
+    # (expression over output aliases, "asc"|"desc").  At scale the read is
+    # a per-partition partial top-k (TakeOrderedAndProject), never a global
+    # sort — plan-audited in tests/test_plan_audit.py.
+    order_by: tuple[tuple[str, str], ...] = ()
+    limit: int | None = None
 
     def __post_init__(self) -> None:
         if not self.output_order:
@@ -126,8 +141,19 @@ class ViewDef:
                         "COUNT(DISTINCT) cannot be re-aggregated from the "
                         "finest grouping (distinct values are not additive "
                         "across groups) — rollup/cube views support "
-                        "sum/count/min/max/avg"
+                        "sum/count/min/max/avg/variance"
                     )
+        if self.limit is not None:
+            if not self.order_by:
+                raise NotImplementedError(
+                    "LIMIT without ORDER BY is nondeterministic — give the "
+                    "view a total order (add a unique key to ORDER BY)"
+                )
+            if self.limit < 0:
+                raise ValueError(f"LIMIT must be non-negative, got {self.limit}")
+        for _, direction in self.order_by:
+            if direction not in ("asc", "desc"):
+                raise ValueError(f"ORDER BY direction must be asc/desc, got {direction!r}")
 
     @property
     def is_aggregate(self) -> bool:

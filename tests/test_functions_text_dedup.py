@@ -275,3 +275,32 @@ def test_frame_sample(docs):
     frames = multimodal.frame_sample(media, every_n_bytes=8, max_frames=4).collect()
     assert 1 <= len(frames) <= 4
     assert all(r["frame_checksum"] is not None for r in frames)
+
+
+def test_repetition_stats_exact_and_shuffle_free(spark):
+    import io
+    from contextlib import redirect_stdout
+
+    from ivm_extension_spark.functions import text as tx
+
+    df = spark.createDataFrame(
+        [
+            (1, "the cat sat on the mat the cat sat again"),  # "the cat" x2
+            (2, "go go go go go"),  # "go go" x4 of 4 bigrams
+            (3, "word"),  # no bigrams
+            (4, "a b a b a b a b"),  # "a b" x4, "b a" x3
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in tx.repetition_stats(df).collect()}
+    assert (out[1]["n_tokens"], out[1]["n_distinct_tokens"]) == (10, 6)
+    assert (out[1]["n_bigrams"], out[1]["top_bigram_count"]) == (9, 2)
+    assert (out[2]["top_bigram_count"], out[2]["is_repetitive"]) == (4, True)
+    assert (out[3]["n_bigrams"], out[3]["top_bigram_count"]) == (0, 0)
+    assert out[3]["is_repetitive"] is False
+    assert (out[4]["n_bigrams"], out[4]["top_bigram_count"]) == (7, 4)
+    # the whole thing is one narrow projection: no exchange anywhere
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        tx.repetition_stats(df).explain("formatted")
+    assert "Exchange" not in buf.getvalue()
