@@ -46,11 +46,29 @@ class IVMEngine:
     join branches — the IVM scale assumption is |ΔT| << |T|, which turns
     every delta-join branch into a broadcast hash join (no shuffle of
     the base fact table).  Disable for pathologically large deltas.
+
+    ``merge_strategy`` controls how grouped-aggregate state absorbs ΔV:
+
+    - ``"auto"`` (default): patch-merge when deltas are broadcastable,
+      else shuffle-merge.
+    - ``"patch"``: fold ΔV to one row per touched key, broadcast it onto
+      the state (LEFT join + anti part for new groups).  The state is
+      never exchanged — shuffled bytes per batch are O(|ΔV|), not
+      O(|V|), which is what keeps a 100-TB view maintainable.
+    - ``"shuffle"``: classic union + re-aggregate on the view keys.
     """
 
-    def __init__(self, spark: SparkSession, broadcast_deltas: bool = True) -> None:
+    def __init__(
+        self,
+        spark: SparkSession,
+        broadcast_deltas: bool = True,
+        merge_strategy: str = "auto",
+    ) -> None:
+        if merge_strategy not in ("auto", "patch", "shuffle"):
+            raise ValueError(f"merge_strategy must be auto/patch/shuffle, got {merge_strategy!r}")
         self.spark = spark
         self.broadcast_deltas = broadcast_deltas
+        self.merge_strategy = merge_strategy
         self._tables: dict[str, DataFrame] = {}
         self._deltas: dict[str, DataFrame] = {}
         self._views: dict[str, ViewDef] = {}
@@ -386,10 +404,25 @@ class IVMEngine:
             raise IVMError(f"view {name!r} was not materialized (create_immv)")
         dv = delta_v if delta_v is not None else self._materialized_delta(name)
         derived = self._advance_aux(name)
-        new_state = merge_ops.merge(self._state[name], dv, self._iviews[name], derived)
+        strategy = self.merge_strategy
+        if strategy == "auto":
+            strategy = "patch" if self.broadcast_deltas else "shuffle"
+        if strategy == "patch" and self._iviews[name].select:
+            # the patch path scans the state narrowly TWICE (combine join +
+            # touched-key probe) — pin it first so the second scan reads
+            # checkpointed blocks, not a re-run of the initial aggregation
+            st = self._state[name]
+            if not getattr(st, "_ivm_pinned", False):
+                st = st.localCheckpoint(eager=True)
+                st._ivm_pinned = True
+                self._state[name] = st
+        new_state = merge_ops.merge(
+            self._state[name], dv, self._iviews[name], derived, strategy
+        )
         # eager checkpoint: cuts lineage growth across repeated merges AND
         # pins the state so streaming micro-batch sources can be released
         new_state = new_state.localCheckpoint(eager=True)
+        new_state._ivm_pinned = True
         self._state[name] = new_state
         self._delta_views.pop(name, None)
         return merge_ops.finalize(new_state, vdef)
@@ -508,6 +541,87 @@ class IVMEngine:
         self._tables[name] = new_base
         self._deltas.pop(name, None)
         return new_base
+
+    # -- persistence -------------------------------------------------------
+
+    def save(self, path: str) -> None:
+        """Persist the engine's maintained state to ``path``: view
+        definitions (JSON catalog) + per-view internal-shape state and
+        aux relations as parquet.  Base tables are NOT copied — they are
+        the lakehouse's own tables and are re-registered on load.
+
+        At production scale the state tables would live as key-bucketed
+        lakehouse tables; this is the same layout with the bucketing left
+        to the storage layer.  The reference has no persistence at all —
+        its ``delta_<view>`` tables die with the DuckDB process unless the
+        user's catalog is file-backed."""
+        import json
+
+        catalog = {
+            "views": {n: v.to_dict() for n, v in self._views.items()},
+            "union_branches": {
+                n: [b.to_dict() for b in bs]
+                for n, bs in self._union_branches.items()
+            },
+            "materialized": sorted(self._state),
+            "aux": sorted(self._aux),
+            "aux_rows": dict(self._aux_rows),
+        }
+        for n in self._state:
+            self._state[n].write.mode("overwrite").parquet(f"{path}/state/{n}")
+        for n in self._aux:
+            self._aux[n].write.mode("overwrite").parquet(f"{path}/aux/{n}")
+        # catalog LAST: a crashed save leaves no catalog → load fails loudly
+        # rather than reading a torn state
+        cat_df = self.spark.createDataFrame(
+            [(json.dumps(catalog),)], "catalog_json string"
+        )
+        cat_df.coalesce(1).write.mode("overwrite").parquet(f"{path}/catalog")
+
+    @classmethod
+    def load(
+        cls,
+        spark: SparkSession,
+        path: str,
+        tables: dict[str, DataFrame | str],
+        broadcast_deltas: bool = True,
+        merge_strategy: str = "auto",
+    ) -> "IVMEngine":
+        """Rebuild an engine from :meth:`save` output.  ``tables`` maps
+        base-table names to DataFrames/paths (the current lakehouse
+        state — it must correspond to the world the saved view states
+        reflect, i.e. all previously applied deltas folded in).  Aux
+        metadata is re-derived from the schemas, not deserialized."""
+        import json
+
+        eng = cls(spark, broadcast_deltas=broadcast_deltas, merge_strategy=merge_strategy)
+        for t, src in tables.items():
+            eng.register_table(t, src)
+        row = spark.read.parquet(f"{path}/catalog").collect()[0]
+        catalog = json.loads(row["catalog_json"])
+        for n, d in catalog["views"].items():
+            vdef = ViewDef.from_dict(d)
+            for t in vdef.tables:
+                if t not in eng._tables:
+                    raise IVMError(
+                        f"saved view {n!r} references table {t!r}: pass it in tables="
+                    )
+            eng._views[n] = vdef
+            eng._iviews[n] = merge_ops.internal_view(vdef)
+        for n, bs in catalog["union_branches"].items():
+            branches = [ViewDef.from_dict(b) for b in bs]
+            eng._union_branches[n] = branches
+            eng._iviews[n] = branches[0]
+        for n in catalog["materialized"]:
+            eng._state[n] = spark.read.parquet(f"{path}/state/{n}")
+        for n in catalog["aux"]:
+            eng._aux[n] = spark.read.parquet(f"{path}/aux/{n}")
+            eng._aux_rows[n] = int(catalog["aux_rows"][n])
+            eng._aux_meta[n] = auxstate.agg_meta(eng._views[n], eng.table)
+        for n in catalog["views"]:
+            if n not in eng._aux_meta:
+                eng._aux_meta[n] = {}
+        return eng
 
     def maintain(self, name: str) -> DataFrame:
         """Advance view ``name`` through ALL registered deltas and return

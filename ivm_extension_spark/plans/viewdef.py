@@ -155,6 +155,42 @@ class ViewDef:
             if direction not in ("asc", "desc"):
                 raise ValueError(f"ORDER BY direction must be asc/desc, got {direction!r}")
 
+    def to_dict(self) -> dict:
+        """JSON-safe representation (see sources/persist.py)."""
+        return {
+            "name": self.name,
+            "source": self.source,
+            "select": [list(p) for p in self.select],
+            "aggregates": [[a.fn, a.expr, a.alias] for a in self.aggregates],
+            "where": self.where,
+            "group_by": list(self.group_by),
+            "joins": [[j.table, j.on, j.how] for j in self.joins],
+            "output_order": list(self.output_order),
+            "having": self.having,
+            "distinct": self.distinct,
+            "grouping_sets": [list(g) for g in self.grouping_sets],
+            "order_by": [list(o) for o in self.order_by],
+            "limit": self.limit,
+        }
+
+    @classmethod
+    def from_dict(cls, d: dict) -> "ViewDef":
+        return cls(
+            name=d["name"],
+            source=d["source"],
+            select=tuple(tuple(p) for p in d["select"]),
+            aggregates=tuple(Aggregate(*a) for a in d["aggregates"]),
+            where=d["where"],
+            group_by=tuple(d["group_by"]),
+            joins=tuple(JoinSpec(*j) for j in d["joins"]),
+            output_order=tuple(d["output_order"]),
+            having=d["having"],
+            distinct=d["distinct"],
+            grouping_sets=tuple(tuple(g) for g in d["grouping_sets"]),
+            order_by=tuple(tuple(o) for o in d["order_by"]),
+            limit=d["limit"],
+        )
+
     @property
     def is_aggregate(self) -> bool:
         return bool(self.aggregates)
