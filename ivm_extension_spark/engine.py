@@ -49,8 +49,12 @@ class IVMEngine:
 
     ``merge_strategy`` controls how grouped-aggregate state absorbs ΔV:
 
-    - ``"auto"`` (default): patch-merge when deltas are broadcastable,
-      else shuffle-merge.
+    - ``"auto"`` (default): adaptive — shuffle-merge while the tracked
+      state row count is below ``patch_min_state_rows`` (a small state's
+      exchange costs less than the patch path's extra jobs; measured at
+      sf0.1), patch-merge once the state outgrows it (the 100-TB
+      steady state, where exchanging the state is the thing that must
+      never happen).  Same policy shape as the aux-state advance.
     - ``"patch"``: fold ΔV to one row per touched key, broadcast it onto
       the state (LEFT join + anti part for new groups).  The state is
       never exchanged — shuffled bytes per batch are O(|ΔV|), not
@@ -63,12 +67,15 @@ class IVMEngine:
         spark: SparkSession,
         broadcast_deltas: bool = True,
         merge_strategy: str = "auto",
+        patch_min_state_rows: int = 1_000_000,
     ) -> None:
         if merge_strategy not in ("auto", "patch", "shuffle"):
             raise ValueError(f"merge_strategy must be auto/patch/shuffle, got {merge_strategy!r}")
         self.spark = spark
         self.broadcast_deltas = broadcast_deltas
         self.merge_strategy = merge_strategy
+        self.patch_min_state_rows = patch_min_state_rows
+        self._state_rows: dict[str, int] = {}  # measured post-merge (auto mode)
         self._tables: dict[str, DataFrame] = {}
         self._deltas: dict[str, DataFrame] = {}
         self._views: dict[str, ViewDef] = {}
@@ -406,7 +413,18 @@ class IVMEngine:
         derived = self._advance_aux(name)
         strategy = self.merge_strategy
         if strategy == "auto":
-            strategy = "patch" if self.broadcast_deltas else "shuffle"
+            # adaptive (mirrors the aux-state advance policy): the patch
+            # path spends a few fixed jobs (state pin, ΔV fold checkpoint,
+            # broadcast builds) to avoid exchanging the state — a clear
+            # win once |V| is large, pure overhead while |V| is small.
+            # State size is measured on the checkpointed state after each
+            # merge (a block-scan count, not a recompute).
+            strategy = (
+                "patch"
+                if self.broadcast_deltas
+                and self._state_rows.get(name, 0) >= self.patch_min_state_rows
+                else "shuffle"
+            )
         if strategy == "patch" and self._iviews[name].select:
             # the patch path scans the state narrowly TWICE (combine join +
             # touched-key probe) — pin it first so the second scan reads
@@ -416,6 +434,7 @@ class IVMEngine:
                 st = st.localCheckpoint(eager=True)
                 st._ivm_pinned = True
                 self._state[name] = st
+        self._last_merge_strategy = strategy  # observable for tests/telemetry
         new_state = merge_ops.merge(
             self._state[name], dv, self._iviews[name], derived, strategy
         )
@@ -424,6 +443,10 @@ class IVMEngine:
         new_state = new_state.localCheckpoint(eager=True)
         new_state._ivm_pinned = True
         self._state[name] = new_state
+        if self.merge_strategy == "auto":
+            # cheap block-scan over the just-checkpointed state; feeds the
+            # adaptive strategy choice for the NEXT batch
+            self._state_rows[name] = new_state.count()
         self._delta_views.pop(name, None)
         return merge_ops.finalize(new_state, vdef)
 
@@ -542,6 +565,44 @@ class IVMEngine:
         self._deltas.pop(name, None)
         return new_base
 
+    # -- SQL front door (reference entry-point parity) ---------------------
+
+    def execute(self, sql: str) -> DataFrame | None:
+        """Text entry points matching the reference's three surfaces:
+
+        - ``CREATE IMMV <name> AS <select>`` — the parser-extension path
+          the reference left unfinished (ivm_parser.cpp:14-52 detects and
+          strips the prefix but returns an empty result; its regex
+          helpers even match ``CREATE MATERIALIZED VIEW``,
+          ivm_parser_helpers.cpp:8 — both spellings accepted here).
+        - ``PRAGMA ivm_upsert('catalog','schema','view')`` — the
+          reference's live entry point (ivm_extension.cpp:95-110).  The
+          catalog/schema qualifiers are accepted and ignored (this
+          engine's namespace is flat, SURVEY.md §1.4); a single-argument
+          form ``PRAGMA ivm_upsert('view')`` works too.  Returns ΔV.
+        - anything else: run via ``spark.sql`` with every registered
+          table and materialized view exposed as a temp view — plain
+          read-only queries compose with maintained state.
+        """
+        import re
+
+        s = sql.strip().rstrip(";").strip()
+        m = re.match(
+            r"(?is)^create\s+(?:immv|materialized\s+view)\s+([A-Za-z_]\w*)\s+as\s+(.+)$",
+            s,
+        )
+        if m:
+            return self.create_immv(m.group(1), sql=m.group(2))
+        m = re.match(r"(?is)^pragma\s+ivm_upsert\s*\(\s*(.+?)\s*\)$", s)
+        if m:
+            args = [a.strip().strip("'\"") for a in m.group(1).split(",")]
+            return self.ivm_upsert(args[-1])
+        for t, df in self._tables.items():
+            df.createOrReplaceTempView(t)
+        for v in self._state:
+            self.read_view(v).createOrReplaceTempView(v)
+        return self.spark.sql(s)
+
     # -- persistence -------------------------------------------------------
 
     def save(self, path: str) -> None:
@@ -566,6 +627,7 @@ class IVMEngine:
             "materialized": sorted(self._state),
             "aux": sorted(self._aux),
             "aux_rows": dict(self._aux_rows),
+            "state_rows": dict(self._state_rows),
         }
         for n in self._state:
             self._state[n].write.mode("overwrite").parquet(f"{path}/state/{n}")
@@ -614,6 +676,8 @@ class IVMEngine:
             eng._iviews[n] = branches[0]
         for n in catalog["materialized"]:
             eng._state[n] = spark.read.parquet(f"{path}/state/{n}")
+            if n in catalog.get("state_rows", {}):
+                eng._state_rows[n] = int(catalog["state_rows"][n])
         for n in catalog["aux"]:
             eng._aux[n] = spark.read.parquet(f"{path}/aux/{n}")
             eng._aux_rows[n] = int(catalog["aux_rows"][n])

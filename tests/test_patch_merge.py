@@ -141,3 +141,26 @@ def test_patch_merge_plan_never_exchanges_state(spark):
     shuffles = re.findall(r"Exchange (?:hash|range|rangepartitioning)", plan)
     assert not shuffles, plan
     assert "BroadcastHashJoin" in plan, plan
+
+
+def test_auto_strategy_is_adaptive(spark):
+    # small state → shuffle; once the measured state crosses the
+    # threshold, the next batch patches (the aux-advance policy shape)
+    eng = IVMEngine(spark, merge_strategy="auto", patch_min_state_rows=2)
+    base = spark.createDataFrame([("a", 1), ("b", 2), ("c", 3)], "k string, x int")
+    eng.register_table("t", base)
+    eng.create_immv("v", sql="SELECT k, sum(x) AS s FROM t GROUP BY k")
+
+    def batch(rows_):
+        d = spark.createDataFrame(rows_, f"k string, x int, {MULT_COL} boolean")
+        eng.register_delta("t", d)
+        eng.ivm_upsert("v")
+        out = eng.merge_view("v")
+        eng.apply_delta("t")
+        return out
+
+    batch([("a", 10, True)])
+    assert eng._last_merge_strategy == "shuffle"  # size unknown on batch 1
+    batch([("b", 20, True)])
+    assert eng._last_merge_strategy == "patch"  # measured 3 rows >= 2
+    assert rows(eng.read_view("v")) == [("a", 11), ("b", 22), ("c", 3)]
