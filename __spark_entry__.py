@@ -49,6 +49,7 @@ DELTA_DEFS: dict[str, tuple[str, str]] = {
     "lineitem": ("l_orderkey % 10 = 0", "l_linenumber % 2 = 0"),
     "orders": ("o_orderkey % 10 = 0", "o_custkey % 2 = 0"),
     "customer": ("c_custkey % 20 = 0", "c_nationkey % 2 = 0"),
+    "events": ("event_id % 10 = 0", "user_id % 2 = 0"),
 }
 
 
@@ -529,6 +530,54 @@ def _q_ivm_merge_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return eng.merge_view("v")
 
 
+def _q_ivm_merge_chain_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # delta on the SEMI-position table of a 3-table chain (EXISTS over
+    # lineitem): membership-flip rule — P rows enter/leave as their key's
+    # match count in lineitem' crosses zero (rewrite._chain_single_delta)
+    eng = _engine(spark, sf_dir, deltas=("lineitem",))
+    eng.create_immv(
+        "v",
+        sql="SELECT c_mktsegment, count(*) AS n_orders "
+        "FROM orders JOIN customer ON o_custkey = c_custkey "
+        "WHERE EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey "
+        "AND l_quantity > 45) "
+        "GROUP BY c_mktsegment",
+    )
+    eng.ivm_upsert("v")
+    return eng.merge_view("v")
+
+
+def _q_ivm_merge_full_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # FULL OUTER leading a 3-table chain with deltas on BOTH of its
+    # sides; the left-joined dimension folds in linearly (NULL padding
+    # from the outer join propagates through the suffix)
+    eng = _engine(spark, sf_dir, deltas=("orders", "customer"))
+    eng.create_immv(
+        "v",
+        sql="SELECT o_orderkey, c_custkey, c_mktsegment, n_name "
+        "FROM customer FULL JOIN orders ON c_custkey = o_custkey "
+        "LEFT JOIN nation ON c_nationkey = n_nationkey",
+    )
+    eng.ivm_upsert("v")
+    return eng.merge_view("v")
+
+
+def _q_ivm_merge_time_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # maintained tumbling-window rollup over the event stream table:
+    # the window is an expression group key (date_trunc), so the whole
+    # streaming-rollup shape maintains with the plain group-by delta rule
+    # — late events are just delta rows landing in an old window's group
+    eng = _engine(spark, sf_dir, deltas=("events",))
+    eng.create_immv(
+        "v",
+        sql="SELECT date_trunc('hour', ts) AS h, event_type, count(*) AS n, "
+        "sum(cast(round(value * 100) AS bigint)) AS v_cents "
+        "FROM events GROUP BY date_trunc('hour', ts), event_type",
+    )
+    eng.ivm_upsert("v")
+    return eng.merge_view("v")
+
+
 def _q_ivm_merge_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     # bag-semantics merge of a projection view (dupes kept, deletes removed)
     eng = _engine(spark, sf_dir, deltas=("customer",))
@@ -921,6 +970,9 @@ _IVM_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ivm_merge_having": _q_ivm_merge_having,
     "ivm_merge_variance": _q_ivm_merge_variance,
     "ivm_merge_topk": _q_ivm_merge_topk,
+    "ivm_merge_time_window": _q_ivm_merge_time_window,
+    "ivm_merge_chain_semi": _q_ivm_merge_chain_semi,
+    "ivm_merge_full_chain": _q_ivm_merge_full_chain,
     "ivm_merge_projection": _q_ivm_merge_projection,
     "ivm_multibatch_rollup": _q_ivm_multibatch_rollup,
     "ivm_multibatch_deletes": _q_ivm_multibatch_deletes,
@@ -1664,6 +1716,25 @@ def oracle_sql() -> dict[str, str]:
                 FROM {_applied_sql('lineitem')} t
                 GROUP BY l_returnflag
             )
+        """,
+        "ivm_merge_chain_semi": f"""
+            SELECT c_mktsegment, count(*) AS n_orders
+            FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+            WHERE EXISTS (SELECT 1 FROM {_applied_sql('lineitem')} l
+                          WHERE l.l_orderkey = o.o_orderkey AND l.l_quantity > 45)
+            GROUP BY c_mktsegment
+        """,
+        "ivm_merge_full_chain": f"""
+            SELECT o_orderkey, c_custkey, c_mktsegment, n_name
+            FROM {_applied_sql('customer')} c
+            FULL JOIN {_applied_sql('orders')} o ON c.c_custkey = o.o_custkey
+            LEFT JOIN nation n ON c.c_nationkey = n.n_nationkey
+        """,
+        "ivm_merge_time_window": f"""
+            SELECT date_trunc('hour', ts) AS h, event_type, count(*) AS n,
+                   CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS v_cents
+            FROM {_applied_sql('events')} t
+            GROUP BY date_trunc('hour', ts), event_type
         """,
         "ivm_merge_topk": f"""
             SELECT o_custkey, n_orders, sum_cents FROM (

@@ -168,15 +168,42 @@ def _delta_source(
         if len(with_delta) == 1 and all(j.how != "full" for j in view.joins):
             (dt,) = with_delta
             i = tables.index(dt)
-            if i > 0 and view.joins[i - 1].how in ("inner", "left"):
+            if i > 0 and view.joins[i - 1].how in ("inner", "left", "semi", "anti"):
                 return _chain_single_delta(
                     view, get_table, get_delta, broadcast_deltas, i
                 )
+        if (
+            len(tables) > 2
+            and view.joins[0].how == "full"
+            and all(j.how != "full" for j in view.joins[1:])
+            and with_delta <= {tables[0], tables[1]}
+        ):
+            # FULL OUTER leading a chain, deltas confined to its two sides:
+            # ΔV = Δ(T0 ⟗ T1) ∘ suffix — the suffix is linear in its left
+            # argument (inner/left/semi/anti with unchanged right sides),
+            # and NULL join keys from the outer padding propagate exactly
+            # as recomputation would (left pads, inner/semi drop).
+            import dataclasses
+
+            core = _outer_join_delta(
+                dataclasses.replace(view, joins=(view.joins[0],)),
+                get_table,
+                get_delta,
+                broadcast_deltas,
+                full=True,
+            )
+            for j in view.joins[1:]:
+                core = core.join(
+                    get_table(j.table).alias(j.table), on=F.expr(j.on), how=j.how
+                )
+            return core
         raise IVMError(
             "this join-view shape is not maintainable: chains (>2 tables) "
             "with outer/semi/anti joins take a delta on the leftmost table, "
-            "or on a single inner/left-joined table; FULL OUTER and "
-            "semi/anti positions accept deltas only in two-table views"
+            "or on any single other table (inner/left/semi/anti position); "
+            "FULL OUTER must lead the chain and takes deltas only on its own "
+            "two sides.  Multi-table delta batches decompose sequentially "
+            "(engine.maintain does this)"
         )
 
     branches: list[DataFrame] = []
@@ -489,6 +516,10 @@ def _chain_single_delta(
       count in Ti crosses zero gain (+1) or lose (−1) their NULL-padded
       row.  Match counts depend only on Ti, so the flip-key computation
       is identical to the two-table rule's (see _outer_join_delta).
+    - semi/anti: membership-only — Ti contributes no columns, so ΔV is
+      exactly the P rows whose match count crosses zero: semi gains emit
+      (+1) and losses retract (−1); anti is the complement (signs flip).
+      Same flip machinery, no NULL padding, no inner branch.
 
     Scale shape: P and Ti are never shuffled — ΔTi and the flip-key set
     are BROADCAST; the only aggregations are over O(|Δ| + affected
@@ -517,18 +548,50 @@ def _chain_single_delta(
     # Branches keep their per-table aliases so qualified column
     # references in SUFFIX join conditions still resolve; the suffix is
     # therefore folded into each branch and the union happens last.
-    branches = [P.join(bc(dR.alias(rname)), on=F.expr(join_i.on), how="inner")]
+    # Semi/anti positions have no inner part: Ti contributes no columns,
+    # only membership, which changes via the flip rule below.
+    branches = []
+    if join_i.how in ("inner", "left"):
+        branches.append(P.join(bc(dR.alias(rname)), on=F.expr(join_i.on), how="inner"))
 
-    if join_i.how == "left":
-        pairs = _equi_pairs(join_i.on, list(tables[:i]), rname, pcols, R.columns)
-        if pairs is None:
-            raise IVMError(
-                "left-join chain maintenance requires a conjunctive "
-                f"equi-join at the delta position, got {join_i.on!r}"
+    if join_i.how in ("left", "semi", "anti"):
+        # split the condition like the two-table semi/anti rule: equi
+        # pairs drive the match counting, Ti-local predicates are pushed
+        # into Ti/ΔTi first (they only shrink what counts as a match)
+        pairs: list[tuple[str, str]] = []
+        rlocal: list[str] = []
+        for conj in _split_depth0(join_i.on, _AND_RX):
+            p = _equi_pairs(conj, list(tables[:i]), rname, pcols, R.columns)
+            if p:
+                pairs += p
+                continue
+            mentions_p = any(
+                re.search(rf"\b{re.escape(n)}\s*\.", conj) for n in tables[:i]
+            ) or any(
+                re.search(rf"\b{re.escape(c)}\b", conj) and c not in R.columns
+                for c in pcols
             )
+            if not mentions_p:
+                rlocal.append(conj)
+                continue
+            raise IVMError(
+                f"{join_i.how}-join chain maintenance requires conjunctive "
+                "equi pairs plus optional delta-side-local predicates at the "
+                f"delta position, got {conj!r}"
+            )
+        if not pairs:
+            raise IVMError(
+                f"{join_i.how}-join chain maintenance needs at least one "
+                f"equi pair in {join_i.on!r}"
+            )
+        R_m, dR_m = R, dR
+        if rlocal:
+            pred = " AND ".join(f"({c})" for c in rlocal)
+            R_m = R.alias(rname).filter(F.expr(pred))
+            dR_m = dR.alias(rname).filter(F.expr(pred))
         knames = [f"__k{n}" for n in range(len(pairs))]
         db_key_dm = (
-            dR.alias(rname)
+            dR_m.alias(rname)
             .select(
                 *[F.expr(be).alias(k) for (_, be), k in zip(pairs, knames)],
                 F.col(_SIGN).alias("__w"),
@@ -537,7 +600,7 @@ def _chain_single_delta(
             .agg(F.sum("__w").alias("__dm"))
         )
         m_old = (
-            R.alias(rname)
+            R_m.alias(rname)
             .select(*[F.expr(be).alias(k) for (_, be), k in zip(pairs, knames)])
             .join(bc(db_key_dm.select(*knames)), on=knames, how="leftsemi")
             .groupBy(*knames)
@@ -561,26 +624,37 @@ def _chain_single_delta(
         for (pe, _), k in zip(pairs, knames):
             c = F.expr(pe) == F.col(f"__fl.{k}")
             flip_cond = c if flip_cond is None else (flip_cond & c)
-        # NULL-padded Ti columns carried by a BROADCAST single-NULL-row
-        # relation aliased as Ti, so qualified suffix conditions resolve
-        null_row = (
-            R.sparkSession.range(1)
-            .select(
-                *[F.lit(None).cast(R.schema[c].dataType).alias(c) for c in R.columns]
+        matched = P.join(bc(flips), on=flip_cond, how="inner")
+        if join_i.how == "left":
+            # NULL-padded Ti columns carried by a BROADCAST single-NULL-row
+            # relation aliased as Ti, so qualified suffix conditions resolve
+            null_row = (
+                R.sparkSession.range(1)
+                .select(
+                    *[
+                        F.lit(None).cast(R.schema[c].dataType).alias(c)
+                        for c in R.columns
+                    ]
+                )
+                .alias(rname)
             )
-            .alias(rname)
-        )
-        t2 = (
-            P.join(bc(flips), on=flip_cond, how="inner")
-            .withColumn(_SIGN, F.col("__fl.__flip"))
-            .drop("__flip", *knames)
-            .crossJoin(F.broadcast(null_row))
-        )
+            t2 = (
+                matched.withColumn(_SIGN, F.col("__fl.__flip"))
+                .drop("__flip", *knames)
+                .crossJoin(F.broadcast(null_row))
+            )
+        else:
+            # flip convention above: gain → −1, loss → +1 (the NULL-row /
+            # complement sign).  That IS the anti-join sign; semi negates.
+            sign = F.col("__fl.__flip")
+            if join_i.how == "semi":
+                sign = -sign
+            t2 = matched.withColumn(_SIGN, sign).drop("__flip", *knames)
         branches.append(t2)
 
     out_refs = [
         *prefs,
-        *[(rname, c) for c in R.columns],
+        *([(rname, c) for c in R.columns] if join_i.how not in ("semi", "anti") else []),
         *[
             (j.table, c)
             for j in joins[i:]

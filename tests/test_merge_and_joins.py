@@ -784,8 +784,10 @@ def test_semi_join_theta_condition_rejected(spark):
         eng.ivm_upsert("v")
 
 
-def test_semi_join_chain_dim_delta_rejected(spark):
-    eng = lj_engine(spark, dord=[(20, 3, True)])
+def test_semi_join_chain_dim_delta_maintained(spark):
+    # delta on the semi-position table of a chain — previously rejected,
+    # now maintained via the membership-flip rule (_chain_single_delta)
+    eng = lj_engine(spark, dord=[(20, 3, True), (10, 1, False), (11, 1, False)])
     eng.register_table(
         "seg_dim", spark.createDataFrame([("a", "A")], "sg string, nm string")
     )
@@ -794,8 +796,10 @@ def test_semi_join_chain_dim_delta_rejected(spark):
         sql="SELECT ck, seg FROM cust JOIN seg_dim ON seg = sg "
         "AND nm = 'A' WHERE EXISTS (SELECT 1 FROM orders WHERE ck = ck2)",
     )
-    with pytest.raises(IVMError, match="leftmost"):
-        eng.ivm_upsert("v")
+    eng.ivm_upsert("v")
+    merged = rows(eng.merge_view("v"))
+    eng.apply_delta("orders")
+    assert merged == rows(eng.full_refresh("v"))
 
 
 # -- SELECT DISTINCT views (duplicate elimination by counting) --------------
@@ -1050,3 +1054,121 @@ def test_rollup_count_distinct_rejected(spark):
             "v",
             sql="SELECT b, count(DISTINCT c) AS nd FROM t GROUP BY ROLLUP (b)",
         )
+
+
+def test_semi_chain_position_delta_maintained(spark):
+    # WHERE EXISTS lowers to a semi join appended after the inner join —
+    # a 3-table chain with the delta on the SEMI position table.
+    # rewrite._chain_single_delta: membership flips only (no columns from
+    # the semi table): key gains matches → P row enters (+1), loses all
+    # matches → row retracts (−1).
+    eng = lj_engine(spark)
+    eng.register_table(
+        "flags", spark.createDataFrame([(1,), (3,)], "fk int")
+    )
+    # deletes drain fk=1 (rows with ck=1 leave), insert fk=2 (rows enter)
+    eng.register_delta(
+        "flags",
+        spark.createDataFrame(
+            [(1, False), (2, True)], "fk int, _duckdb_ivm_multiplicity boolean"
+        ),
+    )
+    eng.create_immv(
+        "v",
+        sql="SELECT ck, ok, seg FROM cust JOIN orders ON ck = ck2 "
+        "WHERE EXISTS (SELECT 1 FROM flags WHERE fk = ck)",
+    )
+    eng.ivm_upsert("v")
+    merged = rows(eng.merge_view("v"))
+    eng.apply_delta("flags")
+    truth = rows(eng.full_refresh("v"))
+    assert merged == truth, (merged, truth)
+
+
+def test_anti_chain_position_delta_maintained(spark):
+    # NOT EXISTS at the chain tail, delta on the anti table: complement
+    # signs — key gains matches → row leaves (−1), loses all → enters (+1)
+    eng = lj_engine(spark)
+    eng.register_table("flags", spark.createDataFrame([(1,), (3,)], "fk int"))
+    eng.register_delta(
+        "flags",
+        spark.createDataFrame(
+            [(1, False), (2, True)], "fk int, _duckdb_ivm_multiplicity boolean"
+        ),
+    )
+    eng.create_immv(
+        "v",
+        sql="SELECT ck, ok, seg FROM cust JOIN orders ON ck = ck2 "
+        "WHERE NOT EXISTS (SELECT 1 FROM flags WHERE fk = ck)",
+    )
+    eng.ivm_upsert("v")
+    merged = rows(eng.merge_view("v"))
+    eng.apply_delta("flags")
+    truth = rows(eng.full_refresh("v"))
+    assert merged == truth, (merged, truth)
+
+
+def test_semi_chain_with_aggregate_view_multibatch(spark):
+    # aggregate over the semi-position chain, two batches incl. deletes
+    eng = lj_engine(spark)
+    eng.register_table("flags", spark.createDataFrame([(1,), (2,)], "fk int"))
+    eng.register_delta(
+        "flags",
+        spark.createDataFrame(
+            [(2, False), (3, True)], "fk int, _duckdb_ivm_multiplicity boolean"
+        ),
+    )
+    eng.create_immv(
+        "v",
+        sql="SELECT seg, count(*) AS n FROM cust JOIN orders ON ck = ck2 "
+        "WHERE EXISTS (SELECT 1 FROM flags WHERE fk = ck) GROUP BY seg",
+    )
+    eng.maintain("v")
+    eng.register_delta(
+        "flags",
+        spark.createDataFrame(
+            [(1, False)], "fk int, _duckdb_ivm_multiplicity boolean"
+        ),
+    )
+    got = rows(eng.maintain("v"))
+    assert got == rows(eng.full_refresh("v"))
+
+
+def test_full_outer_leading_chain_maintained(spark):
+    # FULL OUTER leading a 3-table chain, deltas on BOTH of its sides:
+    # Δ(T0 ⟗ T1) via the two-table counting rule, suffix folds linearly
+    # (NULL keys from the outer padding drop at inner joins / pad at left)
+    eng = lj_engine(
+        spark,
+        dcust=[(5, "e", True), (2, "b", False)],
+        dord=[(20, 3, True), (10, 1, False), (11, 1, False)],
+    )
+    eng.register_table(
+        "seg_dim",
+        spark.createDataFrame([("a", "A"), ("b", "B"), ("e", "E")], "sg string, nm string"),
+    )
+    eng.create_immv(
+        "v",
+        sql="SELECT ck, ok, seg, nm FROM cust FULL JOIN orders ON ck = ck2 "
+        "LEFT JOIN seg_dim ON seg = sg",
+    )
+    eng.ivm_upsert("v")
+    merged = rows(eng.merge_view("v"))
+    eng.apply_delta("cust")
+    eng.apply_delta("orders")
+    assert merged == rows(eng.full_refresh("v"))
+
+
+def test_full_outer_mid_chain_still_rejected(spark):
+    # FULL in a non-leading position (or deltas beyond its sides) stays out
+    eng = lj_engine(spark, dord=[(20, 3, True)])
+    eng.register_table(
+        "seg_dim", spark.createDataFrame([("a", "A")], "sg string, nm string")
+    )
+    eng.create_immv(
+        "v",
+        sql="SELECT ck, ok, seg, nm FROM cust LEFT JOIN seg_dim ON seg = sg "
+        "FULL JOIN orders ON ck = ck2",
+    )
+    with pytest.raises(IVMError, match="FULL OUTER"):
+        eng.ivm_upsert("v")

@@ -37,6 +37,14 @@ VIEW_SHAPES = [
     "SELECT min(a) AS lo, count(DISTINCT c) AS nd FROM t",
     # HAVING: applied on read, state pre-HAVING
     "SELECT b, sum(a) AS s FROM t GROUP BY b HAVING s > 0",
+    # variance family: hidden SUM/SUM-of-squares/COUNT companions are
+    # exact integers here, so merged and recomputed doubles are
+    # bit-identical (same recompose expression tree)
+    "SELECT b, var_samp(a) AS v, stddev_pop(a) AS sd FROM t GROUP BY b",
+    # top-k view: full pre-limit state, deterministic total order
+    "SELECT b, sum(a) AS s FROM t GROUP BY b ORDER BY s DESC, b ASC LIMIT 2",
+    # DISTINCT single-table
+    "SELECT DISTINCT b, c FROM t",
 ]
 
 
@@ -185,6 +193,15 @@ CHAIN_SHAPES = [
     "JOIN g ON d.gk = g.gk GROUP BY label",
     "SELECT name, min(a) AS lo, max(label) AS hi FROM f JOIN d ON f.k = d.k "
     "LEFT JOIN g ON d.gk = g.gk GROUP BY name",
+    # semi/anti tail: delta on g exercises the membership-flip chain rule,
+    # delta on d exercises the mid-chain rule with a semi/anti suffix
+    "SELECT a, name FROM f JOIN d ON f.k = d.k "
+    "WHERE EXISTS (SELECT 1 FROM g WHERE g.gk = d.gk)",
+    "SELECT a, name FROM f LEFT JOIN d ON f.k = d.k "
+    "WHERE NOT EXISTS (SELECT 1 FROM g WHERE g.gk = d.gk)",
+    "SELECT name, count(*) AS n FROM f JOIN d ON f.k = d.k "
+    "WHERE EXISTS (SELECT 1 FROM g WHERE g.gk = d.gk AND g.label = 'p') "
+    "GROUP BY name",
 ]
 
 
@@ -233,3 +250,45 @@ def test_ivm_invariant_chain_dim_delta(
     eng.apply_delta(which)
     truth = rows(eng.full_refresh("v"))
     assert merged == truth, (fact, dim, dim2, delta, which, shape)
+
+
+# -- patch merge ≡ shuffle merge under random deltas -----------------------
+
+PATCH_SHAPES = [
+    "SELECT b, sum(a) AS s, count(c) AS n FROM t GROUP BY b",
+    "SELECT b, avg(a) AS m, var_samp(a) AS v FROM t GROUP BY b",
+    "SELECT b, sum(a) AS s FROM t GROUP BY b HAVING s > 0",
+]
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+@given(
+    base=base_st,
+    inserts=st.lists(row_st, min_size=0, max_size=6),
+    delete_mask=st.lists(st.booleans(), min_size=12, max_size=12),
+    shape=st.sampled_from(PATCH_SHAPES),
+)
+def test_patch_merge_equals_shuffle_merge(spark, base, inserts, delete_mask, shape):
+    deletes = [r for r, m in zip(base, delete_mask) if m]
+    delta = [(*r, True) for r in inserts] + [(*r, False) for r in deletes]
+    results = {}
+    for strat in ("patch", "shuffle"):
+        eng = IVMEngine(spark, merge_strategy=strat)
+        eng.register_table(
+            "t", spark.createDataFrame(base, schema="a int, b string, c string")
+        )
+        eng.register_delta(
+            "t",
+            spark.createDataFrame(
+                delta,
+                schema="a int, b string, c string, _duckdb_ivm_multiplicity boolean",
+            ),
+        )
+        eng.create_immv("v", sql=shape)
+        eng.ivm_upsert("v")
+        results[strat] = rows(eng.merge_view("v"))
+    assert results["patch"] == results["shuffle"], (base, delta, shape)
