@@ -562,6 +562,21 @@ def _q_ivm_merge_full_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
     return eng.merge_view("v")
 
 
+def _q_ivm_merge_full_pos_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # FULL OUTER at the DELTA position of a chain: prefix (nation ⟕
+    # customer) is unchanged; delta orders rows add the left-like terms
+    # plus the Ti-preserved term (NULL-padded prefix for unmatched keys)
+    eng = _engine(spark, sf_dir, deltas=("orders",))
+    eng.create_immv(
+        "v",
+        sql="SELECT o_orderkey, o_orderstatus, c_custkey, n_name "
+        "FROM nation LEFT JOIN customer ON n_nationkey = c_nationkey "
+        "FULL JOIN orders ON c_custkey = o_custkey",
+    )
+    eng.ivm_upsert("v")
+    return eng.merge_view("v")
+
+
 def _q_ivm_merge_time_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     # maintained tumbling-window rollup over the event stream table:
     # the window is an expression group key (date_trunc), so the whole
@@ -973,6 +988,7 @@ _IVM_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ivm_merge_time_window": _q_ivm_merge_time_window,
     "ivm_merge_chain_semi": _q_ivm_merge_chain_semi,
     "ivm_merge_full_chain": _q_ivm_merge_full_chain,
+    "ivm_merge_full_pos_chain": _q_ivm_merge_full_pos_chain,
     "ivm_merge_projection": _q_ivm_merge_projection,
     "ivm_multibatch_rollup": _q_ivm_multibatch_rollup,
     "ivm_multibatch_deletes": _q_ivm_multibatch_deletes,
@@ -1729,6 +1745,12 @@ def oracle_sql() -> dict[str, str]:
             FROM {_applied_sql('customer')} c
             FULL JOIN {_applied_sql('orders')} o ON c.c_custkey = o.o_custkey
             LEFT JOIN nation n ON c.c_nationkey = n.n_nationkey
+        """,
+        "ivm_merge_full_pos_chain": f"""
+            SELECT o_orderkey, o_orderstatus, c_custkey, n_name
+            FROM nation n
+            LEFT JOIN customer c ON n.n_nationkey = c.c_nationkey
+            FULL JOIN {_applied_sql('orders')} o ON c.c_custkey = o.o_custkey
         """,
         "ivm_merge_time_window": f"""
             SELECT date_trunc('hour', ts) AS h, event_type, count(*) AS n,

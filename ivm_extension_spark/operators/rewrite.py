@@ -165,10 +165,17 @@ def _delta_source(
                 broadcast_deltas,
                 full=how == "full",
             )
-        if len(with_delta) == 1 and all(j.how != "full" for j in view.joins):
+        if len(with_delta) == 1:
             (dt,) = with_delta
             i = tables.index(dt)
-            if i > 0 and view.joins[i - 1].how in ("inner", "left", "semi", "anti"):
+            # a FULL join in the PREFIX is fine (the prefix is just an
+            # unchanged relation); in the SUFFIX it breaks the linear fold
+            if (
+                i > 0
+                and view.joins[i - 1].how
+                in ("inner", "left", "semi", "anti", "full")
+                and all(j.how != "full" for j in view.joins[i:])
+            ):
                 return _chain_single_delta(
                     view, get_table, get_delta, broadcast_deltas, i
                 )
@@ -520,6 +527,14 @@ def _chain_single_delta(
       exactly the P rows whose match count crosses zero: semi gains emit
       (+1) and losses retract (−1); anti is the complement (signs flip).
       Same flip machinery, no NULL padding, no inner branch.
+    - full: the left-join terms (inner branch + P-preserved flips) plus
+      the Ti-preserved term — ΔTi rows whose key matches nothing in P
+      carry their own NULL-padded prefix row in/out with their sign (P
+      is unchanged, so Ti-side membership can't flip, only arrive/leave
+      with ΔTi itself).  P is probed by a broadcast key set, never
+      shuffled.  A FULL join in the PREFIX is fine (the prefix is an
+      unchanged relation); a FULL join in the SUFFIX is rejected (the
+      suffix fold relies on left-linearity).
 
     Scale shape: P and Ti are never shuffled — ΔTi and the flip-key set
     are BROADCAST; the only aggregations are over O(|Δ| + affected
@@ -551,10 +566,10 @@ def _chain_single_delta(
     # Semi/anti positions have no inner part: Ti contributes no columns,
     # only membership, which changes via the flip rule below.
     branches = []
-    if join_i.how in ("inner", "left"):
+    if join_i.how in ("inner", "left", "full"):
         branches.append(P.join(bc(dR.alias(rname)), on=F.expr(join_i.on), how="inner"))
 
-    if join_i.how in ("left", "semi", "anti"):
+    if join_i.how in ("left", "semi", "anti", "full"):
         # split the condition like the two-table semi/anti rule: equi
         # pairs drive the match counting, Ti-local predicates are pushed
         # into Ti/ΔTi first (they only shrink what counts as a match)
@@ -586,6 +601,11 @@ def _chain_single_delta(
             )
         R_m, dR_m = R, dR
         if rlocal:
+            if join_i.how == "full":
+                raise IVMError(
+                    "FULL-join chain maintenance requires a pure conjunctive "
+                    f"equi-join at the delta position, got extra {rlocal!r}"
+                )
             pred = " AND ".join(f"({c})" for c in rlocal)
             R_m = R.alias(rname).filter(F.expr(pred))
             dR_m = dR.alias(rname).filter(F.expr(pred))
@@ -625,7 +645,7 @@ def _chain_single_delta(
             c = F.expr(pe) == F.col(f"__fl.{k}")
             flip_cond = c if flip_cond is None else (flip_cond & c)
         matched = P.join(bc(flips), on=flip_cond, how="inner")
-        if join_i.how == "left":
+        if join_i.how in ("left", "full"):
             # NULL-padded Ti columns carried by a BROADCAST single-NULL-row
             # relation aliased as Ti, so qualified suffix conditions resolve
             null_row = (
@@ -651,6 +671,44 @@ def _chain_single_delta(
                 sign = -sign
             t2 = matched.withColumn(_SIGN, sign).drop("__flip", *knames)
         branches.append(t2)
+
+    if join_i.how == "full":
+        # Ti-preserved term: ΔTi rows whose key has NO match in the
+        # (unchanged) prefix carry their NULL-padded prefix row in/out
+        # with their own sign.  The prefix is probed by the broadcast
+        # ΔTi key set (narrow scan), never shuffled.
+        dr_keys = (
+            dR.alias(rname)
+            .select(*[F.expr(be).alias(k) for (_, be), k in zip(pairs, knames)])
+            .distinct()
+        )
+        p_matched = (
+            P.select(*[F.expr(pe).alias(k) for (pe, _), k in zip(pairs, knames)])
+            .join(bc(dr_keys), on=knames, how="leftsemi")
+            .distinct()
+            .select(*[F.col(k).alias(f"__pm_{k}") for k in knames])
+        )
+        anti_cond = None
+        for (_, be), k in zip(pairs, knames):
+            c = F.expr(be) == F.col(f"__pm_{k}")
+            anti_cond = c if anti_cond is None else anti_cond & c
+        t3 = dR.alias(rname).join(bc(p_matched), on=anti_cond, how="left_anti")
+        # NULL-padded prefix columns: one broadcast single-NULL-row
+        # relation per prefix table, so qualified suffix conditions resolve
+        for tname in dict.fromkeys(t for t, _ in prefs):
+            tdf = get_table(tname)
+            nr = (
+                tdf.sparkSession.range(1)
+                .select(
+                    *[
+                        F.lit(None).cast(tdf.schema[c].dataType).alias(c)
+                        for c in tdf.columns
+                    ]
+                )
+                .alias(tname)
+            )
+            t3 = t3.crossJoin(F.broadcast(nr))
+        branches.append(t3)
 
     out_refs = [
         *prefs,

@@ -1159,11 +1159,39 @@ def test_full_outer_leading_chain_maintained(spark):
     assert merged == rows(eng.full_refresh("v"))
 
 
-def test_full_outer_mid_chain_still_rejected(spark):
-    # FULL in a non-leading position (or deltas beyond its sides) stays out
-    eng = lj_engine(spark, dord=[(20, 3, True)])
+def test_full_outer_delta_position_in_chain_maintained(spark):
+    # FULL at the delta position of a chain (prefix = cust ⟕ seg_dim,
+    # unchanged): left-like terms + the Ti-preserved term — delta orders
+    # rows whose ck2 matches no prefix row carry NULL-padded prefix
+    # columns in/out with their own sign
+    eng = lj_engine(
+        spark, dord=[(20, 3, True), (77, 99, True), (10, 1, False), (11, 1, False)]
+    )
     eng.register_table(
         "seg_dim", spark.createDataFrame([("a", "A")], "sg string, nm string")
+    )
+    eng.create_immv(
+        "v",
+        sql="SELECT ck, ok, seg, nm FROM cust LEFT JOIN seg_dim ON seg = sg "
+        "FULL JOIN orders ON ck = ck2",
+    )
+    eng.ivm_upsert("v")
+    merged = rows(eng.merge_view("v"))
+    eng.apply_delta("orders")
+    assert merged == rows(eng.full_refresh("v"))
+
+
+def test_full_outer_in_suffix_still_rejected(spark):
+    # a FULL join AFTER the delta position breaks the linear suffix fold
+    eng = lj_engine(spark)
+    eng.register_table(
+        "seg_dim", spark.createDataFrame([("a", "A")], "sg string, nm string")
+    )
+    eng.register_delta(
+        "seg_dim",
+        spark.createDataFrame(
+            [("b", "B", True)], "sg string, nm string, _duckdb_ivm_multiplicity boolean"
+        ),
     )
     eng.create_immv(
         "v",
