@@ -293,19 +293,20 @@ class IVMEngine:
             ),
         )
         state = compute_view(stripped, self.table)
-        for a in aux_aggs:
-            d = auxstate.derive_from_aux(a, self._aux[name], *meta[a.alias])
-            keys = [c for c in d.columns if c != a.alias]
-            renamed = d.select(
-                *[F.col(k).alias(f"__ivm_dk_{k}") for k in keys], F.col(a.alias)
-            )
-            cond = None
-            for k in keys:
-                term = F.col(k).eqNullSafe(F.col(f"__ivm_dk_{k}"))
-                cond = term if cond is None else cond & term
-            state = state.join(F.broadcast(renamed), cond, "left").drop(
-                *[f"__ivm_dk_{k}" for k in keys]
-            )
+        d = auxstate.derive_all_from_aux(aux_aggs, self._aux[name], meta)
+        aliases = [a.alias for a in aux_aggs]
+        keys = [c for c in d.columns if c not in aliases]
+        renamed = d.select(
+            *[F.col(k).alias(f"__ivm_dk_{k}") for k in keys],
+            *[F.col(a) for a in aliases],
+        )
+        cond = None
+        for k in keys:
+            term = F.col(k).eqNullSafe(F.col(f"__ivm_dk_{k}"))
+            cond = term if cond is None else cond & term
+        state = state.join(F.broadcast(renamed), cond, "left").drop(
+            *[f"__ivm_dk_{k}" for k in keys]
+        )
         return state.select(*[F.col(o) for o in iview.output_order])
 
     def _expand_star(self, vdef: ViewDef) -> ViewDef:
@@ -534,10 +535,10 @@ class IVMEngine:
         ).localCheckpoint(eager=True)
         self._aux_rows[name] = new_aux.count()
         self._aux[name] = new_aux
-        return {
-            a.alias: auxstate.derive_from_aux(a, new_aux, *meta[a.alias])
-            for a in aux_aggs
-        }
+        # one shared frame for every alias: ONE pass over the aux relation
+        # and ONE broadcast patch join (patch_merged dedupes by identity)
+        combined = auxstate.derive_all_from_aux(aux_aggs, new_aux, meta)
+        return {a.alias: combined for a in aux_aggs}
 
     def read_view(self, name: str) -> DataFrame:
         if name not in self._state:

@@ -210,32 +210,43 @@ def merge_aux(
     return untouched.unionByName(refold(touched.unionByName(delta_aux_df)))
 
 
-def derive_from_aux(
-    agg: Aggregate, aux: DataFrame, lane: str, dtype: T.DataType
+def derive_all_from_aux(
+    aggs: list[Aggregate],
+    aux: DataFrame,
+    meta: dict[str, tuple[str, T.DataType]],
 ) -> DataFrame:
-    """Re-derive the aggregate's exact value per group from its live aux
-    rows (a filter on the small tagged relation, no base-table scan).
+    """Re-derive the exact value of EVERY aux aggregate per group in ONE
+    pass over the tagged relation: conditional aggregation on the tag
+    column — one groupBy (and one broadcast patch join downstream)
+    instead of one of each per aggregate.
 
-    Output: (group key aliases..., <agg.alias>).  Groups with no live
-    values simply don't appear (their view row is gone anyway).
+    Output: (group key aliases..., <alias> per aggregate).  Groups with
+    no live rows don't appear (their view row is gone anyway); every agg
+    shares the group set, so per-agg absence only happens when all of a
+    group's values for that agg are NULL — MIN/MAX then aggregate to
+    NULL and COUNT(DISTINCT) to 0, matching per-agg derivation.
     """
-    lane_col = LANE_COLS[lane]
     keys = [
         c
         for c in aux.columns
         if c not in (AGG_COL, VCNT_COL, *LANE_COLS.values())
     ]
-    rows = aux.filter(F.col(AGG_COL) == agg.alias)
-    if agg.fn == "min":
-        m = F.min(lane_col).cast(dtype)
-    elif agg.fn == "max":
-        m = F.max(lane_col).cast(dtype)
-    elif agg.fn == "count_distinct":
-        # one aux row per live value; count(lane) skips a NULL-value row
-        m = F.count(F.col(lane_col)).cast("long")
-    else:  # pragma: no cover
-        raise NotImplementedError(agg.fn)
-    return rows.groupBy(*[F.col(k) for k in keys]).agg(m.alias(agg.alias))
+    cols = []
+    for a in aggs:
+        lane, dtype = meta[a.alias]
+        v = F.when(F.col(AGG_COL) == a.alias, F.col(LANE_COLS[lane]))
+        if a.fn == "min":
+            m = F.min(v).cast(dtype)
+        elif a.fn == "max":
+            m = F.max(v).cast(dtype)
+        elif a.fn == "count_distinct":
+            # one aux row per live value; count() skips non-matching
+            # tags AND NULL-value rows
+            m = F.count(v).cast("long")
+        else:  # pragma: no cover
+            raise NotImplementedError(a.fn)
+        cols.append(m.alias(a.alias))
+    return aux.groupBy(*[F.col(k) for k in keys]).agg(*cols)
 
 
 def patch_merged(
@@ -243,20 +254,29 @@ def patch_merged(
 ) -> DataFrame:
     """Overwrite the named aggregate columns of the merged view state with
     their exact re-derived values (join on the group keys; for global
-    aggregates the re-derived frame is a single row, cross-joined)."""
+    aggregates the re-derived frame is a single row, cross-joined).
+
+    Aliases sharing one re-derived frame (the derive_all_from_aux
+    output) are patched in a single join."""
     if not derived:
         return merged
     out = merged
-    for alias, d in derived.items():
-        patched = f"__ivm_patch_{alias}"
-        d = d.withColumnRenamed(alias, patched)
-        keys = [c for c in d.columns if c != patched]
+    seen: set[int] = set()
+    for d in derived.values():
+        if id(d) in seen:
+            continue
+        seen.add(id(d))
+        aliases = [a for a, f in derived.items() if f is d]
+        renames = {a: f"__ivm_patch_{a}" for a in aliases}
+        for a, p in renames.items():
+            d = d.withColumnRenamed(a, p)
+        keys = [c for c in d.columns if c not in renames.values()]
         missing = [k for k in keys if k not in merged.columns]
         if missing:
             from ivm_extension_spark.operators.rewrite import IVMError
 
             raise IVMError(
-                f"cannot patch {alias!r}: group keys {missing} are not "
+                f"cannot patch {aliases}: group keys {missing} are not "
                 "projected by the view (unprojected GROUP BY keys are not "
                 "supported for MIN/MAX/COUNT DISTINCT merge under deletes)"
             )
@@ -264,5 +284,6 @@ def patch_merged(
             out = out.join(F.broadcast(d), on=keys, how="left")
         else:
             out = out.crossJoin(F.broadcast(d))
-        out = out.withColumn(alias, F.col(patched)).drop(patched)
+        for a, p in renames.items():
+            out = out.withColumn(a, F.col(p)).drop(p)
     return out.select(*merged.columns)
