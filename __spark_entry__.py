@@ -27,6 +27,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from ivm_extension_spark import IVMEngine
+from ivm_extension_spark.operators.auxstate import percentile_oracle_sql
 from ivm_extension_spark.operators.merge import variance_oracle_sql
 from ivm_extension_spark.operators.rewrite import MULT_COL
 
@@ -513,6 +514,27 @@ def _q_ivm_merge_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
     return eng.merge_view("v")
 
 
+def _q_ivm_merge_median_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # order statistics maintained EXACTLY under deletes — MEDIAN /
+    # PERCENTILE(0.9) (ANSI PERCENTILE_CONT interpolation) and
+    # deterministic MODE (ties to the smallest value), all re-derived
+    # from the shared per-(group, value) aux relation
+    # (operators/auxstate.py derive_percentiles / derive_all_from_aux);
+    # far beyond the reference's SUM/COUNT surface (README.md:35)
+    eng = _engine(spark, sf_dir, deltas=("orders",))
+    eng.create_immv(
+        "v",
+        sql="SELECT o_orderpriority, "
+        "median(cast(round(o_totalprice * 100) AS bigint)) AS med_cents, "
+        "percentile(cast(round(o_totalprice * 100) AS bigint), 0.9) AS p90_cents, "
+        "mode(o_orderstatus) AS mode_status, "
+        "count(o_orderkey) AS n_orders "
+        "FROM orders GROUP BY o_orderpriority",
+    )
+    eng.ivm_upsert("v")
+    return eng.merge_view("v")
+
+
 def _q_ivm_merge_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # ORDER BY + LIMIT (top-k) view — no ORDER BY/LIMIT exists anywhere in
     # the reference's surface (SURVEY.md §2c).  Maintained state is the
@@ -925,6 +947,18 @@ def _q_mix_quota_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_pack_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concatenation packing into 4096-token training packs per source
+    (functions/sampling.py: pack_sequences) — deterministic concat-and-
+    split layout, one running-sum window, SQL-oracle-exact."""
+    from ivm_extension_spark.functions import sampling, text as tx
+
+    d = _docs(spark, sf_dir)
+    return sampling.pack_sequences(
+        d, "doc_id", tx.token_count("text"), budget=4096, group_cols=("source",)
+    )
+
+
 def _q_token_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token-length distribution in width-32 buckets — the batch-packing
     audit over the corpus; output is O(max_len/32) rows at any scale."""
@@ -984,6 +1018,7 @@ _IVM_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ivm_merge_minmax_distinct": _q_ivm_merge_minmax_distinct,
     "ivm_merge_having": _q_ivm_merge_having,
     "ivm_merge_variance": _q_ivm_merge_variance,
+    "ivm_merge_median_mode": _q_ivm_merge_median_mode,
     "ivm_merge_topk": _q_ivm_merge_topk,
     "ivm_merge_time_window": _q_ivm_merge_time_window,
     "ivm_merge_chain_semi": _q_ivm_merge_chain_semi,
@@ -1428,6 +1463,7 @@ _EXTRA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sample_stratified": _q_sample_stratified,
     "mix_quota_per_source": _q_mix_quota_per_source,
     "token_length_histogram": _q_token_length_histogram,
+    "pack_documents": _q_pack_documents,
     "contamination_check": _q_contamination,
     "dedup_clusters": _q_dedup_clusters,
     "multimodal_meta": _q_multimodal_meta,
@@ -1732,6 +1768,39 @@ def oracle_sql() -> dict[str, str]:
                 FROM {_applied_sql('lineitem')} t
                 GROUP BY l_returnflag
             )
+        """,
+        # order statistics: the percentile twins evaluate the SAME rank
+        # formula and IEEE interpolation tree as derive_percentiles;
+        # mode's tie-break (most frequent, then smallest value) is spelled
+        # out as a window argmin — both deterministic across engines
+        "ivm_merge_median_mode": f"""
+            WITH b AS (
+                SELECT o_orderpriority AS k,
+                       CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+                       o_orderstatus AS st, o_orderkey
+                FROM {_applied_sql('orders')} o
+            ),
+            med AS ({percentile_oracle_sql('cents', 0.5, 'b', ['k'])}),
+            p90 AS ({percentile_oracle_sql('cents', 0.9, 'b', ['k'])}),
+            md AS (
+                SELECT k, st AS mode_status FROM (
+                    SELECT k, st,
+                           row_number() OVER (
+                               PARTITION BY k
+                               ORDER BY count(*) DESC, st ASC) AS rn
+                    FROM b GROUP BY k, st
+                ) WHERE rn = 1
+            ),
+            cnt AS (SELECT k, count(o_orderkey) AS n_orders FROM b GROUP BY k)
+            SELECT cnt.k AS o_orderpriority,
+                   med.pctl AS med_cents,
+                   p90.pctl AS p90_cents,
+                   md.mode_status,
+                   cnt.n_orders
+            FROM cnt
+            JOIN med ON cnt.k = med.k
+            JOIN p90 ON cnt.k = p90.k
+            JOIN md ON cnt.k = md.k
         """,
         "ivm_merge_chain_semi": f"""
             SELECT c_mktsegment, count(*) AS n_orders
@@ -2153,6 +2222,15 @@ def _extras_oracle_sql() -> dict[str, str]:
                                           ORDER BY n_chars DESC, doc_id ASC) AS rn
                 FROM documents
             ) WHERE rn <= 10
+        """,
+        "pack_documents": f"""
+            SELECT source, doc_id,
+                   CAST(n AS BIGINT) AS n_tokens,
+                   CAST(sum(n) OVER w - n AS BIGINT) AS start_offset,
+                   CAST(floor((sum(n) OVER w - n) / 4096) AS BIGINT) AS pack_id
+            FROM (SELECT source, doc_id, len({_TOKS}) AS n FROM documents) t
+            WINDOW w AS (PARTITION BY source ORDER BY doc_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
         """,
         "token_length_histogram": f"""
             SELECT CAST(n_tokens // 32 AS BIGINT) * 32 AS bucket_lo,

@@ -293,20 +293,25 @@ class IVMEngine:
             ),
         )
         state = compute_view(stripped, self.table)
-        d = auxstate.derive_all_from_aux(aux_aggs, self._aux[name], meta)
-        aliases = [a.alias for a in aux_aggs]
-        keys = [c for c in d.columns if c not in aliases]
-        renamed = d.select(
-            *[F.col(k).alias(f"__ivm_dk_{k}") for k in keys],
-            *[F.col(a) for a in aliases],
-        )
-        cond = None
-        for k in keys:
-            term = F.col(k).eqNullSafe(F.col(f"__ivm_dk_{k}"))
-            cond = term if cond is None else cond & term
-        state = state.join(F.broadcast(renamed), cond, "left").drop(
-            *[f"__ivm_dk_{k}" for k in keys]
-        )
+        frames = auxstate.derive_frames(aux_aggs, self._aux[name], meta)
+        seen: set[int] = set()
+        for d in frames.values():
+            if id(d) in seen:
+                continue
+            seen.add(id(d))
+            aliases = [a for a, f in frames.items() if f is d]
+            keys = [c for c in d.columns if c not in aliases]
+            renamed = d.select(
+                *[F.col(k).alias(f"__ivm_dk_{k}") for k in keys],
+                *[F.col(a) for a in aliases],
+            )
+            cond = None
+            for k in keys:
+                term = F.col(k).eqNullSafe(F.col(f"__ivm_dk_{k}"))
+                cond = term if cond is None else cond & term
+            state = state.join(F.broadcast(renamed), cond, "left").drop(
+                *[f"__ivm_dk_{k}" for k in keys]
+            )
         return state.select(*[F.col(o) for o in iview.output_order])
 
     def _expand_star(self, vdef: ViewDef) -> ViewDef:
@@ -535,10 +540,10 @@ class IVMEngine:
         ).localCheckpoint(eager=True)
         self._aux_rows[name] = new_aux.count()
         self._aux[name] = new_aux
-        # one shared frame for every alias: ONE pass over the aux relation
-        # and ONE broadcast patch join (patch_merged dedupes by identity)
-        combined = auxstate.derive_all_from_aux(aux_aggs, new_aux, meta)
-        return {a.alias: combined for a in aux_aggs}
+        # shared frames: ONE pass over the aux relation for the simple fns,
+        # ONE window pass for the percentile family, ONE broadcast patch
+        # join per distinct frame (patch_merged dedupes by identity)
+        return auxstate.derive_frames(aux_aggs, new_aux, meta)
 
     def read_view(self, name: str) -> DataFrame:
         if name not in self._state:

@@ -94,6 +94,45 @@ def quota_per_group(
     )
 
 
+def pack_sequences(
+    df: DataFrame,
+    id_col: str,
+    tokens_col: Column,
+    budget: int,
+    group_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """Concatenation packing: assign each document to a fixed-token-budget
+    training pack.
+
+    Documents are laid out in deterministic ``id_col`` order (within each
+    group) as one concatenated token stream split at ``budget``
+    boundaries; a document belongs to the pack where its START offset
+    falls — the standard concat-and-split packing of LLM pre-training
+    pipelines (a straddling document spills into the next pack at the
+    cut).  Output: (group_cols..., id, n_tokens, start_offset, pack_id).
+
+    Deterministic and SQL-expressible (one running-sum window), so an
+    oracle engine reproduces it exactly.  Scale shape: ONE shuffle+sort
+    per group partition; at 100 TB pack within source shards
+    (group_cols = (source, shard)) so no single partition holds the whole
+    corpus — pack ids are then local to a shard, which is what the
+    training loader wants anyway."""
+    w = (
+        Window.partitionBy(*[F.col(c) for c in group_cols])
+        .orderBy(F.col(id_col))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    n = tokens_col.cast("bigint")
+    start = (F.sum(n).over(w) - n).alias("start_offset")
+    return df.select(
+        *[F.col(c) for c in group_cols],
+        F.col(id_col),
+        n.alias("n_tokens"),
+        start,
+        F.floor((F.sum(n).over(w) - n) / F.lit(budget)).cast("bigint").alias("pack_id"),
+    )
+
+
 def length_histogram(
     df: DataFrame, length_col: Column, bucket_width: int
 ) -> DataFrame:

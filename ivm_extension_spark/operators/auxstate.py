@@ -48,7 +48,9 @@ from ivm_extension_spark.operators.rewrite import (
 )
 from ivm_extension_spark.plans.viewdef import Aggregate, ViewDef
 
-AUX_FNS = {"min", "max", "count_distinct"}
+AUX_FNS = {"min", "max", "count_distinct", "median", "mode", "percentile"}
+# order statistics needing a per-group sorted pass (window cum-count)
+PCTL_FNS = {"median", "percentile"}
 AGG_COL = "__ivm_agg"
 VCNT_COL = "__ivm_vcnt"
 LANE_COLS = {"long": "__ivm_vlong", "double": "__ivm_vdouble", "str": "__ivm_vstr"}
@@ -101,10 +103,19 @@ def agg_meta(
         return {}
     acc = _source(view, get_table)
     probe = acc.select(*[F.expr(a.expr).alias(a.alias) for a in aggs])
-    return {
+    meta = {
         a.alias: (lane_for(f.dataType), f.dataType)
         for a, f in zip(aggs, probe.schema.fields)
     }
+    for a in aggs:
+        if a.fn in PCTL_FNS and meta[a.alias][0] == "str":
+            from ivm_extension_spark.operators.rewrite import IVMError
+
+            raise IVMError(
+                f"{a.fn} needs a numeric argument (interpolation), got a "
+                f"{meta[a.alias][1].simpleString()} expression for {a.alias!r}"
+            )
+    return meta
 
 
 def _tagged_rows(
@@ -234,7 +245,8 @@ def derive_all_from_aux(
     cols = []
     for a in aggs:
         lane, dtype = meta[a.alias]
-        v = F.when(F.col(AGG_COL) == a.alias, F.col(LANE_COLS[lane]))
+        lane_col = F.col(LANE_COLS[lane])
+        v = F.when(F.col(AGG_COL) == a.alias, lane_col)
         if a.fn == "min":
             m = F.min(v).cast(dtype)
         elif a.fn == "max":
@@ -243,10 +255,154 @@ def derive_all_from_aux(
             # one aux row per live value; count() skips non-matching
             # tags AND NULL-value rows
             m = F.count(v).cast("long")
-        else:  # pragma: no cover
+        elif a.fn == "mode":
+            # most frequent live value, ties to the SMALLEST value (the
+            # engine-wide deterministic-mode semantics): min over
+            # (-count, value) structs; NULL inputs are ignored
+            m = F.min(
+                F.when(
+                    (F.col(AGG_COL) == a.alias) & lane_col.isNotNull(),
+                    F.struct(
+                        (-F.col(VCNT_COL)).alias("nc"), lane_col.alias("v")
+                    ),
+                )
+            )["v"].cast(dtype)
+        else:  # pragma: no cover — percentile family goes via derive_percentiles
             raise NotImplementedError(a.fn)
         cols.append(m.alias(a.alias))
     return aux.groupBy(*[F.col(k) for k in keys]).agg(*cols)
+
+
+def derive_percentiles(
+    aggs: list[Aggregate],
+    aux: DataFrame,
+    meta: dict[str, tuple[str, T.DataType]],
+) -> DataFrame:
+    """Exact MEDIAN / PERCENTILE(p) per group from the aux value counts.
+
+    PERCENTILE_CONT semantics: target rank t = p·(n−1) over the n live
+    input rows in value order; the result interpolates linearly between
+    the values at ranks ⌊t⌋ and ⌈t⌉.  The aux relation stores each value
+    ONCE with its live count, so the rank of a value row spans
+    [cum − cnt, cum) of the running count — one window pass (sort within
+    group) finds both bracketing values for every requested fraction,
+    then a conditional re-aggregation pivots tags to columns.  The
+    result expression tree is fixed (vlo + (t − ⌊t⌋)·(vhi − vlo), double
+    arithmetic) and mirrored textually by :func:`percentile_oracle_sql`.
+
+    Scale shape: the sorted pass runs over the filtered aux slice —
+    O(distinct (group, value)) rows, partitioned by (tag, group) — not
+    over the base data; output is O(groups).
+    """
+    from pyspark.sql import Window
+
+    keys = [
+        c
+        for c in aux.columns
+        if c not in (AGG_COL, VCNT_COL, *LANE_COLS.values())
+    ]
+    aliases = [a.alias for a in aggs]
+    val = F.coalesce(
+        F.col(LANE_COLS["long"]).cast("double"), F.col(LANE_COLS["double"])
+    )
+    frac = None
+    for a in aggs:
+        term = F.when(F.col(AGG_COL) == a.alias, F.lit(a.fraction))
+        frac = term if frac is None else frac.when(
+            F.col(AGG_COL) == a.alias, F.lit(a.fraction)
+        )
+    rows = aux.filter(F.col(AGG_COL).isin(aliases)).select(
+        AGG_COL, *keys, val.alias("__ivm_pv"), F.col(VCNT_COL), frac.alias("__ivm_pf")
+    ).filter(F.col("__ivm_pv").isNotNull())
+    w_cum = (
+        Window.partitionBy(AGG_COL, *keys)
+        .orderBy("__ivm_pv")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_all = Window.partitionBy(AGG_COL, *keys)
+    r = (
+        rows.withColumn("__ivm_cum", F.sum(VCNT_COL).over(w_cum))
+        .withColumn("__ivm_n", F.sum(VCNT_COL).over(w_all))
+        .withColumn(
+            "__ivm_t", F.col("__ivm_pf") * (F.col("__ivm_n") - 1).cast("double")
+        )
+        .withColumn("__ivm_start", F.col("__ivm_cum") - F.col(VCNT_COL))
+    )
+    lo, hi = F.floor("__ivm_t"), F.ceil("__ivm_t")
+    per = r.groupBy(AGG_COL, *keys).agg(
+        F.max(
+            F.when(
+                (F.col("__ivm_start") <= lo) & (F.col("__ivm_cum") > lo),
+                F.col("__ivm_pv"),
+            )
+        ).alias("__ivm_vlo"),
+        F.max(
+            F.when(
+                (F.col("__ivm_start") <= hi) & (F.col("__ivm_cum") > hi),
+                F.col("__ivm_pv"),
+            )
+        ).alias("__ivm_vhi"),
+        F.first("__ivm_t").alias("__ivm_t"),
+    )
+    res = F.col("__ivm_vlo") + (F.col("__ivm_t") - F.floor("__ivm_t")) * (
+        F.col("__ivm_vhi") - F.col("__ivm_vlo")
+    )
+    per = per.withColumn("__ivm_res", res)
+    return per.groupBy(*[F.col(k) for k in keys]).agg(
+        *[
+            F.max(F.when(F.col(AGG_COL) == alias, F.col("__ivm_res"))).alias(alias)
+            for alias in aliases
+        ]
+    )
+
+
+def percentile_oracle_sql(
+    expr: str, frac: float, table: str, keys: list[str], where: str | None = None
+) -> str:
+    """ANSI-SQL twin of :func:`derive_percentiles` for ONE aggregate over
+    a base table: the same rank formula and the same IEEE expression tree
+    (vlo + (t − floor(t))·(vhi − vlo)), so an oracle engine evaluating it
+    produces bit-identical doubles.  Returns a scalar SQL snippet suitable
+    as a correlated-free derived table: SELECT keys..., <value> FROM ...
+    GROUP BY keys."""
+    kl = ", ".join(keys)
+    w = f"WHERE ({where}) AND ({expr}) IS NOT NULL" if where else f"WHERE ({expr}) IS NOT NULL"
+    t = f"({frac!r} * (CAST(count(*) OVER (PARTITION BY {kl}) AS DOUBLE) - 1.0))"
+    return f"""
+        SELECT {kl},
+               max(CASE WHEN rk = CAST(floor(t) AS BIGINT) THEN v END)
+               + (any_value(t) - floor(any_value(t)))
+                 * (max(CASE WHEN rk = CAST(ceil(t) AS BIGINT) THEN v END)
+                    - max(CASE WHEN rk = CAST(floor(t) AS BIGINT) THEN v END)) AS pctl
+        FROM (
+            SELECT {kl},
+                   CAST(({expr}) AS DOUBLE) AS v,
+                   row_number() OVER (PARTITION BY {kl} ORDER BY CAST(({expr}) AS DOUBLE)) - 1 AS rk,
+                   {t} AS t
+            FROM {table} {w}
+        ) GROUP BY {kl}
+    """
+
+
+def derive_frames(
+    aggs: list[Aggregate],
+    aux: DataFrame,
+    meta: dict[str, tuple[str, T.DataType]],
+) -> dict[str, DataFrame]:
+    """alias -> re-derived frame for every aux aggregate, sharing ONE
+    combined frame for the single-pass fns (min/max/count_distinct/mode)
+    and ONE window frame for the percentile family — patch_merged joins
+    once per distinct frame."""
+    simple = [a for a in aggs if a.fn not in PCTL_FNS]
+    pctl = [a for a in aggs if a.fn in PCTL_FNS]
+    out: dict[str, DataFrame] = {}
+    if simple:
+        combined = derive_all_from_aux(simple, aux, meta)
+        out.update({a.alias: combined for a in simple})
+    if pctl:
+        pframe = derive_percentiles(pctl, aux, meta)
+        out.update({a.alias: pframe for a in pctl})
+    return out
 
 
 def patch_merged(

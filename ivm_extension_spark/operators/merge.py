@@ -31,7 +31,12 @@ from pyspark.sql import DataFrame, functions as F
 from pyspark.sql import Column
 
 from ivm_extension_spark.operators.rewrite import MULT_COL, IVMError
-from ivm_extension_spark.plans.viewdef import VARIANCE_AGGS, Aggregate, ViewDef
+from ivm_extension_spark.plans.viewdef import (
+    ORDERED_AGGS,
+    VARIANCE_AGGS,
+    Aggregate,
+    ViewDef,
+)
 
 HIDDEN_COUNT = "__ivm_count"
 _SIGN = "__ivm_sign"
@@ -371,6 +376,15 @@ def _merge_aggregate(
         needs_probe and delta_v.filter(~F.col(MULT_COL)).limit(1).count() > 0
     )
     for a in iview.aggregates:
+        if a.fn in ORDERED_AGGS and a.alias not in derived:
+            # unlike MIN/MAX, order statistics can't combine value-to-value
+            # even on insert-only batches (the new median/mode depends on
+            # the whole value multiset, not the extremes)
+            raise IVMError(
+                f"{a.fn.upper()} merge requires the auxiliary value "
+                "relation — maintain the view through IVMEngine (which "
+                "keeps it automatically) or use full_refresh()"
+            )
         if a.fn in ("min", "max") and has_delete and a.alias not in derived:
             raise IVMError(
                 f"{a.fn.upper()} merge under deletes needs auxiliary value "
@@ -408,8 +422,10 @@ def _merge_aggregate(
                 # merging them as sum over-counts overcounts overlaps.  Approximate
                 # merge is deliberate and documented; exact needs per-value state.
                 m = F.sum(c * F.col(_SIGN)).cast("long")
-            elif a.fn == "avg" or a.fn in VARIANCE_AGGS:
-                # never merged directly: finalize() recomputes from hidden companions
+            elif a.fn == "avg" or a.fn in VARIANCE_AGGS or a.fn in ORDERED_AGGS:
+                # never merged directly: AVG/variance recompute from hidden
+                # companions in finalize(); median/mode/percentile are
+                # overwritten by the aux-relation patch
                 m = F.first(c)
             else:  # pragma: no cover
                 raise NotImplementedError(a.fn)

@@ -90,6 +90,14 @@ def _agg_expr(agg: Aggregate):
         out = F.stddev_pop(e)
     elif agg.fn == "stddev_samp":
         out = F.stddev_samp(e)
+    elif agg.fn == "median":
+        out = F.median(e)
+    elif agg.fn == "mode":
+        # deterministic: ties break to the SMALLEST value — the engine-wide
+        # mode semantics (matched by the aux-relation derive and oracles)
+        out = F.mode(e, deterministic=True)
+    elif agg.fn == "percentile":
+        out = F.percentile(e, F.lit(agg.fraction))
     else:  # pragma: no cover - guarded by Aggregate.__post_init__
         raise NotImplementedError(agg.fn)
     return out.alias(agg.alias)

@@ -22,7 +22,8 @@ import re
 from ivm_extension_spark.plans.viewdef import Aggregate, JoinSpec, ViewDef
 
 _AGG_RE = re.compile(
-    r"^\s*(sum|count|avg|min|max|var_pop|var_samp|stddev_pop|stddev_samp|stddev|variance)"
+    r"^\s*(sum|count|avg|min|max|var_pop|var_samp|stddev_pop|stddev_samp|stddev|variance"
+    r"|median|mode|percentile)"
     r"\s*\(\s*(.*)\s*\)\s*$",
     re.IGNORECASE | re.DOTALL,
 )
@@ -350,7 +351,22 @@ def parse_view_sql(name: str, sql: str) -> ViewDef:
                     raise NotImplementedError(f"DISTINCT only supported for count, got {fn}")
                 fn, arg = "count_distinct", dm.group(1).strip()
             alias = alias or expr
-            aggregates.append(Aggregate(fn=fn, expr=arg, alias=alias))
+            param = None
+            if fn == "percentile":
+                # percentile(expr, fraction) — Spark's surface syntax
+                args = _split_top_level(arg)
+                if len(args) != 2:
+                    raise NotImplementedError(
+                        f"percentile takes (expr, fraction), got {arg!r}"
+                    )
+                arg = args[0].strip()
+                try:
+                    param = float(args[1].strip())
+                except ValueError:
+                    raise NotImplementedError(
+                        f"percentile fraction must be a literal, got {args[1]!r}"
+                    ) from None
+            aggregates.append(Aggregate(fn=fn, expr=arg, alias=alias, param=param))
         else:
             alias = alias or expr
             select.append((expr, alias))

@@ -21,7 +21,17 @@ from __future__ import annotations
 from dataclasses import dataclass
 
 VARIANCE_AGGS = {"var_pop", "var_samp", "stddev_pop", "stddev_samp"}
-SUPPORTED_AGGS = {"sum", "count", "avg", "min", "max", "count_distinct"} | VARIANCE_AGGS
+# Order-statistic aggregates: maintained exactly under deletes from the
+# per-(group, value) auxiliary relation (operators/auxstate.py) — never
+# combined value-to-value.  MODE ties break to the SMALLEST value
+# (Spark's deterministic mode); MEDIAN/PERCENTILE interpolate linearly at
+# rank p*(n-1), the ANSI PERCENTILE_CONT rule.
+ORDERED_AGGS = {"median", "mode", "percentile"}
+SUPPORTED_AGGS = (
+    {"sum", "count", "avg", "min", "max", "count_distinct"}
+    | VARIANCE_AGGS
+    | ORDERED_AGGS
+)
 
 
 @dataclass(frozen=True)
@@ -31,6 +41,7 @@ class Aggregate:
     fn: str  # one of SUPPORTED_AGGS
     expr: str  # SQL expression string; "*" only for count
     alias: str
+    param: float | None = None  # percentile fraction (percentile only)
 
     def __post_init__(self) -> None:
         if self.fn not in SUPPORTED_AGGS:
@@ -40,6 +51,18 @@ class Aggregate:
             )
         if self.expr == "*" and self.fn != "count":
             raise ValueError(f"'*' argument only valid for count, got {self.fn}")
+        if self.fn == "percentile":
+            if self.param is None or not (0.0 <= self.param <= 1.0):
+                raise ValueError(
+                    f"percentile needs a fraction in [0, 1], got {self.param!r}"
+                )
+        elif self.param is not None:
+            raise ValueError(f"{self.fn} takes no parameter, got {self.param!r}")
+
+    @property
+    def fraction(self) -> float:
+        """The percentile fraction (median is percentile 0.5)."""
+        return 0.5 if self.fn == "median" else float(self.param)
 
 
 @dataclass(frozen=True)
@@ -136,13 +159,19 @@ class ViewDef:
                         "plain projected group columns"
                     )
             for a in self.aggregates:
-                if a.fn == "count_distinct":
+                if a.fn == "count_distinct" or a.fn in ORDERED_AGGS:
                     raise NotImplementedError(
-                        "COUNT(DISTINCT) cannot be re-aggregated from the "
-                        "finest grouping (distinct values are not additive "
-                        "across groups) — rollup/cube views support "
-                        "sum/count/min/max/avg/variance"
+                        f"{a.fn} cannot be re-aggregated from the finest "
+                        "grouping (its value is not additive across groups) "
+                        "— rollup/cube views support sum/count/min/max/avg/"
+                        "variance"
                     )
+        if any(a.fn in ORDERED_AGGS for a in self.aggregates) and not self.select:
+            raise NotImplementedError(
+                "global MEDIAN/MODE/PERCENTILE views are not supported — "
+                "add a GROUP BY (the empty-input row cannot be produced by "
+                "the aux-relation derive path)"
+            )
         if self.limit is not None:
             if not self.order_by:
                 raise NotImplementedError(
@@ -161,7 +190,10 @@ class ViewDef:
             "name": self.name,
             "source": self.source,
             "select": [list(p) for p in self.select],
-            "aggregates": [[a.fn, a.expr, a.alias] for a in self.aggregates],
+            "aggregates": [
+                [a.fn, a.expr, a.alias] + ([a.param] if a.param is not None else [])
+                for a in self.aggregates
+            ],
             "where": self.where,
             "group_by": list(self.group_by),
             "joins": [[j.table, j.on, j.how] for j in self.joins],

@@ -1,0 +1,195 @@
+"""Order-statistic aggregates (MEDIAN / PERCENTILE / MODE) maintained
+exactly under deletes via the per-(group, value) aux relation.
+
+The reference supports only SUM/COUNT (README.md:35); its poster defers
+even MIN/MAX.  Order statistics are the next step of that same closure:
+not even combinable value-to-value on insert-only batches, so every
+merge re-derives them from the aux value multiset
+(operators/auxstate.py derive_percentiles / derive_all_from_aux).
+
+Semantics pinned here:
+- MEDIAN / PERCENTILE(p): ANSI PERCENTILE_CONT — linear interpolation at
+  rank p*(n-1) over the live values in order (doubles out).
+- MODE: most frequent live value, ties to the SMALLEST value (Spark's
+  deterministic mode flag), NULLs ignored.
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from ivm_extension_spark import IVMEngine
+from ivm_extension_spark.operators.rewrite import IVMError, MULT_COL
+from ivm_extension_spark.plans.viewdef import Aggregate, ViewDef
+
+from tests.conftest import rows
+
+
+def _mk(spark, data):
+    return spark.createDataFrame(data, "k string, x int, s string")
+
+
+BASE = [
+    ("a", 1, "u"),
+    ("a", 2, "u"),
+    ("a", 2, "v"),
+    ("a", 3, "v"),
+    ("a", 9, "v"),
+    ("b", 10, "w"),
+    ("b", 20, "w"),
+    ("b", 30, "x"),
+    ("b", 40, "x"),
+]
+
+VIEW_SQL = (
+    "SELECT k, median(x) AS med, percentile(x, 0.75) AS p75, "
+    "mode(s) AS ms, count(x) AS n FROM t GROUP BY k"
+)
+
+
+def _recompute(spark, eng):
+    return (
+        eng.table("t")
+        .groupBy("k")
+        .agg(
+            F.median("x").alias("med"),
+            F.percentile("x", F.lit(0.75)).alias("p75"),
+            F.mode("s", deterministic=True).alias("ms"),
+            F.count("x").alias("n"),
+        )
+    )
+
+
+def test_initial_materialization_matches_recompute(spark):
+    eng = IVMEngine(spark)
+    eng.register_table("t", _mk(spark, BASE))
+    pub = eng.create_immv("v", sql=VIEW_SQL)
+    assert rows(pub) == rows(_recompute(spark, eng))
+
+
+def test_merge_with_deletes_matches_recompute(spark):
+    eng = IVMEngine(spark)
+    eng.register_table("t", _mk(spark, BASE))
+    eng.create_immv("v", sql=VIEW_SQL)
+    # delete one (a,2,u) — median a: {1,2,3,9} -> 2.5; insert (b,5,y)
+    delta = spark.createDataFrame(
+        [("a", 2, "u", False), ("b", 5, "y", True)],
+        f"k string, x int, s string, {MULT_COL} boolean",
+    )
+    eng.register_delta("t", delta)
+    eng.ivm_upsert("v")
+    merged = eng.merge_view("v")
+    eng.apply_delta("t")
+    assert rows(merged) == rows(_recompute(spark, eng))
+
+
+def test_multibatch_interpolation_and_mode_ties(spark):
+    eng = IVMEngine(spark)
+    eng.register_table("t", _mk(spark, BASE))
+    eng.create_immv("v", sql=VIEW_SQL)
+    batches = [
+        # leave a with even count -> interpolated median
+        [("a", 9, "v", False), ("a", 4, "u", True)],
+        # force a mode tie in s for group b: w,w,x,x -> smallest wins ('w')
+        [("b", 7, "w", True), ("b", 8, "x", True), ("b", 40, "x", False)],
+        # drain group a entirely
+        [
+            ("a", 1, "u", False),
+            ("a", 2, "u", False),
+            ("a", 2, "v", False),
+            ("a", 3, "v", False),
+            ("a", 4, "u", False),
+        ],
+    ]
+    for b in batches:
+        delta = spark.createDataFrame(
+            b, f"k string, x int, s string, {MULT_COL} boolean"
+        )
+        eng.register_delta("t", delta)
+        eng.ivm_upsert("v")
+        merged = eng.merge_view("v")
+        eng.apply_delta("t")
+        assert rows(merged) == rows(_recompute(spark, eng))
+    # group a fully deleted -> gone from the view
+    assert [r["k"] for r in merged.collect()] == ["b"]
+
+
+def test_percentile_extremes_and_median_equivalence(spark):
+    eng = IVMEngine(spark)
+    eng.register_table("t", _mk(spark, BASE))
+    pub = eng.create_immv(
+        "v",
+        sql="SELECT k, percentile(x, 0.0) AS p0, percentile(x, 1.0) AS p100, "
+        "percentile(x, 0.5) AS p50, median(x) AS med FROM t GROUP BY k",
+    )
+    for r in pub.collect():
+        assert r["p50"] == r["med"]
+    got = {r["k"]: (r["p0"], r["p100"]) for r in pub.collect()}
+    assert got == {"a": (1.0, 9.0), "b": (10.0, 40.0)}
+
+
+def test_mode_ignores_nulls_and_median_of_nulls_is_null(spark):
+    data = [("a", None, None), ("a", None, "z"), ("a", None, "z")]
+    df = spark.createDataFrame(data, "k string, x int, s string")
+    eng = IVMEngine(spark)
+    eng.register_table("t", df)
+    pub = eng.create_immv("v", sql=VIEW_SQL)
+    r = pub.collect()[0]
+    assert r["med"] is None and r["ms"] == "z" and r["n"] == 0
+
+
+def test_direct_merge_without_aux_rejected(spark):
+    from ivm_extension_spark.operators import merge as merge_ops
+
+    vdef = ViewDef(
+        name="v",
+        source="t",
+        select=(("k", "k"),),
+        aggregates=(Aggregate("median", "x", "med"),),
+        group_by=("k",),
+    )
+    iview = merge_ops.internal_view(vdef)
+    state = spark.createDataFrame(
+        [("a", 2.0, 3)], "k string, med double, __ivm_count long"
+    )
+    dv = spark.createDataFrame(
+        [("a", 5.0, 1, True)],
+        f"k string, med double, __ivm_count long, {MULT_COL} boolean",
+    )
+    with pytest.raises(IVMError, match="MEDIAN"):
+        merge_ops.merge(state, dv, iview)
+
+
+def test_rejections(spark):
+    eng = IVMEngine(spark)
+    eng.register_table("t", _mk(spark, BASE))
+    with pytest.raises(NotImplementedError, match="global"):
+        eng.create_immv("g", sql="SELECT median(x) AS m FROM t")
+    with pytest.raises(IVMError, match="numeric"):
+        eng.create_immv("s", sql="SELECT k, median(s) AS m FROM t GROUP BY k")
+    with pytest.raises(NotImplementedError, match="re-aggregated"):
+        eng.create_immv(
+            "r",
+            sql="SELECT k, median(x) AS m FROM t GROUP BY ROLLUP (k)",
+        )
+    with pytest.raises(ValueError, match="fraction"):
+        Aggregate("percentile", "x", "p", 1.5)
+
+
+def test_param_survives_persistence_roundtrip(spark, tmp_path):
+    eng = IVMEngine(spark)
+    eng.register_table("t", _mk(spark, BASE))
+    eng.create_immv("v", sql=VIEW_SQL)
+    path = str(tmp_path / "state")
+    eng.save(path)
+    eng2 = IVMEngine.load(spark, path, tables={"t": _mk(spark, BASE)})
+    a = eng2.view("v").aggregate_by_alias("p75")
+    assert a.fn == "percentile" and a.param == 0.75
+    # maintenance continues exactly after reload
+    delta = spark.createDataFrame(
+        [("a", 9, "v", False)], f"k string, x int, s string, {MULT_COL} boolean"
+    )
+    eng2.register_delta("t", delta)
+    eng2.ivm_upsert("v")
+    merged = eng2.merge_view("v")
+    eng2.apply_delta("t")
+    assert rows(merged) == rows(_recompute(spark, eng2))

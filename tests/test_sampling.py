@@ -92,3 +92,24 @@ def test_bucket_portable_against_duckdb(spark):
         ).fetchall()
     )
     assert got == {k: v for k, v in expected.items()}
+
+
+def test_pack_sequences_concat_and_split(spark):
+    # budget 10; group g: docs (1:4), (2:5), (3:3), (4:9) tokens in id
+    # order -> start offsets 0,4,9,12 -> packs 0,0,0,1 (doc 3 STARTS at
+    # offset 9 inside pack 0 and straddles into pack 1)
+    df = spark.createDataFrame(
+        [("g", 1, 4), ("g", 2, 5), ("g", 3, 3), ("g", 4, 9), ("h", 9, 25)],
+        "src string, doc_id long, n long",
+    )
+    out = sampling.pack_sequences(
+        df, "doc_id", F.col("n"), budget=10, group_cols=("src",)
+    )
+    got = {(r["src"], r["doc_id"]): (r["start_offset"], r["pack_id"]) for r in out.collect()}
+    assert got == {
+        ("g", 1): (0, 0),
+        ("g", 2): (4, 0),
+        ("g", 3): (9, 0),
+        ("g", 4): (12, 1),
+        ("h", 9): (0, 0),  # packing is local to the group
+    }
