@@ -125,28 +125,32 @@ def _tagged_rows(
     meta: dict[str, tuple[str, T.DataType]],
     weight: Column,
 ) -> DataFrame:
-    """Union of one projection per aggregate over the same source scan:
-    (agg tag, keys..., one populated lane, weight)."""
-    branches = []
+    """One row per (aggregate, source row): (agg tag, keys..., one
+    populated lane, weight).
+
+    Built as ONE scan of the source followed by a narrow explode of a
+    per-row struct array — NOT a union of per-aggregate projections,
+    which would physically re-scan the source once per aggregate (k
+    scans of the base data at init, k scans of the delta per batch)."""
+    entries = []
     for a in aggs:
         lane, _ = meta[a.alias]
-        lanes = [
-            (
-                F.expr(a.expr).cast("string" if ln == "str" else ln).alias(c)
+        fields = [F.lit(a.alias).alias(AGG_COL)]
+        for ln, c in LANE_COLS.items():
+            t = "string" if ln == "str" else ln
+            fields.append(
+                F.expr(a.expr).cast(t).alias(c)
                 if ln == lane
-                else F.lit(None).cast("string" if ln == "str" else ln).alias(c)
+                else F.lit(None).cast(t).alias(c)
             )
-            for ln, c in LANE_COLS.items()
-        ]
-        branches.append(
-            src.select(
-                F.lit(a.alias).alias(AGG_COL), *keys, *lanes, weight.alias("__w")
-            )
-        )
-    out = branches[0]
-    for b in branches[1:]:
-        out = out.unionByName(b)
-    return out
+        entries.append(F.struct(*fields))
+    e = F.explode(F.array(*entries)).alias("__ivm_tag")
+    return src.select(*keys, e, weight.alias("__w")).select(
+        F.col(f"__ivm_tag.{AGG_COL}").alias(AGG_COL),
+        *[c for c in src.select(*keys).columns],
+        *[F.col(f"__ivm_tag.{c}").alias(c) for c in LANE_COLS.values()],
+        F.col("__w"),
+    )
 
 
 def _fold(tagged: DataFrame) -> DataFrame:
