@@ -193,3 +193,58 @@ def test_param_survives_persistence_roundtrip(spark, tmp_path):
     merged = eng2.merge_view("v")
     eng2.apply_delta("t")
     assert rows(merged) == rows(_recompute(spark, eng2))
+
+
+def test_streaming_maintains_ordered_agg_view(spark, tmp_path):
+    """Micro-batch streaming maintenance composes with the aux-relation
+    derive: a median/mode view advanced by a CDC file stream equals the
+    batch recomputation after both batches (incl. a delete)."""
+    from ivm_extension_spark.streaming.continuous import StreamingViewMaintainer
+
+    eng = IVMEngine(spark)
+    eng.register_table("t", _mk(spark, BASE))
+    eng.create_immv("v", sql=VIEW_SQL)
+
+    schema = f"k string, x int, s string, {MULT_COL} boolean"
+    delta_dir = str(tmp_path / "deltas")
+    spark.createDataFrame(
+        [("a", 2, "u", False), ("b", 5, "y", True)], schema
+    ).write.parquet(f"{delta_dir}/b1")
+    spark.createDataFrame([("a", 7, "u", True)], schema).write.parquet(
+        f"{delta_dir}/b2"
+    )
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{delta_dir}/*")
+    )
+    m = StreamingViewMaintainer(eng, "v", "t")
+    q = m.start(stream, checkpoint_dir=str(tmp_path / "ckpt"))
+    q.awaitTermination(120)
+    assert m.batches_applied >= 1
+    assert rows(eng.read_view("v")) == rows(_recompute(spark, eng))
+
+
+def test_having_over_median_column(spark):
+    """HAVING filters on read over the maintained median column — the
+    state stays pre-HAVING so groups can cross the threshold later."""
+    eng = IVMEngine(spark)
+    eng.register_table("t", _mk(spark, BASE))
+    eng.create_immv(
+        "v",
+        sql="SELECT k, median(x) AS med, count(x) AS n FROM t "
+        "GROUP BY k HAVING med > 5",
+    )
+    assert [r["k"] for r in eng.read_view("v").collect()] == ["b"]
+    # delete b's large values: median b {10,20,30,40} -> {10,20} = 15 stays;
+    # insert big values into a so it crosses the threshold
+    delta = spark.createDataFrame(
+        [("b", 30, "x", False), ("b", 40, "x", False),
+         ("a", 50, "u", True), ("a", 60, "u", True)],
+        f"k string, x int, s string, {MULT_COL} boolean",
+    )
+    eng.register_delta("t", delta)
+    eng.ivm_upsert("v")
+    eng.merge_view("v")
+    got = {r["k"]: r["med"] for r in eng.read_view("v").collect()}
+    assert got == {"b": 15.0}  # a: {1,2,2,3,9,50,60} -> median 3.0, filtered
