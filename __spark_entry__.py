@@ -51,6 +51,7 @@ DELTA_DEFS: dict[str, tuple[str, str]] = {
     "orders": ("o_orderkey % 10 = 0", "o_custkey % 2 = 0"),
     "customer": ("c_custkey % 20 = 0", "c_nationkey % 2 = 0"),
     "events": ("event_id % 10 = 0", "user_id % 2 = 0"),
+    "documents": ("doc_id % 10 = 0", "doc_id % 2 = 0"),
 }
 
 
@@ -530,6 +531,24 @@ def _q_ivm_merge_median_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
         "mode(o_orderstatus) AS mode_status, "
         "count(o_orderkey) AS n_orders "
         "FROM orders GROUP BY o_orderpriority",
+    )
+    eng.ivm_upsert("v")
+    return eng.merge_view("v")
+
+
+def _q_ivm_merge_doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental corpus curation: a quality-filtered projection view
+    over the documents table maintained through a CDC batch (docs added
+    AND retracted) — at 100 TB the curated corpus updates from deltas
+    instead of rescanning; the token-count scalar is the same normalized
+    whitespace tokenization the text operators use (functions/text.py)."""
+    eng = _engine(spark, sf_dir, deltas=("documents",))
+    eng.create_immv(
+        "v",
+        sql="SELECT doc_id, source, n_chars, "
+        "size(split(trim(regexp_replace(regexp_replace(lower(text), "
+        "'[^a-z0-9\\\\s]', ' '), '\\\\s+', ' ')), ' ')) AS n_tokens "
+        "FROM documents WHERE n_chars >= 50",
     )
     eng.ivm_upsert("v")
     return eng.merge_view("v")
@@ -1019,6 +1038,7 @@ _IVM_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ivm_merge_having": _q_ivm_merge_having,
     "ivm_merge_variance": _q_ivm_merge_variance,
     "ivm_merge_median_mode": _q_ivm_merge_median_mode,
+    "ivm_merge_doc_quality": _q_ivm_merge_doc_quality,
     "ivm_merge_topk": _q_ivm_merge_topk,
     "ivm_merge_time_window": _q_ivm_merge_time_window,
     "ivm_merge_chain_semi": _q_ivm_merge_chain_semi,
@@ -1768,6 +1788,11 @@ def oracle_sql() -> dict[str, str]:
                 FROM {_applied_sql('lineitem')} t
                 GROUP BY l_returnflag
             )
+        """,
+        "ivm_merge_doc_quality": f"""
+            SELECT doc_id, source, n_chars,
+                   CAST(len({_TOKS}) AS INT) AS n_tokens
+            FROM {_applied_sql('documents')} d WHERE n_chars >= 50
         """,
         # order statistics: the percentile twins evaluate the SAME rank
         # formula and IEEE interpolation tree as derive_percentiles;
