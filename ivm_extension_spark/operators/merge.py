@@ -275,7 +275,7 @@ def merge(
     """
     if view.is_aggregate:
         return _merge_aggregate(state, delta_v, view, derived or {}, strategy)
-    return _merge_bag(state, delta_v, view)
+    return _merge_bag(state, delta_v, view, strategy)
 
 
 def _patch_combine(
@@ -450,7 +450,21 @@ def _merge_aggregate(
     return auxstate.patch_merged(out, iview, derived)
 
 
-def _merge_bag(state: DataFrame, delta_v: DataFrame, view: ViewDef) -> DataFrame:
+def _merge_bag(
+    state: DataFrame, delta_v: DataFrame, view: ViewDef, strategy: str = "shuffle"
+) -> DataFrame:
+    """Projection-view bag merge.
+
+    - ``"shuffle"``: union state and ΔV, re-count every distinct tuple —
+      ONE exchange of O(|V| + |ΔV|).
+    - ``"patch"``: fold ΔV to net counts per tuple (O(|ΔV|)), broadcast
+      that tuple set; state rows for untouched tuples pass through a
+      NARROW broadcast anti-join, and only the touched slice (bounded by
+      the live multiplicity of ΔV's tuples) is re-counted with the fold.
+      The state is never exchanged — the same MERGE-INTO shape as the
+      grouped patch path, which is what a 100-TB bag view needs.
+    All joins/groupings are null-safe (outer-join views legitimately
+    carry NULL columns)."""
     cols = [a for a in view.output_order]
     s = state.select(*cols).withColumn(_SIGN, F.lit(1))
     d = (
@@ -458,15 +472,41 @@ def _merge_bag(state: DataFrame, delta_v: DataFrame, view: ViewDef) -> DataFrame
         .drop(MULT_COL)
         .select(*cols, _SIGN)
     )
-    counts = (
-        s.unionByName(d)
-        .groupBy(*cols)
-        .agg(F.sum(_SIGN).alias("__ivm_n"))
-        .filter(F.col("__ivm_n") > 0)
-    )
-    return counts.select(
+    explode_counts = lambda counts: counts.select(  # noqa: E731
         *cols, F.explode(F.expr("sequence(1, __ivm_n)")).alias("__ivm_i")
     ).drop("__ivm_i")
+    if strategy != "patch":
+        counts = (
+            s.unionByName(d)
+            .groupBy(*cols)
+            .agg(F.sum(_SIGN).alias("__ivm_n"))
+            .filter(F.col("__ivm_n") > 0)
+        )
+        return explode_counts(counts)
+    # patch: one row per touched tuple, checkpointed — reused by the
+    # anti probe, the semi probe, and the re-count union
+    dcnt = (
+        d.groupBy(*cols)
+        .agg(F.sum(_SIGN).alias("__ivm_n"))
+        .localCheckpoint(eager=True)
+    )
+    probe = dcnt.select(*[F.col(c).alias(f"__ivm_pk_{c}") for c in cols])
+    cond = None
+    for c in cols:
+        t = F.col(c).eqNullSafe(F.col(f"__ivm_pk_{c}"))
+        cond = t if cond is None else cond & t
+    base = state.select(*cols)
+    untouched = base.join(F.broadcast(probe), cond, "left_anti")
+    touched = base.join(F.broadcast(probe), cond, "left_semi")
+    recounted = (
+        touched.groupBy(*cols)
+        .agg(F.count(F.lit(1)).alias("__ivm_n"))
+        .unionByName(dcnt)
+        .groupBy(*cols)
+        .agg(F.sum("__ivm_n").alias("__ivm_n"))
+        .filter(F.col("__ivm_n") > 0)
+    )
+    return untouched.unionByName(explode_counts(recounted))
 
 
 def apply_delta_to_table(base: DataFrame, delta: DataFrame) -> DataFrame:

@@ -164,3 +164,49 @@ def test_auto_strategy_is_adaptive(spark):
     batch([("b", 20, True)])
     assert eng._last_merge_strategy == "patch"  # measured 3 rows >= 2
     assert rows(eng.read_view("v")) == [("a", 11), ("b", 22), ("c", 3)]
+
+
+def test_patch_bag_merge_equals_shuffle(spark):
+    """Projection-view (bag) patch merge: same result as the shuffle
+    path, including NULL columns from outer joins and multiplicity > 1."""
+    sql = (
+        "SELECT o_orderkey, c_custkey, c_mktsegment "
+        "FROM customer FULL JOIN orders ON c_custkey = o_custkey"
+    )
+    results = {}
+    for strat in ("shuffle", "patch"):
+        eng = _mk(spark, strat, deltas=("orders", "customer"))
+        eng.create_immv("v", sql=sql)
+        eng.ivm_upsert("v")
+        results[strat] = rows(eng.merge_view("v"))
+    assert results["patch"] == results["shuffle"]
+    assert len(results["patch"]) > 0
+
+
+def test_patch_bag_merge_plan_never_exchanges_state(spark):
+    """The bag patch plan must not shuffle the state: broadcast
+    anti/semi probes plus an O(|touched|+|ΔV|) re-count only."""
+    eng = _mk(spark, "patch", deltas=("orders",))
+    eng.create_immv(
+        "v", sql="SELECT o_orderkey, o_orderstatus FROM orders"
+    )
+    eng.ivm_upsert("v")
+    from ivm_extension_spark.operators import merge as merge_ops
+
+    st = eng._state["v"].localCheckpoint(eager=True)
+    dv = eng._materialized_delta("v", force=True)
+    out = merge_ops.merge(st, dv, eng._iviews["v"], {}, strategy="patch")
+    import io
+    from contextlib import redirect_stdout
+
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        out.explain("formatted")
+    plan = buf.getvalue()
+    # the only allowed exchange is the touched-slice re-count, whose
+    # input is bounded by the broadcast probe — the raw state scan must
+    # reach the output through broadcast joins only.  Count exchanges:
+    # exactly ONE hash exchange (the touched-slice groupBy).
+    shuffles = re.findall(r"Exchange hashpartitioning", plan)
+    assert len(shuffles) <= 1, plan
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan, plan
