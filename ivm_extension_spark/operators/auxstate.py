@@ -118,6 +118,16 @@ def agg_meta(
     return meta
 
 
+def value_tag(a: Aggregate, meta: dict[str, tuple[str, T.DataType]]) -> str:
+    """The aux-relation tag for an aggregate's value multiset: keyed by
+    (lane, expression), NOT by alias — aggregates over the same
+    expression (min/max/median/p90 of one column) share ONE copy of the
+    multiset instead of one each, shrinking the aux relation and its
+    per-batch delta by the sharing factor."""
+    lane, _ = meta[a.alias]
+    return f"{lane}:{a.expr}"
+
+
 def _tagged_rows(
     src: DataFrame,
     keys: list[Column],
@@ -133,9 +143,14 @@ def _tagged_rows(
     which would physically re-scan the source once per aggregate (k
     scans of the base data at init, k scans of the delta per batch)."""
     entries = []
+    seen_tags: set[str] = set()
     for a in aggs:
+        tag = value_tag(a, meta)
+        if tag in seen_tags:  # same (lane, expr) multiset already tagged
+            continue
+        seen_tags.add(tag)
         lane, _ = meta[a.alias]
-        fields = [F.lit(a.alias).alias(AGG_COL)]
+        fields = [F.lit(tag).alias(AGG_COL)]
         for ln, c in LANE_COLS.items():
             t = "string" if ln == "str" else ln
             fields.append(
@@ -250,7 +265,7 @@ def derive_all_from_aux(
     for a in aggs:
         lane, dtype = meta[a.alias]
         lane_col = F.col(LANE_COLS[lane])
-        v = F.when(F.col(AGG_COL) == a.alias, lane_col)
+        v = F.when(F.col(AGG_COL) == value_tag(a, meta), lane_col)
         if a.fn == "min":
             m = F.min(v).cast(dtype)
         elif a.fn == "max":
@@ -265,7 +280,8 @@ def derive_all_from_aux(
             # (-count, value) structs; NULL inputs are ignored
             m = F.min(
                 F.when(
-                    (F.col(AGG_COL) == a.alias) & lane_col.isNotNull(),
+                    (F.col(AGG_COL) == value_tag(a, meta))
+                    & lane_col.isNotNull(),
                     F.struct(
                         (-F.col(VCNT_COL)).alias("nc"), lane_col.alias("v")
                     ),
@@ -305,19 +321,15 @@ def derive_percentiles(
         for c in aux.columns
         if c not in (AGG_COL, VCNT_COL, *LANE_COLS.values())
     ]
-    aliases = [a.alias for a in aggs]
+    tags = {a.alias: value_tag(a, meta) for a in aggs}
     val = F.coalesce(
         F.col(LANE_COLS["long"]).cast("double"), F.col(LANE_COLS["double"])
     )
-    frac = None
-    for a in aggs:
-        term = F.when(F.col(AGG_COL) == a.alias, F.lit(a.fraction))
-        frac = term if frac is None else frac.when(
-            F.col(AGG_COL) == a.alias, F.lit(a.fraction)
-        )
-    rows = aux.filter(F.col(AGG_COL).isin(aliases)).select(
-        AGG_COL, *keys, val.alias("__ivm_pv"), F.col(VCNT_COL), frac.alias("__ivm_pf")
-    ).filter(F.col("__ivm_pv").isNotNull())
+    rows = (
+        aux.filter(F.col(AGG_COL).isin(sorted(set(tags.values()))))
+        .select(AGG_COL, *keys, val.alias("__ivm_pv"), F.col(VCNT_COL))
+        .filter(F.col("__ivm_pv").isNotNull())
+    )
     w_cum = (
         Window.partitionBy(AGG_COL, *keys)
         .orderBy("__ivm_pv")
@@ -327,37 +339,41 @@ def derive_percentiles(
     r = (
         rows.withColumn("__ivm_cum", F.sum(VCNT_COL).over(w_cum))
         .withColumn("__ivm_n", F.sum(VCNT_COL).over(w_all))
-        .withColumn(
-            "__ivm_t", F.col("__ivm_pf") * (F.col("__ivm_n") - 1).cast("double")
-        )
         .withColumn("__ivm_start", F.col("__ivm_cum") - F.col(VCNT_COL))
     )
-    lo, hi = F.floor("__ivm_t"), F.ceil("__ivm_t")
-    per = r.groupBy(AGG_COL, *keys).agg(
-        F.max(
-            F.when(
-                (F.col("__ivm_start") <= lo) & (F.col("__ivm_cum") > lo),
-                F.col("__ivm_pv"),
+    # one conditional-aggregation groupBy straight to the final frame:
+    # per alias, its own literal fraction over its tag's sorted rows —
+    # aliases sharing a tag (several percentiles of one expression) read
+    # the same multiset copy
+    agg_cols = []
+    for a in aggs:
+        is_tag = F.col(AGG_COL) == tags[a.alias]
+        t = F.lit(a.fraction) * (F.col("__ivm_n") - 1).cast("double")
+        lo, hi = F.floor(t), F.ceil(t)
+        bracket = lambda r: (F.col("__ivm_start") <= r) & (  # noqa: E731
+            F.col("__ivm_cum") > r
+        )
+        agg_cols.append(
+            F.max(F.when(is_tag & bracket(lo), F.col("__ivm_pv"))).alias(
+                f"__ivm_vlo_{a.alias}"
             )
-        ).alias("__ivm_vlo"),
-        F.max(
-            F.when(
-                (F.col("__ivm_start") <= hi) & (F.col("__ivm_cum") > hi),
-                F.col("__ivm_pv"),
+        )
+        agg_cols.append(
+            F.max(F.when(is_tag & bracket(hi), F.col("__ivm_pv"))).alias(
+                f"__ivm_vhi_{a.alias}"
             )
-        ).alias("__ivm_vhi"),
-        F.first("__ivm_t").alias("__ivm_t"),
-    )
-    res = F.col("__ivm_vlo") + (F.col("__ivm_t") - F.floor("__ivm_t")) * (
-        F.col("__ivm_vhi") - F.col("__ivm_vlo")
-    )
-    per = per.withColumn("__ivm_res", res)
-    return per.groupBy(*[F.col(k) for k in keys]).agg(
-        *[
-            F.max(F.when(F.col(AGG_COL) == alias, F.col("__ivm_res"))).alias(alias)
-            for alias in aliases
-        ]
-    )
+        )
+        agg_cols.append(
+            F.first(F.when(is_tag, t), ignorenulls=True).alias(
+                f"__ivm_t_{a.alias}"
+            )
+        )
+    per = r.groupBy(*[F.col(k) for k in keys]).agg(*agg_cols)
+    for a in aggs:
+        t = F.col(f"__ivm_t_{a.alias}")
+        vlo, vhi = F.col(f"__ivm_vlo_{a.alias}"), F.col(f"__ivm_vhi_{a.alias}")
+        per = per.withColumn(a.alias, vlo + (t - F.floor(t)) * (vhi - vlo))
+    return per.select(*keys, *[a.alias for a in aggs])
 
 
 def percentile_oracle_sql(

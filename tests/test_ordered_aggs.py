@@ -248,3 +248,23 @@ def test_having_over_median_column(spark):
     eng.merge_view("v")
     got = {r["k"]: r["med"] for r in eng.read_view("v").collect()}
     assert got == {"b": 15.0}  # a: {1,2,2,3,9,50,60} -> median 3.0, filtered
+
+
+def test_aux_relation_shared_across_same_expr_aggs(spark):
+    """min/max/median/p90 of the SAME expression share one value-multiset
+    copy in the aux relation (tagged by (lane, expr), not by alias)."""
+    eng = IVMEngine(spark)
+    eng.register_table("t", _mk(spark, BASE))
+    eng.create_immv(
+        "v",
+        sql="SELECT k, min(x) AS mn, max(x) AS mx, median(x) AS med, "
+        "percentile(x, 0.9) AS p90 FROM t GROUP BY k",
+    )
+    aux = eng._aux["v"]
+    assert aux.select("__ivm_agg").distinct().count() == 1
+    # one row per (group, live value): a:{1,2,3,9} b:{10,20,30,40}
+    assert aux.count() == 8
+    # all four aggregates still derive correctly from the shared copy
+    got = {r["k"]: (r["mn"], r["mx"], r["med"], r["p90"]) for r in eng.read_view("v").collect()}
+    assert got["a"] == (1, 9, 2.0, pytest.approx(6.6))  # p90: t=3.6 -> 3+.6*(9-3)
+    assert got["b"] == (10, 40, 25.0, pytest.approx(37.0))
