@@ -618,6 +618,23 @@ def _q_ivm_merge_full_pos_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
     return eng.merge_view("v")
 
 
+def _q_ivm_merge_full_suffix_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # FULL OUTER in the SUFFIX of the delta position (the last chain
+    # shape the engine used to reject): delta on customer, the FULL join
+    # against orders AFTER it gets its orders-preserved flip branches
+    # from rewrite._fold_suffix — match counts of the composed old
+    # prefix probed by broadcast Δ-keys, never shuffled
+    eng = _engine(spark, sf_dir, deltas=("customer",))
+    eng.create_immv(
+        "v",
+        sql="SELECT n_name, c_custkey, o_orderkey, o_orderstatus "
+        "FROM nation LEFT JOIN customer ON n_nationkey = c_nationkey "
+        "FULL JOIN orders ON c_custkey = o_custkey",
+    )
+    eng.ivm_upsert("v")
+    return eng.merge_view("v")
+
+
 def _q_ivm_merge_time_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     # maintained tumbling-window rollup over the event stream table:
     # the window is an expression group key (date_trunc), so the whole
@@ -1039,6 +1056,7 @@ _IVM_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ivm_merge_variance": _q_ivm_merge_variance,
     "ivm_merge_median_mode": _q_ivm_merge_median_mode,
     "ivm_merge_doc_quality": _q_ivm_merge_doc_quality,
+    "ivm_merge_full_suffix_chain": _q_ivm_merge_full_suffix_chain,
     "ivm_merge_topk": _q_ivm_merge_topk,
     "ivm_merge_time_window": _q_ivm_merge_time_window,
     "ivm_merge_chain_semi": _q_ivm_merge_chain_semi,
@@ -1839,6 +1857,12 @@ def oracle_sql() -> dict[str, str]:
             FROM {_applied_sql('customer')} c
             FULL JOIN {_applied_sql('orders')} o ON c.c_custkey = o.o_custkey
             LEFT JOIN nation n ON c.c_nationkey = n.n_nationkey
+        """,
+        "ivm_merge_full_suffix_chain": f"""
+            SELECT n_name, c_custkey, o_orderkey, o_orderstatus
+            FROM nation n
+            LEFT JOIN {_applied_sql('customer')} c ON n.n_nationkey = c.c_nationkey
+            FULL JOIN orders o ON c.c_custkey = o.o_custkey
         """,
         "ivm_merge_full_pos_chain": f"""
             SELECT o_orderkey, o_orderstatus, c_custkey, n_name

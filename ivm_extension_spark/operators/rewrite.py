@@ -160,6 +160,22 @@ def _delta_source(
                     how=join.how,
                 )
             return acc
+        if with_delta == {tables[0]} and len(tables) > 2:
+            # chain with FULL join(s) and the delta on the leftmost table:
+            # _fold_suffix folds the whole chain, adding the R-preserved
+            # flip branches at each FULL (the composed old left is only
+            # probed by broadcast Δ-key sets, never shuffled)
+            d0 = _signed_delta(get_delta(tables[0]), _SIGN).alias(tables[0])
+            refs0 = [(tables[0], c) for c in get_table(tables[0]).columns]
+            branches, refs = _fold_suffix(
+                view,
+                get_table,
+                F.broadcast if broadcast_deltas else (lambda df: df),
+                [d0],
+                refs0,
+                0,
+            )
+            return _flatten_refs(branches, refs)
         if len(tables) == 2:
             how = view.joins[0].how
             if how in ("semi", "anti"):
@@ -176,28 +192,26 @@ def _delta_source(
         if len(with_delta) == 1:
             (dt,) = with_delta
             i = tables.index(dt)
-            # a FULL join in the PREFIX is fine (the prefix is just an
-            # unchanged relation); in the SUFFIX it breaks the linear fold
-            if (
-                i > 0
-                and view.joins[i - 1].how
-                in ("inner", "left", "semi", "anti", "full")
-                and all(j.how != "full" for j in view.joins[i:])
-            ):
+            # a FULL join anywhere is fine for a single-table delta: in
+            # the PREFIX it is just part of the unchanged relation, at
+            # the delta position _chain_single_delta runs the two-sided
+            # anti machinery, and in the SUFFIX _fold_suffix adds the
+            # R-preserved flip branches
+            if i > 0:
                 return _chain_single_delta(
                     view, get_table, get_delta, broadcast_deltas, i
                 )
         if (
             len(tables) > 2
             and view.joins[0].how == "full"
-            and all(j.how != "full" for j in view.joins[1:])
             and with_delta <= {tables[0], tables[1]}
         ):
             # FULL OUTER leading a chain, deltas confined to its two sides:
-            # ΔV = Δ(T0 ⟗ T1) ∘ suffix — the suffix is linear in its left
-            # argument (inner/left/semi/anti with unchanged right sides),
-            # and NULL join keys from the outer padding propagate exactly
-            # as recomputation would (left pads, inner/semi drop).
+            # ΔV = Δ(T0 ⟗ T1) ∘ suffix — non-FULL suffix joins are linear
+            # in their left argument (NULL keys from the outer padding
+            # propagate exactly as recomputation would: left pads,
+            # inner/semi drop); FULL suffix joins get their flip branches
+            # from _fold_suffix.
             import dataclasses
 
             core = _outer_join_delta(
@@ -207,18 +221,24 @@ def _delta_source(
                 broadcast_deltas,
                 full=True,
             )
-            for j in view.joins[1:]:
-                core = core.join(
-                    get_table(j.table).alias(j.table), on=F.expr(j.on), how=j.how
-                )
-            return core
+            core_refs: list[tuple[str | None, str]] = [
+                (None, c) for c in core.columns if c != _SIGN
+            ]
+            branches, refs = _fold_suffix(
+                view,
+                get_table,
+                F.broadcast if broadcast_deltas else (lambda df: df),
+                [core],
+                core_refs,
+                1,
+            )
+            return _flatten_refs(branches, refs)
         raise IVMError(
             "this join-view shape is not maintainable: chains (>2 tables) "
             "with outer/semi/anti joins take a delta on the leftmost table, "
-            "or on any single other table (inner/left/semi/anti position); "
-            "FULL OUTER must lead the chain and takes deltas only on its own "
-            "two sides.  Multi-table delta batches decompose sequentially "
-            "(engine.maintain does this)"
+            "or on any single other table; a leading FULL OUTER takes "
+            "deltas on its own two sides.  Multi-table delta batches "
+            "decompose sequentially (engine.maintain does this)"
         )
 
     branches: list[DataFrame] = []
@@ -505,6 +525,161 @@ def _outer_join_delta(
     return out
 
 
+def _old_left(view: ViewDef, get_table: Callable[[str], DataFrame], upto: int) -> DataFrame:
+    """The composed left side T0 ∘ ... ∘ T_upto of the chain with its
+    PRE-delta base tables — the build side for suffix-FULL match
+    counting (``get_table`` always returns the unchanged snapshot;
+    deltas live in separate relations)."""
+    acc = get_table(view.tables[0]).alias(view.tables[0])
+    for j in view.joins[:upto]:
+        acc = acc.join(get_table(j.table).alias(j.table), on=F.expr(j.on), how=j.how)
+    return acc
+
+
+def _fold_suffix(
+    view: ViewDef,
+    get_table: Callable[[str], DataFrame],
+    bc,
+    branches: list[DataFrame],
+    left_refs: list[tuple[str | None, str]],
+    jidx: int,
+) -> tuple[list[DataFrame], list[tuple[str | None, str]]]:
+    """Fold ``view.joins[jidx:]`` onto the ΔX branch list, FULL OUTER
+    included.
+
+    ``branches`` together form ΔX, the delta of the composed left side
+    (each branch carries ``__ivm_sign``); ``left_refs`` lists the
+    (table_alias_or_None, column) pairs the left side exposes in output
+    order — None marks an already-flattened bare column.
+
+    Non-FULL joins are linear in their left argument when the right side
+    is unchanged, so they fold into each branch as-is.  A FULL join at
+    position k preserves its right side too:
+
+    - the ΔX-side terms fold as LEFT (a ΔX row matches R or carries NULL
+      padding, exactly as recomputation would), and
+    - R-preserved rows flip where their key's match count in the
+      composed left crosses zero: Δm per key from ΔX (all branches),
+      m_old by probing the OLD composed left (:func:`_old_left`) with
+      the broadcast Δ-key set — the left chain is scanned narrowly,
+      never shuffled; gains retract the NULL-padded R row (−1), losses
+      emit it (+1).  The flip branch NULL-pads every left column and
+      keeps folding through the remaining suffix like any other branch.
+
+    Restriction: the FULL condition must be a conjunctive equi-join, and
+    (because ΔX columns may already be flattened) its left key
+    expressions must resolve against bare or still-aliased columns.
+    """
+    joins = view.joins
+    left_refs = list(left_refs)
+    for k in range(jidx, len(joins)):
+        j = joins[k]
+        R = get_table(j.table)
+        if j.how != "full":
+            branches = [
+                b.join(R.alias(j.table), on=F.expr(j.on), how=j.how)
+                for b in branches
+            ]
+            if j.how not in ("semi", "anti"):
+                left_refs += [(j.table, c) for c in R.columns]
+            continue
+        lnames = sorted({t for t, _ in left_refs if t})
+        lcols = [c for _, c in left_refs]
+        pairs = _equi_pairs(j.on, lnames or ["__none__"], j.table, lcols, R.columns)
+        if pairs is None:
+            raise IVMError(
+                "FULL OUTER in a chain suffix requires a conjunctive "
+                f"equi-join condition with unambiguous sides, got {j.on!r}"
+            )
+        knames = [f"__k{n}" for n in range(len(pairs))]
+        dm = None
+        for b in branches:
+            keys = b.select(
+                *[F.expr(pe).alias(kn) for (pe, _), kn in zip(pairs, knames)],
+                F.col(_SIGN).alias("__w"),
+            )
+            dm = keys if dm is None else dm.unionByName(keys)
+        dm = dm.groupBy(*knames).agg(F.sum("__w").alias("__dm"))
+        m_old = (
+            _old_left(view, get_table, k)
+            .select(*[F.expr(pe).alias(kn) for (pe, _), kn in zip(pairs, knames)])
+            .join(bc(dm.select(*knames)), on=knames, how="leftsemi")
+            .groupBy(*knames)
+            .agg(F.count(F.lit(1)).alias("__mold"))
+        )
+        flips = (
+            dm.join(m_old, on=knames, how="left")
+            .withColumn("__mold", F.coalesce(F.col("__mold"), F.lit(0)))
+            .withColumn("__mnew", F.col("__mold") + F.col("__dm"))
+            .withColumn(
+                "__flip",
+                F.when(
+                    (F.col("__mold") == 0) & (F.col("__mnew") > 0), F.lit(-1)
+                ).when((F.col("__mold") > 0) & (F.col("__mnew") <= 0), F.lit(1)),
+            )
+            .filter(F.col("__flip").isNotNull())
+            .select(*knames, "__flip")
+            .alias("__fl")
+        )
+        flip_cond = None
+        for (_, be), kn in zip(pairs, knames):
+            c = F.expr(be) == F.col(f"__fl.{kn}")
+            flip_cond = c if flip_cond is None else flip_cond & c
+        t_flip = (
+            R.alias(j.table)
+            .join(bc(flips), on=flip_cond, how="inner")
+            .withColumn(_SIGN, F.col("__fl.__flip"))
+            .drop("__flip", *knames)
+        )
+        ss = R.sparkSession
+        bare = [c for t, c in left_refs if t is None]
+        if bare:
+            ref_schema = branches[0].schema
+            nr = ss.range(1).select(
+                *[F.lit(None).cast(ref_schema[c].dataType).alias(c) for c in bare]
+            )
+            t_flip = t_flip.crossJoin(F.broadcast(nr))
+        for tname in dict.fromkeys(t for t, _ in left_refs if t):
+            tdf = get_table(tname)
+            nr = (
+                ss.range(1)
+                .select(
+                    *[
+                        F.lit(None).cast(tdf.schema[c].dataType).alias(c)
+                        for c in tdf.columns
+                    ]
+                )
+                .alias(tname)
+            )
+            t_flip = t_flip.crossJoin(F.broadcast(nr))
+        branches = [
+            b.join(R.alias(j.table), on=F.expr(j.on), how="left") for b in branches
+        ] + [t_flip]
+        left_refs += [(j.table, c) for c in R.columns]
+    return branches, left_refs
+
+
+def _flatten_refs(
+    branches: list[DataFrame], refs: list[tuple[str | None, str]]
+) -> DataFrame:
+    """Positional union of branches projected to bare columns in ``refs``
+    order (+ the sign column)."""
+    flat = [
+        b.select(
+            *[
+                (F.col(f"{t}.{c}") if t else F.col(c)).alias(c)
+                for t, c in refs
+            ],
+            F.col(_SIGN),
+        )
+        for b in branches
+    ]
+    out = flat[0]
+    for b in flat[1:]:
+        out = out.union(b)
+    return out
+
+
 def _chain_single_delta(
     view: ViewDef,
     get_table: Callable[[str], DataFrame],
@@ -718,12 +893,23 @@ def _chain_single_delta(
             t3 = t3.crossJoin(F.broadcast(nr))
         branches.append(t3)
 
+    # fold the suffix.  Up to the first FULL (if any) every join is
+    # linear in its left argument, so it folds into each branch with its
+    # table alias intact (qualified suffix conditions resolve).  From a
+    # FULL onward the branches are flattened to bare columns and handed
+    # to _fold_suffix, which adds the R-preserved flip branches.
+    suffix = joins[i:]
+    first_full = next(
+        (n for n, j in enumerate(suffix) if j.how == "full"), None
+    )
+    fold_upto = len(joins) if first_full is None else i + first_full
+
     out_refs = [
         *prefs,
         *([(rname, c) for c in R.columns] if join_i.how not in ("semi", "anti") else []),
         *[
             (j.table, c)
-            for j in joins[i:]
+            for j in joins[i:fold_upto]
             if j.how not in ("semi", "anti")
             for c in get_table(j.table).columns
         ],
@@ -731,7 +917,7 @@ def _chain_single_delta(
 
     flat: list[DataFrame] = []
     for b in branches:
-        for j in joins[i:]:
+        for j in joins[i:fold_upto]:
             b = b.join(get_table(j.table).alias(j.table), on=F.expr(j.on), how=j.how)
         # qualified select (join keys share names across tables), bare
         # aliases so the positional union lines up
@@ -741,10 +927,20 @@ def _chain_single_delta(
             )
         )
 
-    out = flat[0]
-    for b in flat[1:]:
-        out = out.union(b)  # positional: every branch is out_cols + _SIGN
-    return out
+    if first_full is None:
+        out = flat[0]
+        for b in flat[1:]:
+            out = out.union(b)  # positional: every branch is out_cols + _SIGN
+        return out
+    branches2, refs2 = _fold_suffix(
+        view,
+        get_table,
+        F.broadcast if broadcast_deltas else (lambda df: df),
+        flat,
+        [(None, c) for _, c in out_refs],
+        fold_upto,
+    )
+    return _flatten_refs(branches2, refs2)
 
 
 def _semi_anti_delta(

@@ -1,0 +1,142 @@
+"""FULL OUTER anywhere in a join chain (round-1 closure of the last
+documented rejection).
+
+The reference supports no joins at all (README.md:36); this engine's
+chain rule previously rejected FULL OUTER in the *suffix* of the delta
+position because the fold relies on left-linearity, and FULL preserves
+its right side too.  _fold_suffix closes that: at each suffix FULL the
+ΔX-side terms fold as LEFT, and the R-preserved rows flip where their
+key's match count in the composed OLD left crosses zero — Δm from the
+ΔX branches, m_old by probing the old left chain with the broadcast
+Δ-key set (the chain is scanned narrowly, never shuffled).
+
+Every test merges the maintained view and compares against a full
+recomputation over the delta-applied base tables (the IVM invariant).
+"""
+
+import random
+
+import pytest
+
+from ivm_extension_spark import IVMEngine
+from ivm_extension_spark.operators.rewrite import MULT_COL
+
+from tests.conftest import rows
+
+
+KEYS = (1, 2, 3, 4, 5)
+
+
+def _mk(spark, n, prefix, seed):
+    rng = random.Random(seed)
+    data = [(i, rng.choice(KEYS), rng.choice(KEYS)) for i in range(n)]
+    return spark.createDataFrame(
+        data, f"{prefix}_id long, {prefix}_k long, {prefix}_j long"
+    )
+
+
+def _tables(spark, seed=7):
+    return {
+        "ta": _mk(spark, 12, "a", seed),
+        "tb": _mk(spark, 10, "b", seed + 1),
+        "tc": _mk(spark, 8, "c", seed + 2),
+        "td": _mk(spark, 6, "d", seed + 3),
+    }
+
+
+def _delta(spark, df, prefix, seed, frac_del=0.3, n_ins=4):
+    rng = random.Random(seed)
+    base = df.collect()
+    dels = [tuple(r) + (False,) for r in base if rng.random() < frac_del]
+    ins = [
+        (1000 + i, rng.choice(KEYS + (99,)), rng.choice(KEYS + (99,)), True)
+        for i in range(n_ins)
+    ]
+    return spark.createDataFrame(
+        dels + ins,
+        f"{prefix}_id long, {prefix}_k long, {prefix}_j long, {MULT_COL} boolean",
+    )
+
+
+def _check(spark, sql, delta_tables, seed=11):
+    tables = _tables(spark)
+    eng = IVMEngine(spark)
+    for t, df in tables.items():
+        eng.register_table(t, df)
+    eng.create_immv("v", sql=sql)
+    deltas = {
+        t: _delta(spark, tables[t], t[1], seed + n)
+        for n, t in enumerate(delta_tables)
+    }
+    for t, d in deltas.items():
+        eng.register_delta(t, d)
+    eng.maintain("v")
+    got = rows(eng.read_view("v"))
+
+    eng2 = IVMEngine(spark)
+    for t, df in tables.items():
+        eng2.register_table(t, df)
+    for t, d in deltas.items():
+        eng2.register_delta(t, d)
+        eng2.apply_delta(t)
+    assert got == rows(eng2.create_immv("v", sql=sql))
+
+
+SHAPES = {
+    "left_then_full_delta_leftmost": (
+        "SELECT a_id, b_id, c_id FROM ta LEFT JOIN tb ON a_k = b_k "
+        "FULL JOIN tc ON b_j = c_k",
+        ("ta",),
+    ),
+    "inner_then_full_delta_mid": (
+        "SELECT a_id, b_id, c_id FROM ta JOIN tb ON a_k = b_k "
+        "FULL JOIN tc ON b_j = c_k",
+        ("tb",),
+    ),
+    "full_then_inner_delta_leftmost": (
+        "SELECT a_id, b_id, c_id FROM ta FULL JOIN tb ON a_k = b_k "
+        "JOIN tc ON b_j = c_k",
+        ("ta",),
+    ),
+    "full_at_delta_position_with_full_suffix": (
+        "SELECT a_id, b_id, c_id FROM ta FULL JOIN tb ON a_k = b_k "
+        "FULL JOIN tc ON b_j = c_k",
+        ("tb",),
+    ),
+    "double_full_with_left_between": (
+        "SELECT a_id, b_id, c_id, d_id FROM ta FULL JOIN tb ON a_k = b_k "
+        "LEFT JOIN tc ON b_j = c_k FULL JOIN td ON c_j = d_k",
+        ("ta",),
+    ),
+    "leading_full_deltas_both_sides_full_suffix": (
+        "SELECT a_id, b_id, c_id FROM ta FULL JOIN tb ON a_k = b_k "
+        "FULL JOIN tc ON b_j = c_k",
+        ("ta", "tb"),
+    ),
+}
+
+
+@pytest.mark.parametrize("shape", sorted(SHAPES))
+def test_full_suffix_chain_matches_recompute(spark, shape):
+    sql, deltas = SHAPES[shape]
+    _check(spark, sql, deltas)
+
+
+def test_multibatch_full_suffix_chain(spark):
+    """Three maintenance batches through a double-FULL chain stay exact."""
+    sql, _ = SHAPES["double_full_with_left_between"]
+    tables = _tables(spark, seed=23)
+    eng = IVMEngine(spark)
+    for t, df in tables.items():
+        eng.register_table(t, df)
+    eng.create_immv("v", sql=sql)
+    for batch, (t, seed) in enumerate([("ta", 31), ("tb", 37), ("ta", 41)]):
+        d = _delta(spark, eng.table(t), t[1], seed)
+        eng.register_delta(t, d)
+        eng.maintain("v")
+        eng2 = IVMEngine(spark)
+        for name in tables:
+            eng2.register_table(name, eng.table(name))
+        assert rows(eng.read_view("v")) == rows(
+            eng2.create_immv("v", sql=sql)
+        ), f"batch {batch}"

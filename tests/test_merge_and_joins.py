@@ -1181,8 +1181,11 @@ def test_full_outer_delta_position_in_chain_maintained(spark):
     assert merged == rows(eng.full_refresh("v"))
 
 
-def test_full_outer_in_suffix_still_rejected(spark):
-    # a FULL join AFTER the delta position breaks the linear suffix fold
+def test_full_outer_in_suffix_now_maintained(spark):
+    # a FULL join AFTER the delta position used to be rejected (the fold
+    # relied on left-linearity); _fold_suffix now adds the R-preserved
+    # flip branches, so this maintains and matches recomputation
+    # (tests/test_full_chain_suffix.py covers the shape matrix)
     eng = lj_engine(spark)
     eng.register_table(
         "seg_dim", spark.createDataFrame([("a", "A")], "sg string, nm string")
@@ -1193,10 +1196,15 @@ def test_full_outer_in_suffix_still_rejected(spark):
             [("b", "B", True)], "sg string, nm string, _duckdb_ivm_multiplicity boolean"
         ),
     )
-    eng.create_immv(
-        "v",
-        sql="SELECT ck, ok, seg, nm FROM cust LEFT JOIN seg_dim ON seg = sg "
-        "FULL JOIN orders ON ck = ck2",
+    sql = (
+        "SELECT ck, ok, seg, nm FROM cust LEFT JOIN seg_dim ON seg = sg "
+        "FULL JOIN orders ON ck = ck2"
     )
-    with pytest.raises(IVMError, match="FULL OUTER"):
-        eng.ivm_upsert("v")
+    eng.create_immv("v", sql=sql)
+    eng.ivm_upsert("v")
+    merged = rows(eng.merge_view("v"))
+    eng.apply_delta("seg_dim")
+    eng2 = IVMEngine(spark)
+    for t in ("cust", "orders", "seg_dim"):
+        eng2.register_table(t, eng.table(t))
+    assert merged == rows(eng2.create_immv("v", sql=sql))
