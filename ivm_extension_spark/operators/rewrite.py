@@ -231,6 +231,7 @@ def _delta_source(
                 [core],
                 core_refs,
                 1,
+                pin=True,
             )
             return _flatten_refs(branches, refs)
         raise IVMError(
@@ -543,6 +544,7 @@ def _fold_suffix(
     branches: list[DataFrame],
     left_refs: list[tuple[str | None, str]],
     jidx: int,
+    pin: bool = False,
 ) -> tuple[list[DataFrame], list[tuple[str | None, str]]]:
     """Fold ``view.joins[jidx:]`` onto the ΔX branch list, FULL OUTER
     included.
@@ -583,6 +585,13 @@ def _fold_suffix(
             if j.how not in ("semi", "anti"):
                 left_refs += [(j.table, c) for c in R.columns]
             continue
+        if pin:
+            # each branch feeds BOTH the Δm key fold and the output union;
+            # without pinning, its plan (delta joined through the prefix)
+            # would execute twice.  Branches are delta-sized — the
+            # checkpoint is O(|Δ|).  Only safe on flattened (bare-column)
+            # branches: checkpointing drops alias metadata.
+            branches = [b.localCheckpoint(eager=True) for b in branches]
         lnames = sorted({t for t, _ in left_refs if t})
         lcols = [c for _, c in left_refs]
         pairs = _equi_pairs(j.on, lnames or ["__none__"], j.table, lcols, R.columns)
@@ -939,6 +948,7 @@ def _chain_single_delta(
         flat,
         [(None, c) for _, c in out_refs],
         fold_upto,
+        pin=True,
     )
     return _flatten_refs(branches2, refs2)
 
