@@ -983,6 +983,18 @@ def _q_mix_quota_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_text_tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 TF-IDF keywords per document (functions/text.py:
+    tfidf_top_terms) — quantized integer scoring so the ranking is
+    ulp-robust across engines; corpus scanned once, doc-frequency side
+    broadcast, top-k rank-pushed."""
+    from ivm_extension_spark.functions import text as tx
+
+    return tx.tfidf_top_terms(
+        _docs(spark, sf_dir), "doc_id", "text", k=3, quantize=6
+    )
+
+
 def _q_pack_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Concatenation packing into 4096-token training packs per source
     (functions/sampling.py: pack_sequences) — deterministic concat-and-
@@ -1502,6 +1514,7 @@ _EXTRA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "mix_quota_per_source": _q_mix_quota_per_source,
     "token_length_histogram": _q_token_length_histogram,
     "pack_documents": _q_pack_documents,
+    "text_tfidf_keywords": _q_text_tfidf_keywords,
     "contamination_check": _q_contamination,
     "dedup_clusters": _q_dedup_clusters,
     "multimodal_meta": _q_multimodal_meta,
@@ -2271,6 +2284,33 @@ def _extras_oracle_sql() -> dict[str, str]:
                                           ORDER BY n_chars DESC, doc_id ASC) AS rn
                 FROM documents
             ) WHERE rn <= 10
+        """,
+        # integer-quantized idf (round(ln * 1e6)) so the ranking compares
+        # exact integers — see functions/text.py tfidf_top_terms(quantize)
+        "text_tfidf_keywords": f"""
+            WITH toks AS (
+                SELECT id, term FROM (
+                    SELECT doc_id AS id, unnest({_TOKS}) AS term FROM documents
+                ) WHERE len(term) >= 3
+            ),
+            tf AS (SELECT id, term, count(*) AS tf FROM toks GROUP BY id, term),
+            nd AS (SELECT count(DISTINCT doc_id) AS n FROM documents),
+            dfq AS (
+                SELECT term,
+                       CAST(round(ln(CAST((SELECT n FROM nd) AS DOUBLE)
+                                     / CAST(count(DISTINCT id) AS DOUBLE)) * 1000000.0)
+                            AS BIGINT) AS idf_e6
+                FROM tf GROUP BY term
+            )
+            SELECT id AS doc_id, term, CAST(tf AS BIGINT) AS tf,
+                   CAST(score AS BIGINT) AS score, CAST(rank AS INT) AS rank
+            FROM (
+                SELECT tf.id, tf.term, tf.tf, tf.tf * dfq.idf_e6 AS score,
+                       row_number() OVER (
+                           PARTITION BY tf.id
+                           ORDER BY tf.tf * dfq.idf_e6 DESC, tf.term ASC) AS rank
+                FROM tf JOIN dfq ON tf.term = dfq.term
+            ) WHERE rank <= 3
         """,
         "pack_documents": f"""
             SELECT source, doc_id,

@@ -298,3 +298,71 @@ def repetition_stats(df, id_col: str = "doc_id", text_col: str = "text"):
         (F.col("top_bigram_count") * 5 >= F.col("n_bigrams"))
         & (F.col("n_bigrams") > 0),
     )
+
+
+def tfidf_top_terms(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    min_token_len: int = 3,
+    quantize: int | None = None,
+) -> DataFrame:
+    """Top-k TF-IDF terms per document — the standard corpus keyword /
+    topic-drift diagnostic between dedup and sampling.
+
+    tf(d, t)  = occurrences of t in d (whitespace tokens of the
+                normalized text, length >= min_token_len)
+    idf(t)    = ln(N / df(t)), N = total documents, df = docs containing t
+    score     = tf * idf (double), or with ``quantize=q`` the integer
+                tf * round(idf · 10^q) — ranking then compares exact
+                integers, so an oracle engine whose libm ln differs by
+                an ulp still produces the identical ranking (the repo's
+                integer-scale float-determinism rule)
+
+    Output: (id, term, tf, score, rank), rank 1..k per document, ties
+    broken by term (deterministic).
+
+    Scale shape: ONE explode + (doc, term) count (map-side combined),
+    the document-frequency relation is O(vocabulary) and joins back
+    BROADCAST, and the per-doc top-k plans as a rank-pushed window
+    (WindowGroupLimit) — the corpus is scanned once, never shuffled
+    whole; only (doc, term) count rows cross an exchange.
+    """
+    from pyspark.sql.window import Window
+
+    toks = df.select(
+        F.col(id_col).alias("id"), F.explode(tokens(text_col)).alias("term")
+    ).filter(F.length("term") >= min_token_len)
+    tf = toks.groupBy("id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    n_docs = df.select(F.countDistinct(F.col(id_col)).alias("__n"))
+    dfreq = (
+        tf.groupBy("term")
+        .agg(F.countDistinct("id").alias("__df"))
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "term",
+            F.log(F.col("__n").cast("double") / F.col("__df").cast("double")).alias(
+                "__idf"
+            ),
+        )
+    )
+    if quantize is not None:
+        score = F.col("tf") * F.round(
+            F.col("__idf") * F.lit(float(10**quantize))
+        ).cast("bigint")
+    else:
+        score = F.col("tf").cast("double") * F.col("__idf")
+    scored = tf.join(F.broadcast(dfreq), on="term").select(
+        "id", "term", "tf", score.alias("score")
+    )
+    w = Window.partitionBy("id").orderBy(
+        F.col("score").desc(), F.col("term").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            F.col("id").alias(id_col), "term", "tf", "score", "rank"
+        )
+    )

@@ -304,3 +304,30 @@ def test_repetition_stats_exact_and_shuffle_free(spark):
     with redirect_stdout(buf):
         tx.repetition_stats(df).explain("formatted")
     assert "Exchange" not in buf.getvalue()
+
+
+def test_tfidf_top_terms_ranking_and_determinism(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "apple apple banana cherry"),
+            (2, "banana banana banana durian"),
+            (3, "apple cherry cherry cherry"),
+        ],
+        "doc_id long, text string",
+    )
+    out = text.tfidf_top_terms(df, "doc_id", "text", k=2, quantize=6).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append((r["rank"], r["term"], r["tf"]))
+    for v in by_doc.values():
+        v.sort()
+    # durian appears once in one doc: idf ln(3) beats banana's 3*ln(3/2)?
+    # 1*ln(3)=1.0986 vs 3*ln(1.5)=1.216 -> banana ranks first in doc 2
+    assert [t for _, t, _ in by_doc[2]] == ["banana", "durian"]
+    # doc 3: cherry tf=3, idf ln(3/2); apple tf=1 idf ln(3/2) -> cherry first
+    assert [t for _, t, _ in by_doc[3]] == ["cherry", "apple"]
+    # doc 1: apple tf=2 beats banana/cherry tf=1 (same idf); tie at rank 2
+    # broken by term asc -> banana
+    assert [t for _, t, _ in by_doc[1]] == ["apple", "banana"]
+    # quantized scores are exact integers
+    assert all(isinstance(r["score"], int) for r in out)
