@@ -140,3 +140,37 @@ def test_multibatch_full_suffix_chain(spark):
         assert rows(eng.read_view("v")) == rows(
             eng2.create_immv("v", sql=sql)
         ), f"batch {batch}"
+
+
+def test_streaming_maintains_full_suffix_chain(spark, tmp_path):
+    """Micro-batch streaming maintenance composes with the suffix-FULL
+    flip machinery: a CDC file stream on the mid-chain table advances a
+    left-then-FULL chain view to exactly the batch recomputation."""
+    from ivm_extension_spark.streaming.continuous import StreamingViewMaintainer
+
+    sql, _ = SHAPES["inner_then_full_delta_mid"]
+    tables = _tables(spark, seed=51)
+    eng = IVMEngine(spark)
+    for t, df in tables.items():
+        eng.register_table(t, df)
+    eng.create_immv("v", sql=sql)
+
+    d1 = _delta(spark, tables["tb"], "b", 61)
+    d2 = _delta(spark, tables["tb"], "b", 67, frac_del=0.0, n_ins=3)
+    delta_dir = str(tmp_path / "deltas")
+    d1.write.parquet(f"{delta_dir}/b1")
+    d2.write.parquet(f"{delta_dir}/b2")
+    stream = (
+        spark.readStream.schema(d1.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{delta_dir}/*")
+    )
+    m = StreamingViewMaintainer(eng, "v", "tb")
+    q = m.start(stream, checkpoint_dir=str(tmp_path / "ckpt"))
+    q.awaitTermination(180)
+    assert m.batches_applied >= 1
+
+    eng2 = IVMEngine(spark)
+    for t in tables:
+        eng2.register_table(t, eng.table(t))  # bases advanced by the stream
+    assert rows(eng.read_view("v")) == rows(eng2.create_immv("v", sql=sql))
