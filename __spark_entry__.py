@@ -889,7 +889,10 @@ def _q_sim_knn_label_consistency(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_sim_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # rows-only: approximate path (bucketed candidates ≠ exact result set)
+    # fully oracle-checked: the hyperplanes are deterministic (fixed
+    # seed, 6-decimal literals) and the oracle replicates the same
+    # sequential dot fold, so bucket assignment and ranking agree
+    # bit-for-bit across engines
     from ivm_extension_spark.functions import similarity
 
     embs = _embs(spark, sf_dir)
@@ -2142,7 +2145,41 @@ def _extras_oracle_sql() -> dict[str, str]:
         f"round(({dot('av', 'bv')}) / (({nrm('av')}) * ({nrm('bv')})) * 10000.0) / 10000.0"
     )
 
+    # LSH bucket twin: the SAME deterministic hyperplanes (fixed seed,
+    # 6-decimal literals — both engines parse identical doubles) and the
+    # SAME sequential dot fold, so bucket ids agree bit-for-bit
+    from ivm_extension_spark.functions.similarity import _hyperplanes
+
+    bucket_terms = []
+    for i, h in enumerate(_hyperplanes(64, 4, seed=7)):
+        lit = "[" + ", ".join(repr(x) for x in h) + "]"
+        bucket_terms.append(
+            f"(CASE WHEN ({dot('ev', lit)}) >= 0 THEN {1 << i} ELSE 0 END)"
+        )
+    lsh_bucket = " + ".join(bucket_terms)
+
     return {
+        "sim_topk_lsh": f"""
+            WITH b AS (
+                SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ev,
+                       {lsh_bucket} AS bucket
+                FROM embeddings
+            ),
+            scored AS (
+                SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
+                       round(({dot('q.ev', 'n.ev')})
+                             / (({nrm('q.ev')}) * ({nrm('n.ev')}))
+                             * 10000.0) / 10000.0 AS cos_sim
+                FROM (SELECT * FROM b WHERE vec_id % 50 = 0) q
+                JOIN b n ON n.bucket = q.bucket AND n.vec_id <> q.vec_id
+            )
+            SELECT query_id, neighbor_id, cos_sim, CAST(rank AS INT) AS rank
+            FROM (SELECT *, row_number() OVER
+                      (PARTITION BY query_id
+                       ORDER BY cos_sim DESC, neighbor_id ASC) AS rank
+                  FROM scored) r
+            WHERE rank <= 5
+        """,
         "text_stats": f"""
             SELECT doc_id,
                    CAST(length(text) AS INT) AS n_chars_raw,
