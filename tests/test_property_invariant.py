@@ -45,6 +45,11 @@ VIEW_SHAPES = [
     "SELECT b, sum(a) AS s FROM t GROUP BY b ORDER BY s DESC, b ASC LIMIT 2",
     # DISTINCT single-table
     "SELECT DISTINCT b, c FROM t",
+    # order statistics: exact under deletes from the shared aux value
+    # multiset; median/percentile interpolation over integers is exact
+    # halves/quarters, so merged vs recomputed doubles are bit-identical
+    "SELECT b, median(a) AS med, mode(c) AS mc FROM t GROUP BY b",
+    "SELECT b, percentile(a, 0.25) AS q1, count(a) AS n FROM t GROUP BY b",
 ]
 
 
