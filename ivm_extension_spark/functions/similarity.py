@@ -268,3 +268,43 @@ def lsh_bucketed_topk(
             "rank",
         )
     )
+
+
+def incremental_topk_update(
+    topk_state: DataFrame,
+    new_vectors: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+) -> DataFrame:
+    """Advance a maintained exact top-k similarity result with a batch of
+    NEW vectors — the IVM treatment of similarity search (cf. the
+    incremental top-k framework of EDBT 2020: re-rank the union of the
+    current result and the delta's candidates instead of rescanning).
+
+    ``topk_state`` is a previous (query_id, neighbor_id, cos_sim, rank)
+    result for the SAME queries and k; only the new batch is scored
+    (O(|Δ|·q) instead of O(n·q)), its candidates union with the state,
+    and a per-query re-rank keeps the best k.  Inserts only: a deletion
+    of a row currently in some top-k needs the runner-up, which the
+    k-row state cannot answer — that is the MIN/MAX-under-deletes
+    problem again; rebuild with brute_force_topk (or keep k' > k slack)
+    when vectors leave the corpus.
+
+    Scale shape: the delta is the only side scored against the broadcast
+    queries; the state is O(k·q) rows and the re-rank shuffles only
+    state + new candidates, never the corpus.
+    """
+    cand = brute_force_topk(new_vectors, queries, id_col, vec_col, k)
+    merged = topk_state.select(
+        "query_id", "neighbor_id", "cos_sim"
+    ).unionByName(cand.select("query_id", "neighbor_id", "cos_sim"))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        merged.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cos_sim", "rank")
+    )

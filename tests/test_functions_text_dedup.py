@@ -331,3 +331,26 @@ def test_tfidf_top_terms_ranking_and_determinism(spark):
     assert [t for _, t, _ in by_doc[1]] == ["apple", "banana"]
     # quantized scores are exact integers
     assert all(isinstance(r["score"], int) for r in out)
+
+
+def test_incremental_topk_update_equals_full_rescan(spark):
+    import random
+
+    rng = random.Random(3)
+    dim = 8
+
+    def vecs(ids):
+        return spark.createDataFrame(
+            [(i, [rng.uniform(-1, 1) for _ in range(dim)]) for i in ids],
+            "vec_id long, embedding array<double>",
+        )
+
+    base = vecs(range(40))
+    queries = base.filter("vec_id % 10 = 0")
+    state = similarity.brute_force_topk(base, queries, k=3)
+    newv = vecs(range(100, 115))
+    inc = similarity.incremental_topk_update(state, newv, queries, k=3)
+    full = similarity.brute_force_topk(
+        base.unionByName(newv), queries, k=3
+    )
+    assert rows(inc) == rows(full)
