@@ -888,6 +888,33 @@ def _q_sim_knn_label_consistency(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_emb_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding centroids (functions/similarity.py:
+    centroid_state — the linear, exactly-maintainable embedding-space
+    statistic; centroid_update advances it under vector CDC).  Elements
+    are quantized to integer micro-units before summing so per-dimension
+    sums are exact integers and the oracle division is bit-identical;
+    emitted per (label, dim) row (scalar hashing)."""
+    from ivm_extension_spark.functions import similarity
+
+    embs = _embs(spark, sf_dir).withColumn(
+        "embedding",
+        F.expr(
+            "transform(cast(embedding as array<double>), "
+            "x -> cast(round(x * 1000000.0) as double))"
+        ),
+    )
+    st = similarity.centroid_state(embs)
+    return st.select(
+        "label", "n_vectors", F.posexplode("sumvec").alias("dim", "s")
+    ).select(
+        "label",
+        "n_vectors",
+        F.col("dim").cast("int").alias("dim"),
+        (F.col("s") / F.col("n_vectors")).alias("c"),
+    )
+
+
 def _q_sim_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # fully oracle-checked: the hyperplanes are deterministic (fixed
     # seed, 6-decimal literals) and the oracle replicates the same
@@ -1518,6 +1545,7 @@ _EXTRA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "token_length_histogram": _q_token_length_histogram,
     "pack_documents": _q_pack_documents,
     "text_tfidf_keywords": _q_text_tfidf_keywords,
+    "emb_label_centroids": _q_emb_label_centroids,
     "contamination_check": _q_contamination,
     "dedup_clusters": _q_dedup_clusters,
     "multimodal_meta": _q_multimodal_meta,
@@ -2159,6 +2187,22 @@ def _extras_oracle_sql() -> dict[str, str]:
     lsh_bucket = " + ".join(bucket_terms)
 
     return {
+        "emb_label_centroids": """
+            WITH pos AS (
+                SELECT label, g.dim AS dim,
+                       CAST(round(e[g.dim + 1] * 1000000.0) AS DOUBLE) AS x
+                FROM (SELECT label, CAST(embedding AS DOUBLE[]) AS e
+                      FROM embeddings),
+                     (SELECT unnest(range(64)) AS dim) g
+            ),
+            sums AS (
+                SELECT label, dim, sum(x) AS s, count(*) AS n
+                FROM pos GROUP BY label, dim
+            )
+            SELECT label, CAST(n AS BIGINT) AS n_vectors,
+                   CAST(dim AS INT) AS dim, s / n AS c
+            FROM sums
+        """,
         "sim_topk_lsh": f"""
             WITH b AS (
                 SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ev,

@@ -308,3 +308,103 @@ def incremental_topk_update(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cos_sim", "rank")
     )
+
+
+def centroid_state(
+    vectors: DataFrame,
+    label_col: str = "label",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Per-label maintained-centroid STATE: (label, n_vectors, sumvec).
+
+    Vector means are LINEAR — per-dimension sums plus a count — so the
+    state is exactly maintainable under inserts AND deletes with the
+    same signed-weight algebra as SUM/COUNT (:func:`centroid_update`);
+    the mean is derived on read (:func:`centroid_read`), so no division
+    error ever enters the state.  Computed via posexplode → one
+    (label, dim) aggregation → re-assembly in dimension order: all
+    built-in expressions, map-side combinable, one shuffle of
+    O(labels × dim) rows.
+    """
+    pos = vectors.select(
+        F.col(label_col).alias("label"),
+        F.posexplode(F.col(vec_col).cast("array<double>")).alias("dim", "x"),
+    )
+    sums = pos.groupBy("label", "dim").agg(
+        F.sum("x").alias("s"), F.count(F.lit(1)).alias("n")
+    )
+    return _assemble_centroid_state(sums)
+
+
+def _assemble_centroid_state(sums: DataFrame) -> DataFrame:
+    return (
+        sums.groupBy("label")
+        .agg(
+            F.max("n").cast("long").alias("n_vectors"),
+            F.array_sort(
+                F.collect_list(F.struct(F.col("dim"), F.col("s")))
+            ).alias("__ds"),
+        )
+        .select(
+            "label",
+            "n_vectors",
+            F.expr("transform(__ds, p -> p.s)").alias("sumvec"),
+        )
+    )
+
+
+def centroid_read(state: DataFrame) -> DataFrame:
+    """(label, n_vectors, centroid): the mean vector, derived on read."""
+    return state.select(
+        "label",
+        "n_vectors",
+        F.expr("transform(sumvec, s -> s / n_vectors)").alias("centroid"),
+    )
+
+
+def label_centroids(
+    vectors: DataFrame,
+    label_col: str = "label",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Per-label count and centroid (mean vector) of an embedding column
+    — :func:`centroid_state` composed with :func:`centroid_read`."""
+    return centroid_read(centroid_state(vectors, label_col, vec_col))
+
+
+def centroid_update(
+    state: DataFrame,
+    delta: DataFrame,
+    label_col: str = "label",
+    vec_col: str = "embedding",
+    mult_col: str = "_duckdb_ivm_multiplicity",
+) -> DataFrame:
+    """Advance the (label, n_vectors, sumvec) state with a delta batch of
+    vectors tagged with the engine's boolean multiplicity (insert /
+    delete) — the IVM treatment of embedding-space statistics.  Only the
+    delta and the O(labels) state are touched, never the corpus; labels
+    whose count reaches zero disappear.  Sums combine with signed
+    weights, so multi-batch maintenance accumulates no division error
+    (the mean is derived on read)."""
+    sign = F.when(F.col(mult_col), F.lit(1)).otherwise(F.lit(-1))
+    dpos = delta.select(
+        F.col(label_col).alias("label"),
+        sign.alias("__w"),
+        F.posexplode(F.col(vec_col).cast("array<double>")).alias("dim", "x"),
+    )
+    dsums = dpos.groupBy("label", "dim").agg(
+        F.sum(F.col("x") * F.col("__w")).alias("s"),
+        F.sum("__w").alias("n"),
+    )
+    spos = state.select(
+        "label",
+        F.col("n_vectors").alias("n"),
+        F.posexplode(F.col("sumvec")).alias("dim", "s"),
+    ).select("label", "dim", "s", "n")
+    merged = (
+        spos.unionByName(dsums.select("label", "dim", "s", "n"))
+        .groupBy("label", "dim")
+        .agg(F.sum("s").alias("s"), F.sum("n").cast("long").alias("n"))
+        .filter(F.col("n") > 0)
+    )
+    return _assemble_centroid_state(merged)

@@ -354,3 +354,39 @@ def test_incremental_topk_update_equals_full_rescan(spark):
         base.unionByName(newv), queries, k=3
     )
     assert rows(inc) == rows(full)
+
+
+def test_centroid_update_matches_recompute(spark):
+    import random
+
+    rng = random.Random(5)
+    dim = 6
+
+    def vrows(ids, labels):
+        return [
+            (i, rng.choice(labels), [rng.uniform(-1, 1) for _ in range(dim)])
+            for i in ids
+        ]
+
+    schema = "vec_id long, label string, embedding array<double>"
+    base_rows = vrows(range(30), ["x", "y", "z"])
+    base = spark.createDataFrame(base_rows, schema)
+    state = similarity.centroid_state(base)
+    # delete ALL of label z plus a few others; insert some new x/w vectors
+    z_dels = [(*r, False) for r in base_rows if r[1] == "z"]
+    other_dels = [(*r, False) for r in base_rows if r[1] == "x"][:2]
+    ins = [(*r, True) for r in vrows(range(100, 106), ["x", "w"])]
+    delta = spark.createDataFrame(
+        z_dels + other_dels + ins, schema + ", _duckdb_ivm_multiplicity boolean"
+    )
+    new_state = similarity.centroid_update(state, delta)
+    got = {r["label"]: (r["n_vectors"], r["centroid"]) for r in similarity.centroid_read(new_state).collect()}
+
+    kept = [r for r in base_rows if not any(d[:3] == r for d in z_dels + other_dels)]
+    applied = spark.createDataFrame(kept + [i[:3] for i in ins], schema)
+    exp = {r["label"]: (r["n_vectors"], r["centroid"]) for r in similarity.label_centroids(applied).collect()}
+    assert set(got) == set(exp) and "z" not in got and "w" in got
+    for lab in got:
+        assert got[lab][0] == exp[lab][0]
+        for a, b in zip(got[lab][1], exp[lab][1]):
+            assert abs(a - b) < 1e-9
