@@ -977,6 +977,22 @@ def _q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.connected_components(verts, pairs).withColumnRenamed("id", "doc_id")
 
 
+def _q_dedup_keep_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup pipeline's final step: detect (n-gram jaccard) →
+    cluster (connected components) → REMOVE, keeping the smallest doc_id
+    of each near-dup cluster (functions/dedup.py: keep_canonical)."""
+    from ivm_extension_spark.functions import dedup
+
+    d = _docs(spark, sf_dir).select("doc_id", "text", "source", "n_chars")
+    pairs = dedup.ngram_jaccard_pairs(
+        d.select("doc_id", "text"), "doc_id", "text", n=3, min_jaccard=0.2
+    )
+    comps = dedup.connected_components(
+        d.select(F.col("doc_id").alias("id")), pairs
+    ).withColumnRenamed("id", "doc_id")
+    return dedup.keep_canonical(d, comps).select("doc_id", "source", "n_chars")
+
+
 def _q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fixed-size token chunking with overlap (functions/text.py:
     chunk_tokens) — the canonical LLM training-data prep step."""
@@ -1546,6 +1562,7 @@ _EXTRA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pack_documents": _q_pack_documents,
     "text_tfidf_keywords": _q_text_tfidf_keywords,
     "emb_label_centroids": _q_emb_label_centroids,
+    "dedup_keep_canonical": _q_dedup_keep_canonical,
     "contamination_check": _q_contamination,
     "dedup_clusters": _q_dedup_clusters,
     "multimodal_meta": _q_multimodal_meta,
@@ -2186,7 +2203,49 @@ def _extras_oracle_sql() -> dict[str, str]:
         )
     lsh_bucket = " + ".join(bucket_terms)
 
+    # shared transitive-closure CTE body for the near-dup cluster oracles
+    _cc_ctes = f"""
+            WITH RECURSIVE sh AS (
+                SELECT doc_id AS id,
+                       list_distinct(CASE WHEN len(toks) >= 3 THEN
+                           list_transform(range(1, len(toks) - 1),
+                               i -> array_to_string(list_slice(toks, i, i + 2), ' '))
+                           ELSE [] END) AS shingles
+                FROM (SELECT doc_id, {_TOKS} AS toks FROM documents) t
+            ),
+            exploded AS (
+                SELECT id, len(shingles) AS n_sh, unnest(shingles) AS g FROM sh
+            ),
+            jpairs AS (
+                SELECT a.id AS id_a, b.id AS id_b,
+                       count(*) AS n_common,
+                       any_value(a.n_sh) AS n_a, any_value(b.n_sh) AS n_b
+                FROM exploded a JOIN exploded b
+                  ON a.g = b.g AND a.id < b.id
+                GROUP BY a.id, b.id
+            ),
+            edges AS (
+                SELECT id_a AS src, id_b AS dst FROM jpairs
+                WHERE round(n_common / (n_a + n_b - n_common) * 1000000.0) / 1000000.0 >= 0.2
+                UNION ALL
+                SELECT id_b, id_a FROM jpairs
+                WHERE round(n_common / (n_a + n_b - n_common) * 1000000.0) / 1000000.0 >= 0.2
+            ),
+            cc(id, label) AS (
+                SELECT doc_id, doc_id FROM documents
+                UNION
+                SELECT e.dst, cc.label FROM cc JOIN edges e ON cc.id = e.src
+            ),
+            comp AS (SELECT id AS doc_id, min(label) AS cluster FROM cc GROUP BY id)
+    """
+
     return {
+        "dedup_keep_canonical": f"""
+            {_cc_ctes}
+            SELECT d.doc_id, d.source, CAST(d.n_chars AS BIGINT) AS n_chars
+            FROM documents d JOIN comp ON d.doc_id = comp.doc_id
+            WHERE comp.doc_id = comp.cluster
+        """,
         "emb_label_centroids": """
             WITH pos AS (
                 SELECT label, g.dim AS dim,
@@ -2300,38 +2359,8 @@ def _extras_oracle_sql() -> dict[str, str]:
             FROM (SELECT doc_id, {_NORM} AS norm FROM documents) t
         """,
         "dedup_clusters": f"""
-            WITH RECURSIVE sh AS (
-                SELECT doc_id AS id,
-                       list_distinct(CASE WHEN len(toks) >= 3 THEN
-                           list_transform(range(1, len(toks) - 1),
-                               i -> array_to_string(list_slice(toks, i, i + 2), ' '))
-                           ELSE [] END) AS shingles
-                FROM (SELECT doc_id, {_TOKS} AS toks FROM documents) t
-            ),
-            exploded AS (
-                SELECT id, len(shingles) AS n_sh, unnest(shingles) AS g FROM sh
-            ),
-            jpairs AS (
-                SELECT a.id AS id_a, b.id AS id_b,
-                       count(*) AS n_common,
-                       any_value(a.n_sh) AS n_a, any_value(b.n_sh) AS n_b
-                FROM exploded a JOIN exploded b
-                  ON a.g = b.g AND a.id < b.id
-                GROUP BY a.id, b.id
-            ),
-            edges AS (
-                SELECT id_a AS src, id_b AS dst FROM jpairs
-                WHERE round(n_common / (n_a + n_b - n_common) * 1000000.0) / 1000000.0 >= 0.2
-                UNION ALL
-                SELECT id_b, id_a FROM jpairs
-                WHERE round(n_common / (n_a + n_b - n_common) * 1000000.0) / 1000000.0 >= 0.2
-            ),
-            cc(id, label) AS (
-                SELECT doc_id, doc_id FROM documents
-                UNION
-                SELECT e.dst, cc.label FROM cc JOIN edges e ON cc.id = e.src
-            )
-            SELECT id AS doc_id, min(label) AS cluster FROM cc GROUP BY id
+            {_cc_ctes}
+            SELECT doc_id, cluster FROM comp
         """,
         "chunk_documents": f"""
             WITH toks AS (

@@ -521,3 +521,19 @@ def embedding_near_dups(
         F.col(id_col).alias("id"), F.col(vec_col).cast("array<double>").alias("v")
     )
     return src.mapInPandas(block, schema=out_schema)
+
+
+def keep_canonical(
+    df: DataFrame, components: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """The dedup REMOVAL policy: keep exactly one representative per
+    near-dup cluster — the cluster label (the smallest id, so the choice
+    is deterministic) — and drop every other member.  Singleton clusters
+    keep their only row, so the output is the deduplicated corpus.
+
+    ``components`` is :func:`connected_components` output (id, cluster).
+    Scale shape: one semi join on the id (the keep-set is a filter on
+    the O(corpus) component relation — no collect, no broadcast
+    assumption; AQE picks the physical join)."""
+    keep = components.filter(F.col(id_col) == F.col("cluster")).select(id_col)
+    return df.join(keep, on=id_col, how="leftsemi")
