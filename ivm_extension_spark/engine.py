@@ -499,6 +499,40 @@ class IVMEngine:
         )
         return old_rows.unionByName(new_rows)
 
+    def maintain_all(self) -> dict[str, DataFrame]:
+        """Advance EVERY view affected by the registered deltas, then fold
+        the deltas into their base tables — the multi-view batch verb.
+
+        All views merge against the PRE-delta base world (their delta
+        rules require it), then the deltas are applied once.  Delta plans
+        for every affected view are built up front, so a view whose shape
+        is rejected (multi-table deltas on an outer/semi/anti chain —
+        ``maintain()`` it individually, which decomposes) raises BEFORE
+        any state has advanced: the catalog is never left half-merged.
+
+        Returns {view name -> new public view}.  Cascades (views over a
+        maintained view's snapshot) stay manual via merge_view_cdc —
+        their delta is the upstream merge's CDC, not a base-table delta.
+        """
+        def _tables(v: str) -> tuple[str, ...]:
+            if v in self._union_branches:
+                return tuple(
+                    t for b in self._union_branches[v] for t in b.tables
+                )
+            return self._views[v].tables
+
+        affected = [
+            v for v in self._views if any(t in self._deltas for t in _tables(v))
+        ]
+        plans = {v: self._delta_plan_for(v) for v in affected}  # may raise
+        out: dict[str, DataFrame] = {}
+        for v in affected:
+            self._delta_views[v] = plans[v]
+            out[v] = self.merge_view(v)
+        for t in list(self._deltas):
+            self.apply_delta(t)
+        return out
+
     def _advance_aux(self, name: str) -> dict[str, DataFrame]:
         """Advance the view's auxiliary value multisets with the current
         delta tables and re-derive exact MIN/MAX/COUNT(DISTINCT) values.

@@ -59,3 +59,85 @@ def test_execute_sql_front_door(spark):
     # MATERIALIZED VIEW spelling (the reference's own regex helper shape)
     eng.execute("CREATE MATERIALIZED VIEW mv AS SELECT k FROM t")
     assert sorted(eng.list_views()) == ["mv", "v"]
+
+
+def test_maintain_all_advances_every_affected_view(spark):
+    from tests.conftest import rows as _rows
+
+    eng = IVMEngine(spark)
+    eng.register_table(
+        "t", spark.createDataFrame([(1, "x"), (2, "y"), (3, "x")], "a int, b string")
+    )
+    eng.register_table(
+        "u", spark.createDataFrame([(10, "x"), (20, "z")], "c int, b string")
+    )
+    eng.create_immv("v1", sql="SELECT b, sum(a) AS s FROM t GROUP BY b")
+    eng.create_immv("v2", sql="SELECT a, b FROM t WHERE a > 1")
+    eng.create_immv("v3", sql="SELECT b, count(c) AS n FROM u GROUP BY b")
+    eng.register_delta(
+        "t",
+        spark.createDataFrame(
+            [(5, "y", True), (1, "x", False)],
+            "a int, b string, _duckdb_ivm_multiplicity boolean",
+        ),
+    )
+    eng.register_delta(
+        "u",
+        spark.createDataFrame(
+            [(30, "x", True)], "c int, b string, _duckdb_ivm_multiplicity boolean"
+        ),
+    )
+    out = eng.maintain_all()
+    assert set(out) == {"v1", "v2", "v3"}
+    # deltas consumed, bases advanced
+    assert eng._deltas == {}
+    assert _rows(eng.read_view("v1")) == _rows(
+        spark.createDataFrame([("x", 3), ("y", 7)], "b string, s bigint")
+    )
+    assert _rows(eng.read_view("v2")) == _rows(
+        spark.createDataFrame([(2, "y"), (3, "x"), (5, "y")], "a int, b string")
+    )
+    assert _rows(eng.read_view("v3")) == _rows(
+        spark.createDataFrame([("x", 2), ("z", 1)], "b string, n bigint")
+    )
+
+
+def test_maintain_all_rejects_before_any_merge(spark):
+    import pytest
+
+    from ivm_extension_spark.operators.rewrite import IVMError
+
+    eng = IVMEngine(spark)
+    eng.register_table(
+        "t", spark.createDataFrame([(1, "x")], "a int, b string")
+    )
+    eng.register_table(
+        "u", spark.createDataFrame([("x", 5)], "bb string, d int")
+    )
+    eng.register_table(
+        "w", spark.createDataFrame([(5, 9)], "dd int, e int")
+    )
+    eng.create_immv("ok", sql="SELECT b, sum(a) AS s FROM t GROUP BY b")
+    # 3-table chain with outer join and deltas on TWO tables -> one-shot
+    # rejected (maintain() decomposes; maintain_all must not half-merge)
+    eng.create_immv(
+        "chain",
+        sql="SELECT a, b, e FROM t LEFT JOIN u ON b = bb "
+        "LEFT JOIN w ON d = dd",
+    )
+    for tbl, d in (
+        ("t", [(2, "x", True)]),
+        ("u", [("x", 6, True)]),
+    ):
+        schema = (
+            "a int, b string, _duckdb_ivm_multiplicity boolean"
+            if tbl == "t"
+            else "bb string, d int, _duckdb_ivm_multiplicity boolean"
+        )
+        eng.register_delta(tbl, spark.createDataFrame(d, schema))
+    before = eng.read_view("ok").collect()
+    with pytest.raises(IVMError):
+        eng.maintain_all()
+    # nothing advanced: deltas still registered, state unchanged
+    assert set(eng._deltas) == {"t", "u"}
+    assert eng.read_view("ok").collect() == before
