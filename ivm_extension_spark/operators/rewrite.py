@@ -234,12 +234,16 @@ def _delta_source(
                 pin=True,
             )
             return _flatten_refs(branches, refs)
+        if len(with_delta) > 1:
+            return _sequential_worlds_delta(
+                view, get_table, get_delta, broadcast_deltas, with_delta
+            )
         raise IVMError(
             "this join-view shape is not maintainable: chains (>2 tables) "
-            "with outer/semi/anti joins take a delta on the leftmost table, "
-            "or on any single other table; a leading FULL OUTER takes "
-            "deltas on its own two sides.  Multi-table delta batches "
-            "decompose sequentially (engine.maintain does this)"
+            "with outer/semi/anti joins take a delta on the leftmost table "
+            "or on any single other table; FULL OUTER is supported at any "
+            "position for those cases and (with deltas on its own two "
+            "sides) when leading the chain"
         )
 
     branches: list[DataFrame] = []
@@ -523,6 +527,89 @@ def _outer_join_delta(
     out = branches[0]
     for b in branches[1:]:
         out = out.union(b)  # positional: every branch is lcols + rcols + _SIGN
+    return out
+
+
+def _sequential_worlds_delta(
+    view: ViewDef,
+    get_table: Callable[[str], DataFrame],
+    get_delta: Callable[[str], DataFrame],
+    broadcast_deltas: bool,
+    with_delta: set[str],
+) -> DataFrame:
+    """ΔV for a non-inner chain with deltas on SEVERAL tables at once,
+    as one plan: compose the single-table delta rules through
+    *sequential worlds*.
+
+        ΔV = Δ_{T_{i1}}V(world_0) ⊎ Δ_{T_{i2}}V(world_1) ⊎ ...
+
+    where world_k presents the first k delta tables ALREADY advanced
+    (T' = T ⊎ ΔT, built lazily with the bag-apply operator — no state is
+    mutated, the advance lives inside the plan).  Each step sees exactly
+    one delta, so it routes through the ordinary single-delta chain
+    machinery; signed ΔV rows are linear under ⊎, so the union of the
+    step deltas IS the batch delta.  This is the plan-level form of the
+    sequential decomposition engine.maintain() used to perform against
+    materialized state — now a single ivm_upsert covers every chain
+    shape and delta combination.
+
+    Scale note: a later step's world re-derives earlier advanced tables
+    lazily (one bag-apply re-aggregation per advanced table per step) —
+    at k simultaneous delta tables that is O(k²) advanced-table
+    subplans.  k is small (tables in one view); for the common k=1 and
+    the two-table / leading-FULL cases the dedicated one-shot rules are
+    used instead (routed before this fallback).
+    """
+    tables = view.tables
+    parts: list[DataFrame] = []
+    done: list[str] = []
+    for dt in [t for t in tables if t in with_delta]:
+        advanced = frozenset(done)
+
+        def gt(n: str, _adv=advanced) -> DataFrame:
+            base = get_table(n)
+            if n in _adv:
+                from ivm_extension_spark.operators.merge import (
+                    apply_delta_to_table,
+                )
+
+                return apply_delta_to_table(base, get_delta(n))
+            return base
+
+        def gd(n: str, _dt=dt) -> DataFrame:
+            if n != _dt:
+                raise IVMError(f"no delta for table {n!r} (sequential world)")
+            return get_delta(n)
+
+        parts.append(_delta_source(view, gt, gd, broadcast_deltas))
+        done.append(dt)
+
+    # uniform positional flatten: every part projects the same
+    # (table, column) refs — qualified when the part kept its aliases,
+    # bare when it was already flattened
+    refs: list[tuple[str, str]] = [
+        (tables[0], c) for c in get_table(tables[0]).columns
+    ]
+    for j in view.joins:
+        if j.how not in ("semi", "anti"):
+            refs += [(j.table, c) for c in get_table(j.table).columns]
+    flat_cols = [c for _, c in refs] + [_SIGN]
+    flat: list[DataFrame] = []
+    for p in parts:
+        if p.columns == flat_cols:
+            # already flattened by the single-delta machinery, in exactly
+            # this refs order (its out_refs are built the same way) —
+            # selecting by name would trip over duplicated join-key names
+            flat.append(p)
+            continue
+        flat.append(
+            p.select(
+                *[F.col(f"{t}.{c}").alias(c) for t, c in refs], F.col(_SIGN)
+            )
+        )
+    out = flat[0]
+    for b in flat[1:]:
+        out = out.union(b)
     return out
 
 

@@ -114,27 +114,25 @@ def test_maintain_all_rejects_before_any_merge(spark):
     eng.register_table(
         "u", spark.createDataFrame([("x", 5)], "bb string, d int")
     )
-    eng.register_table(
-        "w", spark.createDataFrame([(5, 9)], "dd int, e int")
-    )
     eng.create_immv("ok", sql="SELECT b, sum(a) AS s FROM t GROUP BY b")
-    # 3-table chain with outer join and deltas on TWO tables -> one-shot
-    # rejected (maintain() decomposes; maintain_all must not half-merge)
+    # outer THETA join with deltas on both sides: not equi-maintainable,
+    # rejected at plan-build time — maintain_all must not half-merge
     eng.create_immv(
-        "chain",
-        sql="SELECT a, b, e FROM t LEFT JOIN u ON b = bb "
-        "LEFT JOIN w ON d = dd",
+        "theta",
+        sql="SELECT a, b, d FROM t LEFT JOIN u ON a < d",
     )
-    for tbl, d in (
-        ("t", [(2, "x", True)]),
-        ("u", [("x", 6, True)]),
-    ):
-        schema = (
-            "a int, b string, _duckdb_ivm_multiplicity boolean"
-            if tbl == "t"
-            else "bb string, d int, _duckdb_ivm_multiplicity boolean"
-        )
-        eng.register_delta(tbl, spark.createDataFrame(d, schema))
+    eng.register_delta(
+        "t",
+        spark.createDataFrame(
+            [(2, "x", True)], "a int, b string, _duckdb_ivm_multiplicity boolean"
+        ),
+    )
+    eng.register_delta(
+        "u",
+        spark.createDataFrame(
+            [("x", 6, True)], "bb string, d int, _duckdb_ivm_multiplicity boolean"
+        ),
+    )
     before = eng.read_view("ok").collect()
     with pytest.raises(IVMError):
         eng.maintain_all()

@@ -174,3 +174,36 @@ def test_streaming_maintains_full_suffix_chain(spark, tmp_path):
     for t in tables:
         eng2.register_table(t, eng.table(t))  # bases advanced by the stream
     assert rows(eng.read_view("v")) == rows(eng2.create_immv("v", sql=sql))
+
+
+MULTI_DELTA_SHAPES = {
+    "left_left_deltas_t_and_dim": (
+        "SELECT a_id, b_id, c_id FROM ta LEFT JOIN tb ON a_k = b_k "
+        "LEFT JOIN tc ON b_j = c_k",
+        ("ta", "tc"),
+    ),
+    "semi_chain_deltas_both": (
+        "SELECT a_id, b_id FROM ta JOIN tb ON a_k = b_k "
+        "SEMI JOIN tc ON b_j = c_k",
+        ("tb", "tc"),
+    ),
+    "full_chain_deltas_three_tables": (
+        "SELECT a_id, b_id, c_id FROM ta FULL JOIN tb ON a_k = b_k "
+        "LEFT JOIN tc ON b_j = c_k",
+        ("ta", "tb", "tc"),
+    ),
+    "suffix_full_deltas_two": (
+        "SELECT a_id, b_id, c_id FROM ta JOIN tb ON a_k = b_k "
+        "FULL JOIN tc ON b_j = c_k",
+        ("tb", "tc"),
+    ),
+}
+
+
+@pytest.mark.parametrize("shape", sorted(MULTI_DELTA_SHAPES))
+def test_multi_delta_chain_one_shot(spark, shape):
+    """Deltas on SEVERAL tables of an outer/semi/anti chain in ONE batch:
+    the sequential-worlds composition makes a single ivm_upsert + merge
+    exact (previously decomposed by engine.maintain against state)."""
+    sql, deltas = MULTI_DELTA_SHAPES[shape]
+    _check(spark, sql, deltas, seed=73)

@@ -599,19 +599,27 @@ def test_left_join_chain_dim_delta_maintained(spark):
     assert merged == truth, (merged, truth)
 
 
-def test_left_join_chain_multi_delta_still_rejected(spark):
-    # deltas on TWO tables of a >2-table chain stay out of scope
+def test_left_join_chain_multi_delta_one_shot(spark):
+    # deltas on TWO tables of a >2-table outer chain used to be rejected
+    # (engine.maintain decomposed them against state); the sequential-
+    # worlds composition now makes a single upsert + merge exact
     eng = lj_engine(spark, dcust=[(9, "z", True)], dord=[(20, 3, True)])
     eng.register_table(
         "seg_dim", spark.createDataFrame([("a", "A")], "sg string, nm string")
     )
-    eng.create_immv(
-        "v",
-        sql="SELECT ck, ok, nm FROM cust LEFT JOIN orders ON ck = ck2 "
-        "LEFT JOIN seg_dim ON seg = sg",
+    sql = (
+        "SELECT ck, ok, nm FROM cust LEFT JOIN orders ON ck = ck2 "
+        "LEFT JOIN seg_dim ON seg = sg"
     )
-    with pytest.raises(IVMError, match="chains"):
-        eng.ivm_upsert("v")
+    eng.create_immv("v", sql=sql)
+    eng.ivm_upsert("v")
+    merged = rows(eng.merge_view("v"))
+    for t in ("cust", "orders"):
+        eng.apply_delta(t)
+    eng2 = IVMEngine(spark)
+    for t in ("cust", "orders", "seg_dim"):
+        eng2.register_table(t, eng.table(t))
+    assert merged == rows(eng2.create_immv("v", sql=sql))
 
 
 def test_left_join_theta_condition_right_delta_rejected(spark):
