@@ -635,6 +635,22 @@ def _q_ivm_merge_full_suffix_chain(spark: SparkSession, sf_dir: str) -> DataFram
     return eng.merge_view("v")
 
 
+def _q_ivm_merge_multi_delta_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # deltas on TWO tables of a left-outer chain in ONE batch — the
+    # sequential-worlds composition (rewrite._sequential_worlds_delta):
+    # one ivm_upsert covers what previously took a state-level
+    # decomposition; each step's world advances the prior delta lazily
+    eng = _engine(spark, sf_dir, deltas=("customer", "orders"))
+    eng.create_immv(
+        "v",
+        sql="SELECT n_name, c_custkey, o_orderkey "
+        "FROM nation LEFT JOIN customer ON n_nationkey = c_nationkey "
+        "LEFT JOIN orders ON c_custkey = o_custkey",
+    )
+    eng.ivm_upsert("v")
+    return eng.merge_view("v")
+
+
 def _q_ivm_merge_time_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     # maintained tumbling-window rollup over the event stream table:
     # the window is an expression group key (date_trunc), so the whole
@@ -1115,6 +1131,7 @@ _IVM_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ivm_merge_median_mode": _q_ivm_merge_median_mode,
     "ivm_merge_doc_quality": _q_ivm_merge_doc_quality,
     "ivm_merge_full_suffix_chain": _q_ivm_merge_full_suffix_chain,
+    "ivm_merge_multi_delta_chain": _q_ivm_merge_multi_delta_chain,
     "ivm_merge_topk": _q_ivm_merge_topk,
     "ivm_merge_time_window": _q_ivm_merge_time_window,
     "ivm_merge_chain_semi": _q_ivm_merge_chain_semi,
@@ -1918,6 +1935,12 @@ def oracle_sql() -> dict[str, str]:
             FROM {_applied_sql('customer')} c
             FULL JOIN {_applied_sql('orders')} o ON c.c_custkey = o.o_custkey
             LEFT JOIN nation n ON c.c_nationkey = n.n_nationkey
+        """,
+        "ivm_merge_multi_delta_chain": f"""
+            SELECT n_name, c_custkey, o_orderkey
+            FROM nation n
+            LEFT JOIN {_applied_sql('customer')} c ON n.n_nationkey = c.c_nationkey
+            LEFT JOIN {_applied_sql('orders')} o ON c.c_custkey = o.o_custkey
         """,
         "ivm_merge_full_suffix_chain": f"""
             SELECT n_name, c_custkey, o_orderkey, o_orderstatus
