@@ -635,6 +635,25 @@ def _q_ivm_merge_full_suffix_chain(spark: SparkSession, sf_dir: str) -> DataFram
     return eng.merge_view("v")
 
 
+def _q_ivm_merge_join_minmax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # MIN/MAX over a JOIN view under a delete-bearing delta: the aux
+    # value multiset is built over the join source (auxstate._source)
+    # and advanced with the join delta rules — composition of the two
+    # hardest maintenance features
+    eng = _engine(spark, sf_dir, deltas=("orders",))
+    eng.create_immv(
+        "v",
+        sql="SELECT c_mktsegment, "
+        "min(cast(round(o_totalprice * 100) AS bigint)) AS min_cents, "
+        "max(cast(round(o_totalprice * 100) AS bigint)) AS max_cents, "
+        "count(o_orderkey) AS n "
+        "FROM customer JOIN orders ON c_custkey = o_custkey "
+        "GROUP BY c_mktsegment",
+    )
+    eng.ivm_upsert("v")
+    return eng.merge_view("v")
+
+
 def _q_ivm_merge_multi_delta_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
     # deltas on TWO tables of a left-outer chain in ONE batch — the
     # sequential-worlds composition (rewrite._sequential_worlds_delta):
@@ -1132,6 +1151,7 @@ _IVM_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ivm_merge_doc_quality": _q_ivm_merge_doc_quality,
     "ivm_merge_full_suffix_chain": _q_ivm_merge_full_suffix_chain,
     "ivm_merge_multi_delta_chain": _q_ivm_merge_multi_delta_chain,
+    "ivm_merge_join_minmax": _q_ivm_merge_join_minmax,
     "ivm_merge_topk": _q_ivm_merge_topk,
     "ivm_merge_time_window": _q_ivm_merge_time_window,
     "ivm_merge_chain_semi": _q_ivm_merge_chain_semi,
@@ -1935,6 +1955,15 @@ def oracle_sql() -> dict[str, str]:
             FROM {_applied_sql('customer')} c
             FULL JOIN {_applied_sql('orders')} o ON c.c_custkey = o.o_custkey
             LEFT JOIN nation n ON c.c_nationkey = n.n_nationkey
+        """,
+        "ivm_merge_join_minmax": f"""
+            SELECT c_mktsegment,
+                   min(CAST(round(o_totalprice * 100) AS BIGINT)) AS min_cents,
+                   max(CAST(round(o_totalprice * 100) AS BIGINT)) AS max_cents,
+                   count(o_orderkey) AS n
+            FROM customer c JOIN {_applied_sql('orders')} o
+              ON c.c_custkey = o.o_custkey
+            GROUP BY c_mktsegment
         """,
         "ivm_merge_multi_delta_chain": f"""
             SELECT n_name, c_custkey, o_orderkey
