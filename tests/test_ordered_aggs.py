@@ -268,3 +268,44 @@ def test_aux_relation_shared_across_same_expr_aggs(spark):
     got = {r["k"]: (r["mn"], r["mx"], r["med"], r["p90"]) for r in eng.read_view("v").collect()}
     assert got["a"] == (1, 9, 2.0, pytest.approx(6.6))  # p90: t=3.6 -> 3+.6*(9-3)
     assert got["b"] == (10, 40, 25.0, pytest.approx(37.0))
+
+
+def test_median_over_join_view_with_deletes(spark):
+    """Order statistics compose with the join delta rules: the aux value
+    multiset is built over the joined source and advanced by the same
+    counting machinery (delta on the fact side, deletes included)."""
+    eng = IVMEngine(spark)
+    eng.register_table(
+        "dim", spark.createDataFrame([(1, "g1"), (2, "g2")], "dk int, grp string")
+    )
+    eng.register_table(
+        "fact",
+        spark.createDataFrame(
+            [(i, 1 + (i % 2), float(i * 10)) for i in range(1, 9)],
+            "fid int, dk int, val double",
+        ),
+    )
+    sql = (
+        "SELECT grp, median(val) AS med, percentile(val, 0.75) AS p75, "
+        "count(fid) AS n FROM fact JOIN dim ON fact.dk = dim.dk GROUP BY grp"
+    )
+    eng.create_immv("v", sql=sql)
+    delta = spark.createDataFrame(
+        [(2, 1, 20.0, False), (99, 2, 500.0, True)],
+        f"fid int, dk int, val double, {MULT_COL} boolean",
+    )
+    eng.register_delta("fact", delta)
+    eng.ivm_upsert("v")
+    merged = eng.merge_view("v")
+    eng.apply_delta("fact")
+    truth = (
+        eng.table("fact")
+        .join(eng.table("dim"), on="dk")
+        .groupBy("grp")
+        .agg(
+            F.median("val").alias("med"),
+            F.percentile("val", F.lit(0.75)).alias("p75"),
+            F.count("fid").alias("n"),
+        )
+    )
+    assert rows(merged) == rows(truth)
