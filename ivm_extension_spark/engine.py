@@ -88,6 +88,7 @@ class IVMEngine:
         self._aux: dict[str, DataFrame] = {}
         self._aux_meta: dict[str, dict[str, tuple]] = {}
         self._aux_rows: dict[str, int] = {}  # row count of the checkpointed aux
+        self._merge_counts: dict[str, int] = {}  # merges since materialization
         # UNION ALL views: per-branch ViewDefs (delta rule is linear)
         self._union_branches: dict[str, list[ViewDef]] = {}
 
@@ -454,6 +455,7 @@ class IVMEngine:
             # adaptive strategy choice for the NEXT batch
             self._state_rows[name] = new_state.count()
         self._delta_views.pop(name, None)
+        self._merge_counts[name] = self._merge_counts.get(name, 0) + 1
         return merge_ops.finalize(new_state, vdef)
 
     def merge_view_cdc(self, name: str) -> DataFrame:
@@ -578,6 +580,39 @@ class IVMEngine:
         # ONE window pass for the percentile family, ONE broadcast patch
         # join per distinct frame (patch_merged dedupes by identity)
         return auxstate.derive_frames(aux_aggs, new_aux, meta)
+
+    def stats(self, name: str) -> dict:
+        """Operational telemetry for one view — what an operator pages on:
+        state/aux sizes as MEASURED at the last checkpoint (no job is
+        run; None until the auto strategy or an aux advance measured
+        them), the merge strategy the last batch actually took, and the
+        number of merges applied since materialization."""
+        self.view(name)  # raises for unknown views
+        return {
+            "materialized": name in self._state,
+            "state_rows": self._state_rows.get(name),
+            "aux_rows": self._aux_rows.get(name),
+            "aux_aggregates": sorted(self._aux_meta.get(name) or {}),
+            "last_merge_strategy": getattr(self, "_last_merge_strategy", None),
+            "merges_applied": self._merge_counts.get(name, 0),
+            "tables": list(
+                dict.fromkeys(
+                    t
+                    for b in self._union_branches.get(name, [self._views[name]])
+                    for t in b.tables
+                )
+            ),
+            "pending_deltas": sorted(
+                t
+                for t in self._deltas
+                if t
+                in {
+                    tt
+                    for b in self._union_branches.get(name, [self._views[name]])
+                    for tt in b.tables
+                }
+            ),
+        }
 
     def read_view(self, name: str) -> DataFrame:
         if name not in self._state:

@@ -139,3 +139,31 @@ def test_maintain_all_rejects_before_any_merge(spark):
     # nothing advanced: deltas still registered, state unchanged
     assert set(eng._deltas) == {"t", "u"}
     assert eng.read_view("ok").collect() == before
+
+
+def test_stats_surface(spark):
+    import pytest as _pytest
+
+    eng = IVMEngine(spark)
+    eng.register_table(
+        "t", spark.createDataFrame([(1, "x"), (2, "y")], "a int, b string")
+    )
+    eng.create_immv(
+        "v", sql="SELECT b, sum(a) AS s, min(a) AS lo FROM t GROUP BY b"
+    )
+    st = eng.stats("v")
+    assert st["materialized"] and st["tables"] == ["t"]
+    assert st["aux_aggregates"] == ["lo"] and st["aux_rows"] == 2
+    assert st["merges_applied"] == 0 and st["pending_deltas"] == []
+    eng.register_delta(
+        "t",
+        spark.createDataFrame(
+            [(5, "x", True)], "a int, b string, _duckdb_ivm_multiplicity boolean"
+        ),
+    )
+    assert eng.stats("v")["pending_deltas"] == ["t"]
+    eng.maintain("v")
+    st2 = eng.stats("v")
+    assert st2["merges_applied"] == 1 and st2["pending_deltas"] == []
+    with _pytest.raises(Exception):
+        eng.stats("nope")
