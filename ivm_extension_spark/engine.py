@@ -576,10 +576,50 @@ class IVMEngine:
         ).localCheckpoint(eager=True)
         self._aux_rows[name] = new_aux.count()
         self._aux[name] = new_aux
-        # shared frames: ONE pass over the aux relation for the simple fns,
-        # ONE window pass for the percentile family, ONE broadcast patch
-        # join per distinct frame (patch_merged dedupes by identity)
-        return auxstate.derive_frames(aux_aggs, new_aux, meta)
+        # re-derive only the TOUCHED groups: Δaux's group-key set is
+        # O(|Δ|) and broadcast; the aux slice behind it is scanned
+        # narrowly, so the per-batch derive is O(touched values), not a
+        # full O(state) re-aggregation (patch_merged's hit marker keeps
+        # untouched groups' state values).  Global aggregates (no group
+        # keys) derive from the whole relation — it IS one group.
+        group_keys = [
+            c
+            for c in da.columns
+            if c
+            not in (
+                auxstate.AGG_COL,
+                auxstate.VCNT_COL,
+                *auxstate.LANE_COLS.values(),
+            )
+        ]
+        slice_aux = new_aux
+        if group_keys and self.broadcast_deltas:
+            # adaptive (same shape as the advance/merge policies): the
+            # slice pays a broadcast semi join over the aux relation to
+            # shrink the derive input — a clear win when the batch touches
+            # a small fraction of the groups (the IVM steady state), pure
+            # overhead when most groups are touched (tiny group domains,
+            # bulk loads).  Group count is the measured post-merge state
+            # size; the touched count is a cheap job over checkpointed Δaux.
+            n_groups = self._state_rows.get(name)
+            touched = da.select(*group_keys).distinct()
+            self._last_derive_sliced = False  # observable for tests/telemetry
+            if n_groups and touched.count() * 2 <= n_groups:
+                self._last_derive_sliced = True
+                cond = None
+                for k in group_keys:
+                    t = F.col(f"__ivm_a.{k}").eqNullSafe(F.col(f"__ivm_t.{k}"))
+                    cond = t if cond is None else cond & t
+                slice_aux = (
+                    new_aux.alias("__ivm_a")
+                    .join(
+                        F.broadcast(touched.alias("__ivm_t")), cond, "leftsemi"
+                    )
+                )
+        # shared frames: ONE pass over the (sliced) aux relation for the
+        # simple fns, ONE window pass for the percentile family, ONE
+        # broadcast patch join per distinct frame (dedup by identity)
+        return auxstate.derive_frames(aux_aggs, slice_aux, meta)
 
     def stats(self, name: str) -> dict:
         """Operational telemetry for one view — what an operator pages on:

@@ -432,13 +432,16 @@ def patch_merged(
     their exact re-derived values (join on the group keys; for global
     aggregates the re-derived frame is a single row, cross-joined).
 
-    Aliases sharing one re-derived frame (the derive_all_from_aux
-    output) are patched in a single join."""
+    Aliases sharing one re-derived frame (the derive_frames output) are
+    patched in a single join.  Frames may cover only the TOUCHED groups
+    (the per-batch advance derives O(touched), not O(state)): a hit
+    marker distinguishes "no patch row — keep the state's value" from a
+    patch row whose new value is legitimately NULL."""
     if not derived:
         return merged
     out = merged
     seen: set[int] = set()
-    for d in derived.values():
+    for i, d in enumerate(derived.values()):
         if id(d) in seen:
             continue
         seen.add(id(d))
@@ -456,10 +459,15 @@ def patch_merged(
                 "projected by the view (unprojected GROUP BY keys are not "
                 "supported for MIN/MAX/COUNT DISTINCT merge under deletes)"
             )
+        hit = f"__ivm_hit_{i}"
+        d = d.withColumn(hit, F.lit(True))
         if keys:
             out = out.join(F.broadcast(d), on=keys, how="left")
         else:
             out = out.crossJoin(F.broadcast(d))
         for a, p in renames.items():
-            out = out.withColumn(a, F.col(p)).drop(p)
+            out = out.withColumn(
+                a, F.when(F.col(hit), F.col(p)).otherwise(F.col(a))
+            ).drop(p)
+        out = out.drop(hit)
     return out.select(*merged.columns)

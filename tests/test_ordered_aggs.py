@@ -309,3 +309,43 @@ def test_median_over_join_view_with_deletes(spark):
         )
     )
     assert rows(merged) == rows(truth)
+
+
+def test_touched_group_derive_slice(spark):
+    """With many groups and a narrow delta, the aux re-derivation runs
+    over the touched slice only (adaptive: needs the measured state
+    size, i.e. merge_strategy='auto', and a small touched fraction) —
+    and stays exact, including untouched groups keeping their values."""
+    rows_ = [(f"g{i}", i * 10 + j, "s") for i in range(20) for j in range(3)]
+    base = spark.createDataFrame(rows_, "k string, x int, s string")
+    eng = IVMEngine(spark, merge_strategy="auto")
+    eng.register_table("t", base)
+    eng.create_immv(
+        "v", sql="SELECT k, median(x) AS med, max(x) AS hi, count(x) AS n "
+        "FROM t GROUP BY k"
+    )
+    # batch 1 (full derive: state size unmeasured yet)
+    d1 = spark.createDataFrame(
+        [("g0", 5, "s", True)], f"k string, x int, s string, {MULT_COL} boolean"
+    )
+    eng.register_delta("t", d1)
+    eng.maintain("v")
+    assert eng._last_derive_sliced is False
+    # batch 2 touches 1 of 20 groups -> sliced derive
+    d2 = spark.createDataFrame(
+        [("g3", 31, "s", False), ("g3", 99, "s", True)],
+        f"k string, x int, s string, {MULT_COL} boolean",
+    )
+    eng.register_delta("t", d2)
+    eng.maintain("v")
+    assert eng._last_derive_sliced is True
+    truth = (
+        eng.table("t")
+        .groupBy("k")
+        .agg(
+            F.median("x").alias("med"),
+            F.max("x").alias("hi"),
+            F.count("x").alias("n"),
+        )
+    )
+    assert rows(eng.read_view("v")) == rows(truth)
