@@ -68,9 +68,12 @@ class IVMEngine:
         broadcast_deltas: bool = True,
         merge_strategy: str = "auto",
         patch_min_state_rows: int = 1_000_000,
+        keep_history: int = 0,
     ) -> None:
         if merge_strategy not in ("auto", "patch", "shuffle"):
             raise ValueError(f"merge_strategy must be auto/patch/shuffle, got {merge_strategy!r}")
+        if keep_history < 0:
+            raise ValueError(f"keep_history must be >= 0, got {keep_history}")
         self.spark = spark
         self.broadcast_deltas = broadcast_deltas
         self.merge_strategy = merge_strategy
@@ -89,6 +92,13 @@ class IVMEngine:
         self._aux_meta: dict[str, dict[str, tuple]] = {}
         self._aux_rows: dict[str, int] = {}  # row count of the checkpointed aux
         self._merge_counts: dict[str, int] = {}  # merges since materialization
+        # version history (time travel): list of (version, state handle) per
+        # view, newest last; populated only when keep_history > 0.  States
+        # are checkpointed, so a handle pins its blocks — bounded by the
+        # keep_history window.  At lakehouse scale this maps to table-format
+        # snapshots; here it reproduces the exact view a batch trained on.
+        self.keep_history = keep_history
+        self._history: dict[str, list[tuple[int, DataFrame]]] = {}
         # UNION ALL views: per-branch ViewDefs (delta rule is linear)
         self._union_branches: dict[str, list[ViewDef]] = {}
 
@@ -445,6 +455,17 @@ class IVMEngine:
         new_state = merge_ops.merge(
             self._state[name], dv, self._iviews[name], derived, strategy
         )
+        if self.keep_history:
+            # pin the outgoing state (its lazy plan would otherwise be
+            # re-evaluated against bases that have since advanced) and
+            # retain it under the version it answered reads for
+            old = self._state[name]
+            if not getattr(old, "_ivm_pinned", False):
+                old = old.localCheckpoint(eager=True)
+                old._ivm_pinned = True
+            hist = self._history.setdefault(name, [])
+            hist.append((self._merge_counts.get(name, 0), old))
+            del hist[: max(0, len(hist) - self.keep_history)]
         # eager checkpoint: cuts lineage growth across repeated merges AND
         # pins the state so streaming micro-batch sources can be released
         new_state = new_state.localCheckpoint(eager=True)
@@ -654,10 +675,30 @@ class IVMEngine:
             ),
         }
 
-    def read_view(self, name: str) -> DataFrame:
+    def read_view(self, name: str, version: int | None = None) -> DataFrame:
+        """The public view — current state, or (with ``keep_history`` set
+        on the engine) the snapshot as of an earlier ``version``.  A
+        view's version is its merge counter: 0 after materialization, +1
+        per merge; ``list_versions`` enumerates what is retained."""
         if name not in self._state:
             raise IVMError(f"view {name!r} has no materialized state")
-        return merge_ops.finalize(self._state[name], self.view(name))
+        if version is None or version == self._merge_counts.get(name, 0):
+            return merge_ops.finalize(self._state[name], self.view(name))
+        for v, st in self._history.get(name, []):
+            if v == version:
+                return merge_ops.finalize(st, self.view(name))
+        raise IVMError(
+            f"view {name!r} has no retained version {version} "
+            f"(retained: {self.list_versions(name)})"
+        )
+
+    def list_versions(self, name: str) -> list[int]:
+        """Versions readable for ``name``: retained history + current."""
+        self.view(name)
+        out = [v for v, _ in self._history.get(name, [])]
+        if name in self._state:
+            out.append(self._merge_counts.get(name, 0))
+        return out
 
     def full_refresh(self, name: str) -> DataFrame:
         """Recompute V from the *current* base tables (escape hatch for the

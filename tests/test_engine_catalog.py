@@ -167,3 +167,35 @@ def test_stats_surface(spark):
     assert st2["merges_applied"] == 1 and st2["pending_deltas"] == []
     with _pytest.raises(Exception):
         eng.stats("nope")
+
+
+def test_versioned_reads_time_travel(spark):
+    from tests.conftest import rows as _rows
+
+    eng = IVMEngine(spark, keep_history=2)
+    eng.register_table(
+        "t", spark.createDataFrame([(1, "x"), (2, "y")], "a int, b string")
+    )
+    eng.create_immv("v", sql="SELECT b, sum(a) AS s FROM t GROUP BY b")
+    v0 = _rows(eng.read_view("v"))
+    batches = [[(5, "x", True)], [(2, "y", False)], [(7, "z", True)]]
+    snaps = [v0]
+    for b in batches:
+        eng.register_delta(
+            "t",
+            spark.createDataFrame(
+                b, "a int, b string, _duckdb_ivm_multiplicity boolean"
+            ),
+        )
+        eng.maintain("v")
+        snaps.append(_rows(eng.read_view("v")))
+    # window of 2 retained + current: versions 1, 2, 3
+    assert eng.list_versions("v") == [1, 2, 3]
+    assert _rows(eng.read_view("v", version=3)) == snaps[3]
+    assert _rows(eng.read_view("v", version=2)) == snaps[2]
+    assert _rows(eng.read_view("v", version=1)) == snaps[1]
+    # version 0 fell out of the window
+    import pytest as _p
+
+    with _p.raises(Exception, match="no retained version"):
+        eng.read_view("v", version=0)
