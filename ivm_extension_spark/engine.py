@@ -164,6 +164,10 @@ class IVMEngine:
             self._aux,
             self._aux_meta,
             self._union_branches,
+            self._history,
+            self._merge_counts,
+            self._state_rows,
+            self._aux_rows,
         ):
             d.pop(name, None)
 
@@ -656,6 +660,7 @@ class IVMEngine:
             "aux_aggregates": sorted(self._aux_meta.get(name) or {}),
             "last_merge_strategy": getattr(self, "_last_merge_strategy", None),
             "merges_applied": self._merge_counts.get(name, 0),
+            "versions": self.list_versions(name) if name in self._state else [],
             "tables": list(
                 dict.fromkeys(
                     t
