@@ -207,3 +207,36 @@ def test_multi_delta_chain_one_shot(spark, shape):
     exact (previously decomposed by engine.maintain against state)."""
     sql, deltas = MULTI_DELTA_SHAPES[shape]
     _check(spark, sql, deltas, seed=73)
+
+
+def test_property_random_chain_shapes_and_deltas(spark):
+    """Randomized closure check: random join kinds at every chain
+    position, random delta-table subsets (1..3 tables at once), random
+    delete/insert mixes — maintain() must equal recomputation.  Covers
+    the routing matrix (linear fold, chain-single-delta, leading-FULL,
+    suffix-FULL flips, sequential worlds) without hand-picking shapes."""
+    import itertools
+    import random as _random
+
+    rng = _random.Random(99)
+    HOWS = ["JOIN", "LEFT JOIN", "FULL JOIN", "SEMI JOIN"]
+    for trial in range(8):
+        how1, how2 = rng.choice(HOWS), rng.choice(HOWS)
+        # semi tables contribute no columns; build the select accordingly
+        cols = ["a_id"]
+        if how1 != "SEMI JOIN":
+            cols.append("b_id")
+        if how2 != "SEMI JOIN":
+            cols.append("c_id")
+        sql = (
+            f"SELECT {', '.join(cols)} FROM ta {how1} tb ON a_k = b_k "
+            f"{how2} tc ON a_j = c_k"
+        )
+        n_deltas = rng.randint(1, 3)
+        delta_tables = tuple(rng.sample(["ta", "tb", "tc"], n_deltas))
+        try:
+            _check(spark, sql, delta_tables, seed=1000 + trial)
+        except Exception as e:  # noqa: BLE001 — attach the shape to failures
+            raise AssertionError(
+                f"shape {sql!r} deltas {delta_tables}: {e}"
+            ) from e
