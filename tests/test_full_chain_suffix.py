@@ -219,14 +219,14 @@ def test_property_random_chain_shapes_and_deltas(spark):
     import random as _random
 
     rng = _random.Random(99)
-    HOWS = ["JOIN", "LEFT JOIN", "FULL JOIN", "SEMI JOIN"]
+    HOWS = ["JOIN", "LEFT JOIN", "FULL JOIN", "SEMI JOIN", "ANTI JOIN"]
     for trial in range(8):
         how1, how2 = rng.choice(HOWS), rng.choice(HOWS)
         # semi tables contribute no columns; build the select accordingly
         cols = ["a_id"]
-        if how1 != "SEMI JOIN":
+        if how1 not in ("SEMI JOIN", "ANTI JOIN"):
             cols.append("b_id")
-        if how2 != "SEMI JOIN":
+        if how2 not in ("SEMI JOIN", "ANTI JOIN"):
             cols.append("c_id")
         sql = (
             f"SELECT {', '.join(cols)} FROM ta {how1} tb ON a_k = b_k "
