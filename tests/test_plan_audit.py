@@ -155,3 +155,40 @@ def test_chain_dim_delta_no_sort_merge(spark):
     # projection in disguise, O(|affected rows|) with zero comparisons)
     n_nlj = len(re.findall(r"^\(\d+\) BroadcastNestedLoopJoin", plan, re.M))
     assert n_nlj <= 1 and (n_nlj == 0 or "Range (0, 1" in plan), plan
+
+
+def test_suffix_full_flip_plan_broadcasts_never_sortmerges(spark):
+    """The suffix-FULL flip machinery (rewrite._fold_suffix) must touch
+    the unchanged chain sides through broadcast joins only: ΔV for a
+    chain whose delta position is followed by a FULL join plans with no
+    SortMergeJoin and no nested loop; every shuffle is a (small)
+    match-count or key-fold aggregation."""
+    eng = entry._engine(spark, SF, deltas=("customer",))
+    eng.create_immv(
+        "v",
+        sql="SELECT n_name, c_custkey, o_orderkey, o_orderstatus "
+        "FROM nation LEFT JOIN customer ON n_nationkey = c_nationkey "
+        "FULL JOIN orders ON c_custkey = o_custkey",
+    )
+    plan = plan_of(eng.ivm_upsert("v"))
+    assert "SortMergeJoin" not in plan, plan
+    # NULL-pad single-row crossJoins are the only nested loops allowed
+    kinds = set(re.findall(r"BroadcastNestedLoopJoin (\w+)", plan))
+    assert kinds <= {"Cross"}, plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_sequential_worlds_plan_no_nested_loop(spark):
+    """Multi-table deltas composed through sequential worlds: the
+    one-shot ΔV plan stays hash/broadcast-joined (the bag-apply advance
+    shuffles only the advanced table, never a cross product)."""
+    eng = entry._engine(spark, SF, deltas=("customer", "orders"))
+    eng.create_immv(
+        "v",
+        sql="SELECT n_name, c_custkey, o_orderkey "
+        "FROM nation LEFT JOIN customer ON n_nationkey = c_nationkey "
+        "LEFT JOIN orders ON c_custkey = o_custkey",
+    )
+    plan = plan_of(eng.ivm_upsert("v"))
+    assert "SortMergeJoin" not in plan, plan
+    assert "BroadcastHashJoin" in plan
