@@ -199,3 +199,39 @@ def test_versioned_reads_time_travel(spark):
 
     with _p.raises(Exception, match="no retained version"):
         eng.read_view("v", version=0)
+
+
+def test_execute_sql_surface_with_ordered_aggs(spark):
+    """The reference-parity text entry points compose with the newest
+    aggregate family: CREATE IMMV with median/percentile/mode, PRAGMA
+    ivm_upsert, and a plain read-only SQL over the maintained view."""
+    from tests.conftest import rows as _rows
+    from pyspark.sql import functions as F
+
+    eng = IVMEngine(spark)
+    eng.register_table(
+        "t",
+        spark.createDataFrame(
+            [("a", 1), ("a", 4), ("a", 9), ("b", 2)], "k string, x int"
+        ),
+    )
+    eng.execute(
+        "CREATE IMMV mv AS SELECT k, median(x) AS med, "
+        "percentile(x, 0.75) AS p75, count(x) AS n FROM t GROUP BY k"
+    )
+    eng.register_delta(
+        "t",
+        spark.createDataFrame(
+            [("a", 9, False), ("b", 8, True)],
+            "k string, x int, _duckdb_ivm_multiplicity boolean",
+        ),
+    )
+    dv = eng.execute("PRAGMA ivm_upsert('memory', 'main', 'mv')")
+    assert "_duckdb_ivm_multiplicity" in dv.columns
+    eng.merge_view("mv")
+    eng.apply_delta("t")
+    got = eng.execute("SELECT k, med FROM mv ORDER BY k")
+    truth = (
+        eng.table("t").groupBy("k").agg(F.median("x").alias("med"))
+    )
+    assert _rows(got) == _rows(truth)
