@@ -654,6 +654,25 @@ def _q_ivm_merge_join_minmax(spark: SparkSession, sf_dir: str) -> DataFrame:
     return eng.merge_view("v")
 
 
+def _q_ivm_merge_topn_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # maintained top-N-per-group view via QUALIFY (no QUALIFY — or any
+    # rank filter — exists in the reference): state is the full grouped
+    # relation (ranks move under deltas); the rank filter applies on
+    # read and plans as WindowGroupLimit
+    eng = _engine(spark, sf_dir, deltas=("orders",))
+    eng.create_immv(
+        "v",
+        sql="SELECT o_orderpriority, o_custkey, "
+        "sum(cast(round(o_totalprice * 100) AS bigint)) AS sum_cents, "
+        "count(o_orderkey) AS n_orders "
+        "FROM orders GROUP BY o_orderpriority, o_custkey "
+        "QUALIFY row_number() OVER (PARTITION BY o_orderpriority "
+        "ORDER BY sum_cents DESC, o_custkey ASC) <= 5",
+    )
+    eng.ivm_upsert("v")
+    return eng.merge_view("v")
+
+
 def _q_ivm_merge_multi_delta_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
     # deltas on TWO tables of a left-outer chain in ONE batch — the
     # sequential-worlds composition (rewrite._sequential_worlds_delta):
@@ -1152,6 +1171,7 @@ _IVM_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ivm_merge_full_suffix_chain": _q_ivm_merge_full_suffix_chain,
     "ivm_merge_multi_delta_chain": _q_ivm_merge_multi_delta_chain,
     "ivm_merge_join_minmax": _q_ivm_merge_join_minmax,
+    "ivm_merge_topn_per_group": _q_ivm_merge_topn_per_group,
     "ivm_merge_topk": _q_ivm_merge_topk,
     "ivm_merge_time_window": _q_ivm_merge_time_window,
     "ivm_merge_chain_semi": _q_ivm_merge_chain_semi,
@@ -1955,6 +1975,15 @@ def oracle_sql() -> dict[str, str]:
             FROM {_applied_sql('customer')} c
             FULL JOIN {_applied_sql('orders')} o ON c.c_custkey = o.o_custkey
             LEFT JOIN nation n ON c.c_nationkey = n.n_nationkey
+        """,
+        "ivm_merge_topn_per_group": f"""
+            SELECT o_orderpriority, o_custkey,
+                   sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS sum_cents,
+                   count(o_orderkey) AS n_orders
+            FROM {_applied_sql('orders')} o
+            GROUP BY o_orderpriority, o_custkey
+            QUALIFY row_number() OVER (PARTITION BY o_orderpriority
+                ORDER BY sum_cents DESC, o_custkey ASC) <= 5
         """,
         "ivm_merge_join_minmax": f"""
             SELECT c_mktsegment,

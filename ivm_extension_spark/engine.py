@@ -234,10 +234,10 @@ class IVMEngine:
         ]
         first = branches[0]
         for b in branches:
-            if b.is_aggregate or b.distinct:
+            if b.is_aggregate or b.distinct or b.qualify:
                 raise NotImplementedError(
                     "UNION ALL view branches must be plain projections "
-                    "(no aggregates / DISTINCT)"
+                    "(no aggregates / DISTINCT / QUALIFY)"
                 )
             if b.output_order != first.output_order:
                 raise IVMError(

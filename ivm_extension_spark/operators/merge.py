@@ -152,6 +152,17 @@ def finalize(df: DataFrame, view: ViewDef) -> DataFrame:
         return out
     if view.having:
         out = out.filter(F.expr(view.having))
+    if view.qualify:
+        # window predicates can't sit in a filter directly: materialize
+        # the boolean, filter, drop.  State is pre-QUALIFY (ranks move
+        # under deltas), so this is purely a read transform; Spark plans
+        # rank-comparison qualifies as WindowGroupLimit (partial top-N
+        # per partition before the exchange).
+        out = (
+            out.withColumn("__ivm_qualify", F.expr(view.qualify))
+            .filter(F.col("__ivm_qualify"))
+            .drop("__ivm_qualify")
+        )
     return _read_transforms(out, view)
 
 

@@ -71,6 +71,7 @@ def _find_clause_spans(sql: str) -> dict[str, str]:
         ("where", re.compile(r"\bwhere\b", re.IGNORECASE)),
         ("group_by", re.compile(r"\bgroup\s+by\b", re.IGNORECASE)),
         ("having", re.compile(r"\bhaving\b", re.IGNORECASE)),
+        ("qualify", re.compile(r"\bqualify\b", re.IGNORECASE)),
         ("order_by", re.compile(r"\border\s+by\b", re.IGNORECASE)),
         ("limit", re.compile(r"\blimit\b", re.IGNORECASE)),
     ]
@@ -171,7 +172,7 @@ def _lower_existence(conj: str) -> tuple[str, str, str] | None:
             raise NotImplementedError(
                 f"EXISTS subquery FROM must name a single table, got {table!r}"
             )
-        for k in ("group_by", "having", "order_by", "limit"):
+        for k in ("group_by", "having", "qualify", "order_by", "limit"):
             if k in sub:
                 raise NotImplementedError(
                     f"EXISTS subquery may not contain {k.upper().replace('_', ' ')}"
@@ -197,7 +198,7 @@ def _lower_existence(conj: str) -> tuple[str, str, str] | None:
             raise NotImplementedError(
                 f"IN subquery must select exactly one column: {conj!r}"
             )
-        for k in ("group_by", "having", "order_by", "limit"):
+        for k in ("group_by", "having", "qualify", "order_by", "limit"):
             if k in sub:
                 raise NotImplementedError(
                     f"IN subquery may not contain {k.upper().replace('_', ' ')}"
@@ -384,6 +385,7 @@ def parse_view_sql(name: str, sql: str) -> ViewDef:
         joins=tuple(joins),
         output_order=tuple(order),
         having=spans.get("having"),
+        qualify=spans.get("qualify"),
         distinct=distinct,
         grouping_sets=grouping_sets,
         order_by=tuple(order_by),

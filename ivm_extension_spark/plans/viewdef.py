@@ -116,6 +116,12 @@ class ViewDef:
     # pre-HAVING (a group can cross the threshold in a later batch); the
     # filter is applied when the public view is read (merge.finalize).
     having: str | None = None
+    # QUALIFY: a boolean expression over output columns that may contain
+    # window functions (``row_number() OVER (PARTITION BY ...) <= N`` —
+    # maintained top-N-per-group views).  Like HAVING it is applied when
+    # the public view is read: maintained state is always pre-QUALIFY,
+    # since deltas move ranks.  (No QUALIFY exists in the reference.)
+    qualify: str | None = None
     # SELECT DISTINCT: duplicate elimination is maintained by counting —
     # the select items become group keys and merge.internal_view threads
     # a hidden count(*) so a tuple survives exactly while its multiset
@@ -166,6 +172,11 @@ class ViewDef:
                         "— rollup/cube views support sum/count/min/max/avg/"
                         "variance"
                     )
+        if self.qualify and self.grouping_sets:
+            raise NotImplementedError(
+                "QUALIFY over ROLLUP/CUBE/GROUPING SETS views is not "
+                "supported (apply the rank filter to a cascaded view)"
+            )
         if any(a.fn in ORDERED_AGGS for a in self.aggregates) and not self.select:
             raise NotImplementedError(
                 "global MEDIAN/MODE/PERCENTILE views are not supported — "
@@ -199,6 +210,7 @@ class ViewDef:
             "joins": [[j.table, j.on, j.how] for j in self.joins],
             "output_order": list(self.output_order),
             "having": self.having,
+            "qualify": self.qualify,
             "distinct": self.distinct,
             "grouping_sets": [list(g) for g in self.grouping_sets],
             "order_by": [list(o) for o in self.order_by],
@@ -217,6 +229,7 @@ class ViewDef:
             joins=tuple(JoinSpec(*j) for j in d["joins"]),
             output_order=tuple(d["output_order"]),
             having=d["having"],
+            qualify=d.get("qualify"),
             distinct=d["distinct"],
             grouping_sets=tuple(tuple(g) for g in d["grouping_sets"]),
             order_by=tuple(tuple(o) for o in d["order_by"]),
