@@ -192,3 +192,21 @@ def test_sequential_worlds_plan_no_nested_loop(spark):
     plan = plan_of(eng.ivm_upsert("v"))
     assert "SortMergeJoin" not in plan, plan
     assert "BroadcastHashJoin" in plan
+
+
+def test_qualify_read_plans_window_group_limit(spark):
+    """The QUALIFY rank filter must plan as WindowGroupLimit (partial
+    top-N per partition before the exchange), not a full window over
+    the whole state."""
+    eng = entry._engine(spark, SF, deltas=("orders",))
+    eng.create_immv(
+        "v",
+        sql="SELECT o_orderpriority, o_custkey, "
+        "sum(cast(round(o_totalprice * 100) AS bigint)) AS sum_cents, "
+        "count(o_orderkey) AS n FROM orders "
+        "GROUP BY o_orderpriority, o_custkey "
+        "QUALIFY row_number() OVER (PARTITION BY o_orderpriority "
+        "ORDER BY sum_cents DESC, o_custkey ASC) <= 5",
+    )
+    plan = plan_of(eng.read_view("v"))
+    assert "WindowGroupLimit" in plan, plan
