@@ -504,6 +504,18 @@ class IVMEngine:
         vdef = self.view(name)
         if name not in self._state:
             raise IVMError(f"view {name!r} was not materialized (create_immv)")
+        if vdef.qualify or vdef.limit is not None:
+            # rank filters break the locality the CDC relies on: a delta
+            # touching key A can evict key B from the visible top-N, and
+            # B is not in ΔV's key set — the affected-group restriction
+            # would silently miss B's retraction.  Cascade from the
+            # UNFILTERED view and apply the rank filter downstream.
+            raise IVMError(
+                "merge_view_cdc over a QUALIFY / ORDER BY+LIMIT view is "
+                "not supported: rank filters make visibility non-local "
+                "(an untouched key can be evicted).  Maintain the "
+                "pre-filter view and rank in the downstream read instead"
+            )
         dv = self._materialized_delta(name, force=True)
         old_pub = merge_ops.finalize(self._state[name], vdef)
         if not vdef.is_aggregate and not vdef.distinct:

@@ -95,3 +95,29 @@ def test_qualify_survives_persistence(spark, tmp_path):
     eng2 = IVMEngine.load(spark, path, tables={"t": _mk(spark)})
     assert eng2.view("v").qualify is not None
     assert rows(eng2.read_view("v")) == rows(_truth(eng2))
+
+
+def test_cdc_over_rank_filtered_views_rejected(spark):
+    """merge_view_cdc must refuse rank-filtered views: a delta touching
+    one key can evict ANOTHER key from the visible top-N, and the
+    affected-key CDC would silently miss that retraction."""
+    from ivm_extension_spark.operators.rewrite import IVMError
+
+    eng = IVMEngine(spark)
+    eng.register_table("t", _mk(spark))
+    eng.create_immv("v", sql=SQL)
+    eng.register_delta(
+        "t",
+        spark.createDataFrame(
+            [("g1", 1, 5, True)], f"g string, k int, x int, {MULT_COL} boolean"
+        ),
+    )
+    with pytest.raises(IVMError, match="non-local"):
+        eng.merge_view_cdc("v")
+    # ORDER BY + LIMIT views hit the same wall
+    eng.create_immv(
+        "w",
+        sql="SELECT g, sum(x) AS s FROM t GROUP BY g ORDER BY s DESC, g ASC LIMIT 1",
+    )
+    with pytest.raises(IVMError, match="non-local"):
+        eng.merge_view_cdc("w")
