@@ -516,6 +516,14 @@ class IVMEngine:
                 "(an untouched key can be evicted).  Maintain the "
                 "pre-filter view and rank in the downstream read instead"
             )
+        if vdef.grouping_sets:
+            # rolled-up rows carry NULL-padded keys that never match the
+            # affected-key equality join; their changes would be missed
+            raise IVMError(
+                "merge_view_cdc over a ROLLUP/CUBE/GROUPING SETS view is "
+                "not supported: cascade from the finest-grouping view and "
+                "expand the sets in the downstream read"
+            )
         dv = self._materialized_delta(name, force=True)
         old_pub = merge_ops.finalize(self._state[name], vdef)
         if not vdef.is_aggregate and not vdef.distinct:

@@ -121,3 +121,21 @@ def test_cdc_over_rank_filtered_views_rejected(spark):
     )
     with pytest.raises(IVMError, match="non-local"):
         eng.merge_view_cdc("w")
+
+
+def test_cdc_over_grouping_sets_rejected(spark):
+    from ivm_extension_spark.operators.rewrite import IVMError
+
+    eng = IVMEngine(spark)
+    eng.register_table("t", _mk(spark))
+    eng.create_immv(
+        "r", sql="SELECT g, sum(x) AS s FROM t GROUP BY ROLLUP (g)"
+    )
+    eng.register_delta(
+        "t",
+        spark.createDataFrame(
+            [("g1", 1, 5, True)], f"g string, k int, x int, {MULT_COL} boolean"
+        ),
+    )
+    with pytest.raises(IVMError, match="finest-grouping"):
+        eng.merge_view_cdc("r")
