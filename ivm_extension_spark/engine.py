@@ -92,6 +92,10 @@ class IVMEngine:
         self._aux_meta: dict[str, dict[str, tuple]] = {}
         self._aux_rows: dict[str, int] = {}  # row count of the checkpointed aux
         self._merge_counts: dict[str, int] = {}  # merges since materialization
+        # strategy the last merge of EACH view took (stats() reads by name;
+        # the engine-global _last_merge_strategy is kept for test hooks but
+        # reflects the most recent merge of ANY view)
+        self._merge_strategy_by_view: dict[str, str] = {}
         # version history (time travel): list of (version, state handle) per
         # view, newest last; populated only when keep_history > 0.  States
         # are checkpointed, so a handle pins its blocks — bounded by the
@@ -456,6 +460,7 @@ class IVMEngine:
                 st._ivm_pinned = True
                 self._state[name] = st
         self._last_merge_strategy = strategy  # observable for tests/telemetry
+        self._merge_strategy_by_view[name] = strategy
         new_state = merge_ops.merge(
             self._state[name], dv, self._iviews[name], derived, strategy
         )
@@ -569,7 +574,14 @@ class IVMEngine:
             return self._views[v].tables
 
         affected = [
-            v for v in self._views if any(t in self._deltas for t in _tables(v))
+            v
+            for v in self._views
+            if v in self._state  # ΔV-only views (materialize=False) have no
+            # state to advance: skip them — their next ivm_upsert simply
+            # runs against the post-apply base with fresh deltas.  Checked
+            # up front so merge_view can never raise 'was not materialized'
+            # after earlier views have already merged (never-half-merged).
+            and any(t in self._deltas for t in _tables(v))
         ]
         plans = {v: self._delta_plan_for(v) for v in affected}  # may raise
         out: dict[str, DataFrame] = {}
@@ -678,7 +690,7 @@ class IVMEngine:
             "state_rows": self._state_rows.get(name),
             "aux_rows": self._aux_rows.get(name),
             "aux_aggregates": sorted(self._aux_meta.get(name) or {}),
-            "last_merge_strategy": getattr(self, "_last_merge_strategy", None),
+            "last_merge_strategy": self._merge_strategy_by_view.get(name),
             "merges_applied": self._merge_counts.get(name, 0),
             "versions": self.list_versions(name) if name in self._state else [],
             "tables": list(

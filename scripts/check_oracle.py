@@ -4,8 +4,16 @@ Runs every ``queries()`` entry at sf0.01 on Spark AND the matching
 ``oracle_sql()`` on DuckDB, then compares:
   - row count
   - column names (sorted)
-  - order-insensitive value equality (rows sorted after sorting
-    columns by name; values canonicalized to strings)
+  - order-insensitive TYPED value equality (rows sorted after sorting
+    columns by name).
+
+The typed comparison mirrors the driver's value hash: the DuckDB side is
+fetched through Arrow (so ``sum(BIGINT)`` surfaces as HUGEINT →
+``decimal128(38,0)`` → ``decimal.Decimal``, exactly as the driver sees it),
+and ``canon`` keeps type classes distinct (int vs Decimal vs float) and
+floats bit-exact (``float.hex``) instead of round-to-9 stringification.
+Round 1 lesson: the old string-canon gate passed 11 queries the driver
+hashed red purely on this representational difference (VERDICT.md r1).
 
 Usage: python scripts/check_oracle.py [sf_dir] [query ...]
 """
@@ -25,19 +33,36 @@ import __spark_entry__ as entrymod
 
 def canon(v) -> str:
     import datetime
+    import decimal
     import math
 
     if v is None:
         return "NULL"
     if isinstance(v, bool):
         return "true" if v else "false"
+    if isinstance(v, int):
+        return f"i:{v}"
+    if isinstance(v, decimal.Decimal):
+        # decimal128 from DuckDB HUGEINT — deliberately NOT merged with int:
+        # the driver hashes these differently, so must we.
+        return f"dec:{v}"
     if isinstance(v, float):
         if math.isnan(v):
-            return "NaN"
-        return repr(round(v, 9))
+            return "d:NaN"
+        return f"d:{v.hex()}"
     if isinstance(v, datetime.datetime):
-        return v.strftime("%Y-%m-%d %H:%M:%S")
-    return str(v)
+        return "ts:" + v.strftime("%Y-%m-%d %H:%M:%S.%f")
+    if isinstance(v, datetime.date):
+        return "date:" + v.isoformat()
+    if isinstance(v, (bytes, bytearray)):
+        return "b:" + bytes(v).hex()
+    if isinstance(v, (list, tuple)):
+        return "[" + ",".join(canon(x) for x in v) + "]"
+    if isinstance(v, dict):
+        return "{" + ",".join(f"{k}={canon(v[k])}" for k in sorted(v)) + "}"
+    if isinstance(v, str):
+        return f"s:{v}"
+    return f"{type(v).__name__}:{v}"
 
 
 def df_to_canon(cols, rows):
@@ -86,9 +111,10 @@ def main() -> int:
             print(f"SKIP {name}: no oracle (rows-only check: {len(srows)} rows)")
             continue
         try:
-            res = con.execute(oracles[name])
-            ocols = [d[0] for d in res.description]
-            orows = res.fetchall()
+            tbl = con.execute(oracles[name]).fetch_arrow_table()
+            ocols = tbl.column_names
+            opy = tbl.to_pylist()
+            orows = [tuple(d[c] for c in ocols) for d in opy]
         except Exception as e:
             print(f"FAIL {name}: duckdb error: {e}")
             n_fail += 1
