@@ -72,14 +72,22 @@ def ngram_jaccard_pairs(
     text_col: str,
     n: int = 3,
     min_jaccard: float = 0.0,
-    max_shingle_freq: int | None = None,
+    max_shingle_freq: int | None = 10_000,
 ) -> DataFrame:
     """All pairs (a < b) sharing ≥1 n-word shingle, with exact Jaccard
     similarity of their distinct-shingle sets.
 
     ``max_shingle_freq`` drops shingles appearing in more than that many
     documents before the self-join — the standard skew guard (a shingle
-    present in every doc would generate an O(n²) hot partition).
+    present in every doc would otherwise generate an O(freq²) hot
+    partition).  ON BY DEFAULT: at corpus scale the guard is mandatory
+    (a 10k-doc stop-shingle alone is 10⁸ join rows), and the default cap
+    is far above any honest near-dup shingle's frequency.  Note the
+    tradeoff it encodes: a pair whose only shared shingles are
+    stop-shingles is not reported, and surviving pairs' Jaccard still
+    uses the FULL shingle-set sizes (n_a, n_b), so scores are exact for
+    any pair sharing at least one sub-cap shingle.  Pass ``None`` to
+    disable.
     """
     sh = with_word_shingles(df.select(id_col, text_col), text_col, n=n)
     sh = sh.select(F.col(id_col).alias("id"), F.col("shingles"))
@@ -95,12 +103,14 @@ def ngram_jaccard_pairs(
     # expensive part (regex normalization + per-position slicing)
     exploded = exploded.localCheckpoint(eager=True)
     if max_shingle_freq is not None:
+        # broadcast the HOT-shingle drop-list (shingles above the cap) and
+        # anti-join: the drop-list is O(#stop-shingles) — a handful of rows
+        # even at corpus scale — where the complementary keep-list is
+        # O(distinct shingles), i.e. the whole vocabulary, and broadcasting
+        # it would itself be the scale problem the guard exists to avoid
         freq = exploded.groupBy("g").agg(F.count(F.lit(1)).alias("__f"))
-        exploded = exploded.join(
-            F.broadcast(freq.filter(F.col("__f") <= max_shingle_freq).select("g")),
-            on="g",
-            how="inner",
-        )
+        hot = freq.filter(F.col("__f") > max_shingle_freq).select("g")
+        exploded = exploded.join(F.broadcast(hot), on="g", how="left_anti")
     a = exploded.alias("a")
     b = exploded.alias("b")
     pairs = (
@@ -461,23 +471,43 @@ def embedding_near_dups(
     id_col: str,
     vec_col: str,
     threshold: float = 0.95,
+    broadcast_limit: int = 50_000,
+    lsh_tables: int = 8,
+    lsh_planes: int = 8,
 ) -> DataFrame:
-    """Exact cosine near-dup pairs (a < b, cos ≥ threshold).
+    """Cosine near-dup pairs (a < b, cos ≥ threshold).
 
-    Blocked matrix multiply: the full unit-normalized matrix is broadcast
-    to executors; each partition multiplies its block against it with
-    BLAS (mapInPandas) — 12.5M pairs at n=5000 in ~1s vs ~60s for the
-    per-pair expression fold.  Memory bound: n·d·8 bytes broadcast
-    (200 MB at n=10⁵, d=256); beyond that, pre-bucket with
-    similarity.bucket_expr and run this per bucket.
+    Two paths, picked by table size (one count job):
+
+    - n ≤ ``broadcast_limit``: EXACT blocked matrix multiply — the full
+      unit-normalized matrix is broadcast to executors; each partition
+      multiplies its block against it with BLAS (mapInPandas) — 12.5M
+      pairs at n=5000 in ~1s vs ~60s for the per-pair expression fold.
+      Memory bound: n·d·8 bytes broadcast (~100 MB at the default limit,
+      d=256).
+    - n > ``broadcast_limit``: multi-table LSH bucketing — the default
+      SCALE path (no driver collect, no full-table broadcast).  Each of
+      ``lsh_tables`` independent sign-random-projection tables buckets
+      vectors on ``lsh_planes`` hyperplane signs; the exact per-pair
+      cosine (same BLAS matmul, same rounding) runs WITHIN each (table,
+      bucket) group via applyInPandas, and pairs found by several tables
+      are deduplicated.  Per-pair scores are exact; RECALL is
+      probabilistic: a cos≥0.95 pair agrees with one 8-plane table with
+      p≈0.9^8≈0.43, so 8 tables give ≈1-(1-0.43)^8≈99% recall.  At a
+      real deployment the bucketed relation would be written
+      bucketed-by(bucket) so reruns skip the bucketing shuffle.
     """
     from collections.abc import Iterator
 
     spark = df.sparkSession
-    rows = (
-        df.select(F.col(id_col).alias("id"), F.col(vec_col).cast("array<double>").alias("v"))
-        .collect()
+    src = df.select(
+        F.col(id_col).alias("id"), F.col(vec_col).cast("array<double>").alias("v")
     )
+    if src.count() > broadcast_limit:
+        return _embedding_near_dups_lsh(
+            src, threshold, n_tables=lsh_tables, planes=lsh_planes
+        )
+    rows = src.collect()
     ids = np.array([r["id"] for r in rows], dtype=np.int64)
     mat = np.array([r["v"] for r in rows], dtype=np.float64)
     norms = np.sqrt((mat * mat).sum(axis=1))
@@ -517,10 +547,76 @@ def embedding_near_dups(
                 }
             )
 
-    src = df.select(
-        F.col(id_col).alias("id"), F.col(vec_col).cast("array<double>").alias("v")
-    )
     return src.mapInPandas(block, schema=out_schema)
+
+
+def _embedding_near_dups_lsh(
+    src: DataFrame,
+    threshold: float,
+    n_tables: int,
+    planes: int,
+) -> DataFrame:
+    """Scale path for :func:`embedding_near_dups`: multi-table LSH
+    bucketing + exact per-bucket BLAS scoring.  ``src`` is (id,
+    v: array<double>).  Nothing is collected to the driver; the only
+    broadcast is the hyperplane constant set (n_tables·planes·d doubles,
+    embedded in the bucket expressions)."""
+    from ivm_extension_spark.functions.similarity import _hyperplanes, bucket_expr
+
+    # probe the vector width from the schema-level metadata-free path: one
+    # row limit — a tiny job, not a table collect
+    dim = len(src.select("v").limit(1).collect()[0][0])
+
+    tables = src.select(
+        "id",
+        "v",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(t).alias("t"),
+                        bucket_expr("v", _hyperplanes(dim, planes, seed=101 + t)).alias(
+                            "bucket"
+                        ),
+                    )
+                    for t in range(n_tables)
+                ]
+            )
+        ).alias("tb"),
+    ).select("id", "v", F.col("tb.t").alias("t"), F.col("tb.bucket").alias("bucket"))
+
+    out_schema = T.StructType(
+        [
+            T.StructField("id_a", T.LongType(), False),
+            T.StructField("id_b", T.LongType(), False),
+            T.StructField("cos_sim", T.DoubleType(), True),
+        ]
+    )
+
+    def per_bucket(pdf: pd.DataFrame) -> pd.DataFrame:
+        if len(pdf) < 2:
+            return pd.DataFrame({"id_a": [], "id_b": [], "cos_sim": []}).astype(
+                {"id_a": np.int64, "id_b": np.int64, "cos_sim": np.float64}
+            )
+        ids = pdf["id"].to_numpy(dtype=np.int64)
+        mat = np.array(list(pdf["v"]), dtype=np.float64)
+        norms = np.sqrt((mat * mat).sum(axis=1))
+        norms[norms == 0] = 1.0
+        unit = mat / norms[:, None]
+        sims = unit @ unit.T
+        # same half-up integer-scale rounding as the broadcast path — the
+        # two paths must emit bit-identical scores for shared pairs
+        sims = np.floor(sims * 1e4 + 0.5) / 1e4
+        mask = (sims >= threshold) & (ids[:, None] < ids[None, :])
+        ai, bi = np.nonzero(mask)
+        return pd.DataFrame(
+            {"id_a": ids[ai], "id_b": ids[bi], "cos_sim": sims[ai, bi]}
+        )
+
+    pairs = tables.groupBy("t", "bucket").applyInPandas(per_bucket, schema=out_schema)
+    # a pair can collide in several tables: keep one copy (scores are
+    # deterministic, so any representative is THE score)
+    return pairs.groupBy("id_a", "id_b").agg(F.first("cos_sim").alias("cos_sim"))
 
 
 def keep_canonical(

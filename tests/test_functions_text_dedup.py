@@ -390,3 +390,100 @@ def test_centroid_update_matches_recompute(spark):
         assert got[lab][0] == exp[lab][0]
         for a, b in zip(got[lab][1], exp[lab][1]):
             assert abs(a - b) < 1e-9
+
+
+def test_embedding_near_dups_lsh_path_matches_exact(spark):
+    # planted near-dup clusters in random noise: the LSH scale path must
+    # find (almost all of) the exact path's pairs with identical scores,
+    # and must never touch the driver with vector data
+    import random
+
+    import numpy as np
+
+    rng = random.Random(7)
+    dim = 16
+    data = []
+    for base_id in range(0, 40):
+        v = [rng.uniform(-1, 1) for _ in range(dim)]
+        data.append((base_id, v))
+        if base_id % 4 == 0:  # a near-dup: tiny perturbation
+            data.append(
+                (1000 + base_id, [x + rng.uniform(-0.005, 0.005) for x in v])
+            )
+    vecs = spark.createDataFrame(data, "vec_id long, embedding array<double>")
+
+    exact = dedup.embedding_near_dups(vecs, "vec_id", "embedding", threshold=0.95)
+    exact_pairs = {(r["id_a"], r["id_b"]): r["cos_sim"] for r in exact.collect()}
+
+    # broadcast_limit=0 forces the LSH path
+    approx = dedup.embedding_near_dups(
+        vecs, "vec_id", "embedding", threshold=0.95, broadcast_limit=0
+    )
+    approx_pairs = {(r["id_a"], r["id_b"]): r["cos_sim"] for r in approx.collect()}
+
+    # subset with identical scores; ≥90% recall on this planted set
+    for k, v in approx_pairs.items():
+        assert k in exact_pairs and v == exact_pairs[k]
+    assert len(approx_pairs) >= 0.9 * len(exact_pairs) > 0
+
+
+def test_embedding_near_dups_lsh_no_driver_materialization(spark):
+    # the >limit path must not collect the vector table: the only allowed
+    # driver fetch is the single-row dim probe (a LIMIT 1 plan)
+    import ivm_extension_spark.functions.dedup as dd
+    from pyspark.sql import DataFrame
+
+    vecs = spark.createDataFrame(
+        [(i, [float(i), 1.0, 0.0]) for i in range(20)],
+        "vec_id long, embedding array<double>",
+    )
+    fetched = []
+    orig = DataFrame.collect
+
+    def spy(self):
+        fetched.append(self)
+        return orig(self)
+
+    try:
+        DataFrame.collect = spy
+        out = dd.embedding_near_dups(
+            vecs, "vec_id", "embedding", threshold=0.95, broadcast_limit=0
+        )
+        out_rows = orig(out)  # materialize the RESULT outside the spy
+    finally:
+        DataFrame.collect = orig
+    # every spied collect was the 1-row dim probe
+    assert all(len(orig(f)) <= 1 for f in fetched)
+    assert isinstance(out_rows, list)
+
+
+def test_ngram_hot_shingle_guard_drop_list(spark):
+    # one stop-shingle shared by every doc must not by itself produce
+    # pairs when the cap is active, and the broadcast side of the guard
+    # must be the tiny hot DROP-list (anti-join), not the keep-list
+    docs_data = [
+        (1, "alpha beta gamma common stop shingle here"),
+        (2, "delta epsilon zeta common stop shingle here"),
+        (3, "alpha beta gamma unrelated tail words now"),
+    ]
+    docs = spark.createDataFrame(docs_data, "doc_id long, text string")
+
+    # cap=2: 'common stop shingle' + neighbors appear in docs 1 and 2 ≤ 2 —
+    # use cap=1 so anything shared by ≥2 docs is dropped
+    pairs = dedup.ngram_jaccard_pairs(
+        docs, "doc_id", "text", n=3, max_shingle_freq=1
+    )
+    assert pairs.count() == 0  # every shared shingle was hot
+
+    # default cap (10k) leaves small-corpus results identical to no cap
+    with_cap = dedup.ngram_jaccard_pairs(docs, "doc_id", "text", n=3)
+    no_cap = dedup.ngram_jaccard_pairs(
+        docs, "doc_id", "text", n=3, max_shingle_freq=None
+    )
+    assert sorted(map(tuple, with_cap.collect())) == sorted(
+        map(tuple, no_cap.collect())
+    )
+
+    # plan audit: the guard joins LEFT ANTI against a broadcast drop-list
+    plan = with_cap._jdf.queryExecution().executedPlan().toString()
+    assert "LeftAnti" in plan and "Broadcast" in plan
