@@ -24,6 +24,8 @@ from __future__ import annotations
 
 from collections.abc import Callable
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from ivm_extension_spark import IVMEngine
@@ -1129,12 +1131,47 @@ def _q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # rows-only: decode is a stub (no codecs in container); the Arrow
-    # mapInPandas plumbing and schema are the real, tested part
+    """REAL image decode, oracle-checked: each document gets a synthetic
+    8x8 grayscale PNG whose pixel i is (doc_id * 31 + i) % 256, encoded
+    to genuine PNG bytes (zlib IDAT, CRC chunks) by an Arrow pandas_udf
+    and decoded back by the pure-numpy PNG codec
+    (functions/multimodal.py).  The decoded mean intensity is
+    (sum(pixels)/64)/255 — pure integer arithmetic before two exact IEEE
+    divisions, so DuckDB recomputes it bit-identically without touching
+    the bytes."""
+    from pyspark.sql import types as T
+
     from ivm_extension_spark.functions import multimodal
 
-    media = multimodal.with_binary_payload(_docs(spark, sf_dir), "doc_id", "text")
-    return multimodal.decode_features(media, dim=8)
+    @F.pandas_udf(T.BinaryType())
+    def png_udf(ids: pd.Series) -> pd.Series:
+        idx = np.arange(64, dtype=np.int64)
+        return pd.Series(
+            [
+                multimodal.encode_png(
+                    ((int(did) * 31 + idx) % 256).astype(np.uint8).reshape(8, 8)
+                )
+                for did in ids
+            ]
+        )
+
+    media = _docs(spark, sf_dir).select(
+        F.col("doc_id").cast("long").alias("media_id"),
+        png_udf(F.col("doc_id")).alias("payload"),
+        F.struct(
+            F.lit("image/png").alias("format"),
+            F.lit(None).cast("long").alias("n_bytes"),
+            F.lit(None).cast("string").alias("checksum"),
+        ).alias("meta"),
+    )
+    return multimodal.decode_features(media, dim=4).select(
+        "media_id",
+        "decoded",
+        "width",
+        "height",
+        "n_channels",
+        F.element_at("feature", 4).alias("mean_intensity"),
+    )
 
 
 _IVM_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -1623,7 +1660,7 @@ _EXTRA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "contamination_check": _q_contamination,
     "dedup_clusters": _q_dedup_clusters,
     "multimodal_meta": _q_multimodal_meta,
-    "multimodal_decode_stub": _q_multimodal_decode,
+    "multimodal_decode": _q_multimodal_decode,
 }
 
 
@@ -1690,7 +1727,7 @@ _GRADE_FIRST: tuple[str, ...] = (
     "contamination_check",
     "dedup_clusters",
     "multimodal_meta",
-    "multimodal_decode_stub",
+    "multimodal_decode",
 )
 
 
@@ -2725,6 +2762,21 @@ def _extras_oracle_sql() -> dict[str, str]:
                    'fake/utf8' AS format,
                    CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
                    md5(text) AS checksum
+            FROM documents
+        """,
+        # recomputes the REAL decode's output arithmetically: the Spark
+        # side round-trips pixel i = (doc_id*31 + i) % 256 through actual
+        # PNG bytes; mean = (int_sum/64)/255 with the same two IEEE
+        # divisions (int sums are order-independent, divisions exact-input)
+        "multimodal_decode": """
+            SELECT CAST(doc_id AS BIGINT) AS media_id,
+                   true AS decoded,
+                   CAST(8 AS INT) AS width,
+                   CAST(8 AS INT) AS height,
+                   CAST(1 AS INT) AS n_channels,
+                   (CAST(list_sum(list_transform(range(64),
+                        i -> (doc_id * 31 + i) % 256)) AS DOUBLE) / 64)
+                     / 255.0 AS mean_intensity
             FROM documents
         """,
     }

@@ -1,21 +1,27 @@
 """Multimodal columns: image/audio/video as opaque binary + typed metadata.
 
-The container has no image/audio codecs, so the DECODE step is stubbed
-(deterministic fake features, clearly marked), but everything Spark-side
-is real and tested: the binary column schema, the metadata struct, the
-``mapInPandas`` batch plumbing (Arrow batches in/out, schema declared
-up front), and the partitioning story (decode is a narrow per-partition
-map — no shuffle; at 100 TB you size ``spark.sql.files.maxPartitionBytes``
-so one batch of payloads fits executor memory).
-
-Swap ``_decode_stub`` for a real PIL/ffmpeg call and nothing else changes.
+The DECODE step is REAL for still images: a pure numpy+zlib codec reads
+PNG (8-bit gray/RGB/RGBA, non-interlaced), binary netpbm (P5/P6) and
+uncompressed 24-bit BMP — no external imaging library needed.  Payloads
+in any other format fall back to a deterministic stub feature (clearly
+marked per-row via ``decoded`` = false) so the pipeline shape stays
+total.  Everything Spark-side is real and tested: the binary column
+schema, the metadata struct, the ``mapInPandas`` batch plumbing (Arrow
+batches in/out, schema declared up front), and the partitioning story
+(decode is a narrow per-partition map — no shuffle; at 100 TB you size
+``spark.sql.files.maxPartitionBytes`` so one batch of payloads fits
+executor memory).  Video/audio codecs remain out of scope (ffmpeg-class
+work): ``frame_sample`` models the explode shape over opaque payloads.
 """
 
 from __future__ import annotations
 
 import hashlib
+import struct
+import zlib
 from collections.abc import Iterator
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, functions as F, types as T
 
@@ -42,6 +48,10 @@ FEATURE_SCHEMA = T.StructType(
         T.StructField("media_id", T.LongType(), False),
         T.StructField("n_bytes", T.LongType(), True),
         T.StructField("checksum", T.StringType(), True),
+        T.StructField("decoded", T.BooleanType(), False),
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+        T.StructField("n_channels", T.IntegerType(), True),
         T.StructField("feature", T.ArrayType(T.DoubleType()), True),
     ]
 )
@@ -63,38 +73,242 @@ def with_binary_payload(df: DataFrame, id_col: str, data_col: str) -> DataFrame:
 
 
 def _decode_stub(payload: bytes, dim: int) -> list[float]:
-    """STUB — the real decoder (PIL / torchaudio / ffmpeg) is not
-    installed in this container.  Produces a deterministic fake feature
-    from the payload bytes so the pipeline shape is fully exercised."""
+    """Fallback for UNRECOGNIZED payload formats (audio/video/UTF-8
+    fakes): a deterministic feature from the payload bytes so the
+    pipeline stays total.  Recognized image formats never reach this —
+    they go through the real codec below."""
     h = hashlib.sha256(payload).digest()
     return [h[i % 32] / 255.0 for i in range(dim)]
 
 
+# --------------------------------------------------------------------------
+# real still-image codec (pure numpy + stdlib zlib — no imaging library)
+# --------------------------------------------------------------------------
+
+def encode_png(pixels: np.ndarray) -> bytes:
+    """Minimal real PNG encoder: 8-bit, non-interlaced, filter 0 rows.
+    ``pixels`` is (h, w) grayscale or (h, w, c) with c in {3, 4}."""
+    arr = np.asarray(pixels, dtype=np.uint8)
+    if arr.ndim == 2:
+        h, w, c, color_type = *arr.shape, 1, 0
+        raw = arr[:, :, None]
+    else:
+        h, w, c = arr.shape
+        color_type = {1: 0, 3: 2, 4: 6}[c]
+        raw = arr
+
+    def chunk(tag: bytes, body: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(body))
+            + tag
+            + body
+            + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+    scan = b"".join(b"\x00" + raw[r].tobytes() for r in range(h))
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(scan))
+        + chunk(b"IEND", b"")
+    )
+
+
+def _paeth(a: int, b: int, c: int) -> int:
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    return b if pb <= pc else c
+
+
+def _decode_png(data: bytes) -> np.ndarray:
+    """Real PNG decode: 8-bit depth, color types 0/2/6, non-interlaced.
+    Returns (h, w, channels) uint8."""
+    pos, w = 8, None
+    idat = b""
+    while pos < len(data):
+        (ln,) = struct.unpack(">I", data[pos : pos + 4])
+        tag = data[pos + 4 : pos + 8]
+        body = data[pos + 8 : pos + 8 + ln]
+        pos += 12 + ln
+        if tag == b"IHDR":
+            w, h, depth, ctype, comp, filt, interlace = struct.unpack(">IIBBBBB", body)
+            if depth != 8 or ctype not in (0, 2, 6) or interlace:
+                raise ValueError(f"unsupported PNG (depth={depth} type={ctype})")
+            nch = {0: 1, 2: 3, 6: 4}[ctype]
+        elif tag == b"IDAT":
+            idat += body
+        elif tag == b"IEND":
+            break
+    if w is None:
+        raise ValueError("PNG missing IHDR")
+    raw = zlib.decompress(idat)
+    stride = w * nch
+    out = np.zeros((h, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.uint8)
+    for r in range(h):
+        ft = raw[r * (stride + 1)]
+        line = np.frombuffer(
+            raw, dtype=np.uint8, count=stride, offset=r * (stride + 1) + 1
+        ).astype(np.int64)
+        if ft == 0:
+            cur = line
+        elif ft == 2:  # Up
+            cur = (line + prev) % 256
+        elif ft in (1, 3, 4):  # Sub / Average / Paeth: sequential in x
+            cur = np.zeros(stride, dtype=np.int64)
+            for x in range(stride):
+                left = cur[x - nch] if x >= nch else 0
+                up = int(prev[x])
+                ul = int(prev[x - nch]) if x >= nch else 0
+                if ft == 1:
+                    cur[x] = (line[x] + left) % 256
+                elif ft == 3:
+                    cur[x] = (line[x] + (left + up) // 2) % 256
+                else:
+                    cur[x] = (line[x] + _paeth(int(left), up, ul)) % 256
+        else:
+            raise ValueError(f"bad PNG filter {ft}")
+        out[r] = cur.astype(np.uint8)
+        prev = out[r]
+    return out.reshape(h, w, nch)
+
+
+def _decode_netpbm(data: bytes) -> np.ndarray:
+    """Binary netpbm: P5 (gray) / P6 (RGB), maxval ≤ 255."""
+    toks: list[bytes] = []
+    pos = 2
+    while len(toks) < 3:
+        while pos < len(data) and data[pos : pos + 1].isspace():
+            pos += 1
+        if data[pos : pos + 1] == b"#":
+            while pos < len(data) and data[pos] != 0x0A:
+                pos += 1
+            continue
+        start = pos
+        while pos < len(data) and not data[pos : pos + 1].isspace():
+            pos += 1
+        toks.append(data[start:pos])
+    pos += 1  # single whitespace after maxval
+    w, h, maxval = int(toks[0]), int(toks[1]), int(toks[2])
+    if maxval > 255:
+        raise ValueError("16-bit netpbm unsupported")
+    nch = 1 if data[:2] == b"P5" else 3
+    return (
+        np.frombuffer(data, dtype=np.uint8, count=h * w * nch, offset=pos)
+        .reshape(h, w, nch)
+        .copy()
+    )
+
+
+def encode_netpbm(pixels: np.ndarray) -> bytes:
+    """P5/P6 binary netpbm from (h, w[, c]) uint8."""
+    arr = np.asarray(pixels, dtype=np.uint8)
+    if arr.ndim == 2:
+        arr = arr[:, :, None]
+    h, w, c = arr.shape
+    magic = b"P5" if c == 1 else b"P6"
+    return magic + f"\n{w} {h}\n255\n".encode() + arr.tobytes()
+
+
+def _decode_bmp(data: bytes) -> np.ndarray:
+    """Uncompressed 24-bit bottom-up BMP (BITMAPINFOHEADER)."""
+    (off,) = struct.unpack("<I", data[10:14])
+    w, h = struct.unpack("<ii", data[18:26])
+    (bpp,) = struct.unpack("<H", data[28:30])
+    (comp,) = struct.unpack("<I", data[30:34])
+    if bpp != 24 or comp != 0:
+        raise ValueError(f"unsupported BMP (bpp={bpp} comp={comp})")
+    stride = (w * 3 + 3) & ~3
+    rows = []
+    flip = h > 0
+    h = abs(h)
+    for r in range(h):
+        line = np.frombuffer(data, dtype=np.uint8, count=w * 3, offset=off + r * stride)
+        rows.append(line.reshape(w, 3)[:, ::-1])  # BGR → RGB
+    img = np.stack(rows)
+    return img[::-1].copy() if flip else img.copy()
+
+
+def decode_image(payload: bytes) -> np.ndarray | None:
+    """Dispatch on magic bytes; (h, w, channels) uint8, or None if the
+    payload is not a recognized still image."""
+    if payload[:8] == b"\x89PNG\r\n\x1a\n":
+        return _decode_png(payload)
+    if payload[:2] in (b"P5", b"P6"):
+        return _decode_netpbm(payload)
+    if payload[:2] == b"BM":
+        return _decode_bmp(payload)
+    return None
+
+
+def _image_features(img: np.ndarray, dim: int) -> list[float]:
+    """Deterministic real features from decoded pixels: [width, height,
+    channels, mean intensity] then a coarse row-major intensity grid.
+    All sums are integer (order-independent) before ONE double division
+    each — bit-stable across engines, so an oracle can recompute them."""
+    h, w, c = img.shape
+    gray = img.astype(np.int64).sum(axis=2)  # per-pixel channel sum
+    feats = [
+        float(w),
+        float(h),
+        float(c),
+        (int(gray.sum()) / (h * w * c)) / 255.0,
+    ]
+    if dim > 4:
+        # grid cells: split rows into up to (dim-4) bands, mean of each
+        bands = np.array_split(gray, min(dim - 4, h), axis=0)
+        feats += [
+            (int(b.sum()) / (b.shape[0] * w * c)) / 255.0 for b in bands
+        ]
+    return feats[:dim]
+
+
 def decode_features(media: DataFrame, dim: int = 8, fail_real: bool = False) -> DataFrame:
-    """Batch 'decode' via mapInPandas: Arrow batches of (payload, meta) in,
-    feature rows out.  ``fail_real=True`` raises the honest
-    NotImplementedError instead of faking (for callers that must not
-    silently get stub features)."""
+    """Batch decode via mapInPandas: Arrow batches of (payload, meta) in,
+    feature rows out.  Recognized still images (PNG / netpbm / BMP) are
+    REALLY decoded (``decoded`` = true, dimensions filled, features from
+    pixels); unrecognized payloads take the deterministic stub
+    (``decoded`` = false).  ``fail_real=True`` raises instead of
+    stubbing, for callers that must not silently get fake features."""
 
     def decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            if fail_real:
-                raise NotImplementedError(
-                    "media decode requires an image/audio codec which is not "
-                    "installed; wire a real decoder into decode_features()"
-                )
-            feats = [
-                _decode_stub(bytes(p) if p is not None else b"", dim)
-                for p in pdf["payload"]
-            ]
-            yield pd.DataFrame(
-                {
-                    "media_id": pdf["media_id"],
-                    "n_bytes": [m["n_bytes"] for m in pdf["meta"]],
-                    "checksum": [m["checksum"] for m in pdf["meta"]],
-                    "feature": feats,
-                }
-            )
+            out = {
+                "media_id": pdf["media_id"],
+                "n_bytes": [m["n_bytes"] for m in pdf["meta"]],
+                "checksum": [m["checksum"] for m in pdf["meta"]],
+                "decoded": [],
+                "width": [],
+                "height": [],
+                "n_channels": [],
+                "feature": [],
+            }
+            for p in pdf["payload"]:
+                raw = bytes(p) if p is not None else b""
+                img = decode_image(raw) if raw else None
+                if img is not None:
+                    h, w, c = img.shape
+                    out["decoded"].append(True)
+                    out["width"].append(w)
+                    out["height"].append(h)
+                    out["n_channels"].append(c)
+                    out["feature"].append(_image_features(img, dim))
+                else:
+                    if fail_real:
+                        raise NotImplementedError(
+                            "payload is not a decodable image (PNG/netpbm/BMP) "
+                            "and fail_real=True forbids the stub path; wire a "
+                            "codec for this format into decode_features()"
+                        )
+                    out["decoded"].append(False)
+                    out["width"].append(None)
+                    out["height"].append(None)
+                    out["n_channels"].append(None)
+                    out["feature"].append(_decode_stub(raw, dim))
+            yield pd.DataFrame(out)
 
     return media.mapInPandas(decode_batches, schema=FEATURE_SCHEMA)
 
@@ -110,11 +324,11 @@ RESIZED_SCHEMA = T.StructType(
 
 
 def resize(media: DataFrame, width: int = 16, height: int = 16) -> DataFrame:
-    """STUB resize via mapInPandas: emits a deterministic width*height
-    byte payload derived from the source bytes (a real implementation
-    swaps the body for PIL's ``Image.resize`` — the Arrow batch plumbing,
-    declared schema and narrow-map partitioning are the real parts).
-    Resampling is per-row and stateless: no shuffle at any scale."""
+    """Resize via mapInPandas.  Recognized images are REALLY resampled
+    (nearest-neighbor pixel grid in numpy) and re-encoded as binary
+    netpbm; unrecognized payloads take a deterministic byte-stream
+    nearest-neighbor stand-in so the op stays total.  Per-row and
+    stateless: a narrow map, no shuffle at any scale."""
 
     n_out = width * height
 
@@ -123,11 +337,17 @@ def resize(media: DataFrame, width: int = 16, height: int = 16) -> DataFrame:
             out = []
             for p in pdf["payload"]:
                 src = bytes(p) if p is not None else b""
+                img = decode_image(src) if src else None
+                if img is not None:
+                    h, w, _ = img.shape
+                    ri = (np.arange(height) * h // height).clip(0, h - 1)
+                    ci = (np.arange(width) * w // width).clip(0, w - 1)
+                    out.append(encode_netpbm(img[ri][:, ci]))
+                    continue
                 if not src:
                     out.append(bytes(n_out))
                     continue
-                # nearest-neighbor over the byte stream: deterministic,
-                # size-exact — stands in for real pixel resampling
+                # byte-stream nearest-neighbor: deterministic, size-exact
                 step = max(1, len(src) // n_out)
                 out.append(bytes(src[min(i * step, len(src) - 1)] for i in range(n_out)))
             yield pd.DataFrame(

@@ -487,3 +487,123 @@ def test_ngram_hot_shingle_guard_drop_list(spark):
     # plan audit: the guard joins LEFT ANTI against a broadcast drop-list
     plan = with_cap._jdf.queryExecution().executedPlan().toString()
     assert "LeftAnti" in plan and "Broadcast" in plan
+
+
+def test_png_roundtrip_real_codec():
+    # pure-numpy PNG encoder/decoder round trip, all supported color types
+    import numpy as np
+
+    rng = np.random.RandomState(3)
+    for shape in [(5, 7), (4, 6, 3), (3, 3, 4)]:
+        img = rng.randint(0, 256, size=shape, dtype=np.uint8)
+        data = multimodal.encode_png(img)
+        assert data[:8] == b"\x89PNG\r\n\x1a\n"
+        back = multimodal.decode_image(data)
+        want = img if img.ndim == 3 else img[:, :, None]
+        assert back.shape == want.shape
+        assert (back == want).all()
+
+
+def test_png_decode_filtered_rows():
+    # decode must handle PNGs using Sub/Up/Average/Paeth row filters —
+    # build one by hand with a mix of filter types
+    import struct
+    import zlib
+
+    import numpy as np
+
+    img = np.arange(48, dtype=np.uint8).reshape(4, 12)  # 4 rows, 12 wide gray
+    filtered = b""
+    prev = np.zeros(12, dtype=np.int64)
+    for r, ft in enumerate([0, 1, 2, 3]):  # none, sub, up, average
+        row = img[r].astype(np.int64)
+        if ft == 0:
+            enc = row.copy()
+        elif ft == 1:
+            enc = row.copy()
+            enc[1:] = (row[1:] - row[:-1]) % 256
+        elif ft == 2:
+            enc = (row - prev) % 256
+        else:
+            enc = row.copy()
+            for x in range(12):
+                left = row[x - 1] if x else 0
+                enc[x] = (row[x] - (left + prev[x]) // 2) % 256
+        filtered += bytes([ft]) + bytes(enc.astype(np.uint8))
+        prev = row
+
+    def chunk(tag, body):
+        return (
+            struct.pack(">I", len(body))
+            + tag
+            + body
+            + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF)
+        )
+
+    data = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", 12, 4, 8, 0, 0, 0, 0))
+        + chunk(b"IDAT", zlib.compress(filtered))
+        + chunk(b"IEND", b"")
+    )
+    back = multimodal.decode_image(data)
+    assert (back[:, :, 0] == img).all()
+
+
+def test_netpbm_and_bmp_decode():
+    import struct
+
+    import numpy as np
+
+    img = np.arange(24, dtype=np.uint8).reshape(2, 4, 3)
+    back = multimodal.decode_image(multimodal.encode_netpbm(img))
+    assert (back == img).all()
+    # hand-built 24-bit bottom-up BMP, 2x2
+    px = np.array([[[10, 20, 30], [40, 50, 60]], [[70, 80, 90], [100, 110, 120]]], dtype=np.uint8)
+    rows = b""
+    for r in range(1, -1, -1):  # bottom-up
+        line = b"".join(bytes(px[r, c][::-1]) for c in range(2))  # RGB->BGR
+        rows += line + b"\x00" * ((4 - len(line) % 4) % 4)
+    header = (
+        b"BM" + struct.pack("<IHHI", 54 + len(rows), 0, 0, 54)
+        + struct.pack("<IiiHHIIiiII", 40, 2, 2, 1, 24, 0, len(rows), 0, 0, 0, 0)
+    )
+    back = multimodal.decode_image(header + rows)
+    assert (back == px).all()
+
+
+def test_decode_features_real_image(spark):
+    # a real PNG payload through the Spark mapInPandas path: dimensions
+    # and mean intensity must come from the DECODED PIXELS
+    import numpy as np
+
+    img = np.full((4, 4), 100, dtype=np.uint8)
+    payload = multimodal.encode_png(img)
+    media = spark.createDataFrame(
+        [(1, bytearray(payload), ("image/png", len(payload), "x"))],
+        multimodal.MEDIA_SCHEMA,
+    )
+    r = multimodal.decode_features(media, dim=4).collect()[0]
+    assert r["decoded"] is True
+    assert (r["width"], r["height"], r["n_channels"]) == (4, 4, 1)
+    assert abs(r["feature"][3] - (100 / 255.0)) < 1e-12
+    # fail_real must NOT raise for a decodable image
+    r2 = multimodal.decode_features(media, dim=4, fail_real=True).collect()[0]
+    assert r2["decoded"] is True
+
+
+def test_resize_real_image(spark):
+    import numpy as np
+
+    img = np.arange(64, dtype=np.uint8).reshape(8, 8)
+    payload = multimodal.encode_png(img)
+    media = spark.createDataFrame(
+        [(1, bytearray(payload), ("image/png", len(payload), "x"))],
+        multimodal.MEDIA_SCHEMA,
+    )
+    r = multimodal.resize(media, width=4, height=4).collect()[0]
+    out = multimodal.decode_image(bytes(r["resized"]))
+    assert out.shape == (4, 4, 1)
+    # nearest-neighbor of row-major ramp: rows 0,2,4,6 / cols 0,2,4,6
+    want = img[::2, ::2]
+    assert (out[:, :, 0] == want).all()
