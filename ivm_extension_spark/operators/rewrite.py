@@ -162,18 +162,35 @@ def _delta_source(
             return acc
         if with_delta == {tables[0]} and len(tables) > 2:
             # chain with FULL join(s) and the delta on the leftmost table:
-            # _fold_suffix folds the whole chain, adding the R-preserved
-            # flip branches at each FULL (the composed old left is only
-            # probed by broadcast Δ-key sets, never shuffled)
-            d0 = _signed_delta(get_delta(tables[0]), _SIGN).alias(tables[0])
+            # fold the pre-FULL prefix linearly with aliases intact, then
+            # FLATTEN to bare columns so _fold_suffix can run with
+            # pin=True — each branch feeds both the Δm key fold and the
+            # output union at every FULL, and without the checkpoint the
+            # delta-joined prefix plan would execute twice per FULL
+            # (mirrors _chain_single_delta's hand-off).  The composed old
+            # left is still only probed by broadcast Δ-key sets, never
+            # shuffled.
+            joins = view.joins
+            first_full = next(n for n, j in enumerate(joins) if j.how == "full")
+            b0 = _signed_delta(get_delta(tables[0]), _SIGN).alias(tables[0])
             refs0 = [(tables[0], c) for c in get_table(tables[0]).columns]
+            for j in joins[:first_full]:
+                b0 = b0.join(
+                    get_table(j.table).alias(j.table), on=F.expr(j.on), how=j.how
+                )
+                if j.how not in ("semi", "anti"):
+                    refs0 += [(j.table, c) for c in get_table(j.table).columns]
+            flat0 = b0.select(
+                *[F.col(f"{t}.{c}").alias(c) for t, c in refs0], F.col(_SIGN)
+            )
             branches, refs = _fold_suffix(
                 view,
                 get_table,
                 F.broadcast if broadcast_deltas else (lambda df: df),
-                [d0],
-                refs0,
-                0,
+                [flat0],
+                [(None, c) for _, c in refs0],
+                first_full,
+                pin=True,
             )
             return _flatten_refs(branches, refs)
         if len(tables) == 2:
