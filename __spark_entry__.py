@@ -778,6 +778,72 @@ def _q_ivm_multibatch_deletes(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+# bands used by the banded-outer-join lifecycle (pre-delta base set);
+# the band delta deletes 'small' and inserts 'jumbo' — identical literals
+# in the DuckDB oracle below
+_RJ_BANDS = [
+    ("small", 0.0, 50000.0),
+    ("mid", 40000.0, 200000.0),
+    ("large", 150000.0, 1000000.0),
+]
+_RJ_BAND_DELTA = [
+    ("small", 0.0, 50000.0, False),
+    ("jumbo", 250000.0, 2000000.0, True),
+]
+
+
+def _q_ivm_merge_range_left_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banded (theta) LEFT-join maintenance — the non-equi outer-join
+    shape the equi rewrite rejects, maintained via the binning trick
+    (operators/rangejoin.py range_left_join_delta).  Deltas on BOTH
+    sides: the standard orders delta, plus a band delta that deletes
+    'small' (flipping its exclusive points to NULL-padded) and inserts
+    'jumbo'.  V' = V ⊎ ΔV, merged with the bag-count rule."""
+    from ivm_extension_spark.operators.rangejoin import (
+        range_join,
+        range_left_join_delta,
+    )
+
+    eng = _engine(spark, sf_dir)
+    points = eng.table("orders").select(
+        "o_orderkey", F.col("o_totalprice").alias("price")
+    )
+    bands = spark.createDataFrame(_RJ_BANDS, "band string, lo double, hi double")
+    pred, mult = DELTA_DEFS["orders"]
+    d_points = (
+        eng.table("orders")
+        .filter(F.expr(pred))
+        .select(
+            "o_orderkey",
+            F.col("o_totalprice").alias("price"),
+            F.expr(mult).alias(MULT_COL),
+        )
+    )
+    d_bands = spark.createDataFrame(
+        _RJ_BAND_DELTA, f"band string, lo double, hi double, {MULT_COL} boolean"
+    )
+
+    v_old = range_join(points, bands, "price", "lo", "hi", 50000.0, how="left")
+    dv = range_left_join_delta(
+        points, bands, d_points, d_bands, "price", "lo", "hi", 50000.0
+    )
+    cols = v_old.columns
+    merged = (
+        v_old.withColumn("__s", F.lit(1))
+        .unionByName(
+            dv.withColumn(
+                "__s", F.when(F.col(MULT_COL), F.lit(1)).otherwise(F.lit(-1))
+            ).drop(MULT_COL)
+        )
+        .groupBy(*cols)
+        .agg(F.sum("__s").alias("__n"))
+        .filter(F.col("__n") > 0)
+        .select(*cols, F.explode(F.expr("sequence(1, __n)")).alias("__i"))
+        .drop("__i")
+    )
+    return merged.select("o_orderkey", "price", "band")
+
+
 # --------------------------------------------------------------------------
 # beyond-reference: LLM-data-pipeline operators (dedup / similarity /
 # text analysis / multimodal) — ivm_extension_spark.functions
@@ -1217,6 +1283,7 @@ _IVM_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ivm_merge_projection": _q_ivm_merge_projection,
     "ivm_multibatch_rollup": _q_ivm_multibatch_rollup,
     "ivm_multibatch_deletes": _q_ivm_multibatch_deletes,
+    "ivm_merge_range_left_join": _q_ivm_merge_range_left_join,
 }
 
 # --------------------------------------------------------------------------
@@ -2133,6 +2200,24 @@ def oracle_sql() -> dict[str, str]:
                 GROUP BY o_custkey
             )
             ORDER BY sum_cents DESC, o_custkey ASC LIMIT 20
+        """,
+        # post-delta bands = base minus 'small' plus 'jumbo' (mirrors
+        # _RJ_BANDS/_RJ_BAND_DELTA literals); full recompute over the
+        # applied orders is the ⊎ ground truth
+        "ivm_merge_range_left_join": f"""
+            WITH bands AS (
+                SELECT * FROM (VALUES
+                    ('mid', 40000.0, 200000.0),
+                    ('large', 150000.0, 1000000.0),
+                    ('jumbo', 250000.0, 2000000.0)) b(band, lo, hi)
+            ),
+            pts AS (
+                SELECT o_orderkey, o_totalprice AS price
+                FROM {_applied_sql('orders')} o
+            )
+            SELECT p.o_orderkey, p.price, b.band
+            FROM pts p
+            LEFT JOIN bands b ON p.price >= b.lo AND p.price <= b.hi
         """,
         "q13_custdist": """
             SELECT c_count, count(*) AS custdist

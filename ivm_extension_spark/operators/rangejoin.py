@@ -86,3 +86,173 @@ def range_join(
                 c, F.lit(None).cast(intervals.schema[c].dataType)
             )
     return matched.unionByName(unmatched.select(*out_cols))
+
+
+def range_left_join_delta(
+    points: DataFrame,
+    intervals: DataFrame,
+    d_points: DataFrame | None,
+    d_intervals: DataFrame | None,
+    point_col: str,
+    lo_col: str,
+    hi_col: str,
+    bin_width: float,
+    key_cols: tuple[str, ...] = (),
+    max_bins_per_interval: int = 10_000,
+    broadcast_deltas: bool = True,
+) -> DataFrame:
+    """Δ(P ⟕range I) — incremental maintenance of the banded LEFT join,
+    the theta-outer-join case the equi rewrite rejects
+    (operators/rewrite.py _outer_join_delta: conjunctive equi only).
+
+    Same algebra as the equi rule (matched three-branch + NULL-pad
+    anti-part via match-count zero crossings), with two changes:
+
+    - every theta join runs as a BINNED equi-join (see :func:`range_join`),
+      so Catalyst never falls back to a nested-loop plan;
+    - the match-count "key" of a preserved point row is (``key_cols``…,
+      ``point_col``): a point's match set against the interval table is
+      fully determined by those values, so counts group on them exactly
+      as the equi rule groups on join keys.
+
+    Deltas carry the bool multiplicity column (insert=true, delete=false)
+    and may be None on either side.  Scale shape: the big sides (P, I)
+    are only ever joined against BROADCAST delta-derived sets (binned
+    delta rows, affected-key sets, flip sets) — never shuffled; the only
+    exchanges are match-count aggregations over delta-matched slices.
+
+    Output: P columns + non-key I columns + the multiplicity bool.
+    """
+    from ivm_extension_spark.operators.rewrite import MULT_COL
+
+    if d_points is None and d_intervals is None:
+        raise ValueError("at least one side needs a delta")
+    bc = F.broadcast if broadcast_deltas else (lambda df: df)
+    sign = "__ivm_sign"
+    out_cols = [*points.columns, *[c for c in intervals.columns if c not in key_cols]]
+    kp = [*key_cols, point_col]  # the match-count key of a point row
+
+    def signed(d: DataFrame, w: str) -> DataFrame:
+        return d.withColumn(
+            w, F.when(F.col(MULT_COL), F.lit(1)).otherwise(F.lit(-1))
+        ).drop(MULT_COL)
+
+    dp = signed(d_points, "__wp") if d_points is not None else None
+    di = signed(d_intervals, "__wi") if d_intervals is not None else None
+
+    def pbin(df: DataFrame) -> DataFrame:
+        return df.withColumn(
+            _BIN, F.floor(F.col(point_col) / F.lit(bin_width)).cast("long")
+        )
+
+    def ibin(df: DataFrame) -> DataFrame:
+        return df.withColumn(
+            _BIN,
+            F.explode(
+                F.sequence(
+                    F.floor(F.col(lo_col) / F.lit(bin_width)).cast("long"),
+                    F.least(
+                        F.floor(F.col(hi_col) / F.lit(bin_width)).cast("long"),
+                        F.floor(F.col(lo_col) / F.lit(bin_width)).cast("long")
+                        + F.lit(max_bins_per_interval),
+                    ),
+                )
+            ),
+        )
+
+    in_range = (F.col(point_col) >= F.col(lo_col)) & (
+        F.col(point_col) <= F.col(hi_col)
+    )
+
+    def matched(p: DataFrame, i: DataFrame, w_expr) -> DataFrame:
+        return (
+            p.join(i, on=[_BIN, *key_cols], how="inner")
+            .filter(in_range)
+            .select(*out_cols, w_expr.alias(sign))
+        )
+
+    null_i = [
+        F.lit(None).cast(intervals.schema[c].dataType).alias(c)
+        for c in intervals.columns
+        if c not in key_cols
+    ]
+
+    branches: list[DataFrame] = []
+    # ---- matched part: the three-branch inner rule over binned joins
+    if dp is not None:
+        branches.append(matched(bc(pbin(dp)), ibin(intervals), F.col("__wp")))
+    if di is not None:
+        branches.append(matched(pbin(points), bc(ibin(di)), F.col("__wi")))
+    if dp is not None and di is not None:
+        branches.append(
+            matched(bc(pbin(dp)), bc(ibin(di)), F.col("__wp") * F.col("__wi"))
+        )
+
+    # ---- anti part, term 1: ΔP rows with zero matches in I' = I ∪ ΔI
+    if dp is not None:
+        dpk = pbin(dp.select(*kp).distinct())
+        iprime = ibin(intervals).withColumn("__w", F.lit(1)).select(
+            *key_cols, lo_col, hi_col, _BIN, "__w"
+        )
+        if di is not None:
+            iprime = iprime.unionByName(
+                ibin(di).select(
+                    *key_cols, lo_col, hi_col, _BIN, F.col("__wi").alias("__w")
+                )
+            )
+        m_pos = (
+            iprime.join(bc(dpk), on=[_BIN, *key_cols], how="inner")
+            .filter(in_range)
+            .groupBy(*kp)
+            .agg(F.sum("__w").alias("__m"))
+            .filter(F.col("__m") > 0)
+            .select(*kp)
+        )
+        t1 = dp.join(bc(m_pos), on=kp, how="left_anti")
+        branches.append(
+            t1.select(*points.columns, *null_i, F.col("__wp").alias(sign))
+        )
+
+    # ---- anti part, term 2: existing P rows whose match count crosses 0
+    if di is not None:
+        # Δm per affected point-key: P rows binned against the BROADCAST
+        # delta intervals — only matching rows reach the aggregation
+        dm = (
+            pbin(points.select(*kp))
+            .join(bc(ibin(di)), on=[_BIN, *key_cols], how="inner")
+            .filter(in_range)
+            .groupBy(*kp)
+            .agg(F.sum("__wi").alias("__dm"))
+            .filter(F.col("__dm") != 0)
+        )
+        # old counts for exactly those keys: I scanned once, probed
+        # against the broadcast affected-key set
+        m_old = (
+            ibin(intervals)
+            .join(bc(pbin(dm.select(*kp))), on=[_BIN, *key_cols], how="inner")
+            .filter(in_range)
+            .groupBy(*kp)
+            .agg(F.count(F.lit(1)).alias("__mold"))
+        )
+        flips = (
+            dm.join(m_old, on=kp, how="left")
+            .withColumn("__mold", F.coalesce(F.col("__mold"), F.lit(0)))
+            .withColumn("__mnew", F.col("__mold") + F.col("__dm"))
+            .withColumn(
+                "__flip",
+                F.when(
+                    (F.col("__mold") == 0) & (F.col("__mnew") > 0), F.lit(-1)
+                ).when((F.col("__mold") > 0) & (F.col("__mnew") <= 0), F.lit(1)),
+            )
+            .filter(F.col("__flip").isNotNull())
+            .select(*kp, "__flip")
+        )
+        t2 = points.join(bc(flips), on=kp, how="inner")
+        branches.append(
+            t2.select(*points.columns, *null_i, F.col("__flip").alias(sign))
+        )
+
+    out = branches[0]
+    for b in branches[1:]:
+        out = out.unionByName(b)
+    return out.select(*out_cols, (F.col(sign) > 0).alias(MULT_COL))

@@ -85,3 +85,111 @@ def test_range_join_with_key_and_no_nested_loop(spark):
     # the whole point: an equi-join, not BroadcastNestedLoopJoin
     plan = j._jdf.queryExecution().executedPlan().toString()
     assert "NestedLoop" not in plan
+
+
+def _bag_apply(spark, base, delta, mult_col="_duckdb_ivm_multiplicity"):
+    from pyspark.sql import functions as F
+
+    cols = base.columns
+    s = base.withColumn("__s", F.lit(1))
+    d = delta.withColumn(
+        "__s", F.when(F.col(mult_col), F.lit(1)).otherwise(F.lit(-1))
+    ).drop(mult_col)
+    return (
+        s.unionByName(d)
+        .groupBy(*cols)
+        .agg(F.sum("__s").alias("__n"))
+        .filter(F.col("__n") > 0)
+        .select(*cols, F.explode(F.expr("sequence(1, __n)")).alias("__i"))
+        .drop("__i")
+    )
+
+
+def test_range_left_join_delta_invariant(spark):
+    # the IVM invariant V' = V ⊎ ΔV for the banded LEFT join, with deltas
+    # on BOTH sides and every interesting transition exercised:
+    # - a point (60) whose only band is deleted → flips to NULL-padded
+    # - a point (5) inserted with no band → arrives NULL-padded
+    # - a previously-unmatched point (300) gaining a band → NULL row retracted
+    # - a deleted point (70) that was matched
+    from ivm_extension_spark.operators.rangejoin import (
+        range_join,
+        range_left_join_delta,
+    )
+
+    m = "_duckdb_ivm_multiplicity"
+    pts = spark.createDataFrame(
+        [(1, 10.0), (2, 60.0), (3, 70.0), (4, 300.0), (5, 120.0)],
+        "pid long, pt double",
+    )
+    iv = spark.createDataFrame(
+        [("lo", 0.0, 50.0), ("mid", 55.0, 80.0), ("mid2", 100.0, 130.0)],
+        "band string, lo double, hi double",
+    )
+    dpts = spark.createDataFrame(
+        [(6, 450.0, True), (3, 70.0, False), (7, 300.0, True)],
+        f"pid long, pt double, {m} boolean",
+    )
+    div = spark.createDataFrame(
+        [("mid", 55.0, 80.0, False), ("hi", 250.0, 400.0, True)],
+        f"band string, lo double, hi double, {m} boolean",
+    )
+
+    dv = range_left_join_delta(pts, iv, dpts, div, "pt", "lo", "hi", bin_width=50.0)
+    v_old = range_join(pts, iv, "pt", "lo", "hi", bin_width=50.0, how="left")
+    merged = _bag_apply(spark, v_old, dv)
+
+    pts2 = _bag_apply(spark, pts, dpts)
+    iv2 = _bag_apply(spark, iv, div)
+    recomputed = range_join(pts2, iv2, "pt", "lo", "hi", bin_width=50.0, how="left")
+
+    got = sorted(map(tuple, merged.collect()))
+    want = sorted(map(tuple, recomputed.collect()))
+    assert got == want
+    # sanity on the planted transitions
+    by_pid = {}
+    for r in merged.collect():
+        by_pid.setdefault(r["pid"], set()).add(r["band"])
+    assert by_pid[2] == {None}      # band deleted under it
+    assert by_pid[6] == {None}      # inserted, unmatched
+    assert by_pid[4] == {"hi"}      # gained a band: NULL row gone
+    assert 3 not in by_pid          # deleted point
+    assert by_pid[7] == {"hi"}      # inserted at the same pt as pid 4
+
+
+def test_range_left_join_delta_single_side(spark):
+    # delta on only one side at a time must also satisfy the invariant
+    from ivm_extension_spark.operators.rangejoin import (
+        range_join,
+        range_left_join_delta,
+    )
+
+    m = "_duckdb_ivm_multiplicity"
+    pts = spark.createDataFrame([(1, 10.0), (2, 60.0)], "pid long, pt double")
+    iv = spark.createDataFrame(
+        [("lo", 0.0, 50.0)], "band string, lo double, hi double"
+    )
+    dpts = spark.createDataFrame(
+        [(3, 20.0, True), (2, 60.0, False)], f"pid long, pt double, {m} boolean"
+    )
+    dv = range_left_join_delta(pts, iv, dpts, None, "pt", "lo", "hi", bin_width=25.0)
+    merged = _bag_apply(
+        spark, range_join(pts, iv, "pt", "lo", "hi", 25.0, how="left"), dv
+    )
+    rec = range_join(
+        _bag_apply(spark, pts, dpts), iv, "pt", "lo", "hi", 25.0, how="left"
+    )
+    assert sorted(map(tuple, merged.collect())) == sorted(map(tuple, rec.collect()))
+
+    div = spark.createDataFrame(
+        [("lo", 0.0, 50.0, False), ("all", 0.0, 100.0, True)],
+        f"band string, lo double, hi double, {m} boolean",
+    )
+    dv2 = range_left_join_delta(pts, iv, None, div, "pt", "lo", "hi", bin_width=25.0)
+    merged2 = _bag_apply(
+        spark, range_join(pts, iv, "pt", "lo", "hi", 25.0, how="left"), dv2
+    )
+    rec2 = range_join(
+        pts, _bag_apply(spark, iv, div), "pt", "lo", "hi", 25.0, how="left"
+    )
+    assert sorted(map(tuple, merged2.collect())) == sorted(map(tuple, rec2.collect()))
