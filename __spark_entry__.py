@@ -792,6 +792,32 @@ _RJ_BAND_DELTA = [
 ]
 
 
+def _q_ivm_cascade_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cascading IVM over a ROLLUP view (round-1 verdict item 7): the
+    rollup view's merge emits per-level CDC (affected coarse groups are
+    ΔV's finest keys projected onto each grouping set —
+    engine._cdc_grouping_sets), which feeds a downstream aggregate over
+    the expanded snapshot.  Both levels maintained incrementally."""
+    eng = _engine(spark, sf_dir, deltas=("orders",))
+    eng.create_immv(
+        "r",
+        sql="SELECT o_orderpriority, o_orderstatus, count(*) AS n, "
+        "sum(cast(round(o_totalprice * 100) AS bigint)) AS cents "
+        "FROM orders GROUP BY ROLLUP (o_orderpriority, o_orderstatus)",
+    )
+    eng.register_table("r_snap", eng.read_view("r"))
+    eng.create_immv(
+        "lvl",
+        sql="SELECT o_orderpriority, count(*) AS n_rows, "
+        "sum(n) AS total_n, sum(cents) AS total_cents "
+        "FROM r_snap GROUP BY o_orderpriority",
+    )
+    cdc = eng.merge_view_cdc("r")
+    eng.register_delta("r_snap", cdc)
+    eng.ivm_upsert("lvl")
+    return eng.merge_view("lvl")
+
+
 def _q_ivm_merge_range_left_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Banded (theta) LEFT-join maintenance — the non-equi outer-join
     shape the equi rewrite rejects, maintained via the binning trick
@@ -1284,6 +1310,7 @@ _IVM_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ivm_multibatch_rollup": _q_ivm_multibatch_rollup,
     "ivm_multibatch_deletes": _q_ivm_multibatch_deletes,
     "ivm_merge_range_left_join": _q_ivm_merge_range_left_join,
+    "ivm_cascade_rollup": _q_ivm_cascade_rollup,
 }
 
 # --------------------------------------------------------------------------
@@ -2200,6 +2227,18 @@ def oracle_sql() -> dict[str, str]:
                 GROUP BY o_custkey
             )
             ORDER BY sum_cents DESC, o_custkey ASC LIMIT 20
+        """,
+        "ivm_cascade_rollup": f"""
+            WITH rolled AS (
+                SELECT o_orderpriority, o_orderstatus, count(*) AS n,
+                       CAST(sum(cast(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+                FROM {_applied_sql('orders')} o
+                GROUP BY ROLLUP (o_orderpriority, o_orderstatus)
+            )
+            SELECT o_orderpriority, count(*) AS n_rows,
+                   CAST(sum(n) AS BIGINT) AS total_n,
+                   CAST(sum(cents) AS BIGINT) AS total_cents
+            FROM rolled GROUP BY o_orderpriority
         """,
         # post-delta bands = base minus 'small' plus 'jumbo' (mirrors
         # _RJ_BANDS/_RJ_BAND_DELTA literals); full recompute over the

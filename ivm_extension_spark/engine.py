@@ -24,6 +24,8 @@ view instead of erroring on an existing ``delta_<view>`` table.
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import DataFrame, SparkSession, functions as F
 from pyspark.sql import types as T
 
@@ -37,6 +39,25 @@ from ivm_extension_spark.operators.rewrite import (
 from ivm_extension_spark.plans.sqlfront import parse_view_sql, split_union_all
 from ivm_extension_spark.plans.viewdef import ViewDef
 from ivm_extension_spark.sources.parquet import read_parquet
+
+_PARTITION_RX = re.compile(
+    r"partition\s+by\s+(.+?)(?:\s+order\s+by\b|\))", re.IGNORECASE | re.DOTALL
+)
+
+
+def _qualify_partition_keys(qualify: str) -> list[str] | None:
+    """PARTITION BY keys of a QUALIFY expression's rank window(s), or
+    None when they cannot be resolved to plain columns (expression keys,
+    or multiple windows disagreeing on their partition)."""
+    found = _PARTITION_RX.findall(qualify)
+    if not found:
+        return None
+    parts = [tuple(p.strip() for p in f.split(",")) for f in found]
+    if len(set(parts)) != 1 or not all(
+        re.fullmatch(r"\w+", k) for k in parts[0]
+    ):
+        return None
+    return list(parts[0])
 
 
 class IVMEngine:
@@ -509,27 +530,11 @@ class IVMEngine:
         vdef = self.view(name)
         if name not in self._state:
             raise IVMError(f"view {name!r} was not materialized (create_immv)")
-        if vdef.qualify or vdef.limit is not None:
-            # rank filters break the locality the CDC relies on: a delta
-            # touching key A can evict key B from the visible top-N, and
-            # B is not in ΔV's key set — the affected-group restriction
-            # would silently miss B's retraction.  Cascade from the
-            # UNFILTERED view and apply the rank filter downstream.
-            raise IVMError(
-                "merge_view_cdc over a QUALIFY / ORDER BY+LIMIT view is "
-                "not supported: rank filters make visibility non-local "
-                "(an untouched key can be evicted).  Maintain the "
-                "pre-filter view and rank in the downstream read instead"
-            )
-        if vdef.grouping_sets:
-            # rolled-up rows carry NULL-padded keys that never match the
-            # affected-key equality join; their changes would be missed
-            raise IVMError(
-                "merge_view_cdc over a ROLLUP/CUBE/GROUPING SETS view is "
-                "not supported: cascade from the finest-grouping view and "
-                "expand the sets in the downstream read"
-            )
         dv = self._materialized_delta(name, force=True)
+        if vdef.qualify or vdef.limit is not None:
+            return self._cdc_rank_filtered(name, vdef, dv)
+        if vdef.grouping_sets:
+            return self._cdc_grouping_sets(name, vdef, dv)
         old_pub = merge_ops.finalize(self._state[name], vdef)
         if not vdef.is_aggregate and not vdef.distinct:
             # projection views: ΔV is already row-level CDC
@@ -550,6 +555,85 @@ class IVMEngine:
             MULT_COL, F.lit(True)
         )
         return old_rows.unionByName(new_rows)
+
+    def _nullsafe_semi(
+        self, df: DataFrame, probe: DataFrame, keys: list[str]
+    ) -> DataFrame:
+        """Semi-join ``df`` against ``probe`` on ``keys`` with NULL-safe
+        equality (rollup levels and NULL-valued group keys must match),
+        the probe broadcast when delta broadcasting is on."""
+        p = probe.select(*[F.col(k).alias(f"__cdc_pk_{k}") for k in keys]).distinct()
+        if self.broadcast_deltas:
+            p = F.broadcast(p)
+        cond = None
+        for k in keys:
+            t = F.col(k).eqNullSafe(F.col(f"__cdc_pk_{k}"))
+            cond = t if cond is None else cond & t
+        return df.join(p, cond, "leftsemi")
+
+    def _cdc_rank_filtered(self, name: str, vdef, dv: DataFrame) -> DataFrame:
+        """CDC for QUALIFY / ORDER BY+LIMIT views.  Rank visibility moves
+        only within the rank window's partition — the whole view for a
+        global LIMIT — so the CDC is old-vs-new VISIBLE rows restricted
+        to ΔV's partition-key set.  That restores the locality the plain
+        affected-key join lacks (a delta on key A can evict key B from
+        the top-N, but only within A's partition): cost is O(|ΔV
+        partitions| x N), and for a global LIMIT both snapshots are
+        already ≤ LIMIT rows."""
+        pkeys: list[str] = []
+        if vdef.limit is None:
+            parsed = _qualify_partition_keys(vdef.qualify)
+            if parsed is None or not all(k in dv.columns for k in parsed):
+                raise IVMError(
+                    "merge_view_cdc over this QUALIFY view is not "
+                    "supported: the rank window's PARTITION BY keys could "
+                    "not be resolved to plain view columns, so the "
+                    "affected-partition restriction cannot be built "
+                    f"(qualify: {vdef.qualify!r}).  Maintain the "
+                    "pre-filter view and rank in the downstream read"
+                )
+            pkeys = parsed
+        old_pub = merge_ops.finalize(self._state[name], vdef)
+        self.merge_view(name)
+        new_pub = merge_ops.finalize(self._state[name], vdef)
+        if pkeys:
+            affected = dv.select(*pkeys)
+            old_pub = self._nullsafe_semi(old_pub, affected, pkeys)
+            new_pub = self._nullsafe_semi(new_pub, affected, pkeys)
+        return old_pub.withColumn(MULT_COL, F.lit(False)).unionByName(
+            new_pub.withColumn(MULT_COL, F.lit(True))
+        )
+
+    def _cdc_grouping_sets(self, name: str, vdef, dv: DataFrame) -> DataFrame:
+        """CDC for ROLLUP/CUBE/GROUPING SETS views: per listed set, the
+        affected coarse groups are ΔV's finest keys PROJECTED onto the
+        set's columns (so rolled-up/NULL-padded rows are reached through
+        the projection, not a doomed equality join on padded keys); the
+        state slices behind those coarse groups re-aggregate to the old
+        and new level rows.  Each slice holds whole coarse groups, so the
+        re-aggregation is exact, and the grand-total set uses the full
+        (O(groups)) state — it IS one group."""
+        old_state = self._state[name]
+        self.merge_view(name)
+        new_state = self._state[name]
+        out: DataFrame | None = None
+        for gs in vdef.grouping_sets:
+            gcols = list(gs)
+            if gcols:
+                o_slice = self._nullsafe_semi(old_state, dv.select(*gcols), gcols)
+                n_slice = self._nullsafe_semi(new_state, dv.select(*gcols), gcols)
+            else:
+                o_slice, n_slice = old_state, new_state
+            o = merge_ops.grouping_level(o_slice, vdef, gs)
+            n = merge_ops.grouping_level(n_slice, vdef, gs)
+            if vdef.having:
+                o = o.filter(F.expr(vdef.having))
+                n = n.filter(F.expr(vdef.having))
+            pair = o.withColumn(MULT_COL, F.lit(False)).unionByName(
+                n.withColumn(MULT_COL, F.lit(True))
+            )
+            out = pair if out is None else out.unionByName(pair)
+        return out
 
     def maintain_all(self) -> dict[str, DataFrame]:
         """Advance EVERY view affected by the registered deltas, then fold

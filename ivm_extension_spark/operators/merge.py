@@ -183,6 +183,61 @@ def _read_transforms(out: DataFrame, view: ViewDef) -> DataFrame:
     return out
 
 
+def grouping_level(state: DataFrame, view: ViewDef, gs: tuple[str, ...]) -> DataFrame:
+    """ONE grouping-set level re-aggregated from (a slice of) the
+    finest-grouping state, rolled-up keys NULL-padded, pre-HAVING.
+    Exposed for :meth:`engine.IVMEngine.merge_view_cdc`, which builds
+    per-level CDC from affected state slices."""
+    keys = [a for _, a in view.select]
+    aggs = []
+    for a in view.aggregates:
+        if a.alias.startswith("__ivm_"):
+            continue
+        if a.fn in ("sum",):
+            aggs.append(F.sum(F.col(a.alias)).alias(a.alias))
+        elif a.fn == "count":
+            # coalesce: the grand-total set over an EMPTY state is one
+            # row (global-aggregate semantics) where COUNT must be 0
+            aggs.append(
+                F.coalesce(F.sum(F.col(a.alias)), F.lit(0))
+                .cast("long")
+                .alias(a.alias)
+            )
+        elif a.fn == "min":
+            aggs.append(F.min(F.col(a.alias)).alias(a.alias))
+        elif a.fn == "max":
+            aggs.append(F.max(F.col(a.alias)).alias(a.alias))
+        elif a.fn == "avg":
+            aggs.append(
+                (
+                    F.sum(F.col(f"__ivm_avgsum_{a.alias}"))
+                    / F.sum(F.col(f"__ivm_avgcnt_{a.alias}"))
+                ).alias(a.alias)
+            )
+        elif a.fn in VARIANCE_AGGS:
+            # the hidden companions are plain sums — additive across
+            # the finest groups, so each rollup level recomposes exactly
+            aggs.append(
+                variance_col(
+                    a.fn,
+                    F.sum(F.col(f"__ivm_vs_{a.alias}")),
+                    F.sum(F.col(f"__ivm_vq_{a.alias}")),
+                    F.sum(F.col(f"__ivm_vn_{a.alias}")),
+                ).alias(a.alias)
+            )
+        else:  # pragma: no cover — rejected in ViewDef.__post_init__
+            raise NotImplementedError(a.fn)
+    lvl = state.groupBy(*[F.col(k) for k in gs]).agg(*aggs)
+    pads = [
+        F.col(k) if k in gs else F.lit(None).cast(state.schema[k].dataType).alias(k)
+        for k in keys
+    ]
+    return lvl.select(
+        *[p.alias(k) for p, k in zip(pads, keys)],
+        *[F.col(a) for a in view.output_order if a not in keys],
+    ).select(*[F.col(a) for a in view.output_order])
+
+
 def _finalize_grouping_sets(state: DataFrame, view: ViewDef) -> DataFrame:
     """Expand ROLLUP/CUBE/GROUPING SETS from the finest-grouping state:
     one re-aggregation per listed set, rolled-up keys NULL-padded, all
@@ -191,58 +246,7 @@ def _finalize_grouping_sets(state: DataFrame, view: ViewDef) -> DataFrame:
     rows; sum/count re-add, min/max re-extremize, avg recomposes from
     its hidden sum/count companions.  (ΔV stays at the finest grouping:
     deltas compose there, and the expansion is a pure read transform.)"""
-    keys = [a for _, a in view.select]
-    levels: list[DataFrame] = []
-    for gs in view.grouping_sets:
-        aggs = []
-        for a in view.aggregates:
-            if a.alias.startswith("__ivm_"):
-                continue
-            if a.fn in ("sum",):
-                aggs.append(F.sum(F.col(a.alias)).alias(a.alias))
-            elif a.fn == "count":
-                # coalesce: the grand-total set over an EMPTY state is one
-                # row (global-aggregate semantics) where COUNT must be 0
-                aggs.append(
-                    F.coalesce(F.sum(F.col(a.alias)), F.lit(0))
-                    .cast("long")
-                    .alias(a.alias)
-                )
-            elif a.fn == "min":
-                aggs.append(F.min(F.col(a.alias)).alias(a.alias))
-            elif a.fn == "max":
-                aggs.append(F.max(F.col(a.alias)).alias(a.alias))
-            elif a.fn == "avg":
-                aggs.append(
-                    (
-                        F.sum(F.col(f"__ivm_avgsum_{a.alias}"))
-                        / F.sum(F.col(f"__ivm_avgcnt_{a.alias}"))
-                    ).alias(a.alias)
-                )
-            elif a.fn in VARIANCE_AGGS:
-                # the hidden companions are plain sums — additive across
-                # the finest groups, so each rollup level recomposes exactly
-                aggs.append(
-                    variance_col(
-                        a.fn,
-                        F.sum(F.col(f"__ivm_vs_{a.alias}")),
-                        F.sum(F.col(f"__ivm_vq_{a.alias}")),
-                        F.sum(F.col(f"__ivm_vn_{a.alias}")),
-                    ).alias(a.alias)
-                )
-            else:  # pragma: no cover — rejected in ViewDef.__post_init__
-                raise NotImplementedError(a.fn)
-        lvl = state.groupBy(*[F.col(k) for k in gs]).agg(*aggs)
-        pads = [
-            F.col(k) if k in gs else F.lit(None).cast(state.schema[k].dataType).alias(k)
-            for k in keys
-        ]
-        levels.append(
-            lvl.select(
-                *[p.alias(k) for p, k in zip(pads, keys)],
-                *[F.col(a) for a in view.output_order if a not in keys],
-            ).select(*[F.col(a) for a in view.output_order])
-        )
+    levels = [grouping_level(state, view, gs) for gs in view.grouping_sets]
     out = levels[0]
     for lvl in levels[1:]:
         out = out.unionByName(lvl)

@@ -97,39 +97,86 @@ def test_qualify_survives_persistence(spark, tmp_path):
     assert rows(eng2.read_view("v")) == rows(_truth(eng2))
 
 
-def test_cdc_over_rank_filtered_views_rejected(spark):
-    """merge_view_cdc must refuse rank-filtered views: a delta touching
-    one key can evict ANOTHER key from the visible top-N, and the
-    affected-key CDC would silently miss that retraction."""
-    from ivm_extension_spark.operators.rewrite import IVMError
+def _bag_apply(old_pub, cdc):
+    """old ⊎ CDC under bag semantics — what a downstream snapshot does."""
+    cols = old_pub.columns
+    s = old_pub.withColumn("__s", F.lit(1))
+    d = cdc.withColumn(
+        "__s", F.when(F.col(MULT_COL), F.lit(1)).otherwise(F.lit(-1))
+    ).drop(MULT_COL)
+    return (
+        s.unionByName(d.select(*cols, "__s"))
+        .groupBy(*cols)
+        .agg(F.sum("__s").alias("__n"))
+        .filter(F.col("__n") > 0)
+        .select(*cols, F.explode(F.expr("sequence(1, __n)")).alias("__i"))
+        .drop("__i")
+    )
 
+
+def test_cdc_over_rank_filtered_view(spark):
+    """merge_view_cdc over a QUALIFY view: rank moves are local to the
+    window's PARTITION, so restricting old/new VISIBLE rows to ΔV's
+    partition keys catches evictions of keys the delta never touched."""
     eng = IVMEngine(spark)
     eng.register_table("t", _mk(spark))
     eng.create_immv("v", sql=SQL)
+    old_pub = eng.read_view("v")
+    # pushing (g1, 1) to the top EVICTS (g1, 3) whose value is untouched
     eng.register_delta(
         "t",
         spark.createDataFrame(
-            [("g1", 1, 5, True)], f"g string, k int, x int, {MULT_COL} boolean"
+            [("g1", 1, 1000, True)], f"g string, k int, x int, {MULT_COL} boolean"
         ),
     )
-    with pytest.raises(IVMError, match="non-local"):
-        eng.merge_view_cdc("v")
-    # ORDER BY + LIMIT views hit the same wall
+    cdc = eng.merge_view_cdc("v")
+    eng.apply_delta("t")
+    assert rows(_bag_apply(old_pub, cdc)) == rows(_truth(eng))
+    retracted = {
+        (r["g"], r["k"]) for r in cdc.collect() if not r[MULT_COL]
+    }
+    assert ("g1", 4) in retracted  # the untouched-key eviction (old rank 2)
+
+
+def test_cdc_over_limit_view(spark):
+    """ORDER BY + LIMIT: the 'partition' is the whole view, and both
+    visible snapshots are ≤ LIMIT rows — CDC is old + new top-k."""
+    eng = IVMEngine(spark)
+    eng.register_table("t", _mk(spark))
     eng.create_immv(
         "w",
         sql="SELECT g, sum(x) AS s FROM t GROUP BY g ORDER BY s DESC, g ASC LIMIT 1",
     )
-    with pytest.raises(IVMError, match="non-local"):
-        eng.merge_view_cdc("w")
+    old_pub = eng.read_view("w")
+    # flip the winner from g1 (150) vs g2 (294): push g1 to the top
+    eng.register_delta(
+        "t",
+        spark.createDataFrame(
+            [("g1", 9, 500, True)], f"g string, k int, x int, {MULT_COL} boolean"
+        ),
+    )
+    cdc = eng.merge_view_cdc("w")
+    eng.apply_delta("t")
+    truth = (
+        eng.table("t")
+        .groupBy("g")
+        .agg(F.sum("x").alias("s"))
+        .orderBy(F.col("s").desc(), F.col("g").asc())
+        .limit(1)
+    )
+    assert rows(_bag_apply(old_pub, cdc)) == rows(truth)
 
 
-def test_cdc_over_grouping_sets_rejected(spark):
+def test_cdc_over_qualify_unresolvable_partition_rejected(spark):
     from ivm_extension_spark.operators.rewrite import IVMError
 
     eng = IVMEngine(spark)
     eng.register_table("t", _mk(spark))
     eng.create_immv(
-        "r", sql="SELECT g, sum(x) AS s FROM t GROUP BY ROLLUP (g)"
+        "q",
+        sql="SELECT g, k, sum(x) AS s FROM t GROUP BY g, k "
+        "QUALIFY row_number() OVER (PARTITION BY concat(g, 'x') "
+        "ORDER BY s DESC, k ASC) <= 2",
     )
     eng.register_delta(
         "t",
@@ -137,5 +184,80 @@ def test_cdc_over_grouping_sets_rejected(spark):
             [("g1", 1, 5, True)], f"g string, k int, x int, {MULT_COL} boolean"
         ),
     )
-    with pytest.raises(IVMError, match="finest-grouping"):
-        eng.merge_view_cdc("r")
+    with pytest.raises(IVMError, match="PARTITION BY"):
+        eng.merge_view_cdc("q")
+
+
+def test_cdc_over_grouping_sets(spark):
+    """Rollup CDC: affected coarse groups come from PROJECTING ΔV's
+    finest keys onto each set (NULL-padded rows are reached through the
+    projection); the grand total row must change too."""
+    eng = IVMEngine(spark)
+    eng.register_table("t", _mk(spark))
+    eng.create_immv("r", sql="SELECT g, sum(x) AS s FROM t GROUP BY ROLLUP (g)")
+    old_pub = eng.read_view("r")
+    eng.register_delta(
+        "t",
+        spark.createDataFrame(
+            [("g1", 1, 5, True), ("g2", 1, 99, False)],
+            f"g string, k int, x int, {MULT_COL} boolean",
+        ),
+    )
+    cdc = eng.merge_view_cdc("r")
+    eng.apply_delta("t")
+    truth = (
+        eng.table("t").groupBy("g").agg(F.sum("x").alias("s"))
+        .unionByName(
+            eng.table("t").groupBy().agg(F.sum("x").alias("s"))
+            .select(F.lit(None).cast("string").alias("g"), "s")
+        )
+    )
+    assert rows(_bag_apply(old_pub, cdc)) == rows(truth)
+    # the grand-total (NULL-key) row is present on both CDC sides
+    nulls = [(r[MULT_COL], r["s"]) for r in cdc.collect() if r["g"] is None]
+    assert (False, 444) in nulls and (True, 350) in nulls
+
+
+def test_cdc_rollup_two_level_cascade(spark):
+    """The cascade the round-1 verdict asked for: a rollup view's CDC
+    feeds a downstream aggregate over its expanded snapshot."""
+    eng = IVMEngine(spark)
+    eng.register_table("t", _mk(spark))
+    eng.create_immv(
+        "r", sql="SELECT g, k, sum(x) AS s FROM t GROUP BY ROLLUP (g, k)"
+    )
+    eng.register_table("r_snap", eng.read_view("r"))
+    eng.create_immv(
+        "lvl", sql="SELECT g, count(*) AS n_rows, sum(s) AS tot FROM r_snap GROUP BY g"
+    )
+    eng.register_delta(
+        "t",
+        spark.createDataFrame(
+            [("g3", 7, 42, True), ("g1", 1, 10, False)],
+            f"g string, k int, x int, {MULT_COL} boolean",
+        ),
+    )
+    cdc = eng.merge_view_cdc("r")
+    eng.register_delta("r_snap", cdc)
+    eng.ivm_upsert("lvl")
+    merged = eng.merge_view("lvl")
+    eng.apply_delta("t")
+    rolled = (
+        eng.table("t").groupBy("g", "k").agg(F.sum("x").alias("s"))
+        .unionByName(
+            eng.table("t").groupBy("g").agg(F.sum("x").alias("s"))
+            .select("g", F.lit(None).cast("int").alias("k"), "s")
+        )
+        .unionByName(
+            eng.table("t").groupBy().agg(F.sum("x").alias("s"))
+            .select(
+                F.lit(None).cast("string").alias("g"),
+                F.lit(None).cast("int").alias("k"),
+                "s",
+            )
+        )
+    )
+    truth = rolled.groupBy("g").agg(
+        F.count(F.lit(1)).alias("n_rows"), F.sum("s").alias("tot")
+    )
+    assert rows(merged) == rows(truth)
