@@ -90,12 +90,18 @@ class IVMEngine:
         merge_strategy: str = "auto",
         patch_min_state_rows: int = 1_000_000,
         keep_history: int = 0,
+        state_store=None,
     ) -> None:
         if merge_strategy not in ("auto", "patch", "shuffle"):
             raise ValueError(f"merge_strategy must be auto/patch/shuffle, got {merge_strategy!r}")
         if keep_history < 0:
             raise ValueError(f"keep_history must be >= 0, got {keep_history}")
         self.spark = spark
+        # optional lakehouse-shaped state backend (sources/lakehouse.py):
+        # view state lives as versioned key-bucketed parquet snapshots and
+        # each merge commits ONLY the touched buckets (MERGE INTO
+        # emulation) instead of holding checkpoint blocks in the session
+        self._state_store = state_store
         self.broadcast_deltas = broadcast_deltas
         self.merge_strategy = merge_strategy
         self.patch_min_state_rows = patch_min_state_rows
@@ -236,9 +242,30 @@ class IVMEngine:
         if materialize:
             self._init_aux(name, vdef)
             state = self._materialize_state(name)
+            state = self._store_state_initial(name, state)
             self._state[name] = state
             return merge_ops.finalize(state, vdef)
         return None
+
+    def _store_keys(self, name: str) -> list[str]:
+        """Bucketing keys for the lakehouse state store: the view's group
+        keys (aggregate state has one row per group) or, for bag views,
+        every output column."""
+        iview = self._iviews[name]
+        if iview.is_aggregate:
+            return [a for _, a in iview.select]
+        return list(iview.output_order)
+
+    def _store_state_initial(self, name: str, state: DataFrame) -> DataFrame:
+        """With a state store attached, snapshot the initial state (v1,
+        all buckets) and hand back the store-backed scan — parquet files
+        are immutable, so no checkpoint is needed."""
+        if self._state_store is None:
+            return state
+        self._state_store.write_full(name, state, self._store_keys(name))
+        state = self._state_store.read(name)
+        state._ivm_pinned = True
+        return state
 
     def _create_union_immv(
         self, name: str, parts: list[str], materialize: bool
@@ -279,6 +306,7 @@ class IVMEngine:
         self._iviews[name] = first
         if materialize:
             state = self._compute_union(branches)
+            state = self._store_state_initial(name, state)
             self._state[name] = state
             self._aux_meta[name] = {}
             return merge_ops.finalize(state, first)
@@ -496,9 +524,30 @@ class IVMEngine:
             hist = self._history.setdefault(name, [])
             hist.append((self._merge_counts.get(name, 0), old))
             del hist[: max(0, len(hist) - self.keep_history)]
-        # eager checkpoint: cuts lineage growth across repeated merges AND
-        # pins the state so streaming micro-batch sources can be released
-        new_state = new_state.localCheckpoint(eager=True)
+        if self._state_store is not None and name in self._state_store:
+            # MERGE INTO path: commit ONLY the buckets ΔV touched (their
+            # post-merge content filtered out of the merged plan); every
+            # other bucket's files carry over untouched into the new
+            # snapshot.  The store-backed scan replaces the checkpoint —
+            # parquet files are immutable, so lineage is already cut.
+            from ivm_extension_spark.sources.lakehouse import bucket_expr
+
+            keys = self._store_keys(name)
+            touched = sorted(
+                r[0]
+                for r in dv.select(
+                    bucket_expr(keys, self._state_store.n_buckets).alias("b")
+                )
+                .distinct()
+                .collect()
+            )
+            self._state_store.commit(name, new_state, keys, touched)
+            new_state = self._state_store.read(name)
+        else:
+            # eager checkpoint: cuts lineage growth across repeated merges
+            # AND pins the state so streaming micro-batch sources can be
+            # released
+            new_state = new_state.localCheckpoint(eager=True)
         new_state._ivm_pinned = True
         self._state[name] = new_state
         if self.merge_strategy == "auto":

@@ -1,0 +1,185 @@
+"""Lakehouse-shaped state backend: versioned, bucket-granular MERGE INTO
+over plain parquet.
+
+The engine's default state lives as ``localCheckpoint`` blocks — fast,
+but process-local.  This store gives maintained view state the layout a
+lakehouse table format (Delta Lake / Iceberg) would give it, emulated
+over parquet + a JSON manifest, with the property that matters at
+100 TB: **a merge rewrites only the files whose keys it touched**.
+
+Layout per view::
+
+    <root>/<view>/files/v{N}/__ivm_b={b}/part-*.parquet   data, one dir per bucket
+    <root>/<view>/manifest-v{N}.json                      snapshot N
+
+- State rows are hash-bucketed on the view's group keys
+  (``pmod(xxhash64(keys), n_buckets)``) — the analogue of the key
+  partitioning/clustering a real MERGE INTO target would have.
+- ``write_full`` writes every bucket (snapshot v1).
+- ``commit`` is the MERGE INTO emulation: it writes NEW files for the
+  TOUCHED buckets only and publishes a manifest that maps every
+  untouched bucket to its previous file directory — copy-on-write at
+  bucket granularity, exactly how table formats prune MERGE rewrites to
+  matching files.  Old snapshots stay readable (time travel) because
+  files are immutable.
+- The manifest is written last; a crashed commit leaves the previous
+  manifest as the current snapshot (no torn state).
+
+Local emulation notes (documented gaps vs a real table format): the
+manifest is one JSON file (object-store commit would need a conditional
+put / log protocol), and concurrent writers are not arbitrated.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import DataFrame, SparkSession, functions as F, types as T
+
+_BUCKET = "__ivm_b"
+
+
+def bucket_expr(keys: list[str], n_buckets: int):
+    """Deterministic bucket id from the view's group keys (0 for a
+    global aggregate: its state is one row, one bucket)."""
+    if not keys:
+        return F.lit(0)
+    return F.pmod(F.xxhash64(*[F.col(k) for k in keys]), F.lit(n_buckets))
+
+
+class LakehouseStore:
+    """Versioned bucket-granular parquet state store (see module doc)."""
+
+    def __init__(self, spark: SparkSession, root: str, n_buckets: int = 16) -> None:
+        self.spark = spark
+        self.root = root
+        self.n_buckets = n_buckets
+
+    # -- manifest plumbing -------------------------------------------------
+
+    def _vdir(self, view: str) -> str:
+        return os.path.join(self.root, view)
+
+    def _manifest_path(self, view: str, version: int) -> str:
+        return os.path.join(self._vdir(view), f"manifest-v{version:06d}.json")
+
+    def versions(self, view: str) -> list[int]:
+        d = self._vdir(view)
+        if not os.path.isdir(d):
+            return []
+        out = []
+        for f in os.listdir(d):
+            if f.startswith("manifest-v") and f.endswith(".json"):
+                out.append(int(f[len("manifest-v") : -len(".json")]))
+        return sorted(out)
+
+    def current_version(self, view: str) -> int | None:
+        vs = self.versions(view)
+        return vs[-1] if vs else None
+
+    def manifest(self, view: str, version: int | None = None) -> dict:
+        if version is None:
+            version = self.current_version(view)
+            if version is None:
+                raise FileNotFoundError(f"no snapshot for view {view!r}")
+        with open(self._manifest_path(view, version)) as f:
+            return json.load(f)
+
+    def __contains__(self, view: str) -> bool:
+        return self.current_version(view) is not None
+
+    # -- write paths -------------------------------------------------------
+
+    def _write_buckets(
+        self, view: str, df: DataFrame, keys: list[str], version: int
+    ) -> dict[str, str]:
+        """Write ``df`` partitioned by bucket under files/v{version};
+        returns {bucket -> relative dir} for buckets that got rows."""
+        rel = f"files/v{version:06d}"
+        out_dir = os.path.join(self._vdir(view), rel)
+        (
+            df.withColumn(_BUCKET, bucket_expr(keys, self.n_buckets))
+            .write.partitionBy(_BUCKET)
+            .mode("overwrite")
+            .parquet(out_dir)
+        )
+        present: dict[str, str] = {}
+        if os.path.isdir(out_dir):
+            for d in os.listdir(out_dir):
+                if d.startswith(f"{_BUCKET}="):
+                    b = d.split("=", 1)[1]
+                    present[b] = f"{rel}/{d}"
+        return present
+
+    def write_full(self, view: str, df: DataFrame, keys: list[str]) -> None:
+        """Snapshot v1 (or a full rewrite): every bucket written."""
+        version = (self.current_version(view) or 0) + 1
+        buckets = self._write_buckets(view, df, keys, version)
+        self._publish(view, version, buckets, keys, df.schema)
+
+    def commit(
+        self,
+        view: str,
+        new_state: DataFrame,
+        keys: list[str],
+        touched: list[int],
+    ) -> None:
+        """MERGE INTO emulation: write new files for the TOUCHED buckets
+        only (their post-merge content, filtered out of ``new_state``),
+        point every other bucket at its existing files."""
+        version = (self.current_version(view) or 0) + 1
+        prev = self.manifest(view)
+        touched_set = [str(b) for b in touched]
+        touched_df = new_state.filter(
+            bucket_expr(keys, self.n_buckets).isin([int(b) for b in touched_set])
+        )
+        written = self._write_buckets(view, touched_df, keys, version)
+        buckets = {
+            b: p for b, p in prev["buckets"].items() if b not in touched_set
+        }
+        buckets.update(written)  # a touched bucket with zero rows vanishes
+        self._publish(
+            view, version, buckets, keys, T.StructType.fromJson(json.loads(prev["schema"]))
+        )
+
+    def _publish(
+        self,
+        view: str,
+        version: int,
+        buckets: dict[str, str],
+        keys: list[str],
+        schema: T.StructType,
+    ) -> None:
+        manifest = {
+            "version": version,
+            "n_buckets": self.n_buckets,
+            "keys": keys,
+            "buckets": buckets,
+            "schema": json.dumps(schema.jsonValue()),
+        }
+        path = self._manifest_path(view, version)
+        tmp = path + ".tmp"
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        with open(tmp, "w") as f:
+            json.dump(manifest, f)
+        os.replace(tmp, path)  # manifest LAST, atomically
+
+    # -- read path ---------------------------------------------------------
+
+    def read(self, view: str, version: int | None = None) -> DataFrame:
+        """The snapshot as a DataFrame (lazy parquet scan over the
+        manifest's immutable files — no checkpoint needed)."""
+        m = self.manifest(view, version)
+        schema = T.StructType.fromJson(json.loads(m["schema"]))
+        paths = [
+            os.path.join(self._vdir(view), rel) for rel in m["buckets"].values()
+        ]
+        if not paths:
+            return self.spark.createDataFrame([], schema)
+        return self.spark.read.schema(schema).parquet(*paths)
+
+    def bucket_files(self, view: str, version: int | None = None) -> dict[str, str]:
+        """{bucket -> relative file dir} of a snapshot — lets tests (and
+        operators) verify which buckets a commit actually rewrote."""
+        return dict(self.manifest(view, version)["buckets"])
