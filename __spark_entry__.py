@@ -792,6 +792,34 @@ _RJ_BAND_DELTA = [
 ]
 
 
+def _q_ivm_maintain_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The multi-view batch verb: one orders delta advances EVERY
+    affected view in a single maintain_all() call (all views merge
+    against the pre-delta world, the delta folds once), and the result
+    is the union of both advanced views' rows tagged by view name —
+    checking cross-view atomicity, not just one view's merge."""
+    eng = _engine(spark, sf_dir, deltas=("orders",))
+    eng.create_immv(
+        "by_status",
+        sql="SELECT o_orderstatus AS k, count(*) AS n, "
+        "sum(cast(round(o_totalprice * 100) AS bigint)) AS cents "
+        "FROM orders GROUP BY o_orderstatus",
+    )
+    eng.create_immv(
+        "by_priority",
+        sql="SELECT o_orderpriority AS k, count(*) AS n, "
+        "sum(cast(round(o_totalprice * 100) AS bigint)) AS cents "
+        "FROM orders GROUP BY o_orderpriority",
+    )
+    out = eng.maintain_all()
+    return (
+        out["by_status"].withColumn("view_name", F.lit("by_status"))
+        .unionByName(
+            out["by_priority"].withColumn("view_name", F.lit("by_priority"))
+        )
+    )
+
+
 def _q_ivm_cascade_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cascading IVM over a ROLLUP view (round-1 verdict item 7): the
     rollup view's merge emits per-level CDC (affected coarse groups are
@@ -1311,6 +1339,7 @@ _IVM_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ivm_multibatch_deletes": _q_ivm_multibatch_deletes,
     "ivm_merge_range_left_join": _q_ivm_merge_range_left_join,
     "ivm_cascade_rollup": _q_ivm_cascade_rollup,
+    "ivm_maintain_all": _q_ivm_maintain_all,
 }
 
 # --------------------------------------------------------------------------
@@ -2227,6 +2256,18 @@ def oracle_sql() -> dict[str, str]:
                 GROUP BY o_custkey
             )
             ORDER BY sum_cents DESC, o_custkey ASC LIMIT 20
+        """,
+        "ivm_maintain_all": f"""
+            WITH t AS (SELECT * FROM {_applied_sql('orders')} o)
+            SELECT o_orderstatus AS k, count(*) AS n,
+                   CAST(sum(cast(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents,
+                   'by_status' AS view_name
+            FROM t GROUP BY o_orderstatus
+            UNION ALL
+            SELECT o_orderpriority AS k, count(*) AS n,
+                   CAST(sum(cast(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents,
+                   'by_priority' AS view_name
+            FROM t GROUP BY o_orderpriority
         """,
         "ivm_cascade_rollup": f"""
             WITH rolled AS (

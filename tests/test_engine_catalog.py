@@ -235,3 +235,67 @@ def test_execute_sql_surface_with_ordered_aggs(spark):
         eng.table("t").groupBy("k").agg(F.median("x").alias("med"))
     )
     assert _rows(got) == _rows(truth)
+
+
+def test_maintain_all_skips_delta_only_views(spark):
+    """A view registered with materialize=False (the ΔV-only pattern)
+    must not break maintain_all mid-batch: materialized views advance,
+    the ΔV-only view is skipped, deltas fold into the base exactly once
+    (the never-half-merged guarantee — round-1 advice item)."""
+    from pyspark.sql import functions as F
+
+    from tests.conftest import rows
+
+    eng = IVMEngine(spark)
+    base = spark.createDataFrame([("a", 1), ("b", 2)], "k string, x int")
+    eng.register_table("t", base)
+    eng.create_immv("v1", sql="SELECT k, sum(x) AS s FROM t GROUP BY k")
+    eng.create_immv(
+        "v2", sql="SELECT k, count(*) AS n FROM t GROUP BY k", materialize=False
+    )
+    eng.register_delta(
+        "t",
+        spark.createDataFrame(
+            [("a", 10, True)], f"k string, x int, {MULT_COL} boolean"
+        ),
+    )
+    out = eng.maintain_all()
+    assert set(out) == {"v1"}  # v2 (ΔV-only) skipped, not an error
+    assert rows(out["v1"]) == [("a", 11), ("b", 2)]
+    # the delta was folded exactly once
+    assert rows(eng.table("t")) == [("a", 1), ("a", 10), ("b", 2)]
+
+
+def test_stats_merge_strategy_is_per_view(spark):
+    """stats(name)['last_merge_strategy'] must report THAT view's last
+    strategy, not the engine-global most-recent one (round-1 advice)."""
+    from pyspark.sql import functions as F
+
+    eng = IVMEngine(spark, merge_strategy="auto", patch_min_state_rows=2)
+    base = spark.createDataFrame(
+        [("a", 1), ("b", 2), ("c", 3)], "k string, x int"
+    )
+    eng.register_table("t", base)
+    eng.create_immv("big", sql="SELECT k, sum(x) AS s FROM t GROUP BY k")
+    eng.create_immv("small", sql="SELECT count(*) AS n FROM t")
+
+    def _delta():
+        return spark.createDataFrame(
+            [("a", 5, True)], f"k string, x int, {MULT_COL} boolean"
+        )
+
+    # batch 1: both merge (strategies measured for next round)
+    eng.register_delta("t", _delta())
+    for v in ("big", "small"):
+        eng.ivm_upsert(v)
+        eng.merge_view(v)
+    eng.apply_delta("t")
+    # batch 2: 'big' has 3 measured rows >= 2 → patch; 'small' is a
+    # global aggregate → always its dedicated path recorded as shuffle
+    eng.register_delta("t", _delta())
+    for v in ("big", "small"):
+        eng.ivm_upsert(v)
+        eng.merge_view(v)
+    assert eng.stats("big")["last_merge_strategy"] == "patch"
+    # per-view: 'small' must NOT report 'big's strategy
+    assert eng.stats("small")["last_merge_strategy"] == "shuffle"
