@@ -210,3 +210,39 @@ def test_qualify_read_plans_window_group_limit(spark):
     )
     plan = plan_of(eng.read_view("v"))
     assert "WindowGroupLimit" in plan, plan
+
+
+def test_range_left_join_delta_plan_no_nested_loop(spark):
+    """The banded-outer-join delta must plan every theta join as a
+    binned equi-join (hash joins only, delta sides broadcast) — a
+    nested-loop fallback would be O(|P| x |I|) at scale."""
+    from pyspark.sql import functions as F
+
+    from ivm_extension_spark.operators.rangejoin import range_left_join_delta
+    from ivm_extension_spark.operators.rewrite import MULT_COL
+
+    spark_df = spark.read.parquet(f"{SF}/orders.parquet")
+    points = spark_df.select("o_orderkey", F.col("o_totalprice").alias("price"))
+    bands = spark.createDataFrame(
+        [("small", 0.0, 50000.0), ("mid", 40000.0, 200000.0)],
+        "band string, lo double, hi double",
+    )
+    d_points = (
+        spark_df.filter("o_orderkey % 10 = 0")
+        .select(
+            "o_orderkey",
+            F.col("o_totalprice").alias("price"),
+            F.expr("o_custkey % 2 = 0").alias(MULT_COL),
+        )
+    )
+    d_bands = spark.createDataFrame(
+        [("small", 0.0, 50000.0, False), ("jumbo", 250000.0, 2000000.0, True)],
+        f"band string, lo double, hi double, {MULT_COL} boolean",
+    )
+    dv = range_left_join_delta(
+        points, bands, d_points, d_bands, "price", "lo", "hi", 50000.0
+    )
+    plan = plan_of(dv)
+    assert "NestedLoop" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
