@@ -1238,6 +1238,46 @@ def _q_token_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sampling.length_histogram(d, tx.token_count("text"), 32)
 
 
+def _q_streaming_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL Structured Streaming execution, oracle-checked: the documents
+    table streams through the cross-batch stateful dedup operator
+    (applyInPandasWithState, streaming/stateful.py) with an availableNow
+    trigger into a memory sink.  One input file → one micro-batch, so
+    first-occurrence-wins reduces to min-id-per-fingerprint, which the
+    batch oracle recomputes in SQL (the multi-batch ordering semantics
+    are pinned by tests/test_streaming.py)."""
+    import shutil
+    import tempfile
+    import uuid
+
+    from ivm_extension_spark.functions.text import fingerprint
+    from ivm_extension_spark.streaming.stateful import streaming_dedup
+
+    # the file stream source requires a DIRECTORY; stage the single
+    # parquet file into one (at real scale the landing zone IS a dir)
+    src_dir = tempfile.mkdtemp(prefix="sdedup_src_")
+    shutil.copy(f"{sf_dir}/documents.parquet", f"{src_dir}/documents.parquet")
+    schema = spark.read.parquet(f"{sf_dir}/documents.parquet").schema
+    stream = spark.readStream.schema(schema).parquet(src_dir)
+    src = stream.select(
+        F.col("doc_id"), fingerprint("text").alias("fp")
+    )
+    out = streaming_dedup(src, "doc_id", "fp", shard_mod=8)
+    qname = f"sdedup_{uuid.uuid4().hex[:8]}"
+    q = (
+        out.writeStream.format("memory")
+        .queryName(qname)
+        .outputMode("append")
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="sdedup_ckpt_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.table(qname).select(
+        F.col("id").alias("doc_id"), F.col("fingerprint")
+    )
+
+
 def _q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ivm_extension_spark.functions import multimodal
 
@@ -1784,6 +1824,7 @@ _EXTRA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_clusters": _q_dedup_clusters,
     "multimodal_meta": _q_multimodal_meta,
     "multimodal_decode": _q_multimodal_decode,
+    "streaming_dedup_docs": _q_streaming_dedup_docs,
 }
 
 
@@ -2807,6 +2848,13 @@ def _extras_oracle_sql() -> dict[str, str]:
             SELECT md5({_NORM}) AS fp,
                    min(doc_id) AS keep_id,
                    count(*) AS n_dupes
+            FROM documents GROUP BY md5({_NORM})
+        """,
+        # single availableNow micro-batch → first-occurrence-wins is
+        # min-id-per-fingerprint (cross-batch ordering pinned in repo tests)
+        "streaming_dedup_docs": f"""
+            SELECT CAST(min(doc_id) AS BIGINT) AS doc_id,
+                   md5({_NORM}) AS fingerprint
             FROM documents GROUP BY md5({_NORM})
         """,
         "contamination_check": f"""

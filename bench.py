@@ -70,6 +70,29 @@ def main() -> int:
     # warmup: parquet footer metadata for all tables (read_parquet caches
     # per session — steady-state queries shouldn't pay 10 footer reads)
     entrymod._engine(spark, sf_dir)
+    # warmup: JIT/codegen of the main physical shapes (hash aggregate,
+    # broadcast join, window) at real data volume.  Whichever queries run
+    # first otherwise absorb the JVM's compilation of these code paths —
+    # observed as a ~1-3 s first-slot tax that moves around with query
+    # declaration order, which is noise for the steady-state number this
+    # bench reports (see header).
+    _li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    _od = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    _cu = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    _li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.sum("l_quantity"), F.count(F.lit(1))
+    ).write.format("noop").mode("overwrite").save()
+    _od.join(F.broadcast(_cu), _od.o_custkey == _cu.c_custkey).groupBy(
+        "c_mktsegment"
+    ).agg(F.count(F.lit(1))).write.format("noop").mode("overwrite").save()
+    from pyspark.sql import Window as _W
+
+    _od.withColumn(
+        "rn",
+        F.row_number().over(
+            _W.partitionBy("o_orderstatus").orderBy("o_orderkey")
+        ),
+    ).filter("rn <= 3").write.format("noop").mode("overwrite").save()
 
     timings: dict[str, float] = {}
     total = 0.0
