@@ -421,23 +421,35 @@ def connected_components(
     ).distinct()
     sym = sym.localCheckpoint(eager=True)
 
-    labels = vertices.select(
-        F.col(id_col).alias("vid"), F.col(id_col).alias("label")
-    ).localCheckpoint(eager=True)
+    # propagate over NON-ISOLATED vertices only: isolated vertices (the
+    # overwhelming majority of a near-dup corpus) never change label, so
+    # they are excluded from every round and unioned back at the end —
+    # per-round work and broadcast size are O(edge endpoints), not
+    # O(corpus)
+    verts = vertices.select(F.col(id_col).alias("vid"))
+    endpoints = sym.select(F.col("src").alias("vid")).distinct()
+    labels = (
+        verts.join(endpoints, on="vid", how="leftsemi")
+        .select("vid", F.col("vid").alias("label"))
+        .localCheckpoint(eager=True)
+    )
 
     for _ in range(max_iter):
-        # label table is one row per vertex — broadcast both joins so the
-        # (much larger) edge relation is never shuffled; the only exchange
-        # per round is the groupBy(src) partial-aggregated min.  (At
-        # extreme vertex counts this becomes a sort-merge join on a
-        # bucketed label table; same algorithm.)
+        # label table is one row per non-isolated vertex — broadcast both
+        # joins so the (much larger) edge relation is never shuffled; the
+        # only exchange per round is the groupBy(src) partial-aggregated
+        # min.  (At extreme vertex counts this becomes a sort-merge join
+        # on a bucketed label table; same algorithm.)
         neighbor_min = (
             sym.join(F.broadcast(labels), on=[sym.dst == labels.vid])
             .groupBy("src")
             .agg(F.min("label").alias("nbr_label"))
         )
-        # carry the old label through the SAME checkpointed frame, so the
-        # convergence probe reads materialized data instead of re-joining
+        # eager checkpoint: the convergence probe's limit(1) would only
+        # materialize SOME partitions of a lazy checkpoint, leaving later
+        # rounds to re-execute the join plan for the rest (measured 3x
+        # slower) — the full materialization here is what every later
+        # consumer reuses
         new_labels = (
             labels.join(
                 F.broadcast(neighbor_min),
@@ -459,7 +471,12 @@ def connected_components(
         labels = new_labels.select("vid", "label")
         if changed == 0:
             break
-    return labels.select(F.col("vid").alias(id_col), F.col("label").alias("cluster"))
+    isolated = verts.join(endpoints, on="vid", how="left_anti").select(
+        "vid", F.col("vid").alias("label")
+    )
+    return labels.unionByName(isolated).select(
+        F.col("vid").alias(id_col), F.col("label").alias("cluster")
+    )
 
 
 # --------------------------------------------------------------------------
