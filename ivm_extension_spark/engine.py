@@ -48,9 +48,12 @@ _PARTITION_RX = re.compile(
 def _qualify_partition_keys(qualify: str) -> list[str] | None:
     """PARTITION BY keys of a QUALIFY expression's rank window(s), or
     None when they cannot be resolved to plain columns (expression keys,
-    or multiple windows disagreeing on their partition)."""
+    multiple windows disagreeing on their partition, or any window with
+    NO partition at all — an unpartitioned rank makes visibility global,
+    so partition-restricted CDC would miss cross-partition evictions)."""
+    n_windows = len(re.findall(r"\bover\s*\(", qualify, re.IGNORECASE))
     found = _PARTITION_RX.findall(qualify)
-    if not found:
+    if not found or len(found) != n_windows:
         return None
     parts = [tuple(p.strip() for p in f.split(",")) for f in found]
     if len(set(parts)) != 1 or not all(
@@ -484,6 +487,17 @@ class IVMEngine:
         if name not in self._state:
             raise IVMError(f"view {name!r} was not materialized (create_immv)")
         dv = delta_v if delta_v is not None else self._materialized_delta(name)
+        if (
+            self._state_store is not None
+            and name in self._state_store
+            and not getattr(dv, "_ivm_materialized", False)
+        ):
+            # the store path executes ΔV twice (touched-bucket collect +
+            # the commit's filtered write) — pin it so a lazy or
+            # non-deterministic delta plan cannot produce a touched set
+            # that disagrees with the rows the commit writes
+            dv = dv.localCheckpoint(eager=True)
+            dv._ivm_materialized = True
         derived = self._advance_aux(name)
         strategy = self.merge_strategy
         if strategy == "auto":
@@ -592,15 +606,16 @@ class IVMEngine:
         keys = (
             [a for _, a in vdef.select] if vdef.is_aggregate else list(vdef.output_order)
         )
-        affected = dv.select(*keys).distinct()
-        if self.broadcast_deltas:
-            affected = F.broadcast(affected)
+        affected = dv.select(*keys)
         self.merge_view(name)
         new_pub = merge_ops.finalize(self._state[name], vdef)
-        old_rows = old_pub.join(affected, on=keys, how="leftsemi").withColumn(
+        # NULL-safe semi: a NULL-valued group key is a legitimate group
+        # (GROUP BY treats NULLs equal) and its CDC rows must not be
+        # dropped by plain-equality join semantics
+        old_rows = self._nullsafe_semi(old_pub, affected, keys).withColumn(
             MULT_COL, F.lit(False)
         )
-        new_rows = new_pub.join(affected, on=keys, how="leftsemi").withColumn(
+        new_rows = self._nullsafe_semi(new_pub, affected, keys).withColumn(
             MULT_COL, F.lit(True)
         )
         return old_rows.unionByName(new_rows)

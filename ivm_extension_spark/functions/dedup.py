@@ -520,7 +520,12 @@ def embedding_near_dups(
     src = df.select(
         F.col(id_col).alias("id"), F.col(vec_col).cast("array<double>").alias("v")
     )
-    if src.count() > broadcast_limit:
+    # limit-bounded probe (ids only): at n >> limit the scan stops after
+    # limit+1 rows instead of counting the whole table
+    over = (
+        src.select("id").limit(broadcast_limit + 1).count() > broadcast_limit
+    )
+    if over:
         return _embedding_near_dups_lsh(
             src, threshold, n_tables=lsh_tables, planes=lsh_planes
         )

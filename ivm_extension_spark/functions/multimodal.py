@@ -204,11 +204,14 @@ def _decode_netpbm(data: bytes) -> np.ndarray:
 
 
 def encode_netpbm(pixels: np.ndarray) -> bytes:
-    """P5/P6 binary netpbm from (h, w[, c]) uint8."""
+    """P5/P6 binary netpbm from (h, w[, c]) uint8, c in {1, 3} — netpbm
+    has no alpha channel; callers must drop alpha first (resize does)."""
     arr = np.asarray(pixels, dtype=np.uint8)
     if arr.ndim == 2:
         arr = arr[:, :, None]
     h, w, c = arr.shape
+    if c not in (1, 3):
+        raise ValueError(f"netpbm supports 1 or 3 channels, got {c}")
     magic = b"P5" if c == 1 else b"P6"
     return magic + f"\n{w} {h}\n255\n".encode() + arr.tobytes()
 
@@ -258,11 +261,15 @@ def _image_features(img: np.ndarray, dim: int) -> list[float]:
         (int(gray.sum()) / (h * w * c)) / 255.0,
     ]
     if dim > 4:
-        # grid cells: split rows into up to (dim-4) bands, mean of each
+        # grid cells: split rows into up to (dim-4) bands, mean of each;
+        # short images repeat their global mean so the feature vector is
+        # ALWAYS exactly ``dim`` long (ragged vectors would break
+        # rectangular consumers like the embedding dedup matmul)
         bands = np.array_split(gray, min(dim - 4, h), axis=0)
         feats += [
             (int(b.sum()) / (b.shape[0] * w * c)) / 255.0 for b in bands
         ]
+        feats += [feats[3]] * (dim - len(feats))
     return feats[:dim]
 
 
@@ -339,7 +346,9 @@ def resize(media: DataFrame, width: int = 16, height: int = 16) -> DataFrame:
                 src = bytes(p) if p is not None else b""
                 img = decode_image(src) if src else None
                 if img is not None:
-                    h, w, _ = img.shape
+                    h, w, c = img.shape
+                    if c == 4:  # netpbm has no alpha: drop it
+                        img = img[:, :, :3]
                     ri = (np.arange(height) * h // height).clip(0, h - 1)
                     ci = (np.arange(width) * w // width).clip(0, w - 1)
                     out.append(encode_netpbm(img[ri][:, ci]))

@@ -183,8 +183,9 @@ def _delta_source(
             flat0 = b0.select(
                 *[F.col(f"{t}.{c}").alias(c) for t, c in refs0], F.col(_SIGN)
             )
+            flat_tabs = [tables[0]] + [j.table for j in joins[:first_full]]
             branches, refs = _fold_suffix(
-                view,
+                _flatten_suffix_view(view, flat_tabs, first_full),
                 get_table,
                 F.broadcast if broadcast_deltas else (lambda df: df),
                 [flat0],
@@ -332,6 +333,31 @@ def _split_depth0(s: str, rx) -> list[str] | None:
 _AND_RX = re.compile(r"\bAND\b", re.IGNORECASE)
 # a single '=' that is not part of  <=  >=  !=  ==  <=>
 _EQ_RX = re.compile(r"(?<![<>!=])=(?![=>])")
+
+
+def _strip_qualifiers(cond: str, tables) -> str:
+    """Drop ``<table>.`` qualifiers for tables whose columns have been
+    flattened to bare names (suffix-FULL folding): the raw ON text is
+    legal with qualified references, but a flattened branch no longer
+    carries alias metadata, so the qualifiers must go for the condition
+    to resolve (bare output aliases are unique by construction)."""
+    for t in tables:
+        cond = re.sub(rf"\b{re.escape(t)}\s*\.\s*", "", cond)
+    return cond
+
+
+def _flatten_suffix_view(view: ViewDef, flat_tables, from_idx: int) -> ViewDef:
+    """A copy of ``view`` whose joins from ``from_idx`` on have the
+    flattened tables' qualifiers stripped from their conditions."""
+    import dataclasses
+
+    new_joins = tuple(
+        j
+        if n < from_idx
+        else dataclasses.replace(j, on=_strip_qualifiers(j.on, flat_tables))
+        for n, j in enumerate(view.joins)
+    )
+    return dataclasses.replace(view, joins=new_joins)
 
 
 def _equi_pairs(
@@ -1045,8 +1071,9 @@ def _chain_single_delta(
         for b in flat[1:]:
             out = out.union(b)  # positional: every branch is out_cols + _SIGN
         return out
+    flat_tabs = list(dict.fromkeys(t for t, _ in out_refs))
     branches2, refs2 = _fold_suffix(
-        view,
+        _flatten_suffix_view(view, flat_tabs, fold_upto),
         get_table,
         F.broadcast if broadcast_deltas else (lambda df: df),
         flat,

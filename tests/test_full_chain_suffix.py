@@ -240,3 +240,46 @@ def test_property_random_chain_shapes_and_deltas(spark):
             raise AssertionError(
                 f"shape {sql!r} deltas {delta_tables}: {e}"
             ) from e
+
+
+def test_qualified_conditions_survive_flattened_suffix(spark):
+    """ON conditions with table-qualified references must keep resolving
+    after the pre-FULL prefix is flattened to bare columns (qualifiers of
+    flattened tables are stripped from the suffix conditions)."""
+    from pyspark.sql import functions as F
+
+    from ivm_extension_spark import IVMEngine
+    from ivm_extension_spark.operators.merge import apply_delta_to_table
+    from ivm_extension_spark.operators.rewrite import MULT_COL
+
+    from tests.conftest import rows
+
+    eng = IVMEngine(spark)
+    eng.register_table(
+        "ta", spark.createDataFrame([(1, 10), (2, 20)], "a_k int, a_v int")
+    )
+    eng.register_table(
+        "tb", spark.createDataFrame([(10, 7), (20, 8)], "b_k int, b_j int")
+    )
+    eng.register_table(
+        "tc", spark.createDataFrame([(7, "x"), (9, "y")], "c_k int, c_v string")
+    )
+    sql = (
+        "SELECT a_k, b_j, c_v FROM ta "
+        "LEFT JOIN tb ON ta.a_v = tb.b_k "
+        "FULL JOIN tc ON tb.b_j = tc.c_k"
+    )
+    eng.create_immv("v", sql=sql)
+    delta = spark.createDataFrame(
+        [(3, 20, True), (1, 10, False)], f"a_k int, a_v int, {MULT_COL} boolean"
+    )
+    eng.register_delta("ta", delta)
+    eng.ivm_upsert("v")
+    merged = eng.merge_view("v")
+    ta2 = apply_delta_to_table(eng.table("ta"), delta)
+    truth = (
+        ta2.join(eng.table("tb"), on=F.expr("a_v = b_k"), how="left")
+        .join(eng.table("tc"), on=F.expr("b_j = c_k"), how="full")
+        .select("a_k", "b_j", "c_v")
+    )
+    assert rows(merged) == rows(truth)

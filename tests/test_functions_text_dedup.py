@@ -607,3 +607,33 @@ def test_resize_real_image(spark):
     # nearest-neighbor of row-major ramp: rows 0,2,4,6 / cols 0,2,4,6
     want = img[::2, ::2]
     assert (out[:, :, 0] == want).all()
+
+
+def test_resize_rgba_drops_alpha(spark):
+    import numpy as np
+
+    img = np.dstack(
+        [np.full((4, 4), v, dtype=np.uint8) for v in (10, 20, 30, 255)]
+    )
+    payload = multimodal.encode_png(img)
+    media = spark.createDataFrame(
+        [(1, bytearray(payload), ("image/png", len(payload), "x"))],
+        multimodal.MEDIA_SCHEMA,
+    )
+    r = multimodal.resize(media, width=2, height=2).collect()[0]
+    out = multimodal.decode_image(bytes(r["resized"]))
+    assert out.shape == (2, 2, 3)  # alpha dropped, valid P6
+    assert (out[0, 0] == [10, 20, 30]).all()
+
+
+def test_decode_features_fixed_length_short_image(spark):
+    import numpy as np
+
+    img = np.full((2, 2), 100, dtype=np.uint8)  # fewer rows than dim-4
+    payload = multimodal.encode_png(img)
+    media = spark.createDataFrame(
+        [(1, bytearray(payload), ("image/png", len(payload), "x"))],
+        multimodal.MEDIA_SCHEMA,
+    )
+    r = multimodal.decode_features(media, dim=16).collect()[0]
+    assert len(r["feature"]) == 16  # padded, never ragged

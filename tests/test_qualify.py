@@ -261,3 +261,49 @@ def test_cdc_rollup_two_level_cascade(spark):
         F.count(F.lit(1)).alias("n_rows"), F.sum("s").alias("tot")
     )
     assert rows(merged) == rows(truth)
+
+
+def test_cdc_includes_null_group_keys(spark):
+    """A NULL-valued group key is a legitimate group; the plain aggregate
+    CDC path must emit its old/new rows (null-safe affected join)."""
+    eng = IVMEngine(spark)
+    eng.register_table(
+        "t",
+        spark.createDataFrame(
+            [(None, 1), ("g1", 2), (None, 3)], "g string, x int"
+        ),
+    )
+    eng.create_immv("v", sql="SELECT g, sum(x) AS s FROM t GROUP BY g")
+    eng.register_delta(
+        "t",
+        spark.createDataFrame(
+            [(None, 10, True)], f"g string, x int, {MULT_COL} boolean"
+        ),
+    )
+    cdc = eng.merge_view_cdc("v")
+    got = {(r["g"], r["s"], r[MULT_COL]) for r in cdc.collect()}
+    assert (None, 4, False) in got and (None, 14, True) in got
+
+
+def test_cdc_rejects_unpartitioned_rank_window(spark):
+    """A QUALIFY window with NO PARTITION BY makes visibility global —
+    partition-restricted CDC would miss cross-partition evictions, so
+    it must reject (same for mixed partitioned + global windows)."""
+    from ivm_extension_spark.operators.rewrite import IVMError
+
+    eng = IVMEngine(spark)
+    eng.register_table("t", _mk(spark))
+    eng.create_immv(
+        "gq",
+        sql="SELECT g, k, sum(x) AS s FROM t GROUP BY g, k "
+        "QUALIFY row_number() OVER (PARTITION BY g ORDER BY s DESC, k) <= 2 "
+        "AND row_number() OVER (ORDER BY s DESC, k) <= 10",
+    )
+    eng.register_delta(
+        "t",
+        spark.createDataFrame(
+            [("g1", 1, 5, True)], f"g string, k int, x int, {MULT_COL} boolean"
+        ),
+    )
+    with pytest.raises(IVMError, match="PARTITION BY"):
+        eng.merge_view_cdc("gq")
