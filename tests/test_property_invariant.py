@@ -304,3 +304,106 @@ def test_patch_merge_equals_shuffle_merge(spark, base, inserts, delete_mask, sha
         eng.ivm_upsert("v")
         results[strat] = rows(eng.merge_view("v"))
     assert results["patch"] == results["shuffle"], (base, delta, shape)
+
+
+# --------------------------------------------------------------------------
+# banded (theta) LEFT-join delta: the same invariant for random points,
+# random overlapping intervals, and consistent deltas on BOTH sides
+# --------------------------------------------------------------------------
+
+pt_row_st = st.tuples(
+    st.integers(min_value=0, max_value=999_999),  # pid (unique-ified below)
+    st.floats(min_value=0.0, max_value=100.0, allow_nan=False, width=32),
+)
+iv_row_st = st.tuples(
+    st.integers(min_value=0, max_value=999_999),  # iid
+    st.floats(min_value=0.0, max_value=90.0, allow_nan=False, width=32),
+    st.floats(min_value=0.0, max_value=40.0, allow_nan=False, width=32),  # width
+)
+
+
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+@given(
+    pts=st.lists(pt_row_st, min_size=0, max_size=8, unique_by=lambda r: r[0]),
+    ivs=st.lists(iv_row_st, min_size=0, max_size=5, unique_by=lambda r: r[0]),
+    pt_ins=st.lists(pt_row_st, min_size=0, max_size=4, unique_by=lambda r: r[0]),
+    iv_ins=st.lists(iv_row_st, min_size=0, max_size=3, unique_by=lambda r: r[0]),
+    pt_del_mask=st.lists(st.booleans(), min_size=8, max_size=8),
+    iv_del_mask=st.lists(st.booleans(), min_size=5, max_size=5),
+)
+def test_range_left_join_delta_invariant_property(
+    spark, pts, ivs, pt_ins, iv_ins, pt_del_mask, iv_del_mask
+):
+    from pyspark.sql import functions as F
+
+    from ivm_extension_spark.operators.rangejoin import (
+        range_join,
+        range_left_join_delta,
+    )
+    from ivm_extension_spark.operators.rewrite import MULT_COL
+
+    # disjoint id spaces for inserts vs base (deltas stay consistent)
+    pt_ins = [(pid + 1_000_000, v) for pid, v in pt_ins]
+    iv_ins = [(iid + 1_000_000, lo, wd) for iid, lo, wd in iv_ins]
+    pt_dels = [r for r, m in zip(pts, pt_del_mask) if m]
+    iv_dels = [r for r, m in zip(ivs, iv_del_mask) if m]
+    assume(pt_ins or iv_ins or pt_dels or iv_dels)
+
+    def pdf(rows_):
+        return spark.createDataFrame(
+            [(i, float(v)) for i, v in rows_] or [(None, None)],
+            "pid long, pt double",
+        ).filter("pid IS NOT NULL")
+
+    def idf(rows_):
+        return spark.createDataFrame(
+            [(i, float(lo), float(lo + wd)) for i, lo, wd in rows_]
+            or [(None, None, None)],
+            "iid long, lo double, hi double",
+        ).filter("iid IS NOT NULL")
+
+    def pdelta(ins, dels):
+        data = [(i, float(v), True) for i, v in ins] + [
+            (i, float(v), False) for i, v in dels
+        ]
+        return spark.createDataFrame(
+            data or [(None, None, None)], f"pid long, pt double, {MULT_COL} boolean"
+        ).filter("pid IS NOT NULL")
+
+    def idelta(ins, dels):
+        data = [(i, float(lo), float(lo + wd), True) for i, lo, wd in ins] + [
+            (i, float(lo), float(lo + wd), False) for i, lo, wd in dels
+        ]
+        return spark.createDataFrame(
+            data or [(None, None, None, None)],
+            f"iid long, lo double, hi double, {MULT_COL} boolean",
+        ).filter("iid IS NOT NULL")
+
+    P, I = pdf(pts), idf(ivs)
+    dP = pdelta(pt_ins, pt_dels) if (pt_ins or pt_dels) else None
+    dI = idelta(iv_ins, iv_dels) if (iv_ins or iv_dels) else None
+
+    dv = range_left_join_delta(P, I, dP, dI, "pt", "lo", "hi", bin_width=13.0)
+    v_old = range_join(P, I, "pt", "lo", "hi", 13.0, how="left")
+    cols = v_old.columns
+    merged = (
+        v_old.withColumn("__s", F.lit(1))
+        .unionByName(
+            dv.withColumn(
+                "__s", F.when(F.col(MULT_COL), F.lit(1)).otherwise(F.lit(-1))
+            ).drop(MULT_COL)
+        )
+        .groupBy(*cols)
+        .agg(F.sum("__s").alias("__n"))
+        .filter(F.col("__n") > 0)
+        .select(*cols, F.explode(F.expr("sequence(1, __n)")).alias("__i"))
+        .drop("__i")
+    )
+    P2 = pdf([r for r in pts if r not in pt_dels] + pt_ins)
+    I2 = idf([r for r in ivs if r not in iv_dels] + iv_ins)
+    recomputed = range_join(P2, I2, "pt", "lo", "hi", 13.0, how="left")
+    assert rows(merged) == rows(recomputed)
