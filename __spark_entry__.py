@@ -1238,6 +1238,42 @@ def _q_token_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sampling.length_histogram(d, tx.token_count("text"), 32)
 
 
+def _q_formats_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connector-surface evidence (sources/formats.py): the orders table
+    round-trips through a header CSV write and a hive-partitioned JSON
+    write, is read back via read_any with explicit schemas, and each leg
+    re-aggregates to the same per-status totals the oracle computes over
+    the original parquet."""
+    import shutil
+    import tempfile
+
+    from ivm_extension_spark.sources.formats import read_any, write_partitioned
+
+    base = _engine(spark, sf_dir).table("orders").select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.expr("CAST(round(o_totalprice * 100) AS BIGINT)").alias("cents"),
+    )
+    d = tempfile.mkdtemp(prefix="fmt_rt_")
+    base.write.mode("overwrite").option("header", "true").csv(f"{d}/orders_csv")
+    write_partitioned(base, f"{d}/orders_json", ("o_orderstatus",), fmt="json")
+    schema = "o_orderkey bigint, o_orderstatus string, cents bigint"
+    legs = []
+    for fmt, path in (("csv", f"{d}/orders_csv"), ("json", f"{d}/orders_json")):
+        df = read_any(spark, path, fmt=fmt, schema=schema)
+        legs.append(
+            df.groupBy("o_orderstatus")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum("cents").alias("sum_cents"),
+            )
+            .withColumn("fmt", F.lit(fmt))
+        )
+    out = legs[0].unionByName(legs[1]).localCheckpoint(eager=True)
+    shutil.rmtree(d, ignore_errors=True)
+    return out
+
+
 def _q_streaming_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL Structured Streaming execution, oracle-checked: the documents
     table streams through the cross-batch stateful dedup operator
@@ -1834,6 +1870,7 @@ _EXTRA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "multimodal_meta": _q_multimodal_meta,
     "multimodal_decode": _q_multimodal_decode,
     "streaming_dedup_docs": _q_streaming_dedup_docs,
+    "formats_roundtrip": _q_formats_roundtrip,
 }
 
 
@@ -2864,6 +2901,16 @@ def _extras_oracle_sql() -> dict[str, str]:
                    min(doc_id) AS keep_id,
                    count(*) AS n_dupes
             FROM documents GROUP BY md5({_NORM})
+        """,
+        "formats_roundtrip": """
+            WITH agg AS (
+                SELECT o_orderstatus, count(*) AS n,
+                       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS sum_cents
+                FROM orders GROUP BY o_orderstatus
+            )
+            SELECT o_orderstatus, n, sum_cents, 'csv' AS fmt FROM agg
+            UNION ALL
+            SELECT o_orderstatus, n, sum_cents, 'json' AS fmt FROM agg
         """,
         # single availableNow micro-batch → first-occurrence-wins is
         # min-id-per-fingerprint (cross-batch ordering pinned in repo tests)
