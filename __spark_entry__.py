@@ -1238,6 +1238,64 @@ def _q_token_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sampling.length_histogram(d, tx.token_count("text"), 32)
 
 
+def _q_ivm_merge_dedup_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental corpus DEDUP INDEX — the IVM × LLM-pipeline
+    composition: the exact-dedup survivor table (fingerprint → keeper id
+    + duplicate count) is a MAINTAINED VIEW over documents, advanced
+    through a delta that both inserts copies (%10 docs) and deletes docs
+    (%7==3) — min(keep_id) stays exact under the deletes via the aux
+    value state.  A daily-ingest pipeline reads the current index
+    instead of re-fingerprinting the corpus."""
+    from ivm_extension_spark.functions.text import _norm_sql
+
+    norm = _norm_sql("text")
+    eng = _engine(spark, sf_dir)
+    docs = eng.table("documents")
+    delta = (
+        docs.filter("doc_id % 10 = 0")
+        .withColumn(MULT_COL, F.lit(True))
+        .unionByName(
+            docs.filter("doc_id % 7 = 3").withColumn(MULT_COL, F.lit(False))
+        )
+    )
+    eng.register_delta("documents", delta)
+    eng.create_immv(
+        "v",
+        sql=f"SELECT md5({norm}) AS fp, min(doc_id) AS keep_id, "
+        f"count(*) AS n_dupes FROM documents GROUP BY md5({norm})",
+    )
+    eng.ivm_upsert("v")
+    return eng.merge_view("v")
+
+
+def _q_ivm_merge_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maintained per-source curation dashboard: doc counts, token
+    totals (expression aggregate over the normalized-text tokenizer) and
+    char totals advance incrementally under the same mixed
+    insert/delete corpus delta as the dedup index."""
+    from ivm_extension_spark.functions.text import _norm_sql
+
+    norm = _norm_sql("text")
+    eng = _engine(spark, sf_dir)
+    docs = eng.table("documents")
+    delta = (
+        docs.filter("doc_id % 10 = 0")
+        .withColumn(MULT_COL, F.lit(True))
+        .unionByName(
+            docs.filter("doc_id % 7 = 3").withColumn(MULT_COL, F.lit(False))
+        )
+    )
+    eng.register_delta("documents", delta)
+    eng.create_immv(
+        "v",
+        sql="SELECT source, count(*) AS n_docs, "
+        f"sum(size(split({norm}, ' '))) AS total_tokens, "
+        "sum(n_chars) AS total_chars FROM documents GROUP BY source",
+    )
+    eng.ivm_upsert("v")
+    return eng.merge_view("v")
+
+
 def _q_formats_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Connector-surface evidence (sources/formats.py): the orders table
     round-trips through a header CSV write and a hive-partitioned JSON
@@ -1871,6 +1929,8 @@ _EXTRA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "multimodal_decode": _q_multimodal_decode,
     "streaming_dedup_docs": _q_streaming_dedup_docs,
     "formats_roundtrip": _q_formats_roundtrip,
+    "ivm_merge_dedup_index": _q_ivm_merge_dedup_index,
+    "ivm_merge_corpus_stats": _q_ivm_merge_corpus_stats,
 }
 
 
@@ -2901,6 +2961,28 @@ def _extras_oracle_sql() -> dict[str, str]:
                    min(doc_id) AS keep_id,
                    count(*) AS n_dupes
             FROM documents GROUP BY md5({_NORM})
+        """,
+        # mixed insert/delete corpus delta, applied: drop %7==3 docs,
+        # duplicate %10 docs (overlap nets to the original single copy)
+        "ivm_merge_dedup_index": f"""
+            WITH t AS (
+                SELECT * FROM documents WHERE NOT (doc_id % 7 = 3)
+                UNION ALL SELECT * FROM documents WHERE doc_id % 10 = 0
+            )
+            SELECT md5({_NORM}) AS fp,
+                   CAST(min(doc_id) AS BIGINT) AS keep_id,
+                   count(*) AS n_dupes
+            FROM t GROUP BY md5({_NORM})
+        """,
+        "ivm_merge_corpus_stats": f"""
+            WITH t AS (
+                SELECT * FROM documents WHERE NOT (doc_id % 7 = 3)
+                UNION ALL SELECT * FROM documents WHERE doc_id % 10 = 0
+            )
+            SELECT source, count(*) AS n_docs,
+                   CAST(sum(len({_TOKS})) AS BIGINT) AS total_tokens,
+                   CAST(sum(n_chars) AS BIGINT) AS total_chars
+            FROM t GROUP BY source
         """,
         "formats_roundtrip": """
             WITH agg AS (
