@@ -40,7 +40,7 @@ def read_any(
     data once before the real job)."""
     if fmt is None:
         low = path.rstrip("/").lower()
-        for ext in ("parquet", "csv", "json"):
+        for ext in ("parquet", "csv", "json", "orc"):
             if low.endswith("." + ext):
                 fmt = ext
                 break
@@ -58,6 +58,8 @@ def read_any(
         return reader.options(**opts).csv(path)
     if fmt == "json":
         return reader.options(**options).json(path)
+    if fmt == "orc":
+        return reader.options(**options).orc(path)
     raise ValueError(f"unsupported format {fmt!r}")
 
 

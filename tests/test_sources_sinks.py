@@ -88,3 +88,12 @@ def test_write_bucketed_shuffle_free_join(spark, tmpdir):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
         spark.sql("DROP TABLE IF EXISTS bt_a")
         spark.sql("DROP TABLE IF EXISTS bt_b")
+
+
+def test_orc_roundtrip_and_inference(spark, tmpdir):
+    df = spark.createDataFrame(DATA, SCHEMA)
+    df.coalesce(1).write.orc(f"{tmpdir}/t.orc")
+    got = rows(read_any(spark, f"{tmpdir}/t.orc", schema=SCHEMA))
+    assert got == rows(df)
+    # extension-based inference (no fmt= needed)
+    assert rows(read_any(spark, f"{tmpdir}/t.orc")) == rows(df)
