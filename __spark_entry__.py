@@ -1268,6 +1268,42 @@ def _q_ivm_merge_dedup_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     return eng.merge_view("v")
 
 
+def _q_dedup_minhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental MinHash-LSH (rows-only: the hash family is not
+    SQL-expressible, same as dedup_minhash_lsh): the banding index of
+    the current corpus absorbs a delta that inserts near-dup copies of
+    the %10 docs (new ids, text + ' copy') and deletes the %7==3 docs;
+    only the DELTA is fingerprinted, and the returned pair CDC is what a
+    daily dedup pipeline would act on.  Invariant pairs(T) ⊎ CDC ==
+    pairs(T') is pinned in tests/test_functions_text_dedup.py."""
+    from ivm_extension_spark.functions.dedup import (
+        banded_signatures,
+        minhash_lsh_delta_pairs,
+    )
+
+    docs = _docs(spark, sf_dir)
+    state = banded_signatures(docs, "doc_id", "text", num_hashes=64, bands=16)
+    delta = (
+        docs.filter("doc_id % 10 = 0")
+        .select(
+            (F.col("doc_id") + F.lit(100000)).alias("doc_id"),
+            F.concat(F.col("text"), F.lit(" copy")).alias("text"),
+        )
+        .withColumn(MULT_COL, F.lit(True))
+        .unionByName(
+            docs.filter("doc_id % 7 = 3")
+            .select("doc_id", "text")
+            .withColumn(MULT_COL, F.lit(False))
+        )
+    )
+    cdc, _new_state = minhash_lsh_delta_pairs(
+        state, delta, "doc_id", "text", num_hashes=64, bands=16
+    )
+    return cdc.select(
+        "id_a", "id_b", "n_bands_agree", F.col(MULT_COL).alias("is_insert")
+    )
+
+
 def _q_ivm_merge_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Maintained per-source curation dashboard: doc counts, token
     totals (expression aggregate over the normalized-text tokenizer) and
@@ -1931,6 +1967,7 @@ _EXTRA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "formats_roundtrip": _q_formats_roundtrip,
     "ivm_merge_dedup_index": _q_ivm_merge_dedup_index,
     "ivm_merge_corpus_stats": _q_ivm_merge_corpus_stats,
+    "dedup_minhash_incremental": _q_dedup_minhash_incremental,
 }
 
 

@@ -249,6 +249,54 @@ def minhash_signatures(
     return sh.select("id", sig_udf(F.col("hs")).alias("sig"))
 
 
+def banded_signatures(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 128,
+    bands: int = 32,
+    shingle_n: int = 3,
+    seed: int = 42,
+) -> DataFrame:
+    """(id, band, bh): the LSH banding relation — one 64-bit hash per
+    (doc, band) over the band's signature slice.  This IS the dedup
+    index state: at corpus scale it is stored bucketed by (band, bh) so
+    both the batch self-join and the incremental probe are
+    co-partitioned."""
+    rows_per_band = num_hashes // bands
+    sigs = minhash_signatures(df, id_col, text_col, num_hashes, shingle_n, seed)
+    return sigs.select(
+        "id",
+        F.explode(
+            F.expr(
+                f"transform(sequence(0, {bands - 1}), "
+                f"b -> struct(b AS band, slice(sig, b * {rows_per_band} + 1, {rows_per_band}) AS chunk))"
+            )
+        ).alias("bk"),
+    ).select("id", F.col("bk.band").alias("band"), F.xxhash64(F.col("bk.chunk")).alias("bh"))
+
+
+def _band_pairs(a: DataFrame, b: DataFrame, ordered: bool) -> DataFrame:
+    """Collision pairs between two banding relations, normalized to
+    id_a < id_b.  ``ordered=True`` restricts the join itself to a.id <
+    b.id (self-join halves); ``ordered=False`` takes any collision from
+    the a-side and normalizes (a vs disjoint-other joins)."""
+    cond = [F.col("a.band") == F.col("b.band"), F.col("a.bh") == F.col("b.bh")]
+    if ordered:
+        cond.append(F.col("a.id") < F.col("b.id"))
+    else:
+        cond.append(F.col("a.id") != F.col("b.id"))
+    j = a.alias("a").join(b.alias("b"), on=cond)
+    return (
+        j.select(
+            F.least(F.col("a.id"), F.col("b.id")).alias("id_a"),
+            F.greatest(F.col("a.id"), F.col("b.id")).alias("id_b"),
+        )
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_bands_agree"))
+    )
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     id_col: str,
@@ -264,35 +312,77 @@ def minhash_lsh_pairs(
     Pipeline: signature (Arrow UDF) → explode bands → groupBy (band,
     band-hash) — a shuffle on band buckets, never all-pairs.
     """
-    rows_per_band = num_hashes // bands
-    sigs = minhash_signatures(df, id_col, text_col, num_hashes, shingle_n, seed)
-    banded = sigs.select(
-        "id",
-        F.explode(
-            F.expr(
-                f"transform(sequence(0, {bands - 1}), "
-                f"b -> struct(b AS band, slice(sig, b * {rows_per_band} + 1, {rows_per_band}) AS chunk))"
-            )
-        ).alias("bk"),
-    ).select("id", F.col("bk.band").alias("band"), F.xxhash64(F.col("bk.chunk")).alias("bh"))
+    banded = banded_signatures(
+        df, id_col, text_col, num_hashes, bands, shingle_n, seed
+    )
     # cache once: the signature UDF must not run twice for the self-join
     # (persist, not localCheckpoint — plans containing Python UDFs are not
     # checkpointable, the input side is checkpointed instead)
     banded = banded.persist()
-    a = banded.alias("a")
-    b = banded.alias("b")
-    return (
-        a.join(
-            b,
-            on=[
-                F.col("a.band") == F.col("b.band"),
-                F.col("a.bh") == F.col("b.bh"),
-                F.col("a.id") < F.col("b.id"),
-            ],
-        )
-        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
-        .agg(F.count(F.lit(1)).alias("n_bands_agree"))
+    return _band_pairs(banded, banded, ordered=True)
+
+
+def minhash_lsh_delta_pairs(
+    state: DataFrame,
+    delta_docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 128,
+    bands: int = 32,
+    shingle_n: int = 3,
+    seed: int = 42,
+    broadcast_deltas: bool = True,
+) -> tuple[DataFrame, DataFrame]:
+    """INCREMENTAL LSH dedup — the candidate-pair CDC under a corpus
+    delta, without re-fingerprinting the corpus.
+
+    ``state`` is :func:`banded_signatures` of the current corpus;
+    ``delta_docs`` carries the bool multiplicity column (insert=true,
+    delete=false; deleted ids must be in the state — the standard
+    Δ⁻ ⊆ T precondition).  Returns ``(pairs_cdc, new_state)``:
+
+    - ``pairs_cdc``: (id_a, id_b, n_bands_agree, multiplicity) — every
+      candidate pair that leaves the pair set because one endpoint was
+      deleted (false) and every pair of the NEW corpus touching an
+      inserted doc (true).  pairs(T) ⊎ CDC == pairs(T') (tested, incl.
+      delete+reinsert updates).
+    - ``new_state``: the banding relation of T' — feed it to the next
+      batch.
+
+    Scale shape: only the DELTA docs are fingerprinted (the expensive
+    Arrow UDF runs over O(|Δ|) rows); the state is probed by BROADCAST
+    delta band sets — never shuffled except the pair-count aggregation
+    over matched rows, which is O(collisions with Δ)."""
+    from ivm_extension_spark.operators.rewrite import MULT_COL
+
+    bc = F.broadcast if broadcast_deltas else (lambda df_: df_)
+    ins_docs = delta_docs.filter(F.col(MULT_COL)).drop(MULT_COL)
+    del_ids = (
+        delta_docs.filter(~F.col(MULT_COL))
+        .select(F.col(id_col).alias("id"))
+        .distinct()
     )
+    # fingerprint ONLY the inserted docs; deleted docs' bands come from
+    # the state itself (no recompute, and bit-identical to what was
+    # originally indexed)
+    dp = banded_signatures(
+        ins_docs, id_col, text_col, num_hashes, bands, shingle_n, seed
+    ).persist()
+    dm = state.join(bc(del_ids), on="id", how="leftsemi").persist()
+    surv = state.join(bc(del_ids), on="id", how="left_anti")
+
+    # retractions: (deleted × surviving) + (deleted × deleted, once)
+    retract = _band_pairs(bc(dm), surv, ordered=False).unionByName(
+        _band_pairs(dm, dm, ordered=True)
+    )
+    # additions: (inserted × survivors) + (inserted × inserted, once)
+    add = _band_pairs(bc(dp), surv, ordered=False).unionByName(
+        _band_pairs(dp, dp, ordered=True)
+    )
+    cdc = retract.withColumn(MULT_COL, F.lit(False)).unionByName(
+        add.withColumn(MULT_COL, F.lit(True))
+    )
+    return cdc, surv.unionByName(dp)
 
 
 # --------------------------------------------------------------------------

@@ -637,3 +637,66 @@ def test_decode_features_fixed_length_short_image(spark):
     )
     r = multimodal.decode_features(media, dim=16).collect()[0]
     assert len(r["feature"]) == 16  # padded, never ragged
+
+
+def test_minhash_lsh_delta_pairs_invariant(spark):
+    """pairs(T) ⊎ CDC == pairs(T') for the incremental LSH dedup, under
+    a delta mixing inserts (incl. a near-dup of an existing doc), a
+    delete, and a delete+reinsert update of the same id."""
+    from pyspark.sql import functions as F
+
+    m = "_duckdb_ivm_multiplicity"
+    base_rows = [
+        (1, "the quick brown fox jumps over the lazy dog today"),
+        (2, "the quick brown fox jumps over the lazy dog today!"),  # dup of 1
+        (3, "completely different text about spark and flink engines"),
+        (4, "yet another unrelated document discussing query planners"),
+    ]
+    base = spark.createDataFrame(base_rows, "doc_id long, text string")
+    delta_rows = [
+        # insert: near-dup of doc 3
+        (10, "completely different text about spark and flink engines.", True),
+        # delete doc 2 (breaks the 1-2 pair)
+        (2, base_rows[1][1], False),
+        # update doc 4: delete old text, reinsert with text duplicating 1
+        (4, base_rows[3][1], False),
+        (4, "the quick brown fox jumps over the lazy dog today", True),
+    ]
+    delta = spark.createDataFrame(delta_rows, f"doc_id long, text string, {m} boolean")
+
+    state = dedup.banded_signatures(base, "doc_id", "text", num_hashes=32, bands=8)
+    cdc, new_state = dedup.minhash_lsh_delta_pairs(
+        state, delta, "doc_id", "text", num_hashes=32, bands=8
+    )
+
+    old_pairs = dedup.minhash_lsh_pairs(base, "doc_id", "text", num_hashes=32, bands=8)
+    applied = spark.createDataFrame(
+        [base_rows[0], base_rows[2], (10, delta_rows[0][1]),
+         (4, delta_rows[3][1])],
+        "doc_id long, text string",
+    )
+    new_pairs = dedup.minhash_lsh_pairs(applied, "doc_id", "text", num_hashes=32, bands=8)
+
+    cols = ["id_a", "id_b", "n_bands_agree"]
+    merged = (
+        old_pairs.withColumn("__s", F.lit(1))
+        .unionByName(
+            cdc.withColumn("__s", F.when(F.col(m), F.lit(1)).otherwise(F.lit(-1)))
+            .drop(m)
+        )
+        .groupBy(*cols)
+        .agg(F.sum("__s").alias("__n"))
+        .filter(F.col("__n") > 0)
+        .select(*cols)
+    )
+    assert sorted(map(tuple, merged.collect())) == sorted(
+        map(tuple, new_pairs.select(*cols).collect())
+    )
+    # the planted transitions
+    got_cdc = {(r["id_a"], r["id_b"], r[m]) for r in cdc.select("id_a", "id_b", m).collect()}
+    assert (1, 2, False) in got_cdc        # deletion breaks the 1-2 pair
+    assert (3, 10, True) in got_cdc        # inserted near-dup pairs with 3
+    assert (1, 4, True) in got_cdc         # updated doc 4 now duplicates 1
+    # the new state continues: next batch over new_state equals fresh index
+    fresh = dedup.banded_signatures(applied, "doc_id", "text", num_hashes=32, bands=8)
+    assert sorted(map(tuple, new_state.collect())) == sorted(map(tuple, fresh.collect()))
