@@ -207,7 +207,16 @@ class IVMEngine:
 
     def drop_table(self, name: str) -> None:
         self.table(name)
-        users = [v for v, vd in self._views.items() if name in vd.tables]
+        # a UNION ALL view's registered ViewDef is only its first branch —
+        # consult every branch for references, like maintain_all/stats do
+        users = [
+            v
+            for v, vd in self._views.items()
+            if any(
+                name in b.tables
+                for b in self._union_branches.get(v, [vd])
+            )
+        ]
         if users:
             raise IVMError(
                 f"table {name!r} is referenced by views {users}; drop them first"
@@ -372,6 +381,18 @@ class IVMEngine:
             seen.add(id(d))
             aliases = [a for a, f in frames.items() if f is d]
             keys = [c for c in d.columns if c not in aliases]
+            missing = [k for k in keys if k not in state.columns]
+            if missing:
+                # same shape auxstate.patch_merged rejects at merge time:
+                # the aux relation is keyed by ALL group keys, but the view
+                # doesn't project them, so state rows can't be patched —
+                # fail at create time with the clean error, not a later
+                # unresolved-column AnalysisException
+                raise IVMError(
+                    f"cannot maintain {aliases}: group keys {missing} are "
+                    "not projected by the view (unprojected GROUP BY keys "
+                    "are not supported for MIN/MAX/COUNT DISTINCT views)"
+                )
             renamed = d.select(
                 *[F.col(k).alias(f"__ivm_dk_{k}") for k in keys],
                 *[F.col(a) for a in aliases],
@@ -393,17 +414,13 @@ class IVMEngine:
             j.table for j in vdef.joins if j.how not in ("semi", "anti")
         ]
         cols: list[tuple[str, str]] = []
-        order: list[str] = []
         for e, a in vdef.select:
             if e == "*":
                 for t in visible:
                     for c in self.table(t).columns:
                         cols.append((c, c))
-                        order.append(c)
             else:
                 cols.append((e, a))
-                order.append(a)
-        order += [x for x in vdef.output_order if x != "*"]
         # rebuild output order: replace the single "*" slot with expansion
         new_order: list[str] = []
         for a in vdef.output_order:
@@ -887,14 +904,31 @@ class IVMEngine:
 
     def full_refresh(self, name: str) -> DataFrame:
         """Recompute V from the *current* base tables (escape hatch for the
-        non-maintainable cases: MIN/MAX/COUNT DISTINCT under deletes)."""
+        non-maintainable cases: MIN/MAX/COUNT DISTINCT under deletes).
+
+        A refresh is a real state transition, so the new state must land
+        everywhere a merge would have written it: the attached state
+        store gets a full snapshot (every bucket — a later touched-bucket
+        commit must not carry stale pre-refresh buckets forward), the
+        cached ΔV is dropped (it was computed against pre-refresh bases;
+        replaying it into the refreshed state would double-apply), and
+        the adaptive-strategy row count is re-measured."""
         vdef = self.view(name)
         if name in self._union_branches:
             state = self._compute_union(self._union_branches[name])
         else:
             self._init_aux(name, vdef)
             state = self._materialize_state(name)
+        if self._state_store is not None and name in self._state_store:
+            self._state_store.write_full(name, state, self._store_keys(name))
+            state = self._state_store.read(name)
+        else:
+            state = state.localCheckpoint(eager=True)
+        state._ivm_pinned = True
         self._state[name] = state
+        self._delta_views.pop(name, None)
+        if self.merge_strategy == "auto":
+            self._state_rows[name] = state.count()
         return merge_ops.finalize(state, vdef)
 
     def apply_delta(self, name: str) -> DataFrame:
@@ -969,6 +1003,8 @@ class IVMEngine:
             "aux": sorted(self._aux),
             "aux_rows": dict(self._aux_rows),
             "state_rows": dict(self._state_rows),
+            "merge_counts": dict(self._merge_counts),
+            "keep_history": self.keep_history,
         }
         for n in self._state:
             self._state[n].write.mode("overwrite").parquet(f"{path}/state/{n}")
@@ -1002,6 +1038,15 @@ class IVMEngine:
             eng.register_table(t, src)
         row = spark.read.parquet(f"{path}/catalog").collect()[0]
         catalog = json.loads(row["catalog_json"])
+        # version numbering must survive the round trip: a post-load merge
+        # continues from the saved counter instead of reissuing version 0.
+        # History SNAPSHOTS are not persisted (only current state is), so
+        # old versions are unreadable after load — but keep_history is
+        # restored so retention resumes for post-load merges.
+        eng._merge_counts.update(
+            {n: int(v) for n, v in catalog.get("merge_counts", {}).items()}
+        )
+        eng.keep_history = int(catalog.get("keep_history", 0))
         for n, d in catalog["views"].items():
             vdef = ViewDef.from_dict(d)
             for t in vdef.tables:
@@ -1033,15 +1078,11 @@ class IVMEngine:
         the new public view — upsert + merge + apply in one call, the
         engine's "process this batch" verb.
 
-        For every shape the one-shot delta rules cover, this is
-        ivm_upsert → merge_view → apply_delta per table.  The one shape
-        they don't — a >2-table chain with outer/semi/anti joins and
-        deltas on SEVERAL tables at once — is decomposed into sequential
-        single-table batches: maintain with t1's delta only (chain rule),
-        fold t1's delta into its base, then t2, and so on.  The batch
-        algebra composes (each step's state is exact for its intermediate
-        world), so the final state equals recomputation over the fully
-        advanced tables.
+        This is ivm_upsert → merge_view → apply_delta per table for every
+        shape the delta rules cover — including multi-table delta batches
+        on outer/semi/anti chains, which the rewrite itself decomposes
+        into sequential single-delta worlds (operators/rewrite.py,
+        ``_sequential_worlds_delta``).
 
         Note this CONSUMES the deltas (bases advance, delta registrations
         clear), unlike ivm_upsert/merge_view which leave the base world
@@ -1052,21 +1093,9 @@ class IVMEngine:
         tabs = [t for t in vdef.tables if t in self._deltas]
         if not tabs:
             self.delta(vdef.tables[0])  # reference-style missing-delta error
-        try:
-            self.ivm_upsert(name)
-            out = self.merge_view(name)
-            for t in tabs:
-                self.apply_delta(t)
-            return out
-        except IVMError as e:
-            if "chains" not in str(e):
-                raise
-        saved = {t: self._deltas.pop(t) for t in tabs}
-        out = None
+        self.ivm_upsert(name)
+        out = self.merge_view(name)
         for t in tabs:
-            self._deltas[t] = saved[t]
-            self.ivm_upsert(name)
-            out = self.merge_view(name)
             self.apply_delta(t)
         return out
 

@@ -252,16 +252,11 @@ def _delta_source(
                 pin=True,
             )
             return _flatten_refs(branches, refs)
-        if len(with_delta) > 1:
-            return _sequential_worlds_delta(
-                view, get_table, get_delta, broadcast_deltas, with_delta
-            )
-        raise IVMError(
-            "this join-view shape is not maintainable: chains (>2 tables) "
-            "with outer/semi/anti joins take a delta on the leftmost table "
-            "or on any single other table; FULL OUTER is supported at any "
-            "position for those cases and (with deltas on its own two "
-            "sides) when leading the chain"
+        # every single-delta placement returned above (leftmost: 150/163/197;
+        # interior/rightmost: 197/218), so only the multi-delta general case
+        # remains — the sequential-worlds decomposition covers it
+        return _sequential_worlds_delta(
+            view, get_table, get_delta, broadcast_deltas, with_delta
         )
 
     branches: list[DataFrame] = []
