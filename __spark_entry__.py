@@ -2727,7 +2727,10 @@ def _extras_oracle_sql() -> dict[str, str]:
         )
 
     def nrm(a: str) -> str:
-        return f"sqrt(list_reduce(list_transform({a}, v -> v * v), (x, y) -> x + y))"
+        # zero-norm guard mirrors similarity._unit / cosine_expr: a zero
+        # vector keeps "norm" 1 so its cosine is 0, not NaN
+        s = f"sqrt(list_reduce(list_transform({a}, v -> v * v), (x, y) -> x + y))"
+        return f"(CASE WHEN ({s}) = 0 THEN 1.0 ELSE ({s}) END)"
 
     cos = (
         f"round(({dot('av', 'bv')}) / (({nrm('av')}) * ({nrm('bv')})) * 10000.0) / 10000.0"

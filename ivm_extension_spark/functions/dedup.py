@@ -561,6 +561,17 @@ def connected_components(
         labels = new_labels.select("vid", "label")
         if changed == 0:
             break
+    else:
+        # exhausting max_iter without convergence would silently report
+        # one component as several clusters (labels mid-propagation) —
+        # keep_canonical would then retain multiple "canonical" copies of
+        # the same duplicate group.  Diameter > max_iter means a chained
+        # near-dup component (templated docs); raise so the caller
+        # re-runs with a higher bound instead of shipping a wrong split.
+        raise ValueError(
+            f"connected_components did not converge in {max_iter} rounds "
+            "(component diameter exceeds max_iter); raise max_iter"
+        )
     isolated = verts.join(endpoints, on="vid", how="left_anti").select(
         "vid", F.col("vid").alias("label")
     )
@@ -620,6 +631,12 @@ def embedding_near_dups(
             src, threshold, n_tables=lsh_tables, planes=lsh_planes
         )
     rows = src.collect()
+    if not rows:
+        # empty corpus (e.g. fully filtered upstream) → zero pairs, not a
+        # numpy axis error on a (0,)-shaped matrix
+        return spark.createDataFrame(
+            [], "id_a bigint, id_b bigint, cos_sim double"
+        )
     ids = np.array([r["id"] for r in rows], dtype=np.int64)
     mat = np.array([r["v"] for r in rows], dtype=np.float64)
     norms = np.sqrt((mat * mat).sum(axis=1))

@@ -375,12 +375,16 @@ def frame_sample(media: DataFrame, every_n_bytes: int = 64, max_frames: int = 8)
     """'Frame sampling' over the opaque payload: one row per sampled
     offset (JVM-side posexplode — the real video analogue would sample
     keyframes; the partitioning/explode shape is identical)."""
+    # last frame index is (n_bytes - 1) div every_n_bytes: an exact
+    # multiple must NOT emit a trailing empty frame, and an empty payload
+    # yields zero frames (posexplode of an empty array drops the row)
+    frames = (
+        f"CASE WHEN meta.n_bytes <= 0 THEN cast(array() AS array<binary>) "
+        f"ELSE transform(sequence(0, least((meta.n_bytes - 1) div {every_n_bytes}, "
+        f"{max_frames - 1})), "
+        f"i -> substring(payload, i * {every_n_bytes} + 1, {every_n_bytes})) END"
+    )
     return media.select(
         "media_id",
-        F.posexplode(
-            F.expr(
-                f"transform(sequence(0, least(int(meta.n_bytes / {every_n_bytes}), {max_frames - 1})), "
-                f"i -> substring(payload, i * {every_n_bytes} + 1, {every_n_bytes}))"
-            )
-        ).alias("frame_no", "frame_bytes"),
+        F.posexplode(F.expr(frames)).alias("frame_no", "frame_bytes"),
     ).withColumn("frame_checksum", F.md5(F.col("frame_bytes")))

@@ -35,7 +35,11 @@ def cosine_expr(a: str, b: str) -> Column:
     dot = f"aggregate(zip_with({a}, {b}, (x, y) -> x * y), 0D, (acc, v) -> acc + v)"
     na = f"sqrt(aggregate({a}, 0D, (acc, v) -> acc + v * v))"
     nb = f"sqrt(aggregate({b}, 0D, (acc, v) -> acc + v * v))"
-    return F.expr(f"({dot}) / (({na}) * ({nb}))")
+    # zero-norm guard: 0/0 is NaN, and Spark orders NaN ABOVE every double,
+    # so an unguarded zero vector would rank as everyone's best neighbor —
+    # define cos(0⃗, ·) = 0 instead (same convention as embedding_near_dups)
+    denom = f"(({na}) * ({nb}))"
+    return F.expr(f"CASE WHEN {denom} = 0D THEN 0D ELSE ({dot}) / {denom} END")
 
 
 def brute_force_topk(
@@ -63,6 +67,12 @@ def brute_force_topk(
             )
             .withColumn(
                 "__n", F.expr("sqrt(aggregate(__v, 0D, (acc, v) -> acc + v * v))")
+            )
+            # zero-norm guard: leave a zero vector as-is (unit "norm" 1) so
+            # its dot with anything is 0, not NaN (NaN sorts above every
+            # double and would rank the zero vector as everyone's top hit)
+            .withColumn(
+                "__n", F.when(F.col("__n") == 0.0, F.lit(1.0)).otherwise(F.col("__n"))
             )
             .select(
                 out_id, F.expr("transform(__v, x -> x / __n)").alias(out_vec)

@@ -75,7 +75,13 @@ def subword_token_count(col: str) -> Column:
     """BPE-ish token count: matches of the pre-tokenizer regex over the
     lowercased text — the standard cheap proxy for LLM token budgets
     (whitespace tokens undercount punctuation-heavy text)."""
-    return F.size(F.expr(f"regexp_extract_all(lower({col}), \"{BPE_SPLIT_RE}\", 0)"))
+    # pass the pattern as a Column literal, NOT inside a SQL string literal:
+    # SQL-literal unescaping would strip the backslash of \s and corrupt
+    # the char class (whitespace runs would then count as punctuation
+    # tokens wherever text has consecutive spaces)
+    return F.size(
+        F.regexp_extract_all(F.lower(F.col(col)), F.lit(BPE_SPLIT_RE), F.lit(0))
+    )
 
 
 def fingerprint(col: str) -> Column:

@@ -143,6 +143,70 @@ def _split_top_level_kw(s: str, kw_pattern: str) -> list[str]:
     return [p.strip() for p in parts if p.strip()]
 
 
+def _split_conjuncts(s: str) -> list[str]:
+    """Split a WHERE body into top-level AND conjuncts — only where that
+    preserves semantics:
+
+    - a depth-0 ``OR`` means AND is NOT the top-level operator (it binds
+      tighter), so the whole clause is returned as one conjunct;
+    - ``BETWEEN lo AND hi``'s AND is part of the BETWEEN, not a split
+      point;
+    - ``CASE ... END`` bodies are opaque (their WHENs may contain AND).
+    """
+    rx = {
+        k: re.compile(rf"\b{k}\b", re.IGNORECASE)
+        for k in ("AND", "OR", "BETWEEN", "CASE", "END")
+    }
+    parts: list[str] = []
+    depth = case_depth = between = 0
+    quote: str | None = None
+    i = last = 0
+    while i < len(s):
+        ch = s[i]
+        if quote:
+            if ch == quote:
+                quote = None
+            i += 1
+            continue
+        if ch in ("'", '"'):
+            quote = ch
+        elif ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        elif depth == 0:
+            m = rx["CASE"].match(s, i)
+            if m:
+                case_depth += 1
+                i = m.end()
+                continue
+            m = rx["END"].match(s, i)
+            if m and case_depth:
+                case_depth -= 1
+                i = m.end()
+                continue
+            if not case_depth:
+                if rx["OR"].match(s, i):
+                    return [s.strip()]
+                m = rx["BETWEEN"].match(s, i)
+                if m:
+                    between += 1
+                    i = m.end()
+                    continue
+                m = rx["AND"].match(s, i)
+                if m:
+                    if between:
+                        between -= 1
+                        i = m.end()
+                        continue
+                    parts.append(s[last:i])
+                    last = i = m.end()
+                    continue
+        i += 1
+    parts.append(s[last:])
+    return [p.strip() for p in parts if p.strip()]
+
+
 _EXISTS_RX = re.compile(
     r"^\s*(not\s+)?exists\s*\((.*)\)\s*$", re.IGNORECASE | re.DOTALL
 )
@@ -220,7 +284,11 @@ def split_union_all(sql: str) -> list[str]:
     sql = sql.strip().rstrip(";").strip()
     parts = _split_top_level_kw(sql, r"\bunion\s+all\b")
     for p in parts:
-        if re.search(r"^union\b|\bunion\b(?!\s+all)", p, re.IGNORECASE):
+        # quote-aware bare-UNION detection: the word inside a string
+        # literal (WHERE c = 'union square') must not trigger rejection
+        if re.match(r"^union\b", p, re.IGNORECASE) or (
+            len(_split_top_level_kw(p, r"\bunion\b")) > 1
+        ):
             raise NotImplementedError(
                 "bare UNION (distinct) is not maintainable across branches — "
                 "use UNION ALL (compose with a SELECT DISTINCT view for set "
@@ -272,7 +340,7 @@ def parse_view_sql(name: str, sql: str) -> ViewDef:
     if "where" in spans:
         spans = dict(spans)
         remaining: list[str] = []
-        for conj in _split_top_level_kw(spans["where"], r"\bAND\b"):
+        for conj in _split_conjuncts(spans["where"]):
             lowered = _lower_existence(conj)
             if lowered is None:
                 remaining.append(conj)

@@ -47,7 +47,15 @@ def read_any(
         else:
             raise ValueError(f"cannot infer format from {path!r}; pass fmt=")
     if fmt == "parquet":
-        return read_parquet(spark, path)
+        if schema is None and not options:
+            return read_parquet(spark, path)
+        # an explicit schema or reader options bypass the cached
+        # nanos-aware fast path (which serves one canonical plan per
+        # path) — honor them instead of silently dropping them
+        reader = spark.read
+        if schema is not None:
+            reader = reader.schema(schema)
+        return reader.options(**options).parquet(path)
     reader = spark.read
     if schema is not None:
         reader = reader.schema(schema)

@@ -15,27 +15,57 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 
 
 def _nanos_columns(path: str) -> list[str]:
+    def _ns(schema) -> list[str]:
+        return [f.name for f in schema if str(f.type).startswith("timestamp[ns")]
+
+    # pyarrow.dataset resolves single files AND directory layouts (the
+    # common Spark-written shape: part files inside a dir) — pq.read_schema
+    # alone only handles single files, which would silently skip the nanos
+    # fix for directory tables and restore the PARQUET_TYPE_ILLEGAL crash
+    try:
+        import pyarrow.dataset as pads
+
+        return _ns(pads.dataset(path, format="parquet").schema)
+    except Exception:
+        pass
     try:
         import pyarrow.parquet as pq
 
-        schema = pq.read_schema(path)
-        return [f.name for f in schema if str(f.type).startswith("timestamp[ns")]
+        return _ns(pq.read_schema(path))
     except Exception:
         return []
 
 
 # (session-id, path) -> DataFrame; DataFrames are immutable plans, so
-# reuse avoids re-reading footers when many queries touch the same table
+# reuse avoids re-reading footers when many queries touch the same table.
+# The cached plan captures the file listing at first read: if the files
+# under a path are REWRITTEN later, pass refresh=True (or call
+# clear_parquet_cache) to re-resolve — appends to a directory are picked
+# up either way, since listing happens per query for directory sources.
 _CACHE: dict[tuple[int, str], DataFrame] = {}
 
 
-def read_parquet(spark: SparkSession, path: str) -> DataFrame:
+def read_parquet(spark: SparkSession, path: str, refresh: bool = False) -> DataFrame:
     key = (id(spark), path)
+    if refresh:
+        _CACHE.pop(key, None)
     if key in _CACHE:
         return _CACHE[key]
     df = _read_parquet_uncached(spark, path)
     _CACHE[key] = df
     return df
+
+
+def clear_parquet_cache(path: str | None = None) -> None:
+    """Drop cached plans — for ``path`` only, or all of them.  Needed
+    when files at a cached path were overwritten/deleted (the cached
+    plan's file listing would read stale or missing files), and to
+    release plans bound to stopped SparkSessions."""
+    if path is None:
+        _CACHE.clear()
+    else:
+        for key in [k for k in _CACHE if k[1] == path]:
+            _CACHE.pop(key, None)
 
 
 def ensure_parallelism(df: DataFrame, min_partitions: int | None = None) -> DataFrame:

@@ -8,8 +8,12 @@ Two modes:
    delta rows (with the bool multiplicity column) is registered as
    delta_T, ΔV is computed with the SAME rewrite as batch mode, and
    merged into the view state inside ``foreachBatch``.  This supports
-   the full view surface incl. deletes — exactly-once per batch via the
-   streaming checkpoint.
+   the full view surface incl. deletes.  foreachBatch delivery is
+   at-least-once, so the maintainer deduplicates on ``batch_id``
+   (replays of an already-applied batch are skipped); for crash
+   recovery across processes, pass ``state_dir`` so each batch commits
+   engine state + the applied batch id, and rebuild with
+   ``IVMEngine.load`` + the same ``state_dir`` (see ``__init__``).
 2. ``windowed_aggregate`` — the native path for append-only event
    streams: watermark + tumbling/sliding window + groupBy aggregation
    in update mode.  Spark's own state store does the incremental
@@ -34,14 +38,49 @@ class StreamingViewMaintainer:
     merge result; reads see it via ``engine.read_view(name)``.
     """
 
-    def __init__(self, engine: IVMEngine, view_name: str, table: str) -> None:
+    def __init__(
+        self,
+        engine: IVMEngine,
+        view_name: str,
+        table: str,
+        state_dir: str | None = None,
+    ) -> None:
+        """``state_dir`` (optional) makes maintenance restartable: after
+        each applied batch the engine state is saved to a per-batch
+        snapshot dir (``engine-<batch_id>``) and the marker file names
+        the committed snapshot.  A maintainer constructed over the SAME
+        state_dir (with an engine rebuilt via ``IVMEngine.load`` from the
+        marker's snapshot) skips batches the saved state already
+        reflects.  Without it the
+        engine state is process-local: a restarted query resumes from the
+        streaming checkpoint against a fresh engine, so the source must
+        be replayed from the start (or the view re-materialized) —
+        in-process replays of the last uncommitted batch are still
+        deduplicated by batch id either way."""
         self.engine = engine
         self.view_name = view_name
         self.table = table
+        self.state_dir = state_dir
         self.batches_applied = 0
+        self.last_batch_id = -1
+        if state_dir is not None:
+            import json
+            from pathlib import Path
+
+            marker = Path(state_dir) / "last_batch_id.json"
+            if marker.exists():
+                self.last_batch_id = int(
+                    json.loads(marker.read_text())["last_batch_id"]
+                )
 
     def _process_batch(self, batch_df: DataFrame, batch_id: int) -> None:
+        # foreachBatch is at-least-once: after a failure the checkpoint
+        # re-delivers the last batch, and an engine that already merged it
+        # must not double-apply
+        if batch_id <= self.last_batch_id:
+            return
         if len(batch_df.take(1)) == 0:
+            self.last_batch_id = batch_id
             return
         # engine state is eagerly localCheckpoint'ed on merge, so nothing
         # keeps referencing this micro-batch's source after the batch ends
@@ -50,6 +89,26 @@ class StreamingViewMaintainer:
         self.engine.merge_view(self.view_name)
         self.engine.apply_delta(self.table)
         self.batches_applied += 1
+        self.last_batch_id = batch_id
+        if self.state_dir is not None:
+            # snapshot-then-marker commit: the state is saved to a NEW
+            # per-batch directory and the marker (written last) is the
+            # commit point.  A crash between the two leaves the marker on
+            # the previous snapshot, so recovery replays this batch into
+            # that older state — never a double-apply, never a loss.
+            import json
+            import shutil
+            from pathlib import Path
+
+            root = Path(self.state_dir)
+            self.engine.save(str(root / f"engine-{batch_id}"))
+            root.mkdir(parents=True, exist_ok=True)
+            (root / "last_batch_id.json").write_text(
+                json.dumps({"last_batch_id": batch_id})
+            )
+            for old in root.glob("engine-*"):
+                if old.name != f"engine-{batch_id}":
+                    shutil.rmtree(old, ignore_errors=True)
 
     def start(
         self,

@@ -40,8 +40,9 @@ def streaming_dedup(
 
     The stream is sharded by ``xxhash64(fingerprint) % shard_mod`` so
     state is spread over the cluster; each group's state is one LongType
-    array.  Output: (id, fingerprint, first_seen = true only for the
-    emitted first occurrence).
+    array.  Output: (id, fingerprint) — only first occurrences are
+    emitted (duplicates are dropped, so every emitted row IS a first
+    sighting).
     """
     out_schema = T.StructType(
         [
