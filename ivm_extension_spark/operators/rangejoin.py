@@ -215,10 +215,14 @@ def range_left_join_delta(
 
     # ---- anti part, term 2: existing P rows whose match count crosses 0
     if di is not None:
-        # Δm per affected point-key: P rows binned against the BROADCAST
-        # delta intervals — only matching rows reach the aggregation
+        # Δm per affected point-key: DISTINCT point keys binned against
+        # the BROADCAST delta intervals — only matching keys reach the
+        # aggregation.  Distinct is load-bearing: the match count is a
+        # per-KEY quantity, and several point rows sharing a key would
+        # otherwise multiply Δm and fake a zero crossing (e.g. 6 points
+        # at the same value × one deleted interval → Δm=-6, not -1)
         dm = (
-            pbin(points.select(*kp))
+            pbin(points.select(*kp).distinct())
             .join(bc(ibin(di)), on=[_BIN, *key_cols], how="inner")
             .filter(in_range)
             .groupBy(*kp)

@@ -56,7 +56,7 @@ import re
 from itertools import product
 from typing import Callable
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import Column, DataFrame, functions as F
 
 from ivm_extension_spark.plans.viewdef import Aggregate, ViewDef
 
@@ -180,20 +180,30 @@ def _delta_source(
                 )
                 if j.how not in ("semi", "anti"):
                     refs0 += [(j.table, c) for c in get_table(j.table).columns]
+            reserved0 = {
+                c
+                for j in joins[first_full:]
+                for c in get_table(j.table).columns
+            }
+            uniq0, renames0 = _uniquify_flat(refs0, reserved0)
             flat0 = b0.select(
-                *[F.col(f"{t}.{c}").alias(c) for t, c in refs0], F.col(_SIGN)
+                *[F.col(f"{t}.{c}").alias(name) for t, c, name in uniq0],
+                F.col(_SIGN),
             )
             flat_tabs = [tables[0]] + [j.table for j in joins[:first_full]]
             branches, refs = _fold_suffix(
-                _flatten_suffix_view(view, flat_tabs, first_full),
+                _flatten_suffix_view(view, flat_tabs, first_full, renames0),
                 get_table,
                 F.broadcast if broadcast_deltas else (lambda df: df),
                 [flat0],
-                [(None, c) for _, c in refs0],
+                [(None, name) for _, _, name in uniq0],
                 first_full,
                 pin=True,
+                old_left_map={name: f"{t}.{c}" for t, c, name in uniq0},
             )
-            return _flatten_refs(branches, refs)
+            back0 = {name: c for _, c, name in uniq0 if name != c}
+            out_names0 = [back0.get(n, n) for _, n in refs] + [_SIGN]
+            return _flatten_refs(branches, refs).toDF(*out_names0)
         if len(tables) == 2:
             how = view.joins[0].how
             if how in ("semi", "anti"):
@@ -330,18 +340,53 @@ _AND_RX = re.compile(r"\bAND\b", re.IGNORECASE)
 _EQ_RX = re.compile(r"(?<![<>!=])=(?![=>])")
 
 
-def _strip_qualifiers(cond: str, tables) -> str:
-    """Drop ``<table>.`` qualifiers for tables whose columns have been
-    flattened to bare names (suffix-FULL folding): the raw ON text is
-    legal with qualified references, but a flattened branch no longer
-    carries alias metadata, so the qualifiers must go for the condition
-    to resolve (bare output aliases are unique by construction)."""
+def _uniquify_flat(
+    refs: list[tuple[str, str]], reserved: frozenset[str] | set[str] = frozenset()
+) -> tuple[list[tuple[str, str, str]], dict[tuple[str, str], str]]:
+    """Assign each (table, col) a UNIQUE bare output name for branch
+    flattening.  Tables in a chain often share column names (f.k = d.k,
+    d.gk = g.gk): aliasing both to bare ``k`` — or flattening a name a
+    yet-to-be-joined suffix table also exposes (``reserved``) — makes
+    every later reference ambiguous, so such columns get a synthetic
+    name; ``renames`` maps exactly those pairs so join-condition
+    rewriting can follow."""
+    seen: set[str] = set(reserved)
+    out: list[tuple[str, str, str]] = []
+    renames: dict[tuple[str, str], str] = {}
+    for n, (t, c) in enumerate(refs):
+        name = c
+        if c in seen:
+            name = f"__fl{n}_{c}"
+            renames[(t, c)] = name
+        seen.add(name)
+        out.append((t, c, name))
+    return out, renames
+
+
+def _strip_qualifiers(
+    cond: str, tables, renames: dict[tuple[str, str], str] | None = None
+) -> str:
+    """Rewrite ``<table>.<col>`` references for tables whose columns have
+    been flattened to bare names (suffix-FULL folding): the raw ON text
+    is legal with qualified references, but a flattened branch no longer
+    carries alias metadata.  Columns renamed during flattening (name
+    collisions across tables) follow their synthetic name."""
+    renames = renames or {}
     for t in tables:
-        cond = re.sub(rf"\b{re.escape(t)}\s*\.\s*", "", cond)
+        cond = re.sub(
+            rf"\b{re.escape(t)}\s*\.\s*(\w+)",
+            lambda m, _t=t: renames.get((_t, m.group(1)), m.group(1)),
+            cond,
+        )
     return cond
 
 
-def _flatten_suffix_view(view: ViewDef, flat_tables, from_idx: int) -> ViewDef:
+def _flatten_suffix_view(
+    view: ViewDef,
+    flat_tables,
+    from_idx: int,
+    renames: dict[tuple[str, str], str] | None = None,
+) -> ViewDef:
     """A copy of ``view`` whose joins from ``from_idx`` on have the
     flattened tables' qualifiers stripped from their conditions."""
     import dataclasses
@@ -349,7 +394,9 @@ def _flatten_suffix_view(view: ViewDef, flat_tables, from_idx: int) -> ViewDef:
     new_joins = tuple(
         j
         if n < from_idx
-        else dataclasses.replace(j, on=_strip_qualifiers(j.on, flat_tables))
+        else dataclasses.replace(
+            j, on=_strip_qualifiers(j.on, flat_tables, renames)
+        )
         for n, j in enumerate(view.joins)
     )
     return dataclasses.replace(view, joins=new_joins)
@@ -382,6 +429,18 @@ def _equi_pairs(
             return "l" if in_l else "r"
         return None
 
+    def resolve_bare(e: str, other: str) -> str | None:
+        # pairwise disambiguation: a bare column that exists on BOTH
+        # sides is still classifiable when the other equality side has
+        # already claimed a table — 'gk = g.gk' (prefix-flattened d.gk)
+        # puts the bare gk on the left because g took the right role
+        bare = e.strip()
+        if other == "r" and bare in lcols:
+            return "l"
+        if other == "l" and bare in rcols:
+            return "r"
+        return None
+
     pairs: list[tuple[str, str]] = []
     for conj in _split_depth0(cond, _AND_RX):
         sides = _split_depth0(conj, _EQ_RX)
@@ -389,6 +448,10 @@ def _equi_pairs(
             return None
         a, b = sides
         sa, sb = side(a), side(b)
+        if sa is None and sb is not None:
+            sa = resolve_bare(a, sb)
+        elif sb is None and sa is not None:
+            sb = resolve_bare(b, sa)
         if sa == "l" and sb == "r":
             pairs.append((a, b))
         elif sa == "r" and sb == "l":
@@ -670,6 +733,7 @@ def _fold_suffix(
     left_refs: list[tuple[str | None, str]],
     jidx: int,
     pin: bool = False,
+    old_left_map: dict[str, str] | None = None,
 ) -> tuple[list[DataFrame], list[tuple[str | None, str]]]:
     """Fold ``view.joins[jidx:]`` onto the ΔX branch list, FULL OUTER
     included.
@@ -734,9 +798,18 @@ def _fold_suffix(
             )
             dm = keys if dm is None else dm.unionByName(keys)
         dm = dm.groupBy(*knames).agg(F.sum("__w").alias("__dm"))
+        # the old composed left carries the ORIGINAL qualified columns —
+        # flattened/renamed left key names must be translated back for
+        # the probe (old_left_map: flat name -> qualified original)
+        omap = old_left_map or {}
         m_old = (
             _old_left(view, get_table, k)
-            .select(*[F.expr(pe).alias(kn) for (pe, _), kn in zip(pairs, knames)])
+            .select(
+                *[
+                    F.expr(omap.get(pe.strip(), pe)).alias(kn)
+                    for (pe, _), kn in zip(pairs, knames)
+                ]
+            )
             .join(bc(dm.select(*knames)), on=knames, how="leftsemi")
             .groupBy(*knames)
             .agg(F.count(F.lit(1)).alias("__mold"))
@@ -786,8 +859,31 @@ def _fold_suffix(
                 .alias(tname)
             )
             t_flip = t_flip.crossJoin(F.broadcast(nr))
+        # build the fold condition from the parsed pairs with explicit
+        # plan binding: a flattened branch exposes bare left columns, and
+        # when R shares the name (gk = g.gk) a textual F.expr(j.on) is
+        # ambiguous once both sides are in scope
+        Ra = R.alias(j.table)
+
+        def _fold_cond(b: DataFrame) -> Column:
+            cond = None
+            for pe, be in pairs:
+                pe_s, be_s = pe.strip(), be.strip()
+                lt = (
+                    b[pe_s]
+                    if re.fullmatch(r"\w+", pe_s) and pe_s in b.columns
+                    else F.expr(pe)
+                )
+                rm = re.fullmatch(
+                    rf"(?:{re.escape(j.table)}\s*\.\s*)?(\w+)", be_s
+                )
+                rt = Ra[rm.group(1)] if rm else F.expr(be)
+                c = lt == rt
+                cond = c if cond is None else cond & c
+            return cond
+
         branches = [
-            b.join(R.alias(j.table), on=F.expr(j.on), how="left") for b in branches
+            b.join(Ra, on=_fold_cond(b), how="left") for b in branches
         ] + [t_flip]
         left_refs += [(j.table, c) for c in R.columns]
     return branches, left_refs
@@ -850,8 +946,9 @@ def _chain_single_delta(
       is unchanged, so Ti-side membership can't flip, only arrive/leave
       with ΔTi itself).  P is probed by a broadcast key set, never
       shuffled.  A FULL join in the PREFIX is fine (the prefix is an
-      unchanged relation); a FULL join in the SUFFIX is rejected (the
-      suffix fold relies on left-linearity).
+      unchanged relation); a FULL join in the SUFFIX hands the flattened
+      branches to _fold_suffix, which adds the R-preserved flip terms
+      at each FULL position.
 
     Scale shape: P and Ti are never shuffled — ΔTi and the flip-key set
     are BROADCAST; the only aggregations are over O(|Δ| + affected
@@ -1049,34 +1146,60 @@ def _chain_single_delta(
         ],
     ]
 
-    flat: list[DataFrame] = []
-    for b in branches:
-        for j in joins[i:fold_upto]:
-            b = b.join(get_table(j.table).alias(j.table), on=F.expr(j.on), how=j.how)
-        # qualified select (join keys share names across tables), bare
-        # aliases so the positional union lines up
-        flat.append(
-            b.select(
-                *[F.col(f"{t}.{c}").alias(c) for t, c in out_refs], F.col(_SIGN)
-            )
-        )
-
     if first_full is None:
+        flat: list[DataFrame] = []
+        for b in branches:
+            for j in joins[i:fold_upto]:
+                b = b.join(
+                    get_table(j.table).alias(j.table), on=F.expr(j.on), how=j.how
+                )
+            # qualified select (join keys share names across tables), bare
+            # aliases so the positional union lines up
+            flat.append(
+                b.select(
+                    *[F.col(f"{t}.{c}").alias(c) for t, c in out_refs],
+                    F.col(_SIGN),
+                )
+            )
         out = flat[0]
         for b in flat[1:]:
             out = out.union(b)  # positional: every branch is out_cols + _SIGN
         return out
+
+    # FULL in the suffix: flatten each branch to UNIQUE bare names (chain
+    # tables routinely share join-key names — f.k = d.k, d.gk = g.gk —
+    # and _fold_suffix must reference every flattened column
+    # unambiguously even after the remaining suffix tables join in), then
+    # hand off with the stripped conditions following the renames; the
+    # positional toDF at the end restores the original output names
+    reserved = {
+        c for j in joins[fold_upto:] for c in get_table(j.table).columns
+    }
+    uniq, renames = _uniquify_flat(out_refs, reserved)
+    flat = []
+    for b in branches:
+        for j in joins[i:fold_upto]:
+            b = b.join(get_table(j.table).alias(j.table), on=F.expr(j.on), how=j.how)
+        flat.append(
+            b.select(
+                *[F.col(f"{t}.{c}").alias(name) for t, c, name in uniq],
+                F.col(_SIGN),
+            )
+        )
     flat_tabs = list(dict.fromkeys(t for t, _ in out_refs))
     branches2, refs2 = _fold_suffix(
-        _flatten_suffix_view(view, flat_tabs, fold_upto),
+        _flatten_suffix_view(view, flat_tabs, fold_upto, renames),
         get_table,
         F.broadcast if broadcast_deltas else (lambda df: df),
         flat,
-        [(None, c) for _, c in out_refs],
+        [(None, name) for _, _, name in uniq],
         fold_upto,
         pin=True,
+        old_left_map={name: f"{t}.{c}" for t, c, name in uniq},
     )
-    return _flatten_refs(branches2, refs2)
+    back = {name: c for _, c, name in uniq if name != c}
+    out_names = [back.get(n, n) for _, n in refs2] + [_SIGN]
+    return _flatten_refs(branches2, refs2).toDF(*out_names)
 
 
 def _semi_anti_delta(

@@ -283,3 +283,56 @@ def test_qualified_conditions_survive_flattened_suffix(spark):
         .select("a_k", "b_j", "c_v")
     )
     assert rows(merged) == rows(truth)
+
+
+def test_full_suffix_with_mid_chain_delta_and_shared_key_names(spark):
+    """FULL in the SUFFIX with the delta on a MIDDLE table, where every
+    join key shares its name across tables (f.k = d.k, d.gk = g.gk) —
+    the shape that forces unique-name flattening in the hand-off to
+    _fold_suffix (round-2 fix: previously rejected as ambiguous)."""
+    from pyspark.sql import functions as F
+
+    for ddelta, gdelta in [
+        ([(2, "c", 12, True), (0, "a", 10, False)], None),
+        ([(1, "b", 11, False)], None),
+        (None, [(11, "r", True), (12, "q", False)]),
+    ]:
+        eng = IVMEngine(spark)
+        eng.register_table(
+            "f", spark.createDataFrame([(1, 0), (2, 1), (3, 2)], "a int, k int")
+        )
+        eng.register_table(
+            "d",
+            spark.createDataFrame(
+                [(0, "a", 10), (1, "b", 11)], "k int, name string, gk int"
+            ),
+        )
+        eng.register_table(
+            "g", spark.createDataFrame([(10, "p"), (12, "q")], "gk int, label string")
+        )
+        if ddelta:
+            eng.register_delta(
+                "d",
+                spark.createDataFrame(
+                    ddelta, f"k int, name string, gk int, {MULT_COL} boolean"
+                ),
+            )
+        if gdelta:
+            eng.register_delta(
+                "g",
+                spark.createDataFrame(
+                    gdelta, f"gk int, label string, {MULT_COL} boolean"
+                ),
+            )
+        eng.create_immv(
+            "v",
+            sql="SELECT a, name, label FROM f JOIN d ON f.k = d.k "
+            "FULL JOIN g ON d.gk = g.gk",
+        )
+        eng.ivm_upsert("v")
+        merged = rows(eng.merge_view("v"))
+        for t in ("d", "g"):
+            if t in eng._deltas:
+                eng.apply_delta(t)
+        assert merged == rows(eng.full_refresh("v")), (ddelta, gdelta)
+        eng.drop_view("v")

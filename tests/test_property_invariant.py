@@ -209,7 +209,8 @@ CHAIN_SHAPES = [
     "GROUP BY name",
     # FULL at the chain tail: delta on g takes the full-position rule
     # (left-like terms + Ti-preserved NULL-padded prefix term); delta on
-    # d would put FULL in the suffix — rejected, filtered by assume()
+    # d puts FULL in the SUFFIX — _fold_suffix adds the g-preserved flip
+    # terms over the flattened Δ(f⋈Δd) branches
     "SELECT a, name, label FROM f JOIN d ON f.k = d.k "
     "FULL JOIN g ON d.gk = g.gk",
 ]
@@ -233,8 +234,6 @@ CHAIN_SHAPES = [
 def test_ivm_invariant_chain_dim_delta(
     spark, fact, dim, dim2, ins, ins2, del_mask, which, shape
 ):
-    # FULL in the suffix (delta before the FULL position) is rejected
-    assume(not ("FULL" in shape and which == "d"))
     eng = IVMEngine(spark)
     eng.register_table("f", spark.createDataFrame(fact, schema="a int, k int"))
     eng.register_table(

@@ -193,3 +193,53 @@ def test_range_left_join_delta_single_side(spark):
         pts, _bag_apply(spark, iv, div), "pt", "lo", "hi", 25.0, how="left"
     )
     assert sorted(map(tuple, merged2.collect())) == sorted(map(tuple, rec2.collect()))
+
+
+def test_range_left_join_delta_duplicate_point_values(spark):
+    """Several point rows sharing the same value must not multiply the
+    per-key Δ-match count: deleting ONE of three intervals that all
+    cover the shared value changes each point's count 3 → 2 — no NULL
+    pad, only the deleted interval's rows retract (round-2 fix)."""
+    from pyspark.sql import functions as F
+
+    from ivm_extension_spark.operators.rangejoin import (
+        range_join,
+        range_left_join_delta,
+    )
+    from ivm_extension_spark.operators.rewrite import MULT_COL
+
+    P = spark.createDataFrame(
+        [(i, 0.0) for i in range(6)], "pid long, pt double"
+    )
+    I = spark.createDataFrame(
+        [(0, 0.0, 0.0), (1, 0.0, 0.0), (2, 0.0, 0.0)],
+        "iid long, lo double, hi double",
+    )
+    dI = spark.createDataFrame(
+        [(1, 0.0, 0.0, False)], f"iid long, lo double, hi double, {MULT_COL} boolean"
+    )
+    dv = range_left_join_delta(P, I, None, dI, "pt", "lo", "hi", bin_width=13.0)
+    got = sorted(tuple(r) for r in dv.collect())
+    # exactly the 6 retractions of interval 1 — no NULL-pad flips
+    assert got == [(i, 0.0, 1, 0.0, 0.0, False) for i in range(6)]
+
+    v_old = range_join(P, I, "pt", "lo", "hi", 13.0, how="left")
+    cols = v_old.columns
+    merged = (
+        v_old.withColumn("__s", F.lit(1))
+        .unionByName(
+            dv.withColumn(
+                "__s", F.when(F.col(MULT_COL), F.lit(1)).otherwise(F.lit(-1))
+            ).drop(MULT_COL)
+        )
+        .groupBy(*cols)
+        .agg(F.sum("__s").alias("__n"))
+        .filter(F.col("__n") > 0)
+        .select(*cols, F.explode(F.expr("sequence(1, __n)")).alias("__i"))
+        .drop("__i")
+    )
+    I2 = I.filter("iid <> 1")
+    recomputed = range_join(P, I2, "pt", "lo", "hi", 13.0, how="left")
+    assert sorted(map(tuple, merged.collect())) == sorted(
+        map(tuple, recomputed.collect())
+    )
