@@ -995,19 +995,33 @@ def _q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # rows-only check: minhash permutations are not SQL-expressible
+    # md5 shingle-hash variant: the whole pipeline (shingles → 32-bit
+    # hash → (a*x+b) mod p permutations → band slices → band hash) is
+    # reproduced verbatim by the DuckDB oracle, so this is a full
+    # value-hash check, not rows-only (the xxhash64 default stays the
+    # fast path for non-graded use)
     from ivm_extension_spark.functions import dedup
 
     return dedup.minhash_lsh_pairs(
-        _docs(spark, sf_dir), "doc_id", "text", num_hashes=64, bands=16
+        _docs(spark, sf_dir),
+        "doc_id",
+        "text",
+        num_hashes=64,
+        bands=16,
+        shingle_hash="md5",
     )
 
 
 def _q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # rows-only check: bit-majority voting is not SQL-expressible
+    # md5 shingle-hash variant: bit-majority voting, 16-bit chunk
+    # banding, and the xor-popcount verify are all reproduced by the
+    # DuckDB oracle — full value-hash check (xxhash64 stays the fast
+    # default for non-graded use)
     from ivm_extension_spark.functions import dedup
 
-    return dedup.simhash_near_pairs(_docs(spark, sf_dir), "doc_id", "text", max_hamming=16)
+    return dedup.simhash_near_pairs(
+        _docs(spark, sf_dir), "doc_id", "text", max_hamming=16, shingle_hash="md5"
+    )
 
 
 def _q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1269,8 +1283,9 @@ def _q_ivm_merge_dedup_index(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_dedup_minhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Incremental MinHash-LSH (rows-only: the hash family is not
-    SQL-expressible, same as dedup_minhash_lsh): the banding index of
+    """Incremental MinHash-LSH (md5 shingle-hash variant — the oracle
+    reproduces the full pipeline AND the pair-set CDC as a row-level
+    EXCEPT between the post- and pre-delta corpora): the banding index of
     the current corpus absorbs a delta that inserts near-dup copies of
     the %10 docs (new ids, text + ' copy') and deletes the %7==3 docs;
     only the DELTA is fingerprinted, and the returned pair CDC is what a
@@ -1282,7 +1297,9 @@ def _q_dedup_minhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = _docs(spark, sf_dir)
-    state = banded_signatures(docs, "doc_id", "text", num_hashes=64, bands=16)
+    state = banded_signatures(
+        docs, "doc_id", "text", num_hashes=64, bands=16, shingle_hash="md5"
+    )
     delta = (
         docs.filter("doc_id % 10 = 0")
         .select(
@@ -1297,7 +1314,8 @@ def _q_dedup_minhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     cdc, _new_state = minhash_lsh_delta_pairs(
-        state, delta, "doc_id", "text", num_hashes=64, bands=16
+        state, delta, "doc_id", "text", num_hashes=64, bands=16,
+        shingle_hash="md5",
     )
     return cdc.select(
         "id_a", "id_b", "n_bands_agree", F.col(MULT_COL).alias("is_insert")
@@ -2702,6 +2720,129 @@ _NORM = (
 _TOKS = f"string_split({_NORM}, ' ')"
 
 
+def _minhash_pairs_block(
+    docs_sql: str, num_hashes: int, bands: int, seed: int
+) -> str:
+    """DuckDB twin of minhash_lsh_pairs(shingle_hash="md5") over an
+    arbitrary (doc_id, text) relation, as an embeddable parenthesized
+    subquery: identical shingling, md5-derived 32-bit shingle hash, the
+    same (a*x+b) mod (2^31-1) permutation family (coefficients inlined
+    from the deterministic numpy seed), band slices, md5 band hash, and
+    the band-collision pair count — value-exact, not rows-only."""
+    from ivm_extension_spark.functions.dedup import _hash_family
+
+    a_coef, b_coef = _hash_family(num_hashes, seed)
+    r = num_hashes // bands
+    sig_exprs = ",\n                   ".join(
+        "CASE WHEN len(h) = 0 THEN 0 ELSE CAST(list_min(list_transform(h, "
+        f"x -> ({int(a)}::HUGEINT * x + {int(b)}) % 2147483647)) AS BIGINT) END"
+        for a, b in zip(a_coef, b_coef)
+    )
+    return f"""(
+            WITH sh AS (
+                SELECT doc_id AS id,
+                       list_distinct(CASE WHEN len(toks) >= 3 THEN
+                           list_transform(range(1, len(toks) - 1),
+                               i -> array_to_string(list_slice(toks, i, i + 2), ' '))
+                           ELSE [] END) AS shingles
+                FROM (SELECT doc_id, {_TOKS} AS toks FROM ({docs_sql}) src) t
+            ),
+            hs AS (
+                SELECT id, list_transform(shingles,
+                           s -> CAST(('0x' || substr(md5(s), 1, 8)) AS BIGINT)) AS h
+                FROM sh
+            ),
+            sig AS (
+                SELECT id, [{sig_exprs}] AS sig FROM hs
+            ),
+            banded AS (
+                SELECT id, r.range AS band,
+                       md5(array_to_string(
+                           list_slice(sig, r.range * {r} + 1, r.range * {r} + {r}),
+                           ',')) AS bh
+                FROM sig CROSS JOIN range(0, {bands}) r
+            )
+            SELECT a.id AS id_a, b.id AS id_b,
+                   count(*) AS n_bands_agree
+            FROM banded a JOIN banded b
+              ON a.band = b.band AND a.bh = b.bh AND a.id < b.id
+            GROUP BY a.id, b.id
+        )"""
+
+
+def _minhash_lsh_oracle(num_hashes: int, bands: int, seed: int) -> str:
+    return f"SELECT * FROM {_minhash_pairs_block('SELECT doc_id, text FROM documents', num_hashes, bands, seed)} q"
+
+
+def _minhash_incremental_oracle(num_hashes: int, bands: int, seed: int) -> str:
+    """Oracle for the candidate-pair CDC: the pair-set difference between
+    the post-delta corpus (delete %7==3, insert ' copy' twins of %10
+    docs under doc_id+100000) and the current corpus.  Pairs between
+    unchanged docs band identically in both worlds, so the row-level
+    EXCEPT is exactly the pair-level CDC the operator emits."""
+    pre = _minhash_pairs_block(
+        "SELECT doc_id, text FROM documents", num_hashes, bands, seed
+    )
+    post = _minhash_pairs_block(
+        "SELECT doc_id, text FROM documents WHERE NOT (doc_id % 7 = 3) "
+        "UNION ALL SELECT doc_id + 100000 AS doc_id, text || ' copy' AS text "
+        "FROM documents WHERE doc_id % 10 = 0",
+        num_hashes,
+        bands,
+        seed,
+    )
+    return f"""
+            SELECT id_a, id_b, n_bands_agree, true AS is_insert
+            FROM (SELECT * FROM {post} p EXCEPT SELECT * FROM {pre} q)
+            UNION ALL
+            SELECT id_a, id_b, n_bands_agree, false AS is_insert
+            FROM (SELECT * FROM {pre} q EXCEPT SELECT * FROM {post} p)
+        """
+
+
+def _simhash_oracle(max_hamming: int) -> str:
+    """DuckDB twin of simhash_near_pairs(shingle_hash="md5"): identical
+    2-word shingling, 60-bit md5-derived shingle hash, per-bit majority
+    vote (bit set iff strictly more 1s than 0s), 16-bit chunk banding,
+    and the xor-popcount verify — value-exact, not rows-only."""
+    bit_terms = " + ".join(
+        f"CASE WHEN 2 * list_sum(list_transform(h, x -> (x >> {b}) & 1)) "
+        f"> len(h) THEN (1::BIGINT << {b}) ELSE 0 END"
+        for b in range(60)
+    )
+    return f"""
+            WITH sh AS (
+                SELECT doc_id AS id,
+                       list_distinct(CASE WHEN len(toks) >= 2 THEN
+                           list_transform(range(1, len(toks)),
+                               i -> array_to_string(list_slice(toks, i, i + 1), ' '))
+                           ELSE [] END) AS shingles
+                FROM (SELECT doc_id, {_TOKS} AS toks FROM documents) t
+            ),
+            hs AS (
+                SELECT id, list_transform(shingles,
+                           s -> CAST(('0x' || substr(md5(s), 1, 15)) AS BIGINT)) AS h
+                FROM sh
+            ),
+            sig AS (
+                SELECT id,
+                       CASE WHEN len(h) = 0 THEN 0
+                            ELSE {bit_terms} END AS simhash
+                FROM hs
+            ),
+            chunks AS (
+                SELECT id, simhash, r.range AS chunk,
+                       (simhash >> (r.range * 16)) & 65535 AS val
+                FROM sig CROSS JOIN range(0, 4) r
+            )
+            SELECT DISTINCT a.id AS id_a, b.id AS id_b,
+                   CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+            FROM chunks a JOIN chunks b
+              ON a.chunk = b.chunk AND a.val = b.val AND a.id < b.id
+            WHERE bit_count(xor(a.simhash, b.simhash)) <= {max_hamming}
+        """
+
+
 def _stop_filter(words: tuple[str, ...]) -> str:
     cond = " OR ".join(f"w = '{x}'" for x in words)
     return f"len(list_filter(toks, w -> {cond}))"
@@ -3097,6 +3238,11 @@ def _extras_oracle_sql() -> dict[str, str]:
             FROM pairs
             WHERE round(n_common / (n_a + n_b - n_common) * 1000000.0) / 1000000.0 >= 0.05
         """,
+        "dedup_minhash_lsh": _minhash_lsh_oracle(num_hashes=64, bands=16, seed=42),
+        "dedup_simhash": _simhash_oracle(max_hamming=16),
+        "dedup_minhash_incremental": _minhash_incremental_oracle(
+            num_hashes=64, bands=16, seed=42
+        ),
         "dedup_embedding": f"""
             SELECT a.vec_id AS id_a, b.vec_id AS id_b, {cos} AS cos_sim
             FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS av FROM embeddings) a

@@ -194,6 +194,7 @@ def minhash_signatures(
     num_hashes: int = 128,
     shingle_n: int = 3,
     seed: int = 42,
+    shingle_hash: str = "xxhash64",
 ) -> DataFrame:
     """(id, signature array<long>) via a vectorized Arrow pandas_udf.
 
@@ -202,6 +203,13 @@ def minhash_signatures(
     only does the permutation family h_i(x) = (a_i * x + b_i) mod
     (2^31 - 1) as one numpy broadcast (num_hashes x num_shingles) per
     row.  32-bit x and 31-bit a keep a*x+b inside uint64.
+
+    ``shingle_hash="md5"`` swaps the shingle hash for the first 8 hex
+    chars of md5 — slower than xxhash64 but reproducible in ANSI SQL
+    (DuckDB: ``CAST('0x'||substr(md5(s),1,8) AS BIGINT)``), which makes
+    the whole pipeline oracle-checkable value-by-value.  The permutation
+    family is already cross-engine ((a*x+b) mod p in exact integer
+    arithmetic); only the base hash differs between the variants.
     """
     a_coef, b_coef = _hash_family(num_hashes, seed)
 
@@ -236,11 +244,17 @@ def minhash_signatures(
                 j += 1
         return pd.Series(out)
 
+    if shingle_hash == "md5":
+        hs_expr = (
+            "transform(shingles, "
+            "s -> cast(conv(substring(md5(s), 1, 8), 16, 10) as bigint))"
+        )
+    elif shingle_hash == "xxhash64":
+        hs_expr = "transform(shingles, s -> xxhash64(s) & 4294967295)"
+    else:
+        raise ValueError(f"shingle_hash must be xxhash64 or md5, got {shingle_hash!r}")
     sh = with_word_shingles(df.select(id_col, text_col), text_col, n=shingle_n)
-    sh = sh.select(
-        F.col(id_col).alias("id"),
-        F.expr("transform(shingles, s -> xxhash64(s) & 4294967295)").alias("hs"),
-    )
+    sh = sh.select(F.col(id_col).alias("id"), F.expr(hs_expr).alias("hs"))
     # materialize the hashed shingles before the UDF: (a) the shingling
     # expression must not be inlined into the UDF argument (plans with
     # lambda-typed UDF args cannot be checkpointed downstream), (b)
@@ -257,15 +271,21 @@ def banded_signatures(
     bands: int = 32,
     shingle_n: int = 3,
     seed: int = 42,
+    shingle_hash: str = "xxhash64",
 ) -> DataFrame:
-    """(id, band, bh): the LSH banding relation — one 64-bit hash per
-    (doc, band) over the band's signature slice.  This IS the dedup
-    index state: at corpus scale it is stored bucketed by (band, bh) so
-    both the batch self-join and the incremental probe are
-    co-partitioned."""
+    """(id, band, bh): the LSH banding relation — one hash per (doc,
+    band) over the band's signature slice.  This IS the dedup index
+    state: at corpus scale it is stored bucketed by (band, bh) so both
+    the batch self-join and the incremental probe are co-partitioned.
+
+    With ``shingle_hash="md5"`` the band hash is md5 of the
+    comma-joined slice (a hex string both engines produce identically)
+    instead of xxhash64 of the array — see minhash_signatures."""
     rows_per_band = num_hashes // bands
-    sigs = minhash_signatures(df, id_col, text_col, num_hashes, shingle_n, seed)
-    return sigs.select(
+    sigs = minhash_signatures(
+        df, id_col, text_col, num_hashes, shingle_n, seed, shingle_hash
+    )
+    exploded = sigs.select(
         "id",
         F.explode(
             F.expr(
@@ -273,7 +293,16 @@ def banded_signatures(
                 f"b -> struct(b AS band, slice(sig, b * {rows_per_band} + 1, {rows_per_band}) AS chunk))"
             )
         ).alias("bk"),
-    ).select("id", F.col("bk.band").alias("band"), F.xxhash64(F.col("bk.chunk")).alias("bh"))
+    )
+    if shingle_hash == "md5":
+        bh = F.md5(
+            F.expr("array_join(transform(bk.chunk, v -> cast(v as string)), ',')")
+        )
+    else:
+        bh = F.xxhash64(F.col("bk.chunk"))
+    return exploded.select(
+        "id", F.col("bk.band").alias("band"), bh.alias("bh")
+    )
 
 
 def _band_pairs(a: DataFrame, b: DataFrame, ordered: bool) -> DataFrame:
@@ -305,6 +334,7 @@ def minhash_lsh_pairs(
     bands: int = 32,
     shingle_n: int = 3,
     seed: int = 42,
+    shingle_hash: str = "xxhash64",
 ) -> DataFrame:
     """Candidate near-dup pairs via LSH banding: docs agreeing on all
     rows of ≥1 band collide.  Output: (id_a, id_b, n_bands_agree).
@@ -313,7 +343,7 @@ def minhash_lsh_pairs(
     band-hash) — a shuffle on band buckets, never all-pairs.
     """
     banded = banded_signatures(
-        df, id_col, text_col, num_hashes, bands, shingle_n, seed
+        df, id_col, text_col, num_hashes, bands, shingle_n, seed, shingle_hash
     )
     # cache once: the signature UDF must not run twice for the self-join
     # (persist, not localCheckpoint — plans containing Python UDFs are not
@@ -332,6 +362,7 @@ def minhash_lsh_delta_pairs(
     shingle_n: int = 3,
     seed: int = 42,
     broadcast_deltas: bool = True,
+    shingle_hash: str = "xxhash64",
 ) -> tuple[DataFrame, DataFrame]:
     """INCREMENTAL LSH dedup — the candidate-pair CDC under a corpus
     delta, without re-fingerprinting the corpus.
@@ -366,7 +397,7 @@ def minhash_lsh_delta_pairs(
     # the state itself (no recompute, and bit-identical to what was
     # originally indexed)
     dp = banded_signatures(
-        ins_docs, id_col, text_col, num_hashes, bands, shingle_n, seed
+        ins_docs, id_col, text_col, num_hashes, bands, shingle_n, seed, shingle_hash
     ).persist()
     dm = state.join(bc(del_ids), on="id", how="leftsemi").persist()
     surv = state.join(bc(del_ids), on="id", how="left_anti")
@@ -390,9 +421,18 @@ def minhash_lsh_delta_pairs(
 # --------------------------------------------------------------------------
 
 def simhash64(
-    df: DataFrame, id_col: str, text_col: str, shingle_n: int = 2
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    shingle_n: int = 2,
+    shingle_hash: str = "xxhash64",
 ) -> DataFrame:
-    """64-bit SimHash per document (Arrow pandas_udf, numpy bit-count)."""
+    """64-bit SimHash per document (Arrow pandas_udf, numpy bit-count).
+
+    ``shingle_hash="md5"`` uses a 60-bit hash from the first 15 hex
+    chars of md5 — reproducible in ANSI SQL (the top 4 bits vote 0 on
+    both engines), making the signature oracle-checkable; xxhash64 stays
+    the fast default."""
 
     @F.pandas_udf(T.LongType())
     def sim_udf(hashes: pd.Series) -> pd.Series:
@@ -423,11 +463,19 @@ def simhash64(
                 j += 1
         return pd.Series(vals, dtype=np.int64)
 
+    if shingle_hash == "md5":
+        hs_expr = (
+            "transform(shingles, "
+            "s -> cast(conv(substring(md5(s), 1, 15), 16, 10) as bigint))"
+        )
+    elif shingle_hash == "xxhash64":
+        hs_expr = "transform(shingles, s -> xxhash64(s))"
+    else:
+        raise ValueError(f"shingle_hash must be xxhash64 or md5, got {shingle_hash!r}")
     sh = with_word_shingles(df.select(id_col, text_col), text_col, n=shingle_n)
-    # full 64-bit JVM-side shingle hashes (no Python hashing in the loop)
+    # full-width JVM-side shingle hashes (no Python hashing in the loop)
     sh = sh.select(
-        F.col(id_col).alias("id"),
-        F.expr("transform(shingles, s -> xxhash64(s))").alias("hs"),
+        F.col(id_col).alias("id"), F.expr(hs_expr).alias("hs")
     ).localCheckpoint(eager=True)
     return sh.select("id", sim_udf(F.col("hs")).alias("simhash"))
 
@@ -438,12 +486,13 @@ def simhash_near_pairs(
     text_col: str,
     max_hamming: int = 8,
     shingle_n: int = 2,
+    shingle_hash: str = "xxhash64",
 ) -> DataFrame:
     """Near-dup pairs by SimHash: band on 16-bit chunks (any equal chunk
     → candidate; guarantees recall for Hamming ≤ 3 by pigeonhole at
     4 chunks), then verify Hamming distance ≤ max_hamming JVM-side
     (bit_count of xor — no Python in the join path)."""
-    sigs = simhash64(df, id_col, text_col, shingle_n)
+    sigs = simhash64(df, id_col, text_col, shingle_n, shingle_hash)
     chunks = sigs.select(
         "id",
         "simhash",

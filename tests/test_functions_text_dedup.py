@@ -700,3 +700,43 @@ def test_minhash_lsh_delta_pairs_invariant(spark):
     # the new state continues: next batch over new_state equals fresh index
     fresh = dedup.banded_signatures(applied, "doc_id", "text", num_hashes=32, bands=8)
     assert sorted(map(tuple, new_state.collect())) == sorted(map(tuple, fresh.collect()))
+
+
+def test_minhash_md5_variant_recovers_planted_dups(spark, docs):
+    """The md5 shingle-hash variant (oracle-reproducible) must behave
+    like the xxhash64 default on planted near-identical docs: every
+    (orig, copy) pair collides on nearly all bands."""
+    from pyspark.sql import functions as F
+
+    from ivm_extension_spark.functions.dedup import minhash_lsh_pairs
+
+    base = docs.limit(20).select("doc_id", "text")
+    copies = base.select(
+        (F.col("doc_id") + 1000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" tail")).alias("text"),
+    )
+    corpus = base.unionByName(copies)
+    for hashed in ("xxhash64", "md5"):
+        pairs = minhash_lsh_pairs(
+            corpus, "doc_id", "text", num_hashes=64, bands=16, shingle_hash=hashed
+        )
+        got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+        planted = {(i, i + 1000) for (i,) in base.select("doc_id").collect()}
+        assert planted <= got, (hashed, planted - got)
+
+
+def test_simhash_md5_variant_zero_hamming_on_exact_dups(spark, docs):
+    from pyspark.sql import functions as F
+
+    from ivm_extension_spark.functions.dedup import simhash_near_pairs
+
+    base = docs.limit(10).select("doc_id", "text")
+    copies = base.select(
+        (F.col("doc_id") + 1000).alias("doc_id"), F.col("text")
+    )
+    pairs = simhash_near_pairs(
+        base.unionByName(copies), "doc_id", "text", max_hamming=0, shingle_hash="md5"
+    )
+    got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+    planted = {(i, i + 1000) for (i,) in base.select("doc_id").collect()}
+    assert planted <= got
