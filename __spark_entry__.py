@@ -1350,6 +1350,27 @@ def _q_ivm_merge_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return eng.merge_view("v")
 
 
+def _q_ivm_merge_hll_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maintained HLL distinct-count sketch (functions/hll.py): the
+    register state absorbs an insert-only delta via bucket-wise max —
+    exact w.r.t. set union, so the merged estimate equals a full
+    recompute bit-for-bit (oracle = the twin formula over the post-delta
+    table).  State is O(groups x 4096 tinyint registers); the base is
+    never rescanned on merge."""
+    from ivm_extension_spark.functions import hll
+
+    eng = _engine(spark, sf_dir)
+    orders = eng.table("orders")
+    keys = ("o_orderstatus",)
+    state = hll.hll_registers(
+        orders.filter("NOT (o_orderkey % 5 = 0)"), keys, "o_custkey", p=12
+    )
+    delta_regs = hll.hll_registers(
+        orders.filter("o_orderkey % 5 = 0"), keys, "o_custkey", p=12
+    )
+    return hll.hll_estimate(hll.hll_merge(state, delta_regs, keys), keys, p=12)
+
+
 def _q_formats_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Connector-surface evidence (sources/formats.py): the orders table
     round-trips through a header CSV write and a hive-partitioned JSON
@@ -1884,16 +1905,20 @@ def _q_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_approx_distinct_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # rows-only: HLL++ estimates are engine-specific; the check pins row
-    # count + schema, the test pins the error bound vs exact
+    """Deterministic HyperLogLog (functions/hll.py): registers AND the
+    estimate are bit-identical across engines (md5-derived hash,
+    integer-scaled harmonic sum), so unlike approx_count_distinct this
+    sketch is value-hash-checked against the DuckDB twin formula; the
+    exact distinct count rides along to expose the error."""
+    from ivm_extension_spark.functions import hll
+
     eng = _engine(spark, sf_dir)
-    return eng.table("lineitem").groupBy("l_returnflag").agg(
-        F.approx_count_distinct("l_orderkey", rsd=0.02).alias("approx_orders"),
-        F.expr(
-            "approx_percentile(CAST(round(l_extendedprice * 100) AS BIGINT), "
-            "array(0.5, 0.99), 10000)"
-        ).alias("approx_price_pcts"),
+    li = eng.table("lineitem")
+    est = hll.hll_distinct(li, ("l_returnflag",), "l_orderkey", p=12)
+    exact = li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_orderkey").alias("n_distinct_exact")
     )
+    return est.join(exact, "l_returnflag")
 
 
 def _q_scalar_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1985,6 +2010,7 @@ _EXTRA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "formats_roundtrip": _q_formats_roundtrip,
     "ivm_merge_dedup_index": _q_ivm_merge_dedup_index,
     "ivm_merge_corpus_stats": _q_ivm_merge_corpus_stats,
+    "ivm_merge_hll_sketch": _q_ivm_merge_hll_sketch,
     "dedup_minhash_incremental": _q_dedup_minhash_incremental,
 }
 
@@ -2843,6 +2869,31 @@ def _simhash_oracle(max_hamming: int) -> str:
         """
 
 
+def _hll_sketch_oracle() -> str:
+    """DuckDB twin of the deterministic-HLL sketch query (the identical
+    register construction and estimator formula — functions/hll.py)."""
+    from ivm_extension_spark.functions.hll import hll_oracle_sql
+
+    inner = hll_oracle_sql("lineitem", ("l_returnflag",), "l_orderkey", p=12)
+    return f"""
+        SELECT h.l_returnflag, h.n_distinct_hll,
+               CAST(x.n_distinct_exact AS BIGINT) AS n_distinct_exact
+        FROM ({inner}) h
+        JOIN (SELECT l_returnflag, count(DISTINCT l_orderkey) AS n_distinct_exact
+              FROM lineitem GROUP BY l_returnflag) x
+          ON h.l_returnflag = x.l_returnflag
+    """
+
+
+def _hll_merge_oracle() -> str:
+    """Oracle for the maintained-sketch lifecycle: bucket-wise max-merge
+    of base + delta registers is exact w.r.t. union, so the merged
+    estimate equals the twin formula over the whole table."""
+    from ivm_extension_spark.functions.hll import hll_oracle_sql
+
+    return hll_oracle_sql("orders", ("o_orderstatus",), "o_custkey", p=12)
+
+
 def _stop_filter(words: tuple[str, ...]) -> str:
     cond = " OR ".join(f"w = '{x}'" for x in words)
     return f"len(list_filter(toks, w -> {cond}))"
@@ -3243,6 +3294,8 @@ def _extras_oracle_sql() -> dict[str, str]:
         "dedup_minhash_incremental": _minhash_incremental_oracle(
             num_hashes=64, bands=16, seed=42
         ),
+        "approx_distinct_sketch": _hll_sketch_oracle(),
+        "ivm_merge_hll_sketch": _hll_merge_oracle(),
         "dedup_embedding": f"""
             SELECT a.vec_id AS id_a, b.vec_id AS id_b, {cos} AS cos_sim
             FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS av FROM embeddings) a
