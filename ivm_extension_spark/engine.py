@@ -109,6 +109,9 @@ class IVMEngine:
         self.merge_strategy = merge_strategy
         self.patch_min_state_rows = patch_min_state_rows
         self._state_rows: dict[str, int] = {}  # measured post-merge (auto mode)
+        # advanced-but-uncommitted aux relations: _advance_aux stages here,
+        # merge_view commits together with the new state (retry safety)
+        self._pending_aux: dict[str, tuple[DataFrame, int]] = {}
         self._tables: dict[str, DataFrame] = {}
         self._deltas: dict[str, DataFrame] = {}
         self._views: dict[str, ViewDef] = {}
@@ -202,6 +205,7 @@ class IVMEngine:
             self._merge_counts,
             self._state_rows,
             self._aux_rows,
+            self._pending_aux,
         ):
             d.pop(name, None)
 
@@ -585,6 +589,11 @@ class IVMEngine:
             # cheap block-scan over the just-checkpointed state; feeds the
             # adaptive strategy choice for the NEXT batch
             self._state_rows[name] = new_state.count()
+        pend = self._pending_aux.pop(name, None)
+        if pend is not None:
+            # commit the advanced aux multiset only now, atomically with
+            # the state swap — a merge that failed earlier left both as-is
+            self._aux[name], self._aux_rows[name] = pend
         self._delta_views.pop(name, None)
         self._merge_counts[name] = self._merge_counts.get(name, 0) + 1
         return merge_ops.finalize(new_state, vdef)
@@ -796,8 +805,11 @@ class IVMEngine:
         new_aux = auxstate.merge_aux(
             self._aux[name], da, broadcast_delta=use_split
         ).localCheckpoint(eager=True)
-        self._aux_rows[name] = new_aux.count()
-        self._aux[name] = new_aux
+        # do NOT assign self._aux yet: merge_view commits the advanced aux
+        # together with the new state at the END, so a failed merge leaves
+        # the engine unchanged and is safely retryable (a mid-merge
+        # assignment would double-advance the multiset on replay)
+        self._pending_aux[name] = (new_aux, new_aux.count())
         # re-derive only the TOUCHED groups: Δaux's group-key set is
         # O(|Δ|) and broadcast; the aux slice behind it is scanned
         # narrowly, so the per-batch derive is O(touched values), not a
@@ -927,6 +939,7 @@ class IVMEngine:
         state._ivm_pinned = True
         self._state[name] = state
         self._delta_views.pop(name, None)
+        self._pending_aux.pop(name, None)  # fresh aux was just re-initialized
         if self.merge_strategy == "auto":
             self._state_rows[name] = state.count()
         return merge_ops.finalize(state, vdef)

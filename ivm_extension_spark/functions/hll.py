@@ -81,7 +81,11 @@ def hll_registers(
     h = hash60_expr(value_col)
     m = 1 << p
     return (
-        df.select(
+        # NULLs don't count as a distinct value (countDistinct
+        # semantics); unfiltered they'd emit a phantom NULL register that
+        # biases the estimate
+        df.filter(F.col(value_col).isNotNull())
+        .select(
             *group_cols,
             F.expr(f"({h}) & {m - 1}").alias("bucket"),
             F.expr(rho_expr(h, p)).alias("rho"),
@@ -181,6 +185,7 @@ def hll_oracle_sql(
         WITH regs AS (
             SELECT {gcols}, ({h}) & {m - 1} AS bucket, max({rho}) AS r
             FROM {table}
+            WHERE {value_col} IS NOT NULL
             GROUP BY {gcols}, ({h}) & {m - 1}
         ),
         agg AS (

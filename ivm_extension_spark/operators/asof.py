@@ -49,6 +49,19 @@ def asof_join(
     """
     keys = list(key_cols)
     lcols = left.columns
+    # output columns must not collide with left's (two same-named
+    # columns would make every downstream reference ambiguous — same
+    # validation as range_join)
+    clashes = (set(value_cols) | {right_ts_alias}) & set(lcols)
+    if clashes:
+        raise ValueError(
+            f"value_cols/right_ts_alias collide with left columns: {sorted(clashes)}"
+        )
+    # a NULL right timestamp satisfies no `right.ts <= left.ts`
+    # predicate, but asc ordering sorts NULLS FIRST — unfiltered it
+    # would be carried as a phantom as-of match for rows with no true
+    # predecessor
+    right = right.filter(F.col(ts_col).isNotNull())
     payload = F.struct(
         *[F.col(v).alias(v) for v in value_cols], F.col(ts_col).alias("__ts")
     )

@@ -54,18 +54,8 @@ def range_join(
     p = points.withColumn(
         _BIN, F.floor(F.col(point_col) / F.lit(bin_width)).cast("long")
     )
-    i = intervals.withColumn(
-        _BIN,
-        F.explode(
-            F.sequence(
-                F.floor(F.col(lo_col) / F.lit(bin_width)).cast("long"),
-                F.least(
-                    F.floor(F.col(hi_col) / F.lit(bin_width)).cast("long"),
-                    F.floor(F.col(lo_col) / F.lit(bin_width)).cast("long")
-                    + F.lit(max_bins_per_interval),
-                ),
-            )
-        ),
+    i = _explode_interval_bins(
+        intervals, lo_col, hi_col, bin_width, max_bins_per_interval
     )
     joined = p.join(i, on=[_BIN, *key_cols], how="inner").filter(
         (F.col(point_col) >= F.col(lo_col)) & (F.col(point_col) <= F.col(hi_col))
@@ -76,16 +66,61 @@ def range_join(
     matched = joined.select(*out_cols)
     if how == "inner":
         return matched
-    # left: anti-join the unmatched points back in with NULL intervals
-    unmatched = points.join(
-        matched.select(*points.columns).distinct(), on=points.columns, how="left_anti"
-    )
+    # left: anti-join the unmatched points back in with NULL intervals.
+    # A point row's match status depends only on (key_cols, point_col),
+    # and the probe must be NULL-SAFE: a null-unsafe anti-join on all
+    # point columns would re-emit any matched row carrying a NULL column
+    # as a spurious NULL-padded duplicate.
+    probe_cols = [*key_cols, point_col]
+    mk = joined.select(
+        *[F.col(c).alias(f"__mk_{c}") for c in probe_cols]
+    ).distinct()
+    cond = None
+    for c in probe_cols:
+        term = F.col(c).eqNullSafe(F.col(f"__mk_{c}"))
+        cond = term if cond is None else cond & term
+    unmatched = points.join(mk, on=cond, how="left_anti")
     for c in intervals.columns:
         if c not in key_cols:
             unmatched = unmatched.withColumn(
                 c, F.lit(None).cast(intervals.schema[c].dataType)
             )
     return matched.unionByName(unmatched.select(*out_cols))
+
+
+def _explode_interval_bins(
+    intervals: DataFrame,
+    lo_col: str,
+    hi_col: str,
+    bin_width: float,
+    max_bins: int,
+) -> DataFrame:
+    """Explode each interval to its covered bins.  Empty intervals
+    (lo > hi — nothing can satisfy BETWEEN) and NULL bounds are dropped;
+    an interval spanning more than ``max_bins`` bins raises at runtime
+    instead of silently truncating its upper bins (which would drop
+    valid matches) — widen ``bin_width`` or raise the cap for such data.
+    """
+    lob = F.floor(F.col(lo_col) / F.lit(bin_width)).cast("long")
+    hib = F.floor(F.col(hi_col) / F.lit(bin_width)).cast("long")
+    guarded_hi = F.when(
+        hib - lob > F.lit(max_bins),
+        F.raise_error(
+            F.concat(
+                F.lit(
+                    f"interval wider than max_bins_per_interval={max_bins} "
+                    f"bins at bin_width={bin_width}: ["
+                ),
+                F.col(lo_col).cast("string"),
+                F.lit(", "),
+                F.col(hi_col).cast("string"),
+                F.lit("] — widen bin_width or raise the cap"),
+            )
+        ).cast("long"),
+    ).otherwise(hib)
+    return intervals.filter(F.col(lo_col) <= F.col(hi_col)).withColumn(
+        _BIN, F.explode(F.sequence(lob, guarded_hi))
+    )
 
 
 def range_left_join_delta(
@@ -146,18 +181,10 @@ def range_left_join_delta(
         )
 
     def ibin(df: DataFrame) -> DataFrame:
-        return df.withColumn(
-            _BIN,
-            F.explode(
-                F.sequence(
-                    F.floor(F.col(lo_col) / F.lit(bin_width)).cast("long"),
-                    F.least(
-                        F.floor(F.col(hi_col) / F.lit(bin_width)).cast("long"),
-                        F.floor(F.col(lo_col) / F.lit(bin_width)).cast("long")
-                        + F.lit(max_bins_per_interval),
-                    ),
-                )
-            ),
+        # same explode as range_join: empty/NULL intervals dropped, an
+        # over-wide interval raises instead of silently losing matches
+        return _explode_interval_bins(
+            df, lo_col, hi_col, bin_width, max_bins_per_interval
         )
 
     in_range = (F.col(point_col) >= F.col(lo_col)) & (

@@ -228,12 +228,14 @@ class ViewDef:
             group_by=tuple(d["group_by"]),
             joins=tuple(JoinSpec(*j) for j in d["joins"]),
             output_order=tuple(d["output_order"]),
-            having=d["having"],
+            # post-v1 fields default when absent so catalogs saved by an
+            # earlier build still load (same pattern qualify already used)
+            having=d.get("having"),
             qualify=d.get("qualify"),
-            distinct=d["distinct"],
-            grouping_sets=tuple(tuple(g) for g in d["grouping_sets"]),
-            order_by=tuple(tuple(o) for o in d["order_by"]),
-            limit=d["limit"],
+            distinct=bool(d.get("distinct", False)),
+            grouping_sets=tuple(tuple(g) for g in d.get("grouping_sets", ())),
+            order_by=tuple(tuple(o) for o in d.get("order_by", ())),
+            limit=d.get("limit"),
         )
 
     @property

@@ -63,6 +63,10 @@ class StreamingViewMaintainer:
         self.state_dir = state_dir
         self.batches_applied = 0
         self.last_batch_id = -1
+        # batch id whose merge committed but whose base fold/snapshot has
+        # not — an in-process replay of exactly this batch must skip the
+        # merge (see _process_batch)
+        self._merged_batch_id: int | None = None
         if state_dir is not None:
             import json
             from pathlib import Path
@@ -79,6 +83,15 @@ class StreamingViewMaintainer:
         # must not double-apply
         if batch_id <= self.last_batch_id:
             return
+        if batch_id == self._merged_batch_id:
+            # in-process replay of a batch whose MERGE committed but whose
+            # apply_delta (or snapshot) failed: the view already absorbed
+            # ΔV, so only the base fold is redone — without this flag the
+            # replay would merge ΔV a second time
+            self.engine.register_delta(self.table, batch_df)
+            self.engine.apply_delta(self.table)
+            self._finish_batch(batch_id)
+            return
         if len(batch_df.take(1)) == 0:
             self.last_batch_id = batch_id
             return
@@ -87,25 +100,32 @@ class StreamingViewMaintainer:
         self.engine.register_delta(self.table, batch_df)
         self.engine.ivm_upsert(self.view_name)
         self.engine.merge_view(self.view_name)
+        self._merged_batch_id = batch_id
         self.engine.apply_delta(self.table)
+        self._finish_batch(batch_id)
+
+    def _finish_batch(self, batch_id: int) -> None:
         self.batches_applied += 1
         self.last_batch_id = batch_id
+        self._merged_batch_id = None
         if self.state_dir is not None:
             # snapshot-then-marker commit: the state is saved to a NEW
-            # per-batch directory and the marker (written last) is the
-            # commit point.  A crash between the two leaves the marker on
-            # the previous snapshot, so recovery replays this batch into
-            # that older state — never a double-apply, never a loss.
+            # per-batch directory and the marker (written ATOMICALLY,
+            # last — temp file + rename) is the commit point.  A crash
+            # between the two leaves the marker on the previous snapshot,
+            # so recovery replays this batch into that older state —
+            # never a double-apply, never a loss, never a torn marker.
             import json
+            import os
             import shutil
             from pathlib import Path
 
             root = Path(self.state_dir)
             self.engine.save(str(root / f"engine-{batch_id}"))
             root.mkdir(parents=True, exist_ok=True)
-            (root / "last_batch_id.json").write_text(
-                json.dumps({"last_batch_id": batch_id})
-            )
+            tmp = root / "last_batch_id.json.tmp"
+            tmp.write_text(json.dumps({"last_batch_id": batch_id}))
+            os.replace(tmp, root / "last_batch_id.json")
             for old in root.glob("engine-*"):
                 if old.name != f"engine-{batch_id}":
                     shutil.rmtree(old, ignore_errors=True)
