@@ -898,6 +898,59 @@ def _q_ivm_merge_range_left_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return merged.select("o_orderkey", "price", "band")
 
 
+def _q_ivm_merge_range_full_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banded (theta) FULL OUTER-join maintenance
+    (operators/rangejoin.py range_full_join_delta): the LEFT rule's
+    terms plus the interval-preserved side.  The band delta inserts a
+    'vip' band covering no orders at this scale — its NULL-padded row
+    must ARRIVE with the delta — and deletes 'small', flipping its
+    exclusive points to NULL-padded."""
+    from ivm_extension_spark.operators.rangejoin import (
+        range_full_join_delta,
+        range_join,
+    )
+
+    eng = _engine(spark, sf_dir)
+    points = eng.table("orders").select(
+        "o_orderkey", F.col("o_totalprice").alias("price")
+    )
+    bands = spark.createDataFrame(_RJ_BANDS, "band string, lo double, hi double")
+    pred, mult = DELTA_DEFS["orders"]
+    d_points = (
+        eng.table("orders")
+        .filter(F.expr(pred))
+        .select(
+            "o_orderkey",
+            F.col("o_totalprice").alias("price"),
+            F.expr(mult).alias(MULT_COL),
+        )
+    )
+    d_bands = spark.createDataFrame(
+        _RJ_BAND_DELTA + [("vip", 3000000.0, 9000000.0, True)],
+        f"band string, lo double, hi double, {MULT_COL} boolean",
+    )
+
+    v_old = range_join(points, bands, "price", "lo", "hi", 50000.0, how="full")
+    dv = range_full_join_delta(
+        points, bands, d_points, d_bands, "price", "lo", "hi", 50000.0
+    )
+    cols = v_old.columns
+    merged = (
+        v_old.withColumn("__s", F.lit(1))
+        .unionByName(
+            dv.withColumn(
+                "__s", F.when(F.col(MULT_COL), F.lit(1)).otherwise(F.lit(-1))
+            ).drop(MULT_COL)
+        )
+        .groupBy(*cols)
+        .agg(F.sum("__s").alias("__n"))
+        .filter(F.col("__n") > 0)
+        .select(*cols, F.explode(F.expr("sequence(1, __n)")).alias("__i"))
+        .drop("__i")
+    )
+    return merged.select("o_orderkey", "price", "band")
+
+
 # --------------------------------------------------------------------------
 # beyond-reference: LLM-data-pipeline operators (dedup / similarity /
 # text analysis / multimodal) — ivm_extension_spark.functions
@@ -1556,6 +1609,7 @@ _IVM_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ivm_multibatch_rollup": _q_ivm_multibatch_rollup,
     "ivm_multibatch_deletes": _q_ivm_multibatch_deletes,
     "ivm_merge_range_left_join": _q_ivm_merge_range_left_join,
+    "ivm_merge_range_full_join": _q_ivm_merge_range_full_join,
     "ivm_cascade_rollup": _q_ivm_cascade_rollup,
     "ivm_maintain_all": _q_ivm_maintain_all,
 }
@@ -2532,6 +2586,22 @@ def oracle_sql() -> dict[str, str]:
             SELECT p.o_orderkey, p.price, b.band
             FROM pts p
             LEFT JOIN bands b ON p.price >= b.lo AND p.price <= b.hi
+        """,
+        "ivm_merge_range_full_join": f"""
+            WITH bands AS (
+                SELECT * FROM (VALUES
+                    ('mid', 40000.0, 200000.0),
+                    ('large', 150000.0, 1000000.0),
+                    ('jumbo', 250000.0, 2000000.0),
+                    ('vip', 3000000.0, 9000000.0)) b(band, lo, hi)
+            ),
+            pts AS (
+                SELECT o_orderkey, o_totalprice AS price
+                FROM {_applied_sql('orders')} o
+            )
+            SELECT p.o_orderkey, p.price, b.band
+            FROM pts p
+            FULL JOIN bands b ON p.price >= b.lo AND p.price <= b.hi
         """,
         "q13_custdist": """
             SELECT c_count, count(*) AS custdist

@@ -41,11 +41,14 @@ def range_join(
 
     Output: all point columns + all interval columns.  ``bin_width`` is
     in the units of ``point_col`` (for timestamps, cast to epoch seconds
-    first or pass numeric columns).  ``how`` supports 'inner' and
-    'left' (left keeps pointless rows with NULL interval columns).
+    first or pass numeric columns).  ``how`` supports 'inner', 'left'
+    (intervalless points kept with NULL interval columns) and 'full'
+    (additionally, pointless intervals kept with NULL point columns —
+    note empty/NULL-bounded intervals match nothing but ARE preserved
+    by FULL, exactly as recomputing the theta join would).
     """
-    if how not in ("inner", "left"):
-        raise ValueError(f"how must be 'inner' or 'left', got {how!r}")
+    if how not in ("inner", "left", "full"):
+        raise ValueError(f"how must be 'inner', 'left' or 'full', got {how!r}")
     overlap = (set(points.columns) & set(intervals.columns)) - set(key_cols)
     if overlap:
         raise ValueError(
@@ -66,12 +69,39 @@ def range_join(
     matched = joined.select(*out_cols)
     if how == "inner":
         return matched
-    # left: anti-join the unmatched points back in with NULL intervals.
-    # A point row's match status depends only on (key_cols, point_col),
-    # and the probe must be NULL-SAFE: a null-unsafe anti-join on all
-    # point columns would re-emit any matched row carrying a NULL column
-    # as a spurious NULL-padded duplicate.
-    probe_cols = [*key_cols, point_col]
+    # left/full: anti-join the unmatched points back in with NULL
+    # intervals.  A point row's match status depends only on
+    # (key_cols, point_col), and the probe must be NULL-SAFE: a
+    # null-unsafe anti-join on all point columns would re-emit any
+    # matched row carrying a NULL column as a spurious NULL-padded
+    # duplicate.
+    out = matched.unionByName(
+        _null_pad_anti(
+            points, joined, [*key_cols, point_col], intervals, key_cols
+        ).select(*out_cols)
+    )
+    if how == "left":
+        return out
+    # full: additionally preserve pointless intervals NULL-padded on the
+    # point side.  An interval's match set is determined by
+    # (key_cols, lo, hi) — payload columns don't affect matching, and
+    # duplicates share their fate.
+    unmatched_i = _null_pad_anti(
+        intervals, joined, [*key_cols, lo_col, hi_col], points, key_cols
+    )
+    return out.unionByName(unmatched_i.select(*out_cols))
+
+
+def _null_pad_anti(
+    side: DataFrame,
+    joined: DataFrame,
+    probe_cols: list[str],
+    other: DataFrame,
+    key_cols: tuple[str, ...],
+) -> DataFrame:
+    """Rows of ``side`` whose ``probe_cols`` never appear among the
+    matched rows, padded with NULLs for ``other``'s non-key columns
+    (null-safe probe)."""
     mk = joined.select(
         *[F.col(c).alias(f"__mk_{c}") for c in probe_cols]
     ).distinct()
@@ -79,13 +109,13 @@ def range_join(
     for c in probe_cols:
         term = F.col(c).eqNullSafe(F.col(f"__mk_{c}"))
         cond = term if cond is None else cond & term
-    unmatched = points.join(mk, on=cond, how="left_anti")
-    for c in intervals.columns:
+    unmatched = side.join(mk, on=cond, how="left_anti")
+    for c in other.columns:
         if c not in key_cols:
             unmatched = unmatched.withColumn(
-                c, F.lit(None).cast(intervals.schema[c].dataType)
+                c, F.lit(None).cast(other.schema[c].dataType)
             )
-    return matched.unionByName(unmatched.select(*out_cols))
+    return unmatched
 
 
 def _explode_interval_bins(
@@ -135,6 +165,7 @@ def range_left_join_delta(
     key_cols: tuple[str, ...] = (),
     max_bins_per_interval: int = 10_000,
     broadcast_deltas: bool = True,
+    full: bool = False,
 ) -> DataFrame:
     """Δ(P ⟕range I) — incremental maintenance of the banded LEFT join,
     the theta-outer-join case the equi rewrite rejects
@@ -283,7 +314,138 @@ def range_left_join_delta(
             t2.select(*points.columns, *null_i, F.col("__flip").alias(sign))
         )
 
+    if full:
+        # interval-preserved side (Δ(P ⟗range I)): symmetric machinery.
+        # An interval row's match set is determined by (key_cols, lo, hi)
+        # — empty/NULL-bounded intervals match nothing but ARE preserved.
+        ikey = [*key_cols, lo_col, hi_col]
+
+        def _null_points(df: DataFrame, w_col: str) -> DataFrame:
+            return df.select(
+                *[
+                    F.col(c)
+                    if c in key_cols
+                    else F.lit(None).cast(points.schema[c].dataType).alias(c)
+                    for c in points.columns
+                ],
+                *[F.col(c) for c in intervals.columns if c not in key_cols],
+                F.col(w_col).alias(sign),
+            )
+
+        def _ikey_anti(side_df: DataFrame, keys_df: DataFrame) -> DataFrame:
+            mk = keys_df.select(
+                *[F.col(c).alias(f"__ik_{c}") for c in ikey]
+            ).distinct()
+            cond = None
+            for c in ikey:
+                t = F.col(c).eqNullSafe(F.col(f"__ik_{c}"))
+                cond = t if cond is None else cond & t
+            return side_df.join(bc(mk), on=cond, how="left_anti")
+
+        # term 1': ΔI rows whose key has ZERO matches in P' = P ∪ ΔP
+        # carry their own NULL-padded row in/out with their sign
+        if di is not None:
+            dik = ibin(di.select(*ikey).distinct())
+            pprime = pbin(points).select(
+                *key_cols, point_col, _BIN, F.lit(1).alias("__w")
+            )
+            if dp is not None:
+                pprime = pprime.unionByName(
+                    pbin(dp).select(
+                        *key_cols, point_col, _BIN, F.col("__wp").alias("__w")
+                    )
+                )
+            mi_pos = (
+                pprime.join(bc(dik), on=[_BIN, *key_cols], how="inner")
+                .filter(in_range)
+                .groupBy(*ikey)
+                .agg(F.sum("__w").alias("__m"))
+                .filter(F.col("__m") > 0)
+                .select(*ikey)
+            )
+            branches.append(_null_points(_ikey_anti(di, mi_pos), "__wi"))
+
+        # term 2': existing I rows whose match count crosses zero under
+        # ΔP gain (-1) or lose (+1) their NULL-padded row.  Δm per
+        # DISTINCT interval key (several interval rows sharing a key
+        # flip together — the same distinct-keys rule as the point side)
+        if dp is not None:
+            dmi = (
+                ibin(intervals.select(*ikey).distinct())
+                .join(bc(pbin(dp)), on=[_BIN, *key_cols], how="inner")
+                .filter(in_range)
+                .groupBy(*ikey)
+                .agg(F.sum("__wp").alias("__dm"))
+                .filter(F.col("__dm") != 0)
+            )
+            mi_old = (
+                pbin(points)
+                .join(bc(ibin(dmi.select(*ikey))), on=[_BIN, *key_cols], how="inner")
+                .filter(in_range)
+                .groupBy(*ikey)
+                .agg(F.count(F.lit(1)).alias("__mold"))
+            )
+            flips_i = (
+                dmi.join(mi_old, on=ikey, how="left")
+                .withColumn("__mold", F.coalesce(F.col("__mold"), F.lit(0)))
+                .withColumn("__mnew", F.col("__mold") + F.col("__dm"))
+                .withColumn(
+                    "__flip",
+                    F.when(
+                        (F.col("__mold") == 0) & (F.col("__mnew") > 0), F.lit(-1)
+                    ).when(
+                        (F.col("__mold") > 0) & (F.col("__mnew") <= 0), F.lit(1)
+                    ),
+                )
+                .filter(F.col("__flip").isNotNull())
+                .select(
+                    *[F.col(c).alias(f"__ik_{c}") for c in ikey], "__flip"
+                )
+            )
+            cond = None
+            for c in ikey:
+                t = F.col(c).eqNullSafe(F.col(f"__ik_{c}"))
+                cond = t if cond is None else cond & t
+            t2i = intervals.join(bc(flips_i), on=cond, how="inner").drop(
+                *[f"__ik_{c}" for c in ikey]
+            )
+            branches.append(_null_points(t2i, "__flip"))
+
     out = branches[0]
     for b in branches[1:]:
         out = out.unionByName(b)
     return out.select(*out_cols, (F.col(sign) > 0).alias(MULT_COL))
+
+
+def range_full_join_delta(
+    points: DataFrame,
+    intervals: DataFrame,
+    d_points: DataFrame | None,
+    d_intervals: DataFrame | None,
+    point_col: str,
+    lo_col: str,
+    hi_col: str,
+    bin_width: float,
+    key_cols: tuple[str, ...] = (),
+    max_bins_per_interval: int = 10_000,
+    broadcast_deltas: bool = True,
+) -> DataFrame:
+    """Δ(P ⟗range I) — FULL OUTER banded join maintenance: the LEFT
+    rule's terms plus the interval-preserved side (ΔI arrivals/departures
+    of pointless intervals, and zero-crossing flips of existing intervals
+    under ΔP).  Same scale shape: the big sides are only ever probed by
+    broadcast delta-derived sets."""
+    return range_left_join_delta(
+        points,
+        intervals,
+        d_points,
+        d_intervals,
+        point_col,
+        lo_col,
+        hi_col,
+        bin_width,
+        key_cols,
+        max_bins_per_interval,
+        broadcast_deltas,
+        full=True,
+    )

@@ -333,16 +333,20 @@ iv_row_st = st.tuples(
     iv_ins=st.lists(iv_row_st, min_size=0, max_size=3, unique_by=lambda r: r[0]),
     pt_del_mask=st.lists(st.booleans(), min_size=8, max_size=8),
     iv_del_mask=st.lists(st.booleans(), min_size=5, max_size=5),
+    how=st.sampled_from(["left", "full"]),
 )
 def test_range_left_join_delta_invariant_property(
-    spark, pts, ivs, pt_ins, iv_ins, pt_del_mask, iv_del_mask
+    spark, pts, ivs, pt_ins, iv_ins, pt_del_mask, iv_del_mask, how
 ):
     from pyspark.sql import functions as F
 
     from ivm_extension_spark.operators.rangejoin import (
+        range_full_join_delta,
         range_join,
         range_left_join_delta,
     )
+
+    delta_fn = range_left_join_delta if how == "left" else range_full_join_delta
     from ivm_extension_spark.operators.rewrite import MULT_COL
 
     # disjoint id spaces for inserts vs base (deltas stay consistent)
@@ -386,8 +390,8 @@ def test_range_left_join_delta_invariant_property(
     dP = pdelta(pt_ins, pt_dels) if (pt_ins or pt_dels) else None
     dI = idelta(iv_ins, iv_dels) if (iv_ins or iv_dels) else None
 
-    dv = range_left_join_delta(P, I, dP, dI, "pt", "lo", "hi", bin_width=13.0)
-    v_old = range_join(P, I, "pt", "lo", "hi", 13.0, how="left")
+    dv = delta_fn(P, I, dP, dI, "pt", "lo", "hi", bin_width=13.0)
+    v_old = range_join(P, I, "pt", "lo", "hi", 13.0, how=how)
     cols = v_old.columns
     merged = (
         v_old.withColumn("__s", F.lit(1))
@@ -404,5 +408,5 @@ def test_range_left_join_delta_invariant_property(
     )
     P2 = pdf([r for r in pts if r not in pt_dels] + pt_ins)
     I2 = idf([r for r in ivs if r not in iv_dels] + iv_ins)
-    recomputed = range_join(P2, I2, "pt", "lo", "hi", 13.0, how="left")
+    recomputed = range_join(P2, I2, "pt", "lo", "hi", 13.0, how=how)
     assert rows(merged) == rows(recomputed)
