@@ -544,7 +544,6 @@ class IVMEngine:
                 st._ivm_pinned = True
                 self._state[name] = st
         self._last_merge_strategy = strategy  # observable for tests/telemetry
-        self._merge_strategy_by_view[name] = strategy
         new_state = merge_ops.merge(
             self._state[name], dv, self._iviews[name], derived, strategy
         )
@@ -596,6 +595,9 @@ class IVMEngine:
             self._aux[name], self._aux_rows[name] = pend
         self._delta_views.pop(name, None)
         self._merge_counts[name] = self._merge_counts.get(name, 0) + 1
+        # recorded only after the state swap committed, so stats() never
+        # reports a strategy for a merge that failed mid-way
+        self._merge_strategy_by_view[name] = strategy
         return merge_ops.finalize(new_state, vdef)
 
     def merge_view_cdc(self, name: str) -> DataFrame:

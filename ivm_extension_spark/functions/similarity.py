@@ -418,3 +418,124 @@ def centroid_update(
         .filter(F.col("n") > 0)
     )
     return _assemble_centroid_state(merged)
+
+
+# ---------------------------------------------------------------------------
+# Frozen IVF quantizer (the FAISS deployment shape: train once, serve many).
+#
+# Trained by scripts/train_ivf_centroids.py — the same spherical k-means as
+# ivf_train (seed 11, 4096-row sample, 10 Lloyd iterations) over the sf0.01
+# embeddings table, rounded to 6 decimals so BOTH engines (Spark and the
+# DuckDB oracle) parse bit-identical double literals.  Serving with a frozen
+# quantizer makes the whole IVF path deterministic and oracle-checkable:
+# cell assignment and exact scoring are sequential folds over identical
+# constants on both sides (VERDICT.md r2 item 2).
+# ---------------------------------------------------------------------------
+PRETRAINED_CENTROIDS_D64_K16: list[list[float]] = [
+    [-0.074934, -0.026992, -0.143688, -0.0802, 0.102457, -0.062706, 0.146461, -0.027621, 0.107693, -0.277579, -0.069779, -0.275003, -0.100948, 0.212153, 0.121473, -0.09408, 0.019032, 0.287721, 0.128529, -0.152101, 0.176666, 0.121226, -0.035214, 0.094994, -0.156826, -0.002918, -0.230436, 0.060384, 0.06124, 0.070152, -0.036874, -0.010144, -0.223539, 0.006023, 0.048737, 0.075496, -0.107701, 0.049489, -0.170599, 0.365252, -0.047545, -0.1676, 0.066116, -0.078135, 0.08913, 0.006689, 0.124655, -0.068065, -0.001931, 0.056483, -0.139967, 0.098102, 0.104105, -0.088887, 0.128605, -0.045808, -0.045945, -0.127896, -0.052708, -0.027457, -0.100157, -0.063712, 0.037628, -0.024658],
+    [0.042285, 0.183414, -0.080109, 0.006595, -0.081393, -0.043188, 0.162297, 0.182122, -0.133286, -0.130858, -0.076502, 0.073382, 0.038109, 0.14569, -0.077861, 0.03685, -0.122495, -0.270388, 0.084738, -0.057221, 0.083741, 0.011689, 0.148015, -0.186816, 0.066909, -0.007348, -0.165208, 0.105157, 0.128619, -0.049595, 0.045002, 0.03906, 0.057305, 0.154026, -0.044923, -0.084112, 0.083283, -0.015197, 0.415844, -0.047483, 0.038347, -0.033398, 0.05677, -0.030912, -0.024404, -0.064708, 0.00516, -0.121037, 0.143627, -0.18995, 0.100129, 0.256041, -0.012102, -0.075077, -0.122515, -0.052142, 0.065291, -0.329633, 0.015416, -0.112383, 0.020393, 0.047652, 0.123057, 0.204522],
+    [0.145112, 0.061288, -0.034245, -0.117295, -0.043203, -0.031026, 0.075926, -0.249653, 0.086992, -0.237834, 0.132024, 0.115343, 0.239592, 0.097864, 0.132716, -0.053179, -0.157346, 0.178718, 0.003957, 0.087062, -0.078715, 0.087079, -0.089375, -0.067555, 0.071178, 0.219121, -0.097458, -0.113819, -0.048002, 0.02088, -0.091994, -0.10405, 0.093869, -0.117372, -0.142773, -0.115341, 0.028218, -0.183891, -0.150777, 0.024382, 0.193183, -0.121021, -0.036183, -0.189468, 0.112508, -0.020768, 0.034802, 0.027384, 0.134164, -0.124041, -0.118968, -0.140934, 0.110864, -0.18019, -0.052979, 0.055619, -0.020481, 0.025151, 0.243879, -0.288277, 0.11516, 0.069743, -0.110974, -0.091016],
+    [0.020944, 0.248933, 0.123107, 0.059055, 0.239063, 0.219752, -0.029473, -0.129937, -0.171319, 0.037937, 0.087705, -0.1085, -0.122629, 0.149143, -0.002158, 0.116747, -0.14686, 0.001683, -0.190505, -0.090784, -0.036434, -0.077368, -0.021696, 0.004358, -0.026842, 0.029151, 0.09745, -0.002857, 0.162671, 0.051055, 0.011005, -0.139009, -0.051341, -0.076861, -0.05083, -0.003519, -0.017868, 0.070838, -0.139462, 0.058187, 0.010709, -0.213606, 0.108737, 0.085535, -0.156914, 0.020542, 0.189708, 0.13477, 0.060868, 0.142185, 0.172142, -0.057532, -0.000243, -0.00421, -0.065248, 0.08576, 0.362421, 0.071104, -0.071726, 0.073205, 0.250492, -0.276054, 0.144389, 0.049983],
+    [0.079481, -0.13574, -0.04009, 0.097915, 0.093752, -0.232573, -0.253643, 0.03403, 0.144448, -0.005787, 0.092539, 0.04062, 0.007896, 0.029531, 0.120113, -0.03713, -0.001109, 0.006503, -0.1199, 0.080957, 0.045351, 0.04847, 0.069604, -0.163453, -0.086959, 0.102851, 0.06492, 0.076797, -0.154502, 0.06359, -0.148117, 0.089759, -0.256699, -0.120293, -0.082866, -0.042329, -0.22525, 0.238582, -0.133045, -0.069063, -0.107798, 0.06395, -0.153467, 0.209092, 0.134295, 0.144237, 0.040365, 0.013353, 0.166206, -0.191619, 0.227909, 0.274269, -0.136876, 0.064902, 0.014659, 0.046671, -0.014687, 0.116774, -0.022074, -0.17015, 0.069252, -0.011862, -0.134239, -0.137319],
+    [0.011719, 0.28028, -0.156784, -0.139541, 0.076874, 0.037832, -0.090213, 0.27014, 0.25111, 0.026876, -0.278177, -0.009019, -0.031176, -0.160031, -0.05401, 0.099612, 0.001921, -0.023011, -0.143709, -0.066054, 0.166057, -0.01445, 0.072628, -0.015213, -0.015574, -0.118573, -0.198277, -0.096196, -0.163439, 0.033422, 0.145118, -0.072723, -0.085547, -0.000363, -0.10522, -0.105132, 0.203112, 0.093142, 0.070241, -0.106973, 0.077597, 0.02887, -0.09969, -0.088188, -0.012161, 0.077519, -0.010011, 0.182914, -0.1262, -0.043186, -0.067666, -0.080068, -0.044082, -0.021227, 0.152041, -0.010993, -0.033569, 0.139795, -0.323864, -0.032977, -0.03456, -0.216076, 0.197565, -0.065128],
+    [-0.09709, -0.097141, 0.090921, -0.034779, 0.077423, -0.067287, 0.234974, 0.008142, -0.007825, -0.116324, 0.175724, -0.234894, -0.192882, -0.037826, -0.285655, 0.05358, 0.077296, 0.138297, 0.075716, 0.175548, -0.095793, 0.001277, -0.038438, -0.15966, -0.304596, -0.001151, -0.003022, -0.127369, 0.235145, 0.048203, -0.159192, -0.174853, -0.021775, 0.057839, 0.047836, 0.001852, 0.037401, 0.001125, 0.137064, 0.057446, 0.061102, -0.071175, -0.024884, 0.026524, -0.000624, -0.0815, -0.062368, 0.041105, -0.13471, 0.204309, 0.074791, -0.057398, 0.017441, -0.034089, 0.21311, -0.169484, -0.007865, 0.130303, 0.025129, -0.041611, -0.041999, 0.14898, -0.273913, -0.219203],
+    [0.206524, 0.057775, 0.105677, 0.032897, 0.140727, 0.039655, -0.378039, -0.131679, 0.015776, -0.047413, 0.051162, -0.140335, 0.020446, 0.002074, -0.104752, 0.227541, 0.064395, 0.123959, 0.059071, -0.06707, -0.177152, 0.056727, 0.031051, -0.007765, 0.105841, -0.107463, 0.113621, -0.006618, -0.0089, -0.128586, 0.20358, -0.064367, 0.030463, -0.132435, 0.167805, -0.195879, -0.162681, -0.093194, 0.138802, -0.04762, -0.091623, 0.161795, -0.044621, -0.058961, 0.016402, -0.012767, -0.027495, 0.185948, -0.019211, -0.047401, 0.00016, -0.164343, 0.2139, 0.061559, 0.182438, 0.054569, 0.055413, -0.046373, 0.24952, -0.00031, -0.232613, 0.096276, 0.188712, 0.108342],
+    [0.076487, -0.187538, 0.010141, -0.107439, 0.078315, 0.164889, -0.154315, 0.143675, 0.015528, 0.193867, -0.041041, 0.002903, -0.041695, -0.0645, -0.000655, -0.130594, 0.028246, 0.058846, 0.033145, 0.035231, 0.104859, -0.285717, 0.092001, -0.091462, -0.202938, 0.165125, 0.045206, 0.259232, -0.192423, 0.175458, 0.006797, -0.132684, 0.092599, -0.019992, 0.229721, 0.015916, -0.041509, 0.024847, 0.215934, 0.122765, -0.176088, -0.008288, 0.12418, 0.054833, -0.097692, -0.027627, -0.103019, -0.056739, 0.030149, 0.060105, -0.021138, -0.155666, -0.274384, 0.084436, 0.080366, 0.112833, 0.165835, -0.218984, 0.003633, -0.033017, 0.109858, 0.084868, 0.075176, -0.189466],
+    [-0.07472, -0.16978, 0.021072, 0.091792, 0.055392, 0.032577, 0.062059, 0.128788, -0.132575, 0.202582, -0.100053, 0.081742, -0.008476, -0.013222, 0.127996, 0.224499, 0.097555, -0.152812, 0.120899, 0.091341, 0.058203, -0.135623, -0.067118, 0.15053, -0.058918, 0.161659, -0.004185, -0.078341, -0.162712, -0.28218, -0.032541, -0.043616, 0.238173, -0.226699, 0.133571, -0.163162, 0.045488, -0.171055, -0.002687, -0.135988, 0.379413, -0.02986, 0.042769, -0.040764, 0.208048, -0.066179, 0.129183, -0.152522, -0.022215, 0.00663, -0.035495, 0.12068, 0.046863, 0.093211, -0.113324, -0.100441, 0.059194, 0.146161, 0.076872, -0.008428, -0.049342, 0.009768, -0.085269, -0.105046],
+    [0.181127, -0.055221, 0.071692, 0.029908, -0.145732, -0.062663, -0.182792, 0.054861, -0.061234, -0.107037, 0.110695, -0.014626, 0.087606, -0.226848, 0.053562, 0.055334, -0.139074, 0.042358, 0.229829, -0.061219, -0.151459, 0.003174, 0.048287, 0.229159, 0.237988, -0.058737, 0.056652, 0.138014, 0.105877, 0.126006, -0.001911, 0.263928, -0.069515, -0.025379, 0.03666, 0.064151, -0.082527, -0.005305, -0.062035, -0.105429, -0.059758, -0.089171, 0.124685, 0.019465, -0.123437, 0.115167, -0.036578, -0.101877, -0.300951, -0.014448, 0.080073, 0.009809, -0.058417, -0.042314, -0.017235, 0.163629, 0.078347, 0.047071, -0.437104, -0.044723, 0.126168, -0.146748, -0.017137, -0.00777],
+    [0.062139, -0.126898, -0.002413, 0.114771, -0.021018, 0.159672, -0.224905, 0.08817, -0.093454, -0.042707, 0.110891, 0.033176, 0.031932, 0.118087, 0.007279, 0.11758, -0.116202, 0.151167, -0.153809, -0.323416, 0.038489, 0.070656, 0.166795, -0.208593, -0.048127, -0.105081, 0.042245, 0.084181, -0.122699, -0.097907, -0.00638, -0.179488, 0.090457, 0.066605, -0.037173, 0.172657, 0.076406, 0.05891, 0.051844, 0.073401, -0.011961, -0.063878, 0.036565, -0.252372, -0.040336, -0.1246, -0.129048, 0.178213, 0.156035, -0.009335, -0.046874, -0.107835, -0.042285, 0.197596, 0.045817, -0.007306, -0.313836, 0.071604, -0.120876, 0.197307, -0.041385, 0.100758, -0.246676, 0.033062],
+    [-0.073511, -0.082721, 0.041739, -0.002946, -0.0387, -0.248597, 0.036781, 0.193157, -0.228862, 0.396897, 0.100329, 0.158017, 0.035631, -0.049739, -0.071943, -0.066952, 0.070542, 0.110599, -0.039578, 0.092233, -0.084841, 0.070824, -0.071038, 0.100478, 0.049415, 0.08011, -0.021092, -0.030332, 0.118808, 0.215824, 0.071443, 0.007985, 0.107826, 0.128548, -0.104971, 0.128837, 0.011867, -0.070581, -0.011865, -0.043522, -0.105628, 0.097825, -0.319759, 0.108668, -0.174861, -0.035752, 0.054738, 0.068664, -0.027665, -0.168404, 0.290441, -0.043334, 0.135784, 0.003347, -0.092198, -0.127963, -0.070626, -0.20796, -0.030486, -0.046159, -0.04451, 0.151678, -0.006168, -0.150656],
+    [-0.244038, -0.042539, -0.153322, -0.052488, -0.224851, 0.247561, -0.046562, 0.169767, 0.070779, -0.104046, -0.066078, 0.12604, -0.157848, 0.018874, -0.109041, 0.020898, 0.046623, -0.248575, 0.059512, 0.046057, -0.083697, 0.05644, 0.100011, 0.004848, 0.135793, 0.19736, 0.13768, 0.018052, -0.019582, -0.069459, 0.043367, 0.421054, 0.053831, -0.020283, -0.032614, 0.24971, -0.169496, 0.083741, -0.036477, 0.038329, -0.092657, -0.092953, -0.025949, 0.086584, -0.202628, 0.229956, 0.118865, 0.009728, 0.00182, 0.010462, 0.0194, -0.02383, 0.0402, -0.027513, -0.151281, -0.154321, 0.123298, 0.058382, 0.05536, 0.078704, -0.146921, 0.07548, -0.027608, 0.009554],
+    [-0.237168, 0.093273, 0.07779, -0.019887, 0.170663, 0.005599, -0.202003, -0.168244, -0.048193, -0.035234, -0.042615, 0.180249, -0.127385, -0.111629, 0.009918, -0.175663, 0.390576, -0.069155, 0.048118, 0.16499, -0.108648, 0.036488, -0.126689, -0.064408, -0.115637, -0.127643, 0.018235, 0.089155, 0.143447, -0.097002, 0.112635, -0.215084, 0.007248, 0.138678, 0.074074, 0.007191, 0.04714, 0.164421, -0.140263, -0.145465, -0.031372, -0.030867, 0.151417, -0.04181, -0.077357, -0.044282, -0.199342, -0.187725, -0.073142, -0.024335, -0.139704, 0.141963, -0.04162, -0.133354, -0.096313, 0.12541, -0.012736, -0.023138, -0.190124, -0.108491, -0.076798, 0.170416, 0.080855, 0.032658],
+    [0.0529, -0.143154, 0.189951, -0.127335, 0.072675, 0.13097, 0.033508, -0.067377, 0.161324, 0.134522, -0.036742, 0.045465, 0.140509, -0.007046, 0.151649, -0.161008, 0.121771, -0.121913, -0.169273, 0.086471, 0.113509, 0.0435, -0.059919, -0.031997, 0.161093, 0.070296, -0.077057, 0.188086, -0.143523, -0.089297, 0.121466, -0.004975, 0.204314, -0.076645, 0.161192, -0.042465, 0.060992, -0.23404, -0.13579, -0.078892, -0.119594, 0.030627, 0.08311, 0.174409, -0.098869, 0.051291, -0.195933, 0.015217, -0.18703, -0.173642, -0.020309, 0.0556, 0.244746, -0.116548, 0.185714, -0.128836, -0.181268, -0.045633, 0.240978, 0.112146, 0.027595, -0.064723, 0.114325, -0.017893],
+]
+
+
+def centroid_sims_sql(vec_col: str, centroids: list[list[float]]) -> str:
+    """array<double> of the sequential-fold dot product of ``vec_col``
+    against each centroid — the SQL-expression twin of ``ivf_assign``'s
+    matmul, shuffle-free and whole-stage-codegen'd."""
+    dots = []
+    for c in centroids:
+        arr = "array(" + ",".join(f"{x!r}D" for x in c) + ")"
+        dots.append(
+            f"aggregate(zip_with({vec_col}, {arr}, (x, y) -> x * y), 0D, "
+            "(acc, v) -> acc + v)"
+        )
+    return "array(" + ",".join(dots) + ")"
+
+
+def ivf_probe_cells_expr(
+    vec_col: str, centroids: list[list[float]], n_probe: int
+) -> Column:
+    """The ``n_probe`` nearest cell ids (dot desc, id asc) as array<int>,
+    computed entirely with built-in expressions: per-centroid fold dots,
+    then a struct array_sort — NO shuffle, NO Python, so assignment scans
+    the 100-TB vector table in place.  Ordering ties break on cell id,
+    matching the oracle's ``ORDER BY sim DESC, i ASC`` window exactly."""
+    k = len(centroids)
+    sims = centroid_sims_sql(vec_col, centroids)
+    ranked = (
+        f"array_sort(zip_with({sims}, sequence(0, {k - 1}), "
+        "(s, i) -> struct(-s AS ns, i AS i)))"
+    )
+    return F.expr(
+        f"transform(slice({ranked}, 1, {n_probe}), p -> CAST(p.i AS INT))"
+    )
+
+
+def ivf_topk_pretrained(
+    vectors: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    centroids: list[list[float]] | None = None,
+    n_probe: int = 4,
+) -> DataFrame:
+    """IVF top-k served from a FROZEN pre-trained quantizer
+    (:data:`PRETRAINED_CENTROIDS_D64_K16` by default).
+
+    Same probe semantics as :func:`ivf_topk` (vectors live in their single
+    nearest cell; queries score their ``n_probe`` nearest cells) but fully
+    deterministic and cross-engine value-checkable: no training step at
+    query time, assignment via :func:`ivf_probe_cells_expr` sequential
+    folds instead of a BLAS matmul (whose summation order differs).
+
+    Scale shape: the vector table is scanned once (assignment is a narrow
+    projection), the query side is broadcast after exploding its probe
+    cells, and ranking is a per-query-key window over candidate rows only
+    — at real scale the table would be written bucketed by cell so even
+    the candidate join is shuffle-free.
+    """
+    C = PRETRAINED_CENTROIDS_D64_K16 if centroids is None else centroids
+    v = vectors.select(
+        F.col(id_col).alias("nid"),
+        F.col(vec_col).cast("array<double>").alias("nv"),
+    ).withColumn("cell", F.element_at(ivf_probe_cells_expr("nv", C, 1), 1))
+    q = queries.select(
+        F.col(id_col).alias("qid"),
+        F.col(vec_col).cast("array<double>").alias("qv"),
+    ).withColumn("cell", F.explode(ivf_probe_cells_expr("qv", C, n_probe)))
+    scored = (
+        v.join(F.broadcast(q), on="cell")
+        .filter(F.col("nid") != F.col("qid"))
+        .select(
+            "qid",
+            "nid",
+            (F.round(cosine_expr("qv", "nv") * F.lit(10000.0)) / F.lit(10000.0)).alias(
+                "cos_sim"
+            ),
+        )
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("cos_sim").desc(), F.col("nid").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            F.col("qid").alias("query_id"),
+            F.col("nid").alias("neighbor_id"),
+            "cos_sim",
+            "rank",
+        )
+    )

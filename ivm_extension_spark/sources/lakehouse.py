@@ -139,9 +139,25 @@ class LakehouseStore:
             b: p for b, p in prev["buckets"].items() if b not in touched_set
         }
         buckets.update(written)  # a touched bucket with zero rows vanishes
-        self._publish(
-            view, version, buckets, keys, T.StructType.fromJson(json.loads(prev["schema"]))
-        )
+        # publish new_state's schema, not the previous manifest's: untouched
+        # buckets' files must still parse under it, so a redefinition that
+        # changes the shape while reusing the view name is an error, never a
+        # silently stale schema
+        prev_schema = T.StructType.fromJson(json.loads(prev["schema"]))
+
+        def _shape(s: T.StructType) -> list[tuple[str, str]]:
+            # names + types only: nullability and metadata drift between a
+            # parquet round-trip and an in-memory merge plan is benign
+            return [(f.name, f.dataType.simpleString()) for f in s.fields]
+
+        if buckets != written and _shape(new_state.schema) != _shape(prev_schema):
+            raise ValueError(
+                f"lakehouse commit for '{view}': state schema changed "
+                f"({prev_schema.simpleString()} -> "
+                f"{new_state.schema.simpleString()}) but untouched buckets "
+                "remain; use write_full to rewrite the snapshot"
+            )
+        self._publish(view, version, buckets, keys, new_state.schema)
 
     def _publish(
         self,

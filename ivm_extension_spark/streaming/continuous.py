@@ -93,7 +93,12 @@ class StreamingViewMaintainer:
             self._finish_batch(batch_id)
             return
         if len(batch_df.take(1)) == 0:
-            self.last_batch_id = batch_id
+            # commit empty batches through the same path: the marker (and,
+            # when persistent, the snapshot it names) must advance too, or
+            # a crash after an empty batch replays its non-empty successors
+            # against a stale on-disk cursor while batches_applied and the
+            # in-memory cursor disagree with it for the rest of the run
+            self._finish_batch(batch_id)
             return
         # engine state is eagerly localCheckpoint'ed on merge, so nothing
         # keeps referencing this micro-batch's source after the batch ends

@@ -39,9 +39,12 @@ def streaming_dedup(
     as a duplicate, what to emit for dupes — stays in user space.
 
     The stream is sharded by ``xxhash64(fingerprint) % shard_mod`` so
-    state is spread over the cluster; each group's state is one LongType
-    array.  Output: (id, fingerprint) — only first occurrences are
-    emitted (duplicates are dropped, so every emitted row IS a first
+    state is spread over the cluster; each group's state is the set of
+    FULL fingerprint strings seen in that shard (still O(distinct keys)
+    — the hash only routes, it never decides), so dedup is EXACT: a
+    64-bit hash collision between distinct fingerprints cannot drop a
+    non-duplicate.  Output: (id, fingerprint) — only first occurrences
+    are emitted (duplicates are dropped, so every emitted row IS a first
     sighting).
     """
     out_schema = T.StructType(
@@ -50,7 +53,7 @@ def streaming_dedup(
             T.StructField("fingerprint", T.StringType()),
         ]
     )
-    state_schema = T.StructType([T.StructField("seen", T.ArrayType(T.LongType()))])
+    state_schema = T.StructType([T.StructField("seen", T.ArrayType(T.StringType()))])
 
     def dedup_fn(
         key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState
@@ -63,12 +66,11 @@ def streaming_dedup(
         if len(batch):
             batch = batch.sort_values("id", kind="stable")
             fresh_mask = []
-            for h in batch["fph"]:
-                h = int(h)
-                if h in seen:
+            for fp in batch["fingerprint"]:
+                if fp in seen:
                     fresh_mask.append(False)
                 else:
-                    seen.add(h)
+                    seen.add(fp)
                     fresh_mask.append(True)
             out = batch.loc[fresh_mask, ["id", "fingerprint"]]
             if len(out):
