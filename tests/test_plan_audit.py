@@ -212,6 +212,25 @@ def test_qualify_read_plans_window_group_limit(spark):
     assert "WindowGroupLimit" in plan, plan
 
 
+def test_explode_sites_do_not_inline_expensive_expr(spark):
+    """Generate-over-expensive-expression hazard (VERDICT r3 items 1/8):
+    Catalyst inlines a Project alias into the generator input, so
+    ``explode(<O(len·k) expr>)`` re-evaluates the expression once per
+    EMITTED row (19x measured on text_fingerprints at sf0.1).  The
+    explode must go through text.explode_array_barrier: the array is
+    computed below an optimizer barrier (LogicalRDD), so the expensive
+    expression is ABSENT from the downstream plan — the Generate sees
+    only the materialized array column."""
+    for name, marker in (
+        ("text_fingerprints", "aggregate(sequence"),  # rolling hash
+        ("chunk_documents", "transform(sequence"),  # tokenate+slice
+    ):
+        plan = plan_of(q(spark, name))
+        assert "Generate" in plan, (name, plan)
+        assert "ExistingRDD" in plan, (name, plan)
+        assert marker not in plan, (name, plan)
+
+
 def test_range_left_join_delta_plan_no_nested_loop(spark):
     """The banded-outer-join delta must plan every theta join as a
     binned equi-join (hash joins only, delta sides broadcast) — a
