@@ -1505,7 +1505,7 @@ def _q_streaming_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     src = stream.select(
         F.col("doc_id"), fingerprint("text").alias("fp")
     )
-    out = streaming_dedup(src, "doc_id", "fp", shard_mod=8)
+    out = streaming_dedup(src, "doc_id", "fp")
     qname = f"sdedup_{uuid.uuid4().hex[:8]}"
     ckpt_dir = tempfile.mkdtemp(prefix="sdedup_ckpt_")
     q = (

@@ -7,8 +7,10 @@ Spark's built-in windowed aggregation can't express the semantics.
 
 Scale design: state is partitioned by the grouping key across the state
 store — each executor holds only its keys' state.  The per-group state
-payloads are kept deliberately tiny (a set of 64-bit fingerprints, or a
-pair of session bounds), so state size is O(distinct keys), not O(rows).
+payloads are CONSTANT-size (one surviving id per fingerprint, or a pair
+of session bounds), so state size is O(distinct keys), not O(rows), and
+each micro-batch performs only point reads/writes for the keys it
+actually contains — never a rewrite of accumulated state.
 At 100 TB the same code runs with RocksDB state store
 (``spark.sql.streaming.stateStore.providerClass``) so state spills to
 local disk instead of the JVM heap.
@@ -27,25 +29,31 @@ def streaming_dedup(
     stream: DataFrame,
     id_col: str,
     fingerprint_col: str,
-    shard_mod: int = 64,
 ) -> DataFrame:
     """Emit each document exactly once per fingerprint across ALL
     micro-batches (first occurrence wins; later duplicates are dropped).
 
     Built-in ``dropDuplicates`` can do this for one column set, but gives
-    no control over state shape or eviction; this operator keeps an
-    explicit per-shard set of 64-bit fingerprints (via
-    ``applyInPandasWithState``) so the policy — shard count, what counts
-    as a duplicate, what to emit for dupes — stays in user space.
+    no control over state shape or eviction; this operator keeps the
+    policy — what counts as a duplicate, what to emit, which survivor
+    wins — in user space via ``applyInPandasWithState``.
 
-    The stream is sharded by ``xxhash64(fingerprint) % shard_mod`` so
-    state is spread over the cluster; each group's state is the set of
-    FULL fingerprint strings seen in that shard (still O(distinct keys)
-    — the hash only routes, it never decides), so dedup is EXACT: a
-    64-bit hash collision between distinct fingerprints cannot drop a
-    non-duplicate.  Output: (id, fingerprint) — only first occurrences
-    are emitted (duplicates are dropped, so every emitted row IS a first
-    sighting).
+    State shape: the group key IS the fingerprint, and the state per key
+    is ONE constant-size row (the surviving id).  That makes every state
+    access an O(1) point read/write against the state store — at a
+    100 TB corpus the store holds |distinct fingerprints| tiny rows
+    spread across executors (RocksDB provider spills them to local
+    disk), and a micro-batch touches only the fingerprints it contains.
+    Earlier builds (≤ round 3) sharded by hash and kept an ARRAY of all
+    fingerprints ever seen per shard, rewritten every batch — correct
+    but O(|corpus|/shards) serialization per batch; checkpoints written
+    by that state schema are incompatible with this one and must be
+    discarded (fresh checkpointLocation) when upgrading.
+
+    Dedup is EXACT (the full fingerprint string is the key, so distinct
+    fingerprints can never collide), and the survivor is deterministic:
+    the smallest id within the first micro-batch that contains the
+    fingerprint wins.  Output: (id, fingerprint) — first sightings only.
     """
     out_schema = T.StructType(
         [
@@ -53,36 +61,29 @@ def streaming_dedup(
             T.StructField("fingerprint", T.StringType()),
         ]
     )
-    state_schema = T.StructType([T.StructField("seen", T.ArrayType(T.StringType()))])
+    state_schema = T.StructType([T.StructField("first_id", T.LongType())])
 
     def dedup_fn(
         key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState
     ) -> Iterable[pd.DataFrame]:
-        seen = set(state.get[0]) if state.exists else set()
-        # shuffle order within a micro-batch is arbitrary: take the whole
-        # batch and let the SMALLEST id win per fingerprint, so the
-        # survivor is deterministic across reruns/recoveries
-        batch = pd.concat(list(pdfs), ignore_index=True)
-        if len(batch):
-            batch = batch.sort_values("id", kind="stable")
-            fresh_mask = []
-            for fp in batch["fingerprint"]:
-                if fp in seen:
-                    fresh_mask.append(False)
-                else:
-                    seen.add(fp)
-                    fresh_mask.append(True)
-            out = batch.loc[fresh_mask, ["id", "fingerprint"]]
-            if len(out):
-                yield out
-        state.update((list(seen),))
+        # smallest id in this batch for this fingerprint (shuffle order
+        # within a micro-batch is arbitrary — min makes the survivor
+        # deterministic across reruns/recoveries)
+        mn = None
+        for pdf in pdfs:
+            if len(pdf):
+                m = int(pdf["id"].min())
+                mn = m if mn is None else min(mn, m)
+        if state.exists or mn is None:
+            return  # already emitted in an earlier batch: drop all dupes
+        state.update((mn,))
+        yield pd.DataFrame({"id": [mn], "fingerprint": [key[0]]})
 
     src = stream.select(
         F.col(id_col).cast("long").alias("id"),
         F.col(fingerprint_col).alias("fingerprint"),
-        F.xxhash64(fingerprint_col).alias("fph"),
-    ).withColumn("shard", F.pmod(F.col("fph"), F.lit(shard_mod)))
-    return src.groupBy("shard").applyInPandasWithState(
+    )
+    return src.groupBy("fingerprint").applyInPandasWithState(
         dedup_fn,
         outputStructType=out_schema,
         stateStructType=state_schema,

@@ -174,7 +174,7 @@ def test_streaming_dedup_across_batches(spark, tmpdir):
         .option("maxFilesPerTrigger", 1)
         .parquet(f"{src}/*")
     )
-    out = streaming_dedup(stream, "doc_id", "fp", shard_mod=4)
+    out = streaming_dedup(stream, "doc_id", "fp")
     q = (
         out.writeStream.format("memory")
         .queryName("dedup_out")
@@ -193,6 +193,18 @@ def test_streaming_dedup_across_batches(spark, tmpdir):
     assert set(got) == {"aaa", "bbb", "ccc"}
     assert got["aaa"] == 1 and got["bbb"] == 2 and got["ccc"] == 5
     assert spark.sql("SELECT count(*) n FROM dedup_out").collect()[0]["n"] == 3
+
+    # 100 TB state-shape guarantee (VERDICT r3 item 2): the state store
+    # must hold exactly ONE constant-size row per distinct fingerprint
+    # (key = fingerprint, value = surviving id) — never a per-shard array
+    # of all fingerprints rewritten each batch
+    state = spark.read.format("statestore").load(f"{tmpdir}/ckpt")
+    rows_ = state.select("key.fingerprint", "value.groupState.first_id").collect()
+    assert {(r["fingerprint"], r["first_id"]) for r in rows_} == {
+        ("aaa", 1),
+        ("bbb", 2),
+        ("ccc", 5),
+    }
 
 
 def test_sessionize_batch_and_stream_agree(spark, tmpdir):
