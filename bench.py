@@ -95,8 +95,12 @@ def main() -> int:
     ).filter("rn <= 3").write.format("noop").mode("overwrite").save()
 
     timings: dict[str, float] = {}
+    loads: dict[str, float] = {}
     total = 0.0
     import gc
+
+    def load1() -> float:
+        return os.getloadavg()[0]
 
     for name, fn in entrymod.queries().items():
         if only and name not in only:
@@ -105,8 +109,14 @@ def main() -> int:
         # 2 extra samples when the observed runs disagree by >1.8x: a
         # shared host's transient CPU spikes otherwise inflate whichever
         # query they land on, and the min of a wider sample recovers the
-        # true steady-state number at negligible cost in calm conditions
+        # true steady-state number at negligible cost in calm conditions.
+        # The 1-minute loadavg is recorded per query (BENCH_FULL_local)
+        # so a loaded measurement window is diagnosable after the fact
+        # (round 3's numbers were taken in a load spike and cost a round
+        # of perf signal — VERDICT r3 item 3), and an outlier re-run
+        # first waits briefly for the external load to drain.
         samples: list[float] = []
+        load_seen = load1()
         while len(samples) < 4:
             t0 = time.perf_counter()
             try:
@@ -116,6 +126,7 @@ def main() -> int:
             except Exception as e:  # a failing query must not hide the others
                 print(f"# ERROR {name}: {e}", file=sys.stderr)
                 break
+            load_seen = max(load_seen, load1())
             # free persisted/checkpointed blocks between runs: 50 queries'
             # worth of retained blocks otherwise builds GC pressure that
             # inflates the tail of the run
@@ -123,8 +134,16 @@ def main() -> int:
             gc.collect()
             if len(samples) >= 2 and max(samples) / max(min(samples), 1e-9) <= 1.8:
                 break
+            if len(samples) >= 2:
+                # disagreeing samples on a busy host: cool down (up to 20s
+                # for the 1-min load to fall under half the worker count)
+                # so the tie-breaking sample measures Spark, not neighbors
+                t_wait = time.time()
+                while load1() > cpus / 2 and time.time() - t_wait < 20:
+                    time.sleep(2)
         dt = min(samples) if samples else float("nan")
         timings[name] = round(dt, 3)
+        loads[name] = round(load_seen, 1)
         if dt == dt:
             total += dt
 
@@ -139,6 +158,7 @@ def main() -> int:
                 "unit": "sec",
                 "n_queries": len(timings),
                 "queries": timings,
+                "loadavg1_max": loads,
                 "sf": sf_val,
             },
             indent=1,
@@ -158,6 +178,9 @@ def main() -> int:
         "n_queries": len(timings),
         "queries": {},
         "sf": sf_val,
+        # shared-host context for the whole run: max per-query 1-min load
+        # (32-cpu host; >~16 means neighbors were competing for cores)
+        "load1_max": round(max(loads.values(), default=0.0), 1),
     }
     line = json.dumps(base, separators=(",", ":"))
     by_cost = sorted(
