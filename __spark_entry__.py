@@ -951,6 +951,65 @@ def _q_ivm_merge_range_full_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return merged.select("o_orderkey", "price", "band")
 
 
+# thresholds used by the one-sided-inequality lifecycle; the delta
+# deletes 't300k' and inserts 't50k' — identical literals in the oracle
+_TH_BASE = [("t100k", 100000.0), ("t300k", 300000.0), ("t600k", 600000.0)]
+_TH_DELTA = [("t300k", 300000.0, False), ("t50k", 50000.0, True)]
+
+
+def _q_ivm_merge_theta_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """General one-sided inequality (theta) join maintenance — the
+    ``l.x < r.y`` shape the equi rewrite rejects and the banded rule
+    cannot bound (the implied interval is half-infinite), maintained via
+    dyadic prefix decomposition (operators/ineqjoin.py): both ΔV
+    branches are pure equi-joins on (level, node), never a nested loop.
+    Deltas on BOTH sides: the standard orders delta (restricted to the
+    view's point subset) plus a threshold delta that deletes 't300k' and
+    inserts 't50k'.  V' = V ⊎ ΔV with the bag-count rule."""
+    from ivm_extension_spark.operators.ineqjoin import ineq_join, ineq_join_delta
+
+    eng = _engine(spark, sf_dir)
+    pts = (
+        eng.table("orders")
+        .filter("o_orderkey % 8 = 0")
+        .select("o_orderkey", F.col("o_totalprice").alias("price"))
+    )
+    thr = spark.createDataFrame(_TH_BASE, "tname string, cutoff double")
+    pred, mult = DELTA_DEFS["orders"]
+    d_pts = (
+        eng.table("orders")
+        .filter(F.expr(pred))
+        .filter("o_orderkey % 8 = 0")
+        .select(
+            "o_orderkey",
+            F.col("o_totalprice").alias("price"),
+            F.expr(mult).alias(MULT_COL),
+        )
+    )
+    d_thr = spark.createDataFrame(
+        _TH_DELTA, f"tname string, cutoff double, {MULT_COL} boolean"
+    )
+    v_old = ineq_join(pts, thr, "price", "cutoff", "<", 1000.0, 1 << 12)
+    dv = ineq_join_delta(
+        pts, thr, d_pts, d_thr, "price", "cutoff", "<", 1000.0, 1 << 12
+    )
+    cols = v_old.columns
+    merged = (
+        v_old.withColumn("__s", F.lit(1))
+        .unionByName(
+            dv.withColumn(
+                "__s", F.when(F.col(MULT_COL), F.lit(1)).otherwise(F.lit(-1))
+            ).drop(MULT_COL)
+        )
+        .groupBy(*cols)
+        .agg(F.sum("__s").alias("__n"))
+        .filter(F.col("__n") > 0)
+        .select(*cols, F.explode(F.expr("sequence(1, __n)")).alias("__i"))
+        .drop("__i")
+    )
+    return merged.select("o_orderkey", "price", "tname", "cutoff")
+
+
 # --------------------------------------------------------------------------
 # beyond-reference: LLM-data-pipeline operators (dedup / similarity /
 # text analysis / multimodal) — ivm_extension_spark.functions
@@ -1631,6 +1690,7 @@ _IVM_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ivm_multibatch_deletes": _q_ivm_multibatch_deletes,
     "ivm_merge_range_left_join": _q_ivm_merge_range_left_join,
     "ivm_merge_range_full_join": _q_ivm_merge_range_full_join,
+    "ivm_merge_theta_join": _q_ivm_merge_theta_join,
     "ivm_cascade_rollup": _q_ivm_cascade_rollup,
     "ivm_maintain_all": _q_ivm_maintain_all,
 }
@@ -2030,6 +2090,79 @@ def _q_events_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_sim_topk_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maintained exact top-k under an insert batch (similarity.py:
+    incremental_topk_update): state = top-k over the OLD corpus
+    (vec_id % 10 != 3), delta = the new vectors (vec_id % 10 = 3); only
+    the delta is scored (O(|Δ|·q)) and re-ranked against the k-row
+    state.  The result must equal the full-corpus brute-force top-k —
+    which is exactly what the oracle recomputes (same SQL as
+    sim_topk_bruteforce)."""
+    from ivm_extension_spark.functions import similarity
+
+    embs = _embs(spark, sf_dir)
+    queries_df = embs.filter(F.expr("vec_id % 50 = 0"))
+    old = embs.filter(F.expr("vec_id % 10 != 3"))
+    delta = embs.filter(F.expr("vec_id % 10 = 3"))
+    state = similarity.brute_force_topk(old, queries_df, "vec_id", "embedding", k=5)
+    return similarity.incremental_topk_update(
+        state, delta, queries_df, "vec_id", "embedding", k=5
+    )
+
+
+def _q_skew_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted join on a deliberately hot key (operators/skew.py
+    salted_join): o_orderstatus has 3 values over all of orders — the
+    single-key-per-task shape AQE cannot split (its skew splitting works
+    on partition boundaries, a single key's rows land in one task).  The
+    salt spreads each hot key over 16 tasks; the aggregated result must
+    equal the plain unsalted join, which the oracle recomputes."""
+    from ivm_extension_spark.operators.skew import salted_join
+
+    eng = _engine(spark, sf_dir)
+    orders = eng.table("orders")
+    big = orders.select(
+        F.col("o_orderstatus").alias("st"),
+        F.expr("cast(round(o_totalprice * 100) as bigint)").alias("cents"),
+    )
+    dim = orders.groupBy(F.col("o_orderstatus").alias("st")).agg(
+        F.min("o_orderkey").alias("first_key")
+    )
+    joined = salted_join(big, dim, on=("st",), n_salts=16)
+    return joined.groupBy("st").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("cents").alias("sum_cents"),
+        F.min("first_key").alias("first_key"),
+    )
+
+
+def _q_skew_two_phase_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-phase (salted partial → final) aggregation on the hot
+    l_returnflag groups (operators/skew.py two_phase_agg) — the shape
+    for hot-group aggregates whose map-side combine can't compress.
+    Result must equal the plain GROUP BY, which the oracle recomputes."""
+    from ivm_extension_spark.operators.skew import two_phase_agg
+
+    eng = _engine(spark, sf_dir)
+    li = eng.table("lineitem").select(
+        "l_returnflag",
+        "l_orderkey",
+        F.expr("cast(round(l_extendedprice * 100) as bigint)").alias("cents"),
+        F.col("l_quantity").cast("bigint").alias("qty"),
+    )
+    return two_phase_agg(
+        li,
+        ("l_returnflag",),
+        {
+            "n_rows": ("count", "l_orderkey"),
+            "sum_cents": ("sum", "cents"),
+            "min_qty": ("min", "qty"),
+            "max_qty": ("max", "qty"),
+        },
+        n_salts=16,
+    )
+
+
 _OLAP_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q13_custdist": _q13_custdist,
     "q1_pricing_summary": _q1_pricing_summary,
@@ -2087,6 +2220,9 @@ _EXTRA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ivm_merge_corpus_stats": _q_ivm_merge_corpus_stats,
     "ivm_merge_hll_sketch": _q_ivm_merge_hll_sketch,
     "dedup_minhash_incremental": _q_dedup_minhash_incremental,
+    "sim_topk_incremental": _q_sim_topk_incremental,
+    "skew_salted_join": _q_skew_salted_join,
+    "skew_two_phase_agg": _q_skew_two_phase_agg,
 }
 
 
@@ -2095,68 +2231,69 @@ _EXTRA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 # correctness rows (the rotation ledger lives in GRADING_LEDGER.json and
 # tests/test_registry.py enforces window size + oracle coverage).
 #
-# ROUND 3 WINDOW (this round):
-#   - positions 1-10: the 10 keys registered in round 2 AFTER its window
-#     was declared — never driver-graded (VERDICT.md r2 "What's missing" #1);
-#   - 11-12: the two round-2 reds, re-graded after their fixes
-#     (text_fingerprints: list column exploded to scalar rows;
-#     sim_topk_ivf: frozen pre-trained quantizer + real DuckDB oracle);
-#   - 13-50: the 38 least-recently-green keys (green in round 1, rotated
-#     out of round 2's window).  ivm_projection sits this round out (its
-#     identity delta rule is exercised by ivm_filter and every merge
-#     lifecycle); keys green in round 2 are declared after position 50
-#     and rotate back in round 4, least-recently-green first.
+# ROUND 4 WINDOW (this round), computed by scripts/update_ledger.py
+# (never-graded first, then least-recently-green — VERDICT.md r3 items
+# 5/6/7):
+#   - positions 1-4: the keys registered THIS round, never driver-graded
+#     (sim_topk_incremental, skew_salted_join, skew_two_phase_agg — the
+#     r3 "ungraded utilities" — plus the new ivm_merge_theta_join
+#     one-sided-inequality lifecycle);
+#   - 5: ivm_projection, whose only green is from round 1;
+#   - 6-50: the 45 least-recently-green keys (green in round 2, rotated
+#     out of round 3's window) — they must be regraded under post-r3
+#     code (engine/lakehouse/streaming changed after their last grade).
+#     token_length_histogram and the r3-green keys rotate back in r5.
 _GRADE_FIRST: tuple[str, ...] = (
-    "ivm_merge_range_left_join",
-    "ivm_merge_range_full_join",
-    "ivm_cascade_rollup",
-    "ivm_maintain_all",
-    "streaming_dedup_docs",
-    "formats_roundtrip",
-    "ivm_merge_dedup_index",
-    "ivm_merge_corpus_stats",
-    "ivm_merge_hll_sketch",
-    "dedup_minhash_incremental",
-    "text_fingerprints",
-    "sim_topk_ivf",
-    "ivm_filter",
-    "ivm_groupby_agg",
-    "ivm_filter_groupby",
-    "ivm_expr_agg",
-    "ivm_global_agg",
-    "ivm_avg",
-    "ivm_min_max_insert_only",
-    "ivm_count_distinct",
-    "ivm_join_delta",
-    "ivm_merge_groupby",
-    "ivm_merge_join",
-    "ivm_left_join_delta",
-    "ivm_merge_left_join",
-    "ivm_merge_full_outer",
-    "ivm_merge_chain_dim",
-    "ivm_semi_join_delta",
-    "ivm_merge_semi_join",
-    "ivm_merge_anti_join",
-    "ivm_merge_distinct",
-    "ivm_q13_cascade",
-    "ivm_merge_union",
-    "ivm_merge_minmax_distinct",
-    "ivm_merge_variance",
-    "ivm_merge_median_mode",
-    "ivm_merge_doc_quality",
-    "ivm_merge_full_suffix_chain",
-    "ivm_merge_multi_delta_chain",
-    "ivm_merge_join_minmax",
-    "ivm_merge_topk",
-    "ivm_merge_time_window",
-    "ivm_merge_chain_semi",
-    "ivm_merge_full_chain",
-    "ivm_merge_full_pos_chain",
-    "ivm_merge_projection",
-    "q13_custdist",
-    "q1_pricing_summary",
-    "events_window_rollup",
-    "topk_per_group",
+    "sim_topk_incremental",
+    "skew_salted_join",
+    "skew_two_phase_agg",
+    "ivm_merge_theta_join",
+    "ivm_projection",
+    "approx_distinct_sketch",
+    "asof_snapshots",
+    "chunk_documents",
+    "contamination_check",
+    "cube_sales",
+    "dedup_clusters",
+    "dedup_embedding",
+    "dedup_exact",
+    "dedup_keep_canonical",
+    "dedup_minhash_lsh",
+    "dedup_ngram_jaccard",
+    "dedup_simhash",
+    "emb_label_centroids",
+    "events_sliding_window",
+    "grouping_sets_sales",
+    "ivm_merge_expr_key",
+    "ivm_merge_having",
+    "ivm_merge_join3",
+    "ivm_merge_rollup_view",
+    "ivm_merge_topn_per_group",
+    "ivm_multibatch_deletes",
+    "ivm_multibatch_rollup",
+    "mix_quota_per_source",
+    "multimodal_decode",
+    "multimodal_meta",
+    "pack_documents",
+    "percentiles_by_status",
+    "pivot_sales",
+    "q14_promo_revenue",
+    "q5_local_supplier_volume",
+    "range_join_bands",
+    "rollup_sales",
+    "sample_stratified",
+    "scalar_functions",
+    "sessionize_users",
+    "setops_active_custkeys",
+    "sim_knn_label_consistency",
+    "sim_topk_bruteforce",
+    "sim_topk_lsh",
+    "text_lang_accuracy",
+    "text_lang_id",
+    "text_quality",
+    "text_repetition",
+    "text_stats",
+    "text_tfidf_keywords",
 )
 
 
@@ -2620,6 +2757,25 @@ def oracle_sql() -> dict[str, str]:
             SELECT p.o_orderkey, p.price, b.band
             FROM pts p
             FULL JOIN bands b ON p.price >= b.lo AND p.price <= b.hi
+        """,
+        # post-delta thresholds = base minus 't300k' plus 't50k' (mirrors
+        # _TH_BASE/_TH_DELTA literals); full theta-join recompute over the
+        # applied orders is the ⊎ ground truth
+        "ivm_merge_theta_join": f"""
+            WITH thr AS (
+                SELECT tname, CAST(cutoff AS DOUBLE) AS cutoff
+                FROM (VALUES
+                    ('t100k', 100000.0),
+                    ('t600k', 600000.0),
+                    ('t50k', 50000.0)) t(tname, cutoff)
+            ),
+            pts AS (
+                SELECT o_orderkey, o_totalprice AS price
+                FROM {_applied_sql('orders')} o
+                WHERE o_orderkey % 8 = 0
+            )
+            SELECT p.o_orderkey, p.price, t.tname, t.cutoff
+            FROM pts p JOIN thr t ON p.price < t.cutoff
         """,
         "q13_custdist": """
             SELECT c_count, count(*) AS custdist
@@ -3129,7 +3285,8 @@ def _extras_oracle_sql() -> dict[str, str]:
             cells AS (
                 SELECT vec_id, ev, g.i AS cell, sims[g.i + 1] AS sim,
                        row_number() OVER (PARTITION BY vec_id
-                                          ORDER BY sims[g.i + 1] DESC, g.i ASC)
+                                          ORDER BY sims[g.i + 1] DESC NULLS LAST,
+                                                   g.i ASC)
                            AS cr
                 FROM s, (SELECT unnest(range(16)) AS i) g
             ),
@@ -3146,7 +3303,7 @@ def _extras_oracle_sql() -> dict[str, str]:
             SELECT query_id, neighbor_id, cos_sim, CAST(rank AS INT) AS rank
             FROM (SELECT *, row_number() OVER
                       (PARTITION BY query_id
-                       ORDER BY cos_sim DESC, neighbor_id ASC) AS rank
+                       ORDER BY cos_sim DESC NULLS LAST, neighbor_id ASC) AS rank
                   FROM scored) r
             WHERE rank <= 5
         """,
@@ -3459,6 +3616,53 @@ def _extras_oracle_sql() -> dict[str, str]:
                        ORDER BY cos_sim DESC, neighbor_id ASC) AS rank
                   FROM scored) r
             WHERE rank <= 5
+        """,
+        # the maintained top-k must equal a full-corpus recompute — the
+        # oracle IS the brute-force query (state over the old corpus +
+        # delta re-rank converges to the same global top-k)
+        "sim_topk_incremental": f"""
+            WITH units AS (
+                SELECT vec_id,
+                       list_transform(ev, x -> x / ({nrm('ev')})) AS uv
+                FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ev
+                      FROM embeddings)
+            ),
+            scored AS (
+                SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
+                       round(({dot('q.uv', 'n.uv')}) * 10000.0) / 10000.0 AS cos_sim
+                FROM (SELECT * FROM units WHERE vec_id % 50 = 0) q
+                JOIN units n ON n.vec_id <> q.vec_id
+            )
+            SELECT query_id, neighbor_id, cos_sim,
+                   CAST(rank AS INT) AS rank
+            FROM (SELECT *, row_number() OVER
+                      (PARTITION BY query_id
+                       ORDER BY cos_sim DESC, neighbor_id ASC) AS rank
+                  FROM scored) r
+            WHERE rank <= 5
+        """,
+        # the salted join must equal the plain unsalted join
+        "skew_salted_join": """
+            SELECT st, count(*) AS n_rows,
+                   CAST(sum(cents) AS BIGINT) AS sum_cents,
+                   CAST(min(first_key) AS BIGINT) AS first_key
+            FROM (SELECT o_orderstatus AS st,
+                         CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+                  FROM orders) b
+            JOIN (SELECT o_orderstatus AS st,
+                         min(o_orderkey) AS first_key
+                  FROM orders GROUP BY o_orderstatus) d USING (st)
+            GROUP BY st
+        """,
+        # the two-phase (salted) aggregation must equal the plain GROUP BY
+        "skew_two_phase_agg": """
+            SELECT l_returnflag,
+                   count(l_orderkey) AS n_rows,
+                   CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sum_cents,
+                   CAST(min(CAST(l_quantity AS BIGINT)) AS BIGINT) AS min_qty,
+                   CAST(max(CAST(l_quantity AS BIGINT)) AS BIGINT) AS max_qty
+            FROM lineitem
+            GROUP BY l_returnflag
         """,
         "sim_knn_label_consistency": f"""
             WITH units AS (

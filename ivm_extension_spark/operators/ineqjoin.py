@@ -1,0 +1,222 @@
+"""One-sided inequality (theta) joins — ``l.x < r.y`` — as EQUI joins.
+
+The banded join (rangejoin.py) handles point-in-interval; a one-sided
+inequality has an UNBOUNDED interval (``x < y`` means x ∈ (-∞, y)), so
+exploding the interval to fixed-width bins doesn't terminate.  The
+classic fix is dyadic (segment-tree) decomposition over the binned
+value axis:
+
+- every half-open bin prefix ``[0, n)`` is the disjoint union of at
+  most one canonical dyadic node per bit of ``n`` (≤ ``levels`` nodes);
+- every bin ``b`` lies under exactly one ancestor node per level
+  (``b >> level``).
+
+So pairs with ``bin(x) < bin(y)`` — which ALL satisfy ``x < y`` —
+are found by equi-joining the lesser side's ``levels`` ancestor rows
+against the greater side's ≤ ``levels`` prefix-decomposition rows on
+``(level, node)``; each qualifying pair matches in EXACTLY ONE node
+(the decomposition is canonical), so no dedup is needed.  Pairs in the
+SAME bin are an ordinary bin equi-join re-checked against the exact
+predicate.  Catalyst never sees a non-equi condition, so there is no
+nested-loop fallback; comparisons are O((|L| + |R|) · levels + |output|)
+instead of |L| × |R|.
+
+At 100 TB: both branches are plain hash joins on small integer keys —
+broadcast when one side is a delta, shuffle otherwise — and the
+``levels``-fold row expansion (default 21 for 2^21 bins) happens inside
+whole-stage codegen between the scan and the join, never materialized.
+
+The reference's growth direction is the poster's general join delta
+rule, which does not restrict to equi conditions (SURVEY.md §2c); the
+equi rewrite rejects theta conditions (rewrite.py _equi_pairs), and
+this operator plus :func:`ineq_join_delta` is the maintained path for
+the one-sided shape.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+_LVL, _IDX = "__dy_lvl", "__dy_idx"
+_BIN = "__dy_bin"
+
+_OPS = {"<", "<=", ">", ">="}
+
+
+def _binned(df: DataFrame, col: str, bin_width: float, levels: int) -> DataFrame:
+    """Attach the bin index, guarding the dyadic domain [0, 2^levels)."""
+    b = F.floor(F.col(col) / F.lit(bin_width)).cast("long")
+    guarded = F.when(
+        (b < 0) | (b >= F.lit(1 << levels)),
+        F.raise_error(
+            F.concat(
+                F.lit(
+                    f"value outside the dyadic domain [0, {1 << levels}) bins "
+                    f"at bin_width={bin_width}: "
+                ),
+                F.col(col).cast("string"),
+                F.lit(" — shift/scale the column or raise max_bins"),
+            )
+        ).cast("long"),
+    ).otherwise(b)
+    return df.withColumn(_BIN, guarded)
+
+
+def _ancestors(df: DataFrame, levels: int) -> DataFrame:
+    """One row per (level, ancestor-node) of the row's bin: node at
+    level l is ``bin >> l``.  Runs inside codegen (Generate over a
+    transform of a constant-length sequence)."""
+    nodes = F.expr(
+        f"transform(sequence(0, {levels - 1}), "
+        f"l -> struct(CAST(l AS INT) AS lvl, shiftright({_BIN}, l) AS idx))"
+    )
+    return df.select("*", F.explode(nodes).alias("__dy")).select(
+        *df.columns, F.col("__dy.lvl").alias(_LVL), F.col("__dy.idx").alias(_IDX)
+    )
+
+
+def _prefix_nodes(df: DataFrame, levels: int) -> DataFrame:
+    """One row per canonical dyadic node of the prefix ``[0, bin)``:
+    walking the bits of ``bin`` high→low, each set bit i contributes the
+    node (level=i, idx=offset >> i) and advances offset by 2^i.  ≤ one
+    node per bit; an empty prefix (bin 0) contributes nothing."""
+    nodes = F.expr(
+        f"""
+        CASE WHEN {_BIN} <= 0 THEN
+            CAST(array() AS array<struct<lvl:int,idx:bigint>>)
+        ELSE
+            aggregate(
+                sequence({levels - 1}, 0, -1),
+                named_struct(
+                    'off', CAST(0 AS BIGINT),
+                    'nodes', CAST(array() AS array<struct<lvl:int,idx:bigint>>)),
+                (acc, i) -> CASE
+                    WHEN (shiftright({_BIN}, i) & 1) = 1 THEN named_struct(
+                        'off', acc.off + shiftleft(CAST(1 AS BIGINT), i),
+                        'nodes', array_append(
+                            acc.nodes,
+                            named_struct('lvl', CAST(i AS INT),
+                                         'idx', shiftright(acc.off, i))))
+                    ELSE acc END,
+                acc -> acc.nodes)
+        END
+        """
+    )
+    return df.select("*", F.explode(nodes).alias("__dy")).select(
+        *df.columns, F.col("__dy.lvl").alias(_LVL), F.col("__dy.idx").alias(_IDX)
+    )
+
+
+def ineq_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_col: str,
+    right_col: str,
+    op: str = "<",
+    bin_width: float = 1.0,
+    max_bins: int = 1 << 21,
+    key_cols: tuple[str, ...] = (),
+    broadcast: str | None = None,
+) -> DataFrame:
+    """Inner join on ``left.left_col <op> right.right_col`` (plus equal
+    ``key_cols``), planned as two hash equi-joins — never a nested loop.
+
+    ``bin_width`` quantizes the value axis; values must land in bins
+    ``[0, max_bins)`` (guarded at runtime).  ``broadcast`` may name
+    'left' or 'right' to hint that side (pass the DELTA side in
+    incremental maintenance).  Output: all left columns + non-key right
+    columns.
+    """
+    if op not in _OPS:
+        raise ValueError(f"op must be one of {sorted(_OPS)}, got {op!r}")
+    overlap = (set(left.columns) & set(right.columns)) - set(key_cols)
+    if overlap:
+        raise ValueError(
+            f"non-key column names must be disjoint, both sides have {sorted(overlap)}"
+        )
+    levels = max(int(max_bins - 1).bit_length(), 1)
+    out_cols = [*left.columns, *[c for c in right.columns if c not in key_cols]]
+
+    lb = _binned(left, left_col, bin_width, levels)
+    rb = _binned(right, right_col, bin_width, levels)
+    bc_l = F.broadcast if broadcast == "left" else (lambda d: d)
+    bc_r = F.broadcast if broadcast == "right" else (lambda d: d)
+
+    # strictly-different-bin pairs: ALL satisfy the inequality.  The
+    # lesser side contributes ancestors, the greater side contributes
+    # the canonical decomposition of its strict bin prefix.
+    if op in ("<", "<="):
+        lower = bc_l(_ancestors(lb, levels)).join(
+            bc_r(_prefix_nodes(rb, levels)), on=[*key_cols, _LVL, _IDX]
+        )
+    else:
+        lower = bc_l(_prefix_nodes(lb, levels)).join(
+            bc_r(_ancestors(rb, levels)), on=[*key_cols, _LVL, _IDX]
+        )
+    # same-bin pairs: plain bin equi-join + exact predicate re-check
+    exact = F.expr(f"{left_col} {op} {right_col}")
+    same = bc_l(lb).join(bc_r(rb), on=[*key_cols, _BIN]).filter(exact)
+    return lower.select(*out_cols).unionByName(same.select(*out_cols))
+
+
+def ineq_join_delta(
+    left: DataFrame,
+    right: DataFrame,
+    d_left: DataFrame | None,
+    d_right: DataFrame | None,
+    left_col: str,
+    right_col: str,
+    op: str = "<",
+    bin_width: float = 1.0,
+    max_bins: int = 1 << 21,
+    key_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """Δ(L ⋈θ R) for the one-sided inequality join — the poster's
+    general inner-join delta rule (ΔL⋈R ∪ L⋈ΔR ∪ ΔL⋈ΔR with sign
+    products), each branch planned by :func:`ineq_join` with the
+    delta side broadcast.  Deltas carry the bool multiplicity column;
+    output = joined columns + the multiplicity bool.
+
+    Scale shape: the base sides are scanned once per branch and only
+    ever hash-joined against broadcast delta-derived rows; no shuffle
+    of L or R, no nested loop, comparisons O((|base| + |Δ|)·levels).
+    """
+    from ivm_extension_spark.operators.rewrite import MULT_COL
+
+    if d_left is None and d_right is None:
+        raise ValueError("at least one side needs a delta")
+    sign = "__ivm_sign"
+
+    def signed(d: DataFrame, w: str) -> DataFrame:
+        return d.withColumn(
+            w, F.when(F.col(MULT_COL), F.lit(1)).otherwise(F.lit(-1))
+        ).drop(MULT_COL)
+
+    dl = signed(d_left, "__wl") if d_left is not None else None
+    dr = signed(d_right, "__wr") if d_right is not None else None
+    out_cols = [*left.columns, *[c for c in right.columns if c not in key_cols]]
+
+    def ij(a, b, bcast):
+        return ineq_join(
+            a, b, left_col, right_col, op, bin_width, max_bins, key_cols, bcast
+        )
+
+    branches: list[DataFrame] = []
+    if dl is not None:
+        branches.append(
+            ij(dl, right, "left").select(*out_cols, F.col("__wl").alias(sign))
+        )
+    if dr is not None:
+        branches.append(
+            ij(left, dr, "right").select(*out_cols, F.col("__wr").alias(sign))
+        )
+    if dl is not None and dr is not None:
+        branches.append(
+            ij(dl, dr, "left").select(
+                *out_cols, (F.col("__wl") * F.col("__wr")).alias(sign)
+            )
+        )
+    out = branches[0]
+    for b in branches[1:]:
+        out = out.unionByName(b)
+    return out.select(*out_cols, (F.col(sign) > 0).alias(MULT_COL))

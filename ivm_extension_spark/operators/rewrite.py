@@ -499,7 +499,9 @@ def _outer_join_delta(
     if pairs is None:
         raise IVMError(
             "outer-join maintenance requires a conjunctive equi-join "
-            f"condition, got {join.on!r}"
+            f"condition, got {join.on!r} (banded/interval conditions: "
+            "operators.rangejoin.range_left_join_delta; one-sided "
+            "inequalities: operators.ineqjoin.ineq_join_delta)"
         )
     null_l = [F.lit(None).cast(L.schema[c].dataType).alias(c) for c in lcols]
     null_r = [F.lit(None).cast(R.schema[c].dataType).alias(c) for c in rcols]

@@ -21,9 +21,19 @@ ROOT = Path(__file__).resolve().parent.parent
 sys.path.insert(0, str(ROOT))
 
 
+def round_num(name: str) -> int:
+    return int(re.search(r"r(\d+)", name).group(1))
+
+
 def build_ledger() -> dict:
     ledger: dict[str, dict] = {}
-    for path in sorted(glob.glob(str(ROOT / "CORRECTNESS_r*.json"))):
+    # numeric round order: a lexicographic sort would put r10 before r2
+    # and corrupt last_green from round 10 on
+    paths = sorted(
+        glob.glob(str(ROOT / "CORRECTNESS_r*.json")),
+        key=lambda p: round_num(Path(p).name),
+    )
+    for path in paths:
         rnd = re.search(r"r(\d+)", Path(path).name).group(0)
         for k, v in json.load(open(path)).items():
             e = ledger.setdefault(
@@ -49,7 +59,7 @@ def main() -> None:
     json.dump(ledger, open(out, "w"), indent=1)
     never = [k for k, v in ledger.items() if not v["graded_rounds"]]
     stale = sorted(
-        (v["last_green"] or "r0", k)
+        (round_num(v["last_green"] or "r0"), k)
         for k, v in ledger.items()
         if v["graded_rounds"]
     )

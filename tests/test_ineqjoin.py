@@ -1,0 +1,110 @@
+"""One-sided inequality (theta) join via dyadic decomposition
+(operators/ineqjoin.py): result parity against the brute-force theta
+join, delta-rule ⊎ invariant, plan shape (equi-joins only), and the
+domain guard.
+"""
+
+from __future__ import annotations
+
+import random
+from collections import Counter
+
+import pytest
+from pyspark.sql import functions as F
+
+from ivm_extension_spark.operators.ineqjoin import ineq_join, ineq_join_delta
+from ivm_extension_spark.operators.rewrite import MULT_COL
+
+
+@pytest.fixture(scope="module")
+def lr(spark):
+    random.seed(11)
+    L = [(i, round(random.uniform(0, 1000), 2)) for i in range(200)]
+    R = [(j, round(random.uniform(0, 1000), 2)) for j in range(60)]
+    return (
+        spark.createDataFrame(L, "lid int, x double"),
+        spark.createDataFrame(R, "rid int, y double"),
+    )
+
+
+@pytest.mark.parametrize("op", ["<", "<=", ">", ">="])
+def test_matches_brute_force(spark, lr, op):
+    l, r = lr
+    got = {
+        tuple(t)
+        for t in ineq_join(l, r, "x", "y", op, bin_width=37.0, max_bins=64)
+        .select("lid", "rid")
+        .collect()
+    }
+    exp = {
+        tuple(t)
+        for t in l.crossJoin(r)
+        .filter(F.expr(f"x {op} y"))
+        .select("lid", "rid")
+        .collect()
+    }
+    assert got == exp
+
+
+def test_each_pair_matched_exactly_once(spark, lr):
+    # the dyadic decomposition is canonical: no pair may be emitted
+    # twice (a dup would double bag multiplicities in maintained views)
+    l, r = lr
+    out = ineq_join(l, r, "x", "y", "<", bin_width=37.0, max_bins=64)
+    counts = Counter(tuple(t) for t in out.select("lid", "rid").collect())
+    dupes = {k: n for k, n in counts.items() if n > 1}
+    assert not dupes
+
+
+def test_plan_has_no_nested_loop(spark, lr):
+    l, r = lr
+    plan = ineq_join(
+        l, r, "x", "y", "<", bin_width=37.0, max_bins=64, broadcast="right"
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "NestedLoop" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+
+
+def test_domain_guard_raises(spark):
+    l = spark.createDataFrame([(1, -5.0)], "lid int, x double")
+    r = spark.createDataFrame([(1, 10.0)], "rid int, y double")
+    with pytest.raises(Exception, match="dyadic domain"):
+        ineq_join(l, r, "x", "y", "<", bin_width=1.0, max_bins=64).collect()
+
+
+def test_delta_rule_merge_equals_recompute(spark, lr):
+    l, r = lr
+    dl = l.filter("lid % 7 = 0").withColumn(MULT_COL, F.expr("lid % 2 = 0"))
+    dr = spark.createDataFrame(
+        [(900, 123.45, True), (901, 500.0, True), (3, None, True)],
+        f"rid int, y double, {MULT_COL} boolean",
+    )
+    dv = ineq_join_delta(l, r, dl, dr, "x", "y", "<", 37.0, 64)
+    v_old = ineq_join(l, r, "x", "y", "<", 37.0, 64)
+    cols = v_old.columns
+    merged = (
+        v_old.withColumn("__s", F.lit(1))
+        .unionByName(
+            dv.withColumn(
+                "__s", F.when(F.col(MULT_COL), F.lit(1)).otherwise(F.lit(-1))
+            ).drop(MULT_COL)
+        )
+        .groupBy(*cols)
+        .agg(F.sum("__s").alias("__n"))
+        .filter("__n > 0")
+        .select(*cols, F.explode(F.expr("sequence(1, __n)")).alias("__i"))
+        .drop("__i")
+    )
+    l2 = l.exceptAll(l.filter("lid % 7 = 0 AND lid % 2 != 0")).unionByName(
+        l.filter("lid % 7 = 0 AND lid % 2 = 0")
+    )
+    r2 = r.unionByName(
+        spark.createDataFrame(
+            [(900, 123.45), (901, 500.0), (3, None)], "rid int, y double"
+        )
+    )
+    exp = l2.crossJoin(r2).filter("x < y").select(*cols)
+    got_c = Counter(tuple(t) for t in merged.collect())
+    exp_c = Counter(tuple(t) for t in exp.collect())
+    assert got_c == exp_c
