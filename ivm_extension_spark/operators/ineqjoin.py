@@ -62,13 +62,24 @@ def _binned(df: DataFrame, col: str, bin_width: float, levels: int) -> DataFrame
     return df.withColumn(_BIN, guarded)
 
 
+# Both node generators prepend a sentinel (level −1, idx = bin) "self"
+# node, so the SAME-bin pairs (which need the exact predicate re-check)
+# ride the same single (level, idx) equi-join as the strictly-lower-bin
+# dyadic pairs — one scan and one hash join per side instead of two.
+# The two pair classes cannot collide: ancestors at level ≥ 0 only meet
+# prefix nodes at level ≥ 0 (strictly-lower bins), sentinel only meets
+# sentinel (equal bins).
+_SELF_NODE = f"array(named_struct('lvl', CAST(-1 AS INT), 'idx', {_BIN}))"
+
+
 def _ancestors(df: DataFrame, levels: int) -> DataFrame:
-    """One row per (level, ancestor-node) of the row's bin: node at
-    level l is ``bin >> l``.  Runs inside codegen (Generate over a
-    transform of a constant-length sequence)."""
+    """One row per (level, ancestor-node) of the row's bin — node at
+    level l is ``bin >> l`` — plus the sentinel self node.  Runs inside
+    codegen (Generate over a transform of a constant-length sequence)."""
     nodes = F.expr(
+        f"concat({_SELF_NODE}, "
         f"transform(sequence(0, {levels - 1}), "
-        f"l -> struct(CAST(l AS INT) AS lvl, shiftright({_BIN}, l) AS idx))"
+        f"l -> named_struct('lvl', CAST(l AS INT), 'idx', shiftright({_BIN}, l))))"
     )
     return df.select("*", F.explode(nodes).alias("__dy")).select(
         *df.columns, F.col("__dy.lvl").alias(_LVL), F.col("__dy.idx").alias(_IDX)
@@ -76,12 +87,14 @@ def _ancestors(df: DataFrame, levels: int) -> DataFrame:
 
 
 def _prefix_nodes(df: DataFrame, levels: int) -> DataFrame:
-    """One row per canonical dyadic node of the prefix ``[0, bin)``:
+    """One row per canonical dyadic node of the prefix ``[0, bin)`` —
     walking the bits of ``bin`` high→low, each set bit i contributes the
-    node (level=i, idx=offset >> i) and advances offset by 2^i.  ≤ one
-    node per bit; an empty prefix (bin 0) contributes nothing."""
+    node (level=i, idx=offset >> i) and advances offset by 2^i; ≤ one
+    node per bit, an empty prefix (bin 0) contributes nothing — plus the
+    sentinel self node."""
     nodes = F.expr(
         f"""
+        concat({_SELF_NODE},
         CASE WHEN {_BIN} <= 0 THEN
             CAST(array() AS array<struct<lvl:int,idx:bigint>>)
         ELSE
@@ -99,7 +112,7 @@ def _prefix_nodes(df: DataFrame, levels: int) -> DataFrame:
                                          'idx', shiftright(acc.off, i))))
                     ELSE acc END,
                 acc -> acc.nodes)
-        END
+        END)
         """
     )
     return df.select("*", F.explode(nodes).alias("__dy")).select(
@@ -142,21 +155,22 @@ def ineq_join(
     bc_l = F.broadcast if broadcast == "left" else (lambda d: d)
     bc_r = F.broadcast if broadcast == "right" else (lambda d: d)
 
-    # strictly-different-bin pairs: ALL satisfy the inequality.  The
-    # lesser side contributes ancestors, the greater side contributes
-    # the canonical decomposition of its strict bin prefix.
+    # ONE equi-join on (level, node) carries both pair classes: the
+    # lesser side contributes its ancestors (+ sentinel self node), the
+    # greater side the canonical decomposition of its strict bin prefix
+    # (+ sentinel).  Strictly-lower-bin pairs ALL satisfy the
+    # inequality; sentinel (same-bin) pairs are re-checked exactly.
     if op in ("<", "<="):
-        lower = bc_l(_ancestors(lb, levels)).join(
-            bc_r(_prefix_nodes(rb, levels)), on=[*key_cols, _LVL, _IDX]
-        )
+        nl, nr = _ancestors(lb, levels), _prefix_nodes(rb, levels)
     else:
-        lower = bc_l(_prefix_nodes(lb, levels)).join(
-            bc_r(_ancestors(rb, levels)), on=[*key_cols, _LVL, _IDX]
-        )
-    # same-bin pairs: plain bin equi-join + exact predicate re-check
+        nl, nr = _prefix_nodes(lb, levels), _ancestors(rb, levels)
     exact = F.expr(f"{left_col} {op} {right_col}")
-    same = bc_l(lb).join(bc_r(rb), on=[*key_cols, _BIN]).filter(exact)
-    return lower.select(*out_cols).unionByName(same.select(*out_cols))
+    return (
+        bc_l(nl)
+        .join(bc_r(nr), on=[*key_cols, _LVL, _IDX])
+        .filter((F.col(_LVL) != -1) | exact)
+        .select(*out_cols)
+    )
 
 
 def ineq_join_delta(
