@@ -73,6 +73,45 @@ def test_domain_guard_raises(spark):
         ineq_join(l, r, "x", "y", "<", bin_width=1.0, max_bins=64).collect()
 
 
+def test_sql_front_theta_inner_join_maintains(spark):
+    """A one-sided-inequality INNER join is accepted by the SQL front
+    and maintained by the general sign-product branch machinery (the
+    poster's unrestricted join delta rule): the delta side is broadcast,
+    so the non-equi condition costs O(|base|·|Δ|) comparisons — the
+    acceptable delta-maintenance shape.  (Large-base×large-base initial
+    materialization should go through ineq_join instead — README.)"""
+    from ivm_extension_spark.engine import IVMEngine
+
+    eng = IVMEngine(spark)
+    pts = spark.createDataFrame(
+        [(1, 5.0), (2, 150.0), (3, 250.0)], "pid int, x double"
+    )
+    thr = spark.createDataFrame([("a", 100.0), ("b", 200.0)], "tname string, y double")
+    eng.register_table("pts", pts)
+    eng.register_table("thr", thr)
+    eng.register_delta(
+        "pts",
+        spark.createDataFrame(
+            [(4, 50.0, True), (2, 150.0, False)],
+            f"pid int, x double, {MULT_COL} boolean",
+        ),
+    )
+    eng.create_immv("v", sql="SELECT pid, x, tname FROM pts JOIN thr ON x < y")
+    eng.ivm_upsert("v")
+    got = sorted(tuple(r) for r in eng.merge_view("v").collect())
+    pts2 = spark.createDataFrame(
+        [(1, 5.0), (3, 250.0), (4, 50.0)], "pid int, x double"
+    )
+    exp = sorted(
+        tuple(r)
+        for r in pts2.crossJoin(thr)
+        .filter("x < y")
+        .select("pid", "x", "tname")
+        .collect()
+    )
+    assert got == exp
+
+
 def test_delta_rule_merge_equals_recompute(spark, lr):
     l, r = lr
     dl = l.filter("lid % 7 = 0").withColumn(MULT_COL, F.expr("lid % 2 = 0"))
