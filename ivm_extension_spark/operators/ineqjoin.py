@@ -43,9 +43,14 @@ _BIN = "__dy_bin"
 _OPS = {"<", "<=", ">", ">="}
 
 
-def _binned(df: DataFrame, col: str, bin_width: float, levels: int) -> DataFrame:
-    """Attach the bin index, guarding the dyadic domain [0, 2^levels)."""
-    b = F.floor(F.col(col) / F.lit(bin_width)).cast("long")
+def _binned(
+    df: DataFrame, col: str, bin_width: float, levels: int, origin: float
+) -> DataFrame:
+    """Attach the bin index, guarding the dyadic domain [0, 2^levels).
+    ``origin`` shifts the value axis so negative-valued columns land in
+    nonnegative bins (the dyadic decomposition needs unsigned indices;
+    the shift is order-preserving so the join predicate is unaffected)."""
+    b = F.floor((F.col(col) - F.lit(origin)) / F.lit(bin_width)).cast("long")
     guarded = F.when(
         (b < 0) | (b >= F.lit(1 << levels)),
         F.raise_error(
@@ -130,15 +135,17 @@ def ineq_join(
     max_bins: int = 1 << 21,
     key_cols: tuple[str, ...] = (),
     broadcast: str | None = None,
+    origin: float = 0.0,
 ) -> DataFrame:
     """Inner join on ``left.left_col <op> right.right_col`` (plus equal
-    ``key_cols``), planned as two hash equi-joins — never a nested loop.
+    ``key_cols``), planned as one hash equi-join — never a nested loop.
 
     ``bin_width`` quantizes the value axis; values must land in bins
-    ``[0, max_bins)`` (guarded at runtime).  ``broadcast`` may name
-    'left' or 'right' to hint that side (pass the DELTA side in
-    incremental maintenance).  Output: all left columns + non-key right
-    columns.
+    ``[0, max_bins)`` after subtracting ``origin`` (guarded at runtime —
+    set ``origin`` to the domain minimum for negative-valued columns).
+    ``broadcast`` may name 'left' or 'right' to hint that side (pass the
+    DELTA side in incremental maintenance).  Output: all left columns +
+    non-key right columns.
     """
     if op not in _OPS:
         raise ValueError(f"op must be one of {sorted(_OPS)}, got {op!r}")
@@ -150,8 +157,8 @@ def ineq_join(
     levels = max(int(max_bins - 1).bit_length(), 1)
     out_cols = [*left.columns, *[c for c in right.columns if c not in key_cols]]
 
-    lb = _binned(left, left_col, bin_width, levels)
-    rb = _binned(right, right_col, bin_width, levels)
+    lb = _binned(left, left_col, bin_width, levels, origin)
+    rb = _binned(right, right_col, bin_width, levels, origin)
     bc_l = F.broadcast if broadcast == "left" else (lambda d: d)
     bc_r = F.broadcast if broadcast == "right" else (lambda d: d)
 
@@ -184,6 +191,7 @@ def ineq_join_delta(
     bin_width: float = 1.0,
     max_bins: int = 1 << 21,
     key_cols: tuple[str, ...] = (),
+    origin: float = 0.0,
 ) -> DataFrame:
     """Δ(L ⋈θ R) for the one-sided inequality join — the poster's
     general inner-join delta rule (ΔL⋈R ∪ L⋈ΔR ∪ ΔL⋈ΔR with sign
@@ -212,7 +220,8 @@ def ineq_join_delta(
 
     def ij(a, b, bcast):
         return ineq_join(
-            a, b, left_col, right_col, op, bin_width, max_bins, key_cols, bcast
+            a, b, left_col, right_col, op, bin_width, max_bins, key_cols,
+            bcast, origin,
         )
 
     branches: list[DataFrame] = []

@@ -410,3 +410,95 @@ def test_range_left_join_delta_invariant_property(
     I2 = idf([r for r in ivs if r not in iv_dels] + iv_ins)
     recomputed = range_join(P2, I2, "pt", "lo", "hi", 13.0, how=how)
     assert rows(merged) == rows(recomputed)
+
+
+# --------------------------------------------------------------------------
+# one-sided inequality (dyadic) join delta: the same invariant for random
+# values — NEGATIVE domains (origin shift), bin-boundary ties, duplicates
+# --------------------------------------------------------------------------
+
+ineq_val_st = st.floats(min_value=-50.0, max_value=50.0, allow_nan=False, width=32)
+ineq_row_st = st.tuples(st.integers(min_value=0, max_value=999_999), ineq_val_st)
+
+
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+@given(
+    ls=st.lists(ineq_row_st, min_size=0, max_size=8, unique_by=lambda r: r[0]),
+    rs=st.lists(ineq_row_st, min_size=0, max_size=5, unique_by=lambda r: r[0]),
+    l_ins=st.lists(ineq_row_st, min_size=0, max_size=4, unique_by=lambda r: r[0]),
+    r_ins=st.lists(ineq_row_st, min_size=0, max_size=3, unique_by=lambda r: r[0]),
+    l_del_mask=st.lists(st.booleans(), min_size=8, max_size=8),
+    r_del_mask=st.lists(st.booleans(), min_size=5, max_size=5),
+    op=st.sampled_from(["<", "<=", ">", ">="]),
+)
+def test_ineq_join_delta_invariant_property(
+    spark, ls, rs, l_ins, r_ins, l_del_mask, r_del_mask, op
+):
+    from pyspark.sql import functions as F
+
+    from ivm_extension_spark.operators.ineqjoin import ineq_join, ineq_join_delta
+    from ivm_extension_spark.operators.rewrite import MULT_COL
+
+    l_ins = [(i + 1_000_000, v) for i, v in l_ins]
+    r_ins = [(i + 1_000_000, v) for i, v in r_ins]
+    l_dels = [r for r, m in zip(ls, l_del_mask) if m]
+    r_dels = [r for r, m in zip(rs, r_del_mask) if m]
+    assume(l_ins or r_ins or l_dels or r_dels)
+
+    kw = dict(bin_width=7.0, max_bins=32, origin=-64.0)
+
+    def ldf(rows_):
+        return spark.createDataFrame(
+            [(i, float(v)) for i, v in rows_] or [(None, None)],
+            "lid long, x double",
+        ).filter("lid IS NOT NULL")
+
+    def rdf(rows_):
+        return spark.createDataFrame(
+            [(i, float(v)) for i, v in rows_] or [(None, None)],
+            "rid long, y double",
+        ).filter("rid IS NOT NULL")
+
+    def delta(ins, dels, schema):
+        data = [(i, float(v), True) for i, v in ins] + [
+            (i, float(v), False) for i, v in dels
+        ]
+        return spark.createDataFrame(
+            data or [(None, None, None)], schema
+        ).filter("lid IS NOT NULL" if "lid" in schema else "rid IS NOT NULL")
+
+    L, R = ldf(ls), rdf(rs)
+    dL = (
+        delta(l_ins, l_dels, f"lid long, x double, {MULT_COL} boolean")
+        if (l_ins or l_dels)
+        else None
+    )
+    dR = (
+        delta(r_ins, r_dels, f"rid long, y double, {MULT_COL} boolean")
+        if (r_ins or r_dels)
+        else None
+    )
+    dv = ineq_join_delta(L, R, dL, dR, "x", "y", op, **kw)
+    v_old = ineq_join(L, R, "x", "y", op, **kw)
+    cols = v_old.columns
+    merged = (
+        v_old.withColumn("__s", F.lit(1))
+        .unionByName(
+            dv.withColumn(
+                "__s", F.when(F.col(MULT_COL), F.lit(1)).otherwise(F.lit(-1))
+            ).drop(MULT_COL)
+        )
+        .groupBy(*cols)
+        .agg(F.sum("__s").alias("__n"))
+        .filter(F.col("__n") > 0)
+        .select(*cols, F.explode(F.expr("sequence(1, __n)")).alias("__i"))
+        .drop("__i")
+    )
+    L2 = ldf([r for r in ls if r not in l_dels] + l_ins)
+    R2 = rdf([r for r in rs if r not in r_dels] + r_ins)
+    recomputed = L2.crossJoin(R2).filter(F.expr(f"x {op} y")).select(*cols)
+    assert rows(merged) == rows(recomputed)
