@@ -465,6 +465,22 @@ def centroid_sims_sql(vec_col: str, centroids: list[list[float]]) -> str:
     return "array(" + ",".join(dots) + ")"
 
 
+def ivf_cell_sql(vec_col: str, centroids: list[list[float]]) -> str:
+    """The single nearest-cell id as a plain Spark-SQL expression string
+    (dot desc, id asc — the same ordering as :func:`ivf_probe_cells_expr`
+    with n_probe=1), usable as an IMMV expression GROUP BY key: the
+    maintained cell-occupancy view `GROUP BY ivf_cell_sql(...)` is the
+    index-health signal (cell sizes drive rebalance/re-train decisions)
+    kept current by the ordinary group-by delta rule."""
+    k = len(centroids)
+    sims = centroid_sims_sql(vec_col, centroids)
+    ranked = (
+        f"array_sort(zip_with({sims}, sequence(0, {k - 1}), "
+        "(s, i) -> struct(-s AS ns, i AS i)))"
+    )
+    return f"CAST(element_at({ranked}, 1).i AS INT)"
+
+
 def ivf_probe_cells_expr(
     vec_col: str, centroids: list[list[float]], n_probe: int
 ) -> Column:
