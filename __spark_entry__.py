@@ -1482,6 +1482,35 @@ def _q_dedup_minhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_dedup_embedding_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental embedding near-dup (functions/dedup.py
+    embedding_near_dups_delta): the stored vector index absorbs a delta
+    that inserts exact copies of the %25 vectors (new ids — cos 1.0 with
+    their originals) and deletes the %9==4 vectors; comparisons are
+    O(|corpus|·|Δ|) BLAS against the broadcast delta — the corpus is
+    never rescored against itself.  The returned pair CDC (retractions
+    for deleted endpoints, additions for inserted ones) is what a daily
+    embedding-dedup pipeline would act on; pairs(T) ⊎ CDC == pairs(T')
+    is pinned in tests/test_functions_text_dedup.py."""
+    from ivm_extension_spark.functions.dedup import embedding_near_dups_delta
+
+    embs = _embs(spark, sf_dir).select("vec_id", "embedding")
+    delta = (
+        embs.filter("vec_id % 25 = 0")
+        .select((F.col("vec_id") + F.lit(100000)).alias("vec_id"), "embedding")
+        .withColumn(MULT_COL, F.lit(True))
+        .unionByName(
+            embs.filter("vec_id % 9 = 4").withColumn(MULT_COL, F.lit(False))
+        )
+    )
+    cdc, _new_index = embedding_near_dups_delta(
+        embs, delta, "vec_id", "embedding", threshold=0.3
+    )
+    return cdc.select(
+        "id_a", "id_b", "cos_sim", F.col(MULT_COL).alias("is_insert")
+    )
+
+
 def _q_ivm_merge_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Maintained per-source curation dashboard: doc counts, token
     totals (expression aggregate over the normalized-text tokenizer) and
@@ -2248,6 +2277,7 @@ _EXTRA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ivm_merge_corpus_stats": _q_ivm_merge_corpus_stats,
     "ivm_merge_hll_sketch": _q_ivm_merge_hll_sketch,
     "dedup_minhash_incremental": _q_dedup_minhash_incremental,
+    "dedup_embedding_incremental": _q_dedup_embedding_incremental,
     "sim_topk_incremental": _q_sim_topk_incremental,
     "skew_salted_join": _q_skew_salted_join,
     "skew_two_phase_agg": _q_skew_two_phase_agg,
@@ -2262,23 +2292,25 @@ _EXTRA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 # ROUND 4 WINDOW (this round), computed by scripts/update_ledger.py
 # (never-graded first, then least-recently-green — VERDICT.md r3 items
 # 5/6/7):
-#   - positions 1-5: the keys registered THIS round, never driver-graded
+#   - positions 1-6: the keys registered THIS round, never driver-graded
 #     (sim_topk_incremental, skew_salted_join, skew_two_phase_agg — the
 #     r3 "ungraded utilities" — plus the new ivm_merge_theta_join
-#     one-sided-inequality lifecycle and the ivm_merge_ivf_cells
-#     maintained index-occupancy view);
-#   - 6: ivm_projection, whose only green is from round 1;
-#   - 7-50: the 44 least-recently-green keys (green in round 2, rotated
+#     one-sided-inequality lifecycle, the ivm_merge_ivf_cells maintained
+#     index-occupancy view, and the dedup_embedding_incremental pair
+#     CDC);
+#   - 7: ivm_projection, whose only green is from round 1;
+#   - 8-50: the 43 least-recently-green keys (green in round 2, rotated
 #     out of round 3's window) — they must be regraded under post-r3
 #     code (engine/lakehouse/streaming changed after their last grade).
-#     text_tfidf_keywords, token_length_histogram and the r3-green keys
-#     rotate back in r5.
+#     text_stats, text_tfidf_keywords, token_length_histogram and the
+#     r3-green keys rotate back in r5.
 _GRADE_FIRST: tuple[str, ...] = (
     "sim_topk_incremental",
     "skew_salted_join",
     "skew_two_phase_agg",
     "ivm_merge_theta_join",
     "ivm_merge_ivf_cells",
+    "dedup_embedding_incremental",
     "ivm_projection",
     "approx_distinct_sketch",
     "asof_snapshots",
@@ -2323,7 +2355,6 @@ _GRADE_FIRST: tuple[str, ...] = (
     "text_lang_id",
     "text_quality",
     "text_repetition",
-    "text_stats",
 )
 
 
@@ -3201,6 +3232,10 @@ def _extras_oracle_sql() -> dict[str, str]:
     cos = (
         f"round(({dot('av', 'bv')}) / (({nrm('av')}) * ({nrm('bv')})) * 10000.0) / 10000.0"
     )
+    # the same score over a.v / b.v qualified columns (incremental twin)
+    _cos_vv = (
+        f"round(({dot('a.v', 'b.v')}) / (({nrm('a.v')}) * ({nrm('b.v')})) * 10000.0) / 10000.0"
+    )
 
     # LSH bucket twin: the SAME deterministic hyperplanes (fixed seed,
     # 6-decimal literals — both engines parse identical doubles) and the
@@ -3641,6 +3676,36 @@ def _extras_oracle_sql() -> dict[str, str]:
             JOIN (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS bv FROM embeddings) b
               ON a.vec_id < b.vec_id
             WHERE {cos} >= 0.3
+        """,
+        # incremental pair CDC twin: retractions = OLD-corpus pairs with
+        # a deleted endpoint; additions = NEW-corpus pairs with an
+        # inserted endpoint — identical score recipe as dedup_embedding
+        "dedup_embedding_incremental": f"""
+            WITH base AS (
+                SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+            ),
+            ins AS (
+                SELECT vec_id + 100000 AS vec_id, v FROM base WHERE vec_id % 25 = 0
+            ),
+            newc AS (
+                SELECT * FROM base WHERE vec_id % 9 != 4
+                UNION ALL SELECT * FROM ins
+            ),
+            retract AS (
+                SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                       {_cos_vv} AS cos_sim, false AS is_insert
+                FROM base a JOIN base b ON a.vec_id < b.vec_id
+                WHERE (a.vec_id % 9 = 4 OR b.vec_id % 9 = 4)
+                  AND {_cos_vv} >= 0.3
+            ),
+            addition AS (
+                SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                       {_cos_vv} AS cos_sim, true AS is_insert
+                FROM newc a JOIN newc b ON a.vec_id < b.vec_id
+                WHERE (a.vec_id >= 100000 OR b.vec_id >= 100000)
+                  AND {_cos_vv} >= 0.3
+            )
+            SELECT * FROM retract UNION ALL SELECT * FROM addition
         """,
         # normalize-each-side-then-dot, the SAME expression tree as
         # brute_force_topk's fast path (unit vectors once per row, one

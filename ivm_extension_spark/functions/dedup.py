@@ -797,6 +797,155 @@ def _embedding_near_dups_lsh(
     return pairs.groupBy("id_a", "id_b").agg(F.first("cos_sim").alias("cos_sim"))
 
 
+def embedding_near_dups_delta(
+    index: DataFrame,
+    delta: DataFrame,
+    id_col: str,
+    vec_col: str,
+    threshold: float = 0.95,
+    mult_col: str = "_duckdb_ivm_multiplicity",
+) -> tuple[DataFrame, DataFrame]:
+    """INCREMENTAL embedding near-dup — the pair CDC under a corpus
+    delta, without rescoring the corpus against itself.
+
+    ``index`` is the current corpus (id, vector) — at a real deployment
+    the stored, bucketed vector index; ``delta`` carries the bool
+    multiplicity column (insert=true, delete=false).  Preconditions:
+    deleted ids exist in the index (Δ⁻ ⊆ T) and inserted ids are new —
+    the standard content-addressed-id contract.  Returns
+    ``(pairs_cdc, new_index)``:
+
+    - ``pairs_cdc``: (id_a, id_b, cos_sim, multiplicity) — every exact
+      pair of the OLD corpus touching a deleted vector (false) and every
+      exact pair of the NEW corpus touching an inserted vector (true).
+      pairs(T) ⊎ CDC == pairs(T') against the exact batch path
+      (:func:`embedding_near_dups`), bit-identical scores (same unit
+      matrices, same half-up integer-scale rounding).
+    - ``new_index``: the vector relation of T' — feed it to the next
+      batch.
+
+    Scale shape: comparisons are O(|corpus| · |Δ|) BLAS, not
+    O(|corpus|²) — the corpus is scanned ONCE (mapInPandas, no shuffle)
+    against the broadcast delta matrix; the delta is collected for the
+    broadcast (O(|Δ|·d) bytes — the same bound any broadcast join
+    carries), and the tiny Δ×Δ blocks are scored at plan-build time.
+    For very hot corpora an LSH-bucket probe (index stored bucketed,
+    delta routed to its buckets) drops the constant further at recall
+    cost — the batch path's ``_embedding_near_dups_lsh`` shape.
+    """
+    from collections.abc import Iterator
+
+    spark = index.sparkSession
+    src = index.select(
+        F.col(id_col).alias("id"), F.col(vec_col).cast("array<double>").alias("v")
+    )
+    d = delta.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).cast("array<double>").alias("v"),
+        F.col(mult_col).alias("__ins"),
+    )
+    drows = d.collect()
+
+    def _unit(rows_):
+        ids = np.array([r["id"] for r in rows_], dtype=np.int64)
+        if not len(rows_):
+            return ids, np.zeros((0, 0))
+        mat = np.array([r["v"] for r in rows_], dtype=np.float64)
+        norms = np.sqrt((mat * mat).sum(axis=1))
+        norms[norms == 0] = 1.0
+        return ids, mat / norms[:, None]
+
+    del_ids, del_unit = _unit([r for r in drows if not r["__ins"]])
+    ins_ids, ins_unit = _unit([r for r in drows if r["__ins"]])
+    bc = spark.sparkContext.broadcast((del_ids, del_unit, ins_ids, ins_unit))
+
+    del_df = spark.createDataFrame(
+        [(int(i),) for i in del_ids] or [(None,)], "id long"
+    ).filter("id IS NOT NULL")
+    surv = src.join(F.broadcast(del_df), on="id", how="left_anti")
+
+    out_schema = T.StructType(
+        [
+            T.StructField("id_a", T.LongType(), False),
+            T.StructField("id_b", T.LongType(), False),
+            T.StructField("cos_sim", T.DoubleType(), True),
+            T.StructField("__ins", T.BooleanType(), False),
+        ]
+    )
+
+    def _pairs(bids, bunit, oids, ounit, is_ins, ordered=False):
+        # block(rows) × other(cols) exact cosine; canonical a<b order.
+        # ordered=True keeps only upper-triangle matches (Δ×Δ once).
+        if not len(bids) or not len(oids):
+            return None
+        sims = bunit @ ounit.T
+        sims = np.floor(sims * 1e4 + 0.5) / 1e4  # same half-up as batch
+        mask = sims >= threshold
+        if ordered:
+            mask &= bids[:, None] < oids[None, :]
+        else:
+            mask &= bids[:, None] != oids[None, :]
+        ai, bi = np.nonzero(mask)
+        a, b = bids[ai], oids[bi]
+        return pd.DataFrame(
+            {
+                "id_a": np.minimum(a, b),
+                "id_b": np.maximum(a, b),
+                "cos_sim": sims[ai, bi],
+                "__ins": is_ins,
+            }
+        )
+
+    def scan(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        dids, dunit, iids, iunit = bc.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            bids = pdf["id"].to_numpy(dtype=np.int64)
+            bmat = np.array(list(pdf["v"]), dtype=np.float64)
+            bnorm = np.sqrt((bmat * bmat).sum(axis=1))
+            bnorm[bnorm == 0] = 1.0
+            bunit = bmat / bnorm[:, None]
+            out = [
+                _pairs(bids, bunit, dids, dunit, False),  # surv × deleted
+                _pairs(bids, bunit, iids, iunit, True),  # surv × inserted
+            ]
+            out = [p for p in out if p is not None and len(p)]
+            if out:
+                yield pd.concat(out, ignore_index=True)
+
+    cdc = surv.mapInPandas(scan, schema=out_schema)
+    # Δ×Δ blocks: tiny (the delta is already driver-held for the
+    # broadcast), scored once each at plan-build time
+    local = [
+        p
+        for p in (
+            _pairs(del_ids, del_unit, del_ids, del_unit, False, ordered=True),
+            _pairs(ins_ids, ins_unit, ins_ids, ins_unit, True, ordered=True),
+        )
+        if p is not None and len(p)
+    ]
+    if local:
+        lp = pd.concat(local, ignore_index=True)
+        cdc = cdc.unionByName(
+            spark.createDataFrame(
+                [
+                    (int(a), int(b), float(c), bool(m))
+                    for a, b, c, m in lp.itertuples(index=False)
+                ],
+                out_schema,
+            )
+        )
+    ins_df = d.filter(F.col("__ins")).select("id", "v")
+    new_index = surv.unionByName(ins_df)
+    return (
+        cdc.withColumnRenamed("__ins", mult_col),
+        new_index.select(
+            F.col("id").alias(id_col), F.col("v").alias(vec_col)
+        ),
+    )
+
+
 def keep_canonical(
     df: DataFrame, components: DataFrame, id_col: str = "doc_id"
 ) -> DataFrame:

@@ -427,6 +427,64 @@ def test_embedding_near_dups_lsh_path_matches_exact(spark):
     assert len(approx_pairs) >= 0.9 * len(exact_pairs) > 0
 
 
+def test_embedding_near_dups_delta_invariant(spark):
+    # pairs(T) ⊎ CDC == pairs(T'): the incremental pair CDC under a
+    # mixed insert/delete delta must reconcile exactly (ids AND scores)
+    # with the exact batch recompute over the post-delta corpus
+    import random
+
+    from ivm_extension_spark.operators.rewrite import MULT_COL
+
+    rng = random.Random(13)
+    dim = 16
+    data = []
+    for base_id in range(0, 30):
+        v = [rng.uniform(-1, 1) for _ in range(dim)]
+        data.append((base_id, v))
+        if base_id % 3 == 0:
+            data.append(
+                (1000 + base_id, [x + rng.uniform(-0.004, 0.004) for x in v])
+            )
+    vecs = spark.createDataFrame(data, "vec_id long, embedding array<double>")
+    # delta: insert near-dup copies of the %5 vectors (new ids), delete
+    # the %7==2 rows (some of which are pair endpoints)
+    ins = [
+        (2000 + i, [x + rng.uniform(-0.003, 0.003) for x in v], True)
+        for i, v in data
+        if i % 5 == 0
+    ]
+    dels = [(i, v, False) for i, v in data if i % 7 == 2]
+    delta = spark.createDataFrame(
+        ins + dels, f"vec_id long, embedding array<double>, {MULT_COL} boolean"
+    )
+    cdc, new_index = dedup.embedding_near_dups_delta(
+        vecs, delta, "vec_id", "embedding", threshold=0.95
+    )
+    old_pairs = {
+        (r["id_a"], r["id_b"]): r["cos_sim"]
+        for r in dedup.embedding_near_dups(
+            vecs, "vec_id", "embedding", threshold=0.95
+        ).collect()
+    }
+    merged = dict(old_pairs)
+    for r in cdc.collect():
+        k = (r["id_a"], r["id_b"])
+        if r[MULT_COL]:
+            assert k not in merged, k  # addition must be genuinely new
+            merged[k] = r["cos_sim"]
+        else:
+            assert merged.pop(k) == r["cos_sim"]  # retraction must exist
+    new_pairs = {
+        (r["id_a"], r["id_b"]): r["cos_sim"]
+        for r in dedup.embedding_near_dups(
+            new_index, "vec_id", "embedding", threshold=0.95
+        ).collect()
+    }
+    assert merged == new_pairs and len(new_pairs) > 0
+    # the new index is exactly T' = (T \ dels) ∪ ins
+    assert new_index.count() == len(data) - len(dels) + len(ins)
+
+
 def test_embedding_near_dups_lsh_no_driver_materialization(spark):
     # the >limit path must not collect the vector table: the only allowed
     # driver fetch is the single-row dim probe (a LIMIT 1 plan)
