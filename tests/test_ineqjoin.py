@@ -66,6 +66,33 @@ def test_plan_has_no_nested_loop(spark, lr):
     assert "BroadcastHashJoin" in plan, plan
 
 
+def test_key_cols_partition_the_comparison(spark):
+    # with key_cols the inequality only pairs rows sharing the key —
+    # brute-force parity within groups, no cross-group leakage
+    l = spark.createDataFrame(
+        [(1, "g1", 5.0), (2, "g1", 50.0), (3, "g2", 5.0)],
+        "lid int, g string, x double",
+    )
+    r = spark.createDataFrame(
+        [(10, "g1", 20.0), (11, "g2", 100.0)], "rid int, g string, y double"
+    )
+    got = {
+        tuple(t)
+        for t in ineq_join(
+            l, r, "x", "y", "<", bin_width=8.0, max_bins=64, key_cols=("g",)
+        )
+        .select("lid", "rid")
+        .collect()
+    }
+    exp = {
+        tuple(t)
+        for t in l.join(r.withColumnRenamed("g", "g2"), on=[F.expr("g = g2 AND x < y")])
+        .select("lid", "rid")
+        .collect()
+    }
+    assert got == exp == {(1, 10), (3, 11)}
+
+
 def test_domain_guard_raises(spark):
     l = spark.createDataFrame([(1, -5.0)], "lid int, x double")
     r = spark.createDataFrame([(1, 10.0)], "rid int, y double")

@@ -231,6 +231,17 @@ def test_explode_sites_do_not_inline_expensive_expr(spark):
         assert marker not in plan, (name, plan)
 
 
+def test_theta_lifecycle_plan_no_nested_loop(spark):
+    """The full maintained inequality-join lifecycle (v_old + three delta
+    branches + bag merge) must plan exclusively with hash equi-joins on
+    the dyadic (level, node) keys — a nested-loop anywhere would be the
+    O(|L|·|R|) shape the decomposition exists to avoid."""
+    plan = plan_of(q(spark, "ivm_merge_theta_join"))
+    assert "NestedLoop" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+
+
 def test_range_left_join_delta_plan_no_nested_loop(spark):
     """The banded-outer-join delta must plan every theta join as a
     binned equi-join (hash joins only, delta sides broadcast) — a
