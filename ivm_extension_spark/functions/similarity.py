@@ -320,6 +320,44 @@ def incremental_topk_update(
     )
 
 
+def incremental_topk_apply_deletes(
+    topk_state: DataFrame,
+    deleted_ids: DataFrame,
+    k: int = 5,
+) -> tuple[DataFrame, DataFrame]:
+    """Advance a maintained top-k result under DELETIONS — the half
+    :func:`incremental_topk_update` documents as out of its scope.
+
+    A deletion of a row inside some query's top-k needs the runner-up,
+    which a k-row state cannot answer (the MIN/MAX-under-deletes problem
+    again).  The honest treatment: prune the deleted neighbors and
+    report exactly which queries lost rows, so the caller re-scores ONLY
+    those (``brute_force_topk`` over the affected query subset — still
+    O(n·|affected|), never a full rebuild for untouched queries).
+    Returns ``(pruned_state, stale_query_ids)``; a query absent from
+    ``stale_query_ids`` kept all k rows and its result is still exact.
+    ``deleted_ids`` is a one-column (vec_id) relation; the state probe
+    is a broadcast anti join — O(k·q) state rows, never the corpus."""
+    d = deleted_ids.select(F.col(deleted_ids.columns[0]).alias("__del_id"))
+    pruned = topk_state.join(
+        F.broadcast(d),
+        on=[F.col("neighbor_id") == F.col("__del_id")],
+        how="left_anti",
+    )
+    stale = (
+        pruned.groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .filter(F.col("__n") < k)
+        .select("query_id")
+    )
+    # a query whose rows were ALL deleted vanishes from pruned entirely —
+    # recover it from the original state's query set
+    gone = topk_state.select("query_id").distinct().join(
+        pruned.select("query_id").distinct(), on="query_id", how="left_anti"
+    )
+    return pruned, stale.unionByName(gone).distinct()
+
+
 def centroid_state(
     vectors: DataFrame,
     label_col: str = "label",

@@ -427,6 +427,53 @@ def test_embedding_near_dups_lsh_path_matches_exact(spark):
     assert len(approx_pairs) >= 0.9 * len(exact_pairs) > 0
 
 
+def test_incremental_topk_apply_deletes(spark):
+    # delete-path of the maintained top-k: prune + stale-query report,
+    # then re-scoring ONLY the stale queries reproduces the full rescan
+    import random
+
+    rng = random.Random(5)
+    dim = 8
+    data = [
+        (i, [rng.uniform(-1, 1) for _ in range(dim)]) for i in range(40)
+    ]
+    vecs = spark.createDataFrame(data, "vec_id long, embedding array<double>")
+    queries = vecs.filter("vec_id % 10 = 0")
+    k = 3
+    state = similarity.brute_force_topk(vecs, queries, "vec_id", "embedding", k=k)
+    deleted = spark.createDataFrame([(3,), (7,), (11,)], "vec_id long")
+    pruned, stale = similarity.incremental_topk_apply_deletes(state, deleted, k=k)
+
+    assert pruned.filter("neighbor_id IN (3, 7, 11)").count() == 0
+    stale_ids = {r["query_id"] for r in stale.collect()}
+    lost = {
+        r["query_id"]
+        for r in state.filter("neighbor_id IN (3, 7, 11)").collect()
+    }
+    assert stale_ids == lost  # exactly the queries that lost a row
+
+    vecs2 = vecs.filter("vec_id NOT IN (3, 7, 11)")
+    rescored = similarity.brute_force_topk(
+        vecs2,
+        queries.join(stale, queries.vec_id == stale.query_id, "leftsemi"),
+        "vec_id",
+        "embedding",
+        k=k,
+    )
+    kept = pruned.join(stale, on="query_id", how="left_anti")
+    got = {
+        (r["query_id"], r["neighbor_id"], r["cos_sim"])
+        for r in kept.drop("rank").unionByName(rescored.drop("rank")).collect()
+    }
+    exp = {
+        (r["query_id"], r["neighbor_id"], r["cos_sim"])
+        for r in similarity.brute_force_topk(
+            vecs2, queries, "vec_id", "embedding", k=k
+        ).collect()
+    }
+    assert got == exp
+
+
 def test_embedding_near_dups_delta_invariant(spark):
     # pairs(T) ⊎ CDC == pairs(T'): the incremental pair CDC under a
     # mixed insert/delete delta must reconcile exactly (ids AND scores)
