@@ -1,3 +1,10 @@
-from ivm_extension_spark.functions import dedup, multimodal, similarity, text
+from ivm_extension_spark.functions import (
+    dedup,
+    hll,
+    multimodal,
+    sampling,
+    similarity,
+    text,
+)
 
-__all__ = ["dedup", "multimodal", "similarity", "text"]
+__all__ = ["dedup", "hll", "multimodal", "sampling", "similarity", "text"]

@@ -7,6 +7,7 @@ from ivm_extension_spark.operators.merge import (  # noqa: F401
 # (engine.py does ``from ...operators import merge as merge_ops``) — the
 # merge function is reachable as ``operators.merge.merge``.
 from ivm_extension_spark.operators import merge  # noqa: F401
+from ivm_extension_spark.operators.ineqjoin import ineq_join, ineq_join_delta
 from ivm_extension_spark.operators.rangejoin import range_join
 from ivm_extension_spark.operators.rewrite import (
     MULT_COL,
@@ -24,6 +25,8 @@ __all__ = [
     "compute_view",
     "delta_plan",
     "finalize",
+    "ineq_join",
+    "ineq_join_delta",
     "range_join",
     "salted_join",
     "two_phase_agg",
