@@ -180,6 +180,189 @@ def ineq_join(
     )
 
 
+def _null_pad_anti(
+    side: DataFrame,
+    mk: DataFrame,
+    probe_cols: list[str],
+    other: DataFrame,
+    key_cols: tuple[str, ...],
+) -> DataFrame:
+    """Rows of ``side`` whose ``probe_cols`` never appear in ``mk``
+    (null-safe probe), padded with NULLs for ``other``'s non-key
+    columns — the preserved-side construction shared with the banded
+    rule (rangejoin._null_pad_anti)."""
+    mkd = mk.select(
+        *[F.col(c).alias(f"__mk_{c}") for c in probe_cols]
+    ).distinct()
+    cond = None
+    for c in probe_cols:
+        t = F.col(c).eqNullSafe(F.col(f"__mk_{c}"))
+        cond = t if cond is None else cond & t
+    out = side.join(F.broadcast(mkd), on=cond, how="left_anti")
+    for c in other.columns:
+        if c not in key_cols:
+            out = out.withColumn(c, F.lit(None).cast(other.schema[c].dataType))
+    return out
+
+
+def ineq_left_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_col: str,
+    right_col: str,
+    op: str = "<",
+    bin_width: float = 1.0,
+    max_bins: int = 1 << 21,
+    key_cols: tuple[str, ...] = (),
+    origin: float = 0.0,
+) -> DataFrame:
+    """LEFT OUTER inequality join: matched pairs plus left rows with no
+    qualifying right row, NULL-padded.  A left row's match status
+    depends only on (``key_cols``…, ``left_col``), so the anti probe is
+    the dyadic join of the DISTINCT left keys against the right side —
+    never a second pass over the full left relation."""
+    kp = [*key_cols, left_col]
+    out_cols = [*left.columns, *[c for c in right.columns if c not in key_cols]]
+    matched = ineq_join(
+        left, right, left_col, right_col, op, bin_width, max_bins, key_cols,
+        None, origin,
+    )
+    mk = ineq_join(
+        left.select(*kp).distinct(),
+        right.select(*key_cols, right_col),
+        left_col, right_col, op, bin_width, max_bins, key_cols, None, origin,
+    ).select(*kp)
+    anti = _null_pad_anti(left, mk, kp, right, key_cols)
+    return matched.unionByName(anti.select(*out_cols))
+
+
+def ineq_left_join_delta(
+    left: DataFrame,
+    right: DataFrame,
+    d_left: DataFrame | None,
+    d_right: DataFrame | None,
+    left_col: str,
+    right_col: str,
+    op: str = "<",
+    bin_width: float = 1.0,
+    max_bins: int = 1 << 21,
+    key_cols: tuple[str, ...] = (),
+    origin: float = 0.0,
+) -> DataFrame:
+    """Δ(L ⟕θ R) for the one-sided inequality LEFT join — the banded
+    outer rule's algebra (matched three-branch + NULL-pad anti terms via
+    match-count zero crossings, rangejoin.range_left_join_delta) with
+    the dyadic equi-join as the matcher, so no branch ever plans a
+    nested loop.  Deltas carry the bool multiplicity column; output =
+    joined columns + the multiplicity bool.
+
+    Scale shape: the base sides are probed only through broadcast
+    delta-derived key sets (distinct ΔL match keys, ΔR rows, flip
+    sets); the only shuffles are match-count aggregations over
+    delta-matched slices — O(|Δ| + affected keys)."""
+    from ivm_extension_spark.operators.rewrite import MULT_COL
+
+    if d_left is None and d_right is None:
+        raise ValueError("at least one side needs a delta")
+    sign = "__ivm_sign"
+    kp = [*key_cols, left_col]
+    out_cols = [*left.columns, *[c for c in right.columns if c not in key_cols]]
+    null_r = [
+        F.lit(None).cast(right.schema[c].dataType).alias(c)
+        for c in right.columns
+        if c not in key_cols
+    ]
+
+    def signed(d: DataFrame, w: str) -> DataFrame:
+        return d.withColumn(
+            w, F.when(F.col(MULT_COL), F.lit(1)).otherwise(F.lit(-1))
+        ).drop(MULT_COL)
+
+    dl = signed(d_left, "__wl") if d_left is not None else None
+    dr = signed(d_right, "__wr") if d_right is not None else None
+
+    def ij(a, b, bcast):
+        return ineq_join(
+            a, b, left_col, right_col, op, bin_width, max_bins, key_cols,
+            bcast, origin,
+        )
+
+    branches: list[DataFrame] = []
+    # ---- matched part: the three-branch inner rule
+    if dl is not None:
+        branches.append(
+            ij(dl, right, "left").select(*out_cols, F.col("__wl").alias(sign))
+        )
+    if dr is not None:
+        branches.append(
+            ij(left, dr, "right").select(*out_cols, F.col("__wr").alias(sign))
+        )
+    if dl is not None and dr is not None:
+        branches.append(
+            ij(dl, dr, "left").select(
+                *out_cols, (F.col("__wl") * F.col("__wr")).alias(sign)
+            )
+        )
+
+    # ---- anti term 1: ΔL rows with zero matches in R' = R ∪ ΔR
+    if dl is not None:
+        dpk = dl.select(*kp).distinct()
+        rprime = right.select(*key_cols, right_col).withColumn("__w", F.lit(1))
+        if dr is not None:
+            rprime = rprime.unionByName(
+                dr.select(*key_cols, right_col, F.col("__wr").alias("__w"))
+            )
+        m_pos = (
+            ij(dpk, rprime, "left")
+            .groupBy(*kp)
+            .agg(F.sum("__w").alias("__m"))
+            .filter(F.col("__m") > 0)
+            .select(*kp)
+        )
+        t1 = _null_pad_anti(dl, m_pos, kp, right, key_cols)
+        branches.append(
+            t1.select(*left.columns, *null_r, F.col("__wl").alias(sign))
+        )
+
+    # ---- anti term 2: existing L keys whose match count crosses zero
+    if dr is not None:
+        # Δm per affected DISTINCT left key (several left rows sharing a
+        # key flip together — the match count is a per-KEY quantity)
+        dm = (
+            ij(left.select(*kp).distinct(), dr, "right")
+            .groupBy(*kp)
+            .agg(F.sum("__wr").alias("__dm"))
+            .filter(F.col("__dm") != 0)
+        )
+        m_old = (
+            ij(dm.select(*kp), right.select(*key_cols, right_col), "left")
+            .groupBy(*kp)
+            .agg(F.count(F.lit(1)).alias("__mold"))
+        )
+        flips = (
+            dm.join(m_old, on=kp, how="left")
+            .withColumn("__mold", F.coalesce(F.col("__mold"), F.lit(0)))
+            .withColumn("__mnew", F.col("__mold") + F.col("__dm"))
+            .withColumn(
+                "__flip",
+                F.when(
+                    (F.col("__mold") == 0) & (F.col("__mnew") > 0), F.lit(-1)
+                ).when((F.col("__mold") > 0) & (F.col("__mnew") <= 0), F.lit(1)),
+            )
+            .filter(F.col("__flip").isNotNull())
+            .select(*kp, "__flip")
+        )
+        t2 = left.join(F.broadcast(flips), on=kp, how="inner")
+        branches.append(
+            t2.select(*left.columns, *null_r, F.col("__flip").alias(sign))
+        )
+
+    out = branches[0]
+    for b in branches[1:]:
+        out = out.unionByName(b)
+    return out.select(*out_cols, (F.col(sign) > 0).alias(MULT_COL))
+
+
 def ineq_join_delta(
     left: DataFrame,
     right: DataFrame,
