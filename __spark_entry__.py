@@ -1019,9 +1019,9 @@ def _q_ivm_merge_theta_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     d_thr = spark.createDataFrame(
         _TH_DELTA, f"tname string, cutoff double, {MULT_COL} boolean"
     )
-    v_old = ineq_join(pts, thr, "price", "cutoff", "<", 1000.0, 1 << 12)
+    v_old = ineq_join(pts, thr, "price", "cutoff", "<", 10000.0, 1 << 7)
     dv = ineq_join_delta(
-        pts, thr, d_pts, d_thr, "price", "cutoff", "<", 1000.0, 1 << 12
+        pts, thr, d_pts, d_thr, "price", "cutoff", "<", 10000.0, 1 << 7
     )
     cols = v_old.columns
     merged = (
@@ -1076,7 +1076,7 @@ def _q_ivm_merge_theta_left_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     d_thr = spark.createDataFrame(
         _TH_DELTA_L, f"tname string, cutoff double, {MULT_COL} boolean"
     )
-    kw = dict(op="<", bin_width=1000.0, max_bins=1 << 12)
+    kw = dict(op="<", bin_width=10000.0, max_bins=1 << 7)
     v_old = ineq_left_join(pts, thr, "price", "cutoff", **kw)
     dv = ineq_left_join_delta(
         pts, thr, d_pts, d_thr, "price", "cutoff", **kw

@@ -223,16 +223,15 @@ def ineq_left_join(
     never a second pass over the full left relation."""
     kp = [*key_cols, left_col]
     out_cols = [*left.columns, *[c for c in right.columns if c not in key_cols]]
+    # the matched relation feeds BOTH the output union and the anti
+    # probe's matched-key set — a lazy localCheckpoint materializes the
+    # dyadic join once instead of executing it twice (and instead of a
+    # second dyadic join over the distinct left keys)
     matched = ineq_join(
         left, right, left_col, right_col, op, bin_width, max_bins, key_cols,
         None, origin,
-    )
-    mk = ineq_join(
-        left.select(*kp).distinct(),
-        right.select(*key_cols, right_col),
-        left_col, right_col, op, bin_width, max_bins, key_cols, None, origin,
-    ).select(*kp)
-    anti = _null_pad_anti(left, mk, kp, right, key_cols)
+    ).localCheckpoint(eager=False)
+    anti = _null_pad_anti(left, matched.select(*kp), kp, right, key_cols)
     return matched.unionByName(anti.select(*out_cols))
 
 
