@@ -434,13 +434,19 @@ ineq_row_st = st.tuples(st.integers(min_value=0, max_value=999_999), ineq_val_st
     l_del_mask=st.lists(st.booleans(), min_size=8, max_size=8),
     r_del_mask=st.lists(st.booleans(), min_size=5, max_size=5),
     op=st.sampled_from(["<", "<=", ">", ">="]),
+    how=st.sampled_from(["inner", "left"]),
 )
 def test_ineq_join_delta_invariant_property(
-    spark, ls, rs, l_ins, r_ins, l_del_mask, r_del_mask, op
+    spark, ls, rs, l_ins, r_ins, l_del_mask, r_del_mask, op, how
 ):
     from pyspark.sql import functions as F
 
-    from ivm_extension_spark.operators.ineqjoin import ineq_join, ineq_join_delta
+    from ivm_extension_spark.operators.ineqjoin import (
+        ineq_join,
+        ineq_join_delta,
+        ineq_left_join,
+        ineq_left_join_delta,
+    )
     from ivm_extension_spark.operators.rewrite import MULT_COL
 
     l_ins = [(i + 1_000_000, v) for i, v in l_ins]
@@ -482,8 +488,10 @@ def test_ineq_join_delta_invariant_property(
         if (r_ins or r_dels)
         else None
     )
-    dv = ineq_join_delta(L, R, dL, dR, "x", "y", op, **kw)
-    v_old = ineq_join(L, R, "x", "y", op, **kw)
+    join_fn = ineq_join if how == "inner" else ineq_left_join
+    delta_fn = ineq_join_delta if how == "inner" else ineq_left_join_delta
+    dv = delta_fn(L, R, dL, dR, "x", "y", op, **kw)
+    v_old = join_fn(L, R, "x", "y", op, **kw)
     cols = v_old.columns
     merged = (
         v_old.withColumn("__s", F.lit(1))
@@ -500,5 +508,8 @@ def test_ineq_join_delta_invariant_property(
     )
     L2 = ldf([r for r in ls if r not in l_dels] + l_ins)
     R2 = rdf([r for r in rs if r not in r_dels] + r_ins)
-    recomputed = L2.crossJoin(R2).filter(F.expr(f"x {op} y")).select(*cols)
+    if how == "inner":
+        recomputed = L2.crossJoin(R2).filter(F.expr(f"x {op} y")).select(*cols)
+    else:
+        recomputed = L2.join(R2, on=F.expr(f"x {op} y"), how="left").select(*cols)
     assert rows(merged) == rows(recomputed)
