@@ -7,7 +7,12 @@ from ivm_extension_spark.operators.merge import (  # noqa: F401
 # (engine.py does ``from ...operators import merge as merge_ops``) — the
 # merge function is reachable as ``operators.merge.merge``.
 from ivm_extension_spark.operators import merge  # noqa: F401
-from ivm_extension_spark.operators.ineqjoin import ineq_join, ineq_join_delta
+from ivm_extension_spark.operators.ineqjoin import (
+    ineq_join,
+    ineq_join_delta,
+    ineq_left_join,
+    ineq_left_join_delta,
+)
 from ivm_extension_spark.operators.rangejoin import range_join
 from ivm_extension_spark.operators.rewrite import (
     MULT_COL,
@@ -27,6 +32,8 @@ __all__ = [
     "finalize",
     "ineq_join",
     "ineq_join_delta",
+    "ineq_left_join",
+    "ineq_left_join_delta",
     "range_join",
     "salted_join",
     "two_phase_agg",
