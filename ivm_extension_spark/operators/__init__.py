@@ -8,6 +8,8 @@ from ivm_extension_spark.operators.merge import (  # noqa: F401
 # merge function is reachable as ``operators.merge.merge``.
 from ivm_extension_spark.operators import merge  # noqa: F401
 from ivm_extension_spark.operators.ineqjoin import (
+    ineq_full_join,
+    ineq_full_join_delta,
     ineq_join,
     ineq_join_delta,
     ineq_left_join,
@@ -30,6 +32,8 @@ __all__ = [
     "compute_view",
     "delta_plan",
     "finalize",
+    "ineq_full_join",
+    "ineq_full_join_delta",
     "ineq_join",
     "ineq_join_delta",
     "ineq_left_join",

@@ -235,6 +235,39 @@ def ineq_left_join(
     return matched.unionByName(anti.select(*out_cols))
 
 
+def ineq_full_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_col: str,
+    right_col: str,
+    op: str = "<",
+    bin_width: float = 1.0,
+    max_bins: int = 1 << 21,
+    key_cols: tuple[str, ...] = (),
+    origin: float = 0.0,
+) -> DataFrame:
+    """FULL OUTER inequality join: matched pairs plus BOTH sides'
+    matchless rows NULL-padded.  A right row's match status depends
+    only on (``key_cols``…, ``right_col``) — symmetric to the left
+    side — so both anti probes are null-safe broadcast anti-joins
+    against the (checkpointed-once) matched relation's key
+    projections, never a second dyadic pass."""
+    kp_l = [*key_cols, left_col]
+    kp_r = [*key_cols, right_col]
+    out_cols = [*left.columns, *[c for c in right.columns if c not in key_cols]]
+    matched = ineq_join(
+        left, right, left_col, right_col, op, bin_width, max_bins, key_cols,
+        None, origin,
+    ).localCheckpoint(eager=False)
+    anti_l = _null_pad_anti(left, matched.select(*kp_l), kp_l, right, key_cols)
+    anti_r = _null_pad_anti(right, matched.select(*kp_r), kp_r, left, key_cols)
+    return (
+        matched
+        .unionByName(anti_l.select(*out_cols))
+        .unionByName(anti_r.select(*out_cols))
+    )
+
+
 def ineq_left_join_delta(
     left: DataFrame,
     right: DataFrame,
@@ -360,6 +393,126 @@ def ineq_left_join_delta(
     for b in branches[1:]:
         out = out.unionByName(b)
     return out.select(*out_cols, (F.col(sign) > 0).alias(MULT_COL))
+
+
+def ineq_full_join_delta(
+    left: DataFrame,
+    right: DataFrame,
+    d_left: DataFrame | None,
+    d_right: DataFrame | None,
+    left_col: str,
+    right_col: str,
+    op: str = "<",
+    bin_width: float = 1.0,
+    max_bins: int = 1 << 21,
+    key_cols: tuple[str, ...] = (),
+    origin: float = 0.0,
+) -> DataFrame:
+    """Δ(L ⟗θ R) for the one-sided inequality FULL OUTER join: the
+    LEFT rule's branches (matched three-branch + left NULL-pad anti
+    terms, :func:`ineq_left_join_delta`) plus the two symmetric
+    right-preserved terms — ΔR rows with zero matches in L' = L ∪ ΔL,
+    and existing DISTINCT right keys whose left-match count crosses
+    zero under ΔL.  The same self-cancelling counting algebra makes
+    the branch union exact under arbitrary insert/delete mixes (the
+    property test drives all three join shapes through random
+    batches).
+
+    Scale shape unchanged from the LEFT rule: base relations are only
+    probed through broadcast delta-derived sets; the only shuffles are
+    match-count aggregations over delta-matched slices."""
+    from ivm_extension_spark.operators.rewrite import MULT_COL
+
+    if d_left is None and d_right is None:
+        raise ValueError("at least one side needs a delta")
+    sign = "__ivm_sign"
+    kp_r = [*key_cols, right_col]
+    out_cols = [*left.columns, *[c for c in right.columns if c not in key_cols]]
+
+    out = ineq_left_join_delta(
+        left, right, d_left, d_right, left_col, right_col, op,
+        bin_width, max_bins, key_cols, origin,
+    )
+
+    def signed(d: DataFrame, w: str) -> DataFrame:
+        return d.withColumn(
+            w, F.when(F.col(MULT_COL), F.lit(1)).otherwise(F.lit(-1))
+        ).drop(MULT_COL)
+
+    dl = signed(d_left, "__wl") if d_left is not None else None
+    dr = signed(d_right, "__wr") if d_right is not None else None
+
+    def ij(a, b, bcast):
+        return ineq_join(
+            a, b, left_col, right_col, op, bin_width, max_bins, key_cols,
+            bcast, origin,
+        )
+
+    branches: list[DataFrame] = []
+    # ---- right anti term 1: ΔR rows with zero matches in L' = L ∪ ΔL
+    if dr is not None:
+        dpk = dr.select(*kp_r).distinct()
+        lprime = left.select(*key_cols, left_col).withColumn("__w", F.lit(1))
+        if dl is not None:
+            lprime = lprime.unionByName(
+                dl.select(*key_cols, left_col, F.col("__wl").alias("__w"))
+            )
+        m_pos = (
+            ij(lprime, dpk, "right")
+            .groupBy(*kp_r)
+            .agg(F.sum("__w").alias("__m"))
+            .filter(F.col("__m") > 0)
+            .select(*kp_r)
+        )
+        t1 = _null_pad_anti(dr, m_pos, kp_r, left, key_cols)
+        branches.append(t1.select(*out_cols, F.col("__wr").alias(sign)))
+
+    # ---- right anti term 2: existing R keys whose left-match count
+    # crosses zero under ΔL (joined against OLD right — deleted right
+    # rows intentionally included; their spurious terms cancel against
+    # the matched/anti branches exactly as on the left side)
+    if dl is not None:
+        dm = (
+            ij(dl, right.select(*kp_r).distinct(), "left")
+            .groupBy(*kp_r)
+            .agg(F.sum("__wl").alias("__dm"))
+            .filter(F.col("__dm") != 0)
+        )
+        m_old = (
+            ij(left.select(*key_cols, left_col), dm.select(*kp_r), "right")
+            .groupBy(*kp_r)
+            .agg(F.count(F.lit(1)).alias("__mold"))
+        )
+        flips = (
+            dm.join(m_old, on=kp_r, how="left")
+            .withColumn("__mold", F.coalesce(F.col("__mold"), F.lit(0)))
+            .withColumn("__mnew", F.col("__mold") + F.col("__dm"))
+            .withColumn(
+                "__flip",
+                F.when(
+                    (F.col("__mold") == 0) & (F.col("__mnew") > 0), F.lit(-1)
+                ).when((F.col("__mold") > 0) & (F.col("__mnew") <= 0), F.lit(1)),
+            )
+            .filter(F.col("__flip").isNotNull())
+            .select(*kp_r, "__flip")
+        )
+        t2 = right.join(F.broadcast(flips), on=kp_r, how="inner")
+        null_l = [
+            F.col(c) if c in key_cols
+            else F.lit(None).cast(left.schema[c].dataType).alias(c)
+            for c in left.columns
+        ]
+        branches.append(
+            t2.select(
+                *null_l,
+                *[c for c in right.columns if c not in key_cols],
+                F.col("__flip").alias(sign),
+            )
+        )
+
+    for b in branches:
+        out = out.unionByName(b.select(*out_cols, (F.col(sign) > 0).alias(MULT_COL)))
+    return out
 
 
 def ineq_join_delta(

@@ -13,6 +13,8 @@ import pytest
 from pyspark.sql import functions as F
 
 from ivm_extension_spark.operators.ineqjoin import (
+    ineq_full_join,
+    ineq_full_join_delta,
     ineq_join,
     ineq_join_delta,
     ineq_left_join,
@@ -163,6 +165,69 @@ def test_left_join_delta_merge_equals_recompute(spark, lr):
         spark.createDataFrame([(900, 999.5)], "rid int, y double")
     )
     exp = l2.join(r2, on=F.expr("x < y"), how="left").select(*cols)
+    got_c = Counter(tuple(t) for t in merged.collect())
+    exp_c = Counter(tuple(t) for t in exp.collect())
+    assert got_c == exp_c
+
+
+@pytest.mark.parametrize("op", ["<", ">="])
+def test_full_join_matches_brute_force(spark, lr, op):
+    l, r = lr
+    got = Counter(
+        tuple(t)
+        for t in ineq_full_join(l, r, "x", "y", op, bin_width=37.0, max_bins=64)
+        .select("lid", "rid")
+        .collect()
+    )
+    exp = Counter(
+        tuple(t)
+        for t in l.join(r, on=F.expr(f"x {op} y"), how="full")
+        .select("lid", "rid")
+        .collect()
+    )
+    assert got == exp
+
+
+def test_full_join_delta_merge_equals_recompute(spark, lr):
+    # both preserved sides under a mixed insert/delete batch: deleting
+    # the high cutoffs makes left rows flip to NULL-padded, deleting
+    # left rows below small cutoffs makes right rows flip, and the
+    # inserted rows exercise both -1 crossings
+    l, r = lr
+    dl = l.filter("lid % 7 = 0").withColumn(MULT_COL, F.expr("lid % 2 = 0"))
+    dr = (
+        r.filter("rid % 3 = 0")
+        .withColumn(MULT_COL, F.lit(False))
+        .unionByName(
+            spark.createDataFrame(
+                [(900, 999.5, True), (901, -0.5, True)],
+                f"rid int, y double, {MULT_COL} boolean",
+            )
+        )
+    )
+    dv = ineq_full_join_delta(l, r, dl, dr, "x", "y", "<", 37.0, 64, origin=-37.0)
+    v_old = ineq_full_join(l, r, "x", "y", "<", 37.0, 64, origin=-37.0)
+    cols = v_old.columns
+    merged = (
+        v_old.withColumn("__s", F.lit(1))
+        .unionByName(
+            dv.withColumn(
+                "__s", F.when(F.col(MULT_COL), F.lit(1)).otherwise(F.lit(-1))
+            ).drop(MULT_COL)
+        )
+        .groupBy(*cols)
+        .agg(F.sum("__s").alias("__n"))
+        .filter(F.col("__n") > 0)
+        .select(*cols, F.explode(F.expr("sequence(1, __n)")).alias("__i"))
+        .drop("__i")
+    )
+    l2 = l.exceptAll(l.filter("lid % 7 = 0 AND lid % 2 != 0")).unionByName(
+        l.filter("lid % 7 = 0 AND lid % 2 = 0")
+    )
+    r2 = r.exceptAll(r.filter("rid % 3 = 0")).unionByName(
+        spark.createDataFrame([(900, 999.5), (901, -0.5)], "rid int, y double")
+    )
+    exp = l2.join(r2, on=F.expr("x < y"), how="full").select(*cols)
     got_c = Counter(tuple(t) for t in merged.collect())
     exp_c = Counter(tuple(t) for t in exp.collect())
     assert got_c == exp_c

@@ -434,7 +434,7 @@ ineq_row_st = st.tuples(st.integers(min_value=0, max_value=999_999), ineq_val_st
     l_del_mask=st.lists(st.booleans(), min_size=8, max_size=8),
     r_del_mask=st.lists(st.booleans(), min_size=5, max_size=5),
     op=st.sampled_from(["<", "<=", ">", ">="]),
-    how=st.sampled_from(["inner", "left"]),
+    how=st.sampled_from(["inner", "left", "full"]),
 )
 def test_ineq_join_delta_invariant_property(
     spark, ls, rs, l_ins, r_ins, l_del_mask, r_del_mask, op, how
@@ -442,6 +442,8 @@ def test_ineq_join_delta_invariant_property(
     from pyspark.sql import functions as F
 
     from ivm_extension_spark.operators.ineqjoin import (
+        ineq_full_join,
+        ineq_full_join_delta,
         ineq_join,
         ineq_join_delta,
         ineq_left_join,
@@ -488,8 +490,14 @@ def test_ineq_join_delta_invariant_property(
         if (r_ins or r_dels)
         else None
     )
-    join_fn = ineq_join if how == "inner" else ineq_left_join
-    delta_fn = ineq_join_delta if how == "inner" else ineq_left_join_delta
+    join_fn = {
+        "inner": ineq_join, "left": ineq_left_join, "full": ineq_full_join
+    }[how]
+    delta_fn = {
+        "inner": ineq_join_delta,
+        "left": ineq_left_join_delta,
+        "full": ineq_full_join_delta,
+    }[how]
     dv = delta_fn(L, R, dL, dR, "x", "y", op, **kw)
     v_old = join_fn(L, R, "x", "y", op, **kw)
     cols = v_old.columns
@@ -511,5 +519,5 @@ def test_ineq_join_delta_invariant_property(
     if how == "inner":
         recomputed = L2.crossJoin(R2).filter(F.expr(f"x {op} y")).select(*cols)
     else:
-        recomputed = L2.join(R2, on=F.expr(f"x {op} y"), how="left").select(*cols)
+        recomputed = L2.join(R2, on=F.expr(f"x {op} y"), how=how).select(*cols)
     assert rows(merged) == rows(recomputed)
