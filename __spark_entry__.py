@@ -1141,11 +1141,21 @@ def _q_ivm_merge_theta_full_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     d_thr = spark.createDataFrame(
         _TH_DELTA_F, f"tname string, cutoff double, {MULT_COL} boolean"
     )
+    # pts feeds v_old plus five delta branches and d_pts three — a lazy
+    # localCheckpoint materializes each narrow projection once instead
+    # of re-scanning the parquet per branch (at scale these would be
+    # cached/persisted delta slices, not re-reads)
+    pts = pts.localCheckpoint(eager=False)
+    d_pts = d_pts.localCheckpoint(eager=False)
     kw = dict(op="<", bin_width=10000.0, max_bins=1 << 7)
     v_old = ineq_full_join(pts, thr, "price", "cutoff", **kw)
+    # materialize ΔV once before the merge (it IS the delta_<view>
+    # relation a maintenance engine persists) — without this the seven
+    # delta branches would execute twice, once for ΔV and once inside
+    # the bag-count merge
     dv = ineq_full_join_delta(
         pts, thr, d_pts, d_thr, "price", "cutoff", **kw
-    )
+    ).localCheckpoint(eager=False)
     cols = v_old.columns
     merged = (
         v_old.withColumn("__s", F.lit(1))

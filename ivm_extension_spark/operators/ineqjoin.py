@@ -409,14 +409,22 @@ def ineq_full_join_delta(
     origin: float = 0.0,
 ) -> DataFrame:
     """Δ(L ⟗θ R) for the one-sided inequality FULL OUTER join: the
-    LEFT rule's branches (matched three-branch + left NULL-pad anti
-    terms, :func:`ineq_left_join_delta`) plus the two symmetric
-    right-preserved terms — ΔR rows with zero matches in L' = L ∪ ΔL,
-    and existing DISTINCT right keys whose left-match count crosses
-    zero under ΔL.  The same self-cancelling counting algebra makes
-    the branch union exact under arbitrary insert/delete mixes (the
-    property test drives all three join shapes through random
-    batches).
+    matched three-branch rule, the LEFT rule's NULL-pad anti terms,
+    and the two symmetric right-preserved terms — ΔR rows with zero
+    matches in L' = L ∪ ΔL, and existing DISTINCT right keys whose
+    left-match count crosses zero under ΔL.  The self-cancelling
+    counting algebra makes the branch union exact under arbitrary
+    insert/delete mixes (the property test drives all three join
+    shapes through random batches).
+
+    Branch fusion: ONE tagged dyadic join ΔL × (R ∪ ΔR) yields the
+    ΔL⋈R and ΔL⋈ΔR matched branches AND the per-ΔL-key post-delta
+    match counts for the left anti term (a key's count summed over
+    duplicate delta rows scales by a positive factor, so the m > 0
+    existence test is unchanged); symmetrically (L ∪ ΔL) × ΔR yields
+    L⋈ΔR and the right anti counts — six dyadic joins total instead
+    of nine, each fused relation checkpointed so its branches
+    materialize it once.
 
     Scale shape unchanged from the LEFT rule: base relations are only
     probed through broadcast delta-derived sets; the only shuffles are
@@ -426,13 +434,10 @@ def ineq_full_join_delta(
     if d_left is None and d_right is None:
         raise ValueError("at least one side needs a delta")
     sign = "__ivm_sign"
+    kp_l = [*key_cols, left_col]
     kp_r = [*key_cols, right_col]
     out_cols = [*left.columns, *[c for c in right.columns if c not in key_cols]]
-
-    out = ineq_left_join_delta(
-        left, right, d_left, d_right, left_col, right_col, op,
-        bin_width, max_bins, key_cols, origin,
-    )
+    tag_l, tag_r = "__dy_dl", "__dy_dr"
 
     def signed(d: DataFrame, w: str) -> DataFrame:
         return d.withColumn(
@@ -449,42 +454,111 @@ def ineq_full_join_delta(
         )
 
     branches: list[DataFrame] = []
-    # ---- right anti term 1: ΔR rows with zero matches in L' = L ∪ ΔL
-    if dr is not None:
-        dpk = dr.select(*kp_r).distinct()
-        lprime = left.select(*key_cols, left_col).withColumn("__w", F.lit(1))
-        if dl is not None:
-            lprime = lprime.unionByName(
-                dl.select(*key_cols, left_col, F.col("__wl").alias("__w"))
+    # ---- fused join A = ΔL × (R ∪ ΔR): matched branches ΔL⋈R (sign
+    # __wl) and ΔL⋈ΔR (sign __wl·__wr) in one pass, plus the left anti
+    # term's match counts — ΔL keys with m ≤ 0 matches in R' get the
+    # NULL-padded delta row
+    if dl is not None:
+        rprime = right.withColumn("__wr", F.lit(1)).withColumn(
+            tag_r, F.lit(False)
+        )
+        if dr is not None:
+            rprime = rprime.unionByName(dr.withColumn(tag_r, F.lit(True)))
+        A = ij(dl, rprime, "left").localCheckpoint(eager=False)
+        branches.append(
+            A.select(
+                *out_cols,
+                (
+                    F.col("__wl")
+                    * F.when(F.col(tag_r), F.col("__wr")).otherwise(F.lit(1))
+                ).alias(sign),
             )
+        )
         m_pos = (
-            ij(lprime, dpk, "right")
-            .groupBy(*kp_r)
-            .agg(F.sum("__w").alias("__m"))
+            A.groupBy(*kp_l)
+            .agg(F.sum("__wr").alias("__m"))
+            .filter(F.col("__m") > 0)
+            .select(*kp_l)
+        )
+        t1 = _null_pad_anti(dl, m_pos, kp_l, right, key_cols)
+        branches.append(t1.select(*out_cols, F.col("__wl").alias(sign)))
+
+    # ---- fused join C = (L ∪ ΔL) × ΔR: the L⋈ΔR matched branch
+    # (old-L rows only — ΔL⋈ΔR already came from A) plus the right
+    # anti term's match counts against the post-delta left
+    if dr is not None:
+        lprime = left.withColumn("__wl", F.lit(1)).withColumn(
+            tag_l, F.lit(False)
+        )
+        if dl is not None:
+            lprime = lprime.unionByName(dl.withColumn(tag_l, F.lit(True)))
+        C = ij(lprime, dr, "right").localCheckpoint(eager=False)
+        b2 = C.filter(~F.col(tag_l)) if dl is not None else C
+        branches.append(b2.select(*out_cols, F.col("__wr").alias(sign)))
+        m_pos_r = (
+            C.groupBy(*kp_r)
+            .agg(F.sum("__wl").alias("__m"))
             .filter(F.col("__m") > 0)
             .select(*kp_r)
         )
-        t1 = _null_pad_anti(dr, m_pos, kp_r, left, key_cols)
-        branches.append(t1.select(*out_cols, F.col("__wr").alias(sign)))
+        t1r = _null_pad_anti(dr, m_pos_r, kp_r, left, key_cols)
+        branches.append(t1r.select(*out_cols, F.col("__wr").alias(sign)))
+
+    # ---- left anti term 2: existing L keys whose match count crosses
+    # zero under ΔR (identical to the LEFT rule's term)
+    if dr is not None:
+        dm = (
+            ij(left.select(*kp_l).distinct(), dr, "right")
+            .groupBy(*kp_l)
+            .agg(F.sum("__wr").alias("__dm"))
+            .filter(F.col("__dm") != 0)
+        )
+        m_old = (
+            ij(dm.select(*kp_l), right.select(*key_cols, right_col), "left")
+            .groupBy(*kp_l)
+            .agg(F.count(F.lit(1)).alias("__mold"))
+        )
+        flips = (
+            dm.join(m_old, on=kp_l, how="left")
+            .withColumn("__mold", F.coalesce(F.col("__mold"), F.lit(0)))
+            .withColumn("__mnew", F.col("__mold") + F.col("__dm"))
+            .withColumn(
+                "__flip",
+                F.when(
+                    (F.col("__mold") == 0) & (F.col("__mnew") > 0), F.lit(-1)
+                ).when((F.col("__mold") > 0) & (F.col("__mnew") <= 0), F.lit(1)),
+            )
+            .filter(F.col("__flip").isNotNull())
+            .select(*kp_l, "__flip")
+        )
+        t2 = left.join(F.broadcast(flips), on=kp_l, how="inner")
+        null_r = [
+            F.lit(None).cast(right.schema[c].dataType).alias(c)
+            for c in right.columns
+            if c not in key_cols
+        ]
+        branches.append(
+            t2.select(*left.columns, *null_r, F.col("__flip").alias(sign))
+        )
 
     # ---- right anti term 2: existing R keys whose left-match count
     # crosses zero under ΔL (joined against OLD right — deleted right
     # rows intentionally included; their spurious terms cancel against
     # the matched/anti branches exactly as on the left side)
     if dl is not None:
-        dm = (
+        dm_r = (
             ij(dl, right.select(*kp_r).distinct(), "left")
             .groupBy(*kp_r)
             .agg(F.sum("__wl").alias("__dm"))
             .filter(F.col("__dm") != 0)
         )
-        m_old = (
-            ij(left.select(*key_cols, left_col), dm.select(*kp_r), "right")
+        m_old_r = (
+            ij(left.select(*key_cols, left_col), dm_r.select(*kp_r), "right")
             .groupBy(*kp_r)
             .agg(F.count(F.lit(1)).alias("__mold"))
         )
-        flips = (
-            dm.join(m_old, on=kp_r, how="left")
+        flips_r = (
+            dm_r.join(m_old_r, on=kp_r, how="left")
             .withColumn("__mold", F.coalesce(F.col("__mold"), F.lit(0)))
             .withColumn("__mnew", F.col("__mold") + F.col("__dm"))
             .withColumn(
@@ -496,23 +570,24 @@ def ineq_full_join_delta(
             .filter(F.col("__flip").isNotNull())
             .select(*kp_r, "__flip")
         )
-        t2 = right.join(F.broadcast(flips), on=kp_r, how="inner")
+        t2r = right.join(F.broadcast(flips_r), on=kp_r, how="inner")
         null_l = [
             F.col(c) if c in key_cols
             else F.lit(None).cast(left.schema[c].dataType).alias(c)
             for c in left.columns
         ]
         branches.append(
-            t2.select(
+            t2r.select(
                 *null_l,
                 *[c for c in right.columns if c not in key_cols],
                 F.col("__flip").alias(sign),
             )
         )
 
-    for b in branches:
-        out = out.unionByName(b.select(*out_cols, (F.col(sign) > 0).alias(MULT_COL)))
-    return out
+    out = branches[0]
+    for b in branches[1:]:
+        out = out.unionByName(b)
+    return out.select(*out_cols, (F.col(sign) > 0).alias(MULT_COL))
 
 
 def ineq_join_delta(
