@@ -1027,10 +1027,12 @@ def _q_ivm_merge_theta_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     d_thr = spark.createDataFrame(
         _TH_DELTA, f"tname string, cutoff double, {MULT_COL} boolean"
     )
+    pts = pts.localCheckpoint(eager=False)
+    d_pts = d_pts.localCheckpoint(eager=False)
     v_old = ineq_join(pts, thr, "price", "cutoff", "<", 10000.0, 1 << 7)
     dv = ineq_join_delta(
         pts, thr, d_pts, d_thr, "price", "cutoff", "<", 10000.0, 1 << 7
-    )
+    ).localCheckpoint(eager=False)
     cols = v_old.columns
     merged = (
         v_old.withColumn("__s", F.lit(1))
@@ -1084,11 +1086,16 @@ def _q_ivm_merge_theta_left_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     d_thr = spark.createDataFrame(
         _TH_DELTA_L, f"tname string, cutoff double, {MULT_COL} boolean"
     )
+    # materialize the narrow base/delta projections once (several delta
+    # branches re-use them) and ΔV before the merge — see the FULL
+    # lifecycle's rationale below
+    pts = pts.localCheckpoint(eager=False)
+    d_pts = d_pts.localCheckpoint(eager=False)
     kw = dict(op="<", bin_width=10000.0, max_bins=1 << 7)
     v_old = ineq_left_join(pts, thr, "price", "cutoff", **kw)
     dv = ineq_left_join_delta(
         pts, thr, d_pts, d_thr, "price", "cutoff", **kw
-    )
+    ).localCheckpoint(eager=False)
     cols = v_old.columns
     merged = (
         v_old.withColumn("__s", F.lit(1))

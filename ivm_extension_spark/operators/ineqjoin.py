@@ -288,6 +288,13 @@ def ineq_left_join_delta(
     nested loop.  Deltas carry the bool multiplicity column; output =
     joined columns + the multiplicity bool.
 
+    Branch fusion (same trick as :func:`ineq_full_join_delta`): ONE
+    tagged dyadic join A = ΔL × (R ∪ ΔR) yields the ΔL⋈R and ΔL⋈ΔR
+    matched branches AND the per-ΔL-key post-delta match counts for
+    the anti term — a key's count summed over duplicate delta rows
+    scales by a positive factor, so the m > 0 existence test is
+    unchanged; A is checkpointed so its branches materialize it once.
+
     Scale shape: the base sides are probed only through broadcast
     delta-derived key sets (distinct ΔL match keys, ΔR rows, flip
     sets); the only shuffles are match-count aggregations over
@@ -304,6 +311,7 @@ def ineq_left_join_delta(
         for c in right.columns
         if c not in key_cols
     ]
+    tag_r = "__dy_dr"
 
     def signed(d: DataFrame, w: str) -> DataFrame:
         return d.withColumn(
@@ -320,40 +328,40 @@ def ineq_left_join_delta(
         )
 
     branches: list[DataFrame] = []
-    # ---- matched part: the three-branch inner rule
+    # ---- fused join A = ΔL × (R ∪ ΔR): the ΔL⋈R (sign __wl) and
+    # ΔL⋈ΔR (sign __wl·__wr) matched branches plus anti term 1 — ΔL
+    # rows with zero matches in R' get the NULL-padded delta row
     if dl is not None:
-        branches.append(
-            ij(dl, right, "left").select(*out_cols, F.col("__wl").alias(sign))
+        rprime = right.withColumn("__wr", F.lit(1)).withColumn(
+            tag_r, F.lit(False)
         )
-    if dr is not None:
-        branches.append(
-            ij(left, dr, "right").select(*out_cols, F.col("__wr").alias(sign))
-        )
-    if dl is not None and dr is not None:
-        branches.append(
-            ij(dl, dr, "left").select(
-                *out_cols, (F.col("__wl") * F.col("__wr")).alias(sign)
-            )
-        )
-
-    # ---- anti term 1: ΔL rows with zero matches in R' = R ∪ ΔR
-    if dl is not None:
-        dpk = dl.select(*kp).distinct()
-        rprime = right.select(*key_cols, right_col).withColumn("__w", F.lit(1))
         if dr is not None:
-            rprime = rprime.unionByName(
-                dr.select(*key_cols, right_col, F.col("__wr").alias("__w"))
+            rprime = rprime.unionByName(dr.withColumn(tag_r, F.lit(True)))
+        A = ij(dl, rprime, "left").localCheckpoint(eager=False)
+        branches.append(
+            A.select(
+                *out_cols,
+                (
+                    F.col("__wl")
+                    * F.when(F.col(tag_r), F.col("__wr")).otherwise(F.lit(1))
+                ).alias(sign),
             )
+        )
         m_pos = (
-            ij(dpk, rprime, "left")
-            .groupBy(*kp)
-            .agg(F.sum("__w").alias("__m"))
+            A.groupBy(*kp)
+            .agg(F.sum("__wr").alias("__m"))
             .filter(F.col("__m") > 0)
             .select(*kp)
         )
         t1 = _null_pad_anti(dl, m_pos, kp, right, key_cols)
         branches.append(
             t1.select(*left.columns, *null_r, F.col("__wl").alias(sign))
+        )
+
+    # ---- matched branch L ⋈ ΔR (old-L rows; ΔL⋈ΔR came from A)
+    if dr is not None:
+        branches.append(
+            ij(left, dr, "right").select(*out_cols, F.col("__wr").alias(sign))
         )
 
     # ---- anti term 2: existing L keys whose match count crosses zero
