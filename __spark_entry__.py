@@ -1180,6 +1180,83 @@ def _q_ivm_merge_theta_full_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return merged.select("o_orderkey", "price", "tname", "cutoff")
 
 
+def _theta_semi_anti_lifecycle(
+    spark: SparkSession, sf_dir: str, anti: bool
+) -> DataFrame:
+    """Shared SEMI/ANTI theta lifecycle: the _TH_DELTA_L threshold
+    batch deletes the two top cutoffs (most point keys lose their LAST
+    match — mass semi deletions / anti insertions) and inserts 't50k'
+    (sub-50k keys gain a FIRST match — the opposite crossing), mixed
+    with the standard orders delta on the point side."""
+    from ivm_extension_spark.operators.ineqjoin import (
+        ineq_anti_join,
+        ineq_anti_join_delta,
+        ineq_semi_join,
+        ineq_semi_join_delta,
+    )
+
+    eng = _engine(spark, sf_dir)
+    pts = (
+        eng.table("orders")
+        .filter("o_orderkey % 8 = 0")
+        .select("o_orderkey", F.col("o_totalprice").alias("price"))
+    )
+    thr = spark.createDataFrame(_TH_BASE, "tname string, cutoff double")
+    pred, mult = DELTA_DEFS["orders"]
+    d_pts = (
+        eng.table("orders")
+        .filter(F.expr(pred))
+        .filter("o_orderkey % 8 = 0")
+        .select(
+            "o_orderkey",
+            F.col("o_totalprice").alias("price"),
+            F.expr(mult).alias(MULT_COL),
+        )
+    )
+    d_thr = spark.createDataFrame(
+        _TH_DELTA_L, f"tname string, cutoff double, {MULT_COL} boolean"
+    )
+    pts = pts.localCheckpoint(eager=False)
+    d_pts = d_pts.localCheckpoint(eager=False)
+    kw = dict(op="<", bin_width=10000.0, max_bins=1 << 7)
+    jfn = ineq_anti_join if anti else ineq_semi_join
+    dfn = ineq_anti_join_delta if anti else ineq_semi_join_delta
+    v_old = jfn(pts, thr, "price", "cutoff", **kw)
+    dv = dfn(pts, thr, d_pts, d_thr, "price", "cutoff", **kw).localCheckpoint(
+        eager=False
+    )
+    cols = v_old.columns
+    merged = (
+        v_old.withColumn("__s", F.lit(1))
+        .unionByName(
+            dv.withColumn(
+                "__s", F.when(F.col(MULT_COL), F.lit(1)).otherwise(F.lit(-1))
+            ).drop(MULT_COL)
+        )
+        .groupBy(*cols)
+        .agg(F.sum("__s").alias("__n"))
+        .filter(F.col("__n") > 0)
+        .select(*cols, F.explode(F.expr("sequence(1, __n)")).alias("__i"))
+        .drop("__i")
+    )
+    return merged.select("o_orderkey", "price")
+
+
+def _q_ivm_merge_theta_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-sided inequality SEMI join maintenance (EXISTS with a theta
+    condition — operators/ineqjoin.py ineq_semi_join_delta): membership
+    is [m(key) > 0] over the dyadic matcher; ΔL rows are gated on the
+    post-delta count and existing keys flip on zero crossings."""
+    return _theta_semi_anti_lifecycle(spark, sf_dir, anti=False)
+
+
+def _q_ivm_merge_theta_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-sided inequality ANTI join maintenance (NOT EXISTS with a
+    theta condition — ineq_anti_join_delta): the SEMI rule's complement,
+    crossings applied with the opposite sign."""
+    return _theta_semi_anti_lifecycle(spark, sf_dir, anti=True)
+
+
 # --------------------------------------------------------------------------
 # beyond-reference: LLM-data-pipeline operators (dedup / similarity /
 # text analysis / multimodal) — ivm_extension_spark.functions
@@ -1893,6 +1970,8 @@ _IVM_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ivm_merge_theta_join": _q_ivm_merge_theta_join,
     "ivm_merge_theta_left_join": _q_ivm_merge_theta_left_join,
     "ivm_merge_theta_full_join": _q_ivm_merge_theta_full_join,
+    "ivm_merge_theta_semi_join": _q_ivm_merge_theta_semi_join,
+    "ivm_merge_theta_anti_join": _q_ivm_merge_theta_anti_join,
     "ivm_cascade_rollup": _q_ivm_cascade_rollup,
     "ivm_maintain_all": _q_ivm_maintain_all,
 }
@@ -2437,19 +2516,20 @@ _EXTRA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 # ROUND 4 WINDOW (this round), computed by scripts/update_ledger.py
 # (never-graded first, then least-recently-green — VERDICT.md r3 items
 # 5/6/7):
-#   - positions 1-8: the keys registered THIS round, never driver-graded
+#   - positions 1-10: the keys registered THIS round, never driver-graded
 #     (sim_topk_incremental, skew_salted_join, skew_two_phase_agg — the
 #     r3 "ungraded utilities" — plus the new ivm_merge_theta_join /
-#     ivm_merge_theta_left_join / ivm_merge_theta_full_join
+#     _left_join / _full_join / _semi_join / _anti_join
 #     one-sided-inequality lifecycles, the ivm_merge_ivf_cells
 #     maintained index-occupancy view, and the
 #     dedup_embedding_incremental pair CDC);
-#   - 9: ivm_projection, whose only green is from round 1;
-#   - 10-50: the 41 least-recently-green keys (green in round 2, rotated
+#   - 11: ivm_projection, whose only green is from round 1;
+#   - 12-50: the 39 least-recently-green keys (green in round 2, rotated
 #     out of round 3's window) — they must be regraded under post-r3
 #     code (engine/lakehouse/streaming changed after their last grade).
-#     text_quality, text_repetition, text_stats, text_tfidf_keywords,
-#     token_length_histogram and the r3-green keys rotate back in r5.
+#     text_lang_accuracy, text_lang_id, text_quality, text_repetition,
+#     text_stats, text_tfidf_keywords, token_length_histogram and the
+#     r3-green keys rotate back in r5.
 _GRADE_FIRST: tuple[str, ...] = (
     "sim_topk_incremental",
     "skew_salted_join",
@@ -2457,6 +2537,8 @@ _GRADE_FIRST: tuple[str, ...] = (
     "ivm_merge_theta_join",
     "ivm_merge_theta_left_join",
     "ivm_merge_theta_full_join",
+    "ivm_merge_theta_semi_join",
+    "ivm_merge_theta_anti_join",
     "ivm_merge_ivf_cells",
     "dedup_embedding_incremental",
     "ivm_projection",
@@ -2499,8 +2581,6 @@ _GRADE_FIRST: tuple[str, ...] = (
     "sim_knn_label_consistency",
     "sim_topk_bruteforce",
     "sim_topk_lsh",
-    "text_lang_accuracy",
-    "text_lang_id",
 )
 
 
@@ -3013,6 +3093,40 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT p.o_orderkey, p.price, t.tname, t.cutoff
             FROM pts p FULL JOIN thr t ON p.price < t.cutoff
+        """,
+        # post-delta thresholds for the SEMI/ANTI lifecycles mirror
+        # _TH_BASE/_TH_DELTA_L: minus 't600k' and 't300k', plus 't50k'
+        "ivm_merge_theta_semi_join": f"""
+            WITH thr AS (
+                SELECT tname, CAST(cutoff AS DOUBLE) AS cutoff
+                FROM (VALUES
+                    ('t100k', 100000.0),
+                    ('t50k', 50000.0)) t(tname, cutoff)
+            ),
+            pts AS (
+                SELECT o_orderkey, o_totalprice AS price
+                FROM {_applied_sql('orders')} o
+                WHERE o_orderkey % 8 = 0
+            )
+            SELECT p.o_orderkey, p.price
+            FROM pts p
+            WHERE EXISTS (SELECT 1 FROM thr t WHERE p.price < t.cutoff)
+        """,
+        "ivm_merge_theta_anti_join": f"""
+            WITH thr AS (
+                SELECT tname, CAST(cutoff AS DOUBLE) AS cutoff
+                FROM (VALUES
+                    ('t100k', 100000.0),
+                    ('t50k', 50000.0)) t(tname, cutoff)
+            ),
+            pts AS (
+                SELECT o_orderkey, o_totalprice AS price
+                FROM {_applied_sql('orders')} o
+                WHERE o_orderkey % 8 = 0
+            )
+            SELECT p.o_orderkey, p.price
+            FROM pts p
+            WHERE NOT EXISTS (SELECT 1 FROM thr t WHERE p.price < t.cutoff)
         """,
         "q13_custdist": """
             SELECT c_count, count(*) AS custdist

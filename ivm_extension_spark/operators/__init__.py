@@ -12,8 +12,12 @@ from ivm_extension_spark.operators.ineqjoin import (
     ineq_full_join_delta,
     ineq_join,
     ineq_join_delta,
+    ineq_anti_join,
+    ineq_anti_join_delta,
     ineq_left_join,
     ineq_left_join_delta,
+    ineq_semi_join,
+    ineq_semi_join_delta,
 )
 from ivm_extension_spark.operators.rangejoin import range_join
 from ivm_extension_spark.operators.rewrite import (
@@ -36,8 +40,12 @@ __all__ = [
     "ineq_full_join_delta",
     "ineq_join",
     "ineq_join_delta",
+    "ineq_anti_join",
+    "ineq_anti_join_delta",
     "ineq_left_join",
     "ineq_left_join_delta",
+    "ineq_semi_join",
+    "ineq_semi_join_delta",
     "range_join",
     "salted_join",
     "two_phase_agg",

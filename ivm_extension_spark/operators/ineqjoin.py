@@ -268,6 +268,231 @@ def ineq_full_join(
     )
 
 
+def _crossings(dm: DataFrame, m_old: DataFrame, kp: list[str]) -> DataFrame:
+    """Join Δm per key (``__dm``) against the old match count
+    (``__mold``) and keep the keys whose count crosses zero:
+    ``__flip`` = +1 when the key ENTERS the matched set (m_old = 0,
+    m_new > 0), −1 when it LEAVES (m_old > 0, m_new ≤ 0).  Shared by
+    the outer rules' NULL-pad anti terms (which negate the flip: a key
+    entering the matched set REMOVES its preserved row) and the
+    semi/anti rules (which use it directly)."""
+    return (
+        dm.join(m_old, on=kp, how="left")
+        .withColumn("__mold", F.coalesce(F.col("__mold"), F.lit(0)))
+        .withColumn("__mnew", F.col("__mold") + F.col("__dm"))
+        .withColumn(
+            "__flip",
+            F.when(
+                (F.col("__mold") == 0) & (F.col("__mnew") > 0), F.lit(1)
+            ).when((F.col("__mold") > 0) & (F.col("__mnew") <= 0), F.lit(-1)),
+        )
+        .filter(F.col("__flip").isNotNull())
+        .select(*kp, "__flip")
+    )
+
+
+def ineq_semi_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_col: str,
+    right_col: str,
+    op: str = "<",
+    bin_width: float = 1.0,
+    max_bins: int = 1 << 21,
+    key_cols: tuple[str, ...] = (),
+    origin: float = 0.0,
+) -> DataFrame:
+    """LEFT SEMI inequality join: left rows with ≥1 qualifying right
+    row — ``EXISTS (right WHERE l.left_col <op> r.right_col AND key
+    equality)``.  Match status depends only on (``key_cols``…,
+    ``left_col``), so the dyadic probe runs over the DISTINCT left
+    keys and the matched-key set is broadcast-semi-joined back to the
+    full left relation — the 100 TB left side is never shuffled and
+    never expanded ``levels``-fold.  Output: left columns only."""
+    kp = [*key_cols, left_col]
+    mk = (
+        ineq_join(
+            left.select(*kp).distinct(),
+            right.select(*key_cols, right_col),
+            left_col, right_col, op, bin_width, max_bins, key_cols,
+            None, origin,
+        )
+        .select(*kp)
+        .distinct()
+    )
+    return left.join(F.broadcast(mk), on=kp, how="leftsemi")
+
+
+def ineq_anti_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_col: str,
+    right_col: str,
+    op: str = "<",
+    bin_width: float = 1.0,
+    max_bins: int = 1 << 21,
+    key_cols: tuple[str, ...] = (),
+    origin: float = 0.0,
+) -> DataFrame:
+    """LEFT ANTI inequality join: left rows with NO qualifying right
+    row (NULL ``left_col`` rows qualify — NULL never satisfies the
+    predicate).  Same broadcast matched-key probe as
+    :func:`ineq_semi_join`, with ``left_anti`` instead of
+    ``leftsemi``.  Output: left columns only."""
+    kp = [*key_cols, left_col]
+    mk = (
+        ineq_join(
+            left.select(*kp).distinct().filter(F.col(left_col).isNotNull()),
+            right.select(*key_cols, right_col),
+            left_col, right_col, op, bin_width, max_bins, key_cols,
+            None, origin,
+        )
+        .select(*kp)
+        .distinct()
+    )
+    return left.join(F.broadcast(mk), on=kp, how="left_anti")
+
+
+def ineq_semi_join_delta(
+    left: DataFrame,
+    right: DataFrame,
+    d_left: DataFrame | None,
+    d_right: DataFrame | None,
+    left_col: str,
+    right_col: str,
+    op: str = "<",
+    bin_width: float = 1.0,
+    max_bins: int = 1 << 21,
+    key_cols: tuple[str, ...] = (),
+    origin: float = 0.0,
+) -> DataFrame:
+    """Δ(L ⋉θ R) for the one-sided inequality SEMI join.  A left row
+    is in the view iff its key's match count m > 0, so:
+
+      term 1 (ΔL rows):  w_ℓ · [m'(ℓ.key) > 0], m' counted against
+        the post-delta right R' = R ∪ ΔR;
+      term 2 (existing L rows): keys whose m crosses zero under ΔR —
+        0→+ inserts the key's old-L rows, +→0 deletes them
+        (:func:`_crossings`).
+
+    Scale shape: both terms probe the bases only through DISTINCT
+    delta-derived key sets; no base relation is dyadically expanded.
+    Output: left columns + the bool multiplicity."""
+    return _semi_anti_delta(
+        left, right, d_left, d_right, left_col, right_col, op,
+        bin_width, max_bins, key_cols, origin, anti=False,
+    )
+
+
+def ineq_anti_join_delta(
+    left: DataFrame,
+    right: DataFrame,
+    d_left: DataFrame | None,
+    d_right: DataFrame | None,
+    left_col: str,
+    right_col: str,
+    op: str = "<",
+    bin_width: float = 1.0,
+    max_bins: int = 1 << 21,
+    key_cols: tuple[str, ...] = (),
+    origin: float = 0.0,
+) -> DataFrame:
+    """Δ(L ▷θ R) for the one-sided inequality ANTI join — the
+    complement of :func:`ineq_semi_join_delta`: ΔL rows contribute on
+    m'(key) ≤ 0 (NULL ``left_col`` rows always — they never match),
+    and zero crossings flip with the OPPOSITE sign (a key entering the
+    matched set leaves the anti view)."""
+    return _semi_anti_delta(
+        left, right, d_left, d_right, left_col, right_col, op,
+        bin_width, max_bins, key_cols, origin, anti=True,
+    )
+
+
+def _semi_anti_delta(
+    left: DataFrame,
+    right: DataFrame,
+    d_left: DataFrame | None,
+    d_right: DataFrame | None,
+    left_col: str,
+    right_col: str,
+    op: str,
+    bin_width: float,
+    max_bins: int,
+    key_cols: tuple[str, ...],
+    origin: float,
+    anti: bool,
+) -> DataFrame:
+    from ivm_extension_spark.operators.rewrite import MULT_COL
+
+    if d_left is None and d_right is None:
+        raise ValueError("at least one side needs a delta")
+    sign = "__ivm_sign"
+    kp = [*key_cols, left_col]
+
+    def signed(d: DataFrame, w: str) -> DataFrame:
+        return d.withColumn(
+            w, F.when(F.col(MULT_COL), F.lit(1)).otherwise(F.lit(-1))
+        ).drop(MULT_COL)
+
+    dl = signed(d_left, "__wl") if d_left is not None else None
+    dr = signed(d_right, "__wr") if d_right is not None else None
+
+    def ij(a, b, bcast):
+        return ineq_join(
+            a, b, left_col, right_col, op, bin_width, max_bins, key_cols,
+            bcast, origin,
+        )
+
+    rproj = right.select(*key_cols, right_col)
+    branches: list[DataFrame] = []
+
+    # ---- term 1: ΔL rows gated on the post-delta match count m'
+    if dl is not None:
+        rprime = rproj.withColumn("__wr", F.lit(1))
+        if dr is not None:
+            rprime = rprime.unionByName(dr.select(*key_cols, right_col, "__wr"))
+        m_pos = (
+            ij(
+                dl.select(*kp).distinct().filter(F.col(left_col).isNotNull()),
+                rprime, "left",
+            )
+            .groupBy(*kp)
+            .agg(F.sum("__wr").alias("__m"))
+            .filter(F.col("__m") > 0)
+            .select(*kp)
+        )
+        t1 = dl.join(
+            F.broadcast(m_pos), on=kp, how="left_anti" if anti else "leftsemi"
+        )
+        branches.append(t1.select(*left.columns, F.col("__wl").alias(sign)))
+
+    # ---- term 2: existing L keys whose match count crosses zero
+    if dr is not None:
+        dm = (
+            ij(
+                left.select(*kp).distinct().filter(F.col(left_col).isNotNull()),
+                dr, "right",
+            )
+            .groupBy(*kp)
+            .agg(F.sum("__wr").alias("__dm"))
+            .filter(F.col("__dm") != 0)
+        )
+        m_old = (
+            ij(dm.select(*kp), rproj, "left")
+            .groupBy(*kp)
+            .agg(F.count(F.lit(1)).alias("__mold"))
+        )
+        flips = _crossings(dm, m_old, kp)
+        t2 = left.join(F.broadcast(flips), on=kp, how="inner")
+        fsign = -F.col("__flip") if anti else F.col("__flip")
+        branches.append(t2.select(*left.columns, fsign.alias(sign)))
+
+    out = branches[0]
+    for b in branches[1:]:
+        out = out.unionByName(b)
+    return out.select(*left.columns, (F.col(sign) > 0).alias(MULT_COL))
+
+
 def ineq_left_join_delta(
     left: DataFrame,
     right: DataFrame,
@@ -379,22 +604,12 @@ def ineq_left_join_delta(
             .groupBy(*kp)
             .agg(F.count(F.lit(1)).alias("__mold"))
         )
-        flips = (
-            dm.join(m_old, on=kp, how="left")
-            .withColumn("__mold", F.coalesce(F.col("__mold"), F.lit(0)))
-            .withColumn("__mnew", F.col("__mold") + F.col("__dm"))
-            .withColumn(
-                "__flip",
-                F.when(
-                    (F.col("__mold") == 0) & (F.col("__mnew") > 0), F.lit(-1)
-                ).when((F.col("__mold") > 0) & (F.col("__mnew") <= 0), F.lit(1)),
-            )
-            .filter(F.col("__flip").isNotNull())
-            .select(*kp, "__flip")
-        )
+        # a key ENTERING the matched set removes its NULL-pad row, so
+        # the preserved-row sign is the crossing's negation
+        flips = _crossings(dm, m_old, kp)
         t2 = left.join(F.broadcast(flips), on=kp, how="inner")
         branches.append(
-            t2.select(*left.columns, *null_r, F.col("__flip").alias(sign))
+            t2.select(*left.columns, *null_r, (-F.col("__flip")).alias(sign))
         )
 
     out = branches[0]
@@ -526,19 +741,7 @@ def ineq_full_join_delta(
             .groupBy(*kp_l)
             .agg(F.count(F.lit(1)).alias("__mold"))
         )
-        flips = (
-            dm.join(m_old, on=kp_l, how="left")
-            .withColumn("__mold", F.coalesce(F.col("__mold"), F.lit(0)))
-            .withColumn("__mnew", F.col("__mold") + F.col("__dm"))
-            .withColumn(
-                "__flip",
-                F.when(
-                    (F.col("__mold") == 0) & (F.col("__mnew") > 0), F.lit(-1)
-                ).when((F.col("__mold") > 0) & (F.col("__mnew") <= 0), F.lit(1)),
-            )
-            .filter(F.col("__flip").isNotNull())
-            .select(*kp_l, "__flip")
-        )
+        flips = _crossings(dm, m_old, kp_l)
         t2 = left.join(F.broadcast(flips), on=kp_l, how="inner")
         null_r = [
             F.lit(None).cast(right.schema[c].dataType).alias(c)
@@ -546,7 +749,7 @@ def ineq_full_join_delta(
             if c not in key_cols
         ]
         branches.append(
-            t2.select(*left.columns, *null_r, F.col("__flip").alias(sign))
+            t2.select(*left.columns, *null_r, (-F.col("__flip")).alias(sign))
         )
 
     # ---- right anti term 2: existing R keys whose left-match count
@@ -565,19 +768,7 @@ def ineq_full_join_delta(
             .groupBy(*kp_r)
             .agg(F.count(F.lit(1)).alias("__mold"))
         )
-        flips_r = (
-            dm_r.join(m_old_r, on=kp_r, how="left")
-            .withColumn("__mold", F.coalesce(F.col("__mold"), F.lit(0)))
-            .withColumn("__mnew", F.col("__mold") + F.col("__dm"))
-            .withColumn(
-                "__flip",
-                F.when(
-                    (F.col("__mold") == 0) & (F.col("__mnew") > 0), F.lit(-1)
-                ).when((F.col("__mold") > 0) & (F.col("__mnew") <= 0), F.lit(1)),
-            )
-            .filter(F.col("__flip").isNotNull())
-            .select(*kp_r, "__flip")
-        )
+        flips_r = _crossings(dm_r, m_old_r, kp_r)
         t2r = right.join(F.broadcast(flips_r), on=kp_r, how="inner")
         null_l = [
             F.col(c) if c in key_cols
@@ -588,7 +779,7 @@ def ineq_full_join_delta(
             t2r.select(
                 *null_l,
                 *[c for c in right.columns if c not in key_cols],
-                F.col("__flip").alias(sign),
+                (-F.col("__flip")).alias(sign),
             )
         )
 

@@ -307,3 +307,97 @@ def test_delta_rule_merge_equals_recompute(spark, lr):
     got_c = Counter(tuple(t) for t in merged.collect())
     exp_c = Counter(tuple(t) for t in exp.collect())
     assert got_c == exp_c
+
+
+@pytest.mark.parametrize("op", ["<", ">="])
+def test_semi_anti_join_match_brute_force(spark, lr, op):
+    from ivm_extension_spark.operators.ineqjoin import (
+        ineq_anti_join,
+        ineq_semi_join,
+    )
+
+    l, r = lr
+    got_s = Counter(
+        t.lid
+        for t in ineq_semi_join(l, r, "x", "y", op, bin_width=37.0, max_bins=64)
+        .select("lid")
+        .collect()
+    )
+    exp_s = Counter(
+        t.lid
+        for t in l.join(r, on=F.expr(f"x {op} y"), how="left_semi")
+        .select("lid")
+        .collect()
+    )
+    assert got_s == exp_s
+    got_a = Counter(
+        t.lid
+        for t in ineq_anti_join(l, r, "x", "y", op, bin_width=37.0, max_bins=64)
+        .select("lid")
+        .collect()
+    )
+    exp_a = Counter(
+        t.lid
+        for t in l.join(r, on=F.expr(f"x {op} y"), how="left_anti")
+        .select("lid")
+        .collect()
+    )
+    assert got_a == exp_a
+    # semi + anti partition the left relation
+    assert sum(got_s.values()) + sum(got_a.values()) == l.count()
+
+
+@pytest.mark.parametrize("anti", [False, True])
+def test_semi_anti_delta_merge_equals_recompute(spark, lr, anti):
+    # the crossing fixture: deleting every third right row makes some
+    # left keys lose their LAST match (semi −1 / anti +1 flips), the
+    # high inserted cutoff gives matchless keys a FIRST match (the
+    # opposite crossing), and the ΔL batch mixes inserts and deletes
+    from ivm_extension_spark.operators.ineqjoin import (
+        ineq_anti_join,
+        ineq_anti_join_delta,
+        ineq_semi_join,
+        ineq_semi_join_delta,
+    )
+
+    l, r = lr
+    dl = l.filter("lid % 7 = 0").withColumn(MULT_COL, F.expr("lid % 2 = 0"))
+    dr = (
+        r.filter("rid % 3 = 0")
+        .withColumn(MULT_COL, F.lit(False))
+        .unionByName(
+            spark.createDataFrame(
+                [(900, 999.5, True)], f"rid int, y double, {MULT_COL} boolean"
+            )
+        )
+    )
+    jfn = ineq_anti_join if anti else ineq_semi_join
+    dfn = ineq_anti_join_delta if anti else ineq_semi_join_delta
+    dv = dfn(l, r, dl, dr, "x", "y", "<", 37.0, 64)
+    v_old = jfn(l, r, "x", "y", "<", 37.0, 64)
+    cols = v_old.columns
+    merged = (
+        v_old.withColumn("__s", F.lit(1))
+        .unionByName(
+            dv.withColumn(
+                "__s", F.when(F.col(MULT_COL), F.lit(1)).otherwise(F.lit(-1))
+            ).drop(MULT_COL)
+        )
+        .groupBy(*cols)
+        .agg(F.sum("__s").alias("__n"))
+        .filter(F.col("__n") > 0)
+        .select(*cols, F.explode(F.expr("sequence(1, __n)")).alias("__i"))
+        .drop("__i")
+    )
+    l2 = l.exceptAll(l.filter("lid % 7 = 0 AND lid % 2 != 0")).unionByName(
+        l.filter("lid % 7 = 0 AND lid % 2 = 0")
+    )
+    r2 = r.exceptAll(r.filter("rid % 3 = 0")).unionByName(
+        spark.createDataFrame([(900, 999.5)], "rid int, y double")
+    )
+    exp = l2.join(
+        r2, on=F.expr("x < y"), how="left_anti" if anti else "left_semi"
+    ).select(*cols)
+    got_c = Counter(tuple(t) for t in merged.collect())
+    exp_c = Counter(tuple(t) for t in exp.collect())
+    assert got_c == exp_c

@@ -417,7 +417,13 @@ def test_range_left_join_delta_invariant_property(
 # values — NEGATIVE domains (origin shift), bin-boundary ties, duplicates
 # --------------------------------------------------------------------------
 
-ineq_val_st = st.floats(min_value=-50.0, max_value=50.0, allow_nan=False, width=32)
+# -0.0 is normalized to 0.0: Spark's aggregation (the ⊎ merge's groupBy)
+# canonicalizes negative zero in grouping keys, and the rows() helper
+# sorts by str where "-0.0" != "0.0" — a representational artifact, not
+# view algebra
+ineq_val_st = st.floats(
+    min_value=-50.0, max_value=50.0, allow_nan=False, width=32
+).map(lambda v: 0.0 if v == 0 else v)
 ineq_row_st = st.tuples(st.integers(min_value=0, max_value=999_999), ineq_val_st)
 
 
@@ -434,7 +440,7 @@ ineq_row_st = st.tuples(st.integers(min_value=0, max_value=999_999), ineq_val_st
     l_del_mask=st.lists(st.booleans(), min_size=8, max_size=8),
     r_del_mask=st.lists(st.booleans(), min_size=5, max_size=5),
     op=st.sampled_from(["<", "<=", ">", ">="]),
-    how=st.sampled_from(["inner", "left", "full"]),
+    how=st.sampled_from(["inner", "left", "full", "semi", "anti"]),
 )
 def test_ineq_join_delta_invariant_property(
     spark, ls, rs, l_ins, r_ins, l_del_mask, r_del_mask, op, how
@@ -442,12 +448,16 @@ def test_ineq_join_delta_invariant_property(
     from pyspark.sql import functions as F
 
     from ivm_extension_spark.operators.ineqjoin import (
+        ineq_anti_join,
+        ineq_anti_join_delta,
         ineq_full_join,
         ineq_full_join_delta,
         ineq_join,
         ineq_join_delta,
         ineq_left_join,
         ineq_left_join_delta,
+        ineq_semi_join,
+        ineq_semi_join_delta,
     )
     from ivm_extension_spark.operators.rewrite import MULT_COL
 
@@ -491,12 +501,15 @@ def test_ineq_join_delta_invariant_property(
         else None
     )
     join_fn = {
-        "inner": ineq_join, "left": ineq_left_join, "full": ineq_full_join
+        "inner": ineq_join, "left": ineq_left_join, "full": ineq_full_join,
+        "semi": ineq_semi_join, "anti": ineq_anti_join,
     }[how]
     delta_fn = {
         "inner": ineq_join_delta,
         "left": ineq_left_join_delta,
         "full": ineq_full_join_delta,
+        "semi": ineq_semi_join_delta,
+        "anti": ineq_anti_join_delta,
     }[how]
     dv = delta_fn(L, R, dL, dR, "x", "y", op, **kw)
     v_old = join_fn(L, R, "x", "y", op, **kw)
@@ -518,6 +531,11 @@ def test_ineq_join_delta_invariant_property(
     R2 = rdf([r for r in rs if r not in r_dels] + r_ins)
     if how == "inner":
         recomputed = L2.crossJoin(R2).filter(F.expr(f"x {op} y")).select(*cols)
+    elif how in ("semi", "anti"):
+        recomputed = L2.join(
+            R2, on=F.expr(f"x {op} y"),
+            how="left_semi" if how == "semi" else "left_anti",
+        ).select(*cols)
     else:
         recomputed = L2.join(R2, on=F.expr(f"x {op} y"), how=how).select(*cols)
     assert rows(merged) == rows(recomputed)
