@@ -430,3 +430,80 @@ def test_streaming_chain_view_dim_delta(spark, tmpdir):
     q = StreamingViewMaintainer(eng, "v", "g").start(stream, f"{tmpdir}/ckpt")
     q.awaitTermination(120)
     assert rows(eng.read_view("v")) == [(1, "x", None), (2, "y", "L11")]
+
+
+def test_interval_join_batch_parity(spark):
+    # the identical plan runs on batch inputs: equi-join on the key with
+    # the time range as a filter — parity against the brute-force join
+    from ivm_extension_spark.streaming import interval_join
+
+    clicks = spark.createDataFrame(
+        [
+            (1, 10, "2024-01-01 10:00:00"),
+            (1, 11, "2024-01-01 12:00:00"),
+            (2, 12, "2024-01-01 10:05:00"),
+        ],
+        "user_id int, click_id int, c_ts string",
+    ).select("user_id", "click_id", F.col("c_ts").cast("timestamp").alias("c_ts"))
+    purch = spark.createDataFrame(
+        [
+            (1, 20, "2024-01-01 10:20:00"),   # within 30m of click 10
+            (1, 21, "2024-01-01 11:59:00"),   # before click 11, after 10+30m
+            (2, 22, "2024-01-01 10:04:00"),   # BEFORE click 12 — excluded
+            (3, 23, "2024-01-01 10:00:00"),   # no click for user 3
+        ],
+        "user_id int, purchase_id int, p_ts string",
+    ).select(
+        "user_id", "purchase_id", F.col("p_ts").cast("timestamp").alias("p_ts")
+    )
+    got = sorted(
+        (r.click_id, r.purchase_id)
+        for r in interval_join(
+            clicks, purch, ("user_id",), "c_ts", "p_ts", upper="30 minutes"
+        ).collect()
+    )
+    assert got == [(10, 20)]
+
+
+def test_interval_join_stream_stream(spark, tmpdir):
+    # REAL stream-stream join: both sides live file streams, watermarked;
+    # availableNow result equals the batch plan over the same files
+    from ivm_extension_spark.streaming import interval_join
+
+    cdir, pdir, ck = f"{tmpdir}/c", f"{tmpdir}/p", f"{tmpdir}/ck"
+    clicks = spark.createDataFrame(
+        [(u, 100 + u, f"2024-01-01 10:{u:02d}:00") for u in range(8)],
+        "user_id int, click_id int, c_ts string",
+    ).select("user_id", "click_id", F.col("c_ts").cast("timestamp").alias("c_ts"))
+    purch = spark.createDataFrame(
+        [(u, 200 + u, f"2024-01-01 10:{u + 3:02d}:00") for u in range(8)]
+        + [(3, 300, "2024-01-01 23:00:00")],  # outside every interval
+        "user_id int, purchase_id int, p_ts string",
+    ).select(
+        "user_id", "purchase_id", F.col("p_ts").cast("timestamp").alias("p_ts")
+    )
+    clicks.write.parquet(cdir)
+    purch.write.parquet(pdir)
+    cs = spark.readStream.schema(clicks.schema).parquet(cdir)
+    ps = spark.readStream.schema(purch.schema).parquet(pdir)
+    out = interval_join(
+        cs, ps, ("user_id",), "c_ts", "p_ts", upper="5 minutes",
+        watermark="10 minutes",
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName("t_ssj")
+        .outputMode("append")
+        .option("checkpointLocation", ck)
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(120)
+    got = rows(spark.table("t_ssj").select("click_id", "purchase_id"))
+    exp = rows(
+        interval_join(
+            clicks, purch, ("user_id",), "c_ts", "p_ts", upper="5 minutes"
+        ).select("click_id", "purchase_id")
+    )
+    assert got == exp
+    assert len(got) == 8
