@@ -27,6 +27,18 @@ from ivm_extension_spark.operators.rewrite import (
     delta_plan,
 )
 from ivm_extension_spark.operators.skew import salted_join, two_phase_agg
+from ivm_extension_spark.operators.thetajoin import (
+    theta_anti_join,
+    theta_anti_join_delta,
+    theta_full_join,
+    theta_full_join_delta,
+    theta_join,
+    theta_join_delta,
+    theta_left_join,
+    theta_left_join_delta,
+    theta_semi_join,
+    theta_semi_join_delta,
+)
 
 __all__ = [
     "MULT_COL",
@@ -48,5 +60,15 @@ __all__ = [
     "ineq_semi_join_delta",
     "range_join",
     "salted_join",
+    "theta_anti_join",
+    "theta_anti_join_delta",
+    "theta_full_join",
+    "theta_full_join_delta",
+    "theta_join",
+    "theta_join_delta",
+    "theta_left_join",
+    "theta_left_join_delta",
+    "theta_semi_join",
+    "theta_semi_join_delta",
     "two_phase_agg",
 ]

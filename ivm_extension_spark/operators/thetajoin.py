@@ -1,0 +1,627 @@
+"""General (two-sided expression) theta joins and their delta rules.
+
+The binned operators are the cheap maintained paths for structured
+conditions — rangejoin.py for point-in-interval, ineqjoin.py for
+one-sided ``l.x < r.y`` — and the equi rewrite (rewrite.py) already
+maintains arbitrary-condition INNER joins through its sign-product
+branches.  What they cannot express is an OUTER / SEMI / ANTI join
+whose condition is an arbitrary boolean over expressions of BOTH
+sides (``l.price * (1 - l.disc) < r.cutoff * r.scale AND l.qty >=
+r.min_qty``): the preserved-side bookkeeping needs per-row match
+counts, and no equi key or bin axis exists to carry them.  This
+module supplies that last shape — the reference poster's join delta
+rule with no restriction on the condition (SURVEY.md §2c growth
+direction; the reference's equi rewrite at rewrite.py:405 rejects it).
+
+Match-count algebra (shared with rangejoin/ineqjoin): a preserved
+left row's match set is fully determined by the left columns the
+condition references (``left_on``), so match counts are a per-
+(key_cols…, left_on…) quantity; NULL-pad rows appear/disappear
+exactly when that key's count crosses zero.  All count bookkeeping
+joins are NULL-SAFE — unlike the one-sided operators, a general
+condition (e.g. one wrapped in ``coalesce``) may match rows with
+NULLs in referenced columns, so NULL keys are grouped, not dropped.
+
+Scale shape: there is no equi axis, so every theta probe is a
+BroadcastNestedLoopJoin — but in the DELTA rules the broadcast side
+is always delta-derived (ΔL rows, distinct affected keys, flip sets),
+so each branch is one narrow scan of a base relation against a small
+broadcast: O(|base| · |Δ|) comparisons, no shuffle of either base, no
+base×base loop.  That is the acceptable maintenance shape for
+arbitrary theta; initial materialization of a large×large theta view
+should use the binned operators when the condition allows.  The PLAIN
+computes here (`theta_join` etc.) are for CREATE-time/small
+dimensions and oracle checks — they let Catalyst pick the strategy.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+_SIGN = "__ivm_sign"
+
+
+def referenced_cols(cond: str, cols: list[str], key_cols: tuple[str, ...]) -> list[str]:
+    """The non-key columns of ``cols`` that ``cond`` mentions (word-
+    boundary match) — the default match-count key when ``left_on`` /
+    ``right_on`` is not given explicitly."""
+    return [
+        c
+        for c in cols
+        if c not in key_cols and re.search(rf"\b{re.escape(c)}\b", cond)
+    ]
+
+
+def _check_disjoint(
+    left: DataFrame, right: DataFrame, key_cols: tuple[str, ...]
+) -> None:
+    overlap = (set(left.columns) & set(right.columns)) - set(key_cols)
+    if overlap:
+        raise ValueError(
+            f"non-key column names must be disjoint, both sides have {sorted(overlap)}"
+        )
+
+
+def _signed(d: DataFrame, w: str) -> DataFrame:
+    from ivm_extension_spark.operators.rewrite import MULT_COL
+
+    return d.withColumn(
+        w, F.when(F.col(MULT_COL), F.lit(1)).otherwise(F.lit(-1))
+    ).drop(MULT_COL)
+
+
+def _ns_join(side: DataFrame, keys: DataFrame, cols: list[str], how: str) -> DataFrame:
+    """NULL-safe join of ``side`` against the small ``keys`` relation
+    on ``cols`` (keys is broadcast; its non-key payload columns ride
+    along on inner joins).  NULL-safe because a general theta condition
+    can match rows with NULL referenced columns, and those rows must
+    still group with their count/flip bookkeeping."""
+    kd = keys.select(
+        *[F.col(c).alias(f"__mk_{c}") for c in cols],
+        *[c for c in keys.columns if c not in cols],
+    )
+    cond: Column | None = None
+    for c in cols:
+        t = side[c].eqNullSafe(F.col(f"__mk_{c}"))
+        cond = t if cond is None else cond & t
+    out = side.join(F.broadcast(kd), on=cond, how=how)
+    if how == "inner":
+        out = out.drop(*[f"__mk_{c}" for c in cols])
+    return out
+
+
+def _null_pad(
+    side: DataFrame,
+    matched_keys: DataFrame,
+    probe_cols: list[str],
+    other: DataFrame,
+    key_cols: tuple[str, ...],
+) -> DataFrame:
+    """Rows of ``side`` whose ``probe_cols`` never appear in
+    ``matched_keys``, padded with NULLs for ``other``'s non-key columns
+    (the preserved-side construction shared with rangejoin/ineqjoin)."""
+    out = _ns_join(side, matched_keys.select(*probe_cols).distinct(), probe_cols, "left_anti")
+    for c in other.columns:
+        if c not in key_cols:
+            out = out.withColumn(c, F.lit(None).cast(other.schema[c].dataType))
+    return out
+
+
+def _crossings(dm: DataFrame, m_old: DataFrame, kp: list[str]) -> DataFrame:
+    """Keys whose match count crosses zero: ``__flip`` = +1 entering
+    the matched set, −1 leaving (NULL-safe join — see module doc)."""
+    j = _ns_join(dm, m_old, kp, "left")
+    return (
+        j.withColumn("__mold", F.coalesce(F.col("__mold"), F.lit(0)))
+        .withColumn("__mnew", F.col("__mold") + F.col("__dm"))
+        .withColumn(
+            "__flip",
+            F.when((F.col("__mold") == 0) & (F.col("__mnew") > 0), F.lit(1)).when(
+                (F.col("__mold") > 0) & (F.col("__mnew") <= 0), F.lit(-1)
+            ),
+        )
+        .filter(F.col("__flip").isNotNull())
+        .select(*kp, "__flip")
+    )
+
+
+def theta_join(
+    left: DataFrame,
+    right: DataFrame,
+    cond: str,
+    key_cols: tuple[str, ...] = (),
+    broadcast: str | None = None,
+) -> DataFrame:
+    """INNER join on the arbitrary SQL condition ``cond`` (over the two
+    sides' bare, disjoint non-key column names) plus ``key_cols``
+    equality.  ``broadcast`` may name 'left' or 'right' — pass the
+    DELTA side in maintenance so the base side is scanned once and
+    never shuffled.  Output: all left columns + non-key right columns.
+
+    Both sides are renamed to prefixed temp columns (fresh exprIds) and
+    ``cond`` is rewritten to the prefixed names before joining: in the
+    delta rules one side is routinely DERIVED from the other (e.g. the
+    affected-key set probed back against its base), and bare names in
+    ``F.expr(cond)`` would trip Spark's ambiguous-self-join analysis.
+    A key column mentioned inside ``cond`` resolves to the LEFT side."""
+    _check_disjoint(left, right, key_cols)
+    lp, rp = "__tl_", "__tr_"
+    l2 = left.select([F.col(c).alias(lp + c) for c in left.columns])
+    r2 = right.select([F.col(c).alias(rp + c) for c in right.columns])
+    cond2 = cond
+    for c in left.columns:
+        cond2 = re.sub(rf"\b{re.escape(c)}\b", lp + c, cond2)
+    for c in right.columns:
+        if c not in key_cols:
+            cond2 = re.sub(rf"\b{re.escape(c)}\b", rp + c, cond2)
+    jc: Column = F.expr(cond2)
+    for k in key_cols:
+        jc = jc & (F.col(lp + k) == F.col(rp + k))
+    if broadcast == "left":
+        l2 = F.broadcast(l2)
+    if broadcast == "right":
+        r2 = F.broadcast(r2)
+    out = [
+        *[F.col(lp + k).alias(k) for k in key_cols],
+        *[F.col(lp + c).alias(c) for c in left.columns if c not in key_cols],
+        *[F.col(rp + c).alias(c) for c in right.columns if c not in key_cols],
+    ]
+    return l2.join(r2, on=jc, how="inner").select(*out)
+
+
+def _out_cols(left: DataFrame, right: DataFrame, key_cols: tuple[str, ...]) -> list[str]:
+    return [*left.columns, *[c for c in right.columns if c not in key_cols]]
+
+
+def theta_left_join(
+    left: DataFrame,
+    right: DataFrame,
+    cond: str,
+    key_cols: tuple[str, ...] = (),
+    left_on: list[str] | None = None,
+) -> DataFrame:
+    """LEFT OUTER theta join: matched pairs plus left rows with no
+    qualifying right row, NULL-padded.  The matched relation is
+    checkpointed once and feeds both the output union and the anti
+    probe's matched-key set."""
+    left_on = left_on if left_on is not None else referenced_cols(cond, left.columns, key_cols)
+    kp = [*key_cols, *left_on]
+    oc = _out_cols(left, right, key_cols)
+    matched = theta_join(left, right, cond, key_cols).localCheckpoint(eager=False)
+    anti = _null_pad(left, matched.select(*kp), kp, right, key_cols)
+    return matched.unionByName(anti.select(*oc))
+
+
+def theta_full_join(
+    left: DataFrame,
+    right: DataFrame,
+    cond: str,
+    key_cols: tuple[str, ...] = (),
+    left_on: list[str] | None = None,
+    right_on: list[str] | None = None,
+) -> DataFrame:
+    """FULL OUTER theta join: matched pairs plus BOTH sides' matchless
+    rows NULL-padded (both anti probes reuse the checkpointed matched
+    relation's key projections)."""
+    left_on = left_on if left_on is not None else referenced_cols(cond, left.columns, key_cols)
+    right_on = right_on if right_on is not None else referenced_cols(cond, right.columns, key_cols)
+    kp_l = [*key_cols, *left_on]
+    kp_r = [*key_cols, *right_on]
+    oc = _out_cols(left, right, key_cols)
+    matched = theta_join(left, right, cond, key_cols).localCheckpoint(eager=False)
+    anti_l = _null_pad(left, matched.select(*kp_l), kp_l, right, key_cols)
+    anti_r = _null_pad(right, matched.select(*kp_r), kp_r, left, key_cols)
+    return (
+        matched
+        .unionByName(anti_l.select(*oc))
+        .unionByName(anti_r.select(*oc))
+    )
+
+
+def theta_semi_join(
+    left: DataFrame,
+    right: DataFrame,
+    cond: str,
+    key_cols: tuple[str, ...] = (),
+    left_on: list[str] | None = None,
+) -> DataFrame:
+    """LEFT SEMI theta join (EXISTS): match status depends only on the
+    referenced left columns, so the theta probe runs over the DISTINCT
+    left keys and the matched-key set is broadcast back — the full left
+    relation is never theta-compared row by row."""
+    left_on = left_on if left_on is not None else referenced_cols(cond, left.columns, key_cols)
+    kp = [*key_cols, *left_on]
+    ro = referenced_cols(cond, right.columns, key_cols)
+    mk = (
+        theta_join(
+            left.select(*kp).distinct(), right.select(*key_cols, *ro), cond, key_cols
+        )
+        .select(*kp)
+        .distinct()
+    )
+    return _ns_join(left, mk, kp, "leftsemi")
+
+
+def theta_anti_join(
+    left: DataFrame,
+    right: DataFrame,
+    cond: str,
+    key_cols: tuple[str, ...] = (),
+    left_on: list[str] | None = None,
+) -> DataFrame:
+    """LEFT ANTI theta join (NOT EXISTS): complement of
+    :func:`theta_semi_join` over the same broadcast matched-key probe."""
+    left_on = left_on if left_on is not None else referenced_cols(cond, left.columns, key_cols)
+    kp = [*key_cols, *left_on]
+    ro = referenced_cols(cond, right.columns, key_cols)
+    mk = (
+        theta_join(
+            left.select(*kp).distinct(), right.select(*key_cols, *ro), cond, key_cols
+        )
+        .select(*kp)
+        .distinct()
+    )
+    return _ns_join(left, mk, kp, "left_anti")
+
+
+def theta_join_delta(
+    left: DataFrame,
+    right: DataFrame,
+    d_left: DataFrame | None,
+    d_right: DataFrame | None,
+    cond: str,
+    key_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """Δ(L ⋈θ R) — the poster's general inner delta rule (ΔL⋈R ∪
+    L⋈ΔR ∪ ΔL⋈ΔR with sign products), the delta side broadcast in
+    every branch.  Deltas carry the bool multiplicity; output = joined
+    columns + the multiplicity bool."""
+    from ivm_extension_spark.operators.rewrite import MULT_COL
+
+    if d_left is None and d_right is None:
+        raise ValueError("at least one side needs a delta")
+    dl = _signed(d_left, "__wl") if d_left is not None else None
+    dr = _signed(d_right, "__wr") if d_right is not None else None
+    oc = _out_cols(left, right, key_cols)
+
+    branches: list[DataFrame] = []
+    if dl is not None:
+        branches.append(
+            theta_join(dl, right, cond, key_cols, "left")
+            .select(*oc, F.col("__wl").alias(_SIGN))
+        )
+    if dr is not None:
+        branches.append(
+            theta_join(left, dr, cond, key_cols, "right")
+            .select(*oc, F.col("__wr").alias(_SIGN))
+        )
+    if dl is not None and dr is not None:
+        branches.append(
+            theta_join(dl, dr, cond, key_cols, "left").select(
+                *oc, (F.col("__wl") * F.col("__wr")).alias(_SIGN)
+            )
+        )
+    out = branches[0]
+    for b in branches[1:]:
+        out = out.unionByName(b)
+    return out.select(*oc, (F.col(_SIGN) > 0).alias(MULT_COL))
+
+
+def _semi_anti_delta(
+    left: DataFrame,
+    right: DataFrame,
+    d_left: DataFrame | None,
+    d_right: DataFrame | None,
+    cond: str,
+    key_cols: tuple[str, ...],
+    left_on: list[str] | None,
+    anti: bool,
+) -> DataFrame:
+    from ivm_extension_spark.operators.rewrite import MULT_COL
+
+    if d_left is None and d_right is None:
+        raise ValueError("at least one side needs a delta")
+    left_on = left_on if left_on is not None else referenced_cols(cond, left.columns, key_cols)
+    kp = [*key_cols, *left_on]
+    ro = referenced_cols(cond, right.columns, key_cols)
+    rproj = right.select(*key_cols, *ro)
+    dl = _signed(d_left, "__wl") if d_left is not None else None
+    dr = _signed(d_right, "__wr") if d_right is not None else None
+    branches: list[DataFrame] = []
+
+    # ---- term 1: ΔL rows gated on the post-delta match count m'
+    if dl is not None:
+        rprime = rproj.withColumn("__wr", F.lit(1))
+        if dr is not None:
+            rprime = rprime.unionByName(dr.select(*key_cols, *ro, "__wr"))
+        m_pos = (
+            theta_join(dl.select(*kp).distinct(), rprime, cond, key_cols, "left")
+            .groupBy(*kp)
+            .agg(F.sum("__wr").alias("__m"))
+            .filter(F.col("__m") > 0)
+            .select(*kp)
+        )
+        t1 = _ns_join(dl, m_pos, kp, "left_anti" if anti else "leftsemi")
+        branches.append(t1.select(*left.columns, F.col("__wl").alias(_SIGN)))
+
+    # ---- term 2: existing L keys whose match count crosses zero
+    if dr is not None:
+        dm = (
+            theta_join(left.select(*kp).distinct(), dr, cond, key_cols, "right")
+            .groupBy(*kp)
+            .agg(F.sum("__wr").alias("__dm"))
+            .filter(F.col("__dm") != 0)
+        )
+        m_old = (
+            theta_join(dm.select(*kp), rproj, cond, key_cols, "left")
+            .groupBy(*kp)
+            .agg(F.count(F.lit(1)).alias("__mold"))
+        )
+        flips = _crossings(dm, m_old, kp)
+        t2 = _ns_join(left, flips, kp, "inner")
+        fsign = -F.col("__flip") if anti else F.col("__flip")
+        branches.append(t2.select(*left.columns, fsign.alias(_SIGN)))
+
+    out = branches[0]
+    for b in branches[1:]:
+        out = out.unionByName(b)
+    return out.select(*left.columns, (F.col(_SIGN) > 0).alias(MULT_COL))
+
+
+def theta_semi_join_delta(
+    left: DataFrame,
+    right: DataFrame,
+    d_left: DataFrame | None,
+    d_right: DataFrame | None,
+    cond: str,
+    key_cols: tuple[str, ...] = (),
+    left_on: list[str] | None = None,
+) -> DataFrame:
+    """Δ(L ⋉θ R): ΔL rows gated on the post-delta match count, plus
+    existing keys whose count crosses zero under ΔR (ineqjoin's semi
+    algebra with the broadcast theta probe as the matcher)."""
+    return _semi_anti_delta(
+        left, right, d_left, d_right, cond, key_cols, left_on, anti=False
+    )
+
+
+def theta_anti_join_delta(
+    left: DataFrame,
+    right: DataFrame,
+    d_left: DataFrame | None,
+    d_right: DataFrame | None,
+    cond: str,
+    key_cols: tuple[str, ...] = (),
+    left_on: list[str] | None = None,
+) -> DataFrame:
+    """Δ(L ▷θ R): complement of :func:`theta_semi_join_delta` — ΔL
+    rows contribute on m' ≤ 0, crossings flip with the opposite sign."""
+    return _semi_anti_delta(
+        left, right, d_left, d_right, cond, key_cols, left_on, anti=True
+    )
+
+
+def theta_left_join_delta(
+    left: DataFrame,
+    right: DataFrame,
+    d_left: DataFrame | None,
+    d_right: DataFrame | None,
+    cond: str,
+    key_cols: tuple[str, ...] = (),
+    left_on: list[str] | None = None,
+) -> DataFrame:
+    """Δ(L ⟕θ R): the outer counting algebra (matched branches +
+    NULL-pad anti terms via match-count zero crossings) with the
+    broadcast theta probe as the matcher.  Branch fusion as in
+    ineqjoin: ONE tagged probe A = ΔL × (R ∪ ΔR) yields both matched
+    ΔL branches AND the per-ΔL-key post-delta counts for anti term 1
+    (summing over duplicate delta rows scales the count by a positive
+    factor, leaving the m > 0 test unchanged)."""
+    from ivm_extension_spark.operators.rewrite import MULT_COL
+
+    if d_left is None and d_right is None:
+        raise ValueError("at least one side needs a delta")
+    left_on = left_on if left_on is not None else referenced_cols(cond, left.columns, key_cols)
+    kp = [*key_cols, *left_on]
+    ro = referenced_cols(cond, right.columns, key_cols)
+    oc = _out_cols(left, right, key_cols)
+    null_r = [
+        F.lit(None).cast(right.schema[c].dataType).alias(c)
+        for c in right.columns
+        if c not in key_cols
+    ]
+    tag_r = "__th_dr"
+    dl = _signed(d_left, "__wl") if d_left is not None else None
+    dr = _signed(d_right, "__wr") if d_right is not None else None
+    branches: list[DataFrame] = []
+
+    # ---- fused A = ΔL × (R ∪ ΔR): matched branches + anti term 1
+    if dl is not None:
+        rprime = right.withColumn("__wr", F.lit(1)).withColumn(tag_r, F.lit(False))
+        if dr is not None:
+            rprime = rprime.unionByName(dr.withColumn(tag_r, F.lit(True)))
+        A = theta_join(dl, rprime, cond, key_cols, "left").localCheckpoint(eager=False)
+        branches.append(
+            A.select(
+                *oc,
+                (
+                    F.col("__wl")
+                    * F.when(F.col(tag_r), F.col("__wr")).otherwise(F.lit(1))
+                ).alias(_SIGN),
+            )
+        )
+        m_pos = (
+            A.groupBy(*kp)
+            .agg(F.sum("__wr").alias("__m"))
+            .filter(F.col("__m") > 0)
+            .select(*kp)
+        )
+        t1 = _null_pad(dl, m_pos, kp, right, key_cols)
+        branches.append(t1.select(*left.columns, *null_r, F.col("__wl").alias(_SIGN)))
+
+    # ---- matched branch L ⋈ ΔR (old-L rows; ΔL⋈ΔR came from A)
+    if dr is not None:
+        branches.append(
+            theta_join(left, dr, cond, key_cols, "right")
+            .select(*oc, F.col("__wr").alias(_SIGN))
+        )
+
+    # ---- anti term 2: existing L keys whose count crosses zero
+    if dr is not None:
+        dm = (
+            theta_join(left.select(*kp).distinct(), dr, cond, key_cols, "right")
+            .groupBy(*kp)
+            .agg(F.sum("__wr").alias("__dm"))
+            .filter(F.col("__dm") != 0)
+        )
+        m_old = (
+            theta_join(dm.select(*kp), right.select(*key_cols, *ro), cond, key_cols, "left")
+            .groupBy(*kp)
+            .agg(F.count(F.lit(1)).alias("__mold"))
+        )
+        flips = _crossings(dm, m_old, kp)
+        t2 = _ns_join(left, flips, kp, "inner")
+        branches.append(
+            t2.select(*left.columns, *null_r, (-F.col("__flip")).alias(_SIGN))
+        )
+
+    out = branches[0]
+    for b in branches[1:]:
+        out = out.unionByName(b)
+    return out.select(*oc, (F.col(_SIGN) > 0).alias(MULT_COL))
+
+
+def theta_full_join_delta(
+    left: DataFrame,
+    right: DataFrame,
+    d_left: DataFrame | None,
+    d_right: DataFrame | None,
+    cond: str,
+    key_cols: tuple[str, ...] = (),
+    left_on: list[str] | None = None,
+    right_on: list[str] | None = None,
+) -> DataFrame:
+    """Δ(L ⟗θ R): the LEFT rule plus the two symmetric right-preserved
+    terms — ΔR rows with zero matches in L' = L ∪ ΔL, and existing
+    right keys whose left-match count crosses zero under ΔL.  Fused as
+    in ineqjoin: A = ΔL × (R ∪ ΔR) and C = (L ∪ ΔL) × ΔR each feed a
+    matched branch and an anti term's counts, checkpointed once."""
+    from ivm_extension_spark.operators.rewrite import MULT_COL
+
+    if d_left is None and d_right is None:
+        raise ValueError("at least one side needs a delta")
+    left_on = left_on if left_on is not None else referenced_cols(cond, left.columns, key_cols)
+    right_on = right_on if right_on is not None else referenced_cols(cond, right.columns, key_cols)
+    kp_l = [*key_cols, *left_on]
+    kp_r = [*key_cols, *right_on]
+    oc = _out_cols(left, right, key_cols)
+    tag_l, tag_r = "__th_dl", "__th_dr"
+    dl = _signed(d_left, "__wl") if d_left is not None else None
+    dr = _signed(d_right, "__wr") if d_right is not None else None
+    null_r = [
+        F.lit(None).cast(right.schema[c].dataType).alias(c)
+        for c in right.columns
+        if c not in key_cols
+    ]
+    branches: list[DataFrame] = []
+
+    # ---- fused A = ΔL × (R ∪ ΔR): matched ΔL branches + left anti 1
+    if dl is not None:
+        rprime = right.withColumn("__wr", F.lit(1)).withColumn(tag_r, F.lit(False))
+        if dr is not None:
+            rprime = rprime.unionByName(dr.withColumn(tag_r, F.lit(True)))
+        A = theta_join(dl, rprime, cond, key_cols, "left").localCheckpoint(eager=False)
+        branches.append(
+            A.select(
+                *oc,
+                (
+                    F.col("__wl")
+                    * F.when(F.col(tag_r), F.col("__wr")).otherwise(F.lit(1))
+                ).alias(_SIGN),
+            )
+        )
+        m_pos = (
+            A.groupBy(*kp_l)
+            .agg(F.sum("__wr").alias("__m"))
+            .filter(F.col("__m") > 0)
+            .select(*kp_l)
+        )
+        t1 = _null_pad(dl, m_pos, kp_l, right, key_cols)
+        branches.append(t1.select(*oc, F.col("__wl").alias(_SIGN)))
+
+    # ---- fused C = (L ∪ ΔL) × ΔR: L⋈ΔR matched branch + right anti 1
+    if dr is not None:
+        lprime = left.withColumn("__wl", F.lit(1)).withColumn(tag_l, F.lit(False))
+        if dl is not None:
+            lprime = lprime.unionByName(dl.withColumn(tag_l, F.lit(True)))
+        C = theta_join(lprime, dr, cond, key_cols, "right").localCheckpoint(eager=False)
+        b2 = C.filter(~F.col(tag_l)) if dl is not None else C
+        branches.append(b2.select(*oc, F.col("__wr").alias(_SIGN)))
+        m_pos_r = (
+            C.groupBy(*kp_r)
+            .agg(F.sum("__wl").alias("__m"))
+            .filter(F.col("__m") > 0)
+            .select(*kp_r)
+        )
+        t1r = _null_pad(dr, m_pos_r, kp_r, left, key_cols)
+        branches.append(t1r.select(*oc, F.col("__wr").alias(_SIGN)))
+
+    # ---- left anti term 2 (identical to the LEFT rule's)
+    if dr is not None:
+        dm = (
+            theta_join(left.select(*kp_l).distinct(), dr, cond, key_cols, "right")
+            .groupBy(*kp_l)
+            .agg(F.sum("__wr").alias("__dm"))
+            .filter(F.col("__dm") != 0)
+        )
+        m_old = (
+            theta_join(
+                dm.select(*kp_l), right.select(*key_cols, *right_on), cond, key_cols, "left"
+            )
+            .groupBy(*kp_l)
+            .agg(F.count(F.lit(1)).alias("__mold"))
+        )
+        flips = _crossings(dm, m_old, kp_l)
+        t2 = _ns_join(left, flips, kp_l, "inner")
+        branches.append(
+            t2.select(*left.columns, *null_r, (-F.col("__flip")).alias(_SIGN))
+        )
+
+    # ---- right anti term 2: existing R keys whose left-match count
+    # crosses zero under ΔL (against OLD right — deleted right rows'
+    # spurious terms cancel exactly as in ineqjoin)
+    if dl is not None:
+        dm_r = (
+            theta_join(dl, right.select(*kp_r).distinct(), cond, key_cols, "left")
+            .groupBy(*kp_r)
+            .agg(F.sum("__wl").alias("__dm"))
+            .filter(F.col("__dm") != 0)
+        )
+        m_old_r = (
+            theta_join(
+                left.select(*key_cols, *left_on), dm_r.select(*kp_r), cond, key_cols, "right"
+            )
+            .groupBy(*kp_r)
+            .agg(F.count(F.lit(1)).alias("__mold"))
+        )
+        flips_r = _crossings(dm_r, m_old_r, kp_r)
+        t2r = _ns_join(right, flips_r, kp_r, "inner")
+        null_l = [
+            F.col(c) if c in key_cols
+            else F.lit(None).cast(left.schema[c].dataType).alias(c)
+            for c in left.columns
+        ]
+        branches.append(
+            t2r.select(
+                *null_l,
+                *[c for c in right.columns if c not in key_cols],
+                (-F.col("__flip")).alias(_SIGN),
+            )
+        )
+
+    out = branches[0]
+    for b in branches[1:]:
+        out = out.unionByName(b)
+    return out.select(*oc, (F.col(_SIGN) > 0).alias(MULT_COL))
