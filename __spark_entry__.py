@@ -1296,11 +1296,11 @@ def _theta_expr_lifecycle(spark: SparkSession, sf_dir: str, how: str) -> DataFra
         F.col("l_discount").cast("double").alias("disc"),
         F.col("l_quantity").cast("double").alias("qty"),
     ]
-    pts = li.filter("l_orderkey % 8 = 0").select(*sel)
+    pts = li.filter("l_orderkey % 32 = 0").select(*sel)
     pred, mult = DELTA_DEFS["lineitem"]
     d_pts = (
         li.filter(F.expr(pred))
-        .filter("l_orderkey % 8 = 0")
+        .filter("l_orderkey % 32 = 0")
         .select(*sel, F.expr(mult).alias(MULT_COL))
     )
     rules = spark.createDataFrame(
@@ -3352,7 +3352,7 @@ def oracle_sql() -> dict[str, str]:
                        CAST(l_discount AS DOUBLE) AS disc,
                        CAST(l_quantity AS DOUBLE) AS qty
                 FROM {_applied_sql('lineitem')} t
-                WHERE l_orderkey % 8 = 0
+                WHERE l_orderkey % 32 = 0
             )
             SELECT p.l_orderkey, p.l_linenumber, p.price, p.qty, r.rname
             FROM pts p JOIN rules r
@@ -3374,7 +3374,7 @@ def oracle_sql() -> dict[str, str]:
                        CAST(l_discount AS DOUBLE) AS disc,
                        CAST(l_quantity AS DOUBLE) AS qty
                 FROM {_applied_sql('lineitem')} t
-                WHERE l_orderkey % 8 = 0
+                WHERE l_orderkey % 32 = 0
             )
             SELECT p.l_orderkey, p.l_linenumber, p.price, p.qty, r.rname
             FROM pts p LEFT JOIN rules r
@@ -3396,7 +3396,7 @@ def oracle_sql() -> dict[str, str]:
                        CAST(l_discount AS DOUBLE) AS disc,
                        CAST(l_quantity AS DOUBLE) AS qty
                 FROM {_applied_sql('lineitem')} t
-                WHERE l_orderkey % 8 = 0
+                WHERE l_orderkey % 32 = 0
             )
             SELECT p.l_orderkey, p.l_linenumber, p.price, p.qty, r.rname
             FROM pts p FULL JOIN rules r
@@ -3418,7 +3418,7 @@ def oracle_sql() -> dict[str, str]:
                        CAST(l_discount AS DOUBLE) AS disc,
                        CAST(l_quantity AS DOUBLE) AS qty
                 FROM {_applied_sql('lineitem')} t
-                WHERE l_orderkey % 8 = 0
+                WHERE l_orderkey % 32 = 0
             )
             SELECT p.l_orderkey, p.l_linenumber, p.price
             FROM pts p
@@ -3441,7 +3441,7 @@ def oracle_sql() -> dict[str, str]:
                        CAST(l_discount AS DOUBLE) AS disc,
                        CAST(l_quantity AS DOUBLE) AS qty
                 FROM {_applied_sql('lineitem')} t
-                WHERE l_orderkey % 8 = 0
+                WHERE l_orderkey % 32 = 0
             )
             SELECT p.l_orderkey, p.l_linenumber, p.price
             FROM pts p
