@@ -461,6 +461,54 @@ def _equi_pairs(
     return pairs or None
 
 
+def _theta_two_table_delta(
+    view: ViewDef,
+    get_table: Callable[[str], DataFrame],
+    get_delta: Callable[[str], DataFrame],
+    how: str,
+) -> DataFrame:
+    """Δ of a two-table LEFT/FULL/SEMI/ANTI join whose condition has no
+    conjunctive equi pairs — the general theta algebra
+    (operators/thetajoin.py), every branch probing one base relation
+    with a BROADCAST delta-derived set (O(|base|·|Δ|) comparisons, no
+    base shuffle).  The condition is rewritten to bare column names;
+    the thetajoin operators rename both sides to fresh exprIds
+    internally, so delta-derived probes are safe."""
+    from ivm_extension_spark.operators import thetajoin as tj
+
+    join = view.joins[0]
+    lname, rname = view.tables
+    L, R = get_table(lname), get_table(rname)
+    cond = re.sub(
+        rf"\b(?:{re.escape(lname)}|{re.escape(rname)})\s*\.\s*", "", join.on
+    )
+
+    def _maybe_raw(name: str) -> DataFrame | None:
+        try:
+            return get_delta(name)
+        except IVMError:
+            return None
+
+    dl, dr = _maybe_raw(lname), _maybe_raw(rname)
+    if dl is None and dr is None:
+        raise IVMError(f"no delta registered for either of {lname}/{rname}")
+    fn = {
+        "left": tj.theta_left_join_delta,
+        "full": tj.theta_full_join_delta,
+        "semi": tj.theta_semi_join_delta,
+        "anti": tj.theta_anti_join_delta,
+    }[how]
+    try:
+        dv = fn(L, R, dl, dr, cond)
+    except ValueError as e:
+        raise IVMError(
+            f"theta {how}-join maintenance: {e} (general theta maintenance "
+            "requires disjoint column names across the two sides)"
+        ) from None
+    out_cols = L.columns if how in ("semi", "anti") else [*L.columns, *R.columns]
+    return _signed_delta(dv, _SIGN).select(*out_cols, _SIGN)
+
+
 def _outer_join_delta(
     view: ViewDef,
     get_table: Callable[[str], DataFrame],
@@ -497,11 +545,12 @@ def _outer_join_delta(
 
     pairs = _equi_pairs(join.on, lname, rname, lcols, rcols)
     if pairs is None:
-        raise IVMError(
-            "outer-join maintenance requires a conjunctive equi-join "
-            f"condition, got {join.on!r} (banded/interval conditions: "
-            "operators.rangejoin.range_left_join_delta; one-sided "
-            "inequalities: operators.ineqjoin.ineq_join_delta)"
+        # general theta condition: no equi axis exists, fall through to
+        # the broadcast-delta theta algebra (operators/thetajoin.py).
+        # Structured conditions have cheaper dedicated paths the caller
+        # may prefer (banded: rangejoin; one-sided: ineqjoin).
+        return _theta_two_table_delta(
+            view, get_table, get_delta, "full" if full else "left"
         )
     null_l = [F.lit(None).cast(L.schema[c].dataType).alias(c) for c in lcols]
     null_r = [F.lit(None).cast(R.schema[c].dataType).alias(c) for c in rcols]
@@ -1247,6 +1296,7 @@ def _semi_anti_delta(
 
     pairs: list[tuple[str, str]] = []
     rlocal: list[str] = []
+    theta = False
     for conj in _split_depth0(join.on, _AND_RX):
         p = _equi_pairs(conj, lname, rname, lcols, rcols)
         if p:
@@ -1260,9 +1310,13 @@ def _semi_anti_delta(
         if not mentions_l:
             rlocal.append(conj)
             continue
-        raise IVMError(
-            "semi/anti-join maintenance requires a conjunctive equi "
-            f"condition plus optional build-side-local predicates, got {conj!r}"
+        theta = True  # two-sided non-equi conjunct
+    if theta:
+        # no usable equi axis — the general theta algebra handles the
+        # whole condition (including any equi/R-local conjuncts) via
+        # broadcast-delta probes (operators/thetajoin.py)
+        return _theta_two_table_delta(
+            view, get_table, get_delta, "anti" if anti else "semi"
         )
     if not pairs:
         raise IVMError(

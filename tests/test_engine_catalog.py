@@ -115,11 +115,14 @@ def test_maintain_all_rejects_before_any_merge(spark):
         "u", spark.createDataFrame([("x", 5)], "bb string, d int")
     )
     eng.create_immv("ok", sql="SELECT b, sum(a) AS s FROM t GROUP BY b")
-    # outer THETA join with deltas on both sides: not equi-maintainable,
-    # rejected at plan-build time — maintain_all must not half-merge
+    # SEMI join whose condition references NO preserved-side column (a
+    # constant existence gate): no equi pair, no theta axis — rejected at
+    # plan-build time, so maintain_all must not half-merge.  (Outer theta
+    # joins, the previous fixture here, are maintained since round 4 via
+    # operators/thetajoin.py.)
     eng.create_immv(
         "theta",
-        sql="SELECT a, b, d FROM t LEFT JOIN u ON a < d",
+        sql="SELECT a, b FROM t SEMI JOIN u ON bb = 'x'",
     )
     eng.register_delta(
         "t",

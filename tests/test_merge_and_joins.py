@@ -622,13 +622,34 @@ def test_left_join_chain_multi_delta_one_shot(spark):
     assert merged == rows(eng2.create_immv("v", sql=sql))
 
 
-def test_left_join_theta_condition_right_delta_rejected(spark):
-    eng = lj_engine(spark, dord=[(20, 3, True)])
-    eng.create_immv(
-        "v", sql="SELECT ck, seg, ok FROM cust LEFT JOIN orders ON ck < ck2"
+def test_left_join_theta_condition_maintained(spark):
+    # previously rejected ("requires a conjunctive equi-join"); now routed
+    # to the general theta algebra (operators/thetajoin.py).  Deleting
+    # (13, 99) strips ck=3,4 of their LAST match (+NULL-pad crossing);
+    # inserting cust 9 adds a matchless preserved row.
+    merged = lj_check(
+        lj_engine(
+            spark,
+            dcust=[(9, "z", True)],
+            dord=[(20, 3, True), (13, 99, False)],
+        ),
+        "SELECT ck, seg, ok FROM cust LEFT JOIN orders ON ck < ck2",
     )
-    with pytest.raises(IVMError, match="equi-join"):
-        eng.ivm_upsert("v")
+    assert (3, "c", None) in merged and (9, "z", None) in merged
+
+
+def test_full_join_theta_condition_maintained(spark):
+    # FULL theta through the SQL front: both preserved directions flip
+    merged = lj_check(
+        lj_engine(
+            spark,
+            dcust=[(9, "z", True)],
+            dord=[(20, 3, True), (13, 99, False)],
+        ),
+        "SELECT ck, seg, ok FROM cust FULL OUTER JOIN orders ON ck < ck2",
+    )
+    assert (4, "d", None) in merged  # lost its last match
+    assert (None, None, 10) in merged  # ck2=1 exceeds no ck: right-preserved
 
 
 def test_right_join_normalized_to_left(spark):
@@ -783,13 +804,22 @@ def test_not_in_subquery_rejected(spark):
         )
 
 
-def test_semi_join_theta_condition_rejected(spark):
-    eng = lj_engine(spark, dord=[(20, 3, True)])
-    eng.create_immv(
-        "v", sql="SELECT ck, seg FROM cust SEMI JOIN orders ON ck < ck2"
+def test_semi_join_theta_condition_maintained(spark):
+    # previously rejected; now the theta semi delta rule: ck=3,4 lose
+    # their last match (semi deletes), ck=1,2 keep membership via ck2=3
+    merged = lj_check(
+        lj_engine(spark, dord=[(20, 3, True), (13, 99, False)]),
+        "SELECT ck, seg FROM cust SEMI JOIN orders ON ck < ck2",
     )
-    with pytest.raises(IVMError, match="equi"):
-        eng.ivm_upsert("v")
+    assert (1, "a") in merged and (3, "c") not in merged
+
+
+def test_anti_join_theta_condition_maintained(spark):
+    merged = lj_check(
+        lj_engine(spark, dord=[(20, 3, True), (13, 99, False)]),
+        "SELECT ck, seg FROM cust ANTI JOIN orders ON ck < ck2",
+    )
+    assert (3, "c") in merged and (4, "d") in merged and (1, "a") not in merged
 
 
 def test_semi_join_chain_dim_delta_maintained(spark):
