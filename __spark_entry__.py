@@ -1905,6 +1905,72 @@ def _q_ivm_merge_hll_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hll.hll_estimate(hll.hll_merge(state, delta_regs, keys), keys, p=12)
 
 
+# users whose frequencies the maintained CMS serves as point queries —
+# identical literals in the oracle
+_CMS_WATCHLIST = tuple(range(0, 144, 13))  # 0, 13, ..., 143
+
+
+def _q_approx_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic Count-Min heavy hitters (functions/cms.py): users
+    whose CMS-estimated event count is ≥ 1.2× the mean per-user count.
+    Sketch = ONE map-side-combined shuffle into O(d·w) counters; the
+    candidate relation (distinct users) probes it by (row_j, bucket).
+    Value-hash-checked against the identical md5 formula in DuckDB."""
+    from ivm_extension_spark.functions import cms
+
+    ev = _engine(spark, sf_dir).table("events")
+    # the sketch feeds the probe join AND the totals, the item relation
+    # the probe AND the distinct count — materialize each once
+    sketch = cms.cms_sketch(ev, (), "user_id").localCheckpoint(eager=False)
+    items = (
+        ev.filter("user_id IS NOT NULL")
+        .select("user_id")
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    est = cms.cms_estimate(sketch, items, (), "user_id")
+    stats = (
+        sketch.filter(F.col("row_j") == 0)
+        .agg(F.sum("c").alias("__n"))
+        .crossJoin(items.agg(F.count(F.lit(1)).alias("__d")))
+    )
+    return (
+        est.crossJoin(F.broadcast(stats))
+        .filter(
+            F.col("est_count")
+            >= (F.lit(1.2) * F.col("__n")) / F.col("__d")
+        )
+        .select("user_id", "est_count")
+    )
+
+
+def _q_ivm_merge_cms_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maintained Count-Min frequency sketch (functions/cms.py): the
+    counter state absorbs a mixed insert/delete delta via bucket-wise
+    SIGNED sum — CMS is linear, so the merged sketch equals a full
+    recompute bit-for-bit (oracle = the twin formula over the post-delta
+    events).  The view serves point-frequency estimates for a fixed
+    watchlist of users; state is O(d·w) counters, the base is never
+    rescanned on merge."""
+    from ivm_extension_spark.functions import cms
+
+    eng = _engine(spark, sf_dir)
+    ev = eng.table("events")
+    pred, mult = DELTA_DEFS["events"]
+    state = cms.cms_sketch(ev, (), "user_id")
+    d_sketch = cms.cms_sketch(
+        ev.filter(F.expr(pred)),
+        (),
+        "user_id",
+        weight=f"CASE WHEN {mult} THEN 1 ELSE -1 END",
+    )
+    merged = cms.cms_merge(state, d_sketch, ())
+    watch = spark.createDataFrame(
+        [(int(u),) for u in _CMS_WATCHLIST], "user_id bigint"
+    )
+    return cms.cms_estimate(merged, watch, (), "user_id")
+
+
 def _q_formats_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Connector-surface evidence (sources/formats.py): the orders table
     round-trips through a header CSV write and a hive-partitioned JSON
@@ -2701,6 +2767,8 @@ _EXTRA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ivm_merge_dedup_index": _q_ivm_merge_dedup_index,
     "ivm_merge_corpus_stats": _q_ivm_merge_corpus_stats,
     "ivm_merge_hll_sketch": _q_ivm_merge_hll_sketch,
+    "approx_heavy_hitters": _q_approx_heavy_hitters,
+    "ivm_merge_cms_sketch": _q_ivm_merge_cms_sketch,
     "dedup_minhash_incremental": _q_dedup_minhash_incremental,
     "dedup_embedding_incremental": _q_dedup_embedding_incremental,
     "sim_topk_incremental": _q_sim_topk_incremental,
@@ -2749,6 +2817,8 @@ _GRADE_FIRST: tuple[str, ...] = (
     "ivm_merge_theta_expr_full_join",
     "ivm_merge_theta_expr_semi_join",
     "ivm_merge_theta_expr_anti_join",
+    "approx_heavy_hitters",
+    "ivm_merge_cms_sketch",
     "streaming_interval_join",
     "ivm_merge_ivf_cells",
     "dedup_embedding_incremental",
@@ -2784,8 +2854,6 @@ _GRADE_FIRST: tuple[str, ...] = (
     "q14_promo_revenue",
     "q5_local_supplier_volume",
     "range_join_bands",
-    "rollup_sales",
-    "sample_stratified",
 )
 
 
@@ -3824,6 +3892,65 @@ def _hll_merge_oracle() -> str:
     return hll_oracle_sql("orders", ("o_orderstatus",), "o_custkey", p=12)
 
 
+def _cms_probe_sql(items_cte: str, d: int = 4, w: int = 1024) -> str:
+    """Shared DuckDB est CTE chain: probe ``sk`` with ``items_cte``
+    (must yield a user_id column) — the md5 bucketing and min-over-rows
+    identical to functions/cms.py cms_estimate."""
+    h = (
+        f"CAST(('0x' || substr(md5(CAST(i.user_id AS VARCHAR) || '#' || "
+        f"CAST(rj.row_j AS VARCHAR)), 1, 15)) AS BIGINT) % {w}"
+    )
+    return f"""
+        items AS ({items_cte}),
+        probes AS (
+            SELECT i.user_id, rj.row_j, {h} AS bucket
+            FROM items i CROSS JOIN (SELECT unnest(range({d})) AS row_j) rj
+        ),
+        est AS (
+            SELECT p.user_id,
+                   CAST(min(coalesce(s.c, 0)) AS BIGINT) AS est_count
+            FROM probes p LEFT JOIN sk s
+              ON s.row_j = p.row_j AND s.bucket = p.bucket
+            GROUP BY p.user_id
+        )
+    """
+
+
+def _cms_hitters_oracle() -> str:
+    """DuckDB twin of the Count-Min heavy-hitters query: the identical
+    md5 sketch, min-over-rows estimate, and 1.2×-mean threshold
+    (functions/cms.py)."""
+    from ivm_extension_spark.functions.cms import cms_sketch_sql
+
+    sk = cms_sketch_sql("events", (), "user_id")
+    items = "SELECT DISTINCT user_id FROM events WHERE user_id IS NOT NULL"
+    return f"""
+        WITH sk AS ({sk}),
+        {_cms_probe_sql(items)}
+        SELECT user_id, est_count
+        FROM est
+        WHERE est_count >=
+              (CAST(1.2 AS DOUBLE) * (SELECT sum(c) FROM sk WHERE row_j = 0))
+              / (SELECT count(*) FROM items)
+    """
+
+
+def _cms_merge_oracle() -> str:
+    """Oracle for the maintained-CMS lifecycle: counters are LINEAR, so
+    the signed bucket-wise merge equals the twin sketch recomputed over
+    the post-delta events; the watchlist probes use identical literals."""
+    from ivm_extension_spark.functions.cms import cms_sketch_sql
+
+    sk = cms_sketch_sql(f"{_applied_sql('events')} ev", (), "user_id")
+    watch = ", ".join(f"({u})" for u in _CMS_WATCHLIST)
+    items = f"SELECT CAST(u AS BIGINT) AS user_id FROM (VALUES {watch}) t(u)"
+    return f"""
+        WITH sk AS ({sk}),
+        {_cms_probe_sql(items)}
+        SELECT user_id, est_count FROM est
+    """
+
+
 def _stop_filter(words: tuple[str, ...]) -> str:
     cond = " OR ".join(f"w = '{x}'" for x in words)
     return f"len(list_filter(toks, w -> {cond}))"
@@ -4295,6 +4422,8 @@ def _extras_oracle_sql() -> dict[str, str]:
         ),
         "approx_distinct_sketch": _hll_sketch_oracle(),
         "ivm_merge_hll_sketch": _hll_merge_oracle(),
+        "approx_heavy_hitters": _cms_hitters_oracle(),
+        "ivm_merge_cms_sketch": _cms_merge_oracle(),
         "dedup_embedding": f"""
             SELECT a.vec_id AS id_a, b.vec_id AS id_b, {cos} AS cos_sim
             FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS av FROM embeddings) a

@@ -1,4 +1,5 @@
 from ivm_extension_spark.functions import (
+    cms,
     dedup,
     hll,
     multimodal,
@@ -7,4 +8,4 @@ from ivm_extension_spark.functions import (
     text,
 )
 
-__all__ = ["dedup", "hll", "multimodal", "sampling", "similarity", "text"]
+__all__ = ["cms", "dedup", "hll", "multimodal", "sampling", "similarity", "text"]
