@@ -1027,8 +1027,8 @@ def _q_ivm_merge_theta_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     d_thr = spark.createDataFrame(
         _TH_DELTA, f"tname string, cutoff double, {MULT_COL} boolean"
     )
-    pts = pts.localCheckpoint(eager=False)
-    d_pts = d_pts.localCheckpoint(eager=False)
+    pts = pts.coalesce(4).localCheckpoint(eager=False)
+    d_pts = d_pts.coalesce(4).localCheckpoint(eager=False)
     v_old = ineq_join(pts, thr, "price", "cutoff", "<", 10000.0, 1 << 7)
     dv = ineq_join_delta(
         pts, thr, d_pts, d_thr, "price", "cutoff", "<", 10000.0, 1 << 7
@@ -1089,8 +1089,8 @@ def _q_ivm_merge_theta_left_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     # materialize the narrow base/delta projections once (several delta
     # branches re-use them) and ΔV before the merge — see the FULL
     # lifecycle's rationale below
-    pts = pts.localCheckpoint(eager=False)
-    d_pts = d_pts.localCheckpoint(eager=False)
+    pts = pts.coalesce(4).localCheckpoint(eager=False)
+    d_pts = d_pts.coalesce(4).localCheckpoint(eager=False)
     kw = dict(op="<", bin_width=10000.0, max_bins=1 << 7)
     v_old = ineq_left_join(pts, thr, "price", "cutoff", **kw)
     dv = ineq_left_join_delta(
@@ -1152,8 +1152,8 @@ def _q_ivm_merge_theta_full_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     # localCheckpoint materializes each narrow projection once instead
     # of re-scanning the parquet per branch (at scale these would be
     # cached/persisted delta slices, not re-reads)
-    pts = pts.localCheckpoint(eager=False)
-    d_pts = d_pts.localCheckpoint(eager=False)
+    pts = pts.coalesce(4).localCheckpoint(eager=False)
+    d_pts = d_pts.coalesce(4).localCheckpoint(eager=False)
     kw = dict(op="<", bin_width=10000.0, max_bins=1 << 7)
     v_old = ineq_full_join(pts, thr, "price", "cutoff", **kw)
     # materialize ΔV once before the merge (it IS the delta_<view>
@@ -1216,8 +1216,8 @@ def _theta_semi_anti_lifecycle(
     d_thr = spark.createDataFrame(
         _TH_DELTA_L, f"tname string, cutoff double, {MULT_COL} boolean"
     )
-    pts = pts.localCheckpoint(eager=False)
-    d_pts = d_pts.localCheckpoint(eager=False)
+    pts = pts.coalesce(4).localCheckpoint(eager=False)
+    d_pts = d_pts.coalesce(4).localCheckpoint(eager=False)
     kw = dict(op="<", bin_width=10000.0, max_bins=1 << 7)
     jfn = ineq_anti_join if anti else ineq_semi_join
     dfn = ineq_anti_join_delta if anti else ineq_semi_join_delta
@@ -1310,8 +1310,13 @@ def _theta_expr_lifecycle(spark: SparkSession, sf_dir: str, how: str) -> DataFra
         _THX_DELTA,
         f"rname string, cutoff double, scale double, min_qty int, {MULT_COL} boolean",
     )
-    pts = pts.localCheckpoint(eager=False)
-    d_pts = d_pts.localCheckpoint(eager=False)
+    # the point slice (~1/32 of lineitem) and its delta are tiny; the
+    # ~8 delta branches each rescan them, so checkpoint them in a few
+    # fat partitions — at 32 parquet-split partitions the lifecycle is
+    # pure task-launch overhead (measured 2-3x on the FULL delta).  At
+    # scale these are the persisted delta slices, sized by bytes.
+    pts = pts.coalesce(4).localCheckpoint(eager=False)
+    d_pts = d_pts.coalesce(4).localCheckpoint(eager=False)
     plain = {
         "inner": tj.theta_join,
         "left": tj.theta_left_join,

@@ -160,6 +160,27 @@ def _delta_source(
                     how=join.how,
                 )
             return acc
+        if (
+            len(tables) > 2
+            and view.joins[-1].how in ("left", "full", "semi", "anti")
+            and _equi_pairs(
+                view.joins[-1].on,
+                list(tables[:-1]),
+                view.joins[-1].table,
+                [c for t in tables[:-1] for c in get_table(t).columns],
+                get_table(view.joins[-1].table).columns,
+            )
+            is None
+        ):
+            # theta (non-equi) LEFT/FULL/SEMI/ANTI at the LAST chain
+            # position: compositional — the prefix P is itself a
+            # maintainable join view, so ΔP comes from the ordinary
+            # chain rules and Δ(P ⟕θ C) from the two-relation theta
+            # algebra with (P, ΔP, C, ΔC).  Mid-chain theta outer joins
+            # remain rejected by the equi checks downstream.
+            return _theta_chain_suffix_delta(
+                view, get_table, get_delta, broadcast_deltas, with_delta
+            )
         if with_delta == {tables[0]} and len(tables) > 2:
             # chain with FULL join(s) and the delta on the leftmost table:
             # fold the pre-FULL prefix linearly with aliases intact, then
@@ -506,6 +527,72 @@ def _theta_two_table_delta(
             "requires disjoint column names across the two sides)"
         ) from None
     out_cols = L.columns if how in ("semi", "anti") else [*L.columns, *R.columns]
+    return _signed_delta(dv, _SIGN).select(*out_cols, _SIGN)
+
+
+def _theta_chain_suffix_delta(
+    view: ViewDef,
+    get_table: Callable[[str], DataFrame],
+    get_delta: Callable[[str], DataFrame],
+    broadcast_deltas: bool,
+    with_delta: set[str],
+) -> DataFrame:
+    """Δ of a chain whose LAST join is a theta (non-equi) LEFT/FULL/
+    SEMI/ANTI join: V = P ⟕θ C where P is the chain prefix.  The rule
+    is compositional — ΔP comes from the prefix's own delta rules (the
+    prefix is an ordinary maintainable join view), and Δ(P ⟕θ C) from
+    the two-relation theta algebra with (P, ΔP, C, ΔC).  P is the OLD
+    prefix (base tables only) and is checkpointed once: the theta rule
+    probes it only with broadcast delta-derived sets, never shuffles it.
+    At scale P is the prefix relation a maintenance engine would persist
+    as internal state (or a view of its own under cascading IVM)."""
+    import dataclasses
+
+    from ivm_extension_spark.operators import thetajoin as tj
+
+    last = view.joins[-1]
+    prefix = dataclasses.replace(view, joins=view.joins[:-1])
+    pre_tabs = prefix.tables
+    pcols = [c for t in pre_tabs for c in get_table(t).columns]
+    C = get_table(last.table)
+    cond = re.sub(
+        rf"\b(?:{'|'.join(re.escape(t) for t in view.tables)})\s*\.\s*",
+        "",
+        last.on,
+    )
+
+    P = get_table(view.source).alias(view.source)
+    for j in prefix.joins:
+        P = P.join(get_table(j.table).alias(j.table), on=F.expr(j.on), how=j.how)
+    P = P.select(*pcols).localCheckpoint(eager=False)
+
+    dP: DataFrame | None = None
+    if with_delta & set(pre_tabs):
+        dP = (
+            _delta_source(prefix, get_table, get_delta, broadcast_deltas)
+            .select(*pcols, _SIGN)
+            .withColumn(MULT_COL, F.col(_SIGN) > 0)
+            .drop(_SIGN)
+            .localCheckpoint(eager=False)
+        )
+    dC: DataFrame | None = None
+    if last.table in with_delta:
+        dC = get_delta(last.table)
+
+    fn = {
+        "left": tj.theta_left_join_delta,
+        "full": tj.theta_full_join_delta,
+        "semi": tj.theta_semi_join_delta,
+        "anti": tj.theta_anti_join_delta,
+    }[last.how]
+    try:
+        dv = fn(P, C, dP, dC, cond)
+    except ValueError as e:
+        raise IVMError(
+            f"theta {last.how}-join chain maintenance: {e} (general theta "
+            "maintenance requires disjoint column names across the sides)"
+        ) from None
+    out_cols = pcols if last.how in ("semi", "anti") else [*pcols, *C.columns]
     return _signed_delta(dv, _SIGN).select(*out_cols, _SIGN)
 
 

@@ -652,6 +652,77 @@ def test_full_join_theta_condition_maintained(spark):
     assert (None, None, 10) in merged  # ck2=1 exceeds no ck: right-preserved
 
 
+def _seg_engine(spark, dcust=None, dord=None):
+    eng = lj_engine(spark, dcust=dcust, dord=dord)
+    eng.register_table(
+        "seg_dim",
+        spark.createDataFrame(
+            [("a", "A"), ("b", "B"), ("c", "C")], "sg string, nm string"
+        ),
+    )
+    return eng
+
+
+def test_left_theta_last_chain_position_right_delta(spark):
+    # theta at the LAST position of a 3-table chain (prefix = cust ⋈
+    # seg_dim), delta on the theta side: Δ(P ⟕θ C) composes the prefix
+    # (no delta) with the two-relation theta rule
+    merged = lj_check(
+        _seg_engine(spark, dord=[(20, 3, True), (13, 99, False)]),
+        "SELECT ck, seg, nm, ok FROM cust JOIN seg_dim ON seg = sg "
+        "LEFT JOIN orders ON ck < ck2",
+    )
+    assert (3, "c", "C", None) in merged  # lost its last match -> NULL-pad
+    assert (1, "a", "A", 20) in merged
+
+
+def test_left_theta_last_chain_position_both_deltas(spark):
+    # deltas on a PREFIX table and the theta side simultaneously: ΔP
+    # comes from the prefix's own delta rule, ΔC from the base delta
+    merged = lj_check(
+        _seg_engine(
+            spark,
+            dcust=[(0, "b", True), (2, "b", False)],
+            dord=[(20, 3, True), (13, 99, False)],
+        ),
+        "SELECT ck, seg, nm, ok FROM cust JOIN seg_dim ON seg = sg "
+        "LEFT JOIN orders ON ck < ck2",
+    )
+    assert (0, "b", "B", 10) in merged  # inserted cust matches ck2=1
+    assert all(t[0] != 2 for t in merged)  # deleted cust gone
+
+
+def test_full_theta_last_chain_position_both_deltas(spark):
+    # inserted cust 5 matched only order 13 (ck2=99), which the same
+    # batch deletes — the new row must come out left-preserved
+    merged = lj_check(
+        _seg_engine(
+            spark,
+            dcust=[(5, "c", True)],
+            dord=[(20, 3, True), (13, 99, False)],
+        ),
+        "SELECT ck, seg, nm, ok FROM cust JOIN seg_dim ON seg = sg "
+        "FULL OUTER JOIN orders ON ck < ck2",
+    )
+    assert (3, "c", "C", None) in merged and (5, "c", "C", None) in merged
+    assert (None, None, None, 10) in merged  # ck2=1: right-preserved
+
+
+def test_semi_anti_theta_last_chain_position(spark):
+    semi = lj_check(
+        _seg_engine(spark, dord=[(20, 3, True), (13, 99, False)]),
+        "SELECT ck, seg, nm FROM cust JOIN seg_dim ON seg = sg "
+        "SEMI JOIN orders ON ck < ck2",
+    )
+    assert (1, "a", "A") in semi and all(t[0] != 3 for t in semi)
+    anti = lj_check(
+        _seg_engine(spark, dord=[(20, 3, True), (13, 99, False)]),
+        "SELECT ck, seg, nm FROM cust JOIN seg_dim ON seg = sg "
+        "ANTI JOIN orders ON ck < ck2",
+    )
+    assert (3, "c", "C") in anti and all(t[0] != 1 for t in anti)
+
+
 def test_right_join_normalized_to_left(spark):
     # 'orders RIGHT JOIN cust' ≡ 'cust LEFT JOIN orders'
     merged = lj_check(
