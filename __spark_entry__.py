@@ -1352,6 +1352,38 @@ def _theta_expr_lifecycle(spark: SparkSession, sf_dir: str, how: str) -> DataFra
     return merged.select("l_orderkey", "l_linenumber", "price", "qty", "rname")
 
 
+def _q_ivm_merge_theta_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theta at the LAST position of a 3-table chain, end-to-end through
+    the SQL front (rewrite._theta_chain_suffix_delta): the equi prefix
+    orders ⋈ customer composes with the two-relation theta rule against
+    the rules dimension; deltas on BOTH the prefix fact table and the
+    theta side.  The rules delta deletes 'mid'/'big' (most orders lose
+    every match — mass NULL-pad crossings) and inserts 'low'."""
+    eng = _engine(spark, sf_dir, deltas=("orders",))
+    eng.register_table(
+        "thx_rules",
+        spark.createDataFrame(
+            _THX_BASE, "rname string, cutoff double, scale double, min_qty int"
+        ),
+    )
+    eng.register_delta(
+        "thx_rules",
+        spark.createDataFrame(
+            _THX_DELTA,
+            f"rname string, cutoff double, scale double, min_qty int, {MULT_COL} boolean",
+        ),
+    )
+    eng.create_immv(
+        "v",
+        sql="SELECT o_orderkey, o_totalprice, c_mktsegment, rname "
+        "FROM orders JOIN customer ON o_custkey = c_custkey "
+        "LEFT JOIN thx_rules ON o_totalprice < cutoff * scale "
+        "WHERE o_orderkey % 32 = 0",
+    )
+    eng.ivm_upsert("v")
+    return eng.merge_view("v")
+
+
 def _q_ivm_merge_theta_expr_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """General two-sided-expression theta INNER join maintenance
     (thetajoin.py theta_join_delta — the poster's unrestricted join
@@ -2236,6 +2268,7 @@ _IVM_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ivm_merge_theta_expr_full_join": _q_ivm_merge_theta_expr_full_join,
     "ivm_merge_theta_expr_semi_join": _q_ivm_merge_theta_expr_semi_join,
     "ivm_merge_theta_expr_anti_join": _q_ivm_merge_theta_expr_anti_join,
+    "ivm_merge_theta_chain": _q_ivm_merge_theta_chain,
     "ivm_cascade_rollup": _q_ivm_cascade_rollup,
     "ivm_maintain_all": _q_ivm_maintain_all,
 }
@@ -2886,6 +2919,7 @@ _GRADE_FIRST: tuple[str, ...] = (
     "ivm_merge_theta_expr_full_join",
     "ivm_merge_theta_expr_semi_join",
     "ivm_merge_theta_expr_anti_join",
+    "ivm_merge_theta_chain",
     "approx_heavy_hitters",
     "ivm_merge_cms_sketch",
     "streaming_cms_sketch",
@@ -2922,7 +2956,6 @@ _GRADE_FIRST: tuple[str, ...] = (
     "percentiles_by_status",
     "pivot_sales",
     "q14_promo_revenue",
-    "q5_local_supplier_volume",
 )
 
 
@@ -3474,6 +3507,21 @@ def oracle_sql() -> dict[str, str]:
         # (mirrors the _THX_DELTA literals); both engines evaluate the
         # condition in DOUBLE (explicit casts) so the comparison is
         # bit-identical IEEE arithmetic
+        "ivm_merge_theta_chain": f"""
+            WITH rules AS (
+                SELECT rname, CAST(cutoff AS DOUBLE) AS cutoff,
+                       CAST(scale AS DOUBLE) AS scale
+                FROM (VALUES
+                    ('small', 2000.0, 1.0),
+                    ('never', 0.0, 0.5),
+                    ('low', 3000.0, 1.0)) t(rname, cutoff, scale)
+            )
+            SELECT o.o_orderkey, o.o_totalprice, c.c_mktsegment, r.rname
+            FROM {_applied_sql('orders')} o
+            JOIN customer c ON o.o_custkey = c.c_custkey
+            LEFT JOIN rules r ON o.o_totalprice < r.cutoff * r.scale
+            WHERE o.o_orderkey % 32 = 0
+        """,
         "ivm_merge_theta_expr_join": f"""
             WITH rules AS (
                 SELECT rname, CAST(cutoff AS DOUBLE) AS cutoff,

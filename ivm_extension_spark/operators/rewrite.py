@@ -561,17 +561,44 @@ def _theta_chain_suffix_delta(
         last.on,
     )
 
+    # the view's WHERE is applied above ΔV by the caller, but the P
+    # checkpoint below is an optimizer barrier — a predicate over prefix
+    # columns only would otherwise be evaluated AFTER materializing the
+    # full unfiltered prefix.  σ over preserved-side columns commutes
+    # with LEFT/SEMI/ANTI theta (matched and NULL-padded rows carry real
+    # P columns), so pre-filter P and ΔP by the prefix-local conjuncts
+    # (the caller's re-filter is then a no-op).  NOT valid for FULL: a
+    # right row whose only matches fail the predicate must surface as
+    # right-preserved, and right-preserved rows have NULL prefix columns.
+    ccols = set(C.columns)
+    pre_where = (
+        [
+            conj
+            for conj in _split_depth0(view.where, _AND_RX)
+            if not any(re.search(rf"\b{re.escape(c)}\b", conj) for c in ccols)
+        ]
+        if view.where and last.how != "full"
+        else []
+    )
+    pre_pred = " AND ".join(f"({c})" for c in pre_where) if pre_where else None
+
     P = get_table(view.source).alias(view.source)
     for j in prefix.joins:
         P = P.join(get_table(j.table).alias(j.table), on=F.expr(j.on), how=j.how)
-    P = P.select(*pcols).localCheckpoint(eager=False)
+    P = P.select(*pcols)
+    if pre_pred:
+        P = P.filter(F.expr(pre_pred))
+    P = P.localCheckpoint(eager=False)
 
     dP: DataFrame | None = None
     if with_delta & set(pre_tabs):
+        dP = _delta_source(prefix, get_table, get_delta, broadcast_deltas).select(
+            *pcols, _SIGN
+        )
+        if pre_pred:
+            dP = dP.filter(F.expr(pre_pred))
         dP = (
-            _delta_source(prefix, get_table, get_delta, broadcast_deltas)
-            .select(*pcols, _SIGN)
-            .withColumn(MULT_COL, F.col(_SIGN) > 0)
+            dP.withColumn(MULT_COL, F.col(_SIGN) > 0)
             .drop(_SIGN)
             .localCheckpoint(eager=False)
         )
