@@ -2888,23 +2888,24 @@ _EXTRA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 # ROUND 4 WINDOW (this round), computed by scripts/update_ledger.py
 # (never-graded first, then least-recently-green — VERDICT.md r3 items
 # 5/6/7):
-#   - positions 1-16: the keys registered THIS round, never driver-graded
+#   - positions 1-20: the keys registered THIS round, never driver-graded
 #     (sim_topk_incremental, skew_salted_join, skew_two_phase_agg — the
 #     r3 "ungraded utilities" — plus the ivm_merge_theta_* one-sided-
 #     inequality lifecycles, the ivm_merge_theta_expr_* general two-sided-
-#     expression theta lifecycles, the streaming_interval_join
-#     stream-stream join, the ivm_merge_ivf_cells maintained
-#     index-occupancy view, and the dedup_embedding_incremental pair
-#     CDC);
-#   - 17: ivm_projection, whose only green is from round 1;
-#   - 18-50: the 33 least-recently-green keys (green in round 2, rotated
+#     expression theta lifecycles, ivm_merge_theta_chain, the Count-Min
+#     keys approx_heavy_hitters / ivm_merge_cms_sketch /
+#     streaming_cms_sketch, the streaming_interval_join stream-stream
+#     join, the ivm_merge_ivf_cells maintained index-occupancy view, and
+#     the dedup_embedding_incremental pair CDC);
+#   - 21: ivm_projection, whose only green is from round 1;
+#   - 22-50: the 29 least-recently-green keys (green in round 2, rotated
 #     out of round 3's window) — they must be regraded under post-r3
 #     code (engine/lakehouse/streaming changed after their last grade).
-#     scalar_functions, sessionize_users, setops_active_custkeys,
-#     sim_knn_label_consistency, sim_topk_bruteforce, sim_topk_lsh,
-#     text_lang_accuracy, text_lang_id, text_quality, text_repetition,
-#     text_stats, text_tfidf_keywords, token_length_histogram and the
-#     r3-green keys rotate back in r5.
+#     q5_local_supplier_volume, range_join_bands, rollup_sales,
+#     sample_stratified, scalar_functions, sessionize_users,
+#     setops_active_custkeys, sim_knn_label_consistency,
+#     sim_topk_bruteforce, sim_topk_lsh, text_* and the r3-green keys
+#     rotate back in r5.
 _GRADE_FIRST: tuple[str, ...] = (
     "sim_topk_incremental",
     "skew_salted_join",

@@ -58,6 +58,7 @@ from typing import Callable
 
 from pyspark.sql import Column, DataFrame, functions as F
 
+from ivm_extension_spark.operators.thetajoin import sub_outside_literals
 from ivm_extension_spark.plans.viewdef import Aggregate, ViewDef
 
 MULT_COL = "_duckdb_ivm_multiplicity"
@@ -500,7 +501,7 @@ def _theta_two_table_delta(
     join = view.joins[0]
     lname, rname = view.tables
     L, R = get_table(lname), get_table(rname)
-    cond = re.sub(
+    cond = sub_outside_literals(
         rf"\b(?:{re.escape(lname)}|{re.escape(rname)})\s*\.\s*", "", join.on
     )
 
@@ -553,9 +554,21 @@ def _theta_chain_suffix_delta(
     last = view.joins[-1]
     prefix = dataclasses.replace(view, joins=view.joins[:-1])
     pre_tabs = prefix.tables
-    pcols = [c for t in pre_tabs for c in get_table(t).columns]
+    # only tables the prefix PROJECTS contribute columns: a semi/anti
+    # join inside the prefix emits left columns only
+    vis_tabs = [view.source] + [
+        j.table for j in prefix.joins if j.how not in ("semi", "anti")
+    ]
+    pcols = [c for t in vis_tabs for c in get_table(t).columns]
+    if len(set(pcols)) != len(pcols):
+        dups = sorted({c for c in pcols if pcols.count(c) > 1})
+        raise IVMError(
+            f"theta {last.how}-join chain maintenance requires unique "
+            f"column names across the prefix tables, got duplicates "
+            f"{dups} — rename them or use an equi condition"
+        )
     C = get_table(last.table)
-    cond = re.sub(
+    cond = sub_outside_literals(
         rf"\b(?:{'|'.join(re.escape(t) for t in view.tables)})\s*\.\s*",
         "",
         last.on,

@@ -42,16 +42,52 @@ from pyspark.sql import Column, DataFrame, functions as F
 
 _SIGN = "__ivm_sign"
 
+# single-quoted SQL string literals ('' = escaped quote): column-name
+# rewriting and reference detection must never look inside them — a
+# condition like ``tag = 'disc'`` must not have the literal mangled just
+# because a column named disc exists
+_LITERAL_RX = re.compile(r"'(?:[^']|'')*'")
+
+
+def sub_outside_literals(pattern: str, repl: str, s: str) -> str:
+    """``re.sub`` applied only OUTSIDE single-quoted SQL string literals."""
+    out: list[str] = []
+    last = 0
+    for m in _LITERAL_RX.finditer(s):
+        out.append(re.sub(pattern, repl, s[last : m.start()]))
+        out.append(m.group(0))
+        last = m.end()
+    out.append(re.sub(pattern, repl, s[last:]))
+    return "".join(out)
+
 
 def referenced_cols(cond: str, cols: list[str], key_cols: tuple[str, ...]) -> list[str]:
     """The non-key columns of ``cols`` that ``cond`` mentions (word-
-    boundary match) — the default match-count key when ``left_on`` /
-    ``right_on`` is not given explicitly."""
+    boundary match, string literals masked) — the default match-count
+    key when ``left_on`` / ``right_on`` is not given explicitly."""
+    masked = _LITERAL_RX.sub("''", cond)
     return [
         c
         for c in cols
-        if c not in key_cols and re.search(rf"\b{re.escape(c)}\b", cond)
+        if c not in key_cols and re.search(rf"\b{re.escape(c)}\b", masked)
     ]
+
+
+def _probe_on(
+    custom: list[str] | None,
+    cond: str,
+    cols: list[str],
+    key_cols: tuple[str, ...],
+) -> list[str]:
+    """Match-count key columns: the caller's ``left_on``/``right_on``
+    EXTENDED with the condition's referenced columns.  A finer custom
+    key still functionally determines the match set, but the anti-term
+    probes re-evaluate ``cond`` over projections keyed by this list, so
+    the referenced columns must ride along or the probe cannot resolve."""
+    ref = referenced_cols(cond, cols, key_cols)
+    if custom is None:
+        return ref
+    return list(dict.fromkeys([*custom, *ref]))
 
 
 def _check_disjoint(
@@ -65,11 +101,9 @@ def _check_disjoint(
 
 
 def _signed(d: DataFrame, w: str) -> DataFrame:
-    from ivm_extension_spark.operators.rewrite import MULT_COL
+    from ivm_extension_spark.operators.rewrite import _signed_delta
 
-    return d.withColumn(
-        w, F.when(F.col(MULT_COL), F.lit(1)).otherwise(F.lit(-1))
-    ).drop(MULT_COL)
+    return _signed_delta(d, w)
 
 
 def _ns_join(side: DataFrame, keys: DataFrame, cols: list[str], how: str) -> DataFrame:
@@ -152,10 +186,10 @@ def theta_join(
     r2 = right.select([F.col(c).alias(rp + c) for c in right.columns])
     cond2 = cond
     for c in left.columns:
-        cond2 = re.sub(rf"\b{re.escape(c)}\b", lp + c, cond2)
+        cond2 = sub_outside_literals(rf"\b{re.escape(c)}\b", lp + c, cond2)
     for c in right.columns:
         if c not in key_cols:
-            cond2 = re.sub(rf"\b{re.escape(c)}\b", rp + c, cond2)
+            cond2 = sub_outside_literals(rf"\b{re.escape(c)}\b", rp + c, cond2)
     jc: Column = F.expr(cond2)
     for k in key_cols:
         jc = jc & (F.col(lp + k) == F.col(rp + k))
@@ -186,7 +220,7 @@ def theta_left_join(
     qualifying right row, NULL-padded.  The matched relation is
     checkpointed once and feeds both the output union and the anti
     probe's matched-key set."""
-    left_on = left_on if left_on is not None else referenced_cols(cond, left.columns, key_cols)
+    left_on = _probe_on(left_on, cond, left.columns, key_cols)
     kp = [*key_cols, *left_on]
     oc = _out_cols(left, right, key_cols)
     matched = theta_join(left, right, cond, key_cols).localCheckpoint(eager=False)
@@ -205,8 +239,8 @@ def theta_full_join(
     """FULL OUTER theta join: matched pairs plus BOTH sides' matchless
     rows NULL-padded (both anti probes reuse the checkpointed matched
     relation's key projections)."""
-    left_on = left_on if left_on is not None else referenced_cols(cond, left.columns, key_cols)
-    right_on = right_on if right_on is not None else referenced_cols(cond, right.columns, key_cols)
+    left_on = _probe_on(left_on, cond, left.columns, key_cols)
+    right_on = _probe_on(right_on, cond, right.columns, key_cols)
     kp_l = [*key_cols, *left_on]
     kp_r = [*key_cols, *right_on]
     oc = _out_cols(left, right, key_cols)
@@ -220,18 +254,19 @@ def theta_full_join(
     )
 
 
-def theta_semi_join(
+def _semi_anti(
     left: DataFrame,
     right: DataFrame,
     cond: str,
-    key_cols: tuple[str, ...] = (),
-    left_on: list[str] | None = None,
+    key_cols: tuple[str, ...],
+    left_on: list[str] | None,
+    anti: bool,
 ) -> DataFrame:
-    """LEFT SEMI theta join (EXISTS): match status depends only on the
+    """Shared SEMI/ANTI probe: match status depends only on the
     referenced left columns, so the theta probe runs over the DISTINCT
     left keys and the matched-key set is broadcast back — the full left
     relation is never theta-compared row by row."""
-    left_on = left_on if left_on is not None else referenced_cols(cond, left.columns, key_cols)
+    left_on = _probe_on(left_on, cond, left.columns, key_cols)
     kp = [*key_cols, *left_on]
     ro = referenced_cols(cond, right.columns, key_cols)
     mk = (
@@ -241,7 +276,18 @@ def theta_semi_join(
         .select(*kp)
         .distinct()
     )
-    return _ns_join(left, mk, kp, "leftsemi")
+    return _ns_join(left, mk, kp, "left_anti" if anti else "leftsemi")
+
+
+def theta_semi_join(
+    left: DataFrame,
+    right: DataFrame,
+    cond: str,
+    key_cols: tuple[str, ...] = (),
+    left_on: list[str] | None = None,
+) -> DataFrame:
+    """LEFT SEMI theta join (EXISTS) — see :func:`_semi_anti`."""
+    return _semi_anti(left, right, cond, key_cols, left_on, anti=False)
 
 
 def theta_anti_join(
@@ -253,17 +299,7 @@ def theta_anti_join(
 ) -> DataFrame:
     """LEFT ANTI theta join (NOT EXISTS): complement of
     :func:`theta_semi_join` over the same broadcast matched-key probe."""
-    left_on = left_on if left_on is not None else referenced_cols(cond, left.columns, key_cols)
-    kp = [*key_cols, *left_on]
-    ro = referenced_cols(cond, right.columns, key_cols)
-    mk = (
-        theta_join(
-            left.select(*kp).distinct(), right.select(*key_cols, *ro), cond, key_cols
-        )
-        .select(*kp)
-        .distinct()
-    )
-    return _ns_join(left, mk, kp, "left_anti")
+    return _semi_anti(left, right, cond, key_cols, left_on, anti=True)
 
 
 def theta_join_delta(
@@ -323,7 +359,7 @@ def _semi_anti_delta(
 
     if d_left is None and d_right is None:
         raise ValueError("at least one side needs a delta")
-    left_on = left_on if left_on is not None else referenced_cols(cond, left.columns, key_cols)
+    left_on = _probe_on(left_on, cond, left.columns, key_cols)
     kp = [*key_cols, *left_on]
     ro = referenced_cols(cond, right.columns, key_cols)
     rproj = right.select(*key_cols, *ro)
@@ -423,7 +459,7 @@ def theta_left_join_delta(
 
     if d_left is None and d_right is None:
         raise ValueError("at least one side needs a delta")
-    left_on = left_on if left_on is not None else referenced_cols(cond, left.columns, key_cols)
+    left_on = _probe_on(left_on, cond, left.columns, key_cols)
     kp = [*key_cols, *left_on]
     ro = referenced_cols(cond, right.columns, key_cols)
     oc = _out_cols(left, right, key_cols)
@@ -512,8 +548,8 @@ def theta_full_join_delta(
 
     if d_left is None and d_right is None:
         raise ValueError("at least one side needs a delta")
-    left_on = left_on if left_on is not None else referenced_cols(cond, left.columns, key_cols)
-    right_on = right_on if right_on is not None else referenced_cols(cond, right.columns, key_cols)
+    left_on = _probe_on(left_on, cond, left.columns, key_cols)
+    right_on = _probe_on(right_on, cond, right.columns, key_cols)
     kp_l = [*key_cols, *left_on]
     kp_r = [*key_cols, *right_on]
     oc = _out_cols(left, right, key_cols)

@@ -8,6 +8,7 @@ by the IVM invariant: merge(q(T), ivm(Δ)) == q(T ∖ Δ⁻ ⊎ Δ⁺).
 import pytest
 
 from ivm_extension_spark import IVMEngine
+from ivm_extension_spark.operators.rewrite import MULT_COL as MULT_COL_NAME
 from ivm_extension_spark.operators.rewrite import IVMError
 
 from tests.conftest import rows
@@ -721,6 +722,45 @@ def test_semi_anti_theta_last_chain_position(spark):
         "ANTI JOIN orders ON ck < ck2",
     )
     assert (3, "c", "C") in anti and all(t[0] != 1 for t in anti)
+
+
+def test_theta_last_after_semi_prefix(spark):
+    # a SEMI join inside the prefix emits left columns only — the theta
+    # chain rule must not expect the semi table's columns in P
+    eng = _seg_engine(spark, dord=[(20, 3, True), (13, 99, False)])
+    eng.register_table(
+        "sel", spark.createDataFrame([("a",), ("c",)], "s2 string")
+    )
+    eng.create_immv(
+        "v",
+        sql="SELECT ck, seg, nm, ok FROM cust JOIN seg_dim ON seg = sg "
+        "SEMI JOIN sel ON sg = s2 LEFT JOIN orders ON ck < ck2",
+    )
+    eng.ivm_upsert("v")
+    merged = rows(eng.merge_view("v"))
+    eng.apply_delta("orders")
+    assert merged == rows(eng.full_refresh("v"))
+    assert (3, "c", "C", None) in merged  # seg 'b' filtered by the semi
+
+
+def test_theta_last_duplicate_prefix_names_rejected(spark):
+    # both prefix tables carry a column named k: flattening P would be
+    # ambiguous — must raise a clean IVMError, not an AnalysisException
+    eng = IVMEngine(spark)
+    eng.register_table("f", spark.createDataFrame([(1, 2.0)], "k int, fv double"))
+    eng.register_table("d", spark.createDataFrame([(1, 3.0)], "k int, dv double"))
+    eng.register_table("r", spark.createDataFrame([("x", 5.0)], "tag string, cut double"))
+    eng.register_delta(
+        "r",
+        spark.createDataFrame(
+            [("y", 1.0, True)], f"tag string, cut double, {MULT_COL_NAME} boolean"
+        ),
+    )
+    eng.create_immv(
+        "v", sql="SELECT fv, dv, tag FROM f JOIN d ON f.k = d.k LEFT JOIN r ON dv < cut"
+    )
+    with pytest.raises(IVMError, match="unique column names"):
+        eng.ivm_upsert("v")
 
 
 def test_right_join_normalized_to_left(spark):

@@ -230,3 +230,48 @@ def test_disjoint_name_guard(spark):
     r = spark.createDataFrame([(2, 3.0)], "rid int, x double")
     with pytest.raises(ValueError, match="disjoint"):
         theta_join(l, r, "x < x")
+
+
+def test_column_name_inside_string_literal_not_rewritten(spark):
+    # the left side has a column named 'disc'; the condition compares a
+    # DIFFERENT column against the string literal 'disc' — the rename
+    # rewrite must not mangle the literal (it would silently empty the
+    # matched set)
+    l = spark.createDataFrame(
+        [(1, 10.0, 0.1, "disc"), (2, 10.0, 0.1, "flat")],
+        "lid int, x double, disc double, tag string",
+    )
+    r = spark.createDataFrame([(9, 50.0)], "rid int, cutoff double")
+    got = {
+        t["lid"]
+        for t in theta_join(l, r, "x < cutoff AND tag = 'disc'").collect()
+    }
+    assert got == {1}
+    # and referenced_cols must not see the literal as a column use
+    from ivm_extension_spark.operators.thetajoin import referenced_cols
+
+    assert referenced_cols("x < cutoff AND tag = 'disc'", l.columns, ()) == [
+        "x",
+        "tag",
+    ]
+
+
+def test_custom_finer_on_cols_extended_with_referenced(spark, lr):
+    # caller keys the match counts by the unique row id; the probes must
+    # still be able to evaluate the condition (left_on is extended with
+    # the referenced columns, not replaced)
+    l, r = lr
+    dl, dr, l2, r2 = _deltas(spark, l, r)
+    dv = theta_left_join_delta(l, r, dl, dr, COND, left_on=["lid"])
+    merged = _merge(theta_left_join(l, r, COND, left_on=["lid"]), dv)
+    exp = _brute(l2, r2, "left").select(*merged.columns)
+    assert Counter(map(tuple, merged.collect())) == Counter(map(tuple, exp.collect()))
+
+
+def test_full_delta_with_custom_right_on(spark, lr):
+    l, r = lr
+    dl, dr, l2, r2 = _deltas(spark, l, r)
+    dv = theta_full_join_delta(l, r, dl, dr, COND, right_on=["rid"])
+    merged = _merge(theta_full_join(l, r, COND, right_on=["rid"]), dv)
+    exp = _brute(l2, r2, "full").select(*merged.columns)
+    assert Counter(map(tuple, merged.collect())) == Counter(map(tuple, exp.collect()))
