@@ -11,7 +11,11 @@ r.min_qty``): the preserved-side bookkeeping needs per-row match
 counts, and no equi key or bin axis exists to carry them.  This
 module supplies that last shape — the reference poster's join delta
 rule with no restriction on the condition (SURVEY.md §2c growth
-direction; the reference's equi rewrite at rewrite.py:405 rejects it).
+direction).  The SQL front routes here automatically: rewrite.py's
+two-table outer/semi/anti rules fall back to these operators when the
+condition yields no conjunctive equi pairs, and chains whose LAST join
+is theta compose the prefix delta with this rule
+(rewrite._theta_chain_suffix_delta).
 
 Match-count algebra (shared with rangejoin/ineqjoin): a preserved
 left row's match set is fully determined by the left columns the
