@@ -1009,7 +1009,7 @@ def _q_ivm_merge_theta_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     eng = _engine(spark, sf_dir)
     pts = (
         eng.table("orders")
-        .filter("o_orderkey % 8 = 0")
+        .filter("o_orderkey % 32 = 0")
         .select("o_orderkey", F.col("o_totalprice").alias("price"))
     )
     thr = spark.createDataFrame(_TH_BASE, "tname string, cutoff double")
@@ -1017,7 +1017,7 @@ def _q_ivm_merge_theta_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     d_pts = (
         eng.table("orders")
         .filter(F.expr(pred))
-        .filter("o_orderkey % 8 = 0")
+        .filter("o_orderkey % 32 = 0")
         .select(
             "o_orderkey",
             F.col("o_totalprice").alias("price"),
@@ -1068,7 +1068,7 @@ def _q_ivm_merge_theta_left_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     eng = _engine(spark, sf_dir)
     pts = (
         eng.table("orders")
-        .filter("o_orderkey % 8 = 0")
+        .filter("o_orderkey % 32 = 0")
         .select("o_orderkey", F.col("o_totalprice").alias("price"))
     )
     thr = spark.createDataFrame(_TH_BASE, "tname string, cutoff double")
@@ -1076,7 +1076,7 @@ def _q_ivm_merge_theta_left_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     d_pts = (
         eng.table("orders")
         .filter(F.expr(pred))
-        .filter("o_orderkey % 8 = 0")
+        .filter("o_orderkey % 32 = 0")
         .select(
             "o_orderkey",
             F.col("o_totalprice").alias("price"),
@@ -1130,7 +1130,7 @@ def _q_ivm_merge_theta_full_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     eng = _engine(spark, sf_dir)
     pts = (
         eng.table("orders")
-        .filter("o_orderkey % 8 = 0")
+        .filter("o_orderkey % 32 = 0")
         .select("o_orderkey", F.col("o_totalprice").alias("price"))
     )
     thr = spark.createDataFrame(_TH_BASE, "tname string, cutoff double")
@@ -1138,7 +1138,7 @@ def _q_ivm_merge_theta_full_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     d_pts = (
         eng.table("orders")
         .filter(F.expr(pred))
-        .filter("o_orderkey % 8 = 0")
+        .filter("o_orderkey % 32 = 0")
         .select(
             "o_orderkey",
             F.col("o_totalprice").alias("price"),
@@ -1198,7 +1198,7 @@ def _theta_semi_anti_lifecycle(
     eng = _engine(spark, sf_dir)
     pts = (
         eng.table("orders")
-        .filter("o_orderkey % 8 = 0")
+        .filter("o_orderkey % 32 = 0")
         .select("o_orderkey", F.col("o_totalprice").alias("price"))
     )
     thr = spark.createDataFrame(_TH_BASE, "tname string, cutoff double")
@@ -1206,7 +1206,7 @@ def _theta_semi_anti_lifecycle(
     d_pts = (
         eng.table("orders")
         .filter(F.expr(pred))
-        .filter("o_orderkey % 8 = 0")
+        .filter("o_orderkey % 32 = 0")
         .select(
             "o_orderkey",
             F.col("o_totalprice").alias("price"),
@@ -3435,7 +3435,7 @@ def oracle_sql() -> dict[str, str]:
             pts AS (
                 SELECT o_orderkey, o_totalprice AS price
                 FROM {_applied_sql('orders')} o
-                WHERE o_orderkey % 8 = 0
+                WHERE o_orderkey % 32 = 0
             )
             SELECT p.o_orderkey, p.price, t.tname, t.cutoff
             FROM pts p JOIN thr t ON p.price < t.cutoff
@@ -3450,7 +3450,7 @@ def oracle_sql() -> dict[str, str]:
             pts AS (
                 SELECT o_orderkey, o_totalprice AS price
                 FROM {_applied_sql('orders')} o
-                WHERE o_orderkey % 8 = 0
+                WHERE o_orderkey % 32 = 0
             )
             SELECT p.o_orderkey, p.price, t.tname, t.cutoff
             FROM pts p LEFT JOIN thr t ON p.price < t.cutoff
@@ -3465,7 +3465,7 @@ def oracle_sql() -> dict[str, str]:
             pts AS (
                 SELECT o_orderkey, o_totalprice AS price
                 FROM {_applied_sql('orders')} o
-                WHERE o_orderkey % 8 = 0
+                WHERE o_orderkey % 32 = 0
             )
             SELECT p.o_orderkey, p.price, t.tname, t.cutoff
             FROM pts p FULL JOIN thr t ON p.price < t.cutoff
@@ -3482,7 +3482,7 @@ def oracle_sql() -> dict[str, str]:
             pts AS (
                 SELECT o_orderkey, o_totalprice AS price
                 FROM {_applied_sql('orders')} o
-                WHERE o_orderkey % 8 = 0
+                WHERE o_orderkey % 32 = 0
             )
             SELECT p.o_orderkey, p.price
             FROM pts p
@@ -3498,7 +3498,7 @@ def oracle_sql() -> dict[str, str]:
             pts AS (
                 SELECT o_orderkey, o_totalprice AS price
                 FROM {_applied_sql('orders')} o
-                WHERE o_orderkey % 8 = 0
+                WHERE o_orderkey % 32 = 0
             )
             SELECT p.o_orderkey, p.price
             FROM pts p
