@@ -161,27 +161,44 @@ def _delta_source(
                     how=join.how,
                 )
             return acc
-        if (
-            len(tables) > 2
-            and view.joins[-1].how in ("left", "full", "semi", "anti")
-            and _equi_pairs(
-                view.joins[-1].on,
-                list(tables[:-1]),
-                view.joins[-1].table,
-                [c for t in tables[:-1] for c in get_table(t).columns],
-                get_table(view.joins[-1].table).columns,
+        theta_i = (
+            next(
+                (
+                    n
+                    for n, j in enumerate(view.joins)
+                    if j.how in ("left", "full", "semi", "anti")
+                    and _equi_pairs(
+                        j.on,
+                        list(tables[: n + 1]),
+                        j.table,
+                        [c for t in tables[: n + 1] for c in get_table(t).columns],
+                        get_table(j.table).columns,
+                    )
+                    is None
+                ),
+                None,
             )
-            is None
-        ):
-            # theta (non-equi) LEFT/FULL/SEMI/ANTI at the LAST chain
-            # position: compositional — the prefix P is itself a
-            # maintainable join view, so ΔP comes from the ordinary
-            # chain rules and Δ(P ⟕θ C) from the two-relation theta
-            # algebra with (P, ΔP, C, ΔC).  Mid-chain theta outer joins
-            # remain rejected by the equi checks downstream.
-            return _theta_chain_suffix_delta(
-                view, get_table, get_delta, broadcast_deltas, with_delta
-            )
+            if len(tables) > 2
+            else None
+        )
+        if theta_i is not None:
+            suffix = view.joins[theta_i + 1 :]
+            if all(j.how != "full" for j in suffix) and not (
+                with_delta & {j.table for j in suffix}
+            ):
+                # theta (non-equi) LEFT/FULL/SEMI/ANTI at chain position
+                # theta_i: compositional — the prefix P is itself a
+                # maintainable join view, so ΔP comes from the ordinary
+                # chain rules and Δ(P ⟕θ C) from the two-relation theta
+                # algebra with (P, ΔP, C, ΔC); a deltaless FULL-free
+                # suffix then folds in linearly (every inner/left/semi/
+                # anti join is linear in its left argument).  Remaining
+                # rejection: a FULL suffix join or suffix-table deltas
+                # after a theta position (the downstream equi checks
+                # raise cleanly).
+                return _theta_mid_chain_delta(
+                    view, get_table, get_delta, broadcast_deltas, with_delta, theta_i
+                )
         if with_delta == {tables[0]} and len(tables) > 2:
             # chain with FULL join(s) and the delta on the leftmost table:
             # fold the pre-FULL prefix linearly with aliases intact, then
@@ -634,6 +651,39 @@ def _theta_chain_suffix_delta(
         ) from None
     out_cols = pcols if last.how in ("semi", "anti") else [*pcols, *C.columns]
     return _signed_delta(dv, _SIGN).select(*out_cols, _SIGN)
+
+
+def _theta_mid_chain_delta(
+    view: ViewDef,
+    get_table: Callable[[str], DataFrame],
+    get_delta: Callable[[str], DataFrame],
+    broadcast_deltas: bool,
+    with_delta: set[str],
+    i: int,
+) -> DataFrame:
+    """Δ of a chain with a theta (non-equi) LEFT/FULL/SEMI/ANTI join at
+    position ``i`` followed by a deltaless, FULL-free suffix: the chain
+    truncated after the theta join is the maintainable core (its delta
+    from :func:`_theta_chain_suffix_delta`), and every inner/left/semi/
+    anti suffix join is LINEAR in its left argument, so ΔV = Δ(core)
+    joined through the suffix as-is.  Suffix join conditions are
+    rewritten to bare names for the core side (the core delta is a
+    flattened relation, not aliased per table)."""
+    import dataclasses
+
+    core_tabs = view.tables[: i + 2]  # source + joins[0..i] tables
+    core_view = dataclasses.replace(view, joins=view.joins[: i + 1])
+    acc = _theta_chain_suffix_delta(
+        core_view, get_table, get_delta, broadcast_deltas, with_delta
+    )
+    strip = rf"\b(?:{'|'.join(re.escape(t) for t in core_tabs)})\s*\.\s*"
+    for j in view.joins[i + 1 :]:
+        acc = acc.join(
+            get_table(j.table).alias(j.table),
+            on=F.expr(sub_outside_literals(strip, "", j.on)),
+            how=j.how,
+        )
+    return acc
 
 
 def _outer_join_delta(

@@ -743,6 +743,45 @@ def test_theta_last_after_semi_prefix(spark):
     assert (3, "c", "C", None) in merged  # seg 'b' filtered by the semi
 
 
+def test_theta_mid_chain_with_equi_suffix(spark):
+    # theta LEFT at position 0, equi INNER suffix (deltaless): ΔV =
+    # Δ(cust ⟕θ orders) folded linearly through seg_dim
+    merged = lj_check(
+        _seg_engine(
+            spark,
+            dcust=[(0, "b", True)],
+            dord=[(20, 3, True), (13, 99, False)],
+        ),
+        "SELECT ck, seg, nm, ok FROM cust LEFT JOIN orders ON ck < ck2 "
+        "JOIN seg_dim ON seg = sg",
+    )
+    assert (3, "c", "C", None) in merged  # lost its last match
+    assert (0, "b", "B", 10) in merged  # inserted cust, matched
+
+
+def test_theta_mid_chain_with_semi_suffix(spark):
+    merged = lj_check(
+        _seg_engine(spark, dord=[(20, 3, True), (13, 99, False)]),
+        "SELECT ck, seg, ok FROM cust LEFT JOIN orders ON ck < ck2 "
+        "SEMI JOIN seg_dim ON seg = sg",
+    )
+    assert (3, "c", None) in merged  # NULL-pad flip survives the semi
+    assert all(t[1] != "d" for t in merged)  # seg 'd' not in seg_dim
+
+
+def test_theta_mid_chain_full_suffix_still_rejected(spark):
+    # a FULL suffix join after a theta position is not linear in its
+    # left argument — must stay a clean plan-time rejection
+    eng = _seg_engine(spark, dord=[(20, 3, True)])
+    eng.create_immv(
+        "v",
+        sql="SELECT ck, seg, nm, ok FROM cust LEFT JOIN orders ON ck < ck2 "
+        "FULL OUTER JOIN seg_dim ON seg = sg",
+    )
+    with pytest.raises(IVMError):
+        eng.ivm_upsert("v")
+
+
 def test_theta_last_duplicate_prefix_names_rejected(spark):
     # both prefix tables carry a column named k: flattening P would be
     # ambiguous — must raise a clean IVMError, not an AnalysisException
