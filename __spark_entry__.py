@@ -1384,6 +1384,37 @@ def _q_ivm_merge_theta_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
     return eng.merge_view("v")
 
 
+def _q_ivm_merge_theta_mid_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theta at a MID-chain position (rewrite._theta_mid_chain_delta):
+    orders ⟕θ rules is the maintainable core (deltas on BOTH its sides),
+    and the deltaless equi join to customer folds in linearly after it.
+    Same rules delta as the other theta lifecycles: 'mid'/'big' deleted
+    (mass NULL-pad crossings), 'low' inserted."""
+    eng = _engine(spark, sf_dir, deltas=("orders",))
+    eng.register_table(
+        "thx_rules",
+        spark.createDataFrame(
+            _THX_BASE, "rname string, cutoff double, scale double, min_qty int"
+        ),
+    )
+    eng.register_delta(
+        "thx_rules",
+        spark.createDataFrame(
+            _THX_DELTA,
+            f"rname string, cutoff double, scale double, min_qty int, {MULT_COL} boolean",
+        ),
+    )
+    eng.create_immv(
+        "v",
+        sql="SELECT o_orderkey, o_totalprice, rname, c_mktsegment "
+        "FROM orders LEFT JOIN thx_rules ON o_totalprice < cutoff * scale "
+        "JOIN customer ON o_custkey = c_custkey "
+        "WHERE o_orderkey % 32 = 0",
+    )
+    eng.ivm_upsert("v")
+    return eng.merge_view("v")
+
+
 def _q_ivm_merge_theta_expr_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """General two-sided-expression theta INNER join maintenance
     (thetajoin.py theta_join_delta — the poster's unrestricted join
@@ -2269,6 +2300,7 @@ _IVM_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ivm_merge_theta_expr_semi_join": _q_ivm_merge_theta_expr_semi_join,
     "ivm_merge_theta_expr_anti_join": _q_ivm_merge_theta_expr_anti_join,
     "ivm_merge_theta_chain": _q_ivm_merge_theta_chain,
+    "ivm_merge_theta_mid_chain": _q_ivm_merge_theta_mid_chain,
     "ivm_cascade_rollup": _q_ivm_cascade_rollup,
     "ivm_maintain_all": _q_ivm_maintain_all,
 }
@@ -2888,17 +2920,18 @@ _EXTRA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 # ROUND 4 WINDOW (this round), computed by scripts/update_ledger.py
 # (never-graded first, then least-recently-green — VERDICT.md r3 items
 # 5/6/7):
-#   - positions 1-20: the keys registered THIS round, never driver-graded
+#   - positions 1-21: the keys registered THIS round, never driver-graded
 #     (sim_topk_incremental, skew_salted_join, skew_two_phase_agg — the
 #     r3 "ungraded utilities" — plus the ivm_merge_theta_* one-sided-
 #     inequality lifecycles, the ivm_merge_theta_expr_* general two-sided-
-#     expression theta lifecycles, ivm_merge_theta_chain, the Count-Min
-#     keys approx_heavy_hitters / ivm_merge_cms_sketch /
-#     streaming_cms_sketch, the streaming_interval_join stream-stream
-#     join, the ivm_merge_ivf_cells maintained index-occupancy view, and
-#     the dedup_embedding_incremental pair CDC);
-#   - 21: ivm_projection, whose only green is from round 1;
-#   - 22-50: the 29 least-recently-green keys (green in round 2, rotated
+#     expression theta lifecycles, ivm_merge_theta_chain /
+#     _theta_mid_chain, the Count-Min keys approx_heavy_hitters /
+#     ivm_merge_cms_sketch / streaming_cms_sketch, the
+#     streaming_interval_join stream-stream join, the ivm_merge_ivf_cells
+#     maintained index-occupancy view, and the
+#     dedup_embedding_incremental pair CDC);
+#   - 22: ivm_projection, whose only green is from round 1;
+#   - 23-50: the 28 least-recently-green keys (green in round 2, rotated
 #     out of round 3's window) — they must be regraded under post-r3
 #     code (engine/lakehouse/streaming changed after their last grade).
 #     q5_local_supplier_volume, range_join_bands, rollup_sales,
@@ -2921,6 +2954,7 @@ _GRADE_FIRST: tuple[str, ...] = (
     "ivm_merge_theta_expr_semi_join",
     "ivm_merge_theta_expr_anti_join",
     "ivm_merge_theta_chain",
+    "ivm_merge_theta_mid_chain",
     "approx_heavy_hitters",
     "ivm_merge_cms_sketch",
     "streaming_cms_sketch",
@@ -2956,7 +2990,6 @@ _GRADE_FIRST: tuple[str, ...] = (
     "pack_documents",
     "percentiles_by_status",
     "pivot_sales",
-    "q14_promo_revenue",
 )
 
 
@@ -3521,6 +3554,21 @@ def oracle_sql() -> dict[str, str]:
             FROM {_applied_sql('orders')} o
             JOIN customer c ON o.o_custkey = c.c_custkey
             LEFT JOIN rules r ON o.o_totalprice < r.cutoff * r.scale
+            WHERE o.o_orderkey % 32 = 0
+        """,
+        "ivm_merge_theta_mid_chain": f"""
+            WITH rules AS (
+                SELECT rname, CAST(cutoff AS DOUBLE) AS cutoff,
+                       CAST(scale AS DOUBLE) AS scale
+                FROM (VALUES
+                    ('small', 2000.0, 1.0),
+                    ('never', 0.0, 0.5),
+                    ('low', 3000.0, 1.0)) t(rname, cutoff, scale)
+            )
+            SELECT o.o_orderkey, o.o_totalprice, r.rname, c.c_mktsegment
+            FROM {_applied_sql('orders')} o
+            LEFT JOIN rules r ON o.o_totalprice < r.cutoff * r.scale
+            JOIN customer c ON o.o_custkey = c.c_custkey
             WHERE o.o_orderkey % 32 = 0
         """,
         "ivm_merge_theta_expr_join": f"""

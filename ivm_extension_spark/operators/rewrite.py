@@ -673,6 +673,24 @@ def _theta_mid_chain_delta(
 
     core_tabs = view.tables[: i + 2]  # source + joins[0..i] tables
     core_view = dataclasses.replace(view, joins=view.joins[: i + 1])
+    # the core rule pushes prefix-local WHERE conjuncts below its
+    # checkpoint; a conjunct mentioning a SUFFIX table's column must not
+    # reach it (the caller applies the full WHERE above ΔV regardless)
+    suffix_cols = {
+        c for j in view.joins[i + 1 :] for c in get_table(j.table).columns
+    }
+    if view.where and suffix_cols:
+        keep = [
+            conj
+            for conj in _split_depth0(view.where, _AND_RX)
+            if not any(
+                re.search(rf"\b{re.escape(c)}\b", conj) for c in suffix_cols
+            )
+        ]
+        core_view = dataclasses.replace(
+            core_view,
+            where=" AND ".join(f"({c})" for c in keep) if keep else None,
+        )
     acc = _theta_chain_suffix_delta(
         core_view, get_table, get_delta, broadcast_deltas, with_delta
     )
