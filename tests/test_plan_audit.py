@@ -276,3 +276,22 @@ def test_range_left_join_delta_plan_no_nested_loop(spark):
     assert "NestedLoop" not in plan, plan
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastHashJoin" in plan, plan
+
+
+def test_theta_chain_delta_no_cartesian_no_base_sortmerge(spark):
+    # the chain theta rules (last + mid position): every theta probe is
+    # a BroadcastNestedLoopJoin against a delta-derived broadcast, count
+    # bookkeeping is broadcast-hash — no CartesianProduct, no
+    # SortMergeJoin of base relations anywhere in ΔV
+    for key in ("ivm_merge_theta_chain", "ivm_merge_theta_mid_chain"):
+        plan = plan_of(q(spark, key))
+        assert "CartesianProduct" not in plan, (key, plan)
+        assert "SortMergeJoin" not in plan, (key, plan)
+
+
+def test_cms_estimate_probes_with_broadcast(spark):
+    # the watchlist probe joins the TINY candidate relation against the
+    # sketch — must be a broadcast hash join, never a shuffle of both
+    plan = plan_of(q(spark, "ivm_merge_cms_sketch"))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "CartesianProduct" not in plan, plan
