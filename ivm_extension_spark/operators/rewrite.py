@@ -167,14 +167,13 @@ def _delta_source(
                     n
                     for n, j in enumerate(view.joins)
                     if j.how in ("left", "full", "semi", "anti")
-                    and _equi_pairs(
+                    and _has_theta_conjunct(
                         j.on,
                         list(tables[: n + 1]),
-                        j.table,
                         [c for t in tables[: n + 1] for c in get_table(t).columns],
+                        j.table,
                         get_table(j.table).columns,
                     )
-                    is None
                 ),
                 None,
             )
@@ -498,6 +497,32 @@ def _equi_pairs(
         else:
             return None
     return pairs or None
+
+
+def _has_theta_conjunct(
+    on: str,
+    lnames: list[str],
+    lcols: list[str],
+    rname: str,
+    rcols: list[str],
+) -> bool:
+    """True iff ``on`` has a conjunct that is neither an equi pair nor a
+    build-side-local predicate — i.e. a genuinely TWO-SIDED non-equi
+    (theta) condition.  Build-side-local conjuncts (``g.label = 'p'``)
+    stay on the classic chain rules, which push them into R before
+    counting (the supported EXISTS shape)."""
+    for conj in _split_depth0(on, _AND_RX):
+        if _equi_pairs(conj, lnames, rname, lcols, rcols):
+            continue
+        mentions_l = any(
+            re.search(rf"\b{re.escape(n)}\s*\.", conj) for n in lnames
+        ) or any(
+            re.search(rf"\b{re.escape(c)}\b", conj) and c not in rcols
+            for c in lcols
+        )
+        if mentions_l:
+            return True
+    return False
 
 
 def _theta_two_table_delta(
