@@ -539,3 +539,83 @@ def test_ineq_join_delta_invariant_property(
     else:
         recomputed = L2.join(R2, on=F.expr(f"x {op} y"), how=how).select(*cols)
     assert rows(merged) == rows(recomputed)
+
+
+# -- theta (non-equi) join views: the round-4 general theta algebra --------
+
+f2_row_st = st.tuples(
+    st.integers(min_value=-20, max_value=20),  # a: payload
+    st.integers(min_value=-5, max_value=5),  # fval: theta operand
+)
+d2_row_st = st.tuples(
+    st.integers(min_value=-5, max_value=5),  # cut
+    st.sampled_from(["a", "b"]),  # name
+)
+
+THETA_SHAPES = [
+    # two-table LEFT/FULL: NULL-pad rows track per-key match counts
+    "SELECT a, name FROM f2 LEFT JOIN d2 ON fval < cut",
+    "SELECT a, name FROM f2 FULL OUTER JOIN d2 ON fval + a < cut",
+    # SEMI/ANTI via EXISTS lowering
+    "SELECT a FROM f2 WHERE EXISTS (SELECT 1 FROM d2 WHERE fval < cut)",
+    "SELECT a FROM f2 WHERE NOT EXISTS (SELECT 1 FROM d2 WHERE fval <= cut)",
+    # aggregate on top of the theta join delta
+    "SELECT name, count(a) AS n FROM f2 LEFT JOIN d2 ON fval < cut "
+    "GROUP BY name",
+    # mid-chain theta: deltaless equi suffix folds linearly
+    "SELECT a, name, label FROM f2 LEFT JOIN d2 ON fval < cut "
+    "JOIN g2 ON name = gname",
+]
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+@given(
+    fact=st.lists(f2_row_st, min_size=0, max_size=6),
+    dim=st.lists(d2_row_st, min_size=0, max_size=4),
+    fact_ins=st.lists(f2_row_st, min_size=0, max_size=3),
+    dim_ins=st.lists(d2_row_st, min_size=0, max_size=2),
+    fact_del_mask=st.lists(st.booleans(), min_size=6, max_size=6),
+    dim_del_mask=st.lists(st.booleans(), min_size=4, max_size=4),
+    shape=st.sampled_from(THETA_SHAPES),
+)
+def test_ivm_invariant_theta_views(
+    spark, fact, dim, fact_ins, dim_ins, fact_del_mask, dim_del_mask, shape
+):
+    f_del = [r for r, m in zip(fact, fact_del_mask) if m]
+    d_del = [r for r, m in zip(dim, dim_del_mask) if m]
+    f_delta = [(*r, True) for r in fact_ins] + [(*r, False) for r in f_del]
+    d_delta = [(*r, True) for r in dim_ins] + [(*r, False) for r in d_del]
+
+    eng = IVMEngine(spark)
+    eng.register_table("f2", spark.createDataFrame(fact, schema="a int, fval int"))
+    eng.register_table("d2", spark.createDataFrame(dim, schema="cut int, name string"))
+    eng.register_table(
+        "g2",
+        spark.createDataFrame(
+            [("a", "p"), ("b", "q")], schema="gname string, label string"
+        ),
+    )
+    eng.register_delta(
+        "f2",
+        spark.createDataFrame(
+            f_delta, schema="a int, fval int, _duckdb_ivm_multiplicity boolean"
+        ),
+    )
+    eng.register_delta(
+        "d2",
+        spark.createDataFrame(
+            d_delta, schema="cut int, name string, _duckdb_ivm_multiplicity boolean"
+        ),
+    )
+    eng.create_immv("v", sql=shape)
+    eng.ivm_upsert("v")
+    merged = rows(eng.merge_view("v"))
+
+    for t in ("f2", "d2"):
+        eng.apply_delta(t)
+    truth = rows(eng.full_refresh("v"))
+    assert merged == truth, (fact, dim, f_delta, d_delta, shape)
