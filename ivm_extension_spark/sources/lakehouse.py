@@ -199,3 +199,58 @@ class LakehouseStore:
         """{bucket -> relative file dir} of a snapshot — lets tests (and
         operators) verify which buckets a commit actually rewrote."""
         return dict(self.manifest(view, version)["buckets"])
+
+    # -- table maintenance ---------------------------------------------------
+
+    def compact(self, view: str) -> int:
+        """Rewrite the CURRENT snapshot as one fresh full version.
+
+        After many bucket-granular commits a snapshot's manifest points
+        into file directories scattered across every historical version
+        (copy-on-write never consolidates).  Compaction reads the
+        current state and writes every bucket under a single new
+        version dir — the OPTIMIZE of a table format.  Old snapshots
+        stay readable until :meth:`vacuum`.  Returns the new version."""
+        m = self.manifest(view)
+        self.write_full(view, self.read(view), list(m["keys"]))
+        return self.current_version(view)  # type: ignore[return-value]
+
+    def vacuum(self, view: str, keep_last: int = 1) -> list[int]:
+        """Drop snapshots older than the newest ``keep_last`` and delete
+        every file directory no retained manifest references — the
+        VACUUM of a table format.  Time travel to a vacuumed version
+        raises FileNotFoundError afterwards; the retained snapshots are
+        untouched (their files are immutable and still referenced).
+        Returns the list of dropped versions."""
+        import shutil
+
+        if keep_last < 1:
+            raise ValueError("keep_last must be >= 1")
+        vs = self.versions(view)
+        drop, keep = vs[:-keep_last], vs[-keep_last:]
+        if not drop:
+            return []
+        referenced = {
+            rel for v in keep for rel in self.manifest(view, v)["buckets"].values()
+        }
+        vdir = self._vdir(view)
+        files_dir = os.path.join(vdir, "files")
+        # manifests first: a crash mid-vacuum must never leave a live
+        # manifest pointing at deleted files
+        for v in drop:
+            os.remove(self._manifest_path(view, v))
+        if os.path.isdir(files_dir):
+            for vd in sorted(os.listdir(files_dir)):
+                vrel = f"files/{vd}"
+                full = os.path.join(files_dir, vd)
+                if not os.path.isdir(full):
+                    continue
+                for bd in sorted(os.listdir(full)):
+                    rel = f"{vrel}/{bd}"
+                    if bd.startswith(f"{_BUCKET}=") and rel not in referenced:
+                        shutil.rmtree(os.path.join(full, bd), ignore_errors=True)
+                if not any(
+                    d.startswith(f"{_BUCKET}=") for d in os.listdir(full)
+                ):
+                    shutil.rmtree(full, ignore_errors=True)
+        return drop

@@ -233,3 +233,54 @@ def test_lakehouse_patch_merge_no_state_exchange(spark, tmp_path):
         )
     )
     assert rows(merged) == rows(truth)
+
+
+def test_lakehouse_compact_and_vacuum(spark, tmp_path):
+    """compact() consolidates a snapshot scattered over historical
+    version dirs into one fresh full version; vacuum(keep_last) drops
+    old manifests AND every file dir no retained manifest references,
+    while the retained snapshots read back unchanged."""
+    import os
+
+    import pytest
+
+    from ivm_extension_spark.sources.lakehouse import LakehouseStore
+
+    store = LakehouseStore(spark, str(tmp_path / "lake"), n_buckets=4)
+    df = spark.createDataFrame(
+        [(k, k * 10) for k in range(8)], "k int, v int"
+    )
+    store.write_full("s", df, ["k"])
+    # two bucket-granular commits touching different buckets: the
+    # current manifest now references dirs from three versions
+    from ivm_extension_spark.sources.lakehouse import bucket_expr
+
+    upd1 = df.withColumn("v", F.col("v") + 1).filter(
+        bucket_expr(["k"], 4) == 0
+    )
+    state2 = store.read("s").filter(bucket_expr(["k"], 4) != 0).unionByName(upd1)
+    store.commit("s", state2, ["k"], touched=[0])
+    upd2 = state2.withColumn("v", F.col("v") + 1).filter(
+        bucket_expr(["k"], 4) == 1
+    )
+    state3 = store.read("s").filter(bucket_expr(["k"], 4) != 1).unionByName(upd2)
+    store.commit("s", state3, ["k"], touched=[1])
+    assert store.versions("s") == [1, 2, 3]
+    scattered = set(store.bucket_files("s").values())
+    assert len({p.split("/")[1] for p in scattered}) == 3  # three v-dirs
+
+    before = rows(store.read("s"))
+    v4 = store.compact("s")
+    assert v4 == 4
+    assert rows(store.read("s")) == before
+    assert len({p.split("/")[1] for p in store.bucket_files("s").values()}) == 1
+
+    dropped = store.vacuum("s", keep_last=1)
+    assert dropped == [1, 2, 3]
+    assert store.versions("s") == [4]
+    assert rows(store.read("s")) == before  # current snapshot intact
+    with pytest.raises(FileNotFoundError):
+        store.manifest("s", 2)
+    # only version-4 file dirs remain on disk
+    files_dir = tmp_path / "lake" / "s" / "files"
+    assert sorted(os.listdir(files_dir)) == ["v000004"]
