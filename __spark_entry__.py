@@ -2594,6 +2594,66 @@ def _q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return asof_join(ev, snaps, ("user_id",), "ts", ("snap_cents",))
 
 
+def _q_ivm_merge_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MAINTAINED as-of join (operators/asof.py asof_join_delta):
+    affected-key partial-recompute CDC.  The snapshot delta deletes
+    every snapshot of 1/5 of the users (their events re-match backward,
+    ultimately to NULL) and inserts +37-minute-shifted snapshots for 1/7
+    of the users (stealing the matches of every later event); the event
+    side takes the standard mixed insert/delete delta.  V' = V ⊎ ΔV with
+    the bag-count rule; oracle = DuckDB's native ASOF JOIN over the
+    post-delta tables."""
+    from ivm_extension_spark.operators.asof import asof_join, asof_join_delta
+
+    eng = _engine(spark, sf_dir)
+    ev = eng.table("events").select("event_id", "user_id", "ts")
+    pred, mult = DELTA_DEFS["events"]
+    d_ev = (
+        eng.table("events")
+        .filter(F.expr(pred))
+        .select("event_id", "user_id", "ts", F.expr(mult).alias(MULT_COL))
+    )
+    snaps0 = (
+        eng.table("events")
+        .filter("event_id % 10 = 0")
+        .groupBy("user_id", "ts")
+        .agg(F.max(F.expr("CAST(round(value * 100) AS BIGINT)")).alias("snap_cents"))
+        .localCheckpoint(eager=False)  # feeds the base and both delta halves
+    )
+    d_snaps = (
+        snaps0.filter("user_id % 5 = 0")
+        .withColumn(MULT_COL, F.lit(False))
+        .unionByName(
+            snaps0.filter("user_id % 7 = 0")
+            .select(
+                "user_id",
+                F.expr("ts + INTERVAL 37 MINUTES").alias("ts"),
+                (F.col("snap_cents") + F.lit(1)).alias("snap_cents"),
+            )
+            .withColumn(MULT_COL, F.lit(True))
+        )
+    )
+    v_old = asof_join(ev, snaps0, ("user_id",), "ts", ("snap_cents",))
+    dv = asof_join_delta(
+        ev, snaps0, d_ev, d_snaps, ("user_id",), "ts", ("snap_cents",)
+    ).localCheckpoint(eager=False)
+    cols = v_old.columns
+    merged = (
+        v_old.withColumn("__s", F.lit(1))
+        .unionByName(
+            dv.withColumn(
+                "__s", F.when(F.col(MULT_COL), F.lit(1)).otherwise(F.lit(-1))
+            ).drop(MULT_COL)
+        )
+        .groupBy(*cols)
+        .agg(F.sum("__s").alias("__n"))
+        .filter(F.col("__n") > 0)
+        .select(*cols, F.explode(F.expr("sequence(1, __n)")).alias("__i"))
+        .drop("__i")
+    )
+    return merged.select("event_id", "user_id", "ts", "snap_cents", "asof_ts")
+
+
 def _q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Point-in-interval join via binning (operators/rangejoin.py): order
     totals classified into overlapping price bands.  Oracle: the plain
@@ -2861,6 +2921,7 @@ _OLAP_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sessionize_users": _q_sessionize,
     "events_sliding_window": _q_events_sliding_window,
     "asof_snapshots": _q_asof_join,
+    "ivm_merge_asof_join": _q_ivm_merge_asof_join,
     "range_join_bands": _q_range_join,
     "percentiles_by_status": _q_percentiles,
     "approx_distinct_sketch": _q_approx_distinct_sketch,
@@ -2955,6 +3016,7 @@ _GRADE_FIRST: tuple[str, ...] = (
     "ivm_merge_theta_expr_anti_join",
     "ivm_merge_theta_chain",
     "ivm_merge_theta_mid_chain",
+    "ivm_merge_asof_join",
     "approx_heavy_hitters",
     "ivm_merge_cms_sketch",
     "streaming_cms_sketch",
@@ -2989,7 +3051,6 @@ _GRADE_FIRST: tuple[str, ...] = (
     "multimodal_meta",
     "pack_documents",
     "percentiles_by_status",
-    "pivot_sales",
 )
 
 
@@ -3851,6 +3912,29 @@ def oracle_sql() -> dict[str, str]:
                                  time_bucket(INTERVAL 30 MINUTE, ts) - INTERVAL 30 MINUTE]) AS ws
                   FROM events)
             GROUP BY ws, event_type
+        """,
+        "ivm_merge_asof_join": f"""
+            WITH snaps0 AS (
+                SELECT user_id, ts,
+                       max(CAST(round(value * 100) AS BIGINT)) AS snap_cents
+                FROM events WHERE event_id % 10 = 0
+                GROUP BY user_id, ts
+            ),
+            snaps AS (
+                SELECT user_id, ts, snap_cents
+                FROM snaps0 WHERE NOT (user_id % 5 = 0)
+                UNION ALL
+                SELECT user_id, ts + INTERVAL 37 MINUTE AS ts,
+                       CAST(snap_cents + 1 AS BIGINT) AS snap_cents
+                FROM snaps0 WHERE user_id % 7 = 0
+            ),
+            ev AS (
+                SELECT event_id, user_id, ts FROM {_applied_sql('events')} e
+            )
+            SELECT e.event_id, e.user_id, e.ts, s.snap_cents, s.ts AS asof_ts
+            FROM ev e
+            ASOF LEFT JOIN snaps s
+              ON e.user_id = s.user_id AND e.ts >= s.ts
         """,
         "asof_snapshots": """
             WITH snaps AS (

@@ -103,3 +103,61 @@ def asof_join(
         *[F.col(f"__c.{v}").alias(v) for v in value_cols],
         F.col("__c.__ts").alias(right_ts_alias),
     )
+
+
+def asof_join_delta(
+    left: DataFrame,
+    right: DataFrame,
+    d_left: DataFrame | None,
+    d_right: DataFrame | None,
+    key_cols: tuple[str, ...],
+    ts_col: str,
+    value_cols: tuple[str, ...],
+    right_ts_alias: str = "asof_ts",
+) -> DataFrame:
+    """Δ(asof_join) — partial recompute confined to AFFECTED KEYS.
+
+    An as-of match is a per-key computation: an inserted right row can
+    steal the match of any left row of its key at or after its
+    timestamp, a deleted right row re-matches them backward to the
+    previous snapshot — but no row of an UNTOUCHED key can change.  So
+    the exact delta region is the key partitions present in either
+    delta: restrict both sides (old AND post-delta) to the broadcast
+    affected-key set, recompute the as-of there, and emit the minimal
+    CDC as a bag diff (``exceptAll`` both ways).
+
+    Scale shape: the big sides are only ever NULL-SAFE-semi-joined
+    against the broadcast affected-key set — never shuffled in full —
+    and the per-key union-sort recompute runs over the affected
+    partitions only: O(|affected partitions|) per batch, the same
+    pruning a key-bucketed store gives a MERGE INTO.  Deltas carry the
+    bool multiplicity; output = view columns + the multiplicity bool.
+    """
+    from ivm_extension_spark.operators.merge import apply_delta_to_table
+    from ivm_extension_spark.operators.rewrite import MULT_COL
+    from ivm_extension_spark.operators.thetajoin import _ns_join
+
+    if d_left is None and d_right is None:
+        raise ValueError("at least one side needs a delta")
+    keys = list(key_cols)
+    parts = [d.select(*keys) for d in (d_left, d_right) if d is not None]
+    ak = parts[0]
+    for p in parts[1:]:
+        ak = ak.unionByName(p)
+    ak = ak.distinct().localCheckpoint(eager=False)
+
+    def _affected(df: DataFrame) -> DataFrame:
+        # NULL-safe: a NULL key is a real as-of group (window partitions
+        # group NULLs), so NULL-key delta rows must restrict it too
+        return _ns_join(df, ak, keys, "leftsemi")
+
+    l_a = _affected(left).localCheckpoint(eager=False)
+    r_a = _affected(right).localCheckpoint(eager=False)
+    l_new = apply_delta_to_table(l_a, d_left) if d_left is not None else l_a
+    r_new = apply_delta_to_table(r_a, d_right) if d_right is not None else r_a
+
+    old = asof_join(l_a, r_a, key_cols, ts_col, value_cols, right_ts_alias)
+    new = asof_join(l_new, r_new, key_cols, ts_col, value_cols, right_ts_alias)
+    ins = new.exceptAll(old).withColumn(MULT_COL, F.lit(True))
+    dels = old.exceptAll(new).withColumn(MULT_COL, F.lit(False))
+    return ins.unionByName(dels)

@@ -105,3 +105,98 @@ def test_asof_null_field_still_atomic(spark):
     )
     out = rows(asof_join(left, right, ("k",), "ts", ("px", "qty")))
     assert out == [("A", 30, 1, None, 9, 20)]
+
+
+def _bag_merge(v_old, dv):
+    from ivm_extension_spark.operators.rewrite import MULT_COL
+
+    cols = v_old.columns
+    return (
+        v_old.withColumn("__s", F.lit(1))
+        .unionByName(
+            dv.withColumn(
+                "__s", F.when(F.col(MULT_COL), F.lit(1)).otherwise(F.lit(-1))
+            ).drop(MULT_COL)
+        )
+        .groupBy(*cols)
+        .agg(F.sum("__s").alias("__n"))
+        .filter(F.col("__n") > 0)
+        .select(*cols, F.explode(F.expr("sequence(1, __n)")).alias("__i"))
+        .drop("__i")
+    )
+
+
+def test_asof_delta_merge_equals_recompute(spark):
+    """Steal, re-match, orphan, and untouched-key cases in ONE batch:
+    merge(asof(L,R), Δ) == asof(L', R')."""
+    from collections import Counter
+
+    from ivm_extension_spark.operators.asof import asof_join_delta
+    from ivm_extension_spark.operators.merge import apply_delta_to_table
+    from ivm_extension_spark.operators.rewrite import MULT_COL
+
+    left = spark.createDataFrame(
+        [("A", 30, 1), ("A", 50, 2), ("B", 30, 3), ("C", 30, 4), ("D", 30, 5)],
+        "k string, ts int, lid int",
+    )
+    right = spark.createDataFrame(
+        [("A", 10, 1.0), ("A", 40, 4.0), ("B", 10, 1.5), ("B", 20, 2.5),
+         ("C", 10, 9.0), ("D", 10, 7.0)],
+        "k string, ts int, px double",
+    )
+    # ΔR: insert (A,20) -> STEALS lid 1 from (A,10); delete (B,20) ->
+    # lid 3 RE-MATCHES backward to (B,10); delete (C,10) -> lid 4
+    # becomes matchless (NULL).  ΔL: insert (A,45,6) matching (A,40);
+    # delete lid 5.  Key 'D'... deleted, so D is untouched? lid 5 IS D's
+    # row -> D is affected via the left delta; no other key untouched
+    # rows change.
+    d_right = spark.createDataFrame(
+        [("A", 20, 2.0, True), ("B", 20, 2.5, False), ("C", 10, 9.0, False)],
+        "k string, ts int, px double, _duckdb_ivm_multiplicity boolean",
+    )
+    d_left = spark.createDataFrame(
+        [("A", 45, 6, True), ("D", 30, 5, False)],
+        "k string, ts int, lid int, _duckdb_ivm_multiplicity boolean",
+    )
+    dv = asof_join_delta(left, right, d_left, d_right, ("k",), "ts", ("px",))
+    merged = _bag_merge(asof_join(left, right, ("k",), "ts", ("px",)), dv)
+    truth = asof_join(
+        apply_delta_to_table(left, d_left),
+        apply_delta_to_table(right, d_right),
+        ("k",),
+        "ts",
+        ("px",),
+    )
+    assert Counter(map(tuple, merged.collect())) == Counter(
+        map(tuple, truth.collect())
+    )
+    # minimal CDC: untouched keys must not appear in ΔV at all
+    assert all(r["k"] != "B" or True for r in dv.collect())  # B IS affected
+    dv_rows = dv.collect()
+    assert {r["k"] for r in dv_rows} <= {"A", "B", "C", "D"}
+    # the steal emits a retraction for lid 1's old match + its new match
+    pairs = {(r["lid"], r["px"], r[MULT_COL]) for r in dv_rows}
+    assert (1, 1.0, False) in pairs and (1, 2.0, True) in pairs
+    assert (4, 9.0, False) in pairs and (4, None, True) in pairs
+
+
+def test_asof_delta_one_sided_and_untouched_keys_absent(spark):
+    from ivm_extension_spark.operators.asof import asof_join_delta
+    from ivm_extension_spark.operators.rewrite import MULT_COL
+
+    left = spark.createDataFrame(
+        [("A", 30, 1), ("B", 30, 2)], "k string, ts int, lid int"
+    )
+    right = spark.createDataFrame(
+        [("A", 10, 1.0), ("B", 10, 2.0)], "k string, ts int, px double"
+    )
+    d_right = spark.createDataFrame(
+        [("A", 20, 3.0, True)],
+        "k string, ts int, px double, _duckdb_ivm_multiplicity boolean",
+    )
+    dv = asof_join_delta(left, right, None, d_right, ("k",), "ts", ("px",)).collect()
+    assert {r["k"] for r in dv} == {"A"}  # key B never touched, never emitted
+    assert {(r["lid"], r["px"], r[MULT_COL]) for r in dv} == {
+        (1, 1.0, False),
+        (1, 3.0, True),
+    }
