@@ -191,13 +191,18 @@ def _delta_source(
                 # chain rules and Δ(P ⟕θ C) from the two-relation theta
                 # algebra with (P, ΔP, C, ΔC); a deltaless FULL-free
                 # suffix then folds in linearly (every inner/left/semi/
-                # anti join is linear in its left argument).  Remaining
-                # rejection: a FULL suffix join or suffix-table deltas
-                # after a theta position (the downstream equi checks
-                # raise cleanly).
+                # anti join is linear in its left argument).
                 return _theta_mid_chain_delta(
                     view, get_table, get_delta, broadcast_deltas, with_delta, theta_i
                 )
+            # FULL suffix join(s) and/or suffix-table deltas after the
+            # theta position: virtualize the theta core as a single base
+            # relation with its own exact delta and let the ordinary
+            # chain rules handle the suffix (incl. FULL flips and
+            # multi-delta sequential worlds) recursively.
+            return _theta_chain_general_delta(
+                view, get_table, get_delta, broadcast_deltas, with_delta, theta_i
+            )
         if with_delta == {tables[0]} and len(tables) > 2:
             # chain with FULL join(s) and the delta on the leftmost table:
             # fold the pre-FULL prefix linearly with aliases intact, then
@@ -727,6 +732,140 @@ def _theta_mid_chain_delta(
             how=j.how,
         )
     return acc
+
+
+def _theta_chain_general_delta(
+    view: ViewDef,
+    get_table: Callable[[str], DataFrame],
+    get_delta: Callable[[str], DataFrame],
+    broadcast_deltas: bool,
+    with_delta: set[str],
+    i: int,
+) -> DataFrame:
+    """Δ of a chain with a theta (non-equi) LEFT/FULL/SEMI/ANTI join at
+    position ``i`` whose SUFFIX contains FULL join(s) and/or delta
+    tables — the shapes :func:`_theta_mid_chain_delta`'s linear fold
+    cannot express.  The rule virtualizes: the chain truncated after the
+    theta join is a maintainable relation B (flattened to bare unique
+    columns), its exact delta ΔB comes from
+    :func:`_theta_chain_suffix_delta`, and the whole view is re-read as
+    ``B ⊗ suffix`` — an ordinary chain over base tables — which this
+    module's existing rules (single-delta folds, FULL flip branches,
+    multi-delta sequential worlds) maintain via a recursive
+    :func:`_delta_source` call with B served as a virtual table.
+
+    Consistency contract: B is σ_pre(core) where σ_pre is the
+    prefix-local WHERE conjuncts the theta chain rule pushes below its
+    checkpoint (no push for a FULL theta), so B's old state and ΔB
+    describe the SAME relation; the caller re-applies the full WHERE
+    above ΔV, where it commutes (conjuncts over core columns kill
+    NULL-padded suffix-preserved rows in recompute and in ΔV alike).
+
+    Scale shape: B is checkpointed once (the state a maintenance engine
+    would persist — or a cascaded view of its own); ΔB is checkpointed
+    so downstream branch fan-out (sequential worlds references each
+    delta several times) re-reads rather than re-derives the theta
+    branches.  B is only ever probed by the downstream rules the way any
+    base table is: broadcast delta keys, never shuffled."""
+    import dataclasses
+
+    core_tabs = list(view.tables[: i + 2])  # source + joins[0..i] tables
+    core_joins = view.joins[: i + 1]
+    suffix = view.joins[i + 1 :]
+    last = core_joins[-1]
+
+    # visible core columns: semi/anti joins emit left columns only
+    vis_tabs = [view.source] + [
+        j.table for j in core_joins[:-1] if j.how not in ("semi", "anti")
+    ]
+    core_cols = [c for t in vis_tabs for c in get_table(t).columns]
+    if last.how not in ("semi", "anti"):
+        core_cols += get_table(last.table).columns
+    suffix_cols = {c for j in suffix for c in get_table(j.table).columns}
+    clash = sorted(set(core_cols) & suffix_cols)
+    if clash:
+        raise IVMError(
+            f"theta {last.how}-join chain maintenance requires column names "
+            f"disjoint between the theta core and the suffix tables, got "
+            f"duplicates {clash} — rename them or use an equi condition"
+        )
+
+    # prune suffix-column conjuncts off the core's WHERE (the caller
+    # applies the full WHERE above ΔV regardless), exactly as the
+    # mid-chain rule does.  With a FULL join in the SUFFIX no conjunct
+    # may be pushed below it at all: suffix-preserved rows carry
+    # NULL-padded core columns, and a null-tolerant conjunct
+    # (``x IS NULL OR …``) evaluates differently on them than on the
+    # pre-join core — B must then be the UNFILTERED core, with the
+    # whole WHERE applied above ΔV exactly where recomputation applies
+    # it.  (FULL-free suffixes preserve the core side, so core columns
+    # are identical in either placement and any conjunct commutes.)
+    core_where = None if any(j.how == "full" for j in suffix) else view.where
+    if core_where and suffix_cols:
+        keep = [
+            conj
+            for conj in _split_depth0(core_where, _AND_RX)
+            if not any(
+                re.search(rf"\b{re.escape(c)}\b", conj) for c in suffix_cols
+            )
+        ]
+        core_where = " AND ".join(f"({c})" for c in keep) if keep else None
+    core_view = dataclasses.replace(view, joins=core_joins, where=core_where)
+
+    # σ_pre: the exact filter _theta_chain_suffix_delta pushes below its
+    # prefix checkpoint — prefix-local conjuncts, never for a FULL theta.
+    # B must be the SAME σ_pre-filtered relation ΔB maintains.
+    ccols = set(get_table(last.table).columns)
+    pre_where = (
+        [
+            conj
+            for conj in _split_depth0(core_where, _AND_RX)
+            if not any(re.search(rf"\b{re.escape(c)}\b", conj) for c in ccols)
+        ]
+        if core_where and last.how != "full"
+        else []
+    )
+    pre_pred = " AND ".join(f"({c})" for c in pre_where) if pre_where else None
+
+    B = get_table(view.source).alias(view.source)
+    for j in core_joins:
+        B = B.join(get_table(j.table).alias(j.table), on=F.expr(j.on), how=j.how)
+    B = B.select(*core_cols)
+    if pre_pred:
+        B = B.filter(F.expr(pre_pred))
+    B = B.localCheckpoint(eager=False)
+
+    dB: DataFrame | None = None
+    if with_delta & set(core_tabs):
+        dB = (
+            _theta_chain_suffix_delta(
+                core_view, get_table, get_delta, broadcast_deltas, with_delta
+            )
+            .withColumn(MULT_COL, F.col(_SIGN) > 0)
+            .drop(_SIGN)
+            .select(*core_cols, MULT_COL)
+            .localCheckpoint(eager=False)
+        )
+
+    vname = "__theta_core"
+    strip = rf"\b(?:{'|'.join(re.escape(t) for t in core_tabs)})\s*\.\s*"
+    vjoins = tuple(
+        dataclasses.replace(j, on=sub_outside_literals(strip, "", j.on))
+        for j in suffix
+    )
+    vview = dataclasses.replace(view, source=vname, joins=vjoins, where=None)
+
+    def vget_table(t: str) -> DataFrame:
+        return B if t == vname else get_table(t)
+
+    def vget_delta(t: str) -> DataFrame:
+        if t == vname:
+            if dB is None:
+                raise IVMError(f"no delta registered for table '{vname}'")
+            return dB
+        return get_delta(t)
+
+    return _delta_source(vview, vget_table, vget_delta, broadcast_deltas)
 
 
 def _outer_join_delta(

@@ -769,17 +769,17 @@ def test_theta_mid_chain_with_semi_suffix(spark):
     assert all(t[1] != "d" for t in merged)  # seg 'd' not in seg_dim
 
 
-def test_theta_mid_chain_full_suffix_still_rejected(spark):
+def test_theta_mid_chain_full_suffix_maintained(spark):
     # a FULL suffix join after a theta position is not linear in its
-    # left argument — must stay a clean plan-time rejection
-    eng = _seg_engine(spark, dord=[(20, 3, True)])
-    eng.create_immv(
-        "v",
-        sql="SELECT ck, seg, nm, ok FROM cust LEFT JOIN orders ON ck < ck2 "
+    # left argument, so the linear fold cannot apply — the virtual-core
+    # rule (_theta_chain_general_delta) maintains it instead (round 4;
+    # this was the last documented theta rejection)
+    merged = lj_check(
+        _seg_engine(spark, dord=[(20, 3, True), (13, 99, False)]),
+        "SELECT ck, seg, nm, ok FROM cust LEFT JOIN orders ON ck < ck2 "
         "FULL OUTER JOIN seg_dim ON seg = sg",
     )
-    with pytest.raises(IVMError):
-        eng.ivm_upsert("v")
+    assert merged  # parity vs recompute asserted inside lj_check
 
 
 def test_theta_last_duplicate_prefix_names_rejected(spark):

@@ -565,6 +565,16 @@ THETA_SHAPES = [
     # mid-chain theta: deltaless equi suffix folds linearly
     "SELECT a, name, label FROM f2 LEFT JOIN d2 ON fval < cut "
     "JOIN g2 ON name = gname",
+    # general chain rule (virtual theta core): suffix table carries a
+    # delta, so the linear fold cannot apply
+    "SELECT a, label, name FROM f2 LEFT JOIN g2 ON fval < gcut "
+    "JOIN d2 ON gname = name",
+    # FULL suffix after the theta position, deltas on core AND suffix
+    "SELECT a, label, name FROM f2 LEFT JOIN g2 ON fval < gcut "
+    "FULL JOIN d2 ON gname = name",
+    # FULL (deltaless) suffix after a theta core with both deltas
+    "SELECT a, name, label FROM f2 LEFT JOIN d2 ON fval < cut "
+    "FULL JOIN g2 ON name = gname",
 ]
 
 
@@ -596,7 +606,8 @@ def test_ivm_invariant_theta_views(
     eng.register_table(
         "g2",
         spark.createDataFrame(
-            [("a", "p"), ("b", "q")], schema="gname string, label string"
+            [("a", "p", 1), ("b", "q", -2)],
+            schema="gname string, label string, gcut int",
         ),
     )
     eng.register_delta(
