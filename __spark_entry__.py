@@ -1415,6 +1415,44 @@ def _q_ivm_merge_theta_mid_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
     return eng.merge_view("v")
 
 
+def _q_ivm_merge_theta_general_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theta LEFT at a mid-chain position followed by a FULL suffix join
+    AND suffix-table deltas (rewrite._theta_chain_general_delta — the
+    round-4 closure of the last theta chain rejection): the theta core
+    orders ⟕θ rules is virtualized as a single checkpointed relation
+    with its own exact delta (deltas on orders and the rules dim), and
+    the FULL join to customer — itself carrying a delta — is maintained
+    by the ordinary two-table outer rule over the virtual core.  The
+    doubled join key makes both preserved directions real data (odd
+    o_custkey orders never match; customers above half the key range
+    match no order), and the WHERE keeps customer-preserved rows
+    through its IS NULL arm, pinning that σ is NOT pushed below the
+    FULL suffix."""
+    eng = _engine(spark, sf_dir, deltas=("orders", "customer"))
+    eng.register_table(
+        "thx_rules",
+        spark.createDataFrame(
+            _THX_BASE, "rname string, cutoff double, scale double, min_qty int"
+        ),
+    )
+    eng.register_delta(
+        "thx_rules",
+        spark.createDataFrame(
+            _THX_DELTA,
+            f"rname string, cutoff double, scale double, min_qty int, {MULT_COL} boolean",
+        ),
+    )
+    eng.create_immv(
+        "v",
+        sql="SELECT o_orderkey, o_totalprice, rname, c_custkey, c_mktsegment "
+        "FROM orders LEFT JOIN thx_rules ON o_totalprice < cutoff * scale "
+        "FULL OUTER JOIN customer ON o_custkey = c_custkey * 2 "
+        "WHERE (o_orderkey % 32 = 0 OR o_orderkey IS NULL)",
+    )
+    eng.ivm_upsert("v")
+    return eng.merge_view("v")
+
+
 def _q_ivm_merge_theta_expr_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """General two-sided-expression theta INNER join maintenance
     (thetajoin.py theta_join_delta — the poster's unrestricted join
@@ -2301,6 +2339,7 @@ _IVM_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ivm_merge_theta_expr_anti_join": _q_ivm_merge_theta_expr_anti_join,
     "ivm_merge_theta_chain": _q_ivm_merge_theta_chain,
     "ivm_merge_theta_mid_chain": _q_ivm_merge_theta_mid_chain,
+    "ivm_merge_theta_general_chain": _q_ivm_merge_theta_general_chain,
     "ivm_cascade_rollup": _q_ivm_cascade_rollup,
     "ivm_maintain_all": _q_ivm_maintain_all,
 }
@@ -2981,24 +3020,27 @@ _EXTRA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 # ROUND 4 WINDOW (this round), computed by scripts/update_ledger.py
 # (never-graded first, then least-recently-green — VERDICT.md r3 items
 # 5/6/7):
-#   - positions 1-21: the keys registered THIS round, never driver-graded
+#   - positions 1-22: the keys registered THIS round, never driver-graded
 #     (sim_topk_incremental, skew_salted_join, skew_two_phase_agg — the
 #     r3 "ungraded utilities" — plus the ivm_merge_theta_* one-sided-
 #     inequality lifecycles, the ivm_merge_theta_expr_* general two-sided-
-#     expression theta lifecycles, ivm_merge_theta_chain /
-#     _theta_mid_chain, the Count-Min keys approx_heavy_hitters /
+#     expression theta lifecycles, ivm_merge_theta_chain / _theta_mid_chain
+#     / _theta_general_chain (the session-3 closure: theta core
+#     virtualization under FULL suffixes / suffix-table deltas), the
+#     Count-Min keys approx_heavy_hitters /
 #     ivm_merge_cms_sketch / streaming_cms_sketch, the
 #     streaming_interval_join stream-stream join, the ivm_merge_ivf_cells
 #     maintained index-occupancy view, and the
 #     dedup_embedding_incremental pair CDC);
-#   - 22: ivm_projection, whose only green is from round 1;
-#   - 23-50: the 28 least-recently-green keys (green in round 2, rotated
+#   - 23: ivm_projection, whose only green is from round 1;
+#   - 24-50: the 27 least-recently-green keys (green in round 2, rotated
 #     out of round 3's window) — they must be regraded under post-r3
 #     code (engine/lakehouse/streaming changed after their last grade).
 #     q5_local_supplier_volume, range_join_bands, rollup_sales,
 #     sample_stratified, scalar_functions, sessionize_users,
 #     setops_active_custkeys, sim_knn_label_consistency,
 #     sim_topk_bruteforce, sim_topk_lsh, text_* and the r3-green keys
+#     (incl. percentiles_by_status, displaced by the new theta key)
 #     rotate back in r5.
 _GRADE_FIRST: tuple[str, ...] = (
     "sim_topk_incremental",
@@ -3016,6 +3058,7 @@ _GRADE_FIRST: tuple[str, ...] = (
     "ivm_merge_theta_expr_anti_join",
     "ivm_merge_theta_chain",
     "ivm_merge_theta_mid_chain",
+    "ivm_merge_theta_general_chain",
     "ivm_merge_asof_join",
     "approx_heavy_hitters",
     "ivm_merge_cms_sketch",
@@ -3050,7 +3093,6 @@ _GRADE_FIRST: tuple[str, ...] = (
     "multimodal_decode",
     "multimodal_meta",
     "pack_documents",
-    "percentiles_by_status",
 )
 
 
@@ -3631,6 +3673,23 @@ def oracle_sql() -> dict[str, str]:
             LEFT JOIN rules r ON o.o_totalprice < r.cutoff * r.scale
             JOIN customer c ON o.o_custkey = c.c_custkey
             WHERE o.o_orderkey % 32 = 0
+        """,
+        "ivm_merge_theta_general_chain": f"""
+            WITH rules AS (
+                SELECT rname, CAST(cutoff AS DOUBLE) AS cutoff,
+                       CAST(scale AS DOUBLE) AS scale
+                FROM (VALUES
+                    ('small', 2000.0, 1.0),
+                    ('never', 0.0, 0.5),
+                    ('low', 3000.0, 1.0)) t(rname, cutoff, scale)
+            )
+            SELECT o.o_orderkey, o.o_totalprice, r.rname,
+                   c.c_custkey, c.c_mktsegment
+            FROM {_applied_sql('orders')} o
+            LEFT JOIN rules r ON o.o_totalprice < r.cutoff * r.scale
+            FULL JOIN {_applied_sql('customer')} c
+              ON o.o_custkey = c.c_custkey * 2
+            WHERE (o.o_orderkey % 32 = 0 OR o.o_orderkey IS NULL)
         """,
         "ivm_merge_theta_expr_join": f"""
             WITH rules AS (

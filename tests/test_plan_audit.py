@@ -283,7 +283,11 @@ def test_theta_chain_delta_no_cartesian_no_base_sortmerge(spark):
     # a BroadcastNestedLoopJoin against a delta-derived broadcast, count
     # bookkeeping is broadcast-hash — no CartesianProduct, no
     # SortMergeJoin of base relations anywhere in ΔV
-    for key in ("ivm_merge_theta_chain", "ivm_merge_theta_mid_chain"):
+    for key in (
+        "ivm_merge_theta_chain",
+        "ivm_merge_theta_mid_chain",
+        "ivm_merge_theta_general_chain",
+    ):
         plan = plan_of(q(spark, key))
         assert "CartesianProduct" not in plan, (key, plan)
         assert "SortMergeJoin" not in plan, (key, plan)
