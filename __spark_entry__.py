@@ -1819,6 +1819,58 @@ def _q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-weighted deterministic sampling (sampling.weighted_sample):
+    each document survives with probability n_chars/1000 (capped at
+    500‰) — the DCLM-style quality-proportional downsample.  Still one
+    narrow md5-bucket filter: no shuffle, no RNG, engine-portable."""
+    from ivm_extension_spark.functions import sampling
+
+    d = _docs(spark, sf_dir).select("doc_id", "source", "n_chars")
+    return sampling.weighted_sample(d, "doc_id", F.expr("least(n_chars, 500)"))
+
+
+# deterministic PII injection: the synthetic corpus carries no natural
+# PII, so every third document is enriched with a derived email, phone,
+# IP and SSN token (pure function of doc_id — identical text in Spark
+# and the DuckDB oracle); the operator under test is the scrubber
+_PII_BODY_SQL = (
+    "CASE WHEN doc_id % 3 = 0 THEN concat(text, ' contact u', doc_id, "
+    "'@mail', doc_id % 7, '.com tel 555-', "
+    "lpad(cast(doc_id % 1000 AS STRING), 3, '0'), '-', "
+    "lpad(cast(doc_id % 10000 AS STRING), 4, '0'), ' from 10.', "
+    "doc_id % 256, '.0.', (doc_id * 7) % 256, ' ssn 123-45-6789') "
+    "ELSE text END"
+)
+
+
+def _q_text_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing (text.redact_pii): emails / SSNs / phones / IPv4s
+    replaced by typed placeholders, with per-document audit counts from
+    the original text.  Narrow JVM-side regexp projection — no UDF, no
+    shuffle; scan-bound at 100 TB."""
+    from ivm_extension_spark.functions import text as textops
+
+    d = _docs(spark, sf_dir).select(
+        "doc_id", F.expr(_PII_BODY_SQL).alias("body")
+    )
+    return textops.redact_pii(d, "doc_id", "body")
+
+
+def _q_text_boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-relative boilerplate detection
+    (text.boilerplate_ngram_coverage): bigrams occurring in >=5% of all
+    documents are boilerplate; per document, how many of its distinct
+    bigrams are.  Inverted-index shape (shared with the contamination
+    checker): one explode, one n-gram count, threshold against a
+    broadcast corpus count, key-only join back."""
+    from ivm_extension_spark.functions import text as textops
+
+    return textops.boilerplate_ngram_coverage(
+        _docs(spark, sf_dir), "doc_id", "text", n=2, min_df_pct=5
+    )
+
+
 def _q_mix_quota_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Data-mixing quota: cap every source's contribution at its 10
     longest documents (deterministic tie-break on doc_id)."""
@@ -2985,6 +3037,9 @@ _EXTRA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sim_topk_ivf": _q_sim_topk_ivf,
     "chunk_documents": _q_chunk_documents,
     "sample_stratified": _q_sample_stratified,
+    "sample_weighted": _q_sample_weighted,
+    "text_pii_redact": _q_text_pii_redact,
+    "text_boilerplate_ngrams": _q_text_boilerplate_ngrams,
     "mix_quota_per_source": _q_mix_quota_per_source,
     "token_length_histogram": _q_token_length_histogram,
     "pack_documents": _q_pack_documents,
@@ -3033,15 +3088,14 @@ _EXTRA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 #     maintained index-occupancy view, and the
 #     dedup_embedding_incremental pair CDC);
 #   - 23: ivm_projection, whose only green is from round 1;
-#   - 24-50: the 27 least-recently-green keys (green in round 2, rotated
-#     out of round 3's window) — they must be regraded under post-r3
-#     code (engine/lakehouse/streaming changed after their last grade).
-#     q5_local_supplier_volume, range_join_bands, rollup_sales,
-#     sample_stratified, scalar_functions, sessionize_users,
-#     setops_active_custkeys, sim_knn_label_consistency,
-#     sim_topk_bruteforce, sim_topk_lsh, text_* and the r3-green keys
-#     (incl. percentiles_by_status, displaced by the new theta key)
-#     rotate back in r5.
+#   - 24-47: least-recently-green keys (green in round 2, rotated out of
+#     round 3's window) — regraded under post-r3 code (engine/lakehouse/
+#     streaming changed after their last grade);
+#   - 48-50: sample_weighted / text_pii_redact / text_boilerplate_ngrams,
+#     the session-3 pipeline additions (never graded — priority over
+#     regrades).  Displaced r2-green keys (percentiles_by_status,
+#     multimodal_decode, multimodal_meta, pack_documents and the
+#     remaining r2/r3 greens) rotate back in r5.
 _GRADE_FIRST: tuple[str, ...] = (
     "sim_topk_incremental",
     "skew_salted_join",
@@ -3090,9 +3144,9 @@ _GRADE_FIRST: tuple[str, ...] = (
     "ivm_multibatch_deletes",
     "ivm_multibatch_rollup",
     "mix_quota_per_source",
-    "multimodal_decode",
-    "multimodal_meta",
-    "pack_documents",
+    "sample_weighted",
+    "text_pii_redact",
+    "text_boilerplate_ngrams",
 )
 
 
@@ -4575,6 +4629,56 @@ def _extras_oracle_sql() -> dict[str, str]:
             WHERE ({_oracle_bucket("doc_id")}) <
                   CASE lang WHEN 'en' THEN 250 WHEN 'de' THEN 500
                             WHEN 'zh' THEN 0 ELSE 750 END
+        """,
+        "sample_weighted": f"""
+            SELECT doc_id, source, n_chars FROM documents
+            WHERE ({_oracle_bucket("doc_id")}) < least(n_chars, 500)
+        """,
+        # same deterministic PII enrichment as _PII_BODY_SQL (portable
+        # SQL: %, lpad, concat, CASE behave identically); patterns are
+        # Java/RE2-portable, DuckDB needs the 'g' flag for replace-all
+        "text_pii_redact": f"""
+            WITH src AS (SELECT doc_id, {_PII_BODY_SQL} AS body FROM documents)
+            SELECT doc_id,
+                   CAST(len(regexp_extract_all(body,
+                        '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{{2,}}')) AS INT) AS n_email,
+                   CAST(len(regexp_extract_all(body,
+                        '\\b\\d{{3}}-\\d{{2}}-\\d{{4}}\\b')) AS INT) AS n_ssn,
+                   CAST(len(regexp_extract_all(body,
+                        '\\b\\d{{3}}[-.]\\d{{3}}[-.]\\d{{4}}\\b')) AS INT) AS n_phone,
+                   CAST(len(regexp_extract_all(body,
+                        '\\b\\d{{1,3}}\\.\\d{{1,3}}\\.\\d{{1,3}}\\.\\d{{1,3}}\\b')) AS INT) AS n_ip,
+                   regexp_replace(regexp_replace(regexp_replace(regexp_replace(body,
+                        '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{{2,}}', '<EMAIL>', 'g'),
+                        '\\b\\d{{3}}-\\d{{2}}-\\d{{4}}\\b', '<SSN>', 'g'),
+                        '\\b\\d{{3}}[-.]\\d{{3}}[-.]\\d{{4}}\\b', '<PHONE>', 'g'),
+                        '\\b\\d{{1,3}}\\.\\d{{1,3}}\\.\\d{{1,3}}\\.\\d{{1,3}}\\b', '<IP>', 'g') AS redacted
+            FROM src
+        """,
+        "text_boilerplate_ngrams": f"""
+            WITH sh AS (
+                SELECT doc_id AS id,
+                       list_distinct(CASE WHEN len(toks) >= 2 THEN
+                           list_transform(range(1, len(toks)),
+                               i -> array_to_string(list_slice(toks, i, i + 1), ' '))
+                           ELSE [] END) AS shingles
+                FROM (SELECT doc_id, {_TOKS} AS toks FROM documents) t
+            ),
+            ex AS (SELECT id, unnest(shingles) AS g FROM sh),
+            nd AS (SELECT count(*) AS n FROM documents),
+            boiler AS (
+                SELECT g FROM ex GROUP BY g
+                HAVING count(*) * 100 >= (SELECT n FROM nd) * 5
+            ),
+            per_doc AS (SELECT id, count(*) AS n_shingles FROM ex GROUP BY id),
+            nb AS (
+                SELECT e.id, count(*) AS n_boiler
+                FROM ex e JOIN boiler b ON e.g = b.g GROUP BY e.id
+            )
+            SELECT p.id AS doc_id,
+                   CAST(p.n_shingles AS BIGINT) AS n_shingles,
+                   CAST(coalesce(nb.n_boiler, 0) AS BIGINT) AS n_boiler
+            FROM per_doc p LEFT JOIN nb ON p.id = nb.id
         """,
         "mix_quota_per_source": """
             SELECT doc_id, source, n_chars FROM (

@@ -77,6 +77,27 @@ def stratified_sample(
     return df.filter(hash_bucket(id_expr) < rate)
 
 
+def weighted_sample(
+    df: DataFrame, id_expr: str, weight_per_mille: Column | str
+) -> DataFrame:
+    """Per-row weighted deterministic sampling: each row survives with
+    probability ``weight/1000`` where the weight is any per-row integer
+    expression in [0, 1000] — a quality score, a source prior, a
+    recency decay.  The pipeline use is quality-weighted corpus
+    downsampling (keep high-quality documents with probability ~1,
+    boilerplate with ~0.1): rows with weight >= 1000 always survive,
+    weight <= 0 never.  Same shape as the other samplers: one NARROW
+    deterministic filter — no shuffle, no RNG state, the same row makes
+    the same decision across runs and engines (the hash is md5-based,
+    reproducible in the DuckDB oracle via :func:`oracle_bucket_sql`)."""
+    w = (
+        F.expr(weight_per_mille)
+        if isinstance(weight_per_mille, str)
+        else weight_per_mille
+    )
+    return df.filter(hash_bucket(id_expr) < w)
+
+
 def quota_per_group(
     df: DataFrame,
     group_cols: list[str],

@@ -409,3 +409,96 @@ def tfidf_top_terms(
             F.col("id").alias(id_col), "term", "tf", "score", "rank"
         )
     )
+
+
+# -- PII redaction ----------------------------------------------------------
+
+# Patterns restricted to syntax Java regex and RE2 (DuckDB) interpret
+# identically: no lookarounds, no backreferences, ASCII classes only.
+# Order matters at redaction time: SSN (3-2-4) before phone (3-3-4) so a
+# dashed SSN is never half-eaten by the phone rule; IP last (a dotted
+# phone has only three octet groups, so the four-octet IP pattern never
+# overlaps it).
+PII_PATTERNS: tuple[tuple[str, str, str], ...] = (
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ssn", r"\b\d{3}-\d{2}-\d{4}\b", "<SSN>"),
+    ("phone", r"\b\d{3}[-.]\d{3}[-.]\d{4}\b", "<PHONE>"),
+    ("ip", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+)
+
+
+def redact_pii(df, id_col: str = "doc_id", text_col: str = "text"):
+    """Scrub personally identifiable information from a text column —
+    the compliance pass every production training-data pipeline runs
+    before tokenization (emails, US-style SSNs/phone numbers, IPv4
+    addresses → typed placeholder tokens).
+
+    Output: (id, n_email, n_ssn, n_phone, n_ip, redacted) with counts
+    measured on the ORIGINAL text (audit trail) and ``redacted`` the
+    scrubbed text.
+
+    Scale shape: a pure NARROW per-row projection — four
+    ``regexp_replace`` + four ``regexp_count`` calls, all JVM-side
+    inside whole-stage codegen, no UDF, no shuffle; at 100 TB the pass
+    is scan-bound.  The patterns are Java/RE2-portable so the DuckDB
+    oracle reproduces the outputs byte-for-byte (DuckDB needs the 'g'
+    flag to match Spark's replace-all default)."""
+    out = F.col(text_col)
+    counts = []
+    for name, pat, repl in PII_PATTERNS:
+        counts.append(
+            F.regexp_count(F.col(text_col), F.lit(pat)).alias(f"n_{name}")
+        )
+        out = F.regexp_replace(out, F.lit(pat), F.lit(repl))
+    return df.select(F.col(id_col), *counts, out.alias("redacted"))
+
+
+def boilerplate_ngram_coverage(
+    df,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 2,
+    min_df_pct: int = 5,
+):
+    """Corpus-relative boilerplate detection: an n-gram is *boilerplate*
+    when it occurs in at least ``min_df_pct`` percent of ALL documents
+    (headers, footers, navigation chrome, licence blurbs — the
+    cross-document counterpart of the per-document Gopher repetition
+    stats).  Per document: how many of its distinct n-grams are
+    boilerplate.
+
+    Output: (id, n_shingles, n_boiler) — exact integers (hash-stable);
+    documents with fewer than ``n`` tokens have no n-grams and are NOT
+    emitted (their coverage is undefined).  Callers derive the filter
+    predicate, e.g. ``n_boiler * 2 >= n_shingles``.
+
+    Scale shape: the inverted-index shape shared with the contamination
+    checker — ONE explode of distinct per-doc n-grams, a (n-gram) count
+    aggregation (map-side combined; O(vocabulary²) rows at n=2), the
+    document-frequency threshold applied against a broadcast 1-row
+    corpus count, and the boilerplate set joined back on the n-gram
+    key.  The corpus text is scanned once; only (doc, n-gram) keys
+    cross exchanges, never document bodies."""
+    sh = with_word_shingles(df, text_col, n=n, out="__sh").select(
+        F.col(id_col).alias("id"), F.explode("__sh").alias("g")
+    )
+    nd = df.select(F.count("*").alias("__nd"))
+    boiler_grams = (
+        sh.groupBy("g")
+        .agg(F.count("*").alias("df"))
+        .crossJoin(F.broadcast(nd))
+        .filter(F.col("df") * 100 >= F.col("__nd") * min_df_pct)
+        .select("g")
+    )
+    per_doc = sh.groupBy("id").agg(F.count("*").alias("n_shingles"))
+    boiler = sh.join(boiler_grams, on="g").groupBy("id").agg(
+        F.count("*").alias("__nb")
+    )
+    return (
+        per_doc.join(boiler, on="id", how="left")
+        .select(
+            F.col("id").alias(id_col),
+            F.col("n_shingles").cast("bigint").alias("n_shingles"),
+            F.coalesce(F.col("__nb"), F.lit(0)).cast("bigint").alias("n_boiler"),
+        )
+    )

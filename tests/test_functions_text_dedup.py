@@ -845,3 +845,57 @@ def test_simhash_md5_variant_zero_hamming_on_exact_dups(spark, docs):
     got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
     planted = {(i, i + 1000) for (i,) in base.select("doc_id").collect()}
     assert planted <= got
+
+
+def test_redact_pii_counts_and_placeholders(spark):
+    from ivm_extension_spark.functions.text import redact_pii
+
+    df = spark.createDataFrame(
+        [
+            (1, "mail a.b+c@sub.example.org and x@y.io, ssn 123-45-6789, "
+                "call 555-123-4567 or 555.123.4567, host 10.0.255.3 done"),
+            (2, "no pii here, just words and the number 12345"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in redact_pii(df).collect()}
+    r1 = got[1]
+    assert (r1["n_email"], r1["n_ssn"], r1["n_phone"], r1["n_ip"]) == (2, 1, 2, 1)
+    assert r1["redacted"] == (
+        "mail <EMAIL> and <EMAIL>, ssn <SSN>, "
+        "call <PHONE> or <PHONE>, host <IP> done"
+    )
+    r2 = got[2]
+    assert (r2["n_email"], r2["n_ssn"], r2["n_phone"], r2["n_ip"]) == (0, 0, 0, 0)
+    assert r2["redacted"] == "no pii here, just words and the number 12345"
+
+
+def test_boilerplate_ngram_coverage_threshold(spark):
+    from ivm_extension_spark.functions.text import boilerplate_ngram_coverage
+
+    # 10 docs: 'all rights reserved' appears in 6 (bigrams 'all rights' /
+    # 'rights reserved' have df=6 >= 50% of 10); each doc also has a
+    # unique bigram that must NOT be flagged
+    rows = [
+        (i, f"u{i} v{i} all rights reserved") for i in range(6)
+    ] + [(i, f"u{i} v{i} w{i}") for i in range(6, 10)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["n_shingles"], r["n_boiler"])
+        for r in boilerplate_ngram_coverage(df, n=2, min_df_pct=50).collect()
+    }
+    # enriched docs: bigrams = u_i v_i, v_i all, all rights, rights reserved
+    for i in range(6):
+        assert got[i] == (4, 2), got[i]
+    for i in range(6, 10):
+        assert got[i] == (2, 0), got[i]
+
+
+def test_boilerplate_short_docs_not_emitted(spark):
+    from ivm_extension_spark.functions.text import boilerplate_ngram_coverage
+
+    df = spark.createDataFrame(
+        [(1, "one"), (2, "two words"), (3, "")], "doc_id long, text string"
+    )
+    got = {r["doc_id"] for r in boilerplate_ngram_coverage(df, n=2).collect()}
+    assert got == {2}  # single-token and empty docs have no bigrams

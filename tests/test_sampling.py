@@ -113,3 +113,22 @@ def test_pack_sequences_concat_and_split(spark):
         ("g", 4): (12, 1),
         ("h", 9): (0, 0),  # packing is local to the group
     }
+
+
+def test_weighted_sample_extremes_and_monotonicity(spark):
+    df = spark.createDataFrame(
+        [(i, (i * 37) % 1001) for i in range(400)], "id long, w long"
+    )
+    none = sampling.weighted_sample(df, "id", F.lit(0)).count()
+    everything = sampling.weighted_sample(df, "id", F.lit(1000)).count()
+    assert none == 0 and everything == 400
+    # kept-at-weight-w is a subset of kept-at-higher-weight (same hash)
+    low = {r["id"] for r in sampling.weighted_sample(df, "id", F.lit(200)).collect()}
+    high = {r["id"] for r in sampling.weighted_sample(df, "id", F.lit(700)).collect()}
+    assert low <= high and len(low) < len(high)
+    # per-row weights: survivors satisfy bucket < weight exactly
+    kept = sampling.weighted_sample(df, "id", F.col("w"))
+    check = kept.withColumn("b", sampling.hash_bucket("id")).filter(
+        F.col("b") >= F.col("w")
+    )
+    assert check.count() == 0
