@@ -1424,11 +1424,19 @@ def _q_ivm_merge_theta_general_chain(spark: SparkSession, sf_dir: str) -> DataFr
     the FULL join to customer — itself carrying a delta — is maintained
     by the ordinary two-table outer rule over the virtual core.  The
     doubled join key makes both preserved directions real data (odd
-    o_custkey orders never match; customers above half the key range
-    match no order), and the WHERE keeps customer-preserved rows
-    through its IS NULL arm, pinning that σ is NOT pushed below the
-    FULL suffix."""
+    o_custkey orders never match; customers whose doubled key has no
+    sliced order are right-preserved), and the WHERE's IS NULL arm pins
+    that σ is NOT pushed below the FULL suffix.
+
+    A WHERE cannot prune the core below a FULL suffix (the σ-push gate),
+    so the slice lives INSIDE the core as a SEMI equi-join against a
+    one-row dim — the prefix join position, where pruning is sound.
+    That keeps ΔB proportional to the delta instead of O(|orders|),
+    and adds the semi-prefix → theta → FULL-suffix chain shape."""
     eng = _engine(spark, sf_dir, deltas=("orders", "customer"))
+    eng.register_table(
+        "thx_slices", spark.createDataFrame([(0,)], "snum int")
+    )
     eng.register_table(
         "thx_rules",
         spark.createDataFrame(
@@ -1445,7 +1453,8 @@ def _q_ivm_merge_theta_general_chain(spark: SparkSession, sf_dir: str) -> DataFr
     eng.create_immv(
         "v",
         sql="SELECT o_orderkey, o_totalprice, rname, c_custkey, c_mktsegment "
-        "FROM orders LEFT JOIN thx_rules ON o_totalprice < cutoff * scale "
+        "FROM orders SEMI JOIN thx_slices ON o_orderkey % 32 = snum "
+        "LEFT JOIN thx_rules ON o_totalprice < cutoff * scale "
         "FULL OUTER JOIN customer ON o_custkey = c_custkey * 2 "
         "WHERE (o_orderkey % 32 = 0 OR o_orderkey IS NULL)",
     )
@@ -3736,10 +3745,14 @@ def oracle_sql() -> dict[str, str]:
                     ('small', 2000.0, 1.0),
                     ('never', 0.0, 0.5),
                     ('low', 3000.0, 1.0)) t(rname, cutoff, scale)
+            ),
+            sliced AS (
+                SELECT * FROM {_applied_sql('orders')} o
+                WHERE o.o_orderkey % 32 = 0
             )
             SELECT o.o_orderkey, o.o_totalprice, r.rname,
                    c.c_custkey, c.c_mktsegment
-            FROM {_applied_sql('orders')} o
+            FROM sliced o
             LEFT JOIN rules r ON o.o_totalprice < r.cutoff * r.scale
             FULL JOIN {_applied_sql('customer')} c
               ON o.o_custkey = c.c_custkey * 2
