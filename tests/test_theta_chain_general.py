@@ -193,6 +193,42 @@ def test_no_sigma_push_below_full_suffix(spark):
     assert got == [], got  # both tc rows are matched by the failing core row
 
 
+def test_streaming_maintains_theta_full_suffix_chain(spark, tmp_path):
+    """Micro-batch streaming maintenance composes with the virtual-core
+    theta rule: a CDC file stream on the SUFFIX table advances a
+    theta-LEFT + FULL-suffix view to exactly the batch recomputation
+    (the maintainer routes through the same engine rewrite, so the new
+    rule streams for free)."""
+    from ivm_extension_spark.streaming.continuous import StreamingViewMaintainer
+
+    sql, _ = SHAPES["theta_left_full_suffix_core_delta"]
+    tables = _tables(spark, seed=51)
+    eng = IVMEngine(spark)
+    for t, df in tables.items():
+        eng.register_table(t, df)
+    eng.create_immv("v", sql=sql)
+
+    d1 = _delta(spark, tables["tc"], "c", 61)
+    d2 = _delta(spark, tables["tc"], "c", 67, frac_del=0.0, n_ins=3)
+    delta_dir = str(tmp_path / "deltas")
+    d1.write.parquet(f"{delta_dir}/c1")
+    d2.write.parquet(f"{delta_dir}/c2")
+    stream = (
+        spark.readStream.schema(d1.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{delta_dir}/*")
+    )
+    m = StreamingViewMaintainer(eng, "v", "tc")
+    q = m.start(stream, checkpoint_dir=str(tmp_path / "ckpt"))
+    q.awaitTermination(180)
+    assert m.batches_applied >= 1
+
+    eng2 = IVMEngine(spark)
+    for t in tables:
+        eng2.register_table(t, eng.table(t))  # bases advanced by the stream
+    assert rows(eng.read_view("v")) == rows(eng2.create_immv("v", sql=sql))
+
+
 def test_multibatch_theta_full_suffix_chain(spark):
     """Three maintenance batches through theta-LEFT + FULL-suffix stay
     exact (state round-trips through the ⊎ merge between batches)."""
