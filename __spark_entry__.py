@@ -1954,6 +1954,50 @@ def _q_ivm_merge_dedup_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     return eng.merge_view("v")
 
 
+def _q_ivm_merge_boilerplate_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maintained BOILERPLATE N-GRAM INDEX — IVM × pipeline composition
+    over the round-4 boilerplate detector: the bigram → document-
+    frequency relation is an IMMV over the exploded (doc, bigram)
+    relation (registered as a derived CDC table, exactly how a pipeline
+    stores its inverted index), advanced through a documents delta that
+    inserts duplicate docs (%10) and deletes docs (%7==3).  The
+    boilerplate threshold (df >= 25) is a HAVING, so finalize-on-read
+    handles bigrams CROSSING the threshold in either direction — the
+    index never rescans the corpus, only the delta docs are tokenized.
+    Explode goes through the optimizer barrier (text.py) so the
+    tokenization evaluates once per doc, not per emitted bigram."""
+    from ivm_extension_spark.functions.text import (
+        explode_array_barrier,
+        with_word_shingles,
+    )
+
+    eng = _engine(spark, sf_dir)
+    docs = eng.table("documents")
+
+    def bigrams(d: DataFrame, extra: tuple[str, ...] = ()) -> DataFrame:
+        sh = with_word_shingles(d, "text", n=2, out="__sh")
+        return explode_array_barrier(sh, "__sh", "g").select(
+            "doc_id", "g", *extra
+        )
+
+    eng.register_table("doc_bigrams", bigrams(docs))
+    delta_docs = (
+        docs.filter("doc_id % 10 = 0")
+        .withColumn(MULT_COL, F.lit(True))
+        .unionByName(
+            docs.filter("doc_id % 7 = 3").withColumn(MULT_COL, F.lit(False))
+        )
+    )
+    eng.register_delta("doc_bigrams", bigrams(delta_docs, (MULT_COL,)))
+    eng.create_immv(
+        "v",
+        sql="SELECT g, count(*) AS df FROM doc_bigrams "
+        "GROUP BY g HAVING df >= 25",
+    )
+    eng.ivm_upsert("v")
+    return eng.merge_view("v")
+
+
 def _q_dedup_minhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental MinHash-LSH (md5 shingle-hash variant — the oracle
     reproduces the full pipeline AND the pair-set CDC as a row-level
@@ -3062,6 +3106,7 @@ _EXTRA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "streaming_dedup_docs": _q_streaming_dedup_docs,
     "formats_roundtrip": _q_formats_roundtrip,
     "ivm_merge_dedup_index": _q_ivm_merge_dedup_index,
+    "ivm_merge_boilerplate_index": _q_ivm_merge_boilerplate_index,
     "ivm_merge_corpus_stats": _q_ivm_merge_corpus_stats,
     "ivm_merge_hll_sketch": _q_ivm_merge_hll_sketch,
     "approx_heavy_hitters": _q_approx_heavy_hitters,
@@ -3152,10 +3197,10 @@ _GRADE_FIRST: tuple[str, ...] = (
     "ivm_merge_topn_per_group",
     "ivm_multibatch_deletes",
     "ivm_multibatch_rollup",
-    "mix_quota_per_source",
     "sample_weighted",
     "text_pii_redact",
     "text_boilerplate_ngrams",
+    "ivm_merge_boilerplate_index",
 )
 
 
@@ -4773,6 +4818,21 @@ def _extras_oracle_sql() -> dict[str, str]:
                    CAST(min(doc_id) AS BIGINT) AS keep_id,
                    count(*) AS n_dupes
             FROM t GROUP BY md5({_NORM})
+        """,
+        "ivm_merge_boilerplate_index": f"""
+            WITH t AS (
+                SELECT * FROM documents WHERE NOT (doc_id % 7 = 3)
+                UNION ALL SELECT * FROM documents WHERE doc_id % 10 = 0
+            ),
+            ex AS (
+                SELECT doc_id,
+                       unnest(list_distinct(CASE WHEN len(toks) >= 2 THEN
+                           list_transform(range(1, len(toks)),
+                               i -> array_to_string(list_slice(toks, i, i + 1), ' '))
+                           ELSE [] END)) AS g
+                FROM (SELECT doc_id, {_TOKS} AS toks FROM t) x
+            )
+            SELECT g, count(*) AS df FROM ex GROUP BY g HAVING count(*) >= 25
         """,
         "ivm_merge_corpus_stats": f"""
             WITH t AS (

@@ -899,3 +899,41 @@ def test_boilerplate_short_docs_not_emitted(spark):
     )
     got = {r["doc_id"] for r in boilerplate_ngram_coverage(df, n=2).collect()}
     assert got == {2}  # single-token and empty docs have no bigrams
+
+
+def test_boilerplate_index_maintained_equals_recompute(spark):
+    """The maintained bigram-df index (HAVING threshold on read) equals
+    the post-delta recompute, including bigrams that CROSS the
+    threshold in either direction under the doc delta."""
+    import __spark_entry__ as entrymod
+
+    sf = "/root/testdata/sf0.001"
+    merged = {
+        (r["g"], r["df"])
+        for r in entrymod._q_ivm_merge_boilerplate_index(spark, sf).collect()
+    }
+    from ivm_extension_spark.functions.text import (
+        explode_array_barrier,
+        with_word_shingles,
+    )
+    from ivm_extension_spark.sources import read_parquet
+    from pyspark.sql import functions as F
+
+    docs = read_parquet(spark, f"{sf}/documents.parquet")
+    applied = docs.filter("NOT (doc_id % 7 = 3)").unionByName(
+        docs.filter("doc_id % 10 = 0")
+    )
+    ex = explode_array_barrier(
+        with_word_shingles(applied, "text", n=2, out="__sh"), "__sh", "g"
+    )
+    truth = {
+        (r["g"], r["df"])
+        for r in ex.groupBy("g")
+        .agg(F.count("*").alias("df"))
+        .filter("df >= 25")
+        .collect()
+    }
+    assert merged == truth
+    # the threshold must actually bite at this scale (data-liveness)
+    below = ex.groupBy("g").agg(F.count("*").alias("df")).filter("df < 25")
+    assert below.count() > 0
