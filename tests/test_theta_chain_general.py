@@ -150,6 +150,23 @@ SHAPES = {
         "FULL JOIN tc ON b_j = c_k WHERE a_j > 2 OR a_j IS NULL",
         ("ta", "tc"),
     ),
+    # TWO theta joins in one chain, deltas on both theta right sides:
+    # the virtual-core recursion finds the second theta in the suffix
+    # of the first and falls through to the two-table theta rule with
+    # (B, ΔB) as the left relation
+    "double_theta_deltas_both_sides": (
+        "SELECT a_id, b_id, d_id FROM ta LEFT JOIN tb ON a_k < b_k "
+        "LEFT JOIN td ON b_j < d_k",
+        ("tb", "td"),
+    ),
+    # two thetas with an equi join between them and deltas at every
+    # position incl. after the second theta — full recursion depth
+    # (the trailing ANTI emits no td columns)
+    "double_theta_all_deltas": (
+        "SELECT a_id, b_id, c_id FROM ta LEFT JOIN tb ON a_k < b_k "
+        "JOIN tc ON b_j = c_k ANTI JOIN td ON c_j < d_k",
+        ("ta", "tb", "tc", "td"),
+    ),
 }
 
 
