@@ -1429,10 +1429,14 @@ def _q_ivm_merge_theta_general_chain(spark: SparkSession, sf_dir: str) -> DataFr
     that σ is NOT pushed below the FULL suffix.
 
     A WHERE cannot prune the core below a FULL suffix (the σ-push gate),
-    so the slice lives INSIDE the core as a SEMI equi-join against a
-    one-row dim — the prefix join position, where pruning is sound.
-    That keeps ΔB proportional to the delta instead of O(|orders|),
-    and adds the semi-prefix → theta → FULL-suffix chain shape."""
+    so the slice lives INSIDE the chain as a SEMI join against a
+    one-row dim, where pruning is sound.  Mechanism note: the SEMI's
+    expression key (``o_orderkey % 32 = snum``) is itself classified as
+    a theta conjunct, so the rewrite virtualizes TWICE — the first core
+    is ``orders ⋉ thx_slices`` (4.7k rows, checkpointed) and the
+    LEFT-theta ⟕ rules core sits one recursion deeper; either way ΔB
+    stays proportional to the slice instead of O(|orders|), and the
+    chain exercises nested virtual cores ending in a FULL suffix."""
     eng = _engine(spark, sf_dir, deltas=("orders", "customer"))
     eng.register_table(
         "thx_slices", spark.createDataFrame([(0,)], "snum int")
@@ -3129,7 +3133,7 @@ _EXTRA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 # ROUND 4 WINDOW (this round), computed by scripts/update_ledger.py
 # (never-graded first, then least-recently-green — VERDICT.md r3 items
 # 5/6/7):
-#   - positions 1-22: the keys registered THIS round, never driver-graded
+#   - positions 1-23: the keys registered THIS round, never driver-graded
 #     (sim_topk_incremental, skew_salted_join, skew_two_phase_agg — the
 #     r3 "ungraded utilities" — plus the ivm_merge_theta_* one-sided-
 #     inequality lifecycles, the ivm_merge_theta_expr_* general two-sided-
@@ -3141,15 +3145,16 @@ _EXTRA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 #     streaming_interval_join stream-stream join, the ivm_merge_ivf_cells
 #     maintained index-occupancy view, and the
 #     dedup_embedding_incremental pair CDC);
-#   - 23: ivm_projection, whose only green is from round 1;
-#   - 24-47: least-recently-green keys (green in round 2, rotated out of
+#   - 24: ivm_projection, whose only green is from round 1;
+#   - 25-46: least-recently-green keys (green in round 2, rotated out of
 #     round 3's window) — regraded under post-r3 code (engine/lakehouse/
 #     streaming changed after their last grade);
-#   - 48-50: sample_weighted / text_pii_redact / text_boilerplate_ngrams,
-#     the session-3 pipeline additions (never graded — priority over
-#     regrades).  Displaced r2-green keys (percentiles_by_status,
-#     multimodal_decode, multimodal_meta, pack_documents and the
-#     remaining r2/r3 greens) rotate back in r5.
+#   - 47-50: sample_weighted / text_pii_redact / text_boilerplate_ngrams
+#     / ivm_merge_boilerplate_index, the session-3 pipeline additions
+#     (never graded — priority over regrades).  Displaced r2-green keys
+#     (percentiles_by_status, mix_quota_per_source, multimodal_decode,
+#     multimodal_meta, pack_documents and the remaining r2/r3 greens)
+#     rotate back in r5.
 _GRADE_FIRST: tuple[str, ...] = (
     "sim_topk_incremental",
     "skew_salted_join",

@@ -477,10 +477,20 @@ def boilerplate_ngram_coverage(
     aggregation (map-side combined; O(vocabulary²) rows at n=2), the
     document-frequency threshold applied against a broadcast 1-row
     corpus count, and the boilerplate set joined back on the n-gram
-    key.  The corpus text is scanned once; only (doc, n-gram) keys
-    cross exchanges, never document bodies."""
-    sh = with_word_shingles(df, text_col, n=n, out="__sh").select(
-        F.col(id_col).alias("id"), F.explode("__sh").alias("g")
+    key.  The (id, shingle-array) relation goes through the explode
+    barrier so the three consumers (df counts, per-doc totals, the
+    boilerplate probe) share ONE tokenization instead of re-deriving
+    the shingle subtree per branch; only (doc, n-gram) keys cross
+    exchanges, never document bodies."""
+    sh = explode_array_barrier(
+        with_word_shingles(
+            df.select(F.col(id_col).alias("id"), F.col(text_col)),
+            text_col,
+            n=n,
+            out="__sh",
+        ).select("id", "__sh"),
+        "__sh",
+        "g",
     )
     nd = df.select(F.count("*").alias("__nd"))
     boiler_grams = (

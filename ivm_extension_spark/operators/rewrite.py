@@ -578,6 +578,26 @@ def _theta_two_table_delta(
     return _signed_delta(dv, _SIGN).select(*out_cols, _SIGN)
 
 
+def _drop_conjuncts(where: str | None, cols: set[str]) -> str | None:
+    """The AND-conjuncts of ``where`` that reference NO column in
+    ``cols`` (word-boundary match), re-joined — or None if none remain.
+
+    This is the consistency-critical push rule shared by all three
+    theta chain sites: what the suffix rule pushes below its prefix
+    checkpoint, what the mid-chain rule keeps on the core, and what the
+    general (virtual-core) rule both filters B with and hands down —
+    B and ΔB MUST be filtered by the same predicate, so the rule lives
+    in exactly one place."""
+    if not where:
+        return None
+    keep = [
+        conj
+        for conj in _split_depth0(where, _AND_RX)
+        if not any(re.search(rf"\b{re.escape(c)}\b", conj) for c in cols)
+    ]
+    return " AND ".join(f"({c})" for c in keep) if keep else None
+
+
 def _theta_chain_suffix_delta(
     view: ViewDef,
     get_table: Callable[[str], DataFrame],
@@ -630,17 +650,11 @@ def _theta_chain_suffix_delta(
     # (the caller's re-filter is then a no-op).  NOT valid for FULL: a
     # right row whose only matches fail the predicate must surface as
     # right-preserved, and right-preserved rows have NULL prefix columns.
-    ccols = set(C.columns)
-    pre_where = (
-        [
-            conj
-            for conj in _split_depth0(view.where, _AND_RX)
-            if not any(re.search(rf"\b{re.escape(c)}\b", conj) for c in ccols)
-        ]
-        if view.where and last.how != "full"
-        else []
+    pre_pred = (
+        _drop_conjuncts(view.where, set(C.columns))
+        if last.how != "full"
+        else None
     )
-    pre_pred = " AND ".join(f"({c})" for c in pre_where) if pre_where else None
 
     P = get_table(view.source).alias(view.source)
     for j in prefix.joins:
@@ -710,16 +724,8 @@ def _theta_mid_chain_delta(
         c for j in view.joins[i + 1 :] for c in get_table(j.table).columns
     }
     if view.where and suffix_cols:
-        keep = [
-            conj
-            for conj in _split_depth0(view.where, _AND_RX)
-            if not any(
-                re.search(rf"\b{re.escape(c)}\b", conj) for c in suffix_cols
-            )
-        ]
         core_view = dataclasses.replace(
-            core_view,
-            where=" AND ".join(f"({c})" for c in keep) if keep else None,
+            core_view, where=_drop_conjuncts(view.where, suffix_cols)
         )
     acc = _theta_chain_suffix_delta(
         core_view, get_table, get_delta, broadcast_deltas, with_delta
@@ -781,6 +787,13 @@ def _theta_chain_general_delta(
     core_cols = [c for t in vis_tabs for c in get_table(t).columns]
     if last.how not in ("semi", "anti"):
         core_cols += get_table(last.table).columns
+    if len(set(core_cols)) != len(core_cols):
+        dups = sorted({c for c in core_cols if core_cols.count(c) > 1})
+        raise IVMError(
+            f"theta {last.how}-join chain maintenance requires unique "
+            f"column names across the core tables, got duplicates "
+            f"{dups} — rename them or use an equi condition"
+        )
     suffix_cols = {c for j in suffix for c in get_table(j.table).columns}
     clash = sorted(set(core_cols) & suffix_cols)
     if clash:
@@ -802,30 +815,18 @@ def _theta_chain_general_delta(
     # are identical in either placement and any conjunct commutes.)
     core_where = None if any(j.how == "full" for j in suffix) else view.where
     if core_where and suffix_cols:
-        keep = [
-            conj
-            for conj in _split_depth0(core_where, _AND_RX)
-            if not any(
-                re.search(rf"\b{re.escape(c)}\b", conj) for c in suffix_cols
-            )
-        ]
-        core_where = " AND ".join(f"({c})" for c in keep) if keep else None
+        core_where = _drop_conjuncts(core_where, suffix_cols)
     core_view = dataclasses.replace(view, joins=core_joins, where=core_where)
 
     # σ_pre: the exact filter _theta_chain_suffix_delta pushes below its
     # prefix checkpoint — prefix-local conjuncts, never for a FULL theta.
-    # B must be the SAME σ_pre-filtered relation ΔB maintains.
-    ccols = set(get_table(last.table).columns)
-    pre_where = (
-        [
-            conj
-            for conj in _split_depth0(core_where, _AND_RX)
-            if not any(re.search(rf"\b{re.escape(c)}\b", conj) for c in ccols)
-        ]
-        if core_where and last.how != "full"
-        else []
+    # B must be the SAME σ_pre-filtered relation ΔB maintains, so both
+    # derivations go through the one shared _drop_conjuncts rule.
+    pre_pred = (
+        _drop_conjuncts(core_where, set(get_table(last.table).columns))
+        if last.how != "full"
+        else None
     )
-    pre_pred = " AND ".join(f"({c})" for c in pre_where) if pre_where else None
 
     B = get_table(view.source).alias(view.source)
     for j in core_joins:

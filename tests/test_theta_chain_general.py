@@ -210,6 +210,37 @@ def test_no_sigma_push_below_full_suffix(spark):
     assert got == [], got  # both tc rows are matched by the failing core row
 
 
+def test_core_internal_duplicate_names_clean_error(spark):
+    """Duplicate column names WITHIN the theta core must raise the
+    documented IVMError at plan time, not a raw AnalysisException from
+    B.select (the core-vs-suffix clash check alone misses this)."""
+    from ivm_extension_spark.engine import IVMError
+
+    eng = IVMEngine(spark)
+    eng.register_table(
+        "ta", spark.createDataFrame([(1, 2)], "a_id long, k long")
+    )
+    eng.register_table(
+        "tx", spark.createDataFrame([(1, 3)], "x_id long, k long")
+    )
+    eng.register_table(
+        "tc", spark.createDataFrame([(1, 3)], "c_id long, c_k long")
+    )
+    eng.create_immv(
+        "v",
+        sql="SELECT a_id, x_id, c_id FROM ta LEFT JOIN tx ON a_id < x_id "
+        "JOIN tc ON x_id = c_k",
+    )
+    eng.register_delta(
+        "tc",
+        spark.createDataFrame(
+            [(2, 9, True)], f"c_id long, c_k long, {MULT_COL} boolean"
+        ),
+    )
+    with pytest.raises(IVMError, match="unique column names"):
+        eng.maintain("v")
+
+
 def test_streaming_maintains_theta_full_suffix_chain(spark, tmp_path):
     """Micro-batch streaming maintenance composes with the virtual-core
     theta rule: a CDC file stream on the SUFFIX table advances a
