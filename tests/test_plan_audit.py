@@ -299,3 +299,14 @@ def test_cms_estimate_probes_with_broadcast(spark):
     plan = plan_of(q(spark, "ivm_merge_cms_sketch"))
     assert "BroadcastHashJoin" in plan, plan
     assert "CartesianProduct" not in plan, plan
+
+
+def test_boilerplate_coverage_single_tokenization(spark):
+    # the (id, shingle-array) relation goes through the explode barrier,
+    # so the THREE consumers (df counts, per-doc totals, boilerplate
+    # probe) read the checkpointed RDD — the expensive tokenization
+    # expression must not appear anywhere in the optimized plan (it
+    # lives inside the LogicalRDD, evaluated once per doc)
+    plan = plan_of(q(spark, "text_boilerplate_ngrams"))
+    assert "regexp_replace" not in plan, plan
+    assert "ExistingRDD" in plan or "Scan ExistingRDD" in plan, plan
