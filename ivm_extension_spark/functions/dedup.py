@@ -26,7 +26,10 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, functions as F, types as T
 
-from ivm_extension_spark.functions.text import with_word_shingles
+from ivm_extension_spark.functions.text import (
+    explode_array_barrier,
+    with_word_shingles,
+)
 
 # fixed MinHash parameters — deterministic across runs and engines.
 # 31-bit Mersenne prime keeps a*x+b inside uint64 so the whole
@@ -96,8 +99,8 @@ def ngram_jaccard_pairs(
     # the self-join shuffles (id, n_sh, g) twice, so key width dominates
     # shuffle volume; a 64-bit key over distinct-per-doc shingles makes a
     # false positive ~n²/2⁶⁴ — negligible against the Jaccard threshold
-    exploded = sh.select(
-        "id", "n_sh", F.explode("shingles").alias("gs")
+    exploded = explode_array_barrier(
+        sh.select("id", "n_sh", "shingles"), "shingles", "gs"
     ).select("id", "n_sh", F.xxhash64("gs").alias("g"))
     # materialize once: both self-join sides read it, and shingling is the
     # expensive part (regex normalization + per-position slicing)
@@ -157,13 +160,18 @@ def contamination_pairs(
     Output: (corpus_id, bench_id, n_common, n_bench, containment).
     """
     c = with_word_shingles(corpus.select(id_col, text_col), text_col, n=n)
-    c = c.select(F.col(id_col).alias("corpus_id"), F.explode("shingles").alias("gs"))
-    c = c.select("corpus_id", F.xxhash64("gs").alias("g"))
+    c = explode_array_barrier(
+        c.select(F.col(id_col).alias("corpus_id"), "shingles"), "shingles", "gs"
+    ).select("corpus_id", F.xxhash64("gs").alias("g"))
     b = with_word_shingles(benchmark.select(id_col, text_col), text_col, n=n)
-    b = b.select(
-        F.col(id_col).alias("bench_id"),
-        F.size("shingles").alias("n_bench"),
-        F.explode("shingles").alias("gs"),
+    b = explode_array_barrier(
+        b.select(
+            F.col(id_col).alias("bench_id"),
+            F.size("shingles").alias("n_bench"),
+            "shingles",
+        ),
+        "shingles",
+        "gs",
     ).select("bench_id", "n_bench", F.xxhash64("gs").alias("g"))
     pairs = (
         c.join(F.broadcast(b), on="g")

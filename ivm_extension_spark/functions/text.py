@@ -284,7 +284,27 @@ def shingles_expr(col: str, n: int = 3) -> str:
 
 
 def with_word_shingles(df, col: str, n: int = 3, out: str = "shingles"):
-    return df.withColumn(out, F.expr(shingles_expr(col, n)))
+    """Two-projection form of :func:`shingles_expr`: the token array is
+    a real column referenced THREE times by the shingle expression
+    (size guard, sequence bound, slice), and CollapseProject only
+    inlines single-reference or cheap aliases — so the normalization +
+    split runs once per row with no lambda-binding wrapper.  Measured
+    4x faster than the ``_bind`` single-expression form at sf0.1 (the
+    single-element-transform `let` is interpreted per row, outside
+    whole-stage codegen); keep :func:`shingles_expr` for callers that
+    need the shingles as ONE embeddable expression string."""
+    tok = f"__toks_{out}"
+    inner = (
+        f"CASE WHEN size({tok}) >= {n} THEN "
+        f"array_distinct(transform(sequence(1, size({tok}) - {n - 1}), "
+        f"i -> concat_ws(' ', slice({tok}, i, {n})))) "
+        "ELSE array() END"
+    )
+    return (
+        df.withColumn(tok, F.split(F.expr(_norm_sql(col)), " "))
+        .withColumn(out, F.expr(inner))
+        .drop(tok)
+    )
 
 
 def repetition_stats(df, id_col: str = "doc_id", text_col: str = "text"):
