@@ -1979,7 +1979,11 @@ def _q_ivm_merge_boilerplate_index(spark: SparkSession, sf_dir: str) -> DataFram
     docs = eng.table("documents")
 
     def bigrams(d: DataFrame, extra: tuple[str, ...] = ()) -> DataFrame:
-        sh = with_word_shingles(d, "text", n=2, out="__sh")
+        # project BEFORE the barrier: its lazy checkpoint must persist
+        # (doc_id, bigram-array) only, never the document bodies
+        sh = with_word_shingles(d, "text", n=2, out="__sh").select(
+            "doc_id", "__sh", *extra
+        )
         return explode_array_barrier(sh, "__sh", "g").select(
             "doc_id", "g", *extra
         )

@@ -93,18 +93,22 @@ def ngram_jaccard_pairs(
     disable.
     """
     sh = with_word_shingles(df.select(id_col, text_col), text_col, n=n)
-    sh = sh.select(F.col(id_col).alias("id"), F.col("shingles"))
-    sh = sh.withColumn("n_sh", F.size("shingles"))
     # join on the 8-byte xxhash64 of each shingle, not the ~n-word string:
     # the self-join shuffles (id, n_sh, g) twice, so key width dominates
     # shuffle volume; a 64-bit key over distinct-per-doc shingles makes a
-    # false positive ~n²/2⁶⁴ — negligible against the Jaccard threshold
-    exploded = explode_array_barrier(
-        sh.select("id", "n_sh", "shingles"), "shingles", "gs"
-    ).select("id", "n_sh", F.xxhash64("gs").alias("g"))
-    # materialize once: both self-join sides read it, and shingling is the
-    # expensive part (regex normalization + per-position slicing)
-    exploded = exploded.localCheckpoint(eager=True)
+    # false positive ~n²/2⁶⁴ — negligible against the Jaccard threshold.
+    # Hash INSIDE the array, before the explode barrier: the barrier's
+    # persisted blocks are then (id, n_sh, array<bigint>) — 8 bytes per
+    # shingle instead of the n-word strings — and that ONE cached
+    # relation is what every consumer (hot-list count, both self-join
+    # sides) re-explodes from; no second eager checkpoint needed, the
+    # expensive shingling never runs twice.
+    hashed = sh.select(
+        F.col(id_col).alias("id"),
+        F.size("shingles").alias("n_sh"),
+        F.expr("transform(shingles, s -> xxhash64(s))").alias("__gh"),
+    )
+    exploded = explode_array_barrier(hashed, "__gh", "g")
     if max_shingle_freq is not None:
         # broadcast the HOT-shingle drop-list (shingles above the cap) and
         # anti-join: the drop-list is O(#stop-shingles) — a handful of rows
@@ -159,20 +163,29 @@ def contamination_pairs(
     and broadcast; the corpus is scanned once, never shuffled.
     Output: (corpus_id, bench_id, n_common, n_bench, containment).
     """
+    # hash inside the array before the explode barrier (see
+    # ngram_jaccard_pairs): the corpus-side persisted blocks are
+    # (corpus_id, array<bigint>) — 8 bytes per shingle, not the n-word
+    # strings — and the single-consumer join re-explodes cached ints
     c = with_word_shingles(corpus.select(id_col, text_col), text_col, n=n)
     c = explode_array_barrier(
-        c.select(F.col(id_col).alias("corpus_id"), "shingles"), "shingles", "gs"
-    ).select("corpus_id", F.xxhash64("gs").alias("g"))
+        c.select(
+            F.col(id_col).alias("corpus_id"),
+            F.expr("transform(shingles, s -> xxhash64(s))").alias("__gh"),
+        ),
+        "__gh",
+        "g",
+    )
     b = with_word_shingles(benchmark.select(id_col, text_col), text_col, n=n)
     b = explode_array_barrier(
         b.select(
             F.col(id_col).alias("bench_id"),
             F.size("shingles").alias("n_bench"),
-            "shingles",
+            F.expr("transform(shingles, s -> xxhash64(s))").alias("__gh"),
         ),
-        "shingles",
-        "gs",
-    ).select("bench_id", "n_bench", F.xxhash64("gs").alias("g"))
+        "__gh",
+        "g",
+    )
     pairs = (
         c.join(F.broadcast(b), on="g")
         .groupBy("corpus_id", "bench_id")

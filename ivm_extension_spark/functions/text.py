@@ -271,16 +271,25 @@ def chunk_tokens(df, col: str, size: int = 64, overlap: int = 8):
     )
 
 
-def shingles_expr(col: str, n: int = 3) -> str:
-    """Distinct n-word shingles (the dedup unit) as one expression with a
-    single tokenization (lambda-bound).  Empty array below n tokens."""
-    inner = (
-        f"CASE WHEN size(t) >= {n} THEN "
-        f"array_distinct(transform(sequence(1, size(t) - {n - 1}), "
-        f"i -> concat_ws(' ', slice(t, i, {n})))) "
+def _shingle_case(tok_ref: str, n: int) -> str:
+    """The one shingle template both forms share: distinct n-word
+    shingles of the token array ``tok_ref`` (the dedup unit, empty
+    below n tokens).  Single source of truth — the DuckDB oracles
+    assert byte-equal shingle-derived outputs, so the expression-string
+    and two-projection forms must never diverge."""
+    return (
+        f"CASE WHEN size({tok_ref}) >= {n} THEN "
+        f"array_distinct(transform(sequence(1, size({tok_ref}) - {n - 1}), "
+        f"i -> concat_ws(' ', slice({tok_ref}, i, {n})))) "
         "ELSE array() END"
     )
-    return _bind(_bind(inner, "split(s, ' ')", var="t"), _norm_sql(col))
+
+
+def shingles_expr(col: str, n: int = 3) -> str:
+    """Distinct n-word shingles as ONE embeddable expression string
+    (lambda-bound single tokenization) — for callers composing larger
+    expressions.  Hot paths should use :func:`with_word_shingles`."""
+    return _bind(_bind(_shingle_case("t", n), "split(s, ' ')", var="t"), _norm_sql(col))
 
 
 def with_word_shingles(df, col: str, n: int = 3, out: str = "shingles"):
@@ -291,18 +300,16 @@ def with_word_shingles(df, col: str, n: int = 3, out: str = "shingles"):
     split runs once per row with no lambda-binding wrapper.  Measured
     4x faster than the ``_bind`` single-expression form at sf0.1 (the
     single-element-transform `let` is interpreted per row, outside
-    whole-stage codegen); keep :func:`shingles_expr` for callers that
-    need the shingles as ONE embeddable expression string."""
+    whole-stage codegen)."""
     tok = f"__toks_{out}"
-    inner = (
-        f"CASE WHEN size({tok}) >= {n} THEN "
-        f"array_distinct(transform(sequence(1, size({tok}) - {n - 1}), "
-        f"i -> concat_ws(' ', slice({tok}, i, {n})))) "
-        "ELSE array() END"
-    )
+    if tok in df.columns:
+        raise ValueError(
+            f"with_word_shingles scratch column {tok!r} already exists "
+            "in the input — rename it or pick a different `out`"
+        )
     return (
         df.withColumn(tok, F.split(F.expr(_norm_sql(col)), " "))
-        .withColumn(out, F.expr(inner))
+        .withColumn(out, F.expr(_shingle_case(tok, n)))
         .drop(tok)
     )
 
