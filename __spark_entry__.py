@@ -3134,82 +3134,68 @@ _EXTRA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 # correctness rows (the rotation ledger lives in GRADING_LEDGER.json and
 # tests/test_registry.py enforces window size + oracle coverage).
 #
-# ROUND 4 WINDOW (this round), computed by scripts/update_ledger.py
-# (never-graded first, then least-recently-green — VERDICT.md r3 items
-# 5/6/7):
-#   - positions 1-23: the keys registered THIS round, never driver-graded
-#     (sim_topk_incremental, skew_salted_join, skew_two_phase_agg — the
-#     r3 "ungraded utilities" — plus the ivm_merge_theta_* one-sided-
-#     inequality lifecycles, the ivm_merge_theta_expr_* general two-sided-
-#     expression theta lifecycles, ivm_merge_theta_chain / _theta_mid_chain
-#     / _theta_general_chain (the session-3 closure: theta core
-#     virtualization under FULL suffixes / suffix-table deltas), the
-#     Count-Min keys approx_heavy_hitters /
-#     ivm_merge_cms_sketch / streaming_cms_sketch, the
-#     streaming_interval_join stream-stream join, the ivm_merge_ivf_cells
-#     maintained index-occupancy view, and the
-#     dedup_embedding_incremental pair CDC);
-#   - 24: ivm_projection, whose only green is from round 1;
-#   - 25-46: least-recently-green keys (green in round 2, rotated out of
-#     round 3's window) — regraded under post-r3 code (engine/lakehouse/
-#     streaming changed after their last grade);
-#   - 47-50: sample_weighted / text_pii_redact / text_boilerplate_ngrams
-#     / ivm_merge_boilerplate_index, the session-3 pipeline additions
-#     (never graded — priority over regrades).  Displaced r2-green keys
-#     (percentiles_by_status, mix_quota_per_source, multimodal_decode,
-#     multimodal_meta, pack_documents and the remaining r2/r3 greens)
-#     rotate back in r5.
+# ROUND 5 WINDOW (this round), computed by scripts/update_ledger.py
+# (never-graded first, then least-recently-green — VERDICT.md r4 item 1):
+#   - positions 1-26: the round-2-stale cohort (latest green r2, displaced
+#     by r4's never-graded-first policy) — regraded under post-r4 code
+#     (engine merge path, text tokenization, and similarity internals all
+#     changed after their last grade);
+#   - positions 27-50: least-recently-green round-3 keys (dedup_minhash_
+#     incremental, the formats/lakehouse roundtrip, and the core ivm_*
+#     delta-rule + merge lifecycle keys graded in r3).  Zero never-graded
+#     keys remain — all 126 registered keys have been driver-graded at
+#     least once and every latest grade is green.
 _GRADE_FIRST: tuple[str, ...] = (
-    "sim_topk_incremental",
-    "skew_salted_join",
-    "skew_two_phase_agg",
-    "ivm_merge_theta_join",
-    "ivm_merge_theta_left_join",
-    "ivm_merge_theta_full_join",
-    "ivm_merge_theta_semi_join",
-    "ivm_merge_theta_anti_join",
-    "ivm_merge_theta_expr_join",
-    "ivm_merge_theta_expr_left_join",
-    "ivm_merge_theta_expr_full_join",
-    "ivm_merge_theta_expr_semi_join",
-    "ivm_merge_theta_expr_anti_join",
-    "ivm_merge_theta_chain",
-    "ivm_merge_theta_mid_chain",
-    "ivm_merge_theta_general_chain",
-    "ivm_merge_asof_join",
-    "approx_heavy_hitters",
-    "ivm_merge_cms_sketch",
-    "streaming_cms_sketch",
-    "streaming_interval_join",
-    "ivm_merge_ivf_cells",
-    "dedup_embedding_incremental",
-    "ivm_projection",
-    "approx_distinct_sketch",
-    "asof_snapshots",
-    "chunk_documents",
-    "contamination_check",
-    "cube_sales",
-    "dedup_clusters",
-    "dedup_embedding",
-    "dedup_exact",
-    "dedup_keep_canonical",
-    "dedup_minhash_lsh",
-    "dedup_ngram_jaccard",
-    "dedup_simhash",
-    "emb_label_centroids",
-    "events_sliding_window",
-    "grouping_sets_sales",
-    "ivm_merge_expr_key",
-    "ivm_merge_having",
-    "ivm_merge_join3",
-    "ivm_merge_rollup_view",
-    "ivm_merge_topn_per_group",
-    "ivm_multibatch_deletes",
-    "ivm_multibatch_rollup",
-    "sample_weighted",
-    "text_pii_redact",
-    "text_boilerplate_ngrams",
-    "ivm_merge_boilerplate_index",
+    "mix_quota_per_source",
+    "multimodal_decode",
+    "multimodal_meta",
+    "pack_documents",
+    "percentiles_by_status",
+    "pivot_sales",
+    "q14_promo_revenue",
+    "q5_local_supplier_volume",
+    "range_join_bands",
+    "rollup_sales",
+    "sample_stratified",
+    "scalar_functions",
+    "sessionize_users",
+    "setops_active_custkeys",
+    "sim_knn_label_consistency",
+    "sim_topk_bruteforce",
+    "sim_topk_lsh",
+    "text_lang_accuracy",
+    "text_lang_id",
+    "text_quality",
+    "text_repetition",
+    "text_stats",
+    "text_tfidf_keywords",
+    "token_length_histogram",
+    "unpivot_sales",
+    "window_running_total",
+    "dedup_minhash_incremental",
+    "events_window_rollup",
+    "formats_roundtrip",
+    "ivm_avg",
+    "ivm_cascade_rollup",
+    "ivm_count_distinct",
+    "ivm_expr_agg",
+    "ivm_filter",
+    "ivm_filter_groupby",
+    "ivm_global_agg",
+    "ivm_groupby_agg",
+    "ivm_join_delta",
+    "ivm_left_join_delta",
+    "ivm_maintain_all",
+    "ivm_merge_anti_join",
+    "ivm_merge_chain_dim",
+    "ivm_merge_chain_semi",
+    "ivm_merge_corpus_stats",
+    "ivm_merge_dedup_index",
+    "ivm_merge_distinct",
+    "ivm_merge_doc_quality",
+    "ivm_merge_full_chain",
+    "ivm_merge_full_outer",
+    "ivm_merge_full_pos_chain",
 )
 
 
