@@ -2222,6 +2222,7 @@ def _q_streaming_cms_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         state["sk"] = cur.localCheckpoint(eager=True)
         state["batches"] += 1
 
+    shuffle_before = spark.conf.get("spark.sql.shuffle.partitions")
     try:
         ev.repartition(4).write.mode("overwrite").parquet(land)
         s = (
@@ -2229,6 +2230,10 @@ def _q_streaming_cms_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
             .option("maxFilesPerTrigger", 1)
             .parquet(land)
         )
+        # the per-batch sketch aggregation emits O(d·w) tiny rows — 32
+        # shuffle shards per micro-batch is pure task overhead, so run
+        # the stream's batches at 4 (restored after)
+        spark.conf.set("spark.sql.shuffle.partitions", "4")
         q = (
             s.writeStream.foreachBatch(on_batch)
             .option("checkpointLocation", ckpt)
@@ -2249,6 +2254,7 @@ def _q_streaming_cms_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
             eager=True
         )
     finally:
+        spark.conf.set("spark.sql.shuffle.partitions", shuffle_before)
         shutil.rmtree(land, ignore_errors=True)
         shutil.rmtree(ckpt, ignore_errors=True)
 
@@ -2950,37 +2956,65 @@ def _q_streaming_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _engine(spark, sf_dir).table("events")
     # watermarks require TIMESTAMP (tz-aware) event time, not the NTZ the
     # nanos rebuild produces — the session tz is UTC, so the cast is a
-    # pure reinterpretation
-    clicks = ev.filter("event_type = 'click'").select(
-        "user_id",
-        F.col("event_id").alias("click_id"),
-        F.col("ts").cast("timestamp").alias("click_ts"),
-    )
-    purchases = ev.filter("event_type = 'purchase'").select(
-        "user_id",
-        F.col("event_id").alias("purchase_id"),
-        F.col("ts").cast("timestamp").alias("purchase_ts"),
-        F.expr("CAST(round(value * 100) AS BIGINT)").alias("purchase_cents"),
-    )
+    # pure reinterpretation (applied in the staging projection below)
     # stage both sides as landing directories (the file-stream source
     # needs a dir; the rewrite also normalizes the nanos timestamps the
-    # raw events parquet carries, which readStream cannot decode)
-    click_dir = tempfile.mkdtemp(prefix="ssj_clicks_")
-    purch_dir = tempfile.mkdtemp(prefix="ssj_purch_")
+    # raw events parquet carries, which readStream cannot decode).  ONE
+    # staging write, hive-partitioned by side, so the events table is
+    # scanned once instead of once per side (the two-write harness paid
+    # a second full scan + write job for pure staging)
+    stage_dir = tempfile.mkdtemp(prefix="ssj_stage_")
     ckpt_dir = tempfile.mkdtemp(prefix="ssj_ckpt_")
     qname = f"ssj_{uuid.uuid4().hex[:8]}"
+    union_cols = [
+        "user_id",
+        F.col("event_id").alias("eid"),
+        F.col("ts").cast("timestamp").alias("ets"),
+        F.expr(
+            "CAST(round(IF(event_type = 'purchase', value, 0) * 100) AS BIGINT)"
+        ).alias("cents"),
+        F.col("event_type").alias("side"),
+    ]
+    shuffle_before = spark.conf.get("spark.sql.shuffle.partitions")
     try:
         # few, large landing files: the file-stream source lists and
         # tracks per-file state, and 32 shuffle-partition shards of a
         # 20k-row side are pure task overhead
-        clicks.coalesce(2).write.mode("overwrite").parquet(click_dir)
-        purchases.coalesce(2).write.mode("overwrite").parquet(purch_dir)
-        cs = spark.readStream.schema(clicks.schema).parquet(click_dir)
-        ps = spark.readStream.schema(purchases.schema).parquet(purch_dir)
+        ev.filter("event_type IN ('click', 'purchase')").select(
+            *union_cols
+        ).coalesce(2).write.mode("overwrite").partitionBy("side").parquet(
+            stage_dir
+        )
+        side_schema = "user_id bigint, eid bigint, ets timestamp, cents bigint"
+        cs = (
+            spark.readStream.schema(side_schema)
+            .parquet(f"{stage_dir}/side=click")
+            .select(
+                "user_id",
+                F.col("eid").alias("click_id"),
+                F.col("ets").alias("click_ts"),
+            )
+        )
+        ps = (
+            spark.readStream.schema(side_schema)
+            .parquet(f"{stage_dir}/side=purchase")
+            .select(
+                "user_id",
+                F.col("eid").alias("purchase_id"),
+                F.col("ets").alias("purchase_ts"),
+                F.col("cents").alias("purchase_cents"),
+            )
+        )
         joined = interval_join(
             cs, ps, ("user_id",), "click_ts", "purchase_ts",
             upper="30 minutes", watermark="1 hour",
         )
+        # the stream-stream join keys the state store by the shuffle
+        # partition count: 32 state instances per side for a 20k-row
+        # harness batch is pure per-task/state-commit overhead, so run
+        # the stream at 4 (restored after) — on a real cluster this is
+        # sized to the stream's key cardinality, not the session default
+        spark.conf.set("spark.sql.shuffle.partitions", "4")
         q = (
             joined.writeStream.format("memory")
             .queryName(qname)
@@ -2996,7 +3030,8 @@ def _q_streaming_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         # staging dirs are deleted
         out = spark.table(qname).localCheckpoint(eager=True)
     finally:
-        for d in (click_dir, purch_dir, ckpt_dir):
+        spark.conf.set("spark.sql.shuffle.partitions", shuffle_before)
+        for d in (stage_dir, ckpt_dir):
             shutil.rmtree(d, ignore_errors=True)
     return out.select(
         "user_id", "click_id", "click_ts", "purchase_id", "purchase_cents"

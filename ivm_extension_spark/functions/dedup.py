@@ -818,6 +818,113 @@ def _embedding_near_dups_lsh(
     return pairs.groupBy("id_a", "id_b").agg(F.first("cos_sim").alias("cos_sim"))
 
 
+def _embedding_near_dups_delta_lsh(
+    src: DataFrame,
+    d: DataFrame,
+    threshold: float,
+    n_tables: int,
+    planes: int,
+) -> tuple[DataFrame, DataFrame]:
+    """Oversized-delta path for :func:`embedding_near_dups_delta`: a
+    "delta" that is really a backfill must not be collected/broadcast,
+    so both the corpus and the delta are bucketed with the SAME
+    deterministic hyperplanes as the batch LSH path and scored within
+    (table, bucket) groups — corpus side × delta side, exact BLAS per
+    block, nothing driver-held.
+
+    Recall semantics match the batch ``_embedding_near_dups_lsh``
+    exactly: the hyperplanes are seeded constants, so a pair lands in
+    the same buckets on every run — the CDC retracts precisely the
+    pairs the batch path emitted and inserts precisely the pairs it
+    would emit over T′ (the invariant holds bit-exactly AGAINST THE LSH
+    PATH, which is the path a corpus this size took)."""
+    from ivm_extension_spark.functions.similarity import _hyperplanes, bucket_expr
+
+    dim = len(src.select("v").limit(1).collect()[0][0])
+
+    def bucketed(rel: DataFrame, side: int) -> DataFrame:
+        return rel.select(
+            "id",
+            "v",
+            F.lit(side).alias("__side"),
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(t).alias("t"),
+                            bucket_expr(
+                                "v", _hyperplanes(dim, planes, seed=101 + t)
+                            ).alias("bucket"),
+                        )
+                        for t in range(n_tables)
+                    ]
+                )
+            ).alias("tb"),
+        ).select(
+            "id", "v", "__side",
+            F.col("tb.t").alias("t"), F.col("tb.bucket").alias("bucket"),
+        )
+
+    out_schema = T.StructType(
+        [
+            T.StructField("id_a", T.LongType(), False),
+            T.StructField("id_b", T.LongType(), False),
+            T.StructField("cos_sim", T.DoubleType(), True),
+        ]
+    )
+
+    def per_bucket(pdf: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"id_a": [], "id_b": [], "cos_sim": []}).astype(
+            {"id_a": np.int64, "id_b": np.int64, "cos_sim": np.float64}
+        )
+        probe = pdf[pdf["__side"] == 1]
+        corpus = pdf[pdf["__side"] == 0]
+        if len(probe) == 0 or len(corpus) == 0:
+            return empty
+
+        def unit(part: pd.DataFrame):
+            ids = part["id"].to_numpy(dtype=np.int64)
+            mat = np.array(list(part["v"]), dtype=np.float64)
+            norms = np.sqrt((mat * mat).sum(axis=1))
+            norms[norms == 0] = 1.0
+            return ids, mat / norms[:, None]
+
+        pids, punit = unit(probe)
+        cids, cunit = unit(corpus)
+        sims = punit @ cunit.T
+        sims = np.floor(sims * 1e4 + 0.5) / 1e4  # same half-up as batch
+        mask = (sims >= threshold) & (pids[:, None] != cids[None, :])
+        ai, bi = np.nonzero(mask)
+        a, b = pids[ai], cids[bi]
+        return pd.DataFrame(
+            {
+                "id_a": np.minimum(a, b),
+                "id_b": np.maximum(a, b),
+                "cos_sim": sims[ai, bi],
+            }
+        )
+
+    def probe_pairs(corpus: DataFrame, probe: DataFrame, ins: bool) -> DataFrame:
+        both = bucketed(corpus, 0).unionByName(bucketed(probe, 1))
+        pairs = both.groupBy("t", "bucket").applyInPandas(per_bucket, out_schema)
+        # a pair can collide in several tables, and a probe×probe pair
+        # appears once per orientation — one canonical copy of each
+        return (
+            pairs.groupBy("id_a", "id_b")
+            .agg(F.first("cos_sim").alias("cos_sim"))
+            .withColumn("__ins", F.lit(ins))
+        )
+
+    del_vecs = d.filter(~F.col("__ins")).select("id", "v")
+    ins_vecs = d.filter(F.col("__ins")).select("id", "v")
+    surv = src.join(del_vecs.select("id"), on="id", how="left_anti")
+    new_index = surv.unionByName(ins_vecs)
+    cdc = probe_pairs(src, del_vecs, False).unionByName(
+        probe_pairs(new_index, ins_vecs, True)
+    )
+    return cdc, new_index
+
+
 def embedding_near_dups_delta(
     index: DataFrame,
     delta: DataFrame,
@@ -825,6 +932,9 @@ def embedding_near_dups_delta(
     vec_col: str,
     threshold: float = 0.95,
     mult_col: str = "_duckdb_ivm_multiplicity",
+    broadcast_limit: int = 50_000,
+    lsh_tables: int = 8,
+    lsh_planes: int = 8,
 ) -> tuple[DataFrame, DataFrame]:
     """INCREMENTAL embedding near-dup — the pair CDC under a corpus
     delta, without rescoring the corpus against itself.
@@ -849,10 +959,13 @@ def embedding_near_dups_delta(
     O(|corpus|²) — the corpus is scanned ONCE (mapInPandas, no shuffle)
     against the broadcast delta matrix; the delta is collected for the
     broadcast (O(|Δ|·d) bytes — the same bound any broadcast join
-    carries), and the tiny Δ×Δ blocks are scored at plan-build time.
-    For very hot corpora an LSH-bucket probe (index stored bucketed,
-    delta routed to its buckets) drops the constant further at recall
-    cost — the batch path's ``_embedding_near_dups_lsh`` shape.
+    carries) AFTER a limit-bounded size probe, mirroring the batch
+    path's gate: a "delta" over ``broadcast_limit`` rows (a backfill)
+    is never driver-held — it routes through the deterministic LSH
+    buckets instead (:func:`_embedding_near_dups_delta_lsh`), whose
+    recall semantics match the batch LSH path a corpus that size took.
+    The tiny Δ×Δ blocks of the broadcast path are scored at plan-build
+    time.
     """
     from collections.abc import Iterator
 
@@ -865,6 +978,17 @@ def embedding_near_dups_delta(
         F.col(vec_col).cast("array<double>").alias("v"),
         F.col(mult_col).alias("__ins"),
     )
+    over = d.select("id").limit(broadcast_limit + 1).count() > broadcast_limit
+    if over:
+        cdc, new_index = _embedding_near_dups_delta_lsh(
+            src, d, threshold, n_tables=lsh_tables, planes=lsh_planes
+        )
+        return (
+            cdc.withColumnRenamed("__ins", mult_col),
+            new_index.select(
+                F.col("id").alias(id_col), F.col("v").alias(vec_col)
+            ),
+        )
     drows = d.collect()
 
     def _unit(rows_):

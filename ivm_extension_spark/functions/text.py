@@ -307,6 +307,13 @@ def with_word_shingles(df, col: str, n: int = 3, out: str = "shingles"):
             f"with_word_shingles scratch column {tok!r} already exists "
             "in the input — rename it or pick a different `out`"
         )
+    if out in df.columns:
+        # withColumn would silently REPLACE an existing column of this
+        # name — same guard as the scratch column, symmetric
+        raise ValueError(
+            f"with_word_shingles output column {out!r} already exists "
+            "in the input — pick a different `out`"
+        )
     return (
         df.withColumn(tok, F.split(F.expr(_norm_sql(col)), " "))
         .withColumn(out, F.expr(_shingle_case(tok, n)))
@@ -446,6 +453,17 @@ def tfidf_top_terms(
 # dashed SSN is never half-eaten by the phone rule; IP last (a dotted
 # phone has only three octet groups, so the four-octet IP pattern never
 # overlaps it).
+#
+# Supported formats (deliberately narrow, the RE2-portable core):
+# - phone: US dashed/dotted 3-3-4 ONLY ("555-123-4567", "555.123.4567").
+#   Parenthesized ("(555) 123-4567"), space-separated, and bare-10-digit
+#   forms are NOT matched — extend the alternation if your corpus needs
+#   them, keeping the oracle pattern in sync.
+# - ip: any dotted quad of 1-3-digit groups; octets are NOT range-checked
+#   (999.999.999.999 redacts, and a dotted version string like "1.2.3.4"
+#   is indistinguishable from an address at this syntax level).  A
+#   compliance pass prefers the false positive; constrain octets to
+#   0-255 with an RE2-portable alternation if precision matters more.
 PII_PATTERNS: tuple[tuple[str, str, str], ...] = (
     ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
     ("ssn", r"\b\d{3}-\d{2}-\d{4}\b", "<SSN>"),
@@ -462,7 +480,15 @@ def redact_pii(df, id_col: str = "doc_id", text_col: str = "text"):
 
     Output: (id, n_email, n_ssn, n_phone, n_ip, redacted) with counts
     measured on the ORIGINAL text (audit trail) and ``redacted`` the
-    scrubbed text.
+    scrubbed text.  Because every count is taken on the original text
+    while the replacements run sequentially on the evolving string, a
+    count can EXCEED the number of substitutions its pattern performed
+    when matches overlap (a phone-shaped token inside an email's local
+    part counts toward n_phone but is consumed by the earlier <EMAIL>
+    replacement).  The counts answer "how many pattern hits did the raw
+    text contain", not "how many placeholders did this rule insert" —
+    the former is the audit-trail quantity and is what the DuckDB
+    oracle reproduces.
 
     Scale shape: a pure NARROW per-row projection — four
     ``regexp_replace`` + four ``regexp_count`` calls, all JVM-side
@@ -508,7 +534,19 @@ def boilerplate_ngram_coverage(
     barrier so the three consumers (df counts, per-doc totals, the
     boilerplate probe) share ONE tokenization instead of re-deriving
     the shingle subtree per branch; only (doc, n-gram) keys cross
-    exchanges, never document bodies."""
+    exchanges, never document bodies.
+
+    Hot-key guard (the boilerplate analog of n-gram Jaccard's
+    hot-shingle cap, dedup.ngram_jaccard_pairs): boilerplate grams are
+    BY DEFINITION the hottest keys in the corpus — a shuffled join back
+    would route every occurrence of a stop-gram to one reducer.  Unlike
+    Jaccard's candidate generation they cannot be DROPPED (they are the
+    output), but the boilerplate set is size-bounded by construction —
+    Σ df ≤ total (doc, gram) rows and every member has df ≥ nd·pct/100,
+    so |set| ≤ avg_grams_per_doc · 100/min_df_pct, INDEPENDENT of corpus
+    size (~40k grams at 2k-gram docs and the 5% default).  It is
+    therefore broadcast: the probe streams map-side, no shuffle of the
+    (doc, n-gram) relation, no hot reducer."""
     sh = explode_array_barrier(
         with_word_shingles(
             df.select(F.col(id_col).alias("id"), F.col(text_col)),
@@ -528,7 +566,7 @@ def boilerplate_ngram_coverage(
         .select("g")
     )
     per_doc = sh.groupBy("id").agg(F.count("*").alias("n_shingles"))
-    boiler = sh.join(boiler_grams, on="g").groupBy("id").agg(
+    boiler = sh.join(F.broadcast(boiler_grams), on="g").groupBy("id").agg(
         F.count("*").alias("__nb")
     )
     return (

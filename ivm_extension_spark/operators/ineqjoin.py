@@ -35,12 +35,75 @@ the one-sided shape.
 
 from __future__ import annotations
 
+import math
+import re
+
 from pyspark.sql import DataFrame, functions as F
 
 _LVL, _IDX = "__dy_lvl", "__dy_idx"
 _BIN = "__dy_bin"
 
 _OPS = {"<", "<=", ">", ">="}
+
+_BARE_RX = re.compile(r"[A-Za-z_]\w*")
+
+
+def _as_column(df: DataFrame, expr: str, scratch: str):
+    """Resolve a value-axis operand that may be an EXPRESSION (the SQL
+    front routes conditions like ``o_totalprice < cutoff * scale`` here)
+    to a real column: bare existing columns pass through, anything else
+    is materialized as ``scratch``.  Returns (df, col_name, added)."""
+    e = expr.strip()
+    if _BARE_RX.fullmatch(e) and e in df.columns:
+        return df, e, None
+    if scratch in df.columns:
+        raise ValueError(f"scratch column name {scratch!r} already exists")
+    return df.withColumn(scratch, F.expr(e)), scratch, scratch
+
+
+def _extra_refs(extra_cond: str | None, cols: list[str]) -> list[str]:
+    """Columns of ``cols`` referenced by ``extra_cond`` — they extend the
+    match-count probe key, because with a residual condition a row's
+    match fate is determined by ALL condition inputs, not just the
+    dyadic axis column."""
+    if not extra_cond:
+        return []
+    from ivm_extension_spark.operators.thetajoin import referenced_cols
+
+    return referenced_cols(extra_cond, cols, ())
+
+
+def auto_dyadic_bins(
+    left: DataFrame,
+    right: DataFrame,
+    left_expr: str,
+    right_expr: str,
+    levels: int = 16,
+) -> tuple[float, int, float]:
+    """Derive ``(bin_width, max_bins, origin)`` covering both sides'
+    value domains — used by the SQL front when routing a one-sided
+    inequality at CREATE time, where no caller supplies bin geometry.
+    Costs one tiny min/max aggregation job per side (the alternative is
+    a nested-loop materialization, O(|L|·|R|)).  The domain is padded by
+    one bin on each end so the runtime guard never trips on boundary
+    floating-point rounding."""
+    nbins = 1 << levels
+
+    def mm(df: DataFrame, e: str) -> tuple[float | None, float | None]:
+        row = df.select(
+            F.min(F.expr(e)).cast("double").alias("lo"),
+            F.max(F.expr(e)).cast("double").alias("hi"),
+        ).first()
+        return (row["lo"], row["hi"]) if row else (None, None)
+
+    vals = [v for v in (*mm(left, left_expr), *mm(right, right_expr))
+            if v is not None and math.isfinite(v)]
+    if not vals:
+        return 1.0, nbins, 0.0
+    lo, hi = min(vals), max(vals)
+    span = hi - lo
+    width = (span / (nbins - 4)) if span > 0 else 1.0
+    return width, nbins, lo - width
 
 
 def _binned(
@@ -136,6 +199,7 @@ def ineq_join(
     key_cols: tuple[str, ...] = (),
     broadcast: str | None = None,
     origin: float = 0.0,
+    extra_cond: str | None = None,
 ) -> DataFrame:
     """Inner join on ``left.left_col <op> right.right_col`` (plus equal
     ``key_cols``), planned as one hash equi-join — never a nested loop.
@@ -146,6 +210,14 @@ def ineq_join(
     ``broadcast`` may name 'left' or 'right' to hint that side (pass the
     DELTA side in incremental maintenance).  Output: all left columns +
     non-key right columns.
+
+    ``left_col``/``right_col`` may be SQL EXPRESSIONS over their side's
+    columns (materialized to scratch bin axes internally), and
+    ``extra_cond`` is a residual SQL condition over both sides' (bare,
+    disjoint) columns re-checked on every candidate pair — together they
+    let the SQL front route a full ON clause like
+    ``l.price < r.cutoff * r.scale AND l.qty >= r.min_qty`` through the
+    dyadic plan.
     """
     if op not in _OPS:
         raise ValueError(f"op must be one of {sorted(_OPS)}, got {op!r}")
@@ -157,6 +229,8 @@ def ineq_join(
     levels = max(int(max_bins - 1).bit_length(), 1)
     out_cols = [*left.columns, *[c for c in right.columns if c not in key_cols]]
 
+    left, left_col, _ = _as_column(left, left_col, "__ineq_lv")
+    right, right_col, _ = _as_column(right, right_col, "__ineq_rv")
     lb = _binned(left, left_col, bin_width, levels, origin)
     rb = _binned(right, right_col, bin_width, levels, origin)
     bc_l = F.broadcast if broadcast == "left" else (lambda d: d)
@@ -172,12 +246,30 @@ def ineq_join(
     else:
         nl, nr = _prefix_nodes(lb, levels), _ancestors(rb, levels)
     exact = F.expr(f"{left_col} {op} {right_col}")
-    return (
+    out = (
         bc_l(nl)
         .join(bc_r(nr), on=[*key_cols, _LVL, _IDX])
         .filter((F.col(_LVL) != -1) | exact)
-        .select(*out_cols)
     )
+    if extra_cond:
+        out = out.filter(F.expr(extra_cond))
+    return out.select(*out_cols)
+
+
+def _probe_back(
+    side: DataFrame, mk: DataFrame, kp: list[str], how: str
+) -> DataFrame:
+    """Broadcast semi/anti join of ``side`` against the matched-key set
+    ``mk`` on ``kp`` — NULL-SAFE, because with an ``extra_cond``
+    residual a row can match through NULL referenced columns (e.g. a
+    condition wrapped in ``coalesce``); plain name-equality would drop
+    those keys silently."""
+    mkd = mk.select(*[F.col(c).alias(f"__mk_{c}") for c in kp])
+    cond = None
+    for c in kp:
+        t = F.col(c).eqNullSafe(F.col(f"__mk_{c}"))
+        cond = t if cond is None else cond & t
+    return side.join(F.broadcast(mkd), on=cond, how=how)
 
 
 def _null_pad_anti(
@@ -215,24 +307,31 @@ def ineq_left_join(
     max_bins: int = 1 << 21,
     key_cols: tuple[str, ...] = (),
     origin: float = 0.0,
+    extra_cond: str | None = None,
 ) -> DataFrame:
     """LEFT OUTER inequality join: matched pairs plus left rows with no
     qualifying right row, NULL-padded.  A left row's match status
-    depends only on (``key_cols``…, ``left_col``), so the anti probe is
-    the dyadic join of the DISTINCT left keys against the right side —
-    never a second pass over the full left relation."""
-    kp = [*key_cols, left_col]
+    depends only on (``key_cols``…, ``left_col``, columns referenced by
+    ``extra_cond``), so the anti probe is the dyadic join of the
+    DISTINCT left keys against the right side — never a second pass
+    over the full left relation.  Expression axes and ``extra_cond``
+    residuals as in :func:`ineq_join`."""
     out_cols = [*left.columns, *[c for c in right.columns if c not in key_cols]]
+    left, left_col, _ = _as_column(left, left_col, "__ineq_lv")
+    right, right_col, _ = _as_column(right, right_col, "__ineq_rv")
+    kp = list(dict.fromkeys(
+        [*key_cols, left_col, *_extra_refs(extra_cond, left.columns)]
+    ))
     # the matched relation feeds BOTH the output union and the anti
     # probe's matched-key set — a lazy localCheckpoint materializes the
     # dyadic join once instead of executing it twice (and instead of a
     # second dyadic join over the distinct left keys)
     matched = ineq_join(
         left, right, left_col, right_col, op, bin_width, max_bins, key_cols,
-        None, origin,
+        None, origin, extra_cond,
     ).localCheckpoint(eager=False)
     anti = _null_pad_anti(left, matched.select(*kp), kp, right, key_cols)
-    return matched.unionByName(anti.select(*out_cols))
+    return matched.unionByName(anti.select(*matched.columns)).select(*out_cols)
 
 
 def ineq_full_join(
@@ -245,26 +344,36 @@ def ineq_full_join(
     max_bins: int = 1 << 21,
     key_cols: tuple[str, ...] = (),
     origin: float = 0.0,
+    extra_cond: str | None = None,
 ) -> DataFrame:
     """FULL OUTER inequality join: matched pairs plus BOTH sides'
     matchless rows NULL-padded.  A right row's match status depends
-    only on (``key_cols``…, ``right_col``) — symmetric to the left
-    side — so both anti probes are null-safe broadcast anti-joins
-    against the (checkpointed-once) matched relation's key
-    projections, never a second dyadic pass."""
-    kp_l = [*key_cols, left_col]
-    kp_r = [*key_cols, right_col]
+    only on (``key_cols``…, ``right_col``, ``extra_cond`` references) —
+    symmetric to the left side — so both anti probes are null-safe
+    broadcast anti-joins against the (checkpointed-once) matched
+    relation's key projections, never a second dyadic pass.
+    Expression axes and ``extra_cond`` residuals as in
+    :func:`ineq_join`."""
     out_cols = [*left.columns, *[c for c in right.columns if c not in key_cols]]
+    left, left_col, _ = _as_column(left, left_col, "__ineq_lv")
+    right, right_col, _ = _as_column(right, right_col, "__ineq_rv")
+    kp_l = list(dict.fromkeys(
+        [*key_cols, left_col, *_extra_refs(extra_cond, left.columns)]
+    ))
+    kp_r = list(dict.fromkeys(
+        [*key_cols, right_col, *_extra_refs(extra_cond, right.columns)]
+    ))
     matched = ineq_join(
         left, right, left_col, right_col, op, bin_width, max_bins, key_cols,
-        None, origin,
+        None, origin, extra_cond,
     ).localCheckpoint(eager=False)
     anti_l = _null_pad_anti(left, matched.select(*kp_l), kp_l, right, key_cols)
     anti_r = _null_pad_anti(right, matched.select(*kp_r), kp_r, left, key_cols)
     return (
         matched
-        .unionByName(anti_l.select(*out_cols))
-        .unionByName(anti_r.select(*out_cols))
+        .unionByName(anti_l.select(*matched.columns))
+        .unionByName(anti_r.select(*matched.columns))
+        .select(*out_cols)
     )
 
 
@@ -301,26 +410,37 @@ def ineq_semi_join(
     max_bins: int = 1 << 21,
     key_cols: tuple[str, ...] = (),
     origin: float = 0.0,
+    extra_cond: str | None = None,
 ) -> DataFrame:
     """LEFT SEMI inequality join: left rows with ≥1 qualifying right
     row — ``EXISTS (right WHERE l.left_col <op> r.right_col AND key
     equality)``.  Match status depends only on (``key_cols``…,
-    ``left_col``), so the dyadic probe runs over the DISTINCT left
-    keys and the matched-key set is broadcast-semi-joined back to the
-    full left relation — the 100 TB left side is never shuffled and
-    never expanded ``levels``-fold.  Output: left columns only."""
-    kp = [*key_cols, left_col]
+    ``left_col``, ``extra_cond`` references), so the dyadic probe runs
+    over the DISTINCT left keys and the matched-key set is
+    broadcast-semi-joined back to the full left relation — the 100 TB
+    left side is never shuffled and never expanded ``levels``-fold.
+    Output: left columns only (scratch axes for expression
+    ``left_col`` are internal)."""
+    out_cols = list(left.columns)
+    left, left_col, scratch = _as_column(left, left_col, "__ineq_lv")
+    right, right_col, _ = _as_column(right, right_col, "__ineq_rv")
+    kp = list(dict.fromkeys(
+        [*key_cols, left_col, *_extra_refs(extra_cond, left.columns)]
+    ))
+    rsel = list(dict.fromkeys(
+        [*key_cols, right_col, *_extra_refs(extra_cond, right.columns)]
+    ))
     mk = (
         ineq_join(
             left.select(*kp).distinct(),
-            right.select(*key_cols, right_col),
+            right.select(*rsel),
             left_col, right_col, op, bin_width, max_bins, key_cols,
-            None, origin,
+            None, origin, extra_cond,
         )
         .select(*kp)
         .distinct()
     )
-    return left.join(F.broadcast(mk), on=kp, how="leftsemi")
+    return _probe_back(left, mk, kp, "leftsemi").select(*out_cols)
 
 
 def ineq_anti_join(
@@ -333,24 +453,33 @@ def ineq_anti_join(
     max_bins: int = 1 << 21,
     key_cols: tuple[str, ...] = (),
     origin: float = 0.0,
+    extra_cond: str | None = None,
 ) -> DataFrame:
     """LEFT ANTI inequality join: left rows with NO qualifying right
     row (NULL ``left_col`` rows qualify — NULL never satisfies the
     predicate).  Same broadcast matched-key probe as
     :func:`ineq_semi_join`, with ``left_anti`` instead of
     ``leftsemi``.  Output: left columns only."""
-    kp = [*key_cols, left_col]
+    out_cols = list(left.columns)
+    left, left_col, _ = _as_column(left, left_col, "__ineq_lv")
+    right, right_col, _ = _as_column(right, right_col, "__ineq_rv")
+    kp = list(dict.fromkeys(
+        [*key_cols, left_col, *_extra_refs(extra_cond, left.columns)]
+    ))
+    rsel = list(dict.fromkeys(
+        [*key_cols, right_col, *_extra_refs(extra_cond, right.columns)]
+    ))
     mk = (
         ineq_join(
             left.select(*kp).distinct().filter(F.col(left_col).isNotNull()),
-            right.select(*key_cols, right_col),
+            right.select(*rsel),
             left_col, right_col, op, bin_width, max_bins, key_cols,
-            None, origin,
+            None, origin, extra_cond,
         )
         .select(*kp)
         .distinct()
     )
-    return left.join(F.broadcast(mk), on=kp, how="left_anti")
+    return _probe_back(left, mk, kp, "left_anti").select(*out_cols)
 
 
 def ineq_semi_join_delta(

@@ -35,6 +35,7 @@ def range_join(
     key_cols: tuple[str, ...] = (),
     max_bins_per_interval: int = 10_000,
     how: str = "inner",
+    extra_cond: str | None = None,
 ) -> DataFrame:
     """Join each point row to every interval row with
     ``lo <= pt <= hi`` (and equal ``key_cols``, if given).
@@ -46,6 +47,14 @@ def range_join(
     (additionally, pointless intervals kept with NULL point columns —
     note empty/NULL-bounded intervals match nothing but ARE preserved
     by FULL, exactly as recomputing the theta join would).
+
+    ``point_col``/``lo_col``/``hi_col`` may be SQL EXPRESSIONS over
+    their side's columns (materialized to internal scratch columns),
+    and ``extra_cond`` is a residual SQL condition over both sides'
+    bare disjoint columns folded into the match definition — together
+    they let the SQL front route a full interval ON clause (including
+    STRICT bounds, which ride in ``extra_cond`` over the inclusive bin
+    prefilter) through the banded plan.
     """
     if how not in ("inner", "left", "full"):
         raise ValueError(f"how must be 'inner', 'left' or 'full', got {how!r}")
@@ -54,6 +63,14 @@ def range_join(
         raise ValueError(
             f"non-key column names must be disjoint, both sides have {sorted(overlap)}"
         )
+    from ivm_extension_spark.operators.ineqjoin import _as_column, _extra_refs
+
+    out_cols = [c for c in points.columns] + [
+        c for c in intervals.columns if c not in (*key_cols,)
+    ]
+    points, point_col, _ = _as_column(points, point_col, "__rng_pv")
+    intervals, lo_col, _ = _as_column(intervals, lo_col, "__rng_lo")
+    intervals, hi_col, _ = _as_column(intervals, hi_col, "__rng_hi")
     p = points.withColumn(
         _BIN, F.floor(F.col(point_col) / F.lit(bin_width)).cast("long")
     )
@@ -63,9 +80,8 @@ def range_join(
     joined = p.join(i, on=[_BIN, *key_cols], how="inner").filter(
         (F.col(point_col) >= F.col(lo_col)) & (F.col(point_col) <= F.col(hi_col))
     )
-    out_cols = [c for c in points.columns] + [
-        c for c in intervals.columns if c not in (*key_cols,)
-    ]
+    if extra_cond:
+        joined = joined.filter(F.expr(extra_cond))
     matched = joined.select(*out_cols)
     if how == "inner":
         return matched
@@ -88,24 +104,69 @@ def range_join(
         & (F.col(f"__rj_p.{point_col}") >= F.col(f"__rj_i.{lo_col}"))
         & (F.col(f"__rj_p.{point_col}") <= F.col(f"__rj_i.{hi_col}"))
     )
+    if extra_cond:
+        # bare names resolve unambiguously across the two aliases
+        # (disjointness enforced above), so the residual folds straight
+        # into the join condition — the preserved-side semantics stay
+        # exact under the full ON clause
+        cond = cond & F.expr(extra_cond)
     out = pa.join(ia, on=cond, how="left").select(
-        *[F.col(f"__rj_p.{c}").alias(c) for c in points.columns],
+        *[F.col(f"__rj_p.{c}").alias(c) for c in out_cols if c in points.columns],
         *[
             F.col(f"__rj_i.{c}").alias(c)
             for c in intervals.columns
-            if c not in key_cols
+            if c not in key_cols and c in out_cols
         ],
     )
     if how == "left":
         return out
     # full: additionally preserve pointless intervals NULL-padded on the
     # point side.  An interval's match set is determined by
-    # (key_cols, lo, hi) — payload columns don't affect matching, and
-    # duplicates share their fate.
-    unmatched_i = _null_pad_anti(
-        intervals, joined, [*key_cols, lo_col, hi_col], points, key_cols
-    )
+    # (key_cols, lo, hi, extra_cond's interval-side references) —
+    # payload columns don't affect matching, and duplicates share their
+    # fate.
+    probe = list(dict.fromkeys(
+        [*key_cols, lo_col, hi_col, *_extra_refs(extra_cond, intervals.columns)]
+    ))
+    unmatched_i = _null_pad_anti(intervals, joined, probe, points, key_cols)
     return out.unionByName(unmatched_i.select(*out_cols))
+
+
+def auto_range_bin_width(
+    points: DataFrame,
+    intervals: DataFrame,
+    point_expr: str,
+    lo_expr: str,
+    hi_expr: str,
+    target_bins: int = 1 << 16,
+    max_bins_per_interval: int = 10_000,
+) -> float:
+    """Derive a ``bin_width`` for :func:`range_join` when the caller
+    (the SQL front, routing an interval ON clause at CREATE time) has
+    no bin geometry: wide enough that no interval explodes past the
+    per-interval cap, fine enough that the point domain spans at most
+    ``target_bins`` bins.  Costs one tiny stats job per side."""
+    import math
+
+    irow = intervals.select(
+        F.avg(F.expr(hi_expr) - F.expr(lo_expr)).cast("double").alias("avg_w"),
+        F.max(F.expr(hi_expr) - F.expr(lo_expr)).cast("double").alias("max_w"),
+    ).first()
+    prow = points.select(
+        (F.max(F.expr(point_expr)) - F.min(F.expr(point_expr)))
+        .cast("double")
+        .alias("span")
+    ).first()
+    cands = [1e-9]
+    if irow:
+        if irow["avg_w"] is not None and math.isfinite(irow["avg_w"]):
+            cands.append(irow["avg_w"])
+        if irow["max_w"] is not None and math.isfinite(irow["max_w"]):
+            cands.append(irow["max_w"] / (max_bins_per_interval // 2))
+    if prow and prow["span"] is not None and math.isfinite(prow["span"]):
+        cands.append(prow["span"] / target_bins)
+    width = max(cands)
+    return width if width > 0 else 1.0
 
 
 def _null_pad_anti(

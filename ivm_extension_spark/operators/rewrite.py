@@ -828,13 +828,29 @@ def _theta_chain_general_delta(
         else None
     )
 
-    B = get_table(view.source).alias(view.source)
-    for j in core_joins:
-        B = B.join(get_table(j.table).alias(j.table), on=F.expr(j.on), how=j.how)
-    B = B.select(*core_cols)
-    if pre_pred:
-        B = B.filter(F.expr(pre_pred))
-    B = B.localCheckpoint(eager=False)
+    # materialize B through compute_view so a structured theta core join
+    # takes the dyadic/banded equi route (see the routing section) — the
+    # raw Catalyst join here used to be the one BroadcastNestedLoopJoin
+    # left on a theta-chain DELTA path, and it re-ran on every branch
+    # fan-out that touched the checkpoint before it was materialized
+    B = compute_view(
+        dataclasses.replace(
+            view,
+            joins=core_joins,
+            where=pre_pred,
+            select=tuple((c, c) for c in core_cols),
+            aggregates=(),
+            group_by=(),
+            output_order=tuple(core_cols),
+            having=None,
+            qualify=None,
+            distinct=False,
+            grouping_sets=(),
+            order_by=(),
+            limit=None,
+        ),
+        get_table,
+    ).localCheckpoint(eager=False)
 
     dB: DataFrame | None = None
     if with_delta & set(core_tabs):
@@ -848,7 +864,16 @@ def _theta_chain_general_delta(
             .localCheckpoint(eager=False)
         )
 
+    # the virtual core shadows its name in vget_table/vget_delta — a
+    # clash (a user table called __theta_core, or this rule's own
+    # recursion on double-theta chains, whose virtual view already
+    # contains the name) would silently resolve to the WRONG relation,
+    # so pick the first fresh name instead
     vname = "__theta_core"
+    n = 0
+    while vname in view.tables:
+        n += 1
+        vname = f"__theta_core_{n}"
     strip = rf"\b(?:{'|'.join(re.escape(t) for t in core_tabs)})\s*\.\s*"
     vjoins = tuple(
         dataclasses.replace(j, on=sub_outside_literals(strip, "", j.on))
@@ -1821,17 +1846,269 @@ def delta_plan(
     return out.select(*[F.col(a) for a in view.output_order], F.col(MULT_COL))
 
 
+# --------------------------------------------------------------------------
+# CREATE-time structured-theta routing
+#
+# The DELTA rules for theta conditions are broadcast-delta-shaped and fine
+# (thetajoin.py module doc), but the PLAIN materialization of a theta view
+# (initial CREATE, full refresh, invariant checks) used to hand Catalyst the
+# raw non-equi condition — a BroadcastNestedLoopJoin on large×large inputs.
+# When the ON clause is STRUCTURED, a cheap equi plan exists and compute_view
+# routes to it:
+#
+#   one-sided comparison  l_expr <op> r_expr   → ineqjoin.py (dyadic
+#       segment-tree decomposition: pure hash joins on (level, node))
+#   point-in-interval     lo ≤ p AND p ≤ hi    → rangejoin.py (banded bins)
+#   anything else (OR, two-sided exprs, non-comparisons) → Catalyst fallback,
+#       the documented shape for arbitrary theta (thetajoin.py)
+#
+# Routing never changes semantics: the FULL original ON clause is re-checked
+# on every candidate pair (extra_cond), the binned structure only bounds
+# which pairs are generated.  Conditions with an equi conjunct are NOT
+# routed — Catalyst already extracts the equi key and hash-joins with the
+# theta part as a residual.
+
+# a single comparison operator at depth 0; excludes  <>  !=  <=>  and the
+# lambda arrow ->
+_CMP_RX = re.compile(r"<=(?!>)|>=|<(?![=>])|(?<![<>=!-])>")
+_FLIP_OP = {"<": ">", "<=": ">=", ">": "<", ">=": "<="}
+
+
+def _split_cmp(conj: str) -> tuple[str, str, str] | None:
+    """``(lhs, op, rhs)`` when ``conj`` is a single depth-0 comparison
+    (quotes and parens respected), else None."""
+    s = conj
+    op = None
+    lhs = ""
+    depth = 0
+    quote: str | None = None
+    i = last = 0
+    while i < len(s):
+        ch = s[i]
+        if quote:
+            if ch == quote:
+                quote = None
+            i += 1
+            continue
+        if ch in ("'", '"'):
+            quote = ch
+        elif ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        elif depth == 0:
+            m = _CMP_RX.match(s, i)
+            if m:
+                if op is not None:
+                    return None
+                op = m.group(0)
+                lhs = s[last:i]
+                last = i = m.end()
+                continue
+        i += 1
+    if op is None:
+        return None
+    lhs, rhs = lhs.strip(), s[last:].strip()
+    if not lhs or not rhs:
+        return None
+    return lhs, op, rhs
+
+
+def _expr_side(
+    e: str, lnames: list[str], lcols: list[str], rname: str, rcols: list[str]
+) -> str | None:
+    """Which relation an expression references: 'l', 'r', or None when
+    it references both / neither / ambiguously (string literals masked;
+    requires the router's disjoint-bare-names precondition)."""
+    from ivm_extension_spark.operators.thetajoin import _LITERAL_RX
+
+    has_l = any(re.search(rf"\b{re.escape(n)}\s*\.", e) for n in lnames)
+    has_r = bool(re.search(rf"\b{re.escape(rname)}\s*\.", e))
+    toks = set(re.findall(r"\b[A-Za-z_]\w*\b", _LITERAL_RX.sub("''", e)))
+    if toks & set(lcols) & set(rcols):
+        return None
+    l_side = has_l or bool(toks & set(lcols))
+    r_side = has_r or bool(toks & set(rcols))
+    if l_side and r_side:
+        return None
+    if l_side:
+        return "l"
+    if r_side:
+        return "r"
+    return None
+
+
+def _classify_theta(
+    on: str, lnames: list[str], lcols: list[str], rname: str, rcols: list[str]
+) -> dict | None:
+    """Classify a two-relation theta ON clause for CREATE-time routing.
+    Returns None when any conjunct is an equi pair (Catalyst already
+    hash-joins those, theta residual and all) or no one-sided comparison
+    exists; otherwise ``{'ineqs': [(lexpr, op, rexpr), ...], 'range':
+    (point, lo, hi, point_side) | None}`` with every inequality
+    normalized to left-relation-expression-first."""
+    ineqs: list[tuple[str, str, str]] = []
+    for conj in _split_depth0(on, _AND_RX):
+        if _equi_pairs(conj, lnames, rname, lcols, rcols):
+            return None
+        cmp_ = _split_cmp(conj)
+        if not cmp_:
+            continue
+        lhs, op, rhs = cmp_
+        sl = _expr_side(lhs, lnames, lcols, rname, rcols)
+        sr = _expr_side(rhs, lnames, lcols, rname, rcols)
+        if sl == "l" and sr == "r":
+            ineqs.append((lhs, op, rhs))
+        elif sl == "r" and sr == "l":
+            ineqs.append((rhs, _FLIP_OP[op], lhs))
+    if not ineqs:
+        return None
+    rng = None
+    by_l: dict[str, list[tuple[str, str]]] = {}
+    by_r: dict[str, list[tuple[str, str]]] = {}
+    for le, op, re_ in ineqs:
+        by_l.setdefault(le, []).append((op, re_))
+        by_r.setdefault(re_, []).append((op, le))
+    # the same LEFT expr bounded both ways → points live on the left
+    for pe, pairs in by_l.items():
+        lo = [x for (o, x) in pairs if o in (">", ">=")]
+        hi = [x for (o, x) in pairs if o in ("<", "<=")]
+        if lo and hi:
+            rng = (pe, lo[0], hi[0], "l")
+            break
+    if rng is None:
+        # the same RIGHT expr bounded both ways → points on the right;
+        # normalized (lexpr op pe) means lexpr is the LO bound when op
+        # is <-family (lexpr ≤ pe) and the HI bound when >-family
+        for pe, pairs in by_r.items():
+            lo = [x for (o, x) in pairs if o in ("<", "<=")]
+            hi = [x for (o, x) in pairs if o in (">", ">=")]
+            if lo and hi:
+                rng = (pe, lo[0], hi[0], "r")
+                break
+    return {"ineqs": ineqs, "range": rng}
+
+
+def _routed_theta_join(
+    acc: DataFrame, lnames: list[str], R: DataFrame, join
+) -> DataFrame | None:
+    """Route a structured theta join at materialization time (see the
+    section comment above).  Returns the joined DataFrame with BARE
+    flattened columns — the caller must strip the joined tables'
+    qualifiers from all downstream expressions — or None when the
+    condition is not routable (the caller then falls back to the
+    general Catalyst join)."""
+    from pyspark.sql.types import NumericType
+
+    from ivm_extension_spark.operators import ineqjoin as iq
+    from ivm_extension_spark.operators import rangejoin as rj
+
+    lcols, rcols = acc.columns, R.columns
+    if len(set(lcols)) != len(lcols) or (set(lcols) & set(rcols)):
+        return None
+    cls = _classify_theta(join.on, lnames, lcols, join.table, rcols)
+    if cls is None:
+        return None
+    tables = [*lnames, join.table]
+    cond = _strip_qualifiers(join.on, tables)
+
+    def numeric(df: DataFrame, e: str) -> bool:
+        try:
+            dt = df.select(F.expr(e).alias("__t")).schema[0].dataType
+        except Exception:
+            return False
+        return isinstance(dt, NumericType)
+
+    rng = cls["range"]
+    routable_range = rng is not None and (
+        join.how in ("inner", "full") or (join.how == "left" and rng[3] == "l")
+    )
+    if routable_range:
+        pe, lo, hi = (_strip_qualifiers(x, tables) for x in rng[:3])
+        points, intervals = (acc, R) if rng[3] == "l" else (R, acc)
+        if numeric(points, pe) and numeric(intervals, lo) and numeric(intervals, hi):
+            bw = rj.auto_range_bin_width(points, intervals, pe, lo, hi)
+            return rj.range_join(
+                points, intervals, pe, lo, hi, bw, how=join.how, extra_cond=cond
+            )
+    if rng is not None:
+        # an interval condition we can't hand to range_join (LEFT
+        # preserving the interval side, or semi/anti): the single-axis
+        # dyadic plan would stream every half-space pair through the
+        # residual filter — strictly worse than Catalyst's loop here
+        return None
+    lexpr, op, rexpr = cls["ineqs"][0]
+    lexpr = _strip_qualifiers(lexpr, tables)
+    rexpr = _strip_qualifiers(rexpr, tables)
+    if not (numeric(acc, lexpr) and numeric(R, rexpr)):
+        return None
+    bw, nb, orig = iq.auto_dyadic_bins(acc, R, lexpr, rexpr)
+    fns = {
+        "inner": iq.ineq_join,
+        "left": iq.ineq_left_join,
+        "full": iq.ineq_full_join,
+        "semi": iq.ineq_semi_join,
+        "anti": iq.ineq_anti_join,
+    }
+    return fns[join.how](
+        acc, R, lexpr, rexpr, op,
+        bin_width=bw, max_bins=nb, origin=orig, extra_cond=cond,
+    )
+
+
+def _strip_view_qualifiers(view: ViewDef, tables: list[str], from_join_idx: int):
+    """A copy of ``view`` whose downstream expressions (joins from
+    ``from_join_idx`` on, WHERE, select/aggregate/group expressions)
+    have the given tables' qualifiers stripped — applied after a routed
+    structured-theta join flattens the accumulated relation to bare
+    columns (the router checked global name disjointness, so stripping
+    cannot introduce ambiguity; same contract as _flatten_suffix_view
+    for suffix-FULL folding)."""
+    import dataclasses
+
+    v = _flatten_suffix_view(view, tables, from_join_idx)
+    return dataclasses.replace(
+        v,
+        where=_strip_qualifiers(v.where, tables) if v.where else None,
+        select=tuple((_strip_qualifiers(e, tables), a) for e, a in v.select),
+        aggregates=tuple(
+            dataclasses.replace(
+                a, expr=a.expr if a.expr == "*" else _strip_qualifiers(a.expr, tables)
+            )
+            for a in v.aggregates
+        ),
+        group_by=tuple(_strip_qualifiers(g, tables) for g in v.group_by),
+    )
+
+
 def compute_view(
     view: ViewDef,
     get_table: Callable[[str], DataFrame],
 ) -> DataFrame:
     """Run the view query over the base tables (no deltas) — used for the
-    initial materialization of V and for full-refresh / invariant checks."""
+    initial materialization of V and for full-refresh / invariant checks.
+    Structured theta joins (one-sided inequality / point-in-interval)
+    are routed to the dyadic / banded equi plans instead of Catalyst's
+    nested-loop fallback — see the routing section comment above."""
     acc = get_table(view.source).alias(view.source)
-    for join in view.joins:
-        acc = acc.join(
-            get_table(join.table).alias(join.table), on=F.expr(join.on), how=join.how
-        )
+    lnames = [view.source]
+    for idx in range(len(view.joins)):
+        join = view.joins[idx]
+        R = get_table(join.table).alias(join.table)
+        routed = None
+        if _equi_pairs(join.on, lnames, join.table, acc.columns, R.columns) is None:
+            try:
+                routed = _routed_theta_join(acc, lnames, R, join)
+            except Exception:
+                # the router runs eager stats jobs; any failure falls
+                # back to the semantically identical Catalyst join
+                routed = None
+        if routed is not None:
+            acc = routed
+            view = _strip_view_qualifiers(view, [*lnames, join.table], idx + 1)
+        else:
+            acc = acc.join(R, on=F.expr(join.on), how=join.how)
+        lnames.append(join.table)
     if view.where:
         acc = acc.filter(F.expr(view.where))
     if view.is_aggregate:

@@ -532,6 +532,76 @@ def test_embedding_near_dups_delta_invariant(spark):
     assert new_index.count() == len(data) - len(dels) + len(ins)
 
 
+def test_embedding_near_dups_delta_over_limit_takes_bucketed_path(spark):
+    # a "delta" bigger than broadcast_limit (a backfill) must NOT be
+    # collected to the driver: it routes through the deterministic LSH
+    # buckets, and the CDC reconciles exactly with the LSH batch path
+    # (same seeded hyperplanes) over the pre/post corpora
+    import random
+
+    from pyspark.sql import DataFrame
+
+    from ivm_extension_spark.operators.rewrite import MULT_COL
+
+    rng = random.Random(7)
+    dim = 16
+    data = []
+    for base_id in range(0, 24):
+        v = [rng.uniform(-1, 1) for _ in range(dim)]
+        data.append((base_id, v))
+        if base_id % 3 == 0:
+            data.append(
+                (1000 + base_id, [x + rng.uniform(-0.004, 0.004) for x in v])
+            )
+    vecs = spark.createDataFrame(data, "vec_id long, embedding array<double>")
+    ins = [
+        (2000 + i, [x + rng.uniform(-0.003, 0.003) for x in v], True)
+        for i, v in data
+        if i % 4 == 0
+    ]
+    dels = [(i, v, False) for i, v in data if i % 7 == 2]
+    delta = spark.createDataFrame(
+        ins + dels, f"vec_id long, embedding array<double>, {MULT_COL} boolean"
+    )
+    fetched = []
+    orig = DataFrame.collect
+
+    def spy(self):
+        fetched.append(self)
+        return orig(self)
+
+    try:
+        DataFrame.collect = spy
+        cdc, new_index = dedup.embedding_near_dups_delta(
+            vecs, delta, "vec_id", "embedding", threshold=0.95,
+            broadcast_limit=5,
+        )
+        cdc_rows = orig(cdc)
+    finally:
+        DataFrame.collect = orig
+    # the delta was never driver-collected: only the 1-row dim probes
+    assert all(len(orig(f)) <= 1 for f in fetched)
+
+    def lsh_pairs(df):
+        return {
+            (r["id_a"], r["id_b"]): r["cos_sim"]
+            for r in dedup.embedding_near_dups(
+                df, "vec_id", "embedding", threshold=0.95, broadcast_limit=0
+            ).collect()
+        }
+
+    merged = lsh_pairs(vecs)
+    for r in cdc_rows:
+        k = (r["id_a"], r["id_b"])
+        if r[MULT_COL]:
+            assert k not in merged, k
+            merged[k] = r["cos_sim"]
+        else:
+            assert merged.pop(k) == r["cos_sim"]
+    assert merged == lsh_pairs(new_index) and len(merged) > 0
+    assert new_index.count() == len(data) - len(dels) + len(ins)
+
+
 def test_embedding_near_dups_lsh_no_driver_materialization(spark):
     # the >limit path must not collect the vector table: the only allowed
     # driver fetch is the single-row dim probe (a LIMIT 1 plan)
