@@ -1466,6 +1466,37 @@ def _q_ivm_merge_theta_general_chain(spark: SparkSession, sf_dir: str) -> DataFr
     return eng.merge_view("v")
 
 
+def _q_ivm_merge_theta_routed_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-table one-sided inequality view ENTIRELY through the SQL
+    front (``CREATE IMMV … JOIN ON o_totalprice < cutoff``): the
+    round-5 routing materializes the CREATE-time state via the dyadic
+    equi plan (rewrite.compute_view → operators/ineqjoin.py; no
+    BroadcastNestedLoopJoin — pinned by tests/test_theta_routing.py and
+    the plan audit), while the delta path keeps the broadcast-delta
+    theta algebra.  Deltas on BOTH sides: the standard orders delta
+    plus a threshold delta that deletes 't300k' and inserts 't50k'.
+    V' = V ⊎ ΔV through the engine's ordinary merge."""
+    eng = _engine(spark, sf_dir, deltas=("orders",))
+    eng.register_table(
+        "th_rules",
+        spark.createDataFrame(_TH_BASE, "tname string, cutoff double"),
+    )
+    eng.register_delta(
+        "th_rules",
+        spark.createDataFrame(
+            _TH_DELTA, f"tname string, cutoff double, {MULT_COL} boolean"
+        ),
+    )
+    eng.create_immv(
+        "v",
+        sql="SELECT o_orderkey, o_totalprice, tname, cutoff "
+        "FROM orders JOIN th_rules ON o_totalprice < cutoff "
+        "WHERE o_orderkey % 32 = 0",
+    )
+    eng.ivm_upsert("v")
+    return eng.merge_view("v")
+
+
 def _q_ivm_merge_theta_expr_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """General two-sided-expression theta INNER join maintenance
     (thetajoin.py theta_join_delta — the poster's unrestricted join
@@ -2459,6 +2490,7 @@ _IVM_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ivm_merge_theta_chain": _q_ivm_merge_theta_chain,
     "ivm_merge_theta_mid_chain": _q_ivm_merge_theta_mid_chain,
     "ivm_merge_theta_general_chain": _q_ivm_merge_theta_general_chain,
+    "ivm_merge_theta_routed_sql": _q_ivm_merge_theta_routed_sql,
     "ivm_cascade_rollup": _q_ivm_cascade_rollup,
     "ivm_maintain_all": _q_ivm_maintain_all,
 }
@@ -3171,16 +3203,18 @@ _EXTRA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 #
 # ROUND 5 WINDOW (this round), computed by scripts/update_ledger.py
 # (never-graded first, then least-recently-green — VERDICT.md r4 item 1):
-#   - positions 1-26: the round-2-stale cohort (latest green r2, displaced
-#     by r4's never-graded-first policy) — regraded under post-r4 code
-#     (engine merge path, text tokenization, and similarity internals all
-#     changed after their last grade);
-#   - positions 27-50: least-recently-green round-3 keys (dedup_minhash_
+#   - position 1: ivm_merge_theta_routed_sql, registered this round
+#     (the SQL-front one-sided view whose CREATE-time materialization
+#     the round-5 routing plans dyadically), never driver-graded;
+#   - positions 2-27: the round-2-stale cohort (latest green r2,
+#     displaced by r4's never-graded-first policy) — regraded under
+#     post-r4 code (engine merge path, text tokenization, and
+#     similarity internals all changed after their last grade);
+#   - positions 28-50: least-recently-green round-3 keys (dedup_minhash_
 #     incremental, the formats/lakehouse roundtrip, and the core ivm_*
-#     delta-rule + merge lifecycle keys graded in r3).  Zero never-graded
-#     keys remain — all 126 registered keys have been driver-graded at
-#     least once and every latest grade is green.
+#     delta-rule + merge lifecycle keys graded in r3).
 _GRADE_FIRST: tuple[str, ...] = (
+    "ivm_merge_theta_routed_sql",
     "mix_quota_per_source",
     "multimodal_decode",
     "multimodal_meta",
@@ -3230,7 +3264,6 @@ _GRADE_FIRST: tuple[str, ...] = (
     "ivm_merge_doc_quality",
     "ivm_merge_full_chain",
     "ivm_merge_full_outer",
-    "ivm_merge_full_pos_chain",
 )
 
 
@@ -3832,6 +3865,19 @@ def oracle_sql() -> dict[str, str]:
             FULL JOIN {_applied_sql('customer')} c
               ON o.o_custkey = c.c_custkey * 2
             WHERE (o.o_orderkey % 32 = 0 OR o.o_orderkey IS NULL)
+        """,
+        "ivm_merge_theta_routed_sql": f"""
+            WITH rules AS (
+                SELECT tname, CAST(cutoff AS DOUBLE) AS cutoff
+                FROM (VALUES
+                    ('t100k', 100000.0),
+                    ('t600k', 600000.0),
+                    ('t50k', 50000.0)) t(tname, cutoff)
+            )
+            SELECT o.o_orderkey, o.o_totalprice, r.tname, r.cutoff
+            FROM {_applied_sql('orders')} o
+            JOIN rules r ON o.o_totalprice < r.cutoff
+            WHERE o.o_orderkey % 32 = 0
         """,
         "ivm_merge_theta_expr_join": f"""
             WITH rules AS (

@@ -1989,6 +1989,16 @@ def _classify_theta(
     return {"ineqs": ineqs, "range": rng}
 
 
+# Routing is only a WIN when both sides are large: with a side under
+# this many rows, Catalyst broadcasts it and the nested-loop join is
+# LINEAR work (|big| · |small| comparisons, one narrow pass, no explode,
+# no extra jobs) — measured 4x faster than the dyadic plan on the
+# 3-row-dimension theta lifecycles.  The BNLJ disaster this routing
+# exists for is big×big, where no broadcast fits.  Probed with
+# limit-bounded counts (never a full count of a big relation).
+_ROUTE_MIN_ROWS = 10_000
+
+
 def _routed_theta_join(
     acc: DataFrame, lnames: list[str], R: DataFrame, join
 ) -> DataFrame | None:
@@ -2008,6 +2018,16 @@ def _routed_theta_join(
         return None
     cls = _classify_theta(join.on, lnames, lcols, join.table, rcols)
     if cls is None:
+        return None
+
+    def small(df: DataFrame) -> bool:
+        return (
+            df.select(F.lit(1)).limit(_ROUTE_MIN_ROWS + 1).count()
+            <= _ROUTE_MIN_ROWS
+        )
+
+    # dimension side first: almost always the cheap probe that settles it
+    if small(R) or small(acc):
         return None
     tables = [*lnames, join.table]
     cond = _strip_qualifiers(join.on, tables)

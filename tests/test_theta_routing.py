@@ -20,12 +20,21 @@ import pytest
 from pyspark.sql import functions as F
 
 from ivm_extension_spark.engine import IVMEngine
+from ivm_extension_spark.operators import rewrite
 from ivm_extension_spark.operators.rewrite import (
     _classify_theta,
     _split_cmp,
     compute_view,
 )
 from ivm_extension_spark.plans.viewdef import Aggregate, JoinSpec, ViewDef
+
+
+@pytest.fixture(autouse=True)
+def force_routing(monkeypatch):
+    # production routes only big×big (a small side broadcast-NLJs in
+    # linear work); the fixtures here are tiny, so drop the size gate to
+    # exercise the routed plans
+    monkeypatch.setattr(rewrite, "_ROUTE_MIN_ROWS", 0)
 
 ONE_SIDED = "pts.price < rules.cutoff * rules.scale"
 INTERVAL = "pts.price >= iv.lo AND pts.price <= iv.hi"
@@ -201,6 +210,25 @@ def test_sql_front_one_sided_lifecycle_end_to_end(spark, tabs):
         .select("k", "price", "tname")
     )
     assert norm(merged.collect()) == norm(exp.collect())
+
+
+def test_small_side_keeps_broadcast_nlj(tabs, monkeypatch):
+    # production gate: a side under _ROUTE_MIN_ROWS broadcast-NLJs in
+    # linear work — routing would only add explode/checkpoint overhead
+    # (measured 4x slower on 3-row-dimension lifecycles)
+    monkeypatch.setattr(rewrite, "_ROUTE_MIN_ROWS", 10_000)
+    v = ViewDef(
+        name="v",
+        source="pts",
+        select=(("k", "k"), ("tname", "tname")),
+        joins=(JoinSpec("rules", ONE_SIDED, "inner"),),
+    )
+    out = compute_view(v, tabs.__getitem__)
+    plan = physical(out)
+    # not routed: no dyadic scratch in the plan (whether Catalyst then
+    # picks BroadcastNestedLoop or CartesianProduct-with-condition is
+    # its call — these memory-backed fixtures carry no size stats)
+    assert "__dy_lvl" not in plan and "__rng_pv" not in plan, plan
 
 
 def test_split_cmp_and_classify():
