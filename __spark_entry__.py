@@ -2221,6 +2221,57 @@ def _q_ivm_merge_cms_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cms.cms_estimate(merged, watch, (), "user_id")
 
 
+_QH_FRACTIONS = (0.25, 0.5, 0.9, 0.99)
+_QH_BIN = 64.0
+
+
+def _q_approx_quantile_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-bin histogram quantile sketch (functions/quantiles.py) —
+    per-source document-length quantiles, the bounded-state distribution
+    monitor a 100 TB pipeline runs alongside HLL (distinct) and CMS
+    (frequency).  One map-side-combined shuffle of (source, bin, cnt)
+    rows; quantiles read from a per-group window over the occupied bins
+    (never a global sort).  Oracle = the identical rank/midpoint formula
+    in DuckDB SQL."""
+    from ivm_extension_spark.functions import quantiles as qh
+
+    docs = _engine(spark, sf_dir).table("documents")
+    sk = qh.hist_sketch(docs, ("source",), "n_chars", _QH_BIN)
+    return qh.hist_quantile(sk, ("source",), _QH_FRACTIONS, _QH_BIN).select(
+        "source",
+        "p",
+        F.expr("CAST(round(est * 10) AS BIGINT)").alias("est_tenths"),
+    )
+
+
+def _q_ivm_merge_quantile_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MAINTAINED histogram quantile sketch: the bin-count state absorbs
+    a mixed insert/delete documents delta via bin-wise SIGNED sum
+    (linearity — functions/quantiles.hist_merge), so the merged sketch
+    equals the full recompute bit-for-bit and the quantile read reflects
+    the post-delta corpus without rescanning it.  State is O(sources ×
+    occupied bins), delta cost O(|Δ|)."""
+    from ivm_extension_spark.functions import quantiles as qh
+
+    eng = _engine(spark, sf_dir)
+    docs = eng.table("documents")
+    pred, mult = DELTA_DEFS["documents"]
+    state = qh.hist_sketch(docs, ("source",), "n_chars", _QH_BIN)
+    d_sk = qh.hist_sketch(
+        docs.filter(F.expr(pred)),
+        ("source",),
+        "n_chars",
+        _QH_BIN,
+        weight=f"CASE WHEN {mult} THEN 1 ELSE -1 END",
+    )
+    merged = qh.hist_merge(state, d_sk, ("source",))
+    return qh.hist_quantile(merged, ("source",), _QH_FRACTIONS, _QH_BIN).select(
+        "source",
+        "p",
+        F.expr("CAST(round(est * 10) AS BIGINT)").alias("est_tenths"),
+    )
+
+
 def _q_streaming_cms_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL Structured Streaming maintenance of the Count-Min sketch:
     events arrive as a rate-limited file stream (maxFilesPerTrigger=1 →
@@ -3186,6 +3237,8 @@ _EXTRA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ivm_merge_hll_sketch": _q_ivm_merge_hll_sketch,
     "approx_heavy_hitters": _q_approx_heavy_hitters,
     "ivm_merge_cms_sketch": _q_ivm_merge_cms_sketch,
+    "approx_quantile_hist": _q_approx_quantile_hist,
+    "ivm_merge_quantile_hist": _q_ivm_merge_quantile_hist,
     "streaming_cms_sketch": _q_streaming_cms_sketch,
     "dedup_minhash_incremental": _q_dedup_minhash_incremental,
     "dedup_embedding_incremental": _q_dedup_embedding_incremental,
@@ -3203,17 +3256,21 @@ _EXTRA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 #
 # ROUND 5 WINDOW (this round), computed by scripts/update_ledger.py
 # (never-graded first, then least-recently-green — VERDICT.md r4 item 1):
-#   - position 1: ivm_merge_theta_routed_sql, registered this round
-#     (the SQL-front one-sided view whose CREATE-time materialization
-#     the round-5 routing plans dyadically), never driver-graded;
-#   - positions 2-27: the round-2-stale cohort (latest green r2,
+#   - positions 1-3: the keys registered THIS round, never driver-graded
+#     (approx_quantile_hist / ivm_merge_quantile_hist — the fixed-bin
+#     histogram quantile sketch, plain and maintained — and
+#     ivm_merge_theta_routed_sql, the SQL-front one-sided view whose
+#     CREATE-time materialization the round-5 routing plans dyadically);
+#   - positions 4-29: the round-2-stale cohort (latest green r2,
 #     displaced by r4's never-graded-first policy) — regraded under
 #     post-r4 code (engine merge path, text tokenization, and
 #     similarity internals all changed after their last grade);
-#   - positions 28-50: least-recently-green round-3 keys (dedup_minhash_
+#   - positions 30-50: least-recently-green round-3 keys (dedup_minhash_
 #     incremental, the formats/lakehouse roundtrip, and the core ivm_*
 #     delta-rule + merge lifecycle keys graded in r3).
 _GRADE_FIRST: tuple[str, ...] = (
+    "approx_quantile_hist",
+    "ivm_merge_quantile_hist",
     "ivm_merge_theta_routed_sql",
     "mix_quota_per_source",
     "multimodal_decode",
@@ -3262,8 +3319,6 @@ _GRADE_FIRST: tuple[str, ...] = (
     "ivm_merge_dedup_index",
     "ivm_merge_distinct",
     "ivm_merge_doc_quality",
-    "ivm_merge_full_chain",
-    "ivm_merge_full_outer",
 )
 
 
@@ -4448,6 +4503,20 @@ def _cms_merge_oracle() -> str:
     """
 
 
+def _qh_oracle(table_expr: str) -> str:
+    """Oracle for the histogram quantile sketch: the identical bin /
+    rank / midpoint formula in DuckDB SQL (functions/quantiles.py
+    *_sql twins), integer-scaled estimate for hash parity."""
+    from ivm_extension_spark.functions import quantiles as qh
+
+    sk = qh.hist_sketch_sql(table_expr, ("source",), "n_chars", _QH_BIN)
+    q = qh.hist_quantile_sql(sk, ("source",), _QH_FRACTIONS, _QH_BIN)
+    return f"""
+        SELECT source, p, CAST(round(est * 10) AS BIGINT) AS est_tenths
+        FROM ({q}) t
+    """
+
+
 def _cms_stream_oracle() -> str:
     """Oracle for the streaming-maintained CMS: merging per-micro-batch
     sketches bucket-wise equals the twin sketch over the whole table
@@ -5002,6 +5071,8 @@ def _extras_oracle_sql() -> dict[str, str]:
         "ivm_merge_hll_sketch": _hll_merge_oracle(),
         "approx_heavy_hitters": _cms_hitters_oracle(),
         "ivm_merge_cms_sketch": _cms_merge_oracle(),
+        "approx_quantile_hist": _qh_oracle("documents"),
+        "ivm_merge_quantile_hist": _qh_oracle(_applied_sql("documents")),
         "streaming_cms_sketch": _cms_stream_oracle(),
         "dedup_embedding": f"""
             SELECT a.vec_id AS id_a, b.vec_id AS id_b, {cos} AS cos_sim

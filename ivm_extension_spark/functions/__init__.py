@@ -3,9 +3,19 @@ from ivm_extension_spark.functions import (
     dedup,
     hll,
     multimodal,
+    quantiles,
     sampling,
     similarity,
     text,
 )
 
-__all__ = ["cms", "dedup", "hll", "multimodal", "sampling", "similarity", "text"]
+__all__ = [
+    "cms",
+    "dedup",
+    "hll",
+    "multimodal",
+    "quantiles",
+    "sampling",
+    "similarity",
+    "text",
+]
