@@ -982,6 +982,32 @@ def _q_ivm_merge_range_full_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 # delta deletes 't300k' and inserts 't50k'; the LEFT delta instead
 # deletes 't600k' — the top cutoff, so most points LOSE their last
 # match and flip to NULL-padded — identical literals in the oracles
+def _theta_orders_pts(eng) -> tuple[DataFrame, DataFrame]:
+    """ONE checkpointed orders slice serves both the base points and the
+    delta points of the theta lifecycles (the driver's synthetic delta
+    is a predicate slice of the same relation): one scan + one
+    checkpoint job instead of two each — the delta rules' branch
+    fan-out re-reads these relations many times, so they are staged in
+    a few fat partitions (at scale: the persisted delta slices, sized
+    by bytes)."""
+    pred, mult = DELTA_DEFS["orders"]
+    sl = (
+        eng.table("orders")
+        .filter("o_orderkey % 32 = 0")
+        .select(
+            "o_orderkey",
+            F.col("o_totalprice").alias("price"),
+            F.expr(pred).alias("__in_delta"),
+            F.expr(mult).alias(MULT_COL),
+        )
+        .coalesce(4)
+        .localCheckpoint(eager=False)
+    )
+    pts = sl.select("o_orderkey", "price")
+    d_pts = sl.filter("__in_delta").select("o_orderkey", "price", MULT_COL)
+    return pts, d_pts
+
+
 _TH_BASE = [("t100k", 100000.0), ("t300k", 300000.0), ("t600k", 600000.0)]
 _TH_DELTA = [("t300k", 300000.0, False), ("t50k", 50000.0, True)]
 _TH_DELTA_L = [("t600k", 600000.0, False), ("t300k", 300000.0, False), ("t50k", 50000.0, True)]
@@ -1007,28 +1033,11 @@ def _q_ivm_merge_theta_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ivm_extension_spark.operators.ineqjoin import ineq_join, ineq_join_delta
 
     eng = _engine(spark, sf_dir)
-    pts = (
-        eng.table("orders")
-        .filter("o_orderkey % 32 = 0")
-        .select("o_orderkey", F.col("o_totalprice").alias("price"))
-    )
+    pts, d_pts = _theta_orders_pts(eng)
     thr = spark.createDataFrame(_TH_BASE, "tname string, cutoff double")
-    pred, mult = DELTA_DEFS["orders"]
-    d_pts = (
-        eng.table("orders")
-        .filter(F.expr(pred))
-        .filter("o_orderkey % 32 = 0")
-        .select(
-            "o_orderkey",
-            F.col("o_totalprice").alias("price"),
-            F.expr(mult).alias(MULT_COL),
-        )
-    )
     d_thr = spark.createDataFrame(
         _TH_DELTA, f"tname string, cutoff double, {MULT_COL} boolean"
     )
-    pts = pts.coalesce(4).localCheckpoint(eager=False)
-    d_pts = d_pts.coalesce(4).localCheckpoint(eager=False)
     v_old = ineq_join(pts, thr, "price", "cutoff", "<", 10000.0, 1 << 7)
     dv = ineq_join_delta(
         pts, thr, d_pts, d_thr, "price", "cutoff", "<", 10000.0, 1 << 7
@@ -1066,31 +1075,13 @@ def _q_ivm_merge_theta_left_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     eng = _engine(spark, sf_dir)
-    pts = (
-        eng.table("orders")
-        .filter("o_orderkey % 32 = 0")
-        .select("o_orderkey", F.col("o_totalprice").alias("price"))
-    )
+    pts, d_pts = _theta_orders_pts(eng)
     thr = spark.createDataFrame(_TH_BASE, "tname string, cutoff double")
-    pred, mult = DELTA_DEFS["orders"]
-    d_pts = (
-        eng.table("orders")
-        .filter(F.expr(pred))
-        .filter("o_orderkey % 32 = 0")
-        .select(
-            "o_orderkey",
-            F.col("o_totalprice").alias("price"),
-            F.expr(mult).alias(MULT_COL),
-        )
-    )
     d_thr = spark.createDataFrame(
         _TH_DELTA_L, f"tname string, cutoff double, {MULT_COL} boolean"
     )
-    # materialize the narrow base/delta projections once (several delta
-    # branches re-use them) and ΔV before the merge — see the FULL
-    # lifecycle's rationale below
-    pts = pts.coalesce(4).localCheckpoint(eager=False)
-    d_pts = d_pts.coalesce(4).localCheckpoint(eager=False)
+    # ΔV is checkpointed before the merge (its branches re-read it);
+    # the point slices come pre-staged from _theta_orders_pts
     kw = dict(op="<", bin_width=10000.0, max_bins=1 << 7)
     v_old = ineq_left_join(pts, thr, "price", "cutoff", **kw)
     dv = ineq_left_join_delta(
@@ -1128,23 +1119,8 @@ def _q_ivm_merge_theta_full_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     eng = _engine(spark, sf_dir)
-    pts = (
-        eng.table("orders")
-        .filter("o_orderkey % 32 = 0")
-        .select("o_orderkey", F.col("o_totalprice").alias("price"))
-    )
+    pts, d_pts = _theta_orders_pts(eng)
     thr = spark.createDataFrame(_TH_BASE, "tname string, cutoff double")
-    pred, mult = DELTA_DEFS["orders"]
-    d_pts = (
-        eng.table("orders")
-        .filter(F.expr(pred))
-        .filter("o_orderkey % 32 = 0")
-        .select(
-            "o_orderkey",
-            F.col("o_totalprice").alias("price"),
-            F.expr(mult).alias(MULT_COL),
-        )
-    )
     d_thr = spark.createDataFrame(
         _TH_DELTA_F, f"tname string, cutoff double, {MULT_COL} boolean"
     )
@@ -1152,8 +1128,6 @@ def _q_ivm_merge_theta_full_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     # localCheckpoint materializes each narrow projection once instead
     # of re-scanning the parquet per branch (at scale these would be
     # cached/persisted delta slices, not re-reads)
-    pts = pts.coalesce(4).localCheckpoint(eager=False)
-    d_pts = d_pts.coalesce(4).localCheckpoint(eager=False)
     kw = dict(op="<", bin_width=10000.0, max_bins=1 << 7)
     v_old = ineq_full_join(pts, thr, "price", "cutoff", **kw)
     # materialize ΔV once before the merge (it IS the delta_<view>
@@ -1196,28 +1170,11 @@ def _theta_semi_anti_lifecycle(
     )
 
     eng = _engine(spark, sf_dir)
-    pts = (
-        eng.table("orders")
-        .filter("o_orderkey % 32 = 0")
-        .select("o_orderkey", F.col("o_totalprice").alias("price"))
-    )
+    pts, d_pts = _theta_orders_pts(eng)
     thr = spark.createDataFrame(_TH_BASE, "tname string, cutoff double")
-    pred, mult = DELTA_DEFS["orders"]
-    d_pts = (
-        eng.table("orders")
-        .filter(F.expr(pred))
-        .filter("o_orderkey % 32 = 0")
-        .select(
-            "o_orderkey",
-            F.col("o_totalprice").alias("price"),
-            F.expr(mult).alias(MULT_COL),
-        )
-    )
     d_thr = spark.createDataFrame(
         _TH_DELTA_L, f"tname string, cutoff double, {MULT_COL} boolean"
     )
-    pts = pts.coalesce(4).localCheckpoint(eager=False)
-    d_pts = d_pts.coalesce(4).localCheckpoint(eager=False)
     kw = dict(op="<", bin_width=10000.0, max_bins=1 << 7)
     jfn = ineq_anti_join if anti else ineq_semi_join
     dfn = ineq_anti_join_delta if anti else ineq_semi_join_delta
@@ -1296,13 +1253,24 @@ def _theta_expr_lifecycle(spark: SparkSession, sf_dir: str, how: str) -> DataFra
         F.col("l_discount").cast("double").alias("disc"),
         F.col("l_quantity").cast("double").alias("qty"),
     ]
-    pts = li.filter("l_orderkey % 32 = 0").select(*sel)
     pred, mult = DELTA_DEFS["lineitem"]
-    d_pts = (
-        li.filter(F.expr(pred))
-        .filter("l_orderkey % 32 = 0")
-        .select(*sel, F.expr(mult).alias(MULT_COL))
+    # ONE checkpointed lineitem slice serves both the base points and
+    # the delta points (same fusion as _theta_orders_pts): the ~8 delta
+    # branches each rescan these tiny relations, so stage them once in
+    # a few fat partitions — at 32 parquet-split partitions the
+    # lifecycle is pure task-launch overhead (measured 2-3x on the FULL
+    # delta).  At scale these are the persisted delta slices.
+    sl = (
+        li.filter("l_orderkey % 32 = 0")
+        .select(
+            *sel, F.expr(pred).alias("__in_delta"), F.expr(mult).alias(MULT_COL)
+        )
+        .coalesce(4)
+        .localCheckpoint(eager=False)
     )
+    cols = [c for c in sl.columns if c not in ("__in_delta", MULT_COL)]
+    pts = sl.select(*cols)
+    d_pts = sl.filter("__in_delta").select(*cols, MULT_COL)
     rules = spark.createDataFrame(
         _THX_BASE, "rname string, cutoff double, scale double, min_qty int"
     )
@@ -1310,13 +1278,6 @@ def _theta_expr_lifecycle(spark: SparkSession, sf_dir: str, how: str) -> DataFra
         _THX_DELTA,
         f"rname string, cutoff double, scale double, min_qty int, {MULT_COL} boolean",
     )
-    # the point slice (~1/32 of lineitem) and its delta are tiny; the
-    # ~8 delta branches each rescan them, so checkpoint them in a few
-    # fat partitions — at 32 parquet-split partitions the lifecycle is
-    # pure task-launch overhead (measured 2-3x on the FULL delta).  At
-    # scale these are the persisted delta slices, sized by bytes.
-    pts = pts.coalesce(4).localCheckpoint(eager=False)
-    d_pts = d_pts.coalesce(4).localCheckpoint(eager=False)
     plain = {
         "inner": tj.theta_join,
         "left": tj.theta_left_join,
