@@ -401,3 +401,100 @@ def test_semi_anti_delta_merge_equals_recompute(spark, lr, anti):
     got_c = Counter(tuple(t) for t in merged.collect())
     exp_c = Counter(tuple(t) for t in exp.collect())
     assert got_c == exp_c
+
+
+# ---- expression axes + extra_cond residual (the SQL-front routing
+# surface, round 5) ---------------------------------------------------------
+
+
+def _brute(l, r, cond):
+    return {
+        tuple(t)
+        for t in l.crossJoin(r).filter(F.expr(cond)).select("lid", "rid").collect()
+    }
+
+
+def test_expression_axes_match_brute_force(spark, lr):
+    l, r = lr
+    cond = "x * 2 < y + 10"
+    got = {
+        tuple(t)
+        for t in ineq_join(
+            l, r, "x * 2", "y + 10", "<", bin_width=37.0, max_bins=128
+        ).select("lid", "rid").collect()
+    }
+    assert got == _brute(l, r, cond)
+
+
+def test_extra_cond_restricts_matches_inner(spark, lr):
+    l, r = lr
+    cond = "x < y AND lid % 3 = 0 AND rid % 2 = 0"
+    got = {
+        tuple(t)
+        for t in ineq_join(
+            l, r, "x", "y", "<", bin_width=37.0, max_bins=64,
+            extra_cond=cond,
+        ).select("lid", "rid").collect()
+    }
+    assert got == _brute(l, r, cond)
+
+
+def test_extra_cond_changes_outer_match_sets(spark, lr):
+    from ivm_extension_spark.operators.ineqjoin import (
+        ineq_anti_join,
+        ineq_semi_join,
+    )
+
+    l, r = lr
+    cond = "x < y AND rid % 2 = 0"
+    exp_matched_lids = {t[0] for t in _brute(l, r, cond)}
+    semi = {t["lid"] for t in ineq_semi_join(
+        l, r, "x", "y", "<", bin_width=37.0, max_bins=64, extra_cond=cond
+    ).collect()}
+    anti = {t["lid"] for t in ineq_anti_join(
+        l, r, "x", "y", "<", bin_width=37.0, max_bins=64, extra_cond=cond
+    ).collect()}
+    all_lids = {t["lid"] for t in l.collect()}
+    assert semi == exp_matched_lids
+    assert anti == all_lids - exp_matched_lids
+    # left join: NULL-pad exactly the anti lids
+    left = ineq_left_join(
+        l, r, "x", "y", "<", bin_width=37.0, max_bins=64, extra_cond=cond
+    )
+    padded = {t["lid"] for t in left.filter(F.col("rid").isNull()).collect()}
+    assert padded == all_lids - exp_matched_lids
+
+
+def test_extra_cond_full_join_matches_catalyst(spark, lr):
+    l, r = lr
+    cond = "x < y AND lid % 2 = 0"
+    got = sorted(
+        (t["lid"], t["rid"])
+        for t in ineq_full_join(
+            l, r, "x", "y", "<", bin_width=37.0, max_bins=64, extra_cond=cond
+        ).collect()
+    )
+    exp = sorted(
+        (t["lid"], t["rid"])
+        for t in l.join(r, F.expr(cond), "full").select("lid", "rid").collect()
+    )
+    assert got == exp
+
+
+def test_auto_dyadic_bins_cover_negative_domain(spark):
+    from ivm_extension_spark.operators.ineqjoin import auto_dyadic_bins
+
+    l = spark.createDataFrame(
+        [(i, float(v)) for i, v in enumerate(range(-500, 0, 7))], "lid int, x double"
+    )
+    r = spark.createDataFrame(
+        [(j, float(v)) for j, v in enumerate(range(-100, 400, 11))], "rid int, y double"
+    )
+    bw, nb, orig = auto_dyadic_bins(l, r, "x", "y")
+    got = {
+        tuple(t)
+        for t in ineq_join(
+            l, r, "x", "y", "<", bin_width=bw, max_bins=nb, origin=orig
+        ).select("lid", "rid").collect()
+    }
+    assert got == _brute(l, r, "x < y")
