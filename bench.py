@@ -99,10 +99,28 @@ def main() -> int:
     total = 0.0
     import gc
 
-    def load1() -> float:
-        return os.getloadavg()[0]
+    def external_cpus(interval: float = 0.25) -> float:
+        """CPUs busy with work that is NOT this bench: /proc/stat busy
+        fraction sampled while this process is idle (between query
+        runs).  The 1-min loadavg cannot distinguish a neighbor's spike
+        from our own 32-way stages (it lags a minute and we ARE most of
+        the machine); this reads the instantaneous truth instead —
+        modulo the Spark JVM's idle background threads (~1 cpu)."""
 
-    # a 1-min loadavg above this during a sample's window means external
+        def snap() -> tuple[int, int]:
+            parts = open("/proc/stat").readline().split()
+            vals = [int(x) for x in parts[1:]]
+            return sum(vals), vals[3] + vals[4]  # total, idle+iowait
+
+        t1, i1 = snap()
+        time.sleep(interval)
+        t2, i2 = snap()
+        dt = t2 - t1
+        if dt <= 0:
+            return 0.0
+        return (dt - (i2 - i1)) / dt * (os.cpu_count() or 1)
+
+    # external busy-cpus above this right before a sample means
     # neighbors were competing for cores — the sample is suspect and the
     # bench cools down and re-samples before recording (VERDICT r4 item 7)
     LOAD_FLAG = 8.0
@@ -114,28 +132,25 @@ def main() -> int:
     for name, fn in entrymod.queries().items():
         if only and name not in only:
             continue
-        # min-of-2 (steady-state, codegen cached — see header), plus up to
-        # 2 extra samples when the observed runs disagree by >1.8x OR the
-        # 1-min loadavg exceeded LOAD_FLAG during every sample so far: a
-        # shared host's CPU spikes otherwise inflate whichever query they
-        # land on — uniformly enough that min-of-2 alone cannot recover
-        # (round 3's AND round 4's driver numbers were both taken in load
-        # spikes; r4 overstated the calm re-run by ~10%).  Each sample
-        # records the loadavg of ITS OWN window, and the reported
-        # per-query load is the one during the RECORDED (minimum) sample
-        # — so "load1 < 8 or flagged" is checkable per query, not per
-        # run.  An extra sample first waits for the external load to
-        # drain (bounded).
-        samples: list[tuple[float, float]] = []  # (seconds, load1 during)
+        # min-of-2 (steady-state, codegen cached — see header), plus up
+        # to 2 extra samples when the observed runs disagree by >1.8x OR
+        # EXTERNAL cpu use exceeded LOAD_FLAG right before every sample
+        # so far: a shared host's spikes otherwise inflate whichever
+        # query they land on — uniformly enough that min-of-2 alone
+        # cannot recover (rounds 3 AND 4 were both measured in spikes;
+        # r4 overstated the calm re-run by ~10%).  Each sample records
+        # the external busy-cpus of ITS OWN start, and the reported
+        # per-query figure is the one for the RECORDED (minimum) sample
+        # — "external < 8 or flagged" is checkable per query.  An extra
+        # sample first waits for the neighbors to drain (bounded).
+        samples: list[tuple[float, float]] = []  # (seconds, ext cpus before)
         while len(samples) < 4:
-            l_before = load1()
+            ext_before = external_cpus()
             t0 = time.perf_counter()
             try:
                 df = fn(spark, sf_dir)
                 df.write.format("noop").mode("overwrite").save()
-                samples.append(
-                    (time.perf_counter() - t0, max(l_before, load1()))
-                )
+                samples.append((time.perf_counter() - t0, ext_before))
             except Exception as e:  # a failing query must not hide the others
                 print(f"# ERROR {name}: {e}", file=sys.stderr)
                 break
@@ -161,24 +176,24 @@ def main() -> int:
             if agree and calm_seen:
                 break
             # disagreeing samples, or no calm window yet, on a busy host:
-            # cool down (up to 30s for the 1-min load to fall under the
-            # flag threshold) so the extra sample measures Spark, not
-            # neighbors; if the host never calms, the recorded load
-            # flags the measurement
+            # cool down (up to 30s for the neighbors' cpu use to fall
+            # under the flag threshold) so the extra sample measures
+            # Spark, not them; if the host never calms, the recorded
+            # figure flags the measurement
             t_wait = time.time()
             while (
-                load1() > LOAD_FLAG
+                external_cpus() > LOAD_FLAG
                 and time.time() - t_wait < 30
                 and cooldown_budget > 0
             ):
                 time.sleep(2)
                 cooldown_budget -= 2
         if samples:
-            dt, l_at_min = min(samples)
+            dt, ext_at_min = min(samples)
         else:
-            dt, l_at_min = float("nan"), load1()
+            dt, ext_at_min = float("nan"), external_cpus()
         timings[name] = round(dt, 3)
-        loads[name] = round(l_at_min, 1)
+        loads[name] = round(ext_at_min, 1)
         if dt == dt:
             total += dt
 
@@ -193,7 +208,7 @@ def main() -> int:
                 "unit": "sec",
                 "n_queries": len(timings),
                 "queries": timings,
-                "loadavg1_at_recorded_sample": loads,
+                "external_cpus_at_recorded_sample": loads,
                 "sf": sf_val,
             },
             indent=1,
@@ -213,10 +228,11 @@ def main() -> int:
         "n_queries": len(timings),
         "queries": {},
         "sf": sf_val,
-        # shared-host context for the whole run: worst 1-min load during
-        # any query's RECORDED sample (>8 means a query had to be
-        # recorded under external load even after cooldown re-samples)
-        "load1_max": round(max(loads.values(), default=0.0), 1),
+        # shared-host context for the whole run: worst EXTERNAL busy-cpu
+        # reading at any query's RECORDED sample (>8 means a query had
+        # to be recorded while neighbors held 8+ cores even after the
+        # cooldown re-samples; self-load is excluded by construction)
+        "ext_cpus_max": round(max(loads.values(), default=0.0), 1),
     }
     line = json.dumps(base, separators=(",", ":"))
     by_cost = sorted(
