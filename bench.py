@@ -143,14 +143,18 @@ def main() -> int:
         # per-query figure is the one for the RECORDED (minimum) sample
         # — "external < 8 or flagged" is checkable per query.  An extra
         # sample first waits for the neighbors to drain (bounded).
-        samples: list[tuple[float, float]] = []  # (seconds, ext cpus before)
+        samples: list[tuple[float, float]] = []  # (seconds, ext cpus around)
         while len(samples) < 4:
             ext_before = external_cpus()
             t0 = time.perf_counter()
             try:
                 df = fn(spark, sf_dir)
                 df.write.format("noop").mode("overwrite").save()
-                samples.append((time.perf_counter() - t0, ext_before))
+                dt_run = time.perf_counter() - t0
+                # read again right after: a neighbor spike that STARTS
+                # mid-sample is invisible to the before-reading (our own
+                # tasks stop at job end, so this is still ~self-blind)
+                samples.append((dt_run, max(ext_before, external_cpus())))
             except Exception as e:  # a failing query must not hide the others
                 print(f"# ERROR {name}: {e}", file=sys.stderr)
                 break
