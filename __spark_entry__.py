@@ -2796,6 +2796,30 @@ def _q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return asof_join(ev, snaps, ("user_id",), "ts", ("snap_cents",))
 
 
+def _q_asof_forward_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FORWARD as-of join with a staleness bound (pandas merge_asof's
+    direction/tolerance surface, added round 5): each event picks up
+    the EARLIEST snapshot at or after it, but only within 30 minutes —
+    later matches NULL out while the event row stays.  Same
+    single-shuffle union-walk plan as the backward join, traversed
+    descending; oracle = DuckDB's forward ASOF JOIN with the bound
+    applied as a CASE over the matched timestamp."""
+    from ivm_extension_spark.operators.asof import asof_join
+
+    eng = _engine(spark, sf_dir)
+    ev = eng.table("events").select("event_id", "user_id", "ts")
+    snaps = (
+        eng.table("events")
+        .filter(F.expr("event_id % 10 = 0"))
+        .groupBy("user_id", "ts")
+        .agg(F.max(F.expr("CAST(round(value * 100) AS BIGINT)")).alias("snap_cents"))
+    )
+    return asof_join(
+        ev, snaps, ("user_id",), "ts", ("snap_cents",),
+        direction="forward", tolerance="INTERVAL '30' MINUTE",
+    )
+
+
 def _q_ivm_merge_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MAINTAINED as-of join (operators/asof.py asof_join_delta):
     affected-key partial-recompute CDC.  The snapshot delta deletes
@@ -3152,6 +3176,7 @@ _OLAP_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sessionize_users": _q_sessionize,
     "events_sliding_window": _q_events_sliding_window,
     "asof_snapshots": _q_asof_join,
+    "asof_forward_tolerance": _q_asof_forward_tolerance,
     "ivm_merge_asof_join": _q_ivm_merge_asof_join,
     "range_join_bands": _q_range_join,
     "percentiles_by_status": _q_percentiles,
@@ -3217,20 +3242,23 @@ _EXTRA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 #
 # ROUND 5 WINDOW (this round), computed by scripts/update_ledger.py
 # (never-graded first, then least-recently-green — VERDICT.md r4 item 1):
-#   - positions 1-3: the keys registered THIS round, never driver-graded
+#   - positions 1-4: the keys registered THIS round, never driver-graded
 #     (approx_quantile_hist / ivm_merge_quantile_hist — the fixed-bin
-#     histogram quantile sketch, plain and maintained — and
-#     ivm_merge_theta_routed_sql, the SQL-front one-sided view whose
-#     CREATE-time materialization the round-5 routing plans dyadically);
-#   - positions 4-29: the round-2-stale cohort (latest green r2,
+#     histogram quantile sketch, plain and maintained;
+#     asof_forward_tolerance — pandas merge_asof's direction/tolerance
+#     surface; ivm_merge_theta_routed_sql — the SQL-front one-sided view
+#     whose CREATE-time materialization the round-5 routing plans
+#     dyadically);
+#   - positions 5-30: the round-2-stale cohort (latest green r2,
 #     displaced by r4's never-graded-first policy) — regraded under
 #     post-r4 code (engine merge path, text tokenization, and
 #     similarity internals all changed after their last grade);
-#   - positions 30-50: least-recently-green round-3 keys (dedup_minhash_
+#   - positions 31-50: least-recently-green round-3 keys (dedup_minhash_
 #     incremental, the formats/lakehouse roundtrip, and the core ivm_*
 #     delta-rule + merge lifecycle keys graded in r3).
 _GRADE_FIRST: tuple[str, ...] = (
     "approx_quantile_hist",
+    "asof_forward_tolerance",
     "ivm_merge_quantile_hist",
     "ivm_merge_theta_routed_sql",
     "mix_quota_per_source",
@@ -3279,7 +3307,6 @@ _GRADE_FIRST: tuple[str, ...] = (
     "ivm_merge_corpus_stats",
     "ivm_merge_dedup_index",
     "ivm_merge_distinct",
-    "ivm_merge_doc_quality",
 )
 
 
@@ -4198,6 +4225,26 @@ def oracle_sql() -> dict[str, str]:
             FROM ev e
             ASOF LEFT JOIN snaps s
               ON e.user_id = s.user_id AND e.ts >= s.ts
+        """,
+        "asof_forward_tolerance": """
+            WITH snaps AS (
+                SELECT user_id, ts,
+                       max(CAST(round(value * 100) AS BIGINT)) AS snap_cents
+                FROM events WHERE event_id % 10 = 0
+                GROUP BY user_id, ts
+            ), m AS (
+                SELECT e.event_id, e.user_id, e.ts,
+                       s.snap_cents AS sc, s.ts AS sts
+                FROM events e
+                ASOF LEFT JOIN snaps s
+                  ON e.user_id = s.user_id AND e.ts <= s.ts
+            )
+            SELECT event_id, user_id, ts,
+                   CASE WHEN sts - ts <= INTERVAL 30 MINUTE THEN sc END
+                       AS snap_cents,
+                   CASE WHEN sts - ts <= INTERVAL 30 MINUTE THEN sts END
+                       AS asof_ts
+            FROM m
         """,
         "asof_snapshots": """
             WITH snaps AS (

@@ -38,6 +38,8 @@ def asof_join(
     ts_col: str,
     value_cols: tuple[str, ...],
     right_ts_alias: str = "asof_ts",
+    direction: str = "backward",
+    tolerance: str | None = None,
 ) -> DataFrame:
     """Left as-of join: every left row, plus the latest right
     ``value_cols`` (and the matched right timestamp as
@@ -46,7 +48,21 @@ def asof_join(
 
     ``right`` must be unique per (key, ts) — pre-aggregate it otherwise
     (a duplicate would make "the" as-of value ambiguous).
+
+    ``direction`` (the pandas ``merge_asof`` axis): 'backward' (default
+    — the LATEST right row at or before the left timestamp) or
+    'forward' (the EARLIEST right row at or after it) — same union
+    trick, traversed in the opposite order.  ``tolerance`` is a SQL
+    scalar literal bounding the match's staleness: a number when
+    ``ts_col`` is numeric, an interval literal (``"INTERVAL '30'
+    MINUTE"``) for timestamps; a match farther than that NULLs out
+    (the left row is kept), exactly pandas' semantics.  Both are plain
+    column logic over the same single-shuffle plan.
     """
+    if direction not in ("backward", "forward"):
+        raise ValueError(
+            f"direction must be 'backward' or 'forward', got {direction!r}"
+        )
     keys = list(key_cols)
     lcols = left.columns
     # output columns must not collide with left's (two same-named
@@ -88,9 +104,15 @@ def asof_join(
             r = r.withColumn(c, F.lit(None).cast(left.schema[c].dataType))
 
     unioned = l.unionByName(r)
+    # backward walks time ascending (carry the latest preceding right
+    # row); forward walks it descending (carry the earliest following
+    # one).  Right rows sort before left rows at equal timestamps in
+    # BOTH orders, so ties resolve inclusively ("at or before"/"at or
+    # after").
+    ts_ord = F.col(ts_col).asc() if direction == "backward" else F.col(ts_col).desc()
     w = (
         Window.partitionBy(*keys)
-        .orderBy(F.col(ts_col).asc(), F.col(_IS_LEFT).asc())
+        .orderBy(ts_ord, F.col(_IS_LEFT).asc())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     carried = unioned.select(
@@ -98,6 +120,15 @@ def asof_join(
         F.col(_IS_LEFT),
         F.last(F.col(_PAYLOAD), ignorenulls=True).over(w).alias("__c"),
     )
+    if tolerance is not None:
+        gap = (
+            f"{ts_col} - __c.__ts"
+            if direction == "backward"
+            else f"__c.__ts - {ts_col}"
+        )
+        carried = carried.withColumn(
+            "__c", F.when(F.expr(f"{gap} <= {tolerance}"), F.col("__c"))
+        )
     return carried.filter(F.col(_IS_LEFT) == 1).select(
         *[F.col(c) for c in lcols],
         *[F.col(f"__c.{v}").alias(v) for v in value_cols],
@@ -114,6 +145,8 @@ def asof_join_delta(
     ts_col: str,
     value_cols: tuple[str, ...],
     right_ts_alias: str = "asof_ts",
+    direction: str = "backward",
+    tolerance: str | None = None,
 ) -> DataFrame:
     """Δ(asof_join) — partial recompute confined to AFFECTED KEYS.
 
@@ -156,8 +189,14 @@ def asof_join_delta(
     l_new = apply_delta_to_table(l_a, d_left) if d_left is not None else l_a
     r_new = apply_delta_to_table(r_a, d_right) if d_right is not None else r_a
 
-    old = asof_join(l_a, r_a, key_cols, ts_col, value_cols, right_ts_alias)
-    new = asof_join(l_new, r_new, key_cols, ts_col, value_cols, right_ts_alias)
+    old = asof_join(
+        l_a, r_a, key_cols, ts_col, value_cols, right_ts_alias,
+        direction, tolerance,
+    )
+    new = asof_join(
+        l_new, r_new, key_cols, ts_col, value_cols, right_ts_alias,
+        direction, tolerance,
+    )
     ins = new.exceptAll(old).withColumn(MULT_COL, F.lit(True))
     dels = old.exceptAll(new).withColumn(MULT_COL, F.lit(False))
     return ins.unionByName(dels)

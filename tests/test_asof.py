@@ -200,3 +200,83 @@ def test_asof_delta_one_sided_and_untouched_keys_absent(spark):
         (1, 1.0, False),
         (1, 3.0, True),
     }
+
+
+def test_asof_forward_and_tolerance_equal_bruteforce(spark):
+    import random
+
+    rng = random.Random(5)
+    L = [( "k%d" % rng.randint(0, 3), rng.randint(0, 100), i) for i in range(120)]
+    R = [( "k%d" % rng.randint(0, 3), rng.randint(0, 100), float(j)) for j in range(40)]
+    # unique right (k, ts)
+    seen = set()
+    R = [r for r in R if not (r[:2] in seen or seen.add(r[:2]))]
+    left = spark.createDataFrame(L, "k string, ts int, lid int")
+    right = spark.createDataFrame(R, "k string, ts int, px double")
+
+    def brute(direction, tol):
+        out = {}
+        for k, ts, lid in L:
+            cands = [
+                (rts, px)
+                for rk, rts, px in R
+                if rk == k
+                and (rts <= ts if direction == "backward" else rts >= ts)
+            ]
+            if direction == "backward":
+                m = max(cands, default=None)
+            else:
+                m = min(cands, default=None)
+            if m is not None and tol is not None and abs(m[0] - ts) > tol:
+                m = None
+            out[lid] = (m[1], m[0]) if m is not None else (None, None)
+        return out
+
+    for direction in ("backward", "forward"):
+        for tol in (None, 10):
+            got = {
+                r["lid"]: (r["px"], r["asof_ts"])
+                for r in asof_join(
+                    left, right, ("k",), "ts", ("px",),
+                    direction=direction,
+                    tolerance=None if tol is None else str(tol),
+                ).collect()
+            }
+            assert got == brute(direction, tol), (direction, tol)
+
+
+def test_asof_forward_tolerance_delta_merge_equals_recompute(spark):
+    from ivm_extension_spark.operators.asof import asof_join_delta
+    from ivm_extension_spark.operators.rewrite import MULT_COL
+
+    left = spark.createDataFrame(
+        [("A", 10, 1), ("A", 40, 2), ("B", 10, 3)], "k string, ts int, lid int"
+    )
+    right = spark.createDataFrame(
+        [("A", 15, 1.0), ("A", 90, 2.0), ("B", 12, 3.0)],
+        "k string, ts int, px double",
+    )
+    d_right = spark.createDataFrame(
+        [("A", 15, 1.0, False), ("A", 45, 4.0, True)],
+        "k string, ts int, px double, _duckdb_ivm_multiplicity boolean",
+    )
+    kw = dict(direction="forward", tolerance="10")
+    dv = asof_join_delta(
+        left, right, None, d_right, ("k",), "ts", ("px",), **kw
+    )
+    old = asof_join(left, right, ("k",), "ts", ("px",), **kw)
+    # merge: bag semantics (repr sort — rows contain NULLs)
+    merged = [tuple(r) for r in old.collect()] + [
+        tuple(r)[:-1] for r in dv.filter(F.col(MULT_COL)).collect()
+    ]
+    for r in dv.filter(~F.col(MULT_COL)).collect():
+        merged.remove(tuple(r)[:-1])
+    new_right = spark.createDataFrame(
+        [("A", 90, 2.0), ("B", 12, 3.0), ("A", 45, 4.0)],
+        "k string, ts int, px double",
+    )
+    want = [
+        tuple(r)
+        for r in asof_join(left, new_right, ("k",), "ts", ("px",), **kw).collect()
+    ]
+    assert sorted(merged, key=repr) == sorted(want, key=repr)
