@@ -2302,6 +2302,76 @@ def _q_streaming_cms_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(ckpt, ignore_errors=True)
 
 
+def _q_streaming_quantile_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Histogram quantile sketch maintained ACROSS STREAMING
+    MICRO-BATCHES (functions/quantiles.py × Structured Streaming, the
+    same composition as streaming_cms_sketch): documents arrive as a
+    rate-limited file stream, each batch's bin counts fold into the
+    running state bin-wise inside foreachBatch (linearity:
+    merge-of-batches ≡ sketch-of-union, bit-exact), and the final state
+    serves per-source length quantiles.  Oracle = the identical
+    rank/midpoint formula over the whole documents table.  State is
+    O(sources × occupied bins) regardless of stream length."""
+    import shutil
+    import tempfile
+
+    from ivm_extension_spark.functions import quantiles as qh
+
+    docs = _engine(spark, sf_dir).table("documents").select(
+        "doc_id", "source", "n_chars"
+    )
+    land = tempfile.mkdtemp(prefix="sqh_land_")
+    ckpt = tempfile.mkdtemp(prefix="sqh_ckpt_")
+    state: dict = {"sk": None, "batches": 0}
+
+    def on_batch(batch_df: DataFrame, batch_id: int) -> None:
+        sk = qh.hist_sketch(batch_df, ("source",), "n_chars", _QH_BIN)
+        cur = (
+            sk
+            if state["sk"] is None
+            else qh.hist_merge(state["sk"], sk, ("source",))
+        )
+        # eager checkpoint: O(1) plan depth however long the stream runs
+        state["sk"] = cur.localCheckpoint(eager=True)
+        state["batches"] += 1
+
+    shuffle_before = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        docs.repartition(4).write.mode("overwrite").parquet(land)
+        s = (
+            spark.readStream.schema(docs.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(land)
+        )
+        # tiny per-batch bin relations: 32 shuffle shards per micro-batch
+        # is pure task overhead (same rationale as streaming_cms_sketch)
+        spark.conf.set("spark.sql.shuffle.partitions", "4")
+        q = (
+            s.writeStream.foreachBatch(on_batch)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        if not q.awaitTermination(300):
+            q.stop()
+            raise RuntimeError("quantile stream did not finish within 300s")
+        if state["batches"] < 2:
+            raise RuntimeError(
+                f"expected multiple micro-batches, got {state['batches']}"
+            )
+        return qh.hist_quantile(
+            state["sk"], ("source",), _QH_FRACTIONS, _QH_BIN
+        ).select(
+            "source",
+            "p",
+            F.expr("CAST(round(est * 10) AS BIGINT)").alias("est_tenths"),
+        ).localCheckpoint(eager=True)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", shuffle_before)
+        shutil.rmtree(land, ignore_errors=True)
+        shutil.rmtree(ckpt, ignore_errors=True)
+
+
 def _q_formats_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Connector-surface evidence (sources/formats.py): the orders table
     round-trips through a header CSV write and a hive-partitioned JSON
@@ -3225,6 +3295,7 @@ _EXTRA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ivm_merge_cms_sketch": _q_ivm_merge_cms_sketch,
     "approx_quantile_hist": _q_approx_quantile_hist,
     "ivm_merge_quantile_hist": _q_ivm_merge_quantile_hist,
+    "streaming_quantile_hist": _q_streaming_quantile_hist,
     "streaming_cms_sketch": _q_streaming_cms_sketch,
     "dedup_minhash_incremental": _q_dedup_minhash_incremental,
     "dedup_embedding_incremental": _q_dedup_embedding_incremental,
@@ -3242,18 +3313,19 @@ _EXTRA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 #
 # ROUND 5 WINDOW (this round), computed by scripts/update_ledger.py
 # (never-graded first, then least-recently-green — VERDICT.md r4 item 1):
-#   - positions 1-4: the keys registered THIS round, never driver-graded
+#   - positions 1-5: the keys registered THIS round, never driver-graded
 #     (approx_quantile_hist / ivm_merge_quantile_hist — the fixed-bin
 #     histogram quantile sketch, plain and maintained;
 #     asof_forward_tolerance — pandas merge_asof's direction/tolerance
 #     surface; ivm_merge_theta_routed_sql — the SQL-front one-sided view
 #     whose CREATE-time materialization the round-5 routing plans
-#     dyadically);
-#   - positions 5-30: the round-2-stale cohort (latest green r2,
+#     dyadically; streaming_quantile_hist — the sketch maintained
+#     across streaming micro-batches);
+#   - positions 6-31: the round-2-stale cohort (latest green r2,
 #     displaced by r4's never-graded-first policy) — regraded under
 #     post-r4 code (engine merge path, text tokenization, and
 #     similarity internals all changed after their last grade);
-#   - positions 31-50: least-recently-green round-3 keys (dedup_minhash_
+#   - positions 32-50: least-recently-green round-3 keys (dedup_minhash_
 #     incremental, the formats/lakehouse roundtrip, and the core ivm_*
 #     delta-rule + merge lifecycle keys graded in r3).
 _GRADE_FIRST: tuple[str, ...] = (
@@ -3261,6 +3333,7 @@ _GRADE_FIRST: tuple[str, ...] = (
     "asof_forward_tolerance",
     "ivm_merge_quantile_hist",
     "ivm_merge_theta_routed_sql",
+    "streaming_quantile_hist",
     "mix_quota_per_source",
     "multimodal_decode",
     "multimodal_meta",
@@ -3306,7 +3379,6 @@ _GRADE_FIRST: tuple[str, ...] = (
     "ivm_merge_chain_semi",
     "ivm_merge_corpus_stats",
     "ivm_merge_dedup_index",
-    "ivm_merge_distinct",
 )
 
 
@@ -5081,6 +5153,7 @@ def _extras_oracle_sql() -> dict[str, str]:
         "ivm_merge_cms_sketch": _cms_merge_oracle(),
         "approx_quantile_hist": _qh_oracle("documents"),
         "ivm_merge_quantile_hist": _qh_oracle(_applied_sql("documents")),
+        "streaming_quantile_hist": _qh_oracle("documents"),
         "streaming_cms_sketch": _cms_stream_oracle(),
         "dedup_embedding": f"""
             SELECT a.vec_id AS id_a, b.vec_id AS id_b, {cos} AS cos_sim
