@@ -1429,14 +1429,21 @@ def _q_ivm_merge_theta_general_chain(spark: SparkSession, sf_dir: str) -> DataFr
 
 def _q_ivm_merge_theta_routed_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two-table one-sided inequality view ENTIRELY through the SQL
-    front (``CREATE IMMV … JOIN ON o_totalprice < cutoff``): the
-    round-5 routing materializes the CREATE-time state via the dyadic
-    equi plan (rewrite.compute_view → operators/ineqjoin.py; no
-    BroadcastNestedLoopJoin — pinned by tests/test_theta_routing.py and
-    the plan audit), while the delta path keeps the broadcast-delta
-    theta algebra.  Deltas on BOTH sides: the standard orders delta
-    plus a threshold delta that deletes 't300k' and inserts 't50k'.
-    V' = V ⊎ ΔV through the engine's ordinary merge."""
+    front (``CREATE IMMV … JOIN ON o_totalprice < cutoff``),
+    exercising the round-5 routing DECISION: ``rewrite.compute_view``
+    recognizes the one-sided conjunct and consults the size gate —
+    here ``th_rules`` is 3 rows, under ``rewrite._ROUTE_MIN_ROWS``, so
+    the CREATE-time materialization intentionally KEEPS Catalyst's
+    broadcast nested-loop plan (linear work against a broadcast 3-row
+    side — measured 4x faster than the dyadic plan at this size;
+    pinned by tests/test_theta_routing.py
+    ``test_small_side_keeps_broadcast_nlj``).  Big×big sides route to
+    operators/ineqjoin.py's dyadic equi plan instead (pinned by the
+    no-BNLJ audits in the same file).  The delta path keeps the
+    broadcast-delta theta algebra either way.  Deltas on BOTH sides:
+    the standard orders delta plus a threshold delta that deletes
+    't300k' and inserts 't50k'.  V' = V ⊎ ΔV through the engine's
+    ordinary merge."""
     eng = _engine(spark, sf_dir, deltas=("orders",))
     eng.register_table(
         "th_rules",

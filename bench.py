@@ -129,6 +129,25 @@ def main() -> int:
     # than stalling the driver indefinitely
     cooldown_budget = 120.0
 
+    # reference-guided re-sampling: BENCH_REF.json carries each key's
+    # last committed CALM-machine time.  A recorded sample far above it
+    # (>3x and >2s absolute) is almost certainly environmental — round
+    # 5's driver run recorded 36s for a key that runs in 2.2s calm,
+    # with BOTH min-of-2 samples inflated and /proc/stat busy looking
+    # idle between runs (contention that only manifests while our own
+    # stages run — CPU steal, disk, memory bandwidth — is invisible to
+    # the between-runs probe).  Such a key earns extra cooled-down
+    # samples, bounded by ref_budget so a genuinely slower machine
+    # still terminates; the recorded figure is always a real measured
+    # run (the minimum), never the reference itself.
+    try:
+        refs: dict[str, float] = json.loads(
+            Path(__file__).parent.joinpath("BENCH_REF.json").read_text()
+        )["queries"]
+    except Exception:
+        refs = {}
+    ref_budget = 120.0
+
     for name, fn in entrymod.queries().items():
         if only and name not in only:
             continue
@@ -177,8 +196,20 @@ def main() -> int:
                 any(l <= LOAD_FLAG for _, l in samples)
                 or min(s for s, _ in samples) < 1.0
             )
-            if agree and calm_seen:
+            ref = refs.get(name)
+            best = min(s for s, _ in samples)
+            suspect_vs_ref = (
+                ref is not None
+                and best > max(3.0 * ref, ref + 2.0)
+                and ref_budget > 0
+            )
+            if agree and calm_seen and not suspect_vs_ref:
                 break
+            if suspect_vs_ref:
+                # the extra sample costs ~best seconds — charge it up
+                # front so a chronically slow machine drains the budget
+                # instead of quadrupling every key's runtime
+                ref_budget -= best
             # disagreeing samples, or no calm window yet, on a busy host:
             # cool down (up to 30s for the neighbors' cpu use to fall
             # under the flag threshold) so the extra sample measures
@@ -192,6 +223,13 @@ def main() -> int:
             ):
                 time.sleep(2)
                 cooldown_budget -= 2
+            if suspect_vs_ref and time.time() - t_wait < 1 and cooldown_budget > 0:
+                # ref-suspect but /proc/stat looks calm: the contention
+                # is the kind the probe can't see (steal/disk/mem-bw) —
+                # a short blind pause before the extra sample gives a
+                # transient spike a chance to pass
+                time.sleep(5)
+                cooldown_budget -= 5
         if samples:
             dt, ext_at_min = min(samples)
         else:

@@ -961,11 +961,16 @@ def embedding_near_dups_delta(
     broadcast (O(|Δ|·d) bytes — the same bound any broadcast join
     carries) AFTER a limit-bounded size probe, mirroring the batch
     path's gate: a "delta" over ``broadcast_limit`` rows (a backfill)
-    is never driver-held — it routes through the deterministic LSH
-    buckets instead (:func:`_embedding_near_dups_delta_lsh`), whose
-    recall semantics match the batch LSH path a corpus that size took.
-    The tiny Δ×Δ blocks of the broadcast path are scored at plan-build
-    time.
+    is never driver-held.  When the INDEX is also over the limit (so
+    the stored state was LSH-built) it routes through the deterministic
+    LSH buckets (:func:`_embedding_near_dups_delta_lsh`), whose recall
+    semantics match the batch LSH path that state took; when the index
+    is still small (exact-built state — the exact→LSH transition) the
+    CDC turns the state over instead (retract pairs(T) by the exact
+    path, insert pairs(T') by T''s own batch path), because the LSH
+    probe can only retract bucket-colliding pairs and would strand
+    exact pairs that collide in no table.  The tiny Δ×Δ blocks of the
+    broadcast path are scored at plan-build time.
     """
     from collections.abc import Iterator
 
@@ -980,11 +985,47 @@ def embedding_near_dups_delta(
     )
     over = d.select("id").limit(broadcast_limit + 1).count() > broadcast_limit
     if over:
-        cdc, new_index = _embedding_near_dups_delta_lsh(
-            src, d, threshold, n_tables=lsh_tables, planes=lsh_planes
+        index_over = (
+            src.select("id").limit(broadcast_limit + 1).count()
+            > broadcast_limit
+        )
+        if index_over:
+            # prior state was LSH-built (the batch dispatcher routes any
+            # corpus this size through the buckets), so the LSH delta
+            # probe retracts exactly the pairs the stored state contains
+            cdc, new_index = _embedding_near_dups_delta_lsh(
+                src, d, threshold, n_tables=lsh_tables, planes=lsh_planes
+            )
+            return (
+                cdc.withColumnRenamed("__ins", mult_col),
+                new_index.select(
+                    F.col("id").alias(id_col), F.col("v").alias(vec_col)
+                ),
+            )
+        # exact→LSH TRANSITION: an oversized delta (a backfill) landing
+        # on an exact-built index.  The LSH probe would only retract
+        # bucket-colliding pairs, leaving exact-path pairs that collide
+        # in no table as stale state — so turn the state over instead:
+        # retract every old pair (recomputed by the same exact path the
+        # small index took — cheap, |index| <= broadcast_limit) and
+        # insert every pair of T' by whichever path T' now takes.
+        # Coarser than a minimal CDC but bit-exact across the
+        # transition: pairs(T) ⊎ CDC == pairs(T') by construction.
+        new_index = src.join(
+            d.filter(~F.col("__ins")).select("id"), on="id", how="left_anti"
+        ).unionByName(d.filter(F.col("__ins")).select("id", "v"))
+        old_pairs = embedding_near_dups(
+            src, "id", "v", threshold, broadcast_limit, lsh_tables, lsh_planes
+        )
+        new_pairs = embedding_near_dups(
+            new_index, "id", "v", threshold, broadcast_limit,
+            lsh_tables, lsh_planes,
+        )
+        cdc = new_pairs.withColumn(mult_col, F.lit(True)).unionByName(
+            old_pairs.withColumn(mult_col, F.lit(False))
         )
         return (
-            cdc.withColumnRenamed("__ins", mult_col),
+            cdc,
             new_index.select(
                 F.col("id").alias(id_col), F.col("v").alias(vec_col)
             ),

@@ -108,8 +108,15 @@ def asof_join(
     # row); forward walks it descending (carry the earliest following
     # one).  Right rows sort before left rows at equal timestamps in
     # BOTH orders, so ties resolve inclusively ("at or before"/"at or
-    # after").
-    ts_ord = F.col(ts_col).asc() if direction == "backward" else F.col(ts_col).desc()
+    # after").  NULLS FIRST in both orders: a left row with a NULL
+    # timestamp matches nothing, so it must sort before every right
+    # row (asc defaults to NULLS FIRST; desc defaults to NULLS LAST,
+    # which would hand NULL-ts left rows the extremal right payload).
+    ts_ord = (
+        F.col(ts_col).asc_nulls_first()
+        if direction == "backward"
+        else F.col(ts_col).desc_nulls_first()
+    )
     w = (
         Window.partitionBy(*keys)
         .orderBy(ts_ord, F.col(_IS_LEFT).asc())

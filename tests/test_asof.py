@@ -280,3 +280,37 @@ def test_asof_forward_tolerance_delta_merge_equals_recompute(spark):
         for r in asof_join(left, new_right, ("k",), "ts", ("px",), **kw).collect()
     ]
     assert sorted(merged, key=repr) == sorted(want, key=repr)
+
+
+def test_asof_null_left_ts_matches_nothing_both_directions(spark):
+    """A left row with a NULL timestamp satisfies no as-of predicate.
+
+    Regression pin (round-6 advice): forward direction orders the walk
+    descending, whose Spark default is NULLS LAST — a NULL-ts left row
+    would sort after every right row and carry the minimum right
+    timestamp's payload as a phantom match.  Both directions must order
+    NULLS FIRST so the carry window above a NULL-ts left row is empty.
+    """
+    left = spark.createDataFrame(
+        [("A", 10, 1), ("A", None, 2), ("B", None, 3)],
+        "k string, ts int, lid int",
+    )
+    right = spark.createDataFrame(
+        [("A", 5, 1.0), ("A", 20, 2.0), ("B", 7, 3.0)],
+        "k string, ts int, px double",
+    )
+    for direction in ("backward", "forward"):
+        for tol in (None, "100"):
+            got = {
+                r["lid"]: (r["px"], r["asof_ts"])
+                for r in asof_join(
+                    left, right, ("k",), "ts", ("px",),
+                    direction=direction, tolerance=tol,
+                ).collect()
+            }
+            assert len(got) == 3, (direction, tol)
+            assert got[2] == (None, None), (direction, tol)
+            assert got[3] == (None, None), (direction, tol)
+            assert got[1] == (
+                (1.0, 5) if direction == "backward" else (2.0, 20)
+            ), (direction, tol)

@@ -1007,3 +1007,67 @@ def test_boilerplate_index_maintained_equals_recompute(spark):
     # the threshold must actually bite at this scale (data-liveness)
     below = ex.groupBy("g").agg(F.count("*").alias("df")).filter("df < 25")
     assert below.count() > 0
+
+
+def test_embedding_near_dups_delta_exact_to_lsh_transition(spark):
+    # an OVERSIZED delta landing on a SMALL (exact-built) index: the LSH
+    # probe can only retract bucket-colliding pairs, so the CDC must
+    # instead turn the state over — retract every exact pair of T,
+    # insert every pair of T' by T''s own batch path.  Invariant:
+    # pairs(T, exact) ⊎ CDC == pairs(T', dispatcher) bit-exactly.
+    import random
+
+    from ivm_extension_spark.operators.rewrite import MULT_COL
+
+    rng = random.Random(21)
+    dim = 16
+    data = []
+    for base_id in range(0, 12):
+        v = [rng.uniform(-1, 1) for _ in range(dim)]
+        data.append((base_id, v))
+        if base_id % 3 == 0:
+            data.append(
+                (1000 + base_id, [x + rng.uniform(-0.004, 0.004) for x in v])
+            )
+    vecs = spark.createDataFrame(data, "vec_id long, embedding array<double>")
+    n_index = len(data)  # 16 rows — at or under the limit below
+    # backfill: more inserts than broadcast_limit, plus a few deletes
+    ins = [
+        (2000 + j, [x + rng.uniform(-0.003, 0.003) for x in data[j % len(data)][1]], True)
+        for j in range(30)
+    ]
+    dels = [(i, v, False) for i, v in data if i % 7 == 2]
+    delta = spark.createDataFrame(
+        ins + dels, f"vec_id long, embedding array<double>, {MULT_COL} boolean"
+    )
+    limit = n_index  # index <= limit (exact path), delta > limit
+    cdc, new_index = dedup.embedding_near_dups_delta(
+        vecs, delta, "vec_id", "embedding", threshold=0.95,
+        broadcast_limit=limit,
+    )
+    exact_old = {
+        (r["id_a"], r["id_b"]): r["cos_sim"]
+        for r in dedup.embedding_near_dups(
+            vecs, "vec_id", "embedding", threshold=0.95, broadcast_limit=limit
+        ).collect()
+    }
+    merged = dict(exact_old)
+    cdc_rows = cdc.collect()
+    # turnover CDC: apply retractions first, then insertions
+    for r in cdc_rows:
+        if not r[MULT_COL]:
+            k = (r["id_a"], r["id_b"])
+            assert merged.pop(k) == r["cos_sim"], k
+    assert merged == {}  # every exact pair was retracted
+    for r in cdc_rows:
+        if r[MULT_COL]:
+            merged[(r["id_a"], r["id_b"])] = r["cos_sim"]
+    want = {
+        (r["id_a"], r["id_b"]): r["cos_sim"]
+        for r in dedup.embedding_near_dups(
+            new_index, "vec_id", "embedding", threshold=0.95,
+            broadcast_limit=limit,
+        ).collect()
+    }
+    assert merged == want and len(want) > 0
+    assert new_index.count() == len(data) - len(dels) + len(ins)
