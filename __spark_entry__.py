@@ -2102,6 +2102,105 @@ def _q_ivm_merge_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return eng.merge_view("v")
 
 
+def _q_ivm_merge_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MAINTAINED TF-IDF index (round 6): the corpus keyword scoring of
+    ``text_tfidf_keywords`` served from INCREMENTALLY MAINTAINED count
+    state instead of a corpus rescan.  TF-IDF itself is nonlinear
+    (idf = ln(N/df) moves with every doc), so the maintained state is
+    the LINEAR decomposition — tf(doc, term) counts, per-term distinct
+    doc frequencies, and the distinct doc count, each an ordinary IMMV
+    — and the scoring is finalize-on-read over the merged states (the
+    same split HAVING/median use: engine.py finalize-on-read).
+
+    Tokenization is a stateless per-row map, so Δ(doc_terms) =
+    tokenize(Δdocuments) — multiplicity threads through the explode
+    unchanged.  Mixed delta: %10 docs duplicated (their term bags
+    double), %7=3 docs deleted (their terms leave tf AND df via the
+    count-distinct aux state).  The base corpus is never re-tokenized
+    on merge; only the delta is.  Oracle = full TF-IDF recompute over
+    the post-delta corpus (same quantized-idf integer scoring as
+    text_tfidf_keywords, ulp-robust ranking)."""
+    from ivm_extension_spark.functions.text import tokens
+
+    eng = _engine(spark, sf_dir)
+    docs = eng.table("documents")
+    d_docs = (
+        docs.filter("doc_id % 10 = 0")
+        .withColumn(MULT_COL, F.lit(True))
+        .unionByName(
+            docs.filter("doc_id % 7 = 3").withColumn(MULT_COL, F.lit(False))
+        )
+    )
+    eng.register_delta("documents", d_docs)
+
+    def to_terms(df: DataFrame, with_mult: bool = False) -> DataFrame:
+        extra = [MULT_COL] if with_mult else []
+        return df.select(
+            "doc_id", F.explode(tokens("text")).alias("term"), *extra
+        ).filter(F.length("term") >= 3)
+
+    # checkpoint + re-alias both tokenized relations: Spark 4.1's Union
+    # constraint rewrite chokes when exploded plans meet in a union (the
+    # checkpointed LogicalRDD keeps constraints referencing the
+    # pre-checkpoint generator attribute — "key not found: term#N");
+    # toDF projects through fresh attribute ids, which rewrites the
+    # constraints consistently.  A real deployment would store doc_terms
+    # as a table anyway — the lazy checkpoint IS that materialization
+    # (one tokenization pass each; the base is never RE-tokenized on
+    # merge).
+    def pin(df: DataFrame) -> DataFrame:
+        df = df.localCheckpoint(eager=False)
+        return df.toDF(*df.columns)
+
+    eng.register_table("doc_terms", pin(to_terms(docs)))
+    eng.register_delta("doc_terms", pin(to_terms(d_docs, with_mult=True)))
+
+    eng.create_immv(
+        "tf",
+        sql="SELECT doc_id, term, count(*) AS tf "
+        "FROM doc_terms GROUP BY doc_id, term",
+    )
+    eng.create_immv(
+        "dfreq",
+        sql="SELECT term, count(DISTINCT doc_id) AS df "
+        "FROM doc_terms GROUP BY term",
+    )
+    eng.create_immv("ndocs", sql="SELECT count(DISTINCT doc_id) AS n FROM documents")
+    for v in ("tf", "dfreq", "ndocs"):
+        eng.ivm_upsert(v)
+    tf_state = eng.merge_view("tf")
+    df_state = eng.merge_view("dfreq")
+    nd = eng.merge_view("ndocs")
+
+    # finalize-on-read: quantized integer scoring, identical expression
+    # to tfidf_top_terms(quantize=6) and its DuckDB twin
+    idf = df_state.crossJoin(F.broadcast(nd)).select(
+        "term",
+        F.round(
+            F.log(F.col("n").cast("double") / F.col("df").cast("double"))
+            * F.lit(1e6)
+        )
+        .cast("bigint")
+        .alias("__idf_e6"),
+    )
+    scored = tf_state.join(F.broadcast(idf), on="term").select(
+        "doc_id",
+        "term",
+        F.col("tf").cast("bigint").alias("tf"),
+        (F.col("tf") * F.col("__idf_e6")).cast("bigint").alias("score"),
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("score").desc(), F.col("term").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter("rank <= 3")
+        .select("doc_id", "term", "tf", "score", "rank")
+    )
+
+
 def _q_ivm_merge_hll_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Maintained HLL distinct-count sketch (functions/hll.py): the
     register state absorbs an insert-only delta via bucket-wise max —
@@ -2957,6 +3056,68 @@ def _q_ivm_merge_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return merged.select("event_id", "user_id", "ts", "snap_cents", "asof_ts")
 
 
+def _q_ivm_merge_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MAINTAINED FORWARD as-of join with a staleness bound (round 6):
+    the round-5 direction/tolerance surface threaded through the
+    affected-key partial-recompute CDC (asof_join_delta) and the ⊎
+    bag-count merge — same delta mix as the backward lifecycle
+    (snapshot deletes re-match events FORWARD to the next-later
+    snapshot or to NULL; +37-minute inserts steal earlier events'
+    matches within the 45-minute bound), proving the delta rule is
+    direction/tolerance-agnostic.  Oracle = DuckDB's forward ASOF JOIN
+    over the post-delta tables with the bound as a CASE."""
+    from ivm_extension_spark.operators.asof import asof_join, asof_join_delta
+
+    eng = _engine(spark, sf_dir)
+    ev = eng.table("events").select("event_id", "user_id", "ts")
+    pred, mult = DELTA_DEFS["events"]
+    d_ev = (
+        eng.table("events")
+        .filter(F.expr(pred))
+        .select("event_id", "user_id", "ts", F.expr(mult).alias(MULT_COL))
+    )
+    snaps0 = (
+        eng.table("events")
+        .filter("event_id % 10 = 0")
+        .groupBy("user_id", "ts")
+        .agg(F.max(F.expr("CAST(round(value * 100) AS BIGINT)")).alias("snap_cents"))
+        .localCheckpoint(eager=False)  # feeds the base and both delta halves
+    )
+    d_snaps = (
+        snaps0.filter("user_id % 5 = 0")
+        .withColumn(MULT_COL, F.lit(False))
+        .unionByName(
+            snaps0.filter("user_id % 7 = 0")
+            .select(
+                "user_id",
+                F.expr("ts + INTERVAL 37 MINUTES").alias("ts"),
+                (F.col("snap_cents") + F.lit(1)).alias("snap_cents"),
+            )
+            .withColumn(MULT_COL, F.lit(True))
+        )
+    )
+    kw = dict(direction="forward", tolerance="INTERVAL '45' MINUTE")
+    v_old = asof_join(ev, snaps0, ("user_id",), "ts", ("snap_cents",), **kw)
+    dv = asof_join_delta(
+        ev, snaps0, d_ev, d_snaps, ("user_id",), "ts", ("snap_cents",), **kw
+    ).localCheckpoint(eager=False)
+    cols = v_old.columns
+    merged = (
+        v_old.withColumn("__s", F.lit(1))
+        .unionByName(
+            dv.withColumn(
+                "__s", F.when(F.col(MULT_COL), F.lit(1)).otherwise(F.lit(-1))
+            ).drop(MULT_COL)
+        )
+        .groupBy(*cols)
+        .agg(F.sum("__s").alias("__n"))
+        .filter(F.col("__n") > 0)
+        .select(*cols, F.explode(F.expr("sequence(1, __n)")).alias("__i"))
+        .drop("__i")
+    )
+    return merged.select("event_id", "user_id", "ts", "snap_cents", "asof_ts")
+
+
 def _q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Point-in-interval join via binning (operators/rangejoin.py): order
     totals classified into overlapping price bands.  Oracle: the plain
@@ -3255,6 +3416,7 @@ _OLAP_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "asof_snapshots": _q_asof_join,
     "asof_forward_tolerance": _q_asof_forward_tolerance,
     "ivm_merge_asof_join": _q_ivm_merge_asof_join,
+    "ivm_merge_asof_forward": _q_ivm_merge_asof_forward,
     "range_join_bands": _q_range_join,
     "percentiles_by_status": _q_percentiles,
     "approx_distinct_sketch": _q_approx_distinct_sketch,
@@ -3297,6 +3459,7 @@ _EXTRA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ivm_merge_dedup_index": _q_ivm_merge_dedup_index,
     "ivm_merge_boilerplate_index": _q_ivm_merge_boilerplate_index,
     "ivm_merge_corpus_stats": _q_ivm_merge_corpus_stats,
+    "ivm_merge_tfidf": _q_ivm_merge_tfidf,
     "ivm_merge_hll_sketch": _q_ivm_merge_hll_sketch,
     "approx_heavy_hitters": _q_approx_heavy_hitters,
     "ivm_merge_cms_sketch": _q_ivm_merge_cms_sketch,
@@ -3318,74 +3481,72 @@ _EXTRA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 # correctness rows (the rotation ledger lives in GRADING_LEDGER.json and
 # tests/test_registry.py enforces window size + oracle coverage).
 #
-# ROUND 5 WINDOW (this round), computed by scripts/update_ledger.py
-# (never-graded first, then least-recently-green — VERDICT.md r4 item 1):
-#   - positions 1-5: the keys registered THIS round, never driver-graded
-#     (approx_quantile_hist / ivm_merge_quantile_hist — the fixed-bin
-#     histogram quantile sketch, plain and maintained;
-#     asof_forward_tolerance — pandas merge_asof's direction/tolerance
-#     surface; ivm_merge_theta_routed_sql — the SQL-front one-sided view
-#     whose CREATE-time materialization the round-5 routing plans
-#     dyadically; streaming_quantile_hist — the sketch maintained
-#     across streaming micro-batches);
-#   - positions 6-31: the round-2-stale cohort (latest green r2,
-#     displaced by r4's never-graded-first policy) — regraded under
-#     post-r4 code (engine merge path, text tokenization, and
-#     similarity internals all changed after their last grade);
-#   - positions 32-50: least-recently-green round-3 keys (dedup_minhash_
-#     incremental, the formats/lakehouse roundtrip, and the core ivm_*
-#     delta-rule + merge lifecycle keys graded in r3).
+# ROUND 6 WINDOW (this round), computed by scripts/update_ledger.py
+# (never-graded first, then least-recently-green):
+#   - positions 1-2: the keys registered THIS round, never driver-graded
+#     (ivm_merge_asof_forward — the maintained FORWARD+tolerance as-of
+#     lifecycle over the round-5 direction/tolerance surface;
+#     ivm_merge_tfidf — the maintained TF-IDF index: linear tf/df/N
+#     count IMMVs over a tokenized CDC, quantized scoring
+#     finalize-on-read);
+#   - positions 3-33: the round-3 cohort (latest green r3) — the core
+#     ivm_merge_* delta-rule/merge lifecycles, regraded under post-r5
+#     code (the round-5 theta routing touched compute_view, which every
+#     lifecycle's CREATE-time materialization runs through; round 6
+#     fixed the forward as-of NULL ordering and the embedding-delta
+#     exact-to-LSH transition);
+#   - positions 34-50: the oldest round-4 keys (dedup/sketch/OLAP set).
 _GRADE_FIRST: tuple[str, ...] = (
-    "approx_quantile_hist",
-    "asof_forward_tolerance",
-    "ivm_merge_quantile_hist",
-    "ivm_merge_theta_routed_sql",
-    "streaming_quantile_hist",
-    "mix_quota_per_source",
-    "multimodal_decode",
-    "multimodal_meta",
-    "pack_documents",
-    "percentiles_by_status",
-    "pivot_sales",
-    "q14_promo_revenue",
-    "q5_local_supplier_volume",
-    "range_join_bands",
-    "rollup_sales",
-    "sample_stratified",
-    "scalar_functions",
-    "sessionize_users",
-    "setops_active_custkeys",
-    "sim_knn_label_consistency",
-    "sim_topk_bruteforce",
-    "sim_topk_lsh",
-    "text_lang_accuracy",
-    "text_lang_id",
-    "text_quality",
-    "text_repetition",
-    "text_stats",
-    "text_tfidf_keywords",
-    "token_length_histogram",
-    "unpivot_sales",
-    "window_running_total",
-    "dedup_minhash_incremental",
-    "events_window_rollup",
-    "formats_roundtrip",
-    "ivm_avg",
-    "ivm_cascade_rollup",
-    "ivm_count_distinct",
-    "ivm_expr_agg",
-    "ivm_filter",
-    "ivm_filter_groupby",
-    "ivm_global_agg",
-    "ivm_groupby_agg",
-    "ivm_join_delta",
-    "ivm_left_join_delta",
-    "ivm_maintain_all",
-    "ivm_merge_anti_join",
-    "ivm_merge_chain_dim",
-    "ivm_merge_chain_semi",
-    "ivm_merge_corpus_stats",
-    "ivm_merge_dedup_index",
+    "ivm_merge_asof_forward",
+    "ivm_merge_tfidf",
+    "ivm_merge_distinct",
+    "ivm_merge_doc_quality",
+    "ivm_merge_full_chain",
+    "ivm_merge_full_outer",
+    "ivm_merge_full_pos_chain",
+    "ivm_merge_full_suffix_chain",
+    "ivm_merge_groupby",
+    "ivm_merge_hll_sketch",
+    "ivm_merge_join",
+    "ivm_merge_join_minmax",
+    "ivm_merge_left_join",
+    "ivm_merge_median_mode",
+    "ivm_merge_minmax_distinct",
+    "ivm_merge_multi_delta_chain",
+    "ivm_merge_projection",
+    "ivm_merge_range_full_join",
+    "ivm_merge_range_left_join",
+    "ivm_merge_semi_join",
+    "ivm_merge_time_window",
+    "ivm_merge_topk",
+    "ivm_merge_union",
+    "ivm_merge_variance",
+    "ivm_min_max_insert_only",
+    "ivm_q13_cascade",
+    "ivm_semi_join_delta",
+    "q13_custdist",
+    "q1_pricing_summary",
+    "sim_topk_ivf",
+    "streaming_dedup_docs",
+    "text_fingerprints",
+    "topk_per_group",
+    "approx_distinct_sketch",
+    "approx_heavy_hitters",
+    "asof_snapshots",
+    "chunk_documents",
+    "contamination_check",
+    "cube_sales",
+    "dedup_clusters",
+    "dedup_embedding",
+    "dedup_embedding_incremental",
+    "dedup_exact",
+    "dedup_keep_canonical",
+    "dedup_minhash_lsh",
+    "dedup_ngram_jaccard",
+    "dedup_simhash",
+    "emb_label_centroids",
+    "events_sliding_window",
+    "grouping_sets_sales",
 )
 
 
@@ -4305,6 +4466,38 @@ def oracle_sql() -> dict[str, str]:
             ASOF LEFT JOIN snaps s
               ON e.user_id = s.user_id AND e.ts >= s.ts
         """,
+        "ivm_merge_asof_forward": f"""
+            WITH snaps0 AS (
+                SELECT user_id, ts,
+                       max(CAST(round(value * 100) AS BIGINT)) AS snap_cents
+                FROM events WHERE event_id % 10 = 0
+                GROUP BY user_id, ts
+            ),
+            snaps AS (
+                SELECT user_id, ts, snap_cents
+                FROM snaps0 WHERE NOT (user_id % 5 = 0)
+                UNION ALL
+                SELECT user_id, ts + INTERVAL 37 MINUTE AS ts,
+                       CAST(snap_cents + 1 AS BIGINT) AS snap_cents
+                FROM snaps0 WHERE user_id % 7 = 0
+            ),
+            ev AS (
+                SELECT event_id, user_id, ts FROM {_applied_sql('events')} e
+            ),
+            m AS (
+                SELECT e.event_id, e.user_id, e.ts,
+                       s.snap_cents AS sc, s.ts AS sts
+                FROM ev e
+                ASOF LEFT JOIN snaps s
+                  ON e.user_id = s.user_id AND e.ts <= s.ts
+            )
+            SELECT event_id, user_id, ts,
+                   CASE WHEN sts - ts <= INTERVAL 45 MINUTE THEN sc END
+                       AS snap_cents,
+                   CASE WHEN sts - ts <= INTERVAL 45 MINUTE THEN sts END
+                       AS asof_ts
+            FROM m
+        """,
         "asof_forward_tolerance": """
             WITH snaps AS (
                 SELECT user_id, ts,
@@ -5075,6 +5268,35 @@ def _extras_oracle_sql() -> dict[str, str]:
                    CAST(sum(len({_TOKS})) AS BIGINT) AS total_tokens,
                    CAST(sum(n_chars) AS BIGINT) AS total_chars
             FROM t GROUP BY source
+        """,
+        "ivm_merge_tfidf": f"""
+            WITH t AS (
+                SELECT * FROM documents WHERE NOT (doc_id % 7 = 3)
+                UNION ALL SELECT * FROM documents WHERE doc_id % 10 = 0
+            ),
+            toks AS (
+                SELECT id, term FROM (
+                    SELECT doc_id AS id, unnest({_TOKS}) AS term FROM t
+                ) WHERE len(term) >= 3
+            ),
+            tf AS (SELECT id, term, count(*) AS tf FROM toks GROUP BY id, term),
+            nd AS (SELECT count(DISTINCT doc_id) AS n FROM t),
+            dfq AS (
+                SELECT term,
+                       CAST(round(ln(CAST((SELECT n FROM nd) AS DOUBLE)
+                                     / CAST(count(DISTINCT id) AS DOUBLE)) * 1000000.0)
+                            AS BIGINT) AS idf_e6
+                FROM toks GROUP BY term
+            )
+            SELECT id AS doc_id, term, CAST(tf AS BIGINT) AS tf,
+                   CAST(score AS BIGINT) AS score, CAST(rank AS INT) AS rank
+            FROM (
+                SELECT tf.id, tf.term, tf.tf, tf.tf * dfq.idf_e6 AS score,
+                       row_number() OVER (
+                           PARTITION BY tf.id
+                           ORDER BY tf.tf * dfq.idf_e6 DESC, tf.term ASC) AS rank
+                FROM tf JOIN dfq ON tf.term = dfq.term
+            ) WHERE rank <= 3
         """,
         "formats_roundtrip": """
             WITH agg AS (
