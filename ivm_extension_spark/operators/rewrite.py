@@ -1216,7 +1216,24 @@ def _fold_suffix(
             # would execute twice.  Branches are delta-sized — the
             # checkpoint is O(|Δ|).  Only safe on flattened (bare-column)
             # branches: checkpointing drops alias metadata.
-            branches = [b.localCheckpoint(eager=True) for b in branches]
+            #
+            # FUSED: all branches materialize in ONE eager job — a
+            # tagged union checkpointed once, split back by narrow
+            # filters over the checkpointed blocks — instead of k
+            # sequential checkpoint jobs (branch schemas are identical
+            # at pin time: the same flattened out_refs + sign).
+            if len(branches) == 1:
+                branches = [branches[0].localCheckpoint(eager=True)]
+            else:
+                tagged = None
+                for n, b in enumerate(branches):
+                    t = b.withColumn("__bix", F.lit(n))
+                    tagged = t if tagged is None else tagged.unionByName(t)
+                tagged = tagged.localCheckpoint(eager=True)
+                branches = [
+                    tagged.filter(F.col("__bix") == n).drop("__bix")
+                    for n in range(len(branches))
+                ]
         lnames = sorted({t for t, _ in left_refs if t})
         lcols = [c for _, c in left_refs]
         pairs = _equi_pairs(j.on, lnames or ["__none__"], j.table, lcols, R.columns)
