@@ -2478,6 +2478,119 @@ def _q_streaming_quantile_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(ckpt, ignore_errors=True)
 
 
+def _q_streaming_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MAINTAINED AS-OF JOIN ACROSS STREAMING MICRO-BATCHES (round 6):
+    the affected-key CDC rule (operators/asof.py asof_join_delta)
+    composed with Structured Streaming the same way the CMS/quantile
+    sketches are.  Snapshot-table changes (deletes for 1/5 of users,
+    +37-minute shifted inserts for 1/7) arrive as a rate-limited file
+    stream; each micro-batch computes ΔV against the CURRENT snapshot
+    relation (sequential worlds — any partition of the CDC into batches
+    composes), bag-merges it into the maintained view, and advances the
+    snapshot state, all eagerly checkpointed so plan depth stays O(1)
+    over stream length.  The events side is never rescanned beyond each
+    batch's affected-key slice.  Oracle = DuckDB's native ASOF JOIN over
+    the post-delta snapshot table — bit-exact, not approximate."""
+    import shutil
+    import tempfile
+
+    from ivm_extension_spark.operators.asof import asof_join, asof_join_delta
+    from ivm_extension_spark.operators.merge import apply_delta_to_table
+
+    eng = _engine(spark, sf_dir)
+    ev = eng.table("events").select("event_id", "user_id", "ts")
+    snaps0 = (
+        eng.table("events")
+        .filter("event_id % 10 = 0")
+        .groupBy("user_id", "ts")
+        .agg(F.max(F.expr("CAST(round(value * 100) AS BIGINT)")).alias("snap_cents"))
+        .localCheckpoint(eager=True)  # the stored snapshot table
+    )
+    d_all = (
+        snaps0.filter("user_id % 5 = 0")
+        .withColumn(MULT_COL, F.lit(False))
+        .unionByName(
+            snaps0.filter("user_id % 7 = 0")
+            .select(
+                "user_id",
+                F.expr("ts + INTERVAL 37 MINUTES").alias("ts"),
+                (F.col("snap_cents") + F.lit(1)).alias("snap_cents"),
+            )
+            .withColumn(MULT_COL, F.lit(True))
+        )
+    )
+    land = tempfile.mkdtemp(prefix="sasof_land_")
+    ckpt = tempfile.mkdtemp(prefix="sasof_ckpt_")
+    keys = ("user_id",)
+    state: dict = {
+        "view": asof_join(ev, snaps0, keys, "ts", ("snap_cents",)).localCheckpoint(
+            eager=True
+        ),
+        "snaps": snaps0,
+        "batches": 0,
+    }
+
+    def on_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if not batch_df.take(1):
+            return
+        # pin the micro-batch source: the CDC rule reads it several
+        # times (affected keys + both worlds) and a streaming source
+        # relation must not leak past its batch
+        d = batch_df.localCheckpoint(eager=True)
+        dv = asof_join_delta(ev, state["snaps"], None, d, keys, "ts", ("snap_cents",))
+        v = state["view"]
+        cols = v.columns
+        merged = (
+            v.withColumn("__s", F.lit(1))
+            .unionByName(
+                dv.withColumn(
+                    "__s", F.when(F.col(MULT_COL), F.lit(1)).otherwise(F.lit(-1))
+                ).drop(MULT_COL)
+            )
+            .groupBy(*cols)
+            .agg(F.sum("__s").alias("__n"))
+            .filter(F.col("__n") > 0)
+            .select(*cols, F.explode(F.expr("sequence(1, __n)")).alias("__i"))
+            .drop("__i")
+        )
+        state["view"] = merged.localCheckpoint(eager=True)
+        state["snaps"] = apply_delta_to_table(state["snaps"], d).localCheckpoint(
+            eager=True
+        )
+        state["batches"] += 1
+
+    shuffle_before = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        d_all.repartition(3).write.mode("overwrite").parquet(land)
+        s = (
+            spark.readStream.schema(d_all.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(land)
+        )
+        # per-batch relations are delta-sized — 32 shuffle shards per
+        # micro-batch is pure task overhead (same rationale as the
+        # streaming sketches)
+        spark.conf.set("spark.sql.shuffle.partitions", "4")
+        q = (
+            s.writeStream.foreachBatch(on_batch)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        if not q.awaitTermination(300):
+            q.stop()
+            raise RuntimeError("as-of stream did not finish within 300s")
+        if state["batches"] < 2:
+            raise RuntimeError(
+                f"expected multiple micro-batches, got {state['batches']}"
+            )
+        return state["view"]
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", shuffle_before)
+        shutil.rmtree(land, ignore_errors=True)
+        shutil.rmtree(ckpt, ignore_errors=True)
+
+
 def _q_formats_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Connector-surface evidence (sources/formats.py): the orders table
     round-trips through a header CSV write and a hive-partitioned JSON
@@ -3467,6 +3580,7 @@ _EXTRA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ivm_merge_quantile_hist": _q_ivm_merge_quantile_hist,
     "streaming_quantile_hist": _q_streaming_quantile_hist,
     "streaming_cms_sketch": _q_streaming_cms_sketch,
+    "streaming_asof_join": _q_streaming_asof_join,
     "dedup_minhash_incremental": _q_dedup_minhash_incremental,
     "dedup_embedding_incremental": _q_dedup_embedding_incremental,
     "sim_topk_incremental": _q_sim_topk_incremental,
@@ -3483,13 +3597,14 @@ _EXTRA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 #
 # ROUND 6 WINDOW (this round), computed by scripts/update_ledger.py
 # (never-graded first, then least-recently-green):
-#   - positions 1-2: the keys registered THIS round, never driver-graded
+#   - positions 1-3: the keys registered THIS round, never driver-graded
 #     (ivm_merge_asof_forward — the maintained FORWARD+tolerance as-of
 #     lifecycle over the round-5 direction/tolerance surface;
 #     ivm_merge_tfidf — the maintained TF-IDF index: linear tf/df/N
 #     count IMMVs over a tokenized CDC, quantized scoring
-#     finalize-on-read);
-#   - positions 3-33: the round-3 cohort (latest green r3) — the core
+#     finalize-on-read; streaming_asof_join — the as-of CDC composed
+#     with streaming micro-batches, bit-exact vs the batch oracle);
+#   - positions 4-34: the round-3 cohort (latest green r3) — the core
 #     ivm_merge_* delta-rule/merge lifecycles, regraded under post-r5
 #     code (the round-5 theta routing touched compute_view, which every
 #     lifecycle's CREATE-time materialization runs through; round 6
@@ -3499,6 +3614,7 @@ _EXTRA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 _GRADE_FIRST: tuple[str, ...] = (
     "ivm_merge_asof_forward",
     "ivm_merge_tfidf",
+    "streaming_asof_join",
     "ivm_merge_distinct",
     "ivm_merge_doc_quality",
     "ivm_merge_full_chain",
@@ -3546,7 +3662,6 @@ _GRADE_FIRST: tuple[str, ...] = (
     "dedup_simhash",
     "emb_label_centroids",
     "events_sliding_window",
-    "grouping_sets_sales",
 )
 
 
@@ -5384,6 +5499,26 @@ def _extras_oracle_sql() -> dict[str, str]:
         "ivm_merge_quantile_hist": _qh_oracle(_applied_sql("documents")),
         "streaming_quantile_hist": _qh_oracle("documents"),
         "streaming_cms_sketch": _cms_stream_oracle(),
+        "streaming_asof_join": """
+            WITH snaps0 AS (
+                SELECT user_id, ts,
+                       max(CAST(round(value * 100) AS BIGINT)) AS snap_cents
+                FROM events WHERE event_id % 10 = 0
+                GROUP BY user_id, ts
+            ),
+            snaps AS (
+                SELECT user_id, ts, snap_cents
+                FROM snaps0 WHERE NOT (user_id % 5 = 0)
+                UNION ALL
+                SELECT user_id, ts + INTERVAL 37 MINUTE AS ts,
+                       CAST(snap_cents + 1 AS BIGINT) AS snap_cents
+                FROM snaps0 WHERE user_id % 7 = 0
+            )
+            SELECT e.event_id, e.user_id, e.ts, s.snap_cents, s.ts AS asof_ts
+            FROM events e
+            ASOF LEFT JOIN snaps s
+              ON e.user_id = s.user_id AND e.ts >= s.ts
+        """,
         "dedup_embedding": f"""
             SELECT a.vec_id AS id_a, b.vec_id AS id_b, {cos} AS cos_sim
             FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS av FROM embeddings) a
