@@ -91,6 +91,29 @@ def _applied_sql(table: str) -> str:
     )
 
 
+def _bag_merge(v: DataFrame, dv: DataFrame) -> DataFrame:
+    """V ⊎ ΔV under bag semantics for join-shaped (non-aggregate) views:
+    signed-count fold per full row value, survivors re-expanded to their
+    net multiplicity.  ``dv`` carries the bool multiplicity column; the
+    result has exactly ``v``'s columns.  (The engine's merge_view does
+    this internally for its own views; lifecycle keys that drive a delta
+    rule directly — as-of, banded/theta joins — merge through this.)"""
+    cols = v.columns
+    return (
+        v.withColumn("__s", F.lit(1))
+        .unionByName(
+            dv.withColumn(
+                "__s", F.when(F.col(MULT_COL), F.lit(1)).otherwise(F.lit(-1))
+            ).drop(MULT_COL)
+        )
+        .groupBy(*cols)
+        .agg(F.sum("__s").alias("__n"))
+        .filter(F.col("__n") > 0)
+        .select(*cols, F.explode(F.expr("sequence(1, __n)")).alias("__i"))
+        .drop("__i")
+    )
+
+
 # --------------------------------------------------------------------------
 # flagship
 # --------------------------------------------------------------------------
@@ -908,20 +931,7 @@ def _q_ivm_merge_range_left_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     dv = range_left_join_delta(
         points, bands, d_points, d_bands, "price", "lo", "hi", 50000.0
     )
-    cols = v_old.columns
-    merged = (
-        v_old.withColumn("__s", F.lit(1))
-        .unionByName(
-            dv.withColumn(
-                "__s", F.when(F.col(MULT_COL), F.lit(1)).otherwise(F.lit(-1))
-            ).drop(MULT_COL)
-        )
-        .groupBy(*cols)
-        .agg(F.sum("__s").alias("__n"))
-        .filter(F.col("__n") > 0)
-        .select(*cols, F.explode(F.expr("sequence(1, __n)")).alias("__i"))
-        .drop("__i")
-    )
+    merged = _bag_merge(v_old, dv)
     return merged.select("o_orderkey", "price", "band")
 
 
@@ -961,20 +971,7 @@ def _q_ivm_merge_range_full_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     dv = range_full_join_delta(
         points, bands, d_points, d_bands, "price", "lo", "hi", 50000.0
     )
-    cols = v_old.columns
-    merged = (
-        v_old.withColumn("__s", F.lit(1))
-        .unionByName(
-            dv.withColumn(
-                "__s", F.when(F.col(MULT_COL), F.lit(1)).otherwise(F.lit(-1))
-            ).drop(MULT_COL)
-        )
-        .groupBy(*cols)
-        .agg(F.sum("__s").alias("__n"))
-        .filter(F.col("__n") > 0)
-        .select(*cols, F.explode(F.expr("sequence(1, __n)")).alias("__i"))
-        .drop("__i")
-    )
+    merged = _bag_merge(v_old, dv)
     return merged.select("o_orderkey", "price", "band")
 
 
@@ -1042,20 +1039,7 @@ def _q_ivm_merge_theta_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     dv = ineq_join_delta(
         pts, thr, d_pts, d_thr, "price", "cutoff", "<", 10000.0, 1 << 7
     ).localCheckpoint(eager=False)
-    cols = v_old.columns
-    merged = (
-        v_old.withColumn("__s", F.lit(1))
-        .unionByName(
-            dv.withColumn(
-                "__s", F.when(F.col(MULT_COL), F.lit(1)).otherwise(F.lit(-1))
-            ).drop(MULT_COL)
-        )
-        .groupBy(*cols)
-        .agg(F.sum("__s").alias("__n"))
-        .filter(F.col("__n") > 0)
-        .select(*cols, F.explode(F.expr("sequence(1, __n)")).alias("__i"))
-        .drop("__i")
-    )
+    merged = _bag_merge(v_old, dv)
     return merged.select("o_orderkey", "price", "tname", "cutoff")
 
 
@@ -1087,20 +1071,7 @@ def _q_ivm_merge_theta_left_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     dv = ineq_left_join_delta(
         pts, thr, d_pts, d_thr, "price", "cutoff", **kw
     ).localCheckpoint(eager=False)
-    cols = v_old.columns
-    merged = (
-        v_old.withColumn("__s", F.lit(1))
-        .unionByName(
-            dv.withColumn(
-                "__s", F.when(F.col(MULT_COL), F.lit(1)).otherwise(F.lit(-1))
-            ).drop(MULT_COL)
-        )
-        .groupBy(*cols)
-        .agg(F.sum("__s").alias("__n"))
-        .filter(F.col("__n") > 0)
-        .select(*cols, F.explode(F.expr("sequence(1, __n)")).alias("__i"))
-        .drop("__i")
-    )
+    merged = _bag_merge(v_old, dv)
     return merged.select("o_orderkey", "price", "tname", "cutoff")
 
 
@@ -1137,20 +1108,7 @@ def _q_ivm_merge_theta_full_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     dv = ineq_full_join_delta(
         pts, thr, d_pts, d_thr, "price", "cutoff", **kw
     ).localCheckpoint(eager=False)
-    cols = v_old.columns
-    merged = (
-        v_old.withColumn("__s", F.lit(1))
-        .unionByName(
-            dv.withColumn(
-                "__s", F.when(F.col(MULT_COL), F.lit(1)).otherwise(F.lit(-1))
-            ).drop(MULT_COL)
-        )
-        .groupBy(*cols)
-        .agg(F.sum("__s").alias("__n"))
-        .filter(F.col("__n") > 0)
-        .select(*cols, F.explode(F.expr("sequence(1, __n)")).alias("__i"))
-        .drop("__i")
-    )
+    merged = _bag_merge(v_old, dv)
     return merged.select("o_orderkey", "price", "tname", "cutoff")
 
 
@@ -1182,20 +1140,7 @@ def _theta_semi_anti_lifecycle(
     dv = dfn(pts, thr, d_pts, d_thr, "price", "cutoff", **kw).localCheckpoint(
         eager=False
     )
-    cols = v_old.columns
-    merged = (
-        v_old.withColumn("__s", F.lit(1))
-        .unionByName(
-            dv.withColumn(
-                "__s", F.when(F.col(MULT_COL), F.lit(1)).otherwise(F.lit(-1))
-            ).drop(MULT_COL)
-        )
-        .groupBy(*cols)
-        .agg(F.sum("__s").alias("__n"))
-        .filter(F.col("__n") > 0)
-        .select(*cols, F.explode(F.expr("sequence(1, __n)")).alias("__i"))
-        .drop("__i")
-    )
+    merged = _bag_merge(v_old, dv)
     return merged.select("o_orderkey", "price")
 
 
@@ -1294,20 +1239,7 @@ def _theta_expr_lifecycle(spark: SparkSession, sf_dir: str, how: str) -> DataFra
     }[how]
     v_old = plain(pts, rules, _THX_COND)
     dv = delta(pts, rules, d_pts, d_rules, _THX_COND).localCheckpoint(eager=False)
-    cols = v_old.columns
-    merged = (
-        v_old.withColumn("__s", F.lit(1))
-        .unionByName(
-            dv.withColumn(
-                "__s", F.when(F.col(MULT_COL), F.lit(1)).otherwise(F.lit(-1))
-            ).drop(MULT_COL)
-        )
-        .groupBy(*cols)
-        .agg(F.sum("__s").alias("__n"))
-        .filter(F.col("__n") > 0)
-        .select(*cols, F.explode(F.expr("sequence(1, __n)")).alias("__i"))
-        .drop("__i")
-    )
+    merged = _bag_merge(v_old, dv)
     if how in ("semi", "anti"):
         return merged.select("l_orderkey", "l_linenumber", "price")
     return merged.select("l_orderkey", "l_linenumber", "price", "qty", "rname")
@@ -2226,6 +2158,56 @@ def _q_ivm_merge_hll_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
 # identical literals in the oracle
 _CMS_WATCHLIST = tuple(range(0, 144, 13))  # 0, 13, ..., 143
 
+# membership probes for the Bloom keys — a mix of customer keys present
+# in most status groups and sentinels present in none; identical
+# literals in the oracle
+_BLOOM_PROBES = tuple(range(1, 30, 3)) + (-1, 10**12)
+_BLOOM_M, _BLOOM_K = 1 << 14, 4
+
+
+def _q_approx_bloom_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic Bloom membership (functions/bloom.py — the fourth
+    sketch family: membership, next to HLL cardinality / CMS frequency /
+    histogram quantiles): per order-status filters over the customer
+    keys, probed with a fixed watchlist.  State = ONE map-side-combined
+    bit_or shuffle into ≤ m/32 words per group; probes broadcast.  No
+    false negatives; value-hash-checked against the identical md5
+    formula in DuckDB (bit-identical words, identical verdicts)."""
+    from ivm_extension_spark.functions import bloom
+
+    orders = _engine(spark, sf_dir).table("orders")
+    bits = bloom.bloom_bits(
+        orders, ("o_orderstatus",), "o_custkey", _BLOOM_M, _BLOOM_K
+    )
+    probes = spark.createDataFrame(
+        [(int(v),) for v in _BLOOM_PROBES], "o_custkey bigint"
+    )
+    return bloom.bloom_contains(
+        bits, probes, ("o_orderstatus",), "o_custkey", _BLOOM_M, _BLOOM_K
+    )
+
+
+def _q_ivm_merge_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MAINTAINED Bloom filter: the state absorbs an insert-only delta
+    via word-wise bit_or — exact w.r.t. set union, so the merged word
+    relation equals a full recompute BIT-FOR-BIT (the same monotone
+    argument as the HLL register max); the base is never rescanned on
+    merge.  Returns the merged state itself; oracle = the twin word
+    relation over the post-delta table."""
+    from ivm_extension_spark.functions import bloom
+
+    orders = _engine(spark, sf_dir).table("orders")
+    g = ("o_orderstatus",)
+    state = bloom.bloom_bits(
+        orders.filter("NOT (o_orderkey % 5 = 0)"), g, "o_custkey",
+        _BLOOM_M, _BLOOM_K,
+    )
+    d_bits = bloom.bloom_bits(
+        orders.filter("o_orderkey % 5 = 0"), g, "o_custkey",
+        _BLOOM_M, _BLOOM_K,
+    )
+    return bloom.bloom_merge(state, d_bits, g)
+
 
 def _q_approx_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic Count-Min heavy hitters (functions/cms.py): users
@@ -2539,20 +2521,7 @@ def _q_streaming_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         d = batch_df.localCheckpoint(eager=True)
         dv = asof_join_delta(ev, state["snaps"], None, d, keys, "ts", ("snap_cents",))
         v = state["view"]
-        cols = v.columns
-        merged = (
-            v.withColumn("__s", F.lit(1))
-            .unionByName(
-                dv.withColumn(
-                    "__s", F.when(F.col(MULT_COL), F.lit(1)).otherwise(F.lit(-1))
-                ).drop(MULT_COL)
-            )
-            .groupBy(*cols)
-            .agg(F.sum("__s").alias("__n"))
-            .filter(F.col("__n") > 0)
-            .select(*cols, F.explode(F.expr("sequence(1, __n)")).alias("__i"))
-            .drop("__i")
-        )
+        merged = _bag_merge(v, dv)
         state["view"] = merged.localCheckpoint(eager=True)
         state["snaps"] = apply_delta_to_table(state["snaps"], d).localCheckpoint(
             eager=True
@@ -3152,20 +3121,7 @@ def _q_ivm_merge_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     dv = asof_join_delta(
         ev, snaps0, d_ev, d_snaps, ("user_id",), "ts", ("snap_cents",)
     ).localCheckpoint(eager=False)
-    cols = v_old.columns
-    merged = (
-        v_old.withColumn("__s", F.lit(1))
-        .unionByName(
-            dv.withColumn(
-                "__s", F.when(F.col(MULT_COL), F.lit(1)).otherwise(F.lit(-1))
-            ).drop(MULT_COL)
-        )
-        .groupBy(*cols)
-        .agg(F.sum("__s").alias("__n"))
-        .filter(F.col("__n") > 0)
-        .select(*cols, F.explode(F.expr("sequence(1, __n)")).alias("__i"))
-        .drop("__i")
-    )
+    merged = _bag_merge(v_old, dv)
     return merged.select("event_id", "user_id", "ts", "snap_cents", "asof_ts")
 
 
@@ -3214,20 +3170,7 @@ def _q_ivm_merge_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
     dv = asof_join_delta(
         ev, snaps0, d_ev, d_snaps, ("user_id",), "ts", ("snap_cents",), **kw
     ).localCheckpoint(eager=False)
-    cols = v_old.columns
-    merged = (
-        v_old.withColumn("__s", F.lit(1))
-        .unionByName(
-            dv.withColumn(
-                "__s", F.when(F.col(MULT_COL), F.lit(1)).otherwise(F.lit(-1))
-            ).drop(MULT_COL)
-        )
-        .groupBy(*cols)
-        .agg(F.sum("__s").alias("__n"))
-        .filter(F.col("__n") > 0)
-        .select(*cols, F.explode(F.expr("sequence(1, __n)")).alias("__i"))
-        .drop("__i")
-    )
+    merged = _bag_merge(v_old, dv)
     return merged.select("event_id", "user_id", "ts", "snap_cents", "asof_ts")
 
 
@@ -3533,6 +3476,8 @@ _OLAP_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "range_join_bands": _q_range_join,
     "percentiles_by_status": _q_percentiles,
     "approx_distinct_sketch": _q_approx_distinct_sketch,
+    "approx_bloom_membership": _q_approx_bloom_membership,
+    "ivm_merge_bloom": _q_ivm_merge_bloom,
     "scalar_functions": _q_scalar_functions,
 }
 
@@ -3597,14 +3542,16 @@ _EXTRA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 #
 # ROUND 6 WINDOW (this round), computed by scripts/update_ledger.py
 # (never-graded first, then least-recently-green):
-#   - positions 1-3: the keys registered THIS round, never driver-graded
+#   - positions 1-5: the keys registered THIS round, never driver-graded
 #     (ivm_merge_asof_forward — the maintained FORWARD+tolerance as-of
 #     lifecycle over the round-5 direction/tolerance surface;
 #     ivm_merge_tfidf — the maintained TF-IDF index: linear tf/df/N
 #     count IMMVs over a tokenized CDC, quantized scoring
 #     finalize-on-read; streaming_asof_join — the as-of CDC composed
-#     with streaming micro-batches, bit-exact vs the batch oracle);
-#   - positions 4-34: the round-3 cohort (latest green r3) — the core
+#     with streaming micro-batches, bit-exact vs the batch oracle;
+#     approx_bloom_membership / ivm_merge_bloom — the deterministic
+#     Bloom filter, plain and maintained: the fourth sketch family);
+#   - positions 6-36: the round-3 cohort (latest green r3) — the core
 #     ivm_merge_* delta-rule/merge lifecycles, regraded under post-r5
 #     code (the round-5 theta routing touched compute_view, which every
 #     lifecycle's CREATE-time materialization runs through; round 6
@@ -3615,6 +3562,8 @@ _GRADE_FIRST: tuple[str, ...] = (
     "ivm_merge_asof_forward",
     "ivm_merge_tfidf",
     "streaming_asof_join",
+    "approx_bloom_membership",
+    "ivm_merge_bloom",
     "ivm_merge_distinct",
     "ivm_merge_doc_quality",
     "ivm_merge_full_chain",
@@ -3660,8 +3609,6 @@ _GRADE_FIRST: tuple[str, ...] = (
     "dedup_minhash_lsh",
     "dedup_ngram_jaccard",
     "dedup_simhash",
-    "emb_label_centroids",
-    "events_sliding_window",
 )
 
 
@@ -4839,6 +4786,33 @@ def _hll_merge_oracle() -> str:
     return hll_oracle_sql("orders", ("o_orderstatus",), "o_custkey", p=12)
 
 
+def _bloom_membership_oracle() -> str:
+    """Oracle for approx_bloom_membership: the identical md5-sliced hash
+    family, word layout and AND-of-k verdict over the same probes."""
+    from ivm_extension_spark.functions.bloom import bloom_contains_oracle_sql
+
+    vals = ", ".join(f"({int(v)})" for v in _BLOOM_PROBES)
+    return bloom_contains_oracle_sql(
+        "orders",
+        f"SELECT * FROM (VALUES {vals}) AS t(o_custkey)",
+        ("o_orderstatus",),
+        "o_custkey",
+        _BLOOM_M,
+        _BLOOM_K,
+    )
+
+
+def _bloom_merge_oracle() -> str:
+    """Oracle for the maintained Bloom lifecycle: word-wise bit_or merge
+    is exact w.r.t. union, so the merged word relation equals the twin
+    over the whole table bit-for-bit."""
+    from ivm_extension_spark.functions.bloom import bloom_bits_oracle_sql
+
+    return bloom_bits_oracle_sql(
+        "orders", ("o_orderstatus",), "o_custkey", _BLOOM_M, _BLOOM_K
+    )
+
+
 def _cms_probe_sql(items_cte: str, d: int = 4, w: int = 1024) -> str:
     """Shared DuckDB est CTE chain: probe ``sk`` with ``items_cte``
     (must yield a user_id column) — the md5 bucketing and min-over-rows
@@ -5493,6 +5467,8 @@ def _extras_oracle_sql() -> dict[str, str]:
         ),
         "approx_distinct_sketch": _hll_sketch_oracle(),
         "ivm_merge_hll_sketch": _hll_merge_oracle(),
+        "approx_bloom_membership": _bloom_membership_oracle(),
+        "ivm_merge_bloom": _bloom_merge_oracle(),
         "approx_heavy_hitters": _cms_hitters_oracle(),
         "ivm_merge_cms_sketch": _cms_merge_oracle(),
         "approx_quantile_hist": _qh_oracle("documents"),
