@@ -310,3 +310,26 @@ def test_boilerplate_coverage_single_tokenization(spark):
     plan = plan_of(q(spark, "text_boilerplate_ngrams"))
     assert "regexp_replace" not in plan, plan
     assert "ExistingRDD" in plan or "Scan ExistingRDD" in plan, plan
+
+
+def test_bloom_bits_single_shuffle_no_join(spark):
+    # the Bloom state build is explode → ONE map-side-combined bit_or
+    # shuffle — no join, no extra exchange (SCALE_NOTES round-6 notes)
+    from ivm_extension_spark.functions import bloom
+
+    orders = entry._engine(spark, SF).table("orders")
+    plan = plan_of(
+        bloom.bloom_bits(orders, ("o_orderstatus",), "o_custkey", 4096, 4)
+    )
+    assert n_shuffles(plan) == 1, plan
+    assert "Join" not in plan, plan
+
+
+def test_bloom_contains_probes_with_broadcast(spark):
+    # the (group x probe x k) position grid is tiny and must broadcast
+    # against the state — never a shuffle of both sides, never a
+    # sort-merge join
+    plan = plan_of(q(spark, "approx_bloom_membership"))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
