@@ -2034,6 +2034,29 @@ def _q_ivm_merge_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return eng.merge_view("v")
 
 
+def _q_ivm_merge_sum_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SUM(DISTINCT) / AVG(DISTINCT) maintained under deletes (round 6 —
+    closes the last DISTINCT-aggregate gap in the SQL surface): a
+    distinct sum/mean is a function of the group's value SET, so it is
+    maintained from the same per-(group, value) aux counts as
+    COUNT(DISTINCT) (operators/auxstate.py) — one aux row per live
+    value, sum/avg over the live rows at derive time; never combined
+    value-to-value (merge.py rejects aux-less merges even insert-only).
+    Integer cents keep the AVG division ulp-identical across engines
+    (exact integer sums < 2^53, same two IEEE operands)."""
+    eng = _engine(spark, sf_dir, deltas=("orders",))
+    eng.create_immv(
+        "v",
+        sql="SELECT o_orderstatus, "
+        "sum(DISTINCT cast(round(o_totalprice * 100) AS bigint)) AS sum_dist_cents, "
+        "avg(DISTINCT cast(round(o_totalprice * 100) AS bigint)) AS avg_dist_cents, "
+        "count(DISTINCT cast(round(o_totalprice * 100) AS bigint)) AS n_dist, "
+        "count(*) AS n FROM orders GROUP BY o_orderstatus",
+    )
+    eng.ivm_upsert("v")
+    return eng.merge_view("v")
+
+
 def _q_ivm_merge_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MAINTAINED TF-IDF index (round 6): the corpus keyword scoring of
     ``text_tfidf_keywords`` served from INCREMENTALLY MAINTAINED count
@@ -3518,6 +3541,7 @@ _EXTRA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ivm_merge_boilerplate_index": _q_ivm_merge_boilerplate_index,
     "ivm_merge_corpus_stats": _q_ivm_merge_corpus_stats,
     "ivm_merge_tfidf": _q_ivm_merge_tfidf,
+    "ivm_merge_sum_distinct": _q_ivm_merge_sum_distinct,
     "ivm_merge_hll_sketch": _q_ivm_merge_hll_sketch,
     "approx_heavy_hitters": _q_approx_heavy_hitters,
     "ivm_merge_cms_sketch": _q_ivm_merge_cms_sketch,
@@ -3542,7 +3566,7 @@ _EXTRA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 #
 # ROUND 6 WINDOW (this round), computed by scripts/update_ledger.py
 # (never-graded first, then least-recently-green):
-#   - positions 1-5: the keys registered THIS round, never driver-graded
+#   - positions 1-6: the keys registered THIS round, never driver-graded
 #     (ivm_merge_asof_forward — the maintained FORWARD+tolerance as-of
 #     lifecycle over the round-5 direction/tolerance surface;
 #     ivm_merge_tfidf — the maintained TF-IDF index: linear tf/df/N
@@ -3550,8 +3574,10 @@ _EXTRA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 #     finalize-on-read; streaming_asof_join — the as-of CDC composed
 #     with streaming micro-batches, bit-exact vs the batch oracle;
 #     approx_bloom_membership / ivm_merge_bloom — the deterministic
-#     Bloom filter, plain and maintained: the fourth sketch family);
-#   - positions 6-36: the round-3 cohort (latest green r3) — the core
+#     Bloom filter, plain and maintained: the fourth sketch family;
+#     ivm_merge_sum_distinct — SUM/AVG(DISTINCT) maintained under
+#     deletes from the per-(group, value) aux counts);
+#   - positions 7-37: the round-3 cohort (latest green r3) — the core
 #     ivm_merge_* delta-rule/merge lifecycles, regraded under post-r5
 #     code (the round-5 theta routing touched compute_view, which every
 #     lifecycle's CREATE-time materialization runs through; round 6
@@ -3564,6 +3590,7 @@ _GRADE_FIRST: tuple[str, ...] = (
     "streaming_asof_join",
     "approx_bloom_membership",
     "ivm_merge_bloom",
+    "ivm_merge_sum_distinct",
     "ivm_merge_distinct",
     "ivm_merge_doc_quality",
     "ivm_merge_full_chain",
@@ -3608,7 +3635,6 @@ _GRADE_FIRST: tuple[str, ...] = (
     "dedup_keep_canonical",
     "dedup_minhash_lsh",
     "dedup_ngram_jaccard",
-    "dedup_simhash",
 )
 
 
@@ -5357,6 +5383,18 @@ def _extras_oracle_sql() -> dict[str, str]:
                    CAST(sum(len({_TOKS})) AS BIGINT) AS total_tokens,
                    CAST(sum(n_chars) AS BIGINT) AS total_chars
             FROM t GROUP BY source
+        """,
+        "ivm_merge_sum_distinct": f"""
+            SELECT o_orderstatus,
+                   CAST(sum(DISTINCT CAST(round(o_totalprice * 100) AS BIGINT))
+                        AS BIGINT) AS sum_dist_cents,
+                   avg(DISTINCT CAST(round(o_totalprice * 100) AS BIGINT))
+                       AS avg_dist_cents,
+                   count(DISTINCT CAST(round(o_totalprice * 100) AS BIGINT))
+                       AS n_dist,
+                   count(*) AS n
+            FROM {_applied_sql('orders')} o
+            GROUP BY o_orderstatus
         """,
         "ivm_merge_tfidf": f"""
             WITH t AS (

@@ -492,7 +492,9 @@ class IVMEngine:
             force
             or any(j.how != "inner" for j in vdef.joins)
             or any(
-                a.fn in ("min", "max", "count_distinct") for a in vdef.aggregates
+                a.fn
+                in ("min", "max", "count_distinct", "sum_distinct", "avg_distinct")
+                for a in vdef.aggregates
             )
         )
         if multi_consumer:

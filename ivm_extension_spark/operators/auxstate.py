@@ -48,7 +48,10 @@ from ivm_extension_spark.operators.rewrite import (
 )
 from ivm_extension_spark.plans.viewdef import Aggregate, ViewDef
 
-AUX_FNS = {"min", "max", "count_distinct", "median", "mode", "percentile"}
+AUX_FNS = {
+    "min", "max", "count_distinct", "sum_distinct", "avg_distinct",
+    "median", "mode", "percentile",
+}
 # order statistics needing a per-group sorted pass (window cum-count)
 PCTL_FNS = {"median", "percentile"}
 AGG_COL = "__ivm_agg"
@@ -108,11 +111,13 @@ def agg_meta(
         for a, f in zip(aggs, probe.schema.fields)
     }
     for a in aggs:
-        if a.fn in PCTL_FNS and meta[a.alias][0] == "str":
+        if (
+            a.fn in PCTL_FNS or a.fn in ("sum_distinct", "avg_distinct")
+        ) and meta[a.alias][0] == "str":
             from ivm_extension_spark.operators.rewrite import IVMError
 
             raise IVMError(
-                f"{a.fn} needs a numeric argument (interpolation), got a "
+                f"{a.fn} needs a numeric argument, got a "
                 f"{meta[a.alias][1].simpleString()} expression for {a.alias!r}"
             )
     return meta
@@ -274,6 +279,17 @@ def derive_all_from_aux(
             # one aux row per live value; count() skips non-matching
             # tags AND NULL-value rows
             m = F.count(v).cast("long")
+        elif a.fn == "sum_distinct":
+            # one aux row per live value, so a plain sum over the lane IS
+            # the distinct sum; long lane -> bigint, double lane -> double
+            # (Spark's own sum(DISTINCT) result types for those inputs)
+            m = F.sum(v)
+            if lane == "long":
+                m = m.cast("long")
+        elif a.fn == "avg_distinct":
+            # mean of the live DISTINCT values (one aux row each) — the
+            # same double Spark's avg(DISTINCT) produces
+            m = F.avg(v).cast("double")
         elif a.fn == "mode":
             # most frequent live value, ties to the SMALLEST value (the
             # engine-wide deterministic-mode semantics): min over

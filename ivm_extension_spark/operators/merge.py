@@ -391,6 +391,15 @@ def _merge_aggregate(
         needs_probe and delta_v.filter(~F.col(MULT_COL)).limit(1).count() > 0
     )
     for a in iview.aggregates:
+        if a.fn in ("sum_distinct", "avg_distinct") and a.alias not in derived:
+            # like the order statistics: a distinct sum/mean is a function
+            # of the group's value SET — not combinable value-to-value even
+            # insert-only (overlapping values across batches double-count)
+            raise IVMError(
+                f"{a.fn.upper()} merge requires the auxiliary value "
+                "relation — maintain the view through IVMEngine (which "
+                "keeps it automatically) or use full_refresh()"
+            )
         if a.fn in ORDERED_AGGS and a.alias not in derived:
             # unlike MIN/MAX, order statistics can't combine value-to-value
             # even on insert-only batches (the new median/mode depends on
@@ -437,7 +446,12 @@ def _merge_aggregate(
                 # merging them as sum over-counts overcounts overlaps.  Approximate
                 # merge is deliberate and documented; exact needs per-value state.
                 m = F.sum(c * F.col(_SIGN)).cast("long")
-            elif a.fn == "avg" or a.fn in VARIANCE_AGGS or a.fn in ORDERED_AGGS:
+            elif (
+                a.fn == "avg"
+                or a.fn in ("sum_distinct", "avg_distinct")
+                or a.fn in VARIANCE_AGGS
+                or a.fn in ORDERED_AGGS
+            ):
                 # never merged directly: AVG/variance recompute from hidden
                 # companions in finalize(); median/mode/percentile are
                 # overwritten by the aux-relation patch

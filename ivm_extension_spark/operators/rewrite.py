@@ -83,6 +83,11 @@ def _agg_expr(agg: Aggregate):
         out = F.max(e)
     elif agg.fn == "count_distinct":
         out = F.count_distinct(e)
+    elif agg.fn == "sum_distinct":
+        out = F.sum_distinct(e)
+    elif agg.fn == "avg_distinct":
+        # no pyspark.sql.functions twin — textual DISTINCT inside avg
+        out = F.expr(f"avg(DISTINCT {agg.expr})")
     elif agg.fn == "var_pop":
         out = F.var_pop(e)
     elif agg.fn == "var_samp":

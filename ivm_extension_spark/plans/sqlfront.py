@@ -416,9 +416,11 @@ def parse_view_sql(name: str, sql: str) -> ViewDef:
             arg = agg.group(2).strip()
             dm = re.match(r"^distinct\s+(.*)$", arg, re.IGNORECASE | re.DOTALL)
             if dm:
-                if fn != "count":
-                    raise NotImplementedError(f"DISTINCT only supported for count, got {fn}")
-                fn, arg = "count_distinct", dm.group(1).strip()
+                if fn not in ("count", "sum", "avg"):
+                    raise NotImplementedError(
+                        f"DISTINCT only supported for count/sum/avg, got {fn}"
+                    )
+                fn, arg = f"{fn}_distinct", dm.group(1).strip()
             alias = alias or expr
             param = None
             if fn == "percentile":

@@ -29,9 +29,15 @@ VARIANCE_AGGS = {"var_pop", "var_samp", "stddev_pop", "stddev_samp"}
 ORDERED_AGGS = {"median", "mode", "percentile"}
 SUPPORTED_AGGS = (
     {"sum", "count", "avg", "min", "max", "count_distinct"}
+    | {"sum_distinct", "avg_distinct"}
     | VARIANCE_AGGS
     | ORDERED_AGGS
 )
+
+# aggregates whose value is a function of the group's distinct-value SET
+# (not additive across batches or finer groupings): maintained via the
+# per-(group, value) aux relation, like ORDERED_AGGS
+DISTINCT_AGGS = {"count_distinct", "sum_distinct", "avg_distinct"}
 
 
 @dataclass(frozen=True)
@@ -165,7 +171,7 @@ class ViewDef:
                         "plain projected group columns"
                     )
             for a in self.aggregates:
-                if a.fn == "count_distinct" or a.fn in ORDERED_AGGS:
+                if a.fn in DISTINCT_AGGS or a.fn in ORDERED_AGGS:
                     raise NotImplementedError(
                         f"{a.fn} cannot be re-aggregated from the finest "
                         "grouping (its value is not additive across groups) "

@@ -159,6 +159,58 @@ def test_merge_count_distinct_under_deletes(spark):
     assert merged == [("x", 1), ("y", 1)]
 
 
+def test_merge_sum_avg_distinct_under_deletes(spark):
+    # distinct sums/means are value-SET functions: deleting one of two
+    # rows sharing a value must keep it in the sum; deleting both must
+    # remove it.  Maintained via the same per-(group, value) aux counts
+    # as count(DISTINCT); merged values equal the recompute exactly.
+    base = [(1, "x", "p"), (1, "x", "q"), (2, "x", "r"), (7, "y", "s")]
+    delta = [
+        (1, "x", "p", False),
+        (2, "x", "r", False),
+        (7, "y", "s", False),
+        (8, "y", "t", True),
+    ]
+    eng = engine_with(spark, base, delta)
+    merged = check_invariant(
+        spark,
+        eng,
+        "SELECT b, sum(DISTINCT a) AS sd, avg(DISTINCT a) AS ad, "
+        "count(DISTINCT a) AS nd FROM t GROUP BY b",
+    )
+    # x: values {1,2} -> {1}; y: {7} -> {8}
+    assert merged == [("x", 1, 1.0, 1), ("y", 8, 8.0, 1)]
+
+
+def test_sum_distinct_direct_merge_without_aux_raises(spark):
+    # merging a distinct-sum view outside the engine (no aux relation)
+    # must be rejected even insert-only: overlapping values across
+    # batches would double-count
+    from ivm_extension_spark.operators import merge as merge_ops
+    from ivm_extension_spark.plans.sqlfront import parse_view_sql
+
+    base = [(1, "x", "p"), (2, "x", "q")]
+    eng = engine_with(spark, base, None)
+    vdef = parse_view_sql(
+        "v", "SELECT b, sum(DISTINCT a) AS sd FROM t GROUP BY b"
+    )
+    iv = merge_ops.internal_view(vdef)
+    from ivm_extension_spark.operators.rewrite import compute_view
+    from pyspark.sql import functions as F
+
+    state = compute_view(iv, eng.table)
+    dv = state.limit(1).withColumn(MULT_COL_NAME, F.lit(True))
+    with pytest.raises(IVMError, match="SUM_DISTINCT"):
+        merge_ops.merge(state, dv, iv, {}, "shuffle")
+
+
+def test_sum_distinct_string_arg_rejected(spark):
+    base = [(1, "x", "p")]
+    eng = engine_with(spark, base, None)
+    with pytest.raises(IVMError, match="numeric"):
+        eng.create_immv("v", sql="SELECT b, sum(DISTINCT c) AS sd FROM t GROUP BY b")
+
+
 def test_merge_min_max_repeated_rounds(spark):
     # aux state must stay exact across multiple delta/merge/apply rounds
     base = [(5, "x", "p"), (8, "x", "q")]
