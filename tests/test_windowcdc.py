@@ -1,0 +1,81 @@
+"""Maintained window views (operators/windowcdc.py): merge-equals-
+recompute invariant, untouched partitions absent from the CDC."""
+
+from pyspark.sql import Window, functions as F
+
+from ivm_extension_spark.operators.rewrite import MULT_COL
+from ivm_extension_spark.operators.windowcdc import window_view_delta
+
+
+def _running(df):
+    w = (
+        Window.partitionBy("k")
+        .orderBy(F.col("ts").asc(), F.col("rid").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return df.select("k", "ts", "rid", F.sum("v").over(w).alias("rt"))
+
+
+def _rank(df):
+    w = Window.partitionBy("k").orderBy(F.col("v").desc(), F.col("rid").asc())
+    return df.select("k", "rid", F.row_number().over(w).alias("rnk"))
+
+
+def test_window_cdc_merge_equals_recompute(spark):
+    base = spark.createDataFrame(
+        [("a", 1, 1, 10), ("a", 2, 2, 20), ("a", 3, 3, 30),
+         ("b", 1, 4, 5), ("b", 2, 5, 7), ("c", 9, 6, 1)],
+        "k string, ts int, rid int, v int",
+    )
+    # insert mid-stream into a (shifts a's later running totals), delete
+    # b's first row (shifts b), leave c untouched
+    delta = spark.createDataFrame(
+        [("a", 2, 7, 15, True), ("b", 1, 4, 5, False)],
+        f"k string, ts int, rid int, v int, {MULT_COL} boolean",
+    )
+    for compute in (_running, _rank):
+        dv = window_view_delta(base, delta, ("k",), compute)
+        v_old = [tuple(r) for r in compute(base).collect()]
+        merged = list(v_old)
+        for r in dv.collect():
+            t = tuple(r)[:-1]
+            if r[MULT_COL]:
+                merged.append(t)
+            else:
+                merged.remove(t)
+        new_base = spark.createDataFrame(
+            [("a", 1, 1, 10), ("a", 2, 2, 20), ("a", 3, 3, 30),
+             ("a", 2, 7, 15), ("b", 2, 5, 7), ("c", 9, 6, 1)],
+            "k string, ts int, rid int, v int",
+        )
+        want = [tuple(r) for r in compute(new_base).collect()]
+        assert sorted(merged, key=repr) == sorted(want, key=repr), compute
+
+
+def test_window_cdc_untouched_partitions_absent(spark):
+    base = spark.createDataFrame(
+        [("a", 1, 1, 10), ("b", 1, 2, 5), ("c", 1, 3, 1)],
+        "k string, ts int, rid int, v int",
+    )
+    delta = spark.createDataFrame(
+        [("a", 2, 9, 99, True)], f"k string, ts int, rid int, v int, {MULT_COL} boolean"
+    )
+    dv = window_view_delta(base, delta, ("k",), _running)
+    ks = {r["k"] for r in dv.collect()}
+    assert ks == {"a"}  # b and c never enter the CDC
+
+
+def test_window_cdc_null_partition_key(spark):
+    # NULL is a real window partition; a NULL-key delta row must restrict
+    # and recompute the NULL partition (null-safe semi join)
+    base = spark.createDataFrame(
+        [(None, 1, 1, 10), (None, 2, 2, 20), ("a", 1, 3, 5)],
+        "k string, ts int, rid int, v int",
+    )
+    delta = spark.createDataFrame(
+        [(None, 2, 2, 20, False)], f"k string, ts int, rid int, v int, {MULT_COL} boolean"
+    )
+    dv = window_view_delta(base, delta, ("k",), _running).collect()
+    assert all(r["k"] is None for r in dv)
+    dels = [r for r in dv if not r[MULT_COL]]
+    assert len(dels) == 1 and dels[0]["rt"] == 30
