@@ -3169,48 +3169,28 @@ def _q_ivm_merge_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_ivm_merge_window_view(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MAINTAINED WINDOW-FUNCTION VIEW (round 6 —
-    operators/windowcdc.py window_view_delta): the per-customer running
-    order total maintained under the standard mixed insert/delete orders
-    delta by affected-partition partial recompute — an inserted or
+    """MAINTAINED WINDOW-FUNCTION VIEW, entirely through the SQL front
+    (round 6 — ``CREATE IMMV … sum(...) OVER (PARTITION BY …)``): the
+    per-customer running order total maintained under the standard
+    mixed insert/delete orders delta by affected-partition partial
+    recompute (operators/windowcdc.py window_view_delta; routed by
+    rewrite.delta_plan via viewdef.window_partition) — an inserted or
     deleted order shifts every later running total of ITS customer and
     nothing else, so the CDC recomputes exactly the touched customers'
     partitions (broadcast affected-key semi join; untouched partitions
-    never enter any plan).  V' = V ⊎ ΔV via the bag merge; oracle = the
-    same window over the post-delta table."""
-    from ivm_extension_spark.operators.windowcdc import window_view_delta
-    from pyspark.sql import Window
-
-    eng = _engine(spark, sf_dir)
-    orders = eng.table("orders").filter(F.col("o_custkey") % 10 == 0)
-    pred, mult = DELTA_DEFS["orders"]
-    d_orders = (
-        eng.table("orders")
-        .filter(F.expr(pred))
-        .filter(F.col("o_custkey") % 10 == 0)
-        .withColumn(MULT_COL, F.expr(mult))
+    never enter any plan).  V' = V ⊎ ΔV via the engine's ordinary bag
+    merge; oracle = the same window over the post-delta table."""
+    eng = _engine(spark, sf_dir, deltas=("orders",))
+    eng.create_immv(
+        "v",
+        sql="SELECT o_custkey, o_orderkey, "
+        "sum(CAST(round(o_totalprice * 100) AS BIGINT)) OVER "
+        "(PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey "
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_cents "
+        "FROM orders WHERE o_custkey % 10 = 0",
     )
-
-    def compute(df: DataFrame) -> DataFrame:
-        w = (
-            Window.partitionBy("o_custkey")
-            .orderBy("o_orderdate", "o_orderkey")
-            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        )
-        return df.select(
-            "o_custkey",
-            "o_orderkey",
-            F.sum(F.expr("CAST(round(o_totalprice * 100) AS BIGINT)"))
-            .over(w)
-            .alias("running_cents"),
-        )
-
-    v_old = compute(orders)
-    dv = window_view_delta(
-        orders, d_orders, ("o_custkey",), compute
-    ).localCheckpoint(eager=False)
-    merged = _bag_merge(v_old, dv)
-    return merged.select("o_custkey", "o_orderkey", "running_cents")
+    eng.ivm_upsert("v")
+    return eng.merge_view("v")
 
 
 def _q_ivm_merge_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:

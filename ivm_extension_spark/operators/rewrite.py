@@ -1850,6 +1850,27 @@ def delta_plan(
     present) — inserts and deletes are aggregated separately, exactly the
     reference's golden behavior (tests/ivm.test:76-82, SURVEY.md 2d).
     """
+    if view.window_partition:
+        # window views: affected-partition partial recompute — the
+        # window value of every row in a touched PARTITION BY key may
+        # change, and no other row can (operators/windowcdc.py).  The
+        # WHERE lives inside the recompute (row-local filters commute
+        # with whole-partition restriction).
+        from ivm_extension_spark.operators.windowcdc import window_view_delta
+
+        def _compute(df: DataFrame) -> DataFrame:
+            if view.where:
+                df = df.filter(F.expr(view.where))
+            return df.select(*[F.expr(e).alias(a) for e, a in view.select])
+
+        return window_view_delta(
+            get_table(view.source),
+            get_delta(view.source),
+            view.window_partition,
+            _compute,
+            mult_col=MULT_COL,
+        )
+
     src = _delta_source(view, get_table, get_delta, broadcast_deltas)
     src = src.withColumn(MULT_COL, F.col(_SIGN) > 0).drop(_SIGN)
 

@@ -403,12 +403,27 @@ def parse_view_sql(name: str, sql: str) -> ViewDef:
     select: list[tuple[str, str]] = []
     aggregates: list[Aggregate] = []
     order: list[str] = []
+    window_partition: list[str] = []
     for item in select_items:
         alias = None
         am = _ALIAS_RE.match(item)
         expr = item
         if am:
             expr, alias = am.group(1).strip(), am.group(2)
+        wps = _window_partitions_of(expr)
+        if wps:
+            for wp in wps:
+                if window_partition and tuple(window_partition) != wp:
+                    raise NotImplementedError(
+                        "all window functions in a view must share ONE "
+                        "PARTITION BY column list (the maintenance delta "
+                        f"region), got {tuple(window_partition)} and {wp}"
+                    )
+                window_partition = list(wp)
+            alias = alias or expr
+            select.append((expr, alias))
+            order.append(alias)
+            continue
         agg = _AGG_RE.match(expr)
         if agg:
             fn = agg.group(1).lower()
@@ -460,7 +475,92 @@ def parse_view_sql(name: str, sql: str) -> ViewDef:
         grouping_sets=grouping_sets,
         order_by=tuple(order_by),
         limit=limit,
+        window_partition=tuple(window_partition),
     )
+
+
+_OVER_KW = re.compile(r"\bover\b", re.IGNORECASE)
+_PLAIN_COL = re.compile(r"^[A-Za-z_][A-Za-z_0-9]*$")
+
+
+def _window_partitions_of(expr: str) -> list[tuple[str, ...]]:
+    """PARTITION BY column lists of every TOP-LEVEL ``OVER (...)`` in a
+    select item (empty list = no window function).  Restricted grammar:
+    each OVER must open with PARTITION BY over plain columns — those
+    keys ARE the maintenance delta region (viewdef.window_partition), so
+    a global window (no partition) is rejected: its delta region would
+    be the whole table."""
+    outs: list[tuple[str, ...]] = []
+    depth = 0
+    quote: str | None = None
+    i = 0
+    while i < len(expr):
+        ch = expr[i]
+        if quote:
+            if ch == quote:
+                quote = None
+            i += 1
+            continue
+        if ch in ("'", '"'):
+            quote = ch
+        elif ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        elif depth == 0:
+            m = _OVER_KW.match(expr, i)
+            if m and (
+                i == 0 or not (expr[i - 1].isalnum() or expr[i - 1] == "_")
+            ):
+                rest = expr[m.end():].lstrip()
+                if not rest.startswith("("):
+                    raise NotImplementedError(
+                        f"OVER must be followed by (...): {expr!r}"
+                    )
+                d2 = 0
+                body = None
+                for j, c2 in enumerate(rest):
+                    if c2 == "(":
+                        d2 += 1
+                    elif c2 == ")":
+                        d2 -= 1
+                        if d2 == 0:
+                            body = rest[1:j]
+                            break
+                if body is None:
+                    raise NotImplementedError(f"unbalanced OVER: {expr!r}")
+                pm = re.match(
+                    r"^\s*partition\s+by\s+(.*)$", body,
+                    re.IGNORECASE | re.DOTALL,
+                )
+                if not pm:
+                    raise NotImplementedError(
+                        "window views require OVER (PARTITION BY ...) — a "
+                        f"global window has no bounded delta region: {expr!r}"
+                    )
+                tail = pm.group(1)
+                cut = re.search(
+                    r"\border\s+by\b|\brows\b|\brange\b", tail, re.IGNORECASE
+                )
+                cols_part = tail[: cut.start()] if cut else tail
+                cols = tuple(
+                    c.strip() for c in _split_top_level(cols_part) if c.strip()
+                )
+                if not cols:
+                    raise NotImplementedError(
+                        f"empty PARTITION BY in window view: {expr!r}"
+                    )
+                for c in cols:
+                    if not _PLAIN_COL.match(c):
+                        raise NotImplementedError(
+                            "window PARTITION BY must list plain columns "
+                            f"(the maintenance delta region), got {c!r}"
+                        )
+                outs.append(cols)
+                i += m.end() - i + len(rest[: j + 1])
+                continue
+        i += 1
+    return outs
 
 
 def _parse_group_by(

@@ -151,8 +151,31 @@ class ViewDef:
     # sort — plan-audited in tests/test_plan_audit.py.
     order_by: tuple[tuple[str, str], ...] = ()
     limit: int | None = None
+    # Window-function views (round 6): the shared PARTITION BY column
+    # list of every OVER clause in the select items.  Window values are
+    # not delta-maintainable value-to-value, but they are PARTITION-
+    # LOCAL, so the view is maintained by affected-partition partial
+    # recompute (operators/windowcdc.py): the delta region is exactly
+    # the partitions of these keys present in the base delta.
+    window_partition: tuple[str, ...] = ()
 
     def __post_init__(self) -> None:
+        if self.window_partition and (
+            self.aggregates
+            or self.group_by
+            or self.distinct
+            or self.grouping_sets
+            or self.having
+            or self.qualify
+            or self.joins
+            or self.order_by
+            or self.limit is not None
+        ):
+            raise NotImplementedError(
+                "window views support only SELECT <exprs with OVER "
+                "(PARTITION BY ...)> FROM <table> [WHERE ...] — compose "
+                "joins/aggregates/read clauses in a cascaded view"
+            )
         if not self.output_order:
             order = [a for _, a in self.select] + [a.alias for a in self.aggregates]
             object.__setattr__(self, "output_order", tuple(order))

@@ -79,3 +79,61 @@ def test_window_cdc_null_partition_key(spark):
     assert all(r["k"] is None for r in dv)
     dels = [r for r in dv if not r[MULT_COL]]
     assert len(dels) == 1 and dels[0]["rt"] == 30
+
+
+def test_sql_front_window_view_lifecycle(spark):
+    # CREATE IMMV ... OVER (PARTITION BY ...) end-to-end: parse -> route
+    # (rewrite.delta_plan via viewdef.window_partition) -> bag merge ==
+    # full recompute
+    from ivm_extension_spark import IVMEngine
+
+    eng = IVMEngine(spark)
+    eng.register_table(
+        "t",
+        spark.createDataFrame(
+            [("a", 1, 1, 10), ("a", 2, 2, 20), ("b", 1, 3, 5), ("c", 1, 4, 1)],
+            "k string, ts int, rid int, v int",
+        ),
+    )
+    eng.register_delta(
+        "t",
+        spark.createDataFrame(
+            [("a", 0, 9, 100, True), ("b", 1, 3, 5, False)],
+            f"k string, ts int, rid int, v int, {MULT_COL} boolean",
+        ),
+    )
+    eng.create_immv(
+        "v",
+        sql="SELECT k, rid, sum(v) OVER (PARTITION BY k ORDER BY ts, rid "
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS rt FROM t",
+    )
+    eng.ivm_upsert("v")
+    got = sorted(tuple(r) for r in eng.merge_view("v").collect())
+    eng.apply_delta("t")
+    want = sorted(tuple(r) for r in eng.full_refresh("v").collect())
+    assert got == want and ("a", 9, 100) in got  # new first row of a
+
+
+def test_sql_front_window_view_rejections(spark):
+    import pytest
+
+    from ivm_extension_spark.plans.sqlfront import parse_view_sql
+
+    with pytest.raises(NotImplementedError, match="PARTITION BY"):
+        parse_view_sql("v", "SELECT k, sum(v) OVER (ORDER BY ts) AS rt FROM t")
+    with pytest.raises(NotImplementedError, match="ONE"):
+        parse_view_sql(
+            "v",
+            "SELECT sum(v) OVER (PARTITION BY k ORDER BY ts) AS a, "
+            "sum(v) OVER (PARTITION BY ts ORDER BY k) AS b FROM t",
+        )
+    with pytest.raises(NotImplementedError, match="plain columns"):
+        parse_view_sql(
+            "v", "SELECT sum(v) OVER (PARTITION BY k + 1 ORDER BY ts) AS a FROM t"
+        )
+    with pytest.raises(NotImplementedError, match="cascaded"):
+        parse_view_sql(
+            "v",
+            "SELECT k, sum(v) OVER (PARTITION BY k ORDER BY ts) AS rt "
+            "FROM t JOIN s ON k = sk",
+        )
