@@ -92,26 +92,16 @@ def _applied_sql(table: str) -> str:
 
 
 def _bag_merge(v: DataFrame, dv: DataFrame) -> DataFrame:
-    """V ⊎ ΔV under bag semantics for join-shaped (non-aggregate) views:
-    signed-count fold per full row value, survivors re-expanded to their
-    net multiplicity.  ``dv`` carries the bool multiplicity column; the
-    result has exactly ``v``'s columns.  (The engine's merge_view does
-    this internally for its own views; lifecycle keys that drive a delta
-    rule directly — as-of, banded/theta joins — merge through this.)"""
-    cols = v.columns
-    return (
-        v.withColumn("__s", F.lit(1))
-        .unionByName(
-            dv.withColumn(
-                "__s", F.when(F.col(MULT_COL), F.lit(1)).otherwise(F.lit(-1))
-            ).drop(MULT_COL)
-        )
-        .groupBy(*cols)
-        .agg(F.sum("__s").alias("__n"))
-        .filter(F.col("__n") > 0)
-        .select(*cols, F.explode(F.expr("sequence(1, __n)")).alias("__i"))
-        .drop("__i")
-    )
+    """V ⊎ ΔV under bag semantics for join-shaped (non-aggregate) views.
+    A view CDC and a base-table delta have the same shape (rows + bool
+    multiplicity), so this IS merge.apply_delta_to_table — one
+    implementation to keep the ⊎ semantics in one place.  (The engine's
+    merge_view does this internally for its own views; lifecycle keys
+    that drive a delta rule directly — as-of, banded/theta joins —
+    merge through this.)"""
+    from ivm_extension_spark.operators.merge import apply_delta_to_table
+
+    return apply_delta_to_table(v, dv)
 
 
 # --------------------------------------------------------------------------
@@ -3669,7 +3659,7 @@ _EXTRA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 #     lifecycle's CREATE-time materialization runs through; round 6
 #     fixed the forward as-of NULL ordering and the embedding-delta
 #     exact-to-LSH transition);
-#   - positions 34-50: the oldest round-4 keys (dedup/sketch/OLAP set).
+#   - positions 41-50: the oldest round-4 keys (dedup/sketch/OLAP set).
 _GRADE_FIRST: tuple[str, ...] = (
     "ivm_merge_asof_forward",
     "ivm_merge_tfidf",

@@ -1863,9 +1863,18 @@ def delta_plan(
                 df = df.filter(F.expr(view.where))
             return df.select(*[F.expr(e).alias(a) for e, a in view.select])
 
+        delta = get_delta(view.source)
+        if view.where:
+            # the WHERE is row-local over source columns (window views
+            # are single-table by construction), so a delta row failing
+            # it cannot change the view — pruning it BEFORE the
+            # affected-key extraction keeps the broadcast key set and
+            # the partition recompute sized to rows that matter (a
+            # selective view otherwise pays the whole delta's keys)
+            delta = delta.filter(F.expr(view.where))
         return window_view_delta(
             get_table(view.source),
-            get_delta(view.source),
+            delta,
             view.window_partition,
             _compute,
             mult_col=MULT_COL,

@@ -484,14 +484,17 @@ _PLAIN_COL = re.compile(r"^[A-Za-z_][A-Za-z_0-9]*$")
 
 
 def _window_partitions_of(expr: str) -> list[tuple[str, ...]]:
-    """PARTITION BY column lists of every TOP-LEVEL ``OVER (...)`` in a
-    select item (empty list = no window function).  Restricted grammar:
-    each OVER must open with PARTITION BY over plain columns — those
-    keys ARE the maintenance delta region (viewdef.window_partition), so
-    a global window (no partition) is rejected: its delta region would
-    be the whole table."""
+    """PARTITION BY column lists of every ``OVER (...)`` in a select
+    item, AT ANY NESTING DEPTH (empty list = no window function) — a
+    window wrapped in an outer call (``coalesce(sum(v) OVER w, 0)``) is
+    still partition-local, and missing it would silently maintain the
+    view as a plain projection (window evaluated over the delta batch
+    alone).  Restricted grammar: each OVER must open with PARTITION BY
+    over plain columns — those keys ARE the maintenance delta region
+    (viewdef.window_partition), so a global window (no partition) is
+    rejected: its delta region would be the whole table.  A bare
+    ``over`` identifier not followed by ``(`` is left alone."""
     outs: list[tuple[str, ...]] = []
-    depth = 0
     quote: str | None = None
     i = 0
     while i < len(expr):
@@ -503,63 +506,63 @@ def _window_partitions_of(expr: str) -> list[tuple[str, ...]]:
             continue
         if ch in ("'", '"'):
             quote = ch
-        elif ch == "(":
-            depth += 1
-        elif ch == ")":
-            depth -= 1
-        elif depth == 0:
-            m = _OVER_KW.match(expr, i)
-            if m and (
-                i == 0 or not (expr[i - 1].isalnum() or expr[i - 1] == "_")
-            ):
-                rest = expr[m.end():].lstrip()
-                if not rest.startswith("("):
-                    raise NotImplementedError(
-                        f"OVER must be followed by (...): {expr!r}"
-                    )
-                d2 = 0
-                body = None
-                for j, c2 in enumerate(rest):
-                    if c2 == "(":
-                        d2 += 1
-                    elif c2 == ")":
-                        d2 -= 1
-                        if d2 == 0:
-                            body = rest[1:j]
-                            break
-                if body is None:
-                    raise NotImplementedError(f"unbalanced OVER: {expr!r}")
-                pm = re.match(
-                    r"^\s*partition\s+by\s+(.*)$", body,
-                    re.IGNORECASE | re.DOTALL,
+            i += 1
+            continue
+        m = _OVER_KW.match(expr, i)
+        if not (
+            m and (i == 0 or not (expr[i - 1].isalnum() or expr[i - 1] == "_"))
+        ):
+            i += 1
+            continue
+        # absolute index of the opening paren (only whitespace between)
+        k = m.end()
+        while k < len(expr) and expr[k].isspace():
+            k += 1
+        if k >= len(expr) or expr[k] != "(":
+            # not a window clause (e.g. a column named "over")
+            i = m.end()
+            continue
+        d2 = 0
+        body = None
+        for j in range(k, len(expr)):
+            c2 = expr[j]
+            if c2 == "(":
+                d2 += 1
+            elif c2 == ")":
+                d2 -= 1
+                if d2 == 0:
+                    body = expr[k + 1 : j]
+                    break
+        if body is None:
+            raise NotImplementedError(f"unbalanced OVER: {expr!r}")
+        pm = re.match(
+            r"^\s*partition\s+by\s+(.*)$", body, re.IGNORECASE | re.DOTALL
+        )
+        if not pm:
+            raise NotImplementedError(
+                "window views require OVER (PARTITION BY ...) — a "
+                f"global window has no bounded delta region: {expr!r}"
+            )
+        tail = pm.group(1)
+        cut = re.search(
+            r"\border\s+by\b|\brows\b|\brange\b", tail, re.IGNORECASE
+        )
+        cols_part = tail[: cut.start()] if cut else tail
+        cols = tuple(
+            c.strip() for c in _split_top_level(cols_part) if c.strip()
+        )
+        if not cols:
+            raise NotImplementedError(
+                f"empty PARTITION BY in window view: {expr!r}"
+            )
+        for c in cols:
+            if not _PLAIN_COL.match(c):
+                raise NotImplementedError(
+                    "window PARTITION BY must list plain columns "
+                    f"(the maintenance delta region), got {c!r}"
                 )
-                if not pm:
-                    raise NotImplementedError(
-                        "window views require OVER (PARTITION BY ...) — a "
-                        f"global window has no bounded delta region: {expr!r}"
-                    )
-                tail = pm.group(1)
-                cut = re.search(
-                    r"\border\s+by\b|\brows\b|\brange\b", tail, re.IGNORECASE
-                )
-                cols_part = tail[: cut.start()] if cut else tail
-                cols = tuple(
-                    c.strip() for c in _split_top_level(cols_part) if c.strip()
-                )
-                if not cols:
-                    raise NotImplementedError(
-                        f"empty PARTITION BY in window view: {expr!r}"
-                    )
-                for c in cols:
-                    if not _PLAIN_COL.match(c):
-                        raise NotImplementedError(
-                            "window PARTITION BY must list plain columns "
-                            f"(the maintenance delta region), got {c!r}"
-                        )
-                outs.append(cols)
-                i += m.end() - i + len(rest[: j + 1])
-                continue
-        i += 1
+        outs.append(cols)
+        i = j + 1  # continue past the whole OVER (...) group
     return outs
 
 

@@ -32,6 +32,9 @@ def main() -> None:
     out: dict[str, float] = dict(prev)
     updated, kept = 0, 0
     for k, v in full["queries"].items():
+        if v != v:  # NaN = the query errored in that run; a NaN ref
+            kept += 1  # would be invalid JSON and defang the guard
+            continue
         if loads.get(k, 0.0) <= CALM_EXT:
             out[k] = v
             updated += 1

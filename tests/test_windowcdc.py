@@ -137,3 +137,33 @@ def test_sql_front_window_view_rejections(spark):
             "SELECT k, sum(v) OVER (PARTITION BY k ORDER BY ts) AS rt "
             "FROM t JOIN s ON k = sk",
         )
+
+
+def test_sql_front_window_parse_review_pins(spark):
+    # round-6 review pins: (a) two top-level OVERs in ONE item must both
+    # be seen (the second used to be skipped by a scan-advance bug,
+    # bypassing the shared-PARTITION-BY guard); (b) an OVER nested in an
+    # outer call must be detected (it used to silently parse as a plain
+    # projection, evaluating the window over the delta batch alone);
+    # (c) identifiers/literals containing "over" are not windows
+    import pytest
+
+    from ivm_extension_spark.plans.sqlfront import (
+        _window_partitions_of,
+        parse_view_sql,
+    )
+
+    with pytest.raises(NotImplementedError, match="ONE"):
+        parse_view_sql(
+            "v",
+            "SELECT sum(v) OVER (PARTITION BY k ORDER BY ts) "
+            "/ sum(w) OVER (PARTITION BY g ORDER BY ts) AS ratio FROM t",
+        )
+    v = parse_view_sql(
+        "v",
+        "SELECT k, rid, coalesce(sum(v) OVER (PARTITION BY k ORDER BY ts), 0)"
+        " AS rt FROM t",
+    )
+    assert v.window_partition == ("k",)
+    assert _window_partitions_of("a + over_flag") == []
+    assert _window_partitions_of("'OVER (x' || col") == []
