@@ -36,7 +36,11 @@ def main() -> None:
             kept += 1  # would be invalid JSON and defang the guard
             continue
         if loads.get(k, 0.0) <= CALM_EXT:
-            out[k] = v
+            # the guard compares against the key's best-known calm time,
+            # so two calm runs resolve to their MIN (run-to-run noise on
+            # a shared host only ever inflates; taking the latest would
+            # slowly ratchet references up and weaken the guard)
+            out[k] = min(v, prev[k]) if k in prev else v
             updated += 1
         elif k in prev:
             kept += 1
