@@ -2200,6 +2200,28 @@ def _q_approx_bloom_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_ivm_merge_bloom_counting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COUNTING Bloom filter maintained under a MIXED insert/delete
+    delta (round 6 — the deletable-membership variant; the bit filter's
+    OR merge is union-only): per-position signed counters, merged by a
+    position-wise sum with non-positive rows dropped — exact w.r.t. the
+    value multiset, the same signed-counter argument as the CMS.  The
+    standard orders delta deletes AND inserts; the merged counting
+    state is returned and hash-checked bit-for-bit against the DuckDB
+    twin over the post-delta table.  Base never rescanned on merge."""
+    from ivm_extension_spark.functions import bloom
+
+    eng = _engine(spark, sf_dir, deltas=("orders",))
+    g = ("o_orderstatus",)
+    state = bloom.bloom_counts(
+        eng.table("orders"), g, "o_custkey", _BLOOM_M, _BLOOM_K
+    )
+    dc = bloom.bloom_counts_delta(
+        eng.delta("orders"), g, "o_custkey", _BLOOM_M, _BLOOM_K
+    )
+    return bloom.bloom_counts_merge(state, dc, g)
+
+
 def _q_ivm_merge_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MAINTAINED Bloom filter: the state absorbs an insert-only delta
     via word-wise bit_or — exact w.r.t. set union, so the merged word
@@ -3571,6 +3593,7 @@ _OLAP_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "approx_distinct_sketch": _q_approx_distinct_sketch,
     "approx_bloom_membership": _q_approx_bloom_membership,
     "ivm_merge_bloom": _q_ivm_merge_bloom,
+    "ivm_merge_bloom_counting": _q_ivm_merge_bloom_counting,
     "scalar_functions": _q_scalar_functions,
 }
 
@@ -3636,7 +3659,7 @@ _EXTRA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 #
 # ROUND 6 WINDOW (this round), computed by scripts/update_ledger.py
 # (never-graded first, then least-recently-green):
-#   - positions 1-9: the keys registered THIS round, never driver-graded
+#   - positions 1-10: the keys registered THIS round, never driver-graded
 #     (ivm_merge_asof_forward — the maintained FORWARD+tolerance as-of
 #     lifecycle over the round-5 direction/tolerance surface;
 #     ivm_merge_tfidf — the maintained TF-IDF index: linear tf/df/N
@@ -3644,7 +3667,8 @@ _EXTRA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 #     finalize-on-read; streaming_asof_join — the as-of CDC composed
 #     with streaming micro-batches, bit-exact vs the batch oracle;
 #     approx_bloom_membership / ivm_merge_bloom — the deterministic
-#     Bloom filter, plain and maintained: the fourth sketch family;
+#     Bloom filter, plain and maintained, plus the COUNTING variant
+#     maintained under deletes: the fourth sketch family;
 #     ivm_merge_sum_distinct — SUM/AVG(DISTINCT) maintained under
 #     deletes from the per-(group, value) aux counts;
 #     ivm_merge_window_view — maintained window-function views via
@@ -3653,19 +3677,20 @@ _EXTRA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 #     aggregate's CDC (cascade composition);
 #     ivm_merge_pivot — pivot lowered to CASE-sum expression aggregates,
 #     maintained by the ordinary delta rule);
-#   - positions 10-40: the round-3 cohort (latest green r3) — the core
+#   - positions 11-41: the round-3 cohort (latest green r3) — the core
 #     ivm_merge_* delta-rule/merge lifecycles, regraded under post-r5
 #     code (the round-5 theta routing touched compute_view, which every
 #     lifecycle's CREATE-time materialization runs through; round 6
 #     fixed the forward as-of NULL ordering and the embedding-delta
 #     exact-to-LSH transition);
-#   - positions 41-50: the oldest round-4 keys (dedup/sketch/OLAP set).
+#   - positions 42-50: the oldest round-4 keys (dedup/sketch/OLAP set).
 _GRADE_FIRST: tuple[str, ...] = (
     "ivm_merge_asof_forward",
     "ivm_merge_tfidf",
     "streaming_asof_join",
     "approx_bloom_membership",
     "ivm_merge_bloom",
+    "ivm_merge_bloom_counting",
     "ivm_merge_sum_distinct",
     "ivm_merge_window_view",
     "ivm_merge_window_cascade",
@@ -3710,7 +3735,6 @@ _GRADE_FIRST: tuple[str, ...] = (
     "dedup_clusters",
     "dedup_embedding",
     "dedup_embedding_incremental",
-    "dedup_exact",
 )
 
 
@@ -4935,6 +4959,21 @@ def _bloom_membership_oracle() -> str:
     )
 
 
+def _bloom_counting_oracle() -> str:
+    """Oracle for the counting-filter lifecycle: the position-wise
+    signed merge equals the twin counting state over the post-delta
+    table bit-for-bit (signed-counter exactness under deletes)."""
+    from ivm_extension_spark.functions.bloom import bloom_counts_oracle_sql
+
+    return bloom_counts_oracle_sql(
+        _applied_sql("orders") + " o",
+        ("o_orderstatus",),
+        "o_custkey",
+        _BLOOM_M,
+        _BLOOM_K,
+    )
+
+
 def _bloom_merge_oracle() -> str:
     """Oracle for the maintained Bloom lifecycle: word-wise bit_or merge
     is exact w.r.t. union, so the merged word relation equals the twin
@@ -5614,6 +5653,7 @@ def _extras_oracle_sql() -> dict[str, str]:
         "ivm_merge_hll_sketch": _hll_merge_oracle(),
         "approx_bloom_membership": _bloom_membership_oracle(),
         "ivm_merge_bloom": _bloom_merge_oracle(),
+        "ivm_merge_bloom_counting": _bloom_counting_oracle(),
         "approx_heavy_hitters": _cms_hitters_oracle(),
         "ivm_merge_cms_sketch": _cms_merge_oracle(),
         "approx_quantile_hist": _qh_oracle("documents"),

@@ -28,9 +28,11 @@ map-side combine (bit_or is associative/commutative), state is at most
 m/32 words per group regardless of input size.  Merge = word-wise
 bit_or — EXACT w.r.t. set union, so the filter is trivially
 maintainable under inserts (the same monotone-merge argument as HLL's
-register max); deletes require a counting filter and are rejected.
-Membership probes broadcast the (group × probe × k) position relation
-against the state — the base data is never rescanned.
+register max); deletes go through the COUNTING variant below
+(``bloom_counts`` family — per-position signed counters, exact under
+arbitrary insert/delete mixes).  Membership probes broadcast the
+(group × probe × k) position relation against the state — the base
+data is never rescanned.
 """
 
 from __future__ import annotations
@@ -201,4 +203,110 @@ def bloom_contains_oracle_sql(
         FROM grps g CROSS JOIN pr
         LEFT JOIN st ON {gjoin} AND st.word = pr.word
         GROUP BY {gsel}pr.{value_col}
+    """
+
+
+# -- counting Bloom filter (deletable membership) ---------------------------
+#
+# The bit filter's word-wise OR merge is exact for set UNION only —
+# a delete cannot clear a bit another value may share.  The standard
+# fix is the COUNTING filter: per-position counters instead of bits.
+# Every value contributes +1 at each of its k positions; a delete
+# contributes -1; a position is "set" while its count is positive.
+# Exact under arbitrary insert/delete mixes w.r.t. the value MULTISET
+# (the same signed-counter argument as the Count-Min sketch), still no
+# false negatives, same false-positive rate.  State is O(distinct
+# touched positions) <= m rows per group — 32x the bit filter's rows at
+# the same m, the textbook space cost of deletability.
+
+
+def bloom_counts(
+    df: DataFrame,
+    group_cols: tuple[str, ...],
+    value_col: str,
+    m_bits: int = 4096,
+    k: int = 4,
+) -> DataFrame:
+    """Per-group counting-Bloom state: (group…, pos int, cnt bigint),
+    positive positions only.  ONE map-side-combined count shuffle."""
+    if k * 8 > 32:
+        raise ValueError(f"k={k} needs {8 * k} hex chars, md5 has 32")
+    pos = F.explode(
+        F.array(*[F.expr(e) for e in _positions_spark(value_col, m_bits, k)])
+    ).alias("__pos")
+    return (
+        df.filter(F.col(value_col).isNotNull())
+        .select(*[F.col(c) for c in group_cols], pos)
+        .groupBy(*group_cols, F.col("__pos").cast("int").alias("pos"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def bloom_counts_delta(
+    delta: DataFrame,
+    group_cols: tuple[str, ...],
+    value_col: str,
+    m_bits: int = 4096,
+    k: int = 4,
+    mult_col: str = "_duckdb_ivm_multiplicity",
+) -> DataFrame:
+    """Signed per-position counts of a multiplicity-tagged delta —
+    the exact Δ(bloom_counts) under the engine's CDC contract."""
+    pos = F.explode(
+        F.array(*[F.expr(e) for e in _positions_spark(value_col, m_bits, k)])
+    ).alias("__pos")
+    return (
+        delta.filter(F.col(value_col).isNotNull())
+        .select(
+            *[F.col(c) for c in group_cols],
+            pos,
+            F.when(F.col(mult_col), F.lit(1)).otherwise(F.lit(-1)).alias("__s"),
+        )
+        .groupBy(*group_cols, F.col("__pos").cast("int").alias("pos"))
+        .agg(F.sum("__s").alias("cnt"))
+        .filter(F.col("cnt") != 0)
+    )
+
+
+def bloom_counts_merge(
+    state: DataFrame, delta_counts: DataFrame, group_cols: tuple[str, ...]
+) -> DataFrame:
+    """state ⊎ Δ: position-wise signed sum, non-positive rows dropped —
+    exact w.r.t. the value multiset under arbitrary insert/delete mixes
+    (a full-outer fold of two O(positions) relations; the base data is
+    never rescanned)."""
+    keys = [*group_cols, "pos"]
+    d = delta_counts.select(*keys, F.col("cnt").alias("__dc"))
+    return (
+        state.join(d, on=keys, how="full")
+        .select(
+            *keys,
+            (
+                F.coalesce(F.col("cnt"), F.lit(0))
+                + F.coalesce(F.col("__dc"), F.lit(0))
+            ).alias("cnt"),
+        )
+        .filter(F.col("cnt") > 0)
+    )
+
+
+def bloom_counts_oracle_sql(
+    table: str,
+    group_cols: tuple[str, ...],
+    value_col: str,
+    m_bits: int = 4096,
+    k: int = 4,
+) -> str:
+    """DuckDB twin of :func:`bloom_counts` — identical positions and
+    counts, for bit-exact oracle checking of the counting state."""
+    gcols = ", ".join(group_cols)
+    gpfx = f"{gcols}, " if group_cols else ""
+    branches = " UNION ALL ".join(
+        f"SELECT {gpfx}({e}) AS pos FROM {table} WHERE {value_col} IS NOT NULL"
+        for e in _positions_duckdb(value_col, m_bits, k)
+    )
+    return f"""
+        WITH pos AS ({branches})
+        SELECT {gpfx}CAST(pos AS INT) AS pos, count(*) AS cnt
+        FROM pos GROUP BY {gpfx}CAST(pos AS INT)
     """

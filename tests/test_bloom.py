@@ -101,3 +101,46 @@ def test_merge_equals_full_recompute(spark, orders):
 def test_k_over_md5_width_rejected(spark, orders):
     with pytest.raises(ValueError):
         bloom.bloom_bits(orders, GROUP, "o_custkey", 2048, k=5)
+
+
+def test_counting_filter_maintained_under_deletes(spark, orders):
+    # signed per-position merge == full recompute over the post-delta
+    # table, under a MIXED insert/delete delta (the bit filter rejects
+    # deletes; the counting variant is exact w.r.t. the value multiset)
+    from ivm_extension_spark.operators.rewrite import MULT_COL
+
+    pred, mult = "o_orderkey % 10 = 0", "o_custkey % 2 = 0"
+    base = orders
+    delta = (
+        orders.filter(pred)
+        .withColumn(MULT_COL, F.expr(mult))
+        .select("o_orderstatus", "o_custkey", MULT_COL)
+    )
+    state = bloom.bloom_counts(base, GROUP, "o_custkey", 2048, 4)
+    dc = bloom.bloom_counts_delta(delta, GROUP, "o_custkey", 2048, 4)
+    merged = bloom.bloom_counts_merge(state, dc, GROUP)
+    # post-delta table: remove delete rows, duplicate insert rows
+    applied = (
+        orders.filter(f"NOT (({pred}) AND NOT ({mult}))")
+        .unionByName(orders.filter(f"({pred}) AND ({mult})"))
+    )
+    want = bloom.bloom_counts(applied, GROUP, "o_custkey", 2048, 4)
+    assert sorted(map(tuple, merged.collect())) == sorted(
+        map(tuple, want.collect())
+    )
+
+
+def test_counting_state_matches_duckdb_twin(spark, orders):
+    srows = sorted(
+        tuple(r)
+        for r in bloom.bloom_counts(orders, GROUP, "o_custkey", 2048, 4).collect()
+    )
+    drows = sorted(
+        tuple(r)
+        for r in _duck()
+        .execute(
+            bloom.bloom_counts_oracle_sql("orders", GROUP, "o_custkey", 2048, 4)
+        )
+        .fetchall()
+    )
+    assert srows == drows and len(srows) > 100

@@ -167,3 +167,41 @@ def test_sql_front_window_parse_review_pins(spark):
     assert v.window_partition == ("k",)
     assert _window_partitions_of("a + over_flag") == []
     assert _window_partitions_of("'OVER (x' || col") == []
+
+
+def test_window_cdc_randomized_equals_recompute(spark):
+    # seeded randomized mixed deltas (inserts of new rows, deletes of
+    # existing ones, multi-row partitions, ties on ts broken by rid):
+    # merge == recompute for a running sum and a dense ranking
+    import random
+
+    rng = random.Random(99)
+    rows, rid = [], 0
+    for k in "abcdef":
+        for _ in range(rng.randint(1, 8)):
+            rows.append((k, rng.randint(0, 5), rid, rng.randint(-3, 9)))
+            rid += 1
+    base = spark.createDataFrame(rows, "k string, ts int, rid int, v int")
+    dels = [r + (False,) for r in rng.sample(rows, 5)]
+    ins = [
+        ("abcdef"[rng.randint(0, 5)], rng.randint(0, 5), 100 + j, rng.randint(-3, 9), True)
+        for j in range(6)
+    ]
+    delta = spark.createDataFrame(
+        dels + ins, f"k string, ts int, rid int, v int, {MULT_COL} boolean"
+    )
+    applied = [r for r in rows if r not in {d[:4] for d in dels}] + [
+        i[:4] for i in ins
+    ]
+    new_base = spark.createDataFrame(applied, "k string, ts int, rid int, v int")
+    for compute in (_running, _rank):
+        dv = window_view_delta(base, delta, ("k",), compute)
+        merged = [tuple(r) for r in compute(base).collect()]
+        for r in dv.collect():
+            t = tuple(r)[:-1]
+            if r[MULT_COL]:
+                merged.append(t)
+            else:
+                merged.remove(t)
+        want = [tuple(r) for r in compute(new_base).collect()]
+        assert sorted(merged, key=repr) == sorted(want, key=repr), compute
