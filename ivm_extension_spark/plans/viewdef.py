@@ -244,6 +244,7 @@ class ViewDef:
             "grouping_sets": [list(g) for g in self.grouping_sets],
             "order_by": [list(o) for o in self.order_by],
             "limit": self.limit,
+            "window_partition": list(self.window_partition),
         }
 
     @classmethod
@@ -265,6 +266,7 @@ class ViewDef:
             grouping_sets=tuple(tuple(g) for g in d.get("grouping_sets", ())),
             order_by=tuple(tuple(o) for o in d.get("order_by", ())),
             limit=d.get("limit"),
+            window_partition=tuple(d.get("window_partition", ())),
         )
 
     @property

@@ -164,6 +164,10 @@ def test_merge_sum_avg_distinct_under_deletes(spark):
     # rows sharing a value must keep it in the sum; deleting both must
     # remove it.  Maintained via the same per-(group, value) aux counts
     # as count(DISTINCT); merged values equal the recompute exactly.
+    # EXACT equality here relies on integer arguments: a double-lane
+    # sum(DISTINCT) sums aux rows in arbitrary order vs the refresh's
+    # sum(DISTINCT) over the base, so ulp drift is possible for
+    # non-integer args (documented at auxstate.py sum_distinct derive).
     base = [(1, "x", "p"), (1, "x", "q"), (2, "x", "r"), (7, "y", "s")]
     delta = [
         (1, "x", "p", False),

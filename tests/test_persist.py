@@ -70,6 +70,42 @@ def test_save_load_continues_maintenance(spark, tmp_path):
     assert rows(a.read_view("top_cust")) == rows(b.read_view("top_cust"))
 
 
+def test_save_load_window_view(spark, tmp_path):
+    """window_partition must survive to_dict/from_dict: without it the
+    loaded view degrades to a plain projection and delta_plan evaluates
+    the OVER expression on the delta batch alone (silently wrong)."""
+    a = IVMEngine(spark)
+    a.register_table("orders", f"{SF}/orders.parquet")
+    sql = (
+        "SELECT o_custkey, o_orderkey, "
+        "sum(cast(round(o_totalprice * 100) as bigint)) OVER "
+        "(PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey "
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_cents "
+        "FROM orders WHERE o_custkey % 10 = 0"
+    )
+    a.create_immv("running", sql=sql)
+    assert a.view("running").window_partition == ("o_custkey",)
+    _delta(a, "orders", "o_orderkey % 10 = 0", "o_custkey % 2 = 0")
+    a.ivm_upsert("running")
+    a.merge_view("running")
+    a.apply_delta("orders")
+
+    path = str(tmp_path / "store_window")
+    a.save(path)
+    b = IVMEngine.load(spark, path, tables={"orders": a.table("orders")})
+    # the ADVICE bug: window_partition dropped on round-trip
+    assert b.view("running").window_partition == ("o_custkey",)
+    assert rows(b.read_view("running")) == rows(a.read_view("running"))
+
+    # delete-bearing batch through the RELOADED engine must still route
+    # through the affected-partition recompute and match recomputation
+    _delta(b, "orders", "o_orderkey % 30 = 0", "false")
+    b.ivm_upsert("running")
+    got = rows(b.merge_view("running"))
+    b.apply_delta("orders")
+    assert got == rows(b.full_refresh("running"))
+
+
 def test_load_missing_table_errors(spark, tmp_path):
     a = IVMEngine(spark)
     a.register_table("orders", f"{SF}/orders.parquet")
