@@ -886,6 +886,37 @@ def _q_ivm_cascade_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return eng.merge_view("lvl")
 
 
+def _range_orders_pts(eng) -> tuple[DataFrame, DataFrame]:
+    """ONE lazily-checkpointed orders slice serves both the base points
+    and the delta points of the range (banded) lifecycles — the same
+    staging _theta_orders_pts gives the theta keys.  The full delta rule
+    probes the point relation in ~6 plans and chains 3-deep broadcast
+    builds (dm -> m_old -> flips on both preserved sides); without
+    staging, every one of those jobs re-scans the orders parquet, and
+    that fixed job cost dominated the lifecycle at sf0.1 (13s solo).
+    Checkpointed blocks turn each rebuild into an in-memory read.  At
+    scale this is the persisted working-relation pattern: the slice is
+    O(|orders|) of two columns, staged in a few fat partitions (4 won
+    an A/B against 8/16 at sf0.1: fewer per-branch probe tasks beats
+    extra scan parallelism when every task re-initializes the fused
+    12-branch codegen)."""
+    pred, mult = DELTA_DEFS["orders"]
+    sl = (
+        eng.table("orders")
+        .select(
+            "o_orderkey",
+            F.col("o_totalprice").alias("price"),
+            F.expr(pred).alias("__in_delta"),
+            F.expr(mult).alias(MULT_COL),
+        )
+        .coalesce(4)
+        .localCheckpoint(eager=False)
+    )
+    pts = sl.select("o_orderkey", "price")
+    d_pts = sl.filter("__in_delta").select("o_orderkey", "price", MULT_COL)
+    return pts, d_pts
+
+
 def _q_ivm_merge_range_left_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Banded (theta) LEFT-join maintenance — the non-equi outer-join
     shape the equi rewrite rejects, maintained via the binning trick
@@ -899,20 +930,8 @@ def _q_ivm_merge_range_left_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     eng = _engine(spark, sf_dir)
-    points = eng.table("orders").select(
-        "o_orderkey", F.col("o_totalprice").alias("price")
-    )
+    points, d_points = _range_orders_pts(eng)
     bands = spark.createDataFrame(_RJ_BANDS, "band string, lo double, hi double")
-    pred, mult = DELTA_DEFS["orders"]
-    d_points = (
-        eng.table("orders")
-        .filter(F.expr(pred))
-        .select(
-            "o_orderkey",
-            F.col("o_totalprice").alias("price"),
-            F.expr(mult).alias(MULT_COL),
-        )
-    )
     d_bands = spark.createDataFrame(
         _RJ_BAND_DELTA, f"band string, lo double, hi double, {MULT_COL} boolean"
     )
@@ -938,20 +957,8 @@ def _q_ivm_merge_range_full_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     eng = _engine(spark, sf_dir)
-    points = eng.table("orders").select(
-        "o_orderkey", F.col("o_totalprice").alias("price")
-    )
+    points, d_points = _range_orders_pts(eng)
     bands = spark.createDataFrame(_RJ_BANDS, "band string, lo double, hi double")
-    pred, mult = DELTA_DEFS["orders"]
-    d_points = (
-        eng.table("orders")
-        .filter(F.expr(pred))
-        .select(
-            "o_orderkey",
-            F.col("o_totalprice").alias("price"),
-            F.expr(mult).alias(MULT_COL),
-        )
-    )
     d_bands = spark.createDataFrame(
         _RJ_BAND_DELTA + [("vip", 3000000.0, 9000000.0, True)],
         f"band string, lo double, hi double, {MULT_COL} boolean",
