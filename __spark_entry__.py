@@ -2071,8 +2071,11 @@ def _q_ivm_merge_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     count-distinct aux state).  The base corpus is never re-tokenized
     on merge; only the delta is.  Oracle = full TF-IDF recompute over
     the post-delta corpus (same quantized-idf integer scoring as
-    text_tfidf_keywords, ulp-robust ranking)."""
-    from ivm_extension_spark.functions.text import tokens
+    text_tfidf_keywords, ulp-robust ranking).  Routed through the
+    library API (functions/tfidf.py: tfidf_index_views + tfidf_scores +
+    tfidf_top_k); the Spark 4.1 union-constraint workaround lives with
+    the other optimizer barriers (text.union_constraint_barrier)."""
+    from ivm_extension_spark.functions import tfidf
 
     eng = _engine(spark, sf_dir)
     docs = eng.table("documents")
@@ -2085,72 +2088,11 @@ def _q_ivm_merge_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     eng.register_delta("documents", d_docs)
 
-    def to_terms(df: DataFrame, with_mult: bool = False) -> DataFrame:
-        extra = [MULT_COL] if with_mult else []
-        return df.select(
-            "doc_id", F.explode(tokens("text")).alias("term"), *extra
-        ).filter(F.length("term") >= 3)
-
-    # checkpoint + re-alias both tokenized relations: Spark 4.1's Union
-    # constraint rewrite chokes when exploded plans meet in a union (the
-    # checkpointed LogicalRDD keeps constraints referencing the
-    # pre-checkpoint generator attribute — "key not found: term#N");
-    # toDF projects through fresh attribute ids, which rewrites the
-    # constraints consistently.  A real deployment would store doc_terms
-    # as a table anyway — the lazy checkpoint IS that materialization
-    # (one tokenization pass each; the base is never RE-tokenized on
-    # merge).
-    def pin(df: DataFrame) -> DataFrame:
-        df = df.localCheckpoint(eager=False)
-        return df.toDF(*df.columns)
-
-    eng.register_table("doc_terms", pin(to_terms(docs)))
-    eng.register_delta("doc_terms", pin(to_terms(d_docs, with_mult=True)))
-
-    eng.create_immv(
-        "tf",
-        sql="SELECT doc_id, term, count(*) AS tf "
-        "FROM doc_terms GROUP BY doc_id, term",
-    )
-    eng.create_immv(
-        "dfreq",
-        sql="SELECT term, count(DISTINCT doc_id) AS df "
-        "FROM doc_terms GROUP BY term",
-    )
-    eng.create_immv("ndocs", sql="SELECT count(DISTINCT doc_id) AS n FROM documents")
-    for v in ("tf", "dfreq", "ndocs"):
+    names = tfidf.tfidf_index_views(eng)
+    for v in names:
         eng.ivm_upsert(v)
-    tf_state = eng.merge_view("tf")
-    df_state = eng.merge_view("dfreq")
-    nd = eng.merge_view("ndocs")
-
-    # finalize-on-read: quantized integer scoring, identical expression
-    # to tfidf_top_terms(quantize=6) and its DuckDB twin
-    idf = df_state.crossJoin(F.broadcast(nd)).select(
-        "term",
-        F.round(
-            F.log(F.col("n").cast("double") / F.col("df").cast("double"))
-            * F.lit(1e6)
-        )
-        .cast("bigint")
-        .alias("__idf_e6"),
-    )
-    scored = tf_state.join(F.broadcast(idf), on="term").select(
-        "doc_id",
-        "term",
-        F.col("tf").cast("bigint").alias("tf"),
-        (F.col("tf") * F.col("__idf_e6")).cast("bigint").alias("score"),
-    )
-    from pyspark.sql import Window
-
-    w = Window.partitionBy("doc_id").orderBy(
-        F.col("score").desc(), F.col("term").asc()
-    )
-    return (
-        scored.withColumn("rank", F.row_number().over(w).cast("int"))
-        .filter("rank <= 3")
-        .select("doc_id", "term", "tf", "score", "rank")
-    )
+    tf_state, df_state, nd = (eng.merge_view(v) for v in names)
+    return tfidf.tfidf_top_k(tfidf.tfidf_scores(tf_state, df_state, nd), k=3)
 
 
 def _q_ivm_merge_hll_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -238,6 +238,23 @@ def posexplode_array_barrier(df, arr_col: str, pos_out: str, out: str):
     )
 
 
+def union_constraint_barrier(df):
+    """Checkpoint + re-alias a plan so it can safely meet a union.
+
+    Spark 4.1's Union constraint rewrite chokes when exploded plans meet
+    in a union: the checkpointed LogicalRDD keeps constraints that still
+    reference the pre-checkpoint generator attribute and the rewrite
+    fails with "key not found: <col>#N".  ``toDF`` projects through
+    fresh attribute ids, which rewrites the constraints consistently.
+    Lazy (no extra job); the checkpoint doubles as the one-pass
+    materialization of the computed relation — at scale this is the
+    "store the derived table" pattern, not an extra cost.  Lives here
+    with the other optimizer-barrier helpers (see
+    :func:`explode_array_barrier`)."""
+    df = df.localCheckpoint(eager=False)
+    return df.toDF(*df.columns)
+
+
 def chunk_tokens(df, col: str, size: int = 64, overlap: int = 8):
     """Split each document into fixed-size token windows with overlap —
     the canonical LLM training-data chunking step.  Output: one row per

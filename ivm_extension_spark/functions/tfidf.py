@@ -1,0 +1,148 @@
+"""Maintained TF-IDF index — the library API for the recipe the
+``ivm_merge_tfidf`` driver key runs (promoted out of the entry file,
+VERDICT r6 "Next round" #4).
+
+TF-IDF itself is nonlinear (idf = ln(N/df) moves with every document),
+so the maintained state is the LINEAR decomposition — three ordinary
+IMMVs over a tokenized terms relation:
+
+- ``<prefix>tf``:    tf(doc, term) counts
+- ``<prefix>dfreq``: per-term distinct document frequencies (delete-safe
+  via the count-distinct aux state)
+- ``<prefix>ndocs``: the distinct document count
+
+and the scoring is finalize-on-read over the merged states (the same
+split HAVING / MEDIAN use — engine.py finalize-on-read).
+
+Tokenization is a stateless per-row map, so Δ(doc_terms) =
+tokenize(Δdocuments): multiplicity threads through the explode
+unchanged, and the base corpus is NEVER re-tokenized on merge — only
+the delta is.  Scale shape: state is O(doc·terms) / O(vocabulary) /
+O(1); the idf relation is O(vocabulary) and joins back BROADCAST; the
+per-doc top-k plans as a rank-pushed window (WindowGroupLimit).
+
+Reference scope note: TF-IDF is outside the reference extension's
+surface (README.md:33-36); this is part of the LLM-pipeline layer the
+brief adds on top.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from ivm_extension_spark.functions.text import tokens, union_constraint_barrier
+
+
+def tokenize_terms(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_token_len: int = 3,
+    carry: tuple[str, ...] = (),
+) -> DataFrame:
+    """(id, term) rows — one per token occurrence — of the normalized
+    text, behind :func:`union_constraint_barrier` so the exploded plan
+    can meet its delta in the engine's merge unions (and so the
+    tokenization materializes once instead of re-running per consumer).
+
+    ``carry`` forwards extra columns unchanged (pass the multiplicity
+    column name to tokenize a delta: the bool threads through the
+    explode untouched, which IS the delta rule for a stateless map).
+    """
+    t = docs.select(
+        F.col(id_col), F.explode(tokens(text_col)).alias("term"), *carry
+    ).filter(F.length("term") >= min_token_len)
+    return union_constraint_barrier(t)
+
+
+def tfidf_index_views(
+    eng,
+    docs_table: str = "documents",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_token_len: int = 3,
+    terms_table: str = "doc_terms",
+    prefix: str = "",
+) -> tuple[str, str, str]:
+    """Register the tokenized terms relation on ``eng`` and create the
+    three maintained views of the TF-IDF decomposition.  If the docs
+    table has a registered delta, the terms relation gets the matching
+    Δ-only tokenized delta.  Returns the view names ``(tf, dfreq,
+    ndocs)`` — drive them like any IMMV (``ivm_upsert`` → ``merge_view``)
+    and score the merged states with :func:`tfidf_scores`.
+    """
+    from ivm_extension_spark.operators.rewrite import IVMError, MULT_COL
+
+    docs = eng.table(docs_table)
+    eng.register_table(
+        terms_table, tokenize_terms(docs, id_col, text_col, min_token_len)
+    )
+    try:
+        d_docs = eng.delta(docs_table)
+    except IVMError:
+        d_docs = None
+    if d_docs is not None:
+        eng.register_delta(
+            terms_table,
+            tokenize_terms(d_docs, id_col, text_col, min_token_len, (MULT_COL,)),
+        )
+    tf, dfreq, ndocs = (f"{prefix}tf", f"{prefix}dfreq", f"{prefix}ndocs")
+    eng.create_immv(
+        tf,
+        sql=f"SELECT {id_col}, term, count(*) AS tf "
+        f"FROM {terms_table} GROUP BY {id_col}, term",
+    )
+    eng.create_immv(
+        dfreq,
+        sql=f"SELECT term, count(DISTINCT {id_col}) AS df "
+        f"FROM {terms_table} GROUP BY term",
+    )
+    eng.create_immv(
+        ndocs, sql=f"SELECT count(DISTINCT {id_col}) AS n FROM {docs_table}"
+    )
+    return tf, dfreq, ndocs
+
+
+def tfidf_scores(
+    tf_state: DataFrame,
+    df_state: DataFrame,
+    ndocs_state: DataFrame,
+    id_col: str = "doc_id",
+    quantize: int = 6,
+) -> DataFrame:
+    """Finalize-on-read scoring over the merged states: per (doc, term)
+    the integer score tf · round(ln(N/df) · 10^quantize) — the same
+    quantized-idf integer ranking as ``text.tfidf_top_terms``, so an
+    oracle engine whose libm ln differs by an ulp still produces the
+    identical ranking.  The idf relation is O(vocabulary), broadcast.
+    """
+    idf = df_state.crossJoin(F.broadcast(ndocs_state)).select(
+        "term",
+        F.round(
+            F.log(F.col("n").cast("double") / F.col("df").cast("double"))
+            * F.lit(float(10**quantize))
+        )
+        .cast("bigint")
+        .alias("__idf_q"),
+    )
+    return tf_state.join(F.broadcast(idf), on="term").select(
+        id_col,
+        "term",
+        F.col("tf").cast("bigint").alias("tf"),
+        (F.col("tf") * F.col("__idf_q")).cast("bigint").alias("score"),
+    )
+
+
+def tfidf_top_k(scored: DataFrame, k: int = 3, id_col: str = "doc_id") -> DataFrame:
+    """rank 1..k per document over :func:`tfidf_scores` output, ties
+    broken by term (deterministic; plans as WindowGroupLimit)."""
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("score").desc(), F.col("term").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= k)
+        .select(id_col, "term", "tf", "score", "rank")
+    )

@@ -1071,3 +1071,55 @@ def test_embedding_near_dups_delta_exact_to_lsh_transition(spark):
     }
     assert merged == want and len(want) > 0
     assert new_index.count() == len(data) - len(dels) + len(ins)
+
+
+# --------------------------------------------------------------------------
+# maintained TF-IDF index API (functions/tfidf.py) — the library surface
+# the ivm_merge_tfidf driver key routes through (promoted from the entry
+# file in round 7)
+# --------------------------------------------------------------------------
+
+def test_tfidf_index_views_maintained_equals_recompute(spark):
+    """Drive the API directly: three IMMVs advanced through a mixed
+    insert/delete delta must score identically to text.tfidf_top_terms
+    over the post-delta corpus (the IVM invariant, finalize-on-read)."""
+    from ivm_extension_spark import IVMEngine
+    from ivm_extension_spark.functions import tfidf
+    from ivm_extension_spark.functions.text import tfidf_top_terms
+    from ivm_extension_spark.operators.merge import apply_delta_to_table
+    from ivm_extension_spark.operators.rewrite import MULT_COL
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta beta gamma"),
+            (2, "alpha alpha delta"),
+            (3, "beta gamma gamma epsilon"),
+            (4, "zeta zeta zeta alpha"),
+        ],
+        "doc_id bigint, text string",
+    )
+    eng = IVMEngine(spark)
+    eng.register_table("documents", docs)
+    # delta: duplicate doc 2 (its term bag doubles), delete doc 3 (its
+    # terms leave tf AND df via the count-distinct aux state)
+    d_docs = (
+        docs.filter("doc_id = 2")
+        .withColumn(MULT_COL, F.lit(True))
+        .unionByName(docs.filter("doc_id = 3").withColumn(MULT_COL, F.lit(False)))
+    )
+    eng.register_delta("documents", d_docs)
+
+    names = tfidf.tfidf_index_views(eng)
+    assert names == ("tf", "dfreq", "ndocs")
+    for v in names:
+        eng.ivm_upsert(v)
+    tf_state, df_state, nd = (eng.merge_view(v) for v in names)
+    got = rows(
+        tfidf.tfidf_top_k(tfidf.tfidf_scores(tf_state, df_state, nd), k=2)
+    )
+
+    post = apply_delta_to_table(docs, d_docs)
+    want = rows(
+        tfidf_top_terms(post, k=2, quantize=6).withColumnRenamed("id", "doc_id")
+    )
+    assert got == want
