@@ -3186,6 +3186,48 @@ def _q_ivm_merge_window_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
     return eng.merge_view("running")
 
 
+def _q_ivm_merge_window_multilist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window view with TWO DISTINCT PARTITION BY lists in one SQL text
+    (round 7): per-customer running order total + per-day rank, AUTO-
+    SPLIT by the engine into a maintained cascade
+    (engine._create_window_cascade via sqlfront.split_window_stages) —
+    stage 1 maintains the o_custkey windows by affected-partition
+    recompute, stage 2 consumes stage 1's merge CDC and maintains the
+    o_orderdate windows; previously this SQL was REJECTED with "all
+    window functions in a view must share ONE PARTITION BY column
+    list".  Both orderings are total per partition (unique o_orderkey
+    tiebreak) — which REQUIRES a duplicate-free delta: the standard one
+    duplicates existing rows, and two duplicates pair their two window
+    values (running_cents x day_rank) nondeterministically across
+    engines, so the inserts here are NEW rows under shifted keys
+    (deletes are the usual %7=3 slice).  V' = V ⊎ ΔV through the
+    ordinary engine surface; oracle = the same two-window SQL over the
+    post-delta table."""
+    eng = _engine(spark, sf_dir)
+    orders = eng.table("orders")
+    d = (
+        orders.filter("o_orderkey % 10 = 0")
+        .withColumn("o_orderkey", F.col("o_orderkey") + F.lit(500000000))
+        .withColumn(MULT_COL, F.lit(True))
+        .unionByName(
+            orders.filter("o_orderkey % 7 = 3").withColumn(MULT_COL, F.lit(False))
+        )
+    )
+    eng.register_delta("orders", d)
+    eng.create_immv(
+        "v",
+        sql="SELECT o_custkey, o_orderkey, "
+        "sum(CAST(round(o_totalprice * 100) AS BIGINT)) OVER "
+        "(PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey "
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_cents, "
+        "row_number() OVER (PARTITION BY o_orderdate "
+        "ORDER BY o_totalprice DESC, o_orderkey) AS day_rank "
+        "FROM orders WHERE o_custkey % 10 = 0",
+    )
+    eng.ivm_upsert("v")
+    return eng.merge_view("v")
+
+
 def _q_ivm_merge_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MAINTAINED FORWARD as-of join with a staleness bound (round 6):
     the round-5 direction/tolerance surface threaded through the
@@ -3536,6 +3578,7 @@ _OLAP_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ivm_merge_asof_join": _q_ivm_merge_asof_join,
     "ivm_merge_asof_forward": _q_ivm_merge_asof_forward,
     "ivm_merge_window_view": _q_ivm_merge_window_view,
+    "ivm_merge_window_multilist": _q_ivm_merge_window_multilist,
     "ivm_merge_window_cascade": _q_ivm_merge_window_cascade,
     "range_join_bands": _q_range_join,
     "percentiles_by_status": _q_percentiles,
@@ -4480,6 +4523,24 @@ def oracle_sql() -> dict[str, str]:
                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
                      AS BIGINT) AS running_cents
             FROM {_applied_sql('orders')} o WHERE o_custkey % 10 = 0
+        """,
+        "ivm_merge_window_multilist": """
+            SELECT o_custkey, o_orderkey,
+                   CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                     OVER (PARTITION BY o_custkey
+                           ORDER BY o_orderdate, o_orderkey
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                     AS BIGINT) AS running_cents,
+                   row_number() OVER (PARTITION BY o_orderdate
+                                      ORDER BY o_totalprice DESC, o_orderkey)
+                     AS day_rank
+            FROM (SELECT * FROM orders WHERE NOT (o_orderkey % 7 = 3)
+                  UNION ALL
+                  SELECT o_orderkey + 500000000 AS o_orderkey, o_custkey,
+                         o_orderstatus, o_totalprice, o_orderdate,
+                         o_orderpriority
+                  FROM orders WHERE o_orderkey % 10 = 0) o
+            WHERE o_custkey % 10 = 0
         """,
         "window_running_total": """
             SELECT o_custkey, o_orderkey,

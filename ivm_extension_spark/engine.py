@@ -36,7 +36,11 @@ from ivm_extension_spark.operators.rewrite import (
     compute_view,
     delta_plan,
 )
-from ivm_extension_spark.plans.sqlfront import parse_view_sql, split_union_all
+from ivm_extension_spark.plans.sqlfront import (
+    parse_view_sql,
+    split_union_all,
+    split_window_stages,
+)
 from ivm_extension_spark.plans.viewdef import ViewDef
 from ivm_extension_spark.sources.parquet import read_parquet
 
@@ -138,6 +142,10 @@ class IVMEngine:
         self._history: dict[str, list[tuple[int, DataFrame]]] = {}
         # UNION ALL views: per-branch ViewDefs (delta rule is linear)
         self._union_branches: dict[str, list[ViewDef]] = {}
+        # window views auto-split over MULTIPLE PARTITION BY lists:
+        # outer name -> [(inner view, intermediate snapshot table), ...]
+        # in stage order (see _create_window_cascade)
+        self._window_cascade: dict[str, list[tuple[str, str]]] = {}
 
     # -- catalog -----------------------------------------------------------
 
@@ -246,6 +254,9 @@ class IVMEngine:
             parts = split_union_all(sql)
             if len(parts) > 1:
                 return self._create_union_immv(name, parts, materialize)
+            staged = split_window_stages(sql)
+            if staged is not None:
+                return self._create_window_cascade(name, staged, materialize)
             vdef = parse_view_sql(name, sql)
         else:
             vdef = view
@@ -262,6 +273,83 @@ class IVMEngine:
             self._state[name] = state
             return merge_ops.finalize(state, vdef)
         return None
+
+    def _create_window_cascade(
+        self,
+        name: str,
+        staged: tuple,
+        materialize: bool,
+    ) -> DataFrame | None:
+        """Window view over MULTIPLE PARTITION BY lists, auto-split into
+        a maintained cascade (round 7 — closes the single-list
+        restriction the SQL front used to reject with).
+
+        Each distinct list becomes one ordinary window view
+        (affected-partition recompute, operators/windowcdc.py); stage
+        i+1 reads stage i's public snapshot and consumes its merge CDC
+        as the delta — the same composition the q13 / window cascades
+        drive by hand (merge_view_cdc).  The per-stage restriction is
+        sound because a window is partition-local in ITS OWN list
+        regardless of columns earlier stages appended.  Inner stages
+        carry every base column plus the window aliases computed so
+        far; the user-visible view is the FINAL stage projecting the
+        original select list.  ``ivm_upsert(name)`` drives the inner
+        stages (upsert + merge + CDC handoff) exactly once per batch;
+        ``merge_view(name)`` then advances the intermediate snapshots.
+        Scale shape: unchanged per stage (broadcast affected-key semi
+        joins); the cascade multiplies the per-batch cost by the number
+        of distinct lists, never by data size.
+        """
+        source, where, items, lists = staged
+        if not materialize:
+            raise NotImplementedError(
+                "a multi-partition window view needs materialized "
+                "intermediate snapshots — create it with materialize=True"
+            )
+        if source not in self._tables:
+            raise IVMError(f"view {name!r} references unregistered table {source!r}")
+        base_cols = list(self.table(source).columns)
+        for _, alias, plist in items:
+            if plist and alias in base_cols:
+                raise NotImplementedError(
+                    f"window alias {alias!r} shadows a base column — inner "
+                    "cascade stages carry all base columns, rename the alias"
+                )
+        stages: list[tuple[str, str]] = []
+        prev = source
+        computed: list[str] = []
+        for i, plist in enumerate(lists[:-1]):
+            sel = (
+                [(c, c) for c in base_cols]
+                + [(a, a) for a in computed]
+                + [(e, a) for e, a, w in items if w == plist]
+            )
+            vname, tname = f"__{name}_w{i}", f"__{name}_s{i}"
+            vdef = ViewDef(
+                name=vname,
+                source=prev,
+                select=tuple(sel),
+                where=where if i == 0 else None,
+                window_partition=tuple(plist),
+            )
+            self.create_immv(vname, view=vdef, materialize=True)
+            self.register_table(tname, self.read_view(vname))
+            computed += [a for _, a, w in items if w == plist]
+            stages.append((vname, tname))
+            prev = tname
+        last = lists[-1]
+        sel = [
+            (e if (w == last or not w) else a, a) for e, a, w in items
+        ]
+        outer = ViewDef(
+            name=name,
+            source=prev,
+            select=tuple(sel),
+            where=None,  # applied at stage 0 (WHERE is pre-window in SQL)
+            window_partition=tuple(last),
+        )
+        self._window_cascade[name] = stages
+        return self.create_immv(name, view=outer, materialize=True)
 
     def _store_keys(self, name: str) -> list[str]:
         """Bucketing keys for the lakehouse state store: the view's group
@@ -445,8 +533,16 @@ class IVMEngine:
     def ivm_upsert(self, name: str) -> DataFrame:
         """Compute ΔV for ``name`` (the reference's
         ``PRAGMA ivm_upsert``).  Returns view columns + multiplicity;
-        caches the internal-shape ΔV for a subsequent merge_view()."""
+        caches the internal-shape ΔV for a subsequent merge_view().
+
+        For an auto-split window cascade this DRIVES the inner stages
+        (each advanced once and its CDC handed to the next stage's
+        delta) — call it once per base-table delta batch; the
+        follow-up ``merge_view`` advances the intermediate snapshots."""
         vdef = self.view(name)
+        for vname, tname in self._window_cascade.get(name, ()):
+            cdc = self.merge_view_cdc(vname)
+            self.register_delta(tname, cdc)
         dv = self._delta_plan_for(name)
         self._delta_views[name] = dv
         return merge_ops.finalize(dv, vdef)
@@ -600,6 +696,12 @@ class IVMEngine:
         # recorded only after the state swap committed, so stats() never
         # reports a strategy for a merge that failed mid-way
         self._merge_strategy_by_view[name] = strategy
+        # window cascade: fold each stage's consumed CDC into its
+        # snapshot table so the NEXT batch's affected-partition probes
+        # see the advanced intermediate world
+        for _, tname in self._window_cascade.get(name, ()):
+            if tname in self._deltas:
+                self.apply_delta(tname)
         return merge_ops.finalize(new_state, vdef)
 
     def merge_view_cdc(self, name: str) -> DataFrame:
@@ -1016,6 +1118,10 @@ class IVMEngine:
                 n: [b.to_dict() for b in bs]
                 for n, bs in self._union_branches.items()
             },
+            "window_cascades": {
+                n: [list(p) for p in ps]
+                for n, ps in self._window_cascade.items()
+            },
             "materialized": sorted(self._state),
             "aux": sorted(self._aux),
             "aux_rows": dict(self._aux_rows),
@@ -1064,10 +1170,17 @@ class IVMEngine:
             {n: int(v) for n, v in catalog.get("merge_counts", {}).items()}
         )
         eng.keep_history = int(catalog.get("keep_history", 0))
+        cascades = {
+            n: [tuple(p) for p in ps]
+            for n, ps in catalog.get("window_cascades", {}).items()
+        }
+        # cascade snapshot tables are engine-internal (rebuilt below from
+        # the inner views' loaded state), not user tables to pass in
+        internal_tables = {t for ps in cascades.values() for _, t in ps}
         for n, d in catalog["views"].items():
             vdef = ViewDef.from_dict(d)
             for t in vdef.tables:
-                if t not in eng._tables:
+                if t not in eng._tables and t not in internal_tables:
                     raise IVMError(
                         f"saved view {n!r} references table {t!r}: pass it in tables="
                     )
@@ -1088,6 +1201,12 @@ class IVMEngine:
         for n in catalog["views"]:
             if n not in eng._aux_meta:
                 eng._aux_meta[n] = {}
+        eng._window_cascade = cascades
+        for ps in cascades.values():
+            # the snapshot a stage's successor reads is exactly the inner
+            # view's saved public state (merge_view advanced both in step)
+            for vname, tname in ps:
+                eng.register_table(tname, eng.read_view(vname))
         return eng
 
     def maintain(self, name: str) -> DataFrame:

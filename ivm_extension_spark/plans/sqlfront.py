@@ -414,10 +414,16 @@ def parse_view_sql(name: str, sql: str) -> ViewDef:
         if wps:
             for wp in wps:
                 if window_partition and tuple(window_partition) != wp:
+                    # plain single-table multi-list views are auto-split
+                    # into a cascade BEFORE parsing (split_window_stages,
+                    # engine._create_window_cascade) — reaching here means
+                    # the view also uses clauses outside that grammar
                     raise NotImplementedError(
-                        "all window functions in a view must share ONE "
-                        "PARTITION BY column list (the maintenance delta "
-                        f"region), got {tuple(window_partition)} and {wp}"
+                        "window functions over DIFFERENT PARTITION BY "
+                        f"lists ({tuple(window_partition)} and {wp}) are "
+                        "auto-cascaded only in plain single-table window "
+                        "views (no joins/aggregates/DISTINCT/ORDER BY/"
+                        "LIMIT/UNION) — compose the rest in a cascaded view"
                     )
                 window_partition = list(wp)
             alias = alias or expr
@@ -477,6 +483,73 @@ def parse_view_sql(name: str, sql: str) -> ViewDef:
         limit=limit,
         window_partition=tuple(window_partition),
     )
+
+
+def split_window_stages(
+    sql: str,
+) -> tuple[str, str | None, list[tuple[str, str, tuple[str, ...]]], list[tuple[str, ...]]] | None:
+    """Detect a window view whose OVER clauses use MORE THAN ONE
+    PARTITION BY column list and return the pieces the engine needs to
+    auto-split it into a maintained cascade (round 7 — previously such
+    views were rejected with "all window functions in a view must share
+    ONE PARTITION BY column list").
+
+    Returns ``(source, where, items, lists)`` with ``items`` =
+    ``[(expr, alias, partition_list-or-())...]`` in select order and
+    ``lists`` the distinct partition lists in first-appearance order —
+    or ``None`` when the view has at most one list (the single-ViewDef
+    path handles it) or uses clauses outside the window-view grammar
+    (joins/aggregates/DISTINCT/ORDER BY/LIMIT — the ordinary parser
+    produces its usual rejection).
+
+    Restriction: all windows within ONE select item must share a list
+    (an item mixing two lists would need expression rewriting to split).
+    """
+    sql = sql.strip().rstrip(";").strip()
+    spans = _find_clause_spans(sql)
+    if "select" not in spans or "from" not in spans:
+        return None
+    if any(
+        k in spans for k in ("group_by", "having", "qualify", "order_by", "limit")
+    ):
+        return None
+    source = spans["from"].strip()
+    if re.search(r"\s", source):  # joins present
+        return None
+    body = spans["select"]
+    if re.match(r"^\s*distinct\b", body, re.IGNORECASE):
+        return None
+    items: list[tuple[str, str, tuple[str, ...]]] = []
+    lists: list[tuple[str, ...]] = []
+    saw_window = False
+    for item in _split_top_level(body):
+        alias = None
+        am = _ALIAS_RE.match(item)
+        expr = item
+        if am:
+            expr, alias = am.group(1).strip(), am.group(2)
+        if not _OVER_KW.search(expr):
+            items.append((expr, alias or expr, ()))
+            continue
+        wps = _window_partitions_of(expr)
+        if not wps:
+            items.append((expr, alias or expr, ()))
+            continue
+        saw_window = True
+        first = wps[0]
+        for wp in wps[1:]:
+            if wp != first:
+                raise NotImplementedError(
+                    "all window functions within ONE select item must "
+                    f"share a PARTITION BY list, got {first} and {wp} in "
+                    f"{expr!r} — split the item across aliases"
+                )
+        if first not in lists:
+            lists.append(first)
+        items.append((expr, alias or expr, first))
+    if not saw_window or len(lists) <= 1:
+        return None
+    return source, spans.get("where"), items, lists
 
 
 _OVER_KW = re.compile(r"\bover\b", re.IGNORECASE)

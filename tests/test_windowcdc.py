@@ -121,12 +121,22 @@ def test_sql_front_window_view_rejections(spark):
 
     with pytest.raises(NotImplementedError, match="PARTITION BY"):
         parse_view_sql("v", "SELECT k, sum(v) OVER (ORDER BY ts) AS rt FROM t")
-    with pytest.raises(NotImplementedError, match="ONE"):
+    # multi-list in a PLAIN view is auto-cascaded by the engine BEFORE
+    # parse (split_window_stages); the single-ViewDef parser itself
+    # still rejects, pointing at the cascade path
+    with pytest.raises(NotImplementedError, match="auto-cascaded"):
         parse_view_sql(
             "v",
             "SELECT sum(v) OVER (PARTITION BY k ORDER BY ts) AS a, "
             "sum(v) OVER (PARTITION BY ts ORDER BY k) AS b FROM t",
         )
+    from ivm_extension_spark.plans.sqlfront import split_window_stages
+
+    staged = split_window_stages(
+        "SELECT sum(v) OVER (PARTITION BY k ORDER BY ts) AS a, "
+        "sum(v) OVER (PARTITION BY ts ORDER BY k) AS b FROM t"
+    )
+    assert staged is not None and staged[3] == [("k",), ("ts",)]
     with pytest.raises(NotImplementedError, match="plain columns"):
         parse_view_sql(
             "v", "SELECT sum(v) OVER (PARTITION BY k + 1 ORDER BY ts) AS a FROM t"
@@ -153,7 +163,16 @@ def test_sql_front_window_parse_review_pins(spark):
         parse_view_sql,
     )
 
-    with pytest.raises(NotImplementedError, match="ONE"):
+    # two lists within ONE select item cannot be cascade-split (the
+    # item's expression would need rewriting) — rejected at both layers
+    from ivm_extension_spark.plans.sqlfront import split_window_stages
+
+    with pytest.raises(NotImplementedError, match="ONE select item"):
+        split_window_stages(
+            "SELECT sum(v) OVER (PARTITION BY k ORDER BY ts) "
+            "/ sum(w) OVER (PARTITION BY g ORDER BY ts) AS ratio FROM t"
+        )
+    with pytest.raises(NotImplementedError, match="auto-cascaded"):
         parse_view_sql(
             "v",
             "SELECT sum(v) OVER (PARTITION BY k ORDER BY ts) "
@@ -205,3 +224,122 @@ def test_window_cdc_randomized_equals_recompute(spark):
                 merged.remove(t)
         want = [tuple(r) for r in compute(new_base).collect()]
         assert sorted(merged, key=repr) == sorted(want, key=repr), compute
+
+
+# --------------------------------------------------------------------------
+# multi-PARTITION-BY window views: the SQL front auto-splits one view
+# with several distinct OVER (PARTITION BY ...) lists into a maintained
+# cascade (engine._create_window_cascade, round 7) instead of rejecting
+# --------------------------------------------------------------------------
+
+_MULTI_SQL = (
+    "SELECT k, g, rid, "
+    "sum(v) OVER (PARTITION BY k ORDER BY ts, rid "
+    "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run_v, "
+    "row_number() OVER (PARTITION BY g ORDER BY v DESC, rid) AS g_rank "
+    "FROM t WHERE v >= 0"
+)
+
+
+def _multi_fixture(spark):
+    from ivm_extension_spark import IVMEngine
+
+    base = spark.createDataFrame(
+        [("a", "x", 1, 1, 10), ("a", "y", 2, 2, 20), ("a", "x", 3, 3, 30),
+         ("b", "x", 1, 4, 5), ("b", "y", 2, 5, 7), ("c", "y", 9, 6, 1)],
+        "k string, g string, ts int, rid int, v int",
+    )
+    eng = IVMEngine(spark)
+    eng.register_table("t", base)
+    eng.create_immv("w2", sql=_MULTI_SQL)
+    return eng
+
+
+def _recompute(eng):
+    eng.table("t").createOrReplaceTempView("__t_now")
+    return sorted(
+        tuple(r)
+        for r in eng.spark.sql(_MULTI_SQL.replace("FROM t", "FROM __t_now")).collect()
+    )
+
+
+def _rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def test_multi_partition_window_view_two_batches(spark):
+    eng = _multi_fixture(spark)
+    assert eng.view("w2").window_partition == ("g",)  # outer stage
+    assert [v for v, _ in eng._window_cascade["w2"]] == ["__w2_w0"]
+
+    # batch 1: insert into a/x (shifts a's running totals AND x's ranks),
+    # delete b's first row (shifts b and x)
+    d1 = spark.createDataFrame(
+        [("a", "x", 2, 7, 15, True), ("b", "x", 1, 4, 5, False)],
+        f"k string, g string, ts int, rid int, v int, {MULT_COL} boolean",
+    )
+    eng.register_delta("t", d1)
+    eng.ivm_upsert("w2")
+    got = _rows(eng.merge_view("w2"))
+    eng.apply_delta("t")
+    assert got == _recompute(eng)
+
+    # batch 2 (exercises the advanced intermediate snapshots): touch a
+    # NEW g-partition and delete from c
+    d2 = spark.createDataFrame(
+        [("c", "z", 10, 8, 3, True), ("c", "y", 9, 6, 1, False)],
+        f"k string, g string, ts int, rid int, v int, {MULT_COL} boolean",
+    )
+    eng.register_delta("t", d2)
+    eng.ivm_upsert("w2")
+    got = _rows(eng.merge_view("w2"))
+    eng.apply_delta("t")
+    assert got == _recompute(eng)
+
+
+def test_multi_partition_window_view_where_prunes(spark):
+    """Rows failing the WHERE must neither appear nor mark partitions
+    affected (the filter applies at stage 0, pre-window)."""
+    eng = _multi_fixture(spark)
+    d = spark.createDataFrame(
+        [("a", "x", 5, 9, -4, True)],  # fails v >= 0
+        f"k string, g string, ts int, rid int, v int, {MULT_COL} boolean",
+    )
+    eng.register_delta("t", d)
+    dv = eng.ivm_upsert("w2")
+    assert dv.count() == 0
+    got = _rows(eng.merge_view("w2"))
+    eng.apply_delta("t")
+    assert got == _recompute(eng)
+
+
+def test_multi_partition_window_view_save_load(spark, tmp_path):
+    """The cascade map and intermediate snapshots survive persistence
+    (same class of bug as the r6 window_partition round-trip loss)."""
+    from ivm_extension_spark import IVMEngine
+
+    eng = _multi_fixture(spark)
+    d1 = spark.createDataFrame(
+        [("a", "x", 2, 7, 15, True)],
+        f"k string, g string, ts int, rid int, v int, {MULT_COL} boolean",
+    )
+    eng.register_delta("t", d1)
+    eng.ivm_upsert("w2")
+    eng.merge_view("w2")
+    eng.apply_delta("t")
+
+    path = str(tmp_path / "store_w2")
+    eng.save(path)
+    b = IVMEngine.load(spark, path, tables={"t": eng.table("t")})
+    assert [v for v, _ in b._window_cascade["w2"]] == ["__w2_w0"]
+    assert _rows(b.read_view("w2")) == _rows(eng.read_view("w2"))
+
+    d2 = spark.createDataFrame(
+        [("b", "y", 3, 9, 2, True)],
+        f"k string, g string, ts int, rid int, v int, {MULT_COL} boolean",
+    )
+    b.register_delta("t", d2)
+    b.ivm_upsert("w2")
+    got = _rows(b.merge_view("w2"))
+    b.apply_delta("t")
+    assert got == _recompute(b)
