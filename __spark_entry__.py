@@ -2101,19 +2101,21 @@ def _q_ivm_merge_hll_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact w.r.t. set union, so the merged estimate equals a full
     recompute bit-for-bit (oracle = the twin formula over the post-delta
     table).  State is O(groups x 4096 tinyint registers); the base is
-    never rescanned on merge."""
+    never rescanned on merge.  Driven through the ENGINE's sketch
+    surface (round 7); the estimate is a read-side pass."""
     from ivm_extension_spark.functions import hll
 
     eng = _engine(spark, sf_dir)
     orders = eng.table("orders")
     keys = ("o_orderstatus",)
-    state = hll.hll_registers(
-        orders.filter("NOT (o_orderkey % 5 = 0)"), keys, "o_custkey", p=12
+    eng.register_table("orders_base", orders.filter("NOT (o_orderkey % 5 = 0)"))
+    eng.register_delta(
+        "orders_base",
+        orders.filter("o_orderkey % 5 = 0").withColumn(MULT_COL, F.lit(True)),
     )
-    delta_regs = hll.hll_registers(
-        orders.filter("o_orderkey % 5 = 0"), keys, "o_custkey", p=12
-    )
-    return hll.hll_estimate(hll.hll_merge(state, delta_regs, keys), keys, p=12)
+    eng.create_sketch_immv("nd", "hll", "orders_base", "o_custkey", keys, p=12)
+    eng.ivm_upsert("nd")
+    return hll.hll_estimate(eng.merge_view("nd"), keys, p=12)
 
 
 # users whose frequencies the maintained CMS serves as point queries —
@@ -2157,18 +2159,17 @@ def _q_ivm_merge_bloom_counting(spark: SparkSession, sf_dir: str) -> DataFrame:
     value multiset, the same signed-counter argument as the CMS.  The
     standard orders delta deletes AND inserts; the merged counting
     state is returned and hash-checked bit-for-bit against the DuckDB
-    twin over the post-delta table.  Base never rescanned on merge."""
-    from ivm_extension_spark.functions import bloom
-
+    twin over the post-delta table.  Base never rescanned on merge.
+    Driven through the ENGINE's sketch surface (round 7,
+    engine.create_sketch_immv / ivm_upsert / merge_view — state eligible
+    for the lakehouse store with touched-bucket commits)."""
     eng = _engine(spark, sf_dir, deltas=("orders",))
-    g = ("o_orderstatus",)
-    state = bloom.bloom_counts(
-        eng.table("orders"), g, "o_custkey", _BLOOM_M, _BLOOM_K
+    eng.create_sketch_immv(
+        "bc", "bloom_counting", "orders", "o_custkey",
+        ("o_orderstatus",), m_bits=_BLOOM_M, k=_BLOOM_K,
     )
-    dc = bloom.bloom_counts_delta(
-        eng.delta("orders"), g, "o_custkey", _BLOOM_M, _BLOOM_K
-    )
-    return bloom.bloom_counts_merge(state, dc, g)
+    eng.ivm_upsert("bc")
+    return eng.merge_view("bc")
 
 
 def _q_ivm_merge_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2177,20 +2178,24 @@ def _q_ivm_merge_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     relation equals a full recompute BIT-FOR-BIT (the same monotone
     argument as the HLL register max); the base is never rescanned on
     merge.  Returns the merged state itself; oracle = the twin word
-    relation over the post-delta table."""
-    from ivm_extension_spark.functions import bloom
-
-    orders = _engine(spark, sf_dir).table("orders")
-    g = ("o_orderstatus",)
-    state = bloom.bloom_bits(
-        orders.filter("NOT (o_orderkey % 5 = 0)"), g, "o_custkey",
-        _BLOOM_M, _BLOOM_K,
+    relation over the post-delta table.  Driven through the ENGINE's
+    sketch surface (round 7): the insert-only base slice is the
+    registered table, the %5 slice its insert-only delta — a
+    delete-bearing delta would be REJECTED with a pointer to the
+    counting variant (operators/sketches.py monotone guard)."""
+    eng = _engine(spark, sf_dir)
+    orders = eng.table("orders")
+    eng.register_table("orders_base", orders.filter("NOT (o_orderkey % 5 = 0)"))
+    eng.register_delta(
+        "orders_base",
+        orders.filter("o_orderkey % 5 = 0").withColumn(MULT_COL, F.lit(True)),
     )
-    d_bits = bloom.bloom_bits(
-        orders.filter("o_orderkey % 5 = 0"), g, "o_custkey",
-        _BLOOM_M, _BLOOM_K,
+    eng.create_sketch_immv(
+        "bf", "bloom", "orders_base", "o_custkey",
+        ("o_orderstatus",), m_bits=_BLOOM_M, k=_BLOOM_K,
     )
-    return bloom.bloom_merge(state, d_bits, g)
+    eng.ivm_upsert("bf")
+    return eng.merge_view("bf")
 
 
 def _q_approx_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2234,20 +2239,14 @@ def _q_ivm_merge_cms_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     recompute bit-for-bit (oracle = the twin formula over the post-delta
     events).  The view serves point-frequency estimates for a fixed
     watchlist of users; state is O(d·w) counters, the base is never
-    rescanned on merge."""
+    rescanned on merge.  Driven through the ENGINE's sketch surface
+    (round 7); the estimate is a read-side probe over read_view."""
     from ivm_extension_spark.functions import cms
 
-    eng = _engine(spark, sf_dir)
-    ev = eng.table("events")
-    pred, mult = DELTA_DEFS["events"]
-    state = cms.cms_sketch(ev, (), "user_id")
-    d_sketch = cms.cms_sketch(
-        ev.filter(F.expr(pred)),
-        (),
-        "user_id",
-        weight=f"CASE WHEN {mult} THEN 1 ELSE -1 END",
-    )
-    merged = cms.cms_merge(state, d_sketch, ())
+    eng = _engine(spark, sf_dir, deltas=("events",))
+    eng.create_sketch_immv("freq", "cms", "events", "user_id")
+    eng.ivm_upsert("freq")
+    merged = eng.merge_view("freq")
     watch = spark.createDataFrame(
         [(int(u),) for u in _CMS_WATCHLIST], "user_id bigint"
     )
@@ -2283,21 +2282,16 @@ def _q_ivm_merge_quantile_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
     (linearity — functions/quantiles.hist_merge), so the merged sketch
     equals the full recompute bit-for-bit and the quantile read reflects
     the post-delta corpus without rescanning it.  State is O(sources ×
-    occupied bins), delta cost O(|Δ|)."""
+    occupied bins), delta cost O(|Δ|).  Driven through the ENGINE's
+    sketch surface (round 7); the quantile is a read-side pass."""
     from ivm_extension_spark.functions import quantiles as qh
 
-    eng = _engine(spark, sf_dir)
-    docs = eng.table("documents")
-    pred, mult = DELTA_DEFS["documents"]
-    state = qh.hist_sketch(docs, ("source",), "n_chars", _QH_BIN)
-    d_sk = qh.hist_sketch(
-        docs.filter(F.expr(pred)),
-        ("source",),
-        "n_chars",
-        _QH_BIN,
-        weight=f"CASE WHEN {mult} THEN 1 ELSE -1 END",
+    eng = _engine(spark, sf_dir, deltas=("documents",))
+    eng.create_sketch_immv(
+        "qh", "hist", "documents", "n_chars", ("source",), bin_width=_QH_BIN
     )
-    merged = qh.hist_merge(state, d_sk, ("source",))
+    eng.ivm_upsert("qh")
+    merged = eng.merge_view("qh")
     return qh.hist_quantile(merged, ("source",), _QH_FRACTIONS, _QH_BIN).select(
         "source",
         "p",

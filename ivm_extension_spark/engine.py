@@ -146,6 +146,10 @@ class IVMEngine:
         # outer name -> [(inner view, intermediate snapshot table), ...]
         # in stage order (see _create_window_cascade)
         self._window_cascade: dict[str, list[tuple[str, str]]] = {}
+        # sketch views (Bloom/HLL/CMS/hist — operators/sketches.py):
+        # driven through the same create/upsert/merge surface as
+        # ordinary IMMVs, state in the same store
+        self._sketch_specs: dict[str, "SketchSpec"] = {}
 
     # -- catalog -----------------------------------------------------------
 
@@ -194,7 +198,7 @@ class IVMEngine:
         return sorted(self._tables)
 
     def list_views(self) -> list[str]:
-        return sorted(self._views)
+        return sorted({*self._views, *self._sketch_specs})
 
     def drop_view(self, name: str) -> None:
         """Drop a view and all its materialized/auxiliary state (the
@@ -351,10 +355,85 @@ class IVMEngine:
         self._window_cascade[name] = stages
         return self.create_immv(name, view=outer, materialize=True)
 
+    def create_sketch_immv(
+        self,
+        name: str,
+        kind: str,
+        source: str,
+        value_col: str,
+        group_cols: tuple[str, ...] = (),
+        **params,
+    ) -> DataFrame:
+        """Register a maintainable SKETCH view (operators/sketches.py —
+        Bloom bit/counting, HLL, CMS, histogram quantiles) and
+        materialize its initial state.  Drive it like any IMMV:
+        ``ivm_upsert`` computes ΔV = sketch(Δ) (signed for the linear
+        kinds), ``merge_view`` folds it in by the kind's algebra
+        (bit_or / max / signed sum) — the base is never rescanned, and
+        with a state store attached only the touched buckets commit
+        (crash-safe staging included).  The public view is the state
+        relation; estimates are read-side functions over it."""
+        from ivm_extension_spark.operators.sketches import SketchSpec
+
+        if name in self._views or name in self._sketch_specs:
+            raise IVMError(f"view {name!r} already exists")
+        if source not in self._tables:
+            raise IVMError(f"sketch view {name!r} references unregistered table {source!r}")
+        spec = SketchSpec(
+            kind=kind,
+            source=source,
+            value_col=value_col,
+            group_cols=tuple(group_cols),
+            params=params,
+        )
+        self._sketch_specs[name] = spec
+        state = spec.compute(self.table(source))
+        state = self._store_state_initial(name, state)
+        if not getattr(state, "_ivm_pinned", False):
+            state = state.localCheckpoint(eager=True)
+            state._ivm_pinned = True
+        self._state[name] = state
+        return state
+
+    def _merge_sketch(self, name: str, delta_v: DataFrame | None) -> DataFrame:
+        spec = self._sketch_specs[name]
+        dv = delta_v if delta_v is not None else self._delta_views.get(name)
+        if dv is None:
+            dv = spec.delta_state(self.delta(spec.source), MULT_COL)
+        if not getattr(dv, "_ivm_materialized", False):
+            # ΔV feeds the merge AND (store path) the touched-bucket set —
+            # O(touched coordinates), pin once
+            dv = dv.localCheckpoint(eager=True)
+            dv._ivm_materialized = True
+        new_state = spec.merge(self._state[name], dv)
+        if self._state_store is not None and name in self._state_store:
+            from ivm_extension_spark.sources.lakehouse import bucket_expr
+
+            keys = spec.state_keys()
+            touched = sorted(
+                r[0]
+                for r in dv.select(
+                    bucket_expr(keys, self._state_store.n_buckets).alias("b")
+                )
+                .distinct()
+                .collect()
+            )
+            self._state_store.commit(name, new_state, keys, touched)
+            new_state = self._state_store.read(name)
+        else:
+            new_state = new_state.localCheckpoint(eager=True)
+        new_state._ivm_pinned = True
+        self._state[name] = new_state
+        self._delta_views.pop(name, None)
+        self._merge_counts[name] = self._merge_counts.get(name, 0) + 1
+        return new_state
+
     def _store_keys(self, name: str) -> list[str]:
         """Bucketing keys for the lakehouse state store: the view's group
         keys (aggregate state has one row per group) or, for bag views,
         every output column."""
+        if name in self._sketch_specs:
+            return self._sketch_specs[name].state_keys()
         iview = self._iviews[name]
         if iview.is_aggregate:
             return [a for _, a in iview.select]
@@ -539,6 +618,11 @@ class IVMEngine:
         (each advanced once and its CDC handed to the next stage's
         delta) — call it once per base-table delta batch; the
         follow-up ``merge_view`` advances the intermediate snapshots."""
+        if name in self._sketch_specs:
+            spec = self._sketch_specs[name]
+            dv = spec.delta_state(self.delta(spec.source), MULT_COL)
+            self._delta_views[name] = dv
+            return dv
         vdef = self.view(name)
         for vname, tname in self._window_cascade.get(name, ()):
             cdc = self.merge_view_cdc(vname)
@@ -602,9 +686,11 @@ class IVMEngine:
     def merge_view(self, name: str, delta_v: DataFrame | None = None) -> DataFrame:
         """V' = V ⊎ ΔV (the upsert the reference's poster leaves as future
         work).  Updates the materialized state; returns the public view."""
-        vdef = self.view(name)
         if name not in self._state:
             raise IVMError(f"view {name!r} was not materialized (create_immv)")
+        if name in self._sketch_specs:
+            return self._merge_sketch(name, delta_v)
+        vdef = self.view(name)
         dv = delta_v if delta_v is not None else self._materialized_delta(name)
         if (
             self._state_store is not None
@@ -1002,6 +1088,8 @@ class IVMEngine:
         per merge; ``list_versions`` enumerates what is retained."""
         if name not in self._state:
             raise IVMError(f"view {name!r} has no materialized state")
+        if name in self._sketch_specs:
+            return self._state[name]  # the state relation IS the view
         if version is None or version == self._merge_counts.get(name, 0):
             return merge_ops.finalize(self._state[name], self.view(name))
         for v, st in self._history.get(name, []):
@@ -1031,6 +1119,18 @@ class IVMEngine:
         cached ΔV is dropped (it was computed against pre-refresh bases;
         replaying it into the refreshed state would double-apply), and
         the adaptive-strategy row count is re-measured."""
+        if name in self._sketch_specs:
+            spec = self._sketch_specs[name]
+            state = spec.compute(self.table(spec.source))
+            if self._state_store is not None and name in self._state_store:
+                self._state_store.write_full(name, state, spec.state_keys())
+                state = self._state_store.read(name)
+            else:
+                state = state.localCheckpoint(eager=True)
+            state._ivm_pinned = True
+            self._state[name] = state
+            self._delta_views.pop(name, None)
+            return state
         vdef = self.view(name)
         if name in self._union_branches:
             state = self._compute_union(self._union_branches[name])
@@ -1122,6 +1222,9 @@ class IVMEngine:
                 n: [list(p) for p in ps]
                 for n, ps in self._window_cascade.items()
             },
+            "sketches": {
+                n: s.to_dict() for n, s in self._sketch_specs.items()
+            },
             "materialized": sorted(self._state),
             "aux": sorted(self._aux),
             "aux_rows": dict(self._aux_rows),
@@ -1170,6 +1273,16 @@ class IVMEngine:
             {n: int(v) for n, v in catalog.get("merge_counts", {}).items()}
         )
         eng.keep_history = int(catalog.get("keep_history", 0))
+        from ivm_extension_spark.operators.sketches import SketchSpec
+
+        for n, d in catalog.get("sketches", {}).items():
+            spec = SketchSpec.from_dict(d)
+            if spec.source not in eng._tables:
+                raise IVMError(
+                    f"saved sketch view {n!r} references table "
+                    f"{spec.source!r}: pass it in tables="
+                )
+            eng._sketch_specs[n] = spec
         cascades = {
             n: [tuple(p) for p in ps]
             for n, ps in catalog.get("window_cascades", {}).items()

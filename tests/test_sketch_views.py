@@ -1,0 +1,127 @@
+"""Engine-integrated sketch views (operators/sketches.py, round 7):
+create_sketch_immv → ivm_upsert → merge_view must equal a full
+recompute for every kind, the monotone kinds must reject deletes, and
+the state must ride the lakehouse store (touched buckets only) and
+survive save/load."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from ivm_extension_spark import IVMEngine
+from ivm_extension_spark.operators.rewrite import IVMError, MULT_COL
+
+from tests.conftest import rows
+
+SF = "/root/testdata/sf0.001"
+
+
+def _orders_engine(spark, **kw):
+    eng = IVMEngine(spark, **kw)
+    eng.register_table("orders", f"{SF}/orders.parquet")
+    return eng
+
+
+def _delta(eng, pred, mult):
+    d = eng.table("orders").filter(F.expr(pred)).withColumn(MULT_COL, F.expr(mult))
+    eng.register_delta("orders", d)
+
+
+KINDS = [
+    ("bloom", dict(m_bits=1 << 10, k=3), "true"),          # insert-only delta
+    ("bloom_counting", dict(m_bits=1 << 10, k=3), "o_custkey % 2 = 0"),
+    ("hll", dict(p=8), "true"),
+    ("cms", dict(d=3, w=64), "o_custkey % 2 = 0"),
+    ("hist", dict(bin_width=50000.0), "o_custkey % 2 = 0"),
+]
+
+
+@pytest.mark.parametrize("kind,params,mult", KINDS, ids=[k for k, _, _ in KINDS])
+def test_sketch_view_merge_equals_recompute(spark, kind, params, mult):
+    eng = _orders_engine(spark)
+    col = "o_custkey" if kind != "hist" else "o_totalprice"
+    eng.create_sketch_immv("sk", kind, "orders", col, ("o_orderstatus",), **params)
+    _delta(eng, "o_orderkey % 10 = 0", mult)
+    dv = eng.ivm_upsert("sk")
+    assert dv.columns  # ΔV is a real relation
+    merged = rows(eng.merge_view("sk"))
+    assert merged == rows(eng.read_view("sk"))
+    eng.apply_delta("orders")
+    want = rows(eng._sketch_specs["sk"].compute(eng.table("orders")))
+    if kind == "hll":
+        # max-merge of an insert-duplicating delta equals the recompute
+        # because registers are monotone in the value SET
+        assert merged == want
+    else:
+        assert merged == want
+    assert merged == rows(eng.full_refresh("sk"))
+
+
+def test_sketch_monotone_kinds_reject_deletes(spark):
+    for kind, alt in (("bloom", "bloom_counting"), ("hll", "full_refresh")):
+        eng = _orders_engine(spark)
+        eng.create_sketch_immv("sk", kind, "orders", "o_custkey", p=8) \
+            if kind == "hll" else eng.create_sketch_immv(
+                "sk", kind, "orders", "o_custkey", m_bits=1 << 10, k=3
+            )
+        _delta(eng, "o_orderkey % 10 = 0", "false")
+        with pytest.raises(IVMError, match=alt):
+            eng.ivm_upsert("sk")
+
+
+def test_sketch_view_lakehouse_store_touched_buckets(spark, tmp_path):
+    from ivm_extension_spark.sources.lakehouse import LakehouseStore
+
+    store = LakehouseStore(spark, str(tmp_path / "lake"), n_buckets=8)
+    a = IVMEngine(spark, state_store=store)
+    b = IVMEngine(spark)  # checkpoint-backed twin
+    for eng in (a, b):
+        eng.register_table("orders", f"{SF}/orders.parquet")
+        eng.create_sketch_immv(
+            "bc", "bloom_counting", "orders", "o_custkey",
+            ("o_orderstatus",), m_bits=1 << 10, k=3,
+        )
+    assert store.current_version("bc") == 1
+    v1_files = store.bucket_files("bc")
+    # ONE inserted row → k=3 touched (status, pos) coordinates → at most
+    # 3 of the 8 buckets rewritten
+    ok = a.table("orders").select("o_orderkey").first()[0]
+    for eng in (a, b):
+        d = (
+            eng.table("orders")
+            .filter(F.col("o_orderkey") == F.lit(ok))
+            .limit(1)
+            .withColumn(MULT_COL, F.lit(True))
+        )
+        eng.register_delta("orders", d)
+        eng.ivm_upsert("bc")
+        eng.merge_view("bc")
+    assert rows(a.read_view("bc")) == rows(b.read_view("bc"))
+    assert store.current_version("bc") == 2
+    v2_files = store.bucket_files("bc")
+    changed = {k for k in v1_files if v2_files.get(k) != v1_files[k]}
+    # untouched bucket files carry over between snapshots
+    assert 0 < len(changed) <= 3
+
+
+def test_sketch_view_save_load(spark, tmp_path):
+    a = _orders_engine(spark)
+    a.create_sketch_immv(
+        "bc", "bloom_counting", "orders", "o_custkey",
+        ("o_orderstatus",), m_bits=1 << 10, k=3,
+    )
+    _delta(a, "o_orderkey % 10 = 0", "o_custkey % 2 = 0")
+    a.ivm_upsert("bc")
+    a.merge_view("bc")
+    a.apply_delta("orders")
+
+    path = str(tmp_path / "store_sketch")
+    a.save(path)
+    b = IVMEngine.load(spark, path, tables={"orders": a.table("orders")})
+    assert "bc" in b.list_views()
+    assert rows(b.read_view("bc")) == rows(a.read_view("bc"))
+    # a further delete-bearing batch through the RELOADED engine
+    _delta(b, "o_orderkey % 6 = 0", "false")
+    b.ivm_upsert("bc")
+    got = rows(b.merge_view("bc"))
+    b.apply_delta("orders")
+    assert got == rows(b.full_refresh("bc"))
