@@ -3643,84 +3643,75 @@ _EXTRA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 # correctness rows (the rotation ledger lives in GRADING_LEDGER.json and
 # tests/test_registry.py enforces window size + oracle coverage).
 #
-# ROUND 6 WINDOW (this round), computed by scripts/update_ledger.py
+# ROUND 7 WINDOW (this round), computed by scripts/update_ledger.py
 # (never-graded first, then least-recently-green):
-#   - positions 1-10: the keys registered THIS round, never driver-graded
-#     (ivm_merge_asof_forward — the maintained FORWARD+tolerance as-of
-#     lifecycle over the round-5 direction/tolerance surface;
-#     ivm_merge_tfidf — the maintained TF-IDF index: linear tf/df/N
-#     count IMMVs over a tokenized CDC, quantized scoring
-#     finalize-on-read; streaming_asof_join — the as-of CDC composed
-#     with streaming micro-batches, bit-exact vs the batch oracle;
-#     approx_bloom_membership / ivm_merge_bloom — the deterministic
-#     Bloom filter, plain and maintained, plus the COUNTING variant
-#     maintained under deletes: the fourth sketch family;
-#     ivm_merge_sum_distinct — SUM/AVG(DISTINCT) maintained under
-#     deletes from the per-(group, value) aux counts;
-#     ivm_merge_window_view — maintained window-function views via
-#     affected-partition partial recompute, operators/windowcdc.py;
-#     ivm_merge_window_cascade — the window view fed by a maintained
-#     aggregate's CDC (cascade composition);
-#     ivm_merge_pivot — pivot lowered to CASE-sum expression aggregates,
-#     maintained by the ordinary delta rule);
-#   - positions 11-41: the round-3 cohort (latest green r3) — the core
-#     ivm_merge_* delta-rule/merge lifecycles, regraded under post-r5
-#     code (the round-5 theta routing touched compute_view, which every
-#     lifecycle's CREATE-time materialization runs through; round 6
-#     fixed the forward as-of NULL ordering and the embedding-delta
-#     exact-to-LSH transition);
-#   - positions 42-50: the oldest round-4 keys (dedup/sketch/OLAP set).
+#   - position 1: ivm_merge_window_multilist, registered this round and
+#     never driver-graded — one SQL text with TWO different PARTITION BY
+#     lists, auto-split by the engine into a maintained window cascade;
+#   - positions 2-42: the round-4-stale cohort the r6 VERDICT queued
+#     first (its "What's missing" #1): the whole theta lifecycle family
+#     (one-sided, general two-sided expr, chains incl. the general
+#     FULL-suffix recursion), the batch dedup family (exact / minhash /
+#     ngram / simhash / canonical keeper), as-of join, skew utils,
+#     having/rollup/join3/multibatch, boilerplate index, streaming
+#     interval join + cms.  Rounds 5-7 rewrote rewrite.py (theta
+#     routing, fused pinning), merge/auxstate (distinct aggregates),
+#     asof ordering, and round 7 moved the sketch lifecycles onto the
+#     engine surface (create_sketch_immv) — these grades confirm the
+#     post-rewrite code paths;
+#   - positions 43-50: the oldest round-5 keys (quantile sketch, as-of
+#     forward/tolerance, incremental minhash, formats, core aggregates).
 _GRADE_FIRST: tuple[str, ...] = (
-    "ivm_merge_asof_forward",
-    "ivm_merge_tfidf",
-    "streaming_asof_join",
-    "approx_bloom_membership",
-    "ivm_merge_bloom",
-    "ivm_merge_bloom_counting",
-    "ivm_merge_sum_distinct",
-    "ivm_merge_window_view",
-    "ivm_merge_window_cascade",
-    "ivm_merge_pivot",
-    "ivm_merge_distinct",
-    "ivm_merge_doc_quality",
-    "ivm_merge_full_chain",
-    "ivm_merge_full_outer",
-    "ivm_merge_full_pos_chain",
-    "ivm_merge_full_suffix_chain",
-    "ivm_merge_groupby",
-    "ivm_merge_hll_sketch",
-    "ivm_merge_join",
-    "ivm_merge_join_minmax",
-    "ivm_merge_left_join",
-    "ivm_merge_median_mode",
-    "ivm_merge_minmax_distinct",
-    "ivm_merge_multi_delta_chain",
-    "ivm_merge_projection",
-    "ivm_merge_range_full_join",
-    "ivm_merge_range_left_join",
-    "ivm_merge_semi_join",
-    "ivm_merge_time_window",
-    "ivm_merge_topk",
-    "ivm_merge_union",
-    "ivm_merge_variance",
-    "ivm_min_max_insert_only",
-    "ivm_q13_cascade",
-    "ivm_semi_join_delta",
-    "q13_custdist",
-    "q1_pricing_summary",
-    "sim_topk_ivf",
-    "streaming_dedup_docs",
-    "text_fingerprints",
-    "topk_per_group",
-    "approx_distinct_sketch",
-    "approx_heavy_hitters",
-    "asof_snapshots",
-    "chunk_documents",
-    "contamination_check",
-    "cube_sales",
-    "dedup_clusters",
-    "dedup_embedding",
-    "dedup_embedding_incremental",
+    "ivm_merge_window_multilist",
+    "dedup_exact",
+    "dedup_keep_canonical",
+    "dedup_minhash_lsh",
+    "dedup_ngram_jaccard",
+    "dedup_simhash",
+    "emb_label_centroids",
+    "events_sliding_window",
+    "grouping_sets_sales",
+    "ivm_merge_asof_join",
+    "ivm_merge_boilerplate_index",
+    "ivm_merge_cms_sketch",
+    "ivm_merge_expr_key",
+    "ivm_merge_having",
+    "ivm_merge_ivf_cells",
+    "ivm_merge_join3",
+    "ivm_merge_rollup_view",
+    "ivm_merge_theta_anti_join",
+    "ivm_merge_theta_chain",
+    "ivm_merge_theta_expr_anti_join",
+    "ivm_merge_theta_expr_full_join",
+    "ivm_merge_theta_expr_join",
+    "ivm_merge_theta_expr_left_join",
+    "ivm_merge_theta_expr_semi_join",
+    "ivm_merge_theta_full_join",
+    "ivm_merge_theta_general_chain",
+    "ivm_merge_theta_join",
+    "ivm_merge_theta_left_join",
+    "ivm_merge_theta_mid_chain",
+    "ivm_merge_theta_semi_join",
+    "ivm_merge_topn_per_group",
+    "ivm_multibatch_deletes",
+    "ivm_multibatch_rollup",
+    "ivm_projection",
+    "sample_weighted",
+    "sim_topk_incremental",
+    "skew_salted_join",
+    "skew_two_phase_agg",
+    "streaming_cms_sketch",
+    "streaming_interval_join",
+    "text_boilerplate_ngrams",
+    "text_pii_redact",
+    "approx_quantile_hist",
+    "asof_forward_tolerance",
+    "dedup_minhash_incremental",
+    "events_window_rollup",
+    "formats_roundtrip",
+    "ivm_avg",
+    "ivm_cascade_rollup",
+    "ivm_count_distinct",
 )
 
 
