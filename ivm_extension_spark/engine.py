@@ -928,9 +928,15 @@ class IVMEngine:
         ``maintain()`` it individually, which decomposes) raises BEFORE
         any state has advanced: the catalog is never left half-merged.
 
-        Returns {view name -> new public view}.  Cascades (views over a
-        maintained view's snapshot) stay manual via merge_view_cdc —
-        their delta is the upstream merge's CDC, not a base-table delta.
+        Returns {view name -> new public view}.  USER cascades (views
+        over a maintained view's snapshot) stay manual via
+        merge_view_cdc — their delta is the upstream merge's CDC, not a
+        base-table delta.  ENGINE-OWNED compositions are driven here:
+        sketch views advance from their source's delta, and auto-split
+        window cascades advance whole (inner stages + CDC handoff +
+        snapshot folds — stage failures there surface after earlier
+        plain views merged; the up-front raise guarantee covers plain
+        and sketch views only).
         """
         def _tables(v: str) -> tuple[str, ...]:
             if v in self._union_branches:
@@ -939,6 +945,7 @@ class IVMEngine:
                 )
             return self._views[v].tables
 
+        cascade_inner = {v for ps in self._window_cascade.values() for v, _ in ps}
         affected = [
             v
             for v in self._views
@@ -947,13 +954,38 @@ class IVMEngine:
             # runs against the post-apply base with fresh deltas.  Checked
             # up front so merge_view can never raise 'was not materialized'
             # after earlier views have already merged (never-half-merged).
+            and v not in cascade_inner  # driven by their outer view below
+            and v not in self._window_cascade
             and any(t in self._deltas for t in _tables(v))
         ]
+        sketch_affected = [
+            n
+            for n, s in self._sketch_specs.items()
+            if n in self._state and s.source in self._deltas
+        ]
+        cascade_affected = [
+            n
+            for n, ps in self._window_cascade.items()
+            if n in self._state
+            and self._views[ps[0][0]].source in self._deltas
+        ]
         plans = {v: self._delta_plan_for(v) for v in affected}  # may raise
+        sk_plans = {  # monotone kinds raise here on delete-bearing deltas
+            n: self._sketch_specs[n].delta_state(
+                self.delta(self._sketch_specs[n].source), MULT_COL
+            )
+            for n in sketch_affected
+        }
         out: dict[str, DataFrame] = {}
         for v in affected:
             self._delta_views[v] = plans[v]
             out[v] = self.merge_view(v)
+        for n in sketch_affected:
+            self._delta_views[n] = sk_plans[n]
+            out[n] = self.merge_view(n)
+        for n in cascade_affected:
+            self.ivm_upsert(n)  # drives inner stages + CDC handoff
+            out[n] = self.merge_view(n)
         for t in list(self._deltas):
             self.apply_delta(t)
         return out
@@ -1338,8 +1370,22 @@ class IVMEngine:
         untouched.  At lakehouse scale each apply_delta step is the
         storage layer's MERGE INTO on the base table.
         """
+        if name in self._sketch_specs:
+            src = self._sketch_specs[name].source
+            self.ivm_upsert(name)  # missing-delta error surfaces here
+            out = self.merge_view(name)
+            self.apply_delta(src)
+            return out
         vdef = self.view(name)
-        tabs = [t for t in vdef.tables if t in self._deltas]
+        if name in self._window_cascade:
+            # the outer view's own source is the engine-internal snapshot
+            # table; the batch's delta lives on stage 0's base table
+            base = self._views[self._window_cascade[name][0][0]].source
+            tabs = [base] if base in self._deltas else []
+            if not tabs:
+                self.delta(base)  # reference-style missing-delta error
+        else:
+            tabs = [t for t in vdef.tables if t in self._deltas]
         if not tabs:
             self.delta(vdef.tables[0])  # reference-style missing-delta error
         self.ivm_upsert(name)

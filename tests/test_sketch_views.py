@@ -125,3 +125,28 @@ def test_sketch_view_save_load(spark, tmp_path):
     got = rows(b.merge_view("bc"))
     b.apply_delta("orders")
     assert got == rows(b.full_refresh("bc"))
+
+
+def test_maintain_and_maintain_all_drive_sketches(spark):
+    """The batch verbs must advance sketch views like ordinary IMMVs."""
+    eng = _orders_engine(spark)
+    eng.create_sketch_immv(
+        "bc", "bloom_counting", "orders", "o_custkey",
+        ("o_orderstatus",), m_bits=1 << 10, k=3,
+    )
+    eng.create_immv(
+        "by_status",
+        sql="SELECT o_orderstatus, count(*) AS n FROM orders GROUP BY o_orderstatus",
+    )
+    _delta(eng, "o_orderkey % 10 = 0", "o_custkey % 2 = 0")
+    out = eng.maintain_all()
+    assert set(out) == {"bc", "by_status"}
+    # bases advanced, deltas cleared — merged sketch equals recompute
+    assert rows(out["bc"]) == rows(
+        eng._sketch_specs["bc"].compute(eng.table("orders"))
+    )
+
+    # single-view verb
+    _delta(eng, "o_orderkey % 6 = 0", "false")
+    got = rows(eng.maintain("bc"))
+    assert got == rows(eng._sketch_specs["bc"].compute(eng.table("orders")))

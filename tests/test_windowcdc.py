@@ -343,3 +343,26 @@ def test_multi_partition_window_view_save_load(spark, tmp_path):
     got = _rows(b.merge_view("w2"))
     b.apply_delta("t")
     assert got == _recompute(b)
+
+
+def test_maintain_verbs_drive_window_cascade(spark):
+    """maintain()/maintain_all() must advance an auto-split cascade
+    whole (inner stages + CDC handoff + snapshot folds) — not merge the
+    inner stage alone and leave the outer stale."""
+    eng = _multi_fixture(spark)
+    d1 = spark.createDataFrame(
+        [("a", "x", 2, 7, 15, True), ("b", "x", 1, 4, 5, False)],
+        f"k string, g string, ts int, rid int, v int, {MULT_COL} boolean",
+    )
+    eng.register_delta("t", d1)
+    out = eng.maintain_all()
+    assert "w2" in out and "__w2_w0" not in out
+    assert _rows(eng.read_view("w2")) == _recompute(eng)
+
+    d2 = spark.createDataFrame(
+        [("c", "z", 10, 8, 3, True)],
+        f"k string, g string, ts int, rid int, v int, {MULT_COL} boolean",
+    )
+    eng.register_delta("t", d2)
+    got = _rows(eng.maintain("w2"))
+    assert got == _recompute(eng)
