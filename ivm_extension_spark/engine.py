@@ -150,6 +150,10 @@ class IVMEngine:
         # driven through the same create/upsert/merge surface as
         # ordinary IMMVs, state in the same store
         self._sketch_specs: dict[str, "SketchSpec"] = {}
+        # cascade idempotency: the base-delta OBJECT whose inner-stage
+        # drive already ran, per cascade — a repeated ivm_upsert on the
+        # same registered delta must not double-merge the inner stages
+        self._cascade_consumed: dict[str, object] = {}
 
     # -- catalog -----------------------------------------------------------
 
@@ -203,8 +207,20 @@ class IVMEngine:
     def drop_view(self, name: str) -> None:
         """Drop a view and all its materialized/auxiliary state (the
         reference's tests DROP delta tables between cases — here the
-        whole view lifecycle is engine-owned)."""
+        whole view lifecycle is engine-owned).  Sketch views drop their
+        spec + state; an auto-split window cascade drops its inner
+        stages and snapshot tables too (they are engine-internal —
+        leaving them would orphan references to the base table)."""
+        if name in self._sketch_specs:
+            self._sketch_specs.pop(name)
+            for d in (self._state, self._delta_views, self._merge_counts):
+                d.pop(name, None)
+            return
         self.view(name)
+        for vname, tname in self._window_cascade.pop(name, ()):
+            self.drop_view(vname)
+            self._tables.pop(tname, None)
+            self._deltas.pop(tname, None)
         for d in (
             self._views,
             self._iviews,
@@ -254,6 +270,10 @@ class IVMEngine:
         and materialize its initial state V = q(T)."""
         if (sql is None) == (view is None):
             raise ValueError("pass exactly one of sql= or view=")
+        if name in self._sketch_specs:
+            # ivm_upsert/merge_view/read_view route by _sketch_specs first,
+            # so a same-named SQL view would be silently shadowed
+            raise IVMError(f"view {name!r} already exists as a sketch view")
         if sql is not None:
             parts = split_union_all(sql)
             if len(parts) > 1:
@@ -320,6 +340,34 @@ class IVMEngine:
                     "cascade stages carry all base columns, rename the alias"
                 )
         stages: list[tuple[str, str]] = []
+        try:
+            return self._build_window_cascade(
+                name, source, where, items, lists, stages
+            )
+        except Exception:
+            # never leave ghost internals: a failed final stage must not
+            # strand registered inner views / snapshot tables / the
+            # cascade mapping (a retry would trip over them)
+            self._window_cascade.pop(name, None)
+            for vname, tname in stages:
+                for d in (
+                    self._views, self._iviews, self._state,
+                    self._merge_counts, self._state_rows, self._aux_meta,
+                ):
+                    d.pop(vname, None)
+                self._tables.pop(tname, None)
+            raise
+
+    def _build_window_cascade(
+        self,
+        name: str,
+        source: str,
+        where: str | None,
+        items: list,
+        lists: list,
+        stages: list[tuple[str, str]],
+    ) -> DataFrame | None:
+        base_cols = list(self.table(source).columns)
         prev = source
         computed: list[str] = []
         for i, plist in enumerate(lists[:-1]):
@@ -624,9 +672,27 @@ class IVMEngine:
             self._delta_views[name] = dv
             return dv
         vdef = self.view(name)
-        for vname, tname in self._window_cascade.get(name, ()):
-            cdc = self.merge_view_cdc(vname)
-            self.register_delta(tname, cdc)
+        stages = self._window_cascade.get(name, ())
+        if stages:
+            base = self._views[stages[0][0]].source
+            cur = self._deltas.get(base)
+            if cur is not None and self._cascade_consumed.get(name) is cur:
+                # this exact delta batch already drove the inner stages
+                # (e.g. ΔV previewed, then maintain() re-upserts): their
+                # CDC deltas are registered — re-merging would apply the
+                # batch twice
+                if vdef.source not in self._deltas:
+                    raise IVMError(
+                        f"cascade {name!r}: this delta batch was already "
+                        f"merged — apply_delta({base!r}) and register a "
+                        "new delta before the next upsert"
+                    )
+            else:
+                for vname, tname in stages:
+                    cdc = self.merge_view_cdc(vname)
+                    self.register_delta(tname, cdc)
+                if cur is not None:
+                    self._cascade_consumed[name] = cur
         dv = self._delta_plan_for(name)
         self._delta_views[name] = dv
         return merge_ops.finalize(dv, vdef)
@@ -686,11 +752,13 @@ class IVMEngine:
     def merge_view(self, name: str, delta_v: DataFrame | None = None) -> DataFrame:
         """V' = V ⊎ ΔV (the upsert the reference's poster leaves as future
         work).  Updates the materialized state; returns the public view."""
+        if name in self._sketch_specs:
+            if name not in self._state:
+                raise IVMError(f"view {name!r} was not materialized (create_immv)")
+            return self._merge_sketch(name, delta_v)
+        vdef = self.view(name)  # unknown names: 'is not registered'
         if name not in self._state:
             raise IVMError(f"view {name!r} was not materialized (create_immv)")
-        if name in self._sketch_specs:
-            return self._merge_sketch(name, delta_v)
-        vdef = self.view(name)
         dv = delta_v if delta_v is not None else self._materialized_delta(name)
         if (
             self._state_store is not None
@@ -1121,6 +1189,10 @@ class IVMEngine:
         if name not in self._state:
             raise IVMError(f"view {name!r} has no materialized state")
         if name in self._sketch_specs:
+            if version is not None and version != self._merge_counts.get(name, 0):
+                raise IVMError(
+                    f"sketch view {name!r} does not retain version history"
+                )
             return self._state[name]  # the state relation IS the view
         if version is None or version == self._merge_counts.get(name, 0):
             return merge_ops.finalize(self._state[name], self.view(name))

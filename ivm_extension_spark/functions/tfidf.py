@@ -55,6 +55,31 @@ def tokenize_terms(
     return union_constraint_barrier(t)
 
 
+def tfidf_register_delta(
+    eng,
+    docs_table: str = "documents",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_token_len: int = 3,
+    terms_table: str = "doc_terms",
+) -> None:
+    """Derive Δ(terms) = tokenize(Δdocs) from the CURRENTLY registered
+    docs delta and register it on the terms relation — call this once
+    per document batch (``tfidf_index_views`` does it for the batch
+    registered at creation time; LATER batches advance ``ndocs`` but
+    would silently leave tf/dfreq stale without this re-derivation).
+    After merging the three views, ``apply_delta`` BOTH tables so the
+    next batch maintains against the advanced world."""
+    from ivm_extension_spark.operators.rewrite import MULT_COL
+
+    eng.register_delta(
+        terms_table,
+        tokenize_terms(
+            eng.delta(docs_table), id_col, text_col, min_token_len, (MULT_COL,)
+        ),
+    )
+
+
 def tfidf_index_views(
     eng,
     docs_table: str = "documents",
@@ -70,6 +95,12 @@ def tfidf_index_views(
     Δ-only tokenized delta.  Returns the view names ``(tf, dfreq,
     ndocs)`` — drive them like any IMMV (``ivm_upsert`` → ``merge_view``)
     and score the merged states with :func:`tfidf_scores`.
+
+    Batch contract: for every SUBSEQUENT document batch, register the
+    docs delta and call :func:`tfidf_register_delta` (the tokenized
+    delta is a derivation this module owns, not something the engine
+    can infer), drive the three views, then ``apply_delta`` both
+    ``docs_table`` and ``terms_table``.
     """
     from ivm_extension_spark.operators.rewrite import IVMError, MULT_COL
 
@@ -78,13 +109,12 @@ def tfidf_index_views(
         terms_table, tokenize_terms(docs, id_col, text_col, min_token_len)
     )
     try:
-        d_docs = eng.delta(docs_table)
+        eng.delta(docs_table)
     except IVMError:
-        d_docs = None
-    if d_docs is not None:
-        eng.register_delta(
-            terms_table,
-            tokenize_terms(d_docs, id_col, text_col, min_token_len, (MULT_COL,)),
+        pass
+    else:
+        tfidf_register_delta(
+            eng, docs_table, id_col, text_col, min_token_len, terms_table
         )
     tf, dfreq, ndocs = (f"{prefix}tf", f"{prefix}dfreq", f"{prefix}ndocs")
     eng.create_immv(

@@ -516,6 +516,13 @@ def split_window_stages(
     source = spans["from"].strip()
     if re.search(r"\s", source):  # joins present
         return None
+    if "where" in spans and re.search(
+        r"\(\s*select\b", spans["where"], re.IGNORECASE
+    ):
+        # existence-test lowering lives in parse_view_sql; a cascade
+        # stage's WHERE must be a plain row-local filter — fall through
+        # to the ordinary parser and its clean rejection
+        return None
     body = spans["select"]
     if re.match(r"^\s*distinct\b", body, re.IGNORECASE):
         return None
@@ -544,9 +551,20 @@ def split_window_stages(
                     f"share a PARTITION BY list, got {first} and {wp} in "
                     f"{expr!r} — split the item across aliases"
                 )
+        if alias is None:
+            # an unaliased window item's output column would be the
+            # expression TEXT, and a later cascade stage carrying it by
+            # name would re-evaluate the window via F.expr over that
+            # stage's (differently-partitioned) affected subset —
+            # silently wrong values.  Plain identifiers only.
+            raise NotImplementedError(
+                "window expressions in a multi-PARTITION-BY view must "
+                f"each have an AS alias (cascade stages carry them by "
+                f"column name): {expr!r}"
+            )
         if first not in lists:
             lists.append(first)
-        items.append((expr, alias or expr, first))
+        items.append((expr, alias, first))
     if not saw_window or len(lists) <= 1:
         return None
     return source, spans.get("where"), items, lists

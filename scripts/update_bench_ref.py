@@ -71,18 +71,23 @@ MODULE_MAP: dict[str, tuple[str, ...]] = {
     "asof": (f"{PKG}/operators/asof.py",),
     "window": (f"{PKG}/operators/windowcdc.py",),
     "skew": (f"{PKG}/operators/skew.py",),
-    "bloom": (f"{PKG}/functions/bloom.py",),
-    "hll": (f"{PKG}/functions/hll.py",),
+    # sketch keys hash the engine-integration layer too (round 7: the
+    # lifecycle keys route through operators/sketches.py)
+    "bloom": (f"{PKG}/functions/bloom.py", f"{PKG}/operators/sketches.py"),
+    "hll": (f"{PKG}/functions/hll.py", f"{PKG}/operators/sketches.py"),
     "distinct_sketch": (f"{PKG}/functions/hll.py",),
-    "cms": (f"{PKG}/functions/cms.py",),
+    "cms": (f"{PKG}/functions/cms.py", f"{PKG}/operators/sketches.py"),
     "heavy_hitters": (f"{PKG}/functions/cms.py",),
-    "quantile": (f"{PKG}/functions/quantiles.py",),
+    "quantile": (
+        f"{PKG}/functions/quantiles.py",
+        f"{PKG}/operators/sketches.py",
+    ),
     "dedup": (f"{PKG}/functions/dedup.py",),
     "contamination": (f"{PKG}/functions/dedup.py",),
     "sim_": (f"{PKG}/functions/similarity.py",),
     "embedding": (f"{PKG}/functions/similarity.py", f"{PKG}/functions/dedup.py"),
     "text": (f"{PKG}/functions/text.py",),
-    "tfidf": (f"{PKG}/functions/text.py",),
+    "tfidf": (f"{PKG}/functions/text.py", f"{PKG}/functions/tfidf.py"),
     "chunk": (f"{PKG}/functions/text.py",),
     "boilerplate": (f"{PKG}/functions/text.py",),
     "doc_quality": (f"{PKG}/functions/text.py",),

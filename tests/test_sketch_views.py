@@ -150,3 +150,21 @@ def test_maintain_and_maintain_all_drive_sketches(spark):
     _delta(eng, "o_orderkey % 6 = 0", "false")
     got = rows(eng.maintain("bc"))
     assert got == rows(eng._sketch_specs["bc"].compute(eng.table("orders")))
+
+
+def test_sketch_review_fixes(spark):
+    """Round-7 review pins: name-collision guard, drop_view support,
+    version-read rejection, unknown-name error message."""
+    eng = _orders_engine(spark)
+    eng.create_sketch_immv("sk", "hll", "orders", "o_custkey", p=8)
+    with pytest.raises(IVMError, match="sketch"):
+        eng.create_immv("sk", sql="SELECT o_orderstatus, count(*) AS n "
+                                  "FROM orders GROUP BY o_orderstatus")
+    with pytest.raises(IVMError, match="history"):
+        eng.read_view("sk", version=99)
+    eng.drop_view("sk")
+    assert "sk" not in eng.list_views()
+    # droppable and re-creatable
+    eng.create_sketch_immv("sk", "hll", "orders", "o_custkey", p=8)
+    with pytest.raises(IVMError, match="not registered"):
+        eng.merge_view("no_such_view")

@@ -366,3 +366,80 @@ def test_maintain_verbs_drive_window_cascade(spark):
     eng.register_delta("t", d2)
     got = _rows(eng.maintain("w2"))
     assert got == _recompute(eng)
+
+
+def test_multi_partition_window_cascade_randomized_batches(spark):
+    """Seeded randomized THREE-batch drive of the auto-split cascade:
+    inserts of new rows and deletes of live ones, partitions appearing
+    and dying, matching a full recompute after every batch."""
+    import random
+
+    from ivm_extension_spark import IVMEngine
+
+    rng = random.Random(1234)
+    rows_, rid = [], 0
+    for k in "abcd":
+        for _ in range(rng.randint(2, 6)):
+            rows_.append(
+                (k, "xyz"[rng.randint(0, 2)], rng.randint(0, 5), rid, rng.randint(0, 9))
+            )
+            rid += 1
+    base = spark.createDataFrame(rows_, "k string, g string, ts int, rid int, v int")
+    eng = IVMEngine(spark)
+    eng.register_table("t", base)
+    eng.create_immv("w2", sql=_MULTI_SQL)
+
+    live = list(rows_)
+    next_rid = 100
+    for batch in range(3):
+        dels = [r + (False,) for r in rng.sample(live, min(3, len(live)))]
+        ins = [
+            ("abcde"[rng.randint(0, 4)], "xyzw"[rng.randint(0, 3)],
+             rng.randint(0, 5), next_rid + j, rng.randint(0, 9), True)
+            for j in range(rng.randint(1, 4))
+        ]
+        next_rid += 10
+        delta = spark.createDataFrame(
+            dels + ins, f"k string, g string, ts int, rid int, v int, {MULT_COL} boolean"
+        )
+        eng.register_delta("t", delta)
+        eng.ivm_upsert("w2")
+        got = _rows(eng.merge_view("w2"))
+        eng.apply_delta("t")
+        assert got == _recompute(eng), f"batch {batch} diverged"
+        dead = {d[:5] for d in dels}
+        live = [r for r in live if r not in dead] + [i[:5] for i in ins]
+
+
+def test_multilist_review_fixes(spark):
+    """Round-7 review pins: (a) unaliased window items in a multi-list
+    view are rejected (the cascade carries windows by column NAME; an
+    expression-text alias would re-evaluate the window over the wrong
+    partition subset — silently wrong); (b) ivm_upsert is idempotent
+    per delta batch (preview + maintain must not double-apply);
+    (c) drop_view removes the whole cascade, inner stages included."""
+    import pytest
+
+    from ivm_extension_spark import IVMEngine
+    from ivm_extension_spark.plans.sqlfront import split_window_stages
+
+    with pytest.raises(NotImplementedError, match="AS alias"):
+        split_window_stages(
+            "SELECT sum(v) OVER (PARTITION BY k ORDER BY ts, rid), "
+            "row_number() OVER (PARTITION BY g ORDER BY v, rid) AS r FROM t"
+        )
+
+    eng = _multi_fixture(spark)
+    d1 = spark.createDataFrame(
+        [("a", "x", 2, 7, 15, True), ("b", "x", 1, 4, 5, False)],
+        f"k string, g string, ts int, rid int, v int, {MULT_COL} boolean",
+    )
+    eng.register_delta("t", d1)
+    eng.ivm_upsert("w2")   # preview ΔV
+    got = _rows(eng.maintain("w2"))  # re-upserts internally: must NOT double-apply
+    assert got == _recompute(eng)
+
+    eng.drop_view("w2")
+    assert "w2" not in eng.list_views()
+    assert "__w2_w0" not in eng.list_views()
+    eng.drop_table("t")  # no orphaned inner view blocks the base table
