@@ -2368,6 +2368,53 @@ def _q_streaming_cms_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(ckpt, ignore_errors=True)
 
 
+def _q_streaming_bloom_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ENGINE sketch view maintained from Structured Streaming
+    micro-batches (round 7 — streaming/sketchstream.run_sketch_stream
+    over the round's create_sketch_immv surface): events arrive as a
+    rate-limited file stream, each batch registers as an insert-only
+    delta and the Bloom bit state advances through the engine's own
+    ivm_upsert → merge_view, the batch then DISCARDED
+    (engine.discard_delta — sketch merges never consult the base, so
+    folding each batch into a growing base would be O(stream) per
+    batch).  bit_or is exact w.r.t. set union, so the final state
+    equals the batch twin over the whole events table BIT-FOR-BIT;
+    state stays ≤ m/32 words however long the stream runs."""
+    import shutil
+    import tempfile
+
+    from ivm_extension_spark.streaming import run_sketch_stream
+
+    eng = _engine(spark, sf_dir)
+    ev = eng.table("events").select("event_id", "user_id")
+    land = tempfile.mkdtemp(prefix="sbloom_land_")
+    ckpt = tempfile.mkdtemp(prefix="sbloom_ckpt_")
+    shuffle_before = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        eng.register_table("events_stream", ev.limit(0))
+        eng.create_sketch_immv(
+            "bf", "bloom", "events_stream", "user_id",
+            m_bits=_BLOOM_M, k=_BLOOM_K,
+        )
+        ev.repartition(4).write.mode("overwrite").parquet(land)
+        s = (
+            spark.readStream.schema(ev.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(land)
+        )
+        # per-batch sketch output is O(m/32) tiny rows — 32 shuffle
+        # shards per micro-batch is pure task overhead (restored after)
+        spark.conf.set("spark.sql.shuffle.partitions", "4")
+        n = run_sketch_stream(eng, "bf", s, ckpt)
+        if n < 2:
+            raise RuntimeError(f"expected multiple micro-batches, got {n}")
+        return eng.read_view("bf").localCheckpoint(eager=True)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", shuffle_before)
+        shutil.rmtree(land, ignore_errors=True)
+        shutil.rmtree(ckpt, ignore_errors=True)
+
+
 def _q_streaming_quantile_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Histogram quantile sketch maintained ACROSS STREAMING
     MICRO-BATCHES (functions/quantiles.py × Structured Streaming, the
@@ -3627,6 +3674,7 @@ _EXTRA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "approx_quantile_hist": _q_approx_quantile_hist,
     "ivm_merge_quantile_hist": _q_ivm_merge_quantile_hist,
     "streaming_quantile_hist": _q_streaming_quantile_hist,
+    "streaming_bloom_sketch": _q_streaming_bloom_sketch,
     "streaming_cms_sketch": _q_streaming_cms_sketch,
     "streaming_asof_join": _q_streaming_asof_join,
     "dedup_minhash_incremental": _q_dedup_minhash_incremental,
@@ -3645,10 +3693,13 @@ _EXTRA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 #
 # ROUND 7 WINDOW (this round), computed by scripts/update_ledger.py
 # (never-graded first, then least-recently-green):
-#   - position 1: ivm_merge_window_multilist, registered this round and
-#     never driver-graded — one SQL text with TWO different PARTITION BY
-#     lists, auto-split by the engine into a maintained window cascade;
-#   - positions 2-42: the round-4-stale cohort the r6 VERDICT queued
+#   - positions 1-2: the keys registered THIS round, never driver-graded
+#     (ivm_merge_window_multilist — one SQL text with TWO different
+#     PARTITION BY lists, auto-split by the engine into a maintained
+#     window cascade; streaming_bloom_sketch — the engine sketch surface
+#     driven from Structured Streaming micro-batches, batches discarded
+#     after the merge);
+#   - positions 3-43: the round-4-stale cohort the r6 VERDICT queued
 #     first (its "What's missing" #1): the whole theta lifecycle family
 #     (one-sided, general two-sided expr, chains incl. the general
 #     FULL-suffix recursion), the batch dedup family (exact / minhash /
@@ -3659,10 +3710,11 @@ _EXTRA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 #     asof ordering, and round 7 moved the sketch lifecycles onto the
 #     engine surface (create_sketch_immv) — these grades confirm the
 #     post-rewrite code paths;
-#   - positions 43-50: the oldest round-5 keys (quantile sketch, as-of
+#   - positions 44-50: the oldest round-5 keys (quantile sketch, as-of
 #     forward/tolerance, incremental minhash, formats, core aggregates).
 _GRADE_FIRST: tuple[str, ...] = (
     "ivm_merge_window_multilist",
+    "streaming_bloom_sketch",
     "dedup_exact",
     "dedup_keep_canonical",
     "dedup_minhash_lsh",
@@ -3711,7 +3763,6 @@ _GRADE_FIRST: tuple[str, ...] = (
     "formats_roundtrip",
     "ivm_avg",
     "ivm_cascade_rollup",
-    "ivm_count_distinct",
 )
 
 
@@ -4980,6 +5031,15 @@ def _bloom_merge_oracle() -> str:
     )
 
 
+def _bloom_stream_oracle() -> str:
+    """Oracle for the stream-fed engine Bloom state: bit_or over batches
+    is exact w.r.t. union, so the final word relation equals the twin
+    over the WHOLE events table bit-for-bit."""
+    from ivm_extension_spark.functions.bloom import bloom_bits_oracle_sql
+
+    return bloom_bits_oracle_sql("events", (), "user_id", _BLOOM_M, _BLOOM_K)
+
+
 def _cms_probe_sql(items_cte: str, d: int = 4, w: int = 1024) -> str:
     """Shared DuckDB est CTE chain: probe ``sk`` with ``items_cte``
     (must yield a user_id column) — the md5 bucketing and min-over-rows
@@ -5654,6 +5714,7 @@ def _extras_oracle_sql() -> dict[str, str]:
         "approx_quantile_hist": _qh_oracle("documents"),
         "ivm_merge_quantile_hist": _qh_oracle(_applied_sql("documents")),
         "streaming_quantile_hist": _qh_oracle("documents"),
+        "streaming_bloom_sketch": _bloom_stream_oracle(),
         "streaming_cms_sketch": _cms_stream_oracle(),
         "streaming_asof_join": """
             WITH snaps0 AS (

@@ -1254,6 +1254,19 @@ class IVMEngine:
             self._state_rows[name] = state.count()
         return merge_ops.finalize(state, vdef)
 
+    def discard_delta(self, name: str) -> None:
+        """Clear delta_<name> WITHOUT folding it into the base table.
+
+        For stream-fed SKETCH state only: sketch merges never consult
+        the base relation, so a micro-batch delta is fully consumed by
+        ``merge_view`` and folding it would rewrite an ever-growing base
+        every batch (O(stream) work for state nobody reads).  Using this
+        under ordinary views desynchronizes them from their base —
+        ``full_refresh`` and later delta rules would compute against a
+        world the state never saw."""
+        self.delta(name)  # reference-style missing-delta error
+        self._deltas.pop(name, None)
+
     def apply_delta(self, name: str) -> DataFrame:
         """Fold delta_<name> into the base table (bag semantics) and clear
         the delta — advances the engine to the post-delta world."""

@@ -168,3 +168,37 @@ def test_sketch_review_fixes(spark):
     eng.create_sketch_immv("sk", "hll", "orders", "o_custkey", p=8)
     with pytest.raises(IVMError, match="not registered"):
         eng.merge_view("no_such_view")
+
+
+def test_run_sketch_stream_and_discard_delta(spark, tmp_path):
+    """Stream-fed engine sketch: micro-batches advance the state through
+    ivm_upsert/merge_view and are then discarded (the base is never
+    consulted by a sketch merge); final state equals the batch twin over
+    the whole input."""
+    import pytest
+
+    from ivm_extension_spark.streaming import run_sketch_stream
+
+    eng = _orders_engine(spark)
+    full = eng.table("orders").select("o_orderkey", "o_custkey")
+    eng.register_table("orders_stream", full.limit(0))
+    eng.create_sketch_immv(
+        "bf", "bloom", "orders_stream", "o_custkey", m_bits=1 << 10, k=3
+    )
+    land, ckpt = str(tmp_path / "land"), str(tmp_path / "ckpt")
+    full.repartition(3).write.parquet(land)
+    s = (
+        spark.readStream.schema(full.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(land)
+    )
+    n = run_sketch_stream(eng, "bf", s, ckpt)
+    assert n >= 2
+    want = rows(eng._sketch_specs["bf"].compute(full))
+    assert rows(eng.read_view("bf")) == want
+    # batches were discarded, not folded: the stream base stayed empty
+    assert eng.table("orders_stream").count() == 0
+    with pytest.raises(IVMError, match="not a sketch view"):
+        run_sketch_stream(eng, "nope", s, ckpt)
+    with pytest.raises(IVMError, match="does not exist"):
+        eng.discard_delta("orders_stream")
