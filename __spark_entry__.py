@@ -3269,6 +3269,50 @@ def _q_ivm_merge_window_multilist(spark: SparkSession, sf_dir: str) -> DataFrame
     return eng.merge_view("v")
 
 
+def _q_ivm_multibatch_window_multilist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TWO delta batches through the auto-split multi-PARTITION-BY
+    window cascade (round 7): batch 1 inserts new orders under shifted
+    keys, batch 2 deletes the %7=3 originals and inserts another
+    shifted slice — each batch drives ivm_upsert → merge_view →
+    apply_delta, so batch 2's affected-partition recomputes read the
+    ADVANCED intermediate snapshots (the cascade's cross-batch state
+    contract, exercised under the driver's hash gate, not only in
+    tests).  Inserts are unique-keyed for the multi-window pairing
+    determinism documented at ivm_merge_window_multilist."""
+    eng = _engine(spark, sf_dir)
+    orders = eng.table("orders")
+    eng.create_immv(
+        "v",
+        sql="SELECT o_custkey, o_orderkey, "
+        "sum(CAST(round(o_totalprice * 100) AS BIGINT)) OVER "
+        "(PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey "
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_cents, "
+        "row_number() OVER (PARTITION BY o_orderdate "
+        "ORDER BY o_totalprice DESC, o_orderkey) AS day_rank "
+        "FROM orders WHERE o_custkey % 10 = 0",
+    )
+    b1 = (
+        orders.filter("o_orderkey % 10 = 0")
+        .withColumn("o_orderkey", F.col("o_orderkey") + F.lit(500000000))
+        .withColumn(MULT_COL, F.lit(True))
+    )
+    b2 = (
+        orders.filter("o_orderkey % 9 = 0")
+        .withColumn("o_orderkey", F.col("o_orderkey") + F.lit(800000000))
+        .withColumn(MULT_COL, F.lit(True))
+        .unionByName(
+            orders.filter("o_orderkey % 7 = 3").withColumn(MULT_COL, F.lit(False))
+        )
+    )
+    out = None
+    for d in (b1, b2):
+        eng.register_delta("orders", d)
+        eng.ivm_upsert("v")
+        out = eng.merge_view("v")
+        eng.apply_delta("orders")
+    return out
+
+
 def _q_ivm_merge_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MAINTAINED FORWARD as-of join with a staleness bound (round 6):
     the round-5 direction/tolerance surface threaded through the
@@ -3620,6 +3664,7 @@ _OLAP_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ivm_merge_asof_forward": _q_ivm_merge_asof_forward,
     "ivm_merge_window_view": _q_ivm_merge_window_view,
     "ivm_merge_window_multilist": _q_ivm_merge_window_multilist,
+    "ivm_multibatch_window_multilist": _q_ivm_multibatch_window_multilist,
     "ivm_merge_window_cascade": _q_ivm_merge_window_cascade,
     "range_join_bands": _q_range_join,
     "percentiles_by_status": _q_percentiles,
@@ -3693,13 +3738,15 @@ _EXTRA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 #
 # ROUND 7 WINDOW (this round), computed by scripts/update_ledger.py
 # (never-graded first, then least-recently-green):
-#   - positions 1-2: the keys registered THIS round, never driver-graded
+#   - positions 1-3: the keys registered THIS round, never driver-graded
 #     (ivm_merge_window_multilist — one SQL text with TWO different
 #     PARTITION BY lists, auto-split by the engine into a maintained
-#     window cascade; streaming_bloom_sketch — the engine sketch surface
-#     driven from Structured Streaming micro-batches, batches discarded
-#     after the merge);
-#   - positions 3-43: the round-4-stale cohort the r6 VERDICT queued
+#     window cascade; ivm_multibatch_window_multilist — the same cascade
+#     driven through TWO delta batches, so batch 2 recomputes against
+#     the advanced intermediate snapshots; streaming_bloom_sketch — the
+#     engine sketch surface driven from Structured Streaming
+#     micro-batches, batches discarded after the merge);
+#   - positions 4-44: the round-4-stale cohort the r6 VERDICT queued
 #     first (its "What's missing" #1): the whole theta lifecycle family
 #     (one-sided, general two-sided expr, chains incl. the general
 #     FULL-suffix recursion), the batch dedup family (exact / minhash /
@@ -3710,10 +3757,11 @@ _EXTRA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 #     asof ordering, and round 7 moved the sketch lifecycles onto the
 #     engine surface (create_sketch_immv) — these grades confirm the
 #     post-rewrite code paths;
-#   - positions 44-50: the oldest round-5 keys (quantile sketch, as-of
+#   - positions 45-50: the oldest round-5 keys (quantile sketch, as-of
 #     forward/tolerance, incremental minhash, formats, core aggregates).
 _GRADE_FIRST: tuple[str, ...] = (
     "ivm_merge_window_multilist",
+    "ivm_multibatch_window_multilist",
     "streaming_bloom_sketch",
     "dedup_exact",
     "dedup_keep_canonical",
@@ -3762,7 +3810,6 @@ _GRADE_FIRST: tuple[str, ...] = (
     "events_window_rollup",
     "formats_roundtrip",
     "ivm_avg",
-    "ivm_cascade_rollup",
 )
 
 
@@ -4576,6 +4623,29 @@ def oracle_sql() -> dict[str, str]:
                          o_orderstatus, o_totalprice, o_orderdate,
                          o_orderpriority
                   FROM orders WHERE o_orderkey % 10 = 0) o
+            WHERE o_custkey % 10 = 0
+        """,
+        "ivm_multibatch_window_multilist": """
+            SELECT o_custkey, o_orderkey,
+                   CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                     OVER (PARTITION BY o_custkey
+                           ORDER BY o_orderdate, o_orderkey
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                     AS BIGINT) AS running_cents,
+                   row_number() OVER (PARTITION BY o_orderdate
+                                      ORDER BY o_totalprice DESC, o_orderkey)
+                     AS day_rank
+            FROM (SELECT * FROM orders WHERE NOT (o_orderkey % 7 = 3)
+                  UNION ALL
+                  SELECT o_orderkey + 500000000 AS o_orderkey, o_custkey,
+                         o_orderstatus, o_totalprice, o_orderdate,
+                         o_orderpriority
+                  FROM orders WHERE o_orderkey % 10 = 0
+                  UNION ALL
+                  SELECT o_orderkey + 800000000 AS o_orderkey, o_custkey,
+                         o_orderstatus, o_totalprice, o_orderdate,
+                         o_orderpriority
+                  FROM orders WHERE o_orderkey % 9 = 0) o
             WHERE o_custkey % 10 = 0
         """,
         "window_running_total": """
