@@ -23,7 +23,9 @@ partitions|) per batch, the pruning a key-bucketed store gives a MERGE
 INTO.  Determinism contract: the caller's window ordering must be a
 TOTAL order within each partition (include a unique tiebreaker column),
 otherwise W itself is nondeterministic and no maintenance scheme — nor
-a recompute — produces stable results.
+a recompute — produces stable results.  (User-facing statement of this
+contract, incl. the duplicate-row caveat for multi-window projections:
+README.md "Window-view contract".)
 
 Reference parity note: window functions are outside the reference's
 surface (README.md:33-36 — SURVEY.md §2c "window functions: not
