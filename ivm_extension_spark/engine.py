@@ -217,6 +217,7 @@ class IVMEngine:
                 d.pop(name, None)
             return
         self.view(name)
+        self._cascade_consumed.pop(name, None)
         for vname, tname in self._window_cascade.pop(name, ()):
             self.drop_view(vname)
             self._tables.pop(tname, None)
