@@ -1154,6 +1154,15 @@ class IVMEngine:
         run; None until the auto strategy or an aux advance measured
         them), the merge strategy the last batch actually took, and the
         number of merges applied since materialization."""
+        if name in self._sketch_specs:
+            spec = self._sketch_specs[name]
+            return {
+                "materialized": name in self._state,
+                "kind": f"sketch:{spec.kind}",
+                "merges_applied": self._merge_counts.get(name, 0),
+                "tables": [spec.source],
+                "pending_deltas": [spec.source] if spec.source in self._deltas else [],
+            }
         self.view(name)  # raises for unknown views
         return {
             "materialized": name in self._state,

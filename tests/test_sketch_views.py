@@ -202,3 +202,15 @@ def test_run_sketch_stream_and_discard_delta(spark, tmp_path):
         run_sketch_stream(eng, "nope", s, ckpt)
     with pytest.raises(IVMError, match="does not exist"):
         eng.discard_delta("orders_stream")
+
+
+def test_sketch_stats(spark):
+    eng = _orders_engine(spark)
+    eng.create_sketch_immv("sk", "cms", "orders", "o_custkey", d=3, w=64)
+    st = eng.stats("sk")
+    assert st["kind"] == "sketch:cms" and st["materialized"]
+    _delta(eng, "o_orderkey % 10 = 0", "true")
+    assert eng.stats("sk")["pending_deltas"] == ["orders"]
+    eng.ivm_upsert("sk")
+    eng.merge_view("sk")
+    assert eng.stats("sk")["merges_applied"] == 1
