@@ -249,6 +249,8 @@ class IVMEngine:
                 name in b.tables
                 for b in self._union_branches.get(v, [vd])
             )
+        ] + [  # sketch views depend on their source like any view
+            n for n, s in self._sketch_specs.items() if s.source == name
         ]
         if users:
             raise IVMError(
@@ -275,6 +277,12 @@ class IVMEngine:
             # ivm_upsert/merge_view/read_view route by _sketch_specs first,
             # so a same-named SQL view would be silently shadowed
             raise IVMError(f"view {name!r} already exists as a sketch view")
+        if name in self._views:
+            # redefinition = implicit drop + create: without it the new
+            # definition inherits the old view's merge counter, retained
+            # history, aux multisets and (worst) window-cascade wiring —
+            # ivm_upsert would drive orphaned inner stages of the OLD view
+            self.drop_view(name)
         if sql is not None:
             parts = split_union_all(sql)
             if len(parts) > 1:
@@ -677,7 +685,14 @@ class IVMEngine:
         if stages:
             base = self._views[stages[0][0]].source
             cur = self._deltas.get(base)
-            if cur is not None and self._cascade_consumed.get(name) is cur:
+            mark = self._cascade_consumed.get(name)
+            # stage-granular progress marker: (delta object, stages done).
+            # Recording per STAGE makes a retry after a mid-loop failure
+            # resume at the first un-merged stage instead of re-merging
+            # stage 0 against the same delta (double-apply), matching the
+            # engine's retry-safety design (_pending_aux staging)
+            done = mark[1] if (mark is not None and mark[0] is cur) else 0
+            if cur is not None and done == len(stages):
                 # this exact delta batch already drove the inner stages
                 # (e.g. ΔV previewed, then maintain() re-upserts): their
                 # CDC deltas are registered — re-merging would apply the
@@ -689,11 +704,12 @@ class IVMEngine:
                         "new delta before the next upsert"
                     )
             else:
-                for vname, tname in stages:
+                for i in range(done, len(stages)):
+                    vname, tname = stages[i]
                     cdc = self.merge_view_cdc(vname)
                     self.register_delta(tname, cdc)
-                if cur is not None:
-                    self._cascade_consumed[name] = cur
+                    if cur is not None:
+                        self._cascade_consumed[name] = (cur, i + 1)
         dv = self._delta_plan_for(name)
         self._delta_views[name] = dv
         return merge_ops.finalize(dv, vdef)
@@ -800,17 +816,19 @@ class IVMEngine:
         new_state = merge_ops.merge(
             self._state[name], dv, self._iviews[name], derived, strategy
         )
+        pending_hist = None
         if self.keep_history:
             # pin the outgoing state (its lazy plan would otherwise be
-            # re-evaluated against bases that have since advanced) and
-            # retain it under the version it answered reads for
+            # re-evaluated against bases that have since advanced); the
+            # history APPEND is deferred until the commit/checkpoint below
+            # succeeded — appending first would record the same version
+            # twice on a failed-then-retried merge and evict a genuinely
+            # older version early
             old = self._state[name]
             if not getattr(old, "_ivm_pinned", False):
                 old = old.localCheckpoint(eager=True)
                 old._ivm_pinned = True
-            hist = self._history.setdefault(name, [])
-            hist.append((self._merge_counts.get(name, 0), old))
-            del hist[: max(0, len(hist) - self.keep_history)]
+            pending_hist = (self._merge_counts.get(name, 0), old)
         if self._state_store is not None and name in self._state_store:
             # MERGE INTO path: commit ONLY the buckets ΔV touched (their
             # post-merge content filtered out of the merged plan); every
@@ -836,6 +854,10 @@ class IVMEngine:
             # released
             new_state = new_state.localCheckpoint(eager=True)
         new_state._ivm_pinned = True
+        if pending_hist is not None:
+            hist = self._history.setdefault(name, [])
+            hist.append(pending_hist)
+            del hist[: max(0, len(hist) - self.keep_history)]
         self._state[name] = new_state
         if self.merge_strategy == "auto":
             # cheap block-scan over the just-checkpointed state; feeds the
@@ -1164,6 +1186,19 @@ class IVMEngine:
                 "pending_deltas": [spec.source] if spec.source in self._deltas else [],
             }
         self.view(name)  # raises for unknown views
+        if name in self._window_cascade:
+            # the outer ViewDef's source is the engine-internal snapshot
+            # table; operators page on the BASE table's delta queue
+            base = self._views[self._window_cascade[name][0][0]].source
+            return {
+                "materialized": name in self._state,
+                "kind": "window_cascade",
+                "stages": [v for v, _ in self._window_cascade[name]],
+                "merges_applied": self._merge_counts.get(name, 0),
+                "versions": self.list_versions(name) if name in self._state else [],
+                "tables": [base],
+                "pending_deltas": [base] if base in self._deltas else [],
+            }
         return {
             "materialized": name in self._state,
             "state_rows": self._state_rows.get(name),
@@ -1216,6 +1251,10 @@ class IVMEngine:
 
     def list_versions(self, name: str) -> list[int]:
         """Versions readable for ``name``: retained history + current."""
+        if name in self._sketch_specs:  # sketches retain no history
+            return (
+                [self._merge_counts.get(name, 0)] if name in self._state else []
+            )
         self.view(name)
         out = [v for v, _ in self._history.get(name, [])]
         if name in self._state:
@@ -1359,12 +1398,23 @@ class IVMEngine:
             "merge_counts": dict(self._merge_counts),
             "keep_history": self.keep_history,
         }
+        # tombstone FIRST: when saving over an EXISTING save, the old
+        # catalog must not stay readable next to a mix of new and old
+        # state dirs (a crash mid-save would otherwise load the old
+        # catalog over partially overwritten state/aux — an aux relation
+        # one generation out of sync silently corrupts later
+        # MIN/MAX/DISTINCT maintenance).  The sentinel makes a torn save
+        # fail LOUDLY at load instead.
+        self.spark.createDataFrame(
+            [(json.dumps({"in_progress": True}),)], "catalog_json string"
+        ).coalesce(1).write.mode("overwrite").parquet(f"{path}/catalog")
         for n in self._state:
             self._state[n].write.mode("overwrite").parquet(f"{path}/state/{n}")
         for n in self._aux:
             self._aux[n].write.mode("overwrite").parquet(f"{path}/aux/{n}")
-        # catalog LAST: a crashed save leaves no catalog → load fails loudly
-        # rather than reading a torn state
+        # catalog LAST: a crashed save leaves no catalog (fresh dir) or the
+        # in-progress sentinel (existing dir) → load fails loudly rather
+        # than reading a torn state
         cat_df = self.spark.createDataFrame(
             [(json.dumps(catalog),)], "catalog_json string"
         )
@@ -1391,6 +1441,12 @@ class IVMEngine:
             eng.register_table(t, src)
         row = spark.read.parquet(f"{path}/catalog").collect()[0]
         catalog = json.loads(row["catalog_json"])
+        if catalog.get("in_progress"):
+            raise IVMError(
+                f"save at {path!r} is torn (crashed mid-save over a "
+                "previous save): state dirs may mix generations — "
+                "re-save from a live engine or restore from a backup"
+            )
         # version numbering must survive the round trip: a post-load merge
         # continues from the saved counter instead of reissuing version 0.
         # History SNAPSHOTS are not persisted (only current state is), so
@@ -1480,9 +1536,19 @@ class IVMEngine:
             if not tabs:
                 self.delta(base)  # reference-style missing-delta error
         else:
-            tabs = [t for t in vdef.tables if t in self._deltas]
+            # a UNION ALL view's registered ViewDef is only its first
+            # branch — consult every branch (like maintain_all/drop_table)
+            # or a branch-2-only delta raises a bogus missing-delta error
+            # and a consumed branch-2 delta stays registered, DOUBLE-
+            # applying on the next maintain
+            vtabs = dict.fromkeys(
+                t
+                for b in self._union_branches.get(name, [vdef])
+                for t in b.tables
+            )
+            tabs = [t for t in vtabs if t in self._deltas]
         if not tabs:
-            self.delta(vdef.tables[0])  # reference-style missing-delta error
+            self.delta(next(iter(vtabs)))  # reference-style missing-delta error
         self.ivm_upsert(name)
         out = self.merge_view(name)
         for t in tabs:

@@ -131,8 +131,12 @@ def finalize(df: DataFrame, view: ViewDef) -> DataFrame:
     for alias in view.output_order:
         agg = view.aggregate_by_alias(alias)
         if agg is not None and agg.fn == "avg":
+            # avgcnt == 0 (a live group whose avg inputs are all NULL —
+            # avg() over them is NULL): guard the division, or Spark 4's
+            # default ANSI mode throws DIVIDE_BY_ZERO on every read
+            cnt = F.col(f"__ivm_avgcnt_{alias}")
             cols.append(
-                (F.col(f"__ivm_avgsum_{alias}") / F.col(f"__ivm_avgcnt_{alias}")).alias(alias)
+                F.when(cnt > 0, F.col(f"__ivm_avgsum_{alias}") / cnt).alias(alias)
             )
         elif agg is not None and agg.fn in VARIANCE_AGGS:
             cols.append(
@@ -208,12 +212,11 @@ def grouping_level(state: DataFrame, view: ViewDef, gs: tuple[str, ...]) -> Data
         elif a.fn == "max":
             aggs.append(F.max(F.col(a.alias)).alias(a.alias))
         elif a.fn == "avg":
-            aggs.append(
-                (
-                    F.sum(F.col(f"__ivm_avgsum_{a.alias}"))
-                    / F.sum(F.col(f"__ivm_avgcnt_{a.alias}"))
-                ).alias(a.alias)
-            )
+            # same ANSI zero-divisor guard as finalize: a level whose
+            # avg inputs are all NULL reads as NULL, not DIVIDE_BY_ZERO
+            s = F.sum(F.col(f"__ivm_avgsum_{a.alias}"))
+            c = F.sum(F.col(f"__ivm_avgcnt_{a.alias}"))
+            aggs.append(F.when(c > 0, s / c).alias(a.alias))
         elif a.fn in VARIANCE_AGGS:
             # the hidden companions are plain sums — additive across
             # the finest groups, so each rollup level recomposes exactly

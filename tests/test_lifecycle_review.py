@@ -111,3 +111,125 @@ def test_save_load_restores_version_counters(spark, tmp_path):
     assert b.list_versions("v") == [2, 3]
     assert rows(b.read_view("v", version=3)) == [(1, 13)]
     assert rows(b.read_view("v", version=2)) == [(1, 12)]
+
+
+# --------------------------------------------------------------------------
+# round-7 core review fixes (engine.py / merge.py)
+# --------------------------------------------------------------------------
+
+def test_maintain_union_view_consults_all_branches(spark):
+    """maintain() on a UNION ALL view used to see only branch 0's
+    tables: a branch-2-only delta raised a bogus missing-delta error,
+    and with deltas on both branches the second delta survived the
+    apply step and DOUBLE-applied on the next maintain."""
+    from ivm_extension_spark import IVMEngine
+
+    eng = IVMEngine(spark)
+    eng.register_table("t1", spark.createDataFrame([(1,), (2,)], "k int"))
+    eng.register_table("t2", spark.createDataFrame([(10,)], "k int"))
+    eng.create_immv(
+        "u", sql="SELECT k FROM t1 UNION ALL SELECT k FROM t2"
+    )
+    # (a) branch-2-only delta must maintain, not raise
+    eng.register_delta(
+        "t2", spark.createDataFrame([(11, True)], f"k int, {MULT_COL} boolean")
+    )
+    got = rows(eng.maintain("u"))
+    assert got == sorted([(1,), (2,), (10,), (11,)], key=lambda t: tuple(map(str, t)))
+    assert "t2" not in eng._deltas  # consumed and applied
+    # (b) deltas on BOTH branches applied in one maintain; the next
+    # batch must not double-apply anything
+    eng.register_delta(
+        "t1", spark.createDataFrame([(3, True)], f"k int, {MULT_COL} boolean")
+    )
+    eng.register_delta(
+        "t2", spark.createDataFrame([(10, False)], f"k int, {MULT_COL} boolean")
+    )
+    got = rows(eng.maintain("u"))
+    assert got == sorted([(1,), (2,), (3,), (11,)], key=lambda t: tuple(map(str, t)))
+    assert got == rows(eng.full_refresh("u"))
+
+
+def test_create_immv_redefinition_is_implicit_drop(spark):
+    """Redefining a view name must not inherit the old view's merge
+    counter, history or cascade wiring."""
+    from ivm_extension_spark import IVMEngine
+
+    eng = IVMEngine(spark)
+    eng.register_table("t", spark.createDataFrame([(1, 2)], "k int, v int"))
+    eng.create_immv("v", sql="SELECT k, sum(v) AS s FROM t GROUP BY k")
+    eng.register_delta(
+        "t", spark.createDataFrame([(1, 3, True)], f"k int, v int, {MULT_COL} boolean")
+    )
+    eng.maintain("v")
+    assert eng.stats("v")["merges_applied"] == 1
+    eng.create_immv("v", sql="SELECT k, count(*) AS n FROM t GROUP BY k")
+    assert eng.stats("v")["merges_applied"] == 0  # fresh lifecycle
+    assert rows(eng.read_view("v")) == [(1, 2)]
+
+
+def test_drop_table_blocked_by_sketch_view(spark):
+    from ivm_extension_spark import IVMEngine
+
+    eng = IVMEngine(spark)
+    eng.register_table("t", spark.createDataFrame([(1,)], "x bigint"))
+    eng.create_sketch_immv("sk", "hll", "t", "x", p=8)
+    with pytest.raises(IVMError, match="referenced by views"):
+        eng.drop_table("t")
+    eng.drop_view("sk")
+    eng.drop_table("t")  # now fine
+    with pytest.raises(IVMError, match="not registered"):
+        eng.list_versions("sk")  # dropped = gone
+
+
+def test_save_over_existing_save_torn_catalog_fails_loudly(spark, tmp_path):
+    """A crash mid-save over a PREVIOUS save must not leave the old
+    catalog readable next to mixed-generation state dirs: save writes an
+    in-progress sentinel first, and load rejects it."""
+    import json
+
+    from ivm_extension_spark import IVMEngine
+
+    eng = IVMEngine(spark)
+    eng.register_table("t", spark.createDataFrame([(1, 2)], "k int, v int"))
+    eng.create_immv("v", sql="SELECT k, sum(v) AS s FROM t GROUP BY k")
+    path = str(tmp_path / "store")
+    eng.save(path)
+    # simulate the crash: sentinel written, states partially rewritten,
+    # final catalog never written
+    spark.createDataFrame(
+        [(json.dumps({"in_progress": True}),)], "catalog_json string"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/catalog")
+    with pytest.raises(IVMError, match="torn"):
+        IVMEngine.load(spark, path, tables={"t": eng.table("t")})
+    # a clean re-save repairs it
+    eng.save(path)
+    b = IVMEngine.load(spark, path, tables={"t": eng.table("t")})
+    assert rows(b.read_view("v")) == rows(eng.read_view("v"))
+
+
+def test_stats_window_cascade_reports_base_table(spark):
+    from ivm_extension_spark import IVMEngine
+
+    eng = IVMEngine(spark)
+    eng.register_table(
+        "t", spark.createDataFrame([("a", "x", 1, 1, 5)],
+                                   "k string, g string, ts int, rid int, v int")
+    )
+    eng.create_immv(
+        "w2",
+        sql="SELECT k, rid, "
+        "sum(v) OVER (PARTITION BY k ORDER BY ts, rid) AS rt, "
+        "row_number() OVER (PARTITION BY g ORDER BY v, rid) AS rk FROM t",
+    )
+    st = eng.stats("w2")
+    assert st["kind"] == "window_cascade" and st["tables"] == ["t"]
+    assert st["pending_deltas"] == []
+    eng.register_delta(
+        "t",
+        spark.createDataFrame(
+            [("a", "x", 2, 9, 1, True)],
+            f"k string, g string, ts int, rid int, v int, {MULT_COL} boolean",
+        ),
+    )
+    assert eng.stats("w2")["pending_deltas"] == ["t"]

@@ -1452,3 +1452,51 @@ def test_full_outer_in_suffix_now_maintained(spark):
     for t in ("cust", "orders", "seg_dim"):
         eng2.register_table(t, eng.table(t))
     assert merged == rows(eng2.create_immv("v", sql=sql))
+
+
+def test_avg_group_all_nulls_reads_null_not_divide_by_zero(spark):
+    """A live group whose avg inputs are all NULL has avgcnt=0; under
+    Spark 4's default ANSI mode the unguarded recomposition threw
+    DIVIDE_BY_ZERO on every read (round-7 review).  Correct value: NULL,
+    exactly what avg() over the recomputed base returns."""
+    from ivm_extension_spark import IVMEngine
+
+    eng = IVMEngine(spark)
+    eng.register_table(
+        "t", spark.createDataFrame([(1, None), (1, 4), (2, 5)], "k int, x int")
+    )
+    eng.create_immv("v", sql="SELECT k, avg(x) AS a, count(*) AS n FROM t GROUP BY k")
+    # delete group 2's only non-NULL value and leave it a NULL row;
+    # delete group 1's NULL row (its avg must stay 4.0)
+    eng.register_delta(
+        "t",
+        spark.createDataFrame(
+            [(2, 5, False), (2, None, True), (1, None, False)],
+            f"k int, x int, {MULT_COL_NAME} boolean",
+        ),
+    )
+    eng.ivm_upsert("v")
+    got = rows(eng.merge_view("v"))
+    eng.apply_delta("t")
+    assert got == rows(eng.full_refresh("v"))
+    assert got == [(1, 4.0, 1), (2, None, 1)]
+
+
+def test_avg_all_null_level_in_rollup_reads_null(spark):
+    """Same ANSI zero-divisor guard at the grouping-set recomposition."""
+    from ivm_extension_spark import IVMEngine
+
+    eng = IVMEngine(spark)
+    eng.register_table(
+        "t",
+        spark.createDataFrame(
+            [("a", "x", None), ("a", "y", None), ("b", "x", 6)],
+            "g string, h string, v int",
+        ),
+    )
+    eng.create_immv(
+        "r", sql="SELECT g, h, avg(v) AS a FROM t GROUP BY ROLLUP (g, h)"
+    )
+    got = rows(eng.read_view("r"))
+    # every ('a', *) level is all-NULL → NULL, totals average over b only
+    assert ("a", None, None) in got and (None, None, 6.0) in got

@@ -214,3 +214,12 @@ def test_sketch_stats(spark):
     eng.ivm_upsert("sk")
     eng.merge_view("sk")
     assert eng.stats("sk")["merges_applied"] == 1
+
+
+def test_sketch_list_versions_current_only(spark):
+    eng = _orders_engine(spark)
+    eng.create_sketch_immv("sk", "cms", "orders", "o_custkey", d=3, w=64)
+    assert eng.list_versions("sk") == [0]
+    _delta(eng, "o_orderkey % 10 = 0", "true")
+    eng.maintain("sk")
+    assert eng.list_versions("sk") == [1]
