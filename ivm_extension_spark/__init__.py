@@ -21,12 +21,14 @@ operator path.
 """
 
 from ivm_extension_spark.engine import IVMEngine, MULT_COL
+from ivm_extension_spark.operators.sketches import SketchSpec
 from ivm_extension_spark.plans.viewdef import Aggregate, JoinSpec, ViewDef
 from ivm_extension_spark.plans.sqlfront import parse_view_sql
 
 __all__ = [
     "IVMEngine",
     "MULT_COL",
+    "SketchSpec",
     "Aggregate",
     "JoinSpec",
     "ViewDef",

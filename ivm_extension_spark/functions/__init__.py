@@ -7,6 +7,7 @@ from ivm_extension_spark.functions import (
     sampling,
     similarity,
     text,
+    tfidf,
 )
 
 __all__ = [
@@ -18,4 +19,5 @@ __all__ = [
     "sampling",
     "similarity",
     "text",
+    "tfidf",
 ]
