@@ -899,7 +899,11 @@ def _range_orders_pts(eng) -> tuple[DataFrame, DataFrame]:
     O(|orders|) of two columns, staged in a few fat partitions (4 won
     an A/B against 8/16 at sf0.1: fewer per-branch probe tasks beats
     extra scan parallelism when every task re-initializes the fused
-    12-branch codegen)."""
+    12-branch codegen).  The checkpoint is EAGER (r8): the delta rule's
+    broadcast-build subjobs launch concurrently, and a lazy checkpoint
+    races -- each concurrent build re-scanned the parquet before any of
+    them materialized the blocks (profiled: six 32-task scans instead
+    of one)."""
     pred, mult = DELTA_DEFS["orders"]
     sl = (
         eng.table("orders")
@@ -910,7 +914,7 @@ def _range_orders_pts(eng) -> tuple[DataFrame, DataFrame]:
             F.expr(mult).alias(MULT_COL),
         )
         .coalesce(4)
-        .localCheckpoint(eager=False)
+        .localCheckpoint(eager=True)
     )
     pts = sl.select("o_orderkey", "price")
     d_pts = sl.filter("__in_delta").select("o_orderkey", "price", MULT_COL)
@@ -967,7 +971,7 @@ def _q_ivm_merge_range_full_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     v_old = range_join(points, bands, "price", "lo", "hi", 50000.0, how="full")
     dv = range_full_join_delta(
         points, bands, d_points, d_bands, "price", "lo", "hi", 50000.0
-    )
+    ).localCheckpoint(eager=False)
     merged = _bag_merge(v_old, dv)
     return merged.select("o_orderkey", "price", "band")
 
@@ -3229,14 +3233,16 @@ def _q_ivm_merge_window_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _q_ivm_merge_window_multilist(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Window view with TWO DISTINCT PARTITION BY lists in one SQL text
-    (round 7): per-customer running order total + per-day rank, AUTO-
-    SPLIT by the engine into a maintained cascade
-    (engine._create_window_cascade via sqlfront.split_window_stages) —
-    stage 1 maintains the o_custkey windows by affected-partition
-    recompute, stage 2 consumes stage 1's merge CDC and maintains the
-    o_orderdate windows; previously this SQL was REJECTED with "all
-    window functions in a view must share ONE PARTITION BY column
-    list".  Both orderings are total per partition (unique o_orderkey
+    (round 7, re-architected round 8): per-customer running order total
+    + per-day rank, maintained as ONE FUSED view (windowcdc.
+    multi_window_view_delta via sqlfront.split_window_stages) — both
+    windows compute in a single projection; the delta region is the
+    union of each list's affected partitions, closed under every list
+    for the recompute input.  One upsert + one merge per batch (the
+    round-7 cascade paid a full lifecycle per list).  Previously this
+    SQL was REJECTED with "all window functions in a view must share
+    ONE PARTITION BY column list".  Both orderings are total per
+    partition (unique o_orderkey
     tiebreak) — which REQUIRES a duplicate-free delta: the standard one
     duplicates existing rows, and two duplicates pair their two window
     values (running_cents x day_rank) nondeterministically across
@@ -3270,15 +3276,15 @@ def _q_ivm_merge_window_multilist(spark: SparkSession, sf_dir: str) -> DataFrame
 
 
 def _q_ivm_multibatch_window_multilist(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TWO delta batches through the auto-split multi-PARTITION-BY
-    window cascade (round 7): batch 1 inserts new orders under shifted
-    keys, batch 2 deletes the %7=3 originals and inserts another
-    shifted slice — each batch drives ivm_upsert → merge_view →
-    apply_delta, so batch 2's affected-partition recomputes read the
-    ADVANCED intermediate snapshots (the cascade's cross-batch state
-    contract, exercised under the driver's hash gate, not only in
-    tests).  Inserts are unique-keyed for the multi-window pairing
-    determinism documented at ivm_merge_window_multilist."""
+    """TWO delta batches through the fused multi-PARTITION-BY window
+    view (round 7, fused round 8): batch 1 inserts new orders under
+    shifted keys, batch 2 deletes the %7=3 originals and inserts
+    another shifted slice — each batch drives ivm_upsert → merge_view →
+    apply_delta, so batch 2's affected-region recompute reads the
+    ADVANCED base (the cross-batch state contract, exercised under the
+    driver's hash gate, not only in tests).  Inserts are unique-keyed
+    for the multi-window pairing determinism documented at
+    ivm_merge_window_multilist."""
     eng = _engine(spark, sf_dir)
     orders = eng.table("orders")
     eng.create_immv(

@@ -142,18 +142,10 @@ class IVMEngine:
         self._history: dict[str, list[tuple[int, DataFrame]]] = {}
         # UNION ALL views: per-branch ViewDefs (delta rule is linear)
         self._union_branches: dict[str, list[ViewDef]] = {}
-        # window views auto-split over MULTIPLE PARTITION BY lists:
-        # outer name -> [(inner view, intermediate snapshot table), ...]
-        # in stage order (see _create_window_cascade)
-        self._window_cascade: dict[str, list[tuple[str, str]]] = {}
         # sketch views (Bloom/HLL/CMS/hist — operators/sketches.py):
         # driven through the same create/upsert/merge surface as
         # ordinary IMMVs, state in the same store
         self._sketch_specs: dict[str, "SketchSpec"] = {}
-        # cascade idempotency: the base-delta OBJECT whose inner-stage
-        # drive already ran, per cascade — a repeated ivm_upsert on the
-        # same registered delta must not double-merge the inner stages
-        self._cascade_consumed: dict[str, object] = {}
 
     # -- catalog -----------------------------------------------------------
 
@@ -208,20 +200,13 @@ class IVMEngine:
         """Drop a view and all its materialized/auxiliary state (the
         reference's tests DROP delta tables between cases — here the
         whole view lifecycle is engine-owned).  Sketch views drop their
-        spec + state; an auto-split window cascade drops its inner
-        stages and snapshot tables too (they are engine-internal —
-        leaving them would orphan references to the base table)."""
+        spec + state."""
         if name in self._sketch_specs:
             self._sketch_specs.pop(name)
             for d in (self._state, self._delta_views, self._merge_counts):
                 d.pop(name, None)
             return
         self.view(name)
-        self._cascade_consumed.pop(name, None)
-        for vname, tname in self._window_cascade.pop(name, ()):
-            self.drop_view(vname)
-            self._tables.pop(tname, None)
-            self._deltas.pop(tname, None)
         for d in (
             self._views,
             self._iviews,
@@ -289,8 +274,22 @@ class IVMEngine:
                 return self._create_union_immv(name, parts, materialize)
             staged = split_window_stages(sql)
             if staged is not None:
-                return self._create_window_cascade(name, staged, materialize)
-            vdef = parse_view_sql(name, sql)
+                # multi-PARTITION-BY window view: maintained as ONE fused
+                # unit (windowcdc.multi_window_view_delta) — all windows
+                # compute in a single projection; the delta region is the
+                # union of each list's affected partitions.  (Round 8 —
+                # replaces the round-7 cascade of per-list intermediate
+                # IMMVs, which paid a full lifecycle per list per batch.)
+                source, where, items, lists = staged
+                vdef = ViewDef(
+                    name=name,
+                    source=source,
+                    select=tuple((e, a) for e, a, _ in items),
+                    where=where,
+                    window_lists=tuple(lists),
+                )
+            else:
+                vdef = parse_view_sql(name, sql)
         else:
             vdef = view
         vdef = self._expand_star(vdef)
@@ -306,111 +305,6 @@ class IVMEngine:
             self._state[name] = state
             return merge_ops.finalize(state, vdef)
         return None
-
-    def _create_window_cascade(
-        self,
-        name: str,
-        staged: tuple,
-        materialize: bool,
-    ) -> DataFrame | None:
-        """Window view over MULTIPLE PARTITION BY lists, auto-split into
-        a maintained cascade (round 7 — closes the single-list
-        restriction the SQL front used to reject with).
-
-        Each distinct list becomes one ordinary window view
-        (affected-partition recompute, operators/windowcdc.py); stage
-        i+1 reads stage i's public snapshot and consumes its merge CDC
-        as the delta — the same composition the q13 / window cascades
-        drive by hand (merge_view_cdc).  The per-stage restriction is
-        sound because a window is partition-local in ITS OWN list
-        regardless of columns earlier stages appended.  Inner stages
-        carry every base column plus the window aliases computed so
-        far; the user-visible view is the FINAL stage projecting the
-        original select list.  ``ivm_upsert(name)`` drives the inner
-        stages (upsert + merge + CDC handoff) exactly once per batch;
-        ``merge_view(name)`` then advances the intermediate snapshots.
-        Scale shape: unchanged per stage (broadcast affected-key semi
-        joins); the cascade multiplies the per-batch cost by the number
-        of distinct lists, never by data size.
-        """
-        source, where, items, lists = staged
-        if not materialize:
-            raise NotImplementedError(
-                "a multi-partition window view needs materialized "
-                "intermediate snapshots — create it with materialize=True"
-            )
-        if source not in self._tables:
-            raise IVMError(f"view {name!r} references unregistered table {source!r}")
-        base_cols = list(self.table(source).columns)
-        for _, alias, plist in items:
-            if plist and alias in base_cols:
-                raise NotImplementedError(
-                    f"window alias {alias!r} shadows a base column — inner "
-                    "cascade stages carry all base columns, rename the alias"
-                )
-        stages: list[tuple[str, str]] = []
-        try:
-            return self._build_window_cascade(
-                name, source, where, items, lists, stages
-            )
-        except Exception:
-            # never leave ghost internals: a failed final stage must not
-            # strand registered inner views / snapshot tables / the
-            # cascade mapping (a retry would trip over them)
-            self._window_cascade.pop(name, None)
-            for vname, tname in stages:
-                for d in (
-                    self._views, self._iviews, self._state,
-                    self._merge_counts, self._state_rows, self._aux_meta,
-                ):
-                    d.pop(vname, None)
-                self._tables.pop(tname, None)
-            raise
-
-    def _build_window_cascade(
-        self,
-        name: str,
-        source: str,
-        where: str | None,
-        items: list,
-        lists: list,
-        stages: list[tuple[str, str]],
-    ) -> DataFrame | None:
-        base_cols = list(self.table(source).columns)
-        prev = source
-        computed: list[str] = []
-        for i, plist in enumerate(lists[:-1]):
-            sel = (
-                [(c, c) for c in base_cols]
-                + [(a, a) for a in computed]
-                + [(e, a) for e, a, w in items if w == plist]
-            )
-            vname, tname = f"__{name}_w{i}", f"__{name}_s{i}"
-            vdef = ViewDef(
-                name=vname,
-                source=prev,
-                select=tuple(sel),
-                where=where if i == 0 else None,
-                window_partition=tuple(plist),
-            )
-            self.create_immv(vname, view=vdef, materialize=True)
-            self.register_table(tname, self.read_view(vname))
-            computed += [a for _, a, w in items if w == plist]
-            stages.append((vname, tname))
-            prev = tname
-        last = lists[-1]
-        sel = [
-            (e if (w == last or not w) else a, a) for e, a, w in items
-        ]
-        outer = ViewDef(
-            name=name,
-            source=prev,
-            select=tuple(sel),
-            where=None,  # applied at stage 0 (WHERE is pre-window in SQL)
-            window_partition=tuple(last),
-        )
-        self._window_cascade[name] = stages
-        return self.create_immv(name, view=outer, materialize=True)
 
     def create_sketch_immv(
         self,
@@ -669,47 +563,13 @@ class IVMEngine:
     def ivm_upsert(self, name: str) -> DataFrame:
         """Compute ΔV for ``name`` (the reference's
         ``PRAGMA ivm_upsert``).  Returns view columns + multiplicity;
-        caches the internal-shape ΔV for a subsequent merge_view().
-
-        For an auto-split window cascade this DRIVES the inner stages
-        (each advanced once and its CDC handed to the next stage's
-        delta) — call it once per base-table delta batch; the
-        follow-up ``merge_view`` advances the intermediate snapshots."""
+        caches the internal-shape ΔV for a subsequent merge_view()."""
         if name in self._sketch_specs:
             spec = self._sketch_specs[name]
             dv = spec.delta_state(self.delta(spec.source), MULT_COL)
             self._delta_views[name] = dv
             return dv
         vdef = self.view(name)
-        stages = self._window_cascade.get(name, ())
-        if stages:
-            base = self._views[stages[0][0]].source
-            cur = self._deltas.get(base)
-            mark = self._cascade_consumed.get(name)
-            # stage-granular progress marker: (delta object, stages done).
-            # Recording per STAGE makes a retry after a mid-loop failure
-            # resume at the first un-merged stage instead of re-merging
-            # stage 0 against the same delta (double-apply), matching the
-            # engine's retry-safety design (_pending_aux staging)
-            done = mark[1] if (mark is not None and mark[0] is cur) else 0
-            if cur is not None and done == len(stages):
-                # this exact delta batch already drove the inner stages
-                # (e.g. ΔV previewed, then maintain() re-upserts): their
-                # CDC deltas are registered — re-merging would apply the
-                # batch twice
-                if vdef.source not in self._deltas:
-                    raise IVMError(
-                        f"cascade {name!r}: this delta batch was already "
-                        f"merged — apply_delta({base!r}) and register a "
-                        "new delta before the next upsert"
-                    )
-            else:
-                for i in range(done, len(stages)):
-                    vname, tname = stages[i]
-                    cdc = self.merge_view_cdc(vname)
-                    self.register_delta(tname, cdc)
-                    if cur is not None:
-                        self._cascade_consumed[name] = (cur, i + 1)
         dv = self._delta_plan_for(name)
         self._delta_views[name] = dv
         return merge_ops.finalize(dv, vdef)
@@ -849,10 +709,16 @@ class IVMEngine:
             self._state_store.commit(name, new_state, keys, touched)
             new_state = self._state_store.read(name)
         else:
-            # eager checkpoint: cuts lineage growth across repeated merges
-            # AND pins the state so streaming micro-batch sources can be
-            # released
-            new_state = new_state.localCheckpoint(eager=True)
+            # checkpoint: cuts lineage growth across repeated merges AND
+            # pins the state so streaming micro-batch sources can be
+            # released.  Under the auto strategy the next batch needs the
+            # state row count anyway, so the checkpoint is taken LAZY and
+            # the count action materializes it — one Spark job where an
+            # eager checkpoint followed by a count would launch two.
+            fuse_count = self.merge_strategy == "auto"
+            new_state = new_state.localCheckpoint(eager=not fuse_count)
+            if fuse_count:
+                n_rows = new_state.count()  # materializes the checkpoint
         new_state._ivm_pinned = True
         if pending_hist is not None:
             hist = self._history.setdefault(name, [])
@@ -860,9 +726,13 @@ class IVMEngine:
             del hist[: max(0, len(hist) - self.keep_history)]
         self._state[name] = new_state
         if self.merge_strategy == "auto":
-            # cheap block-scan over the just-checkpointed state; feeds the
-            # adaptive strategy choice for the NEXT batch
-            self._state_rows[name] = new_state.count()
+            # measured on the just-checkpointed state (store path: a cheap
+            # file scan); feeds the adaptive strategy for the NEXT batch
+            self._state_rows[name] = (
+                n_rows
+                if self._state_store is None or name not in self._state_store
+                else new_state.count()
+            )
         pend = self._pending_aux.pop(name, None)
         if pend is not None:
             # commit the advanced aux multiset only now, atomically with
@@ -873,12 +743,6 @@ class IVMEngine:
         # recorded only after the state swap committed, so stats() never
         # reports a strategy for a merge that failed mid-way
         self._merge_strategy_by_view[name] = strategy
-        # window cascade: fold each stage's consumed CDC into its
-        # snapshot table so the NEXT batch's affected-partition probes
-        # see the advanced intermediate world
-        for _, tname in self._window_cascade.get(name, ()):
-            if tname in self._deltas:
-                self.apply_delta(tname)
         return merge_ops.finalize(new_state, vdef)
 
     def merge_view_cdc(self, name: str) -> DataFrame:
@@ -1022,12 +886,9 @@ class IVMEngine:
         Returns {view name -> new public view}.  USER cascades (views
         over a maintained view's snapshot) stay manual via
         merge_view_cdc — their delta is the upstream merge's CDC, not a
-        base-table delta.  ENGINE-OWNED compositions are driven here:
-        sketch views advance from their source's delta, and auto-split
-        window cascades advance whole (inner stages + CDC handoff +
-        snapshot folds — stage failures there surface after earlier
-        plain views merged; the up-front raise guarantee covers plain
-        and sketch views only).
+        base-table delta.  Sketch views advance from their source's
+        delta; multi-PARTITION-BY window views are ordinary fused views
+        here (one delta plan, one merge).
         """
         def _tables(v: str) -> tuple[str, ...]:
             if v in self._union_branches:
@@ -1036,7 +897,6 @@ class IVMEngine:
                 )
             return self._views[v].tables
 
-        cascade_inner = {v for ps in self._window_cascade.values() for v, _ in ps}
         affected = [
             v
             for v in self._views
@@ -1045,20 +905,12 @@ class IVMEngine:
             # runs against the post-apply base with fresh deltas.  Checked
             # up front so merge_view can never raise 'was not materialized'
             # after earlier views have already merged (never-half-merged).
-            and v not in cascade_inner  # driven by their outer view below
-            and v not in self._window_cascade
             and any(t in self._deltas for t in _tables(v))
         ]
         sketch_affected = [
             n
             for n, s in self._sketch_specs.items()
             if n in self._state and s.source in self._deltas
-        ]
-        cascade_affected = [
-            n
-            for n, ps in self._window_cascade.items()
-            if n in self._state
-            and self._views[ps[0][0]].source in self._deltas
         ]
         plans = {v: self._delta_plan_for(v) for v in affected}  # may raise
         sk_plans = {  # monotone kinds raise here on delete-bearing deltas
@@ -1073,9 +925,6 @@ class IVMEngine:
             out[v] = self.merge_view(v)
         for n in sketch_affected:
             self._delta_views[n] = sk_plans[n]
-            out[n] = self.merge_view(n)
-        for n in cascade_affected:
-            self.ivm_upsert(n)  # drives inner stages + CDC handoff
             out[n] = self.merge_view(n)
         for t in list(self._deltas):
             self.apply_delta(t)
@@ -1186,19 +1035,6 @@ class IVMEngine:
                 "pending_deltas": [spec.source] if spec.source in self._deltas else [],
             }
         self.view(name)  # raises for unknown views
-        if name in self._window_cascade:
-            # the outer ViewDef's source is the engine-internal snapshot
-            # table; operators page on the BASE table's delta queue
-            base = self._views[self._window_cascade[name][0][0]].source
-            return {
-                "materialized": name in self._state,
-                "kind": "window_cascade",
-                "stages": [v for v, _ in self._window_cascade[name]],
-                "merges_applied": self._merge_counts.get(name, 0),
-                "versions": self.list_versions(name) if name in self._state else [],
-                "tables": [base],
-                "pending_deltas": [base] if base in self._deltas else [],
-            }
         return {
             "materialized": name in self._state,
             "state_rows": self._state_rows.get(name),
@@ -1384,10 +1220,6 @@ class IVMEngine:
                 n: [b.to_dict() for b in bs]
                 for n, bs in self._union_branches.items()
             },
-            "window_cascades": {
-                n: [list(p) for p in ps]
-                for n, ps in self._window_cascade.items()
-            },
             "sketches": {
                 n: s.to_dict() for n, s in self._sketch_specs.items()
             },
@@ -1466,17 +1298,22 @@ class IVMEngine:
                     f"{spec.source!r}: pass it in tables="
                 )
             eng._sketch_specs[n] = spec
-        cascades = {
-            n: [tuple(p) for p in ps]
-            for n, ps in catalog.get("window_cascades", {}).items()
-        }
-        # cascade snapshot tables are engine-internal (rebuilt below from
-        # the inner views' loaded state), not user tables to pass in
-        internal_tables = {t for ps in cascades.values() for _, t in ps}
+        if catalog.get("window_cascades"):
+            # pre-r8 format: multi-list window views persisted as a cascade
+            # of engine-internal stages.  The fused representation cannot
+            # adopt the stage states (their schemas carry intermediate
+            # columns) — fail loudly; recreating the view from its SQL is a
+            # one-call migration.
+            raise IVMError(
+                "saved catalog uses the pre-r8 window-cascade format for "
+                f"views {sorted(catalog['window_cascades'])}; recreate them "
+                "with create_immv (multi-PARTITION-BY window views are now "
+                "maintained as one fused view)"
+            )
         for n, d in catalog["views"].items():
             vdef = ViewDef.from_dict(d)
             for t in vdef.tables:
-                if t not in eng._tables and t not in internal_tables:
+                if t not in eng._tables:
                     raise IVMError(
                         f"saved view {n!r} references table {t!r}: pass it in tables="
                     )
@@ -1497,12 +1334,6 @@ class IVMEngine:
         for n in catalog["views"]:
             if n not in eng._aux_meta:
                 eng._aux_meta[n] = {}
-        eng._window_cascade = cascades
-        for ps in cascades.values():
-            # the snapshot a stage's successor reads is exactly the inner
-            # view's saved public state (merge_view advanced both in step)
-            for vname, tname in ps:
-                eng.register_table(tname, eng.read_view(vname))
         return eng
 
     def maintain(self, name: str) -> DataFrame:
@@ -1528,25 +1359,17 @@ class IVMEngine:
             self.apply_delta(src)
             return out
         vdef = self.view(name)
-        if name in self._window_cascade:
-            # the outer view's own source is the engine-internal snapshot
-            # table; the batch's delta lives on stage 0's base table
-            base = self._views[self._window_cascade[name][0][0]].source
-            tabs = [base] if base in self._deltas else []
-            if not tabs:
-                self.delta(base)  # reference-style missing-delta error
-        else:
-            # a UNION ALL view's registered ViewDef is only its first
-            # branch — consult every branch (like maintain_all/drop_table)
-            # or a branch-2-only delta raises a bogus missing-delta error
-            # and a consumed branch-2 delta stays registered, DOUBLE-
-            # applying on the next maintain
-            vtabs = dict.fromkeys(
-                t
-                for b in self._union_branches.get(name, [vdef])
-                for t in b.tables
-            )
-            tabs = [t for t in vtabs if t in self._deltas]
+        # a UNION ALL view's registered ViewDef is only its first
+        # branch — consult every branch (like maintain_all/drop_table)
+        # or a branch-2-only delta raises a bogus missing-delta error
+        # and a consumed branch-2 delta stays registered, DOUBLE-
+        # applying on the next maintain
+        vtabs = dict.fromkeys(
+            t
+            for b in self._union_branches.get(name, [vdef])
+            for t in b.tables
+        )
+        tabs = [t for t in vtabs if t in self._deltas]
         if not tabs:
             self.delta(next(iter(vtabs)))  # reference-style missing-delta error
         self.ivm_upsert(name)

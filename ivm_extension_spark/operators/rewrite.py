@@ -1850,6 +1850,35 @@ def delta_plan(
     present) — inserts and deletes are aggregated separately, exactly the
     reference's golden behavior (tests/ivm.test:76-82, SURVEY.md 2d).
     """
+    if view.window_lists:
+        # multi-PARTITION-BY window views: ONE fused affected-region
+        # recompute (operators/windowcdc.py multi_window_view_delta) —
+        # all windows compute in a single projection; the delta region
+        # is the union of each list's affected partitions, closed under
+        # every list for the recompute input.
+        from ivm_extension_spark.operators.windowcdc import multi_window_view_delta
+
+        def _compute_multi(df: DataFrame, carry: tuple[str, ...]) -> DataFrame:
+            if view.where:
+                df = df.filter(F.expr(view.where))
+            return df.select(
+                *[F.expr(e).alias(a) for e, a in view.select], *carry
+            )
+
+        delta = get_delta(view.source)
+        if view.where:
+            # row-local WHERE: prune delta rows that cannot affect the
+            # view before key-set extraction (same rationale as the
+            # single-list branch below)
+            delta = delta.filter(F.expr(view.where))
+        return multi_window_view_delta(
+            get_table(view.source),
+            delta,
+            view.window_lists,
+            _compute_multi,
+            mult_col=MULT_COL,
+        )
+
     if view.window_partition:
         # window views: affected-partition partial recompute — the
         # window value of every row in a touched PARTITION BY key may

@@ -41,6 +41,104 @@ from typing import Callable
 from pyspark.sql import DataFrame, functions as F
 
 
+def multi_window_view_delta(
+    table: DataFrame,
+    delta: DataFrame,
+    lists: tuple[tuple[str, ...], ...],
+    compute: Callable[[DataFrame, tuple[str, ...]], DataFrame],
+    mult_col: str = "_duckdb_ivm_multiplicity",
+) -> DataFrame:
+    """Δ of a window view whose OVER clauses use SEVERAL distinct
+    PARTITION BY lists, maintained as ONE fused unit (round 8 — replaces
+    the round-7 cascade of per-list intermediate IMMVs, whose cost was
+    one full upsert/merge/CDC lifecycle per list per batch).
+
+    Select items cannot reference each other's aliases, so every window
+    computes over the SAME input relation and there is no stage
+    dependency — the only multi-list question is the delta region:
+
+    - a row's output changes iff it is itself in Δ or ANY of its window
+      values changed; window w over list L changes exactly for rows
+      whose L-key partition contains a Δ row.  Emission set
+      C = ∪_i σ(k_i ∈ A_i) with A_i the distinct L_i keys of Δ.
+    - to recompute window w_j for a C row its WHOLE L_j partition must
+      be present, so the compute input is the closure
+      R = ∪_j σ(k_j ∈ B_j) with B_j the distinct L_j keys of C rows
+      (old rows and Δ rows).  Rows in R∖C contribute base values only
+      and are never emitted.
+
+    ΔV = [compute(R') |_C  −  compute(R) |_C]   (bag diff, R' = R ± Δ)
+
+    ``compute`` maps (relation, carry_columns) to the windowed
+    projection, forwarding the carry columns unchanged — the emission
+    flag rides through it (window partition columns may not survive the
+    user's select list).
+
+    Scale shape: the base table is scanned narrowly twice (the A-flag
+    pass deriving B, and the B-flag pass building R), each a chain of
+    broadcast NULL-SAFE left joins against delta-derived key sets —
+    never shuffled in full; the window recompute runs over the closure
+    partitions only.  Everything is lazily checkpointed, so one eager
+    consumer materializes the whole ΔV in a single Spark job.
+    """
+    from ivm_extension_spark.operators.merge import apply_delta_to_table
+
+    def _flag_pass(
+        df: DataFrame, keysets: list[DataFrame], prefix: str
+    ) -> tuple[DataFrame, list[str]]:
+        flags: list[str] = []
+        for n, (L, ks) in enumerate(zip(lists, keysets)):
+            fname = f"__mw_{prefix}{n}"
+            kd = ks.select(
+                *[F.col(c).alias(f"__mwk_{prefix}{n}_{c}") for c in L]
+            ).withColumn(fname, F.lit(True))
+            cond = None
+            for c in L:
+                t = F.col(c).eqNullSafe(F.col(f"__mwk_{prefix}{n}_{c}"))
+                cond = t if cond is None else cond & t
+            df = df.join(F.broadcast(kd), on=cond, how="left").drop(
+                *[f"__mwk_{prefix}{n}_{c}" for c in L]
+            )
+            flags.append(fname)
+        return df, flags
+
+    def _any(flags: list[str]):
+        out = None
+        for f in flags:
+            c = F.coalesce(F.col(f), F.lit(False))
+            out = c if out is None else out | c
+        return out
+
+    a_sets = [
+        delta.select(*L).distinct().localCheckpoint(eager=False) for L in lists
+    ]
+    # B_j: L_j keys of every emitted row — affected OLD rows plus Δ rows
+    all_cols = list(dict.fromkeys(c for L in lists for c in L))
+    t_a, aflags = _flag_pass(table.select(*all_cols), a_sets, "a")
+    ckeys = (
+        t_a.filter(_any(aflags))
+        .select(*all_cols)
+        .unionByName(delta.select(*all_cols))
+        .localCheckpoint(eager=False)
+    )
+    b_sets = [ckeys.select(*L).distinct().localCheckpoint(eager=False) for L in lists]
+    t_b, bflags = _flag_pass(table, b_sets, "b")
+    r_t = t_b.filter(_any(bflags)).drop(*bflags).localCheckpoint(eager=False)
+    r_new = apply_delta_to_table(r_t, delta)
+
+    def _emitted(df: DataFrame) -> DataFrame:
+        fdf, eflags = _flag_pass(df, a_sets, "e")
+        fdf = fdf.withColumn("__mw_emit", _any(eflags)).drop(*eflags)
+        out = compute(fdf, ("__mw_emit",))
+        return out.filter(F.col("__mw_emit")).drop("__mw_emit")
+
+    old = _emitted(r_t)
+    new = _emitted(r_new)
+    ins = new.exceptAll(old).withColumn(mult_col, F.lit(True))
+    dels = old.exceptAll(new).withColumn(mult_col, F.lit(False))
+    return ins.unionByName(dels)
+
+
 def window_view_delta(
     table: DataFrame,
     delta: DataFrame,

