@@ -766,6 +766,16 @@ class IVMEngine:
         vdef = self.view(name)
         if name not in self._state:
             raise IVMError(f"view {name!r} was not materialized (create_immv)")
+        if vdef.read_windows:
+            # a read-window (e.g. a GLOBAL rank over the state) can move
+            # for EVERY row when one group changes — CDC restricted to
+            # the ΔV-touched groups would silently miss those moves
+            raise IVMError(
+                f"view {name!r} carries read-windows (recomputed on read); "
+                "their values move outside the ΔV-touched groups, so "
+                "affected-group CDC is unsound — cascade from the "
+                "pre-window aggregate view instead"
+            )
         dv = self._materialized_delta(name, force=True)
         if vdef.qualify or vdef.limit is not None:
             return self._cdc_rank_filtered(name, vdef, dv)

@@ -156,6 +156,16 @@ def finalize(df: DataFrame, view: ViewDef) -> DataFrame:
         return out
     if view.having:
         out = out.filter(F.expr(view.having))
+    if view.read_windows:
+        # windows over the AGGREGATE view's own output — global ones
+        # included — recomputed on read over the post-HAVING state (SQL
+        # evaluates window functions after GROUP BY/HAVING).  The state
+        # is the bounded delta region, so this is O(|state|) per read
+        # and the maintained columns never include a rank.
+        for e, a in view.read_windows:
+            out = out.withColumn(a, F.expr(e))
+        if view.public_order:
+            out = out.select(*[F.col(a) for a in view.public_order])
     if view.qualify:
         # window predicates can't sit in a filter directly: materialize
         # the boolean, filter, drop.  State is pre-QUALIFY (ranks move

@@ -399,10 +399,26 @@ def parse_view_sql(name: str, sql: str) -> ViewDef:
     distinct = bool(dm)
     if dm:
         select_body = dm.group(1)
+    group_by, grouping_sets = _parse_group_by(spans.get("group_by"))
+
     select_items = _split_top_level(select_body)
+    # a window item in an AGGREGATE view (aggregates present or GROUP BY)
+    # is a READ-WINDOW: recomputed on read over the merged state, which
+    # IS the bounded delta region — so global (partition-less) windows
+    # are accepted there (ViewDef.read_windows).  An aggregate call
+    # carrying OVER is a window, not a grouped aggregate.
+    agg_view = bool(group_by) or any(
+        _AGG_RE.match(
+            (_ALIAS_RE.match(i).group(1).strip() if _ALIAS_RE.match(i) else i)
+        )
+        and not _OVER_KW.search(i)
+        for i in select_items
+    )
     select: list[tuple[str, str]] = []
     aggregates: list[Aggregate] = []
-    order: list[str] = []
+    order: list[str] = []        # state column order (no read-windows)
+    porder: list[str] = []       # public select-list order
+    read_windows: list[tuple[str, str]] = []
     window_partition: list[str] = []
     for item in select_items:
         alias = None
@@ -410,18 +426,27 @@ def parse_view_sql(name: str, sql: str) -> ViewDef:
         expr = item
         if am:
             expr, alias = am.group(1).strip(), am.group(2)
-        wps = _window_partitions_of(expr)
+        wps = _window_partitions_of(expr, allow_global=agg_view)
         if wps:
+            if agg_view:
+                if alias is None:
+                    raise NotImplementedError(
+                        "window expressions over an aggregate view must "
+                        f"have an AS alias: {expr!r}"
+                    )
+                read_windows.append((expr, alias))
+                porder.append(alias)
+                continue
             for wp in wps:
                 if window_partition and tuple(window_partition) != wp:
-                    # plain single-table multi-list views are auto-split
-                    # into a cascade BEFORE parsing (split_window_stages,
-                    # engine._create_window_cascade) — reaching here means
-                    # the view also uses clauses outside that grammar
+                    # plain single-table multi-list views are FUSED into
+                    # one maintained unit BEFORE parsing
+                    # (split_window_stages) — reaching here means the
+                    # view also uses clauses outside that grammar
                     raise NotImplementedError(
                         "window functions over DIFFERENT PARTITION BY "
                         f"lists ({tuple(window_partition)} and {wp}) are "
-                        "auto-cascaded only in plain single-table window "
+                        "fused only in plain single-table window "
                         "views (no joins/aggregates/DISTINCT/ORDER BY/"
                         "LIMIT/UNION) — compose the rest in a cascaded view"
                     )
@@ -429,6 +454,7 @@ def parse_view_sql(name: str, sql: str) -> ViewDef:
             alias = alias or expr
             select.append((expr, alias))
             order.append(alias)
+            porder.append(alias)
             continue
         agg = _AGG_RE.match(expr)
         if agg:
@@ -463,8 +489,7 @@ def parse_view_sql(name: str, sql: str) -> ViewDef:
             alias = alias or expr
             select.append((expr, alias))
         order.append(alias)
-
-    group_by, grouping_sets = _parse_group_by(spans.get("group_by"))
+        porder.append(alias)
 
     return ViewDef(
         name=name,
@@ -482,6 +507,8 @@ def parse_view_sql(name: str, sql: str) -> ViewDef:
         order_by=tuple(order_by),
         limit=limit,
         window_partition=tuple(window_partition),
+        read_windows=tuple(read_windows),
+        public_order=tuple(porder) if read_windows else (),
     )
 
 
@@ -574,7 +601,9 @@ _OVER_KW = re.compile(r"\bover\b", re.IGNORECASE)
 _PLAIN_COL = re.compile(r"^[A-Za-z_][A-Za-z_0-9]*$")
 
 
-def _window_partitions_of(expr: str) -> list[tuple[str, ...]]:
+def _window_partitions_of(
+    expr: str, allow_global: bool = False
+) -> list[tuple[str, ...]]:
     """PARTITION BY column lists of every ``OVER (...)`` in a select
     item, AT ANY NESTING DEPTH (empty list = no window function) — a
     window wrapped in an outer call (``coalesce(sum(v) OVER w, 0)``) is
@@ -583,8 +612,11 @@ def _window_partitions_of(expr: str) -> list[tuple[str, ...]]:
     alone).  Restricted grammar: each OVER must open with PARTITION BY
     over plain columns — those keys ARE the maintenance delta region
     (viewdef.window_partition), so a global window (no partition) is
-    rejected: its delta region would be the whole table.  A bare
-    ``over`` identifier not followed by ``(`` is left alone."""
+    rejected: its delta region would be the whole table.  With
+    ``allow_global=True`` (aggregate views, whose merged state is the
+    bounded delta region — ViewDef.read_windows) a partition-less OVER
+    contributes ``()`` instead of raising.  A bare ``over`` identifier
+    not followed by ``(`` is left alone."""
     outs: list[tuple[str, ...]] = []
     quote: str | None = None
     i = 0
@@ -630,9 +662,16 @@ def _window_partitions_of(expr: str) -> list[tuple[str, ...]]:
             r"^\s*partition\s+by\s+(.*)$", body, re.IGNORECASE | re.DOTALL
         )
         if not pm:
+            if allow_global:
+                outs.append(())
+                i = j + 1  # continue past the whole OVER (...) group
+                continue
             raise NotImplementedError(
-                "window views require OVER (PARTITION BY ...) — a "
-                f"global window has no bounded delta region: {expr!r}"
+                "window views over a raw table require OVER (PARTITION "
+                "BY ...) — a global window has no bounded delta region "
+                "there.  Global windows ARE supported over a maintained "
+                "AGGREGATE view's output (add the window to a GROUP BY "
+                f"view; it is recomputed on read over the state): {expr!r}"
             )
         tail = pm.group(1)
         cut = re.search(

@@ -170,6 +170,20 @@ class ViewDef:
     # one per list.  Holds every distinct PARTITION BY list; mutually
     # exclusive with ``window_partition`` (the single-list fast path).
     window_lists: tuple[tuple[str, ...], ...] = ()
+    # Read-windows (round 8): window expressions in the select list of an
+    # AGGREGATE view — including GLOBAL windows (no PARTITION BY), e.g.
+    # ``rank() OVER (ORDER BY rev DESC)`` over a maintained revenue
+    # total.  A rank is not incrementally maintainable (one delta can
+    # shift every rank), but over an aggregate view the merged state IS
+    # the bounded delta region, so the window is recomputed on READ over
+    # the post-HAVING finalized state (merge.finalize) — exactly the
+    # finalize-on-read treatment HAVING/QUALIFY get.  Each entry is
+    # (window expr over output aliases, alias).  State and ΔV never
+    # carry these columns.
+    read_windows: tuple[tuple[str, str], ...] = ()
+    # Select-list order including read-window aliases (output_order holds
+    # the STATE order, which excludes them); empty = output_order.
+    public_order: tuple[str, ...] = ()
 
     def __post_init__(self) -> None:
         if self.window_partition and self.window_lists:
@@ -196,6 +210,21 @@ class ViewDef:
         if not self.output_order:
             order = [a for _, a in self.select] + [a.alias for a in self.aggregates]
             object.__setattr__(self, "output_order", tuple(order))
+        if self.read_windows:
+            if not (self.aggregates or self.group_by or self.distinct):
+                raise NotImplementedError(
+                    "window expressions without a PARTITION BY need a "
+                    "bounded delta region: over a raw table none exists — "
+                    "either partition the window (maintained by "
+                    "affected-partition recompute) or window over a "
+                    "maintained AGGREGATE view's output (recomputed on "
+                    "read over the merged state)"
+                )
+            if self.grouping_sets:
+                raise NotImplementedError(
+                    "read-windows over ROLLUP/CUBE/GROUPING SETS views are "
+                    "not supported (apply the window in a cascaded view)"
+                )
         if self.distinct and (self.aggregates or self.group_by):
             raise NotImplementedError(
                 "SELECT DISTINCT with aggregates or GROUP BY is redundant "
@@ -263,6 +292,8 @@ class ViewDef:
             "limit": self.limit,
             "window_partition": list(self.window_partition),
             "window_lists": [list(w) for w in self.window_lists],
+            "read_windows": [list(p) for p in self.read_windows],
+            "public_order": list(self.public_order),
         }
 
     @classmethod
@@ -286,6 +317,8 @@ class ViewDef:
             limit=d.get("limit"),
             window_partition=tuple(d.get("window_partition", ())),
             window_lists=tuple(tuple(w) for w in d.get("window_lists", ())),
+            read_windows=tuple(tuple(p) for p in d.get("read_windows", ())),
+            public_order=tuple(d.get("public_order", ())),
         )
 
     @property

@@ -35,10 +35,19 @@ def run_sketch_stream(
 ) -> int:
     """Drive sketch view ``name`` on ``eng`` from ``stream_df`` until the
     stream's available data is exhausted (``availableNow`` trigger).
-    Returns the number of micro-batches processed.  The stream's rows
-    are inserts (a retraction stream needs a delete-safe kind and a
-    multiplicity column upstream — compose ``foreachBatch`` by hand for
-    that)."""
+    Returns the number of micro-batches processed.
+
+    Rows without a multiplicity column are inserts.  A CDC/retraction
+    stream carries the bool multiplicity column itself (insert=true,
+    delete=false) and is registered per batch AS-IS — the LINEAR kinds
+    (cms/hist/bloom_counting) absorb signed deltas exactly; a monotone
+    kind (bloom/hll) rejects the first delete-bearing batch loudly
+    (operators/sketches.py monotone guard).  Batch-content contract for
+    counting sketches: each micro-batch's deletes must be covered by
+    values live in the state-so-far ∪ that batch's inserts (the merge
+    drops non-positive counters, so a delete arriving before its insert
+    would be lost) — partition the CDC landing files by the sketch
+    value so a delete ships with its insert."""
     from ivm_extension_spark.operators.rewrite import MULT_COL
 
     spec = eng._sketch_specs.get(name)
@@ -50,7 +59,10 @@ def run_sketch_stream(
 
     def on_batch(batch_df: DataFrame, batch_id: int) -> None:
         eng.register_delta(
-            spec.source, batch_df.withColumn(MULT_COL, F.lit(True))
+            spec.source,
+            batch_df
+            if MULT_COL in batch_df.columns
+            else batch_df.withColumn(MULT_COL, F.lit(True)),
         )
         eng.ivm_upsert(name)
         eng.merge_view(name)

@@ -204,6 +204,65 @@ def test_run_sketch_stream_and_discard_delta(spark, tmp_path):
         eng.discard_delta("orders_stream")
 
 
+def test_run_sketch_stream_cdc_deletes(spark, tmp_path):
+    """CDC (retraction) stream into a LINEAR sketch (round 8): batches
+    carry the bool multiplicity column and run_sketch_stream registers
+    them AS-IS; signed-counter linearity makes the final counting-Bloom
+    state equal the batch twin over inserts ∖ deletes.  Landing files
+    are hash-partitioned by the sketch value so every retraction ships
+    with its insert (the merge drops non-positive counters)."""
+    from ivm_extension_spark.streaming import run_sketch_stream
+
+    eng = _orders_engine(spark)
+    full = eng.table("orders").select("o_orderkey", "o_custkey")
+    cdc = full.withColumn(MULT_COL, F.lit(True)).unionByName(
+        full.filter("o_orderkey % 3 = 0").withColumn(MULT_COL, F.lit(False))
+    )
+    eng.register_table("orders_stream", full.limit(0))
+    eng.create_sketch_immv(
+        "cbf", "bloom_counting", "orders_stream", "o_custkey",
+        m_bits=1 << 10, k=3,
+    )
+    land, ckpt = str(tmp_path / "land"), str(tmp_path / "ckpt")
+    cdc.repartition(3, "o_custkey").write.parquet(land)
+    s = (
+        spark.readStream.schema(cdc.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(land)
+    )
+    n = run_sketch_stream(eng, "cbf", s, ckpt)
+    assert n >= 2
+    want = rows(
+        eng._sketch_specs["cbf"].compute(full.filter("NOT (o_orderkey % 3 = 0)"))
+    )
+    assert rows(eng.read_view("cbf")) == want
+
+
+def test_run_sketch_stream_cdc_monotone_rejects(spark, tmp_path):
+    """A delete-bearing stream batch into a MONOTONE kind (bit Bloom)
+    fails loudly on the first such batch — never a silent wrong merge."""
+    from ivm_extension_spark.streaming import run_sketch_stream
+
+    eng = _orders_engine(spark)
+    full = eng.table("orders").select("o_orderkey", "o_custkey")
+    cdc = full.withColumn(
+        MULT_COL, F.expr("o_orderkey % 3 != 0")
+    )
+    eng.register_table("orders_stream", full.limit(0))
+    eng.create_sketch_immv(
+        "bf", "bloom", "orders_stream", "o_custkey", m_bits=1 << 10, k=3
+    )
+    land, ckpt = str(tmp_path / "land"), str(tmp_path / "ckpt")
+    cdc.repartition(2).write.parquet(land)
+    s = (
+        spark.readStream.schema(cdc.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(land)
+    )
+    with pytest.raises(Exception, match="delete|monotone|counting"):
+        run_sketch_stream(eng, "bf", s, ckpt)
+
+
 def test_sketch_stats(spark):
     eng = _orders_engine(spark)
     eng.create_sketch_immv("sk", "cms", "orders", "o_custkey", d=3, w=64)

@@ -121,10 +121,10 @@ def test_sql_front_window_view_rejections(spark):
 
     with pytest.raises(NotImplementedError, match="PARTITION BY"):
         parse_view_sql("v", "SELECT k, sum(v) OVER (ORDER BY ts) AS rt FROM t")
-    # multi-list in a PLAIN view is auto-cascaded by the engine BEFORE
+    # multi-list in a PLAIN view is FUSED by the engine BEFORE
     # parse (split_window_stages); the single-ViewDef parser itself
     # still rejects, pointing at the cascade path
-    with pytest.raises(NotImplementedError, match="auto-cascaded"):
+    with pytest.raises(NotImplementedError, match="fused only"):
         parse_view_sql(
             "v",
             "SELECT sum(v) OVER (PARTITION BY k ORDER BY ts) AS a, "
@@ -172,7 +172,7 @@ def test_sql_front_window_parse_review_pins(spark):
             "SELECT sum(v) OVER (PARTITION BY k ORDER BY ts) "
             "/ sum(w) OVER (PARTITION BY g ORDER BY ts) AS ratio FROM t"
         )
-    with pytest.raises(NotImplementedError, match="auto-cascaded"):
+    with pytest.raises(NotImplementedError, match="fused only"):
         parse_view_sql(
             "v",
             "SELECT sum(v) OVER (PARTITION BY k ORDER BY ts) "
@@ -444,3 +444,138 @@ def test_multilist_review_fixes(spark):
     assert "w2" not in eng.list_views()
     assert "__w2_w0" not in eng.list_views()
     eng.drop_table("t")  # no orphaned inner view blocks the base table
+
+
+# --------------------------------------------------------------------------
+# read-windows (round 8): window expressions — GLOBAL ones included — in
+# the select list of an AGGREGATE view, recomputed on read over the
+# merged state (ViewDef.read_windows; merge.finalize)
+# --------------------------------------------------------------------------
+
+_GW_SQL = (
+    "SELECT cust, sum(cents) AS rev, count(oid) AS n, "
+    "rank() OVER (ORDER BY rev DESC, cust ASC) AS rnk "
+    "FROM t GROUP BY cust HAVING rev > 50"
+)
+
+
+def _gw_fixture(spark):
+    from ivm_extension_spark import IVMEngine
+
+    base = spark.createDataFrame(
+        [(i, f"c{i % 7}", (i * 37) % 90) for i in range(60)],
+        "oid int, cust string, cents long",
+    )
+    eng = IVMEngine(spark)
+    eng.register_table("t", base)
+    eng.create_immv("gw", sql=_GW_SQL)
+    return eng
+
+
+def _gw_recompute(eng):
+    eng.table("t").createOrReplaceTempView("__gw_now")
+    return sorted(
+        tuple(r)
+        for r in eng.spark.sql(
+            "SELECT cust, rev, n, rank() OVER (ORDER BY rev DESC, cust ASC) "
+            "AS rnk FROM (SELECT cust, sum(cents) AS rev, count(oid) AS n "
+            "FROM __gw_now GROUP BY cust HAVING sum(cents) > 50)"
+        ).collect()
+    )
+
+
+def test_global_read_window_two_batches(spark):
+    """A global rank over a maintained aggregate matches a recompute
+    across insert+delete batches; ΔV and state never carry the rank."""
+    eng = _gw_fixture(spark)
+    vdef = eng.view("gw")
+    assert vdef.read_windows and "rnk" not in vdef.output_order
+    assert tuple(vdef.public_order) == ("cust", "rev", "n", "rnk")
+    assert _rows(eng.read_view("gw")) == _gw_recompute(eng)
+    for batch in (
+        [(100, "c1", 500, True), (8, "c1", (8 * 37) % 90, False)],
+        [(200, "znew", 77, True), (100, "c1", 500, False)],
+    ):
+        d = spark.createDataFrame(
+            batch, f"oid int, cust string, cents long, {MULT_COL} boolean"
+        )
+        eng.register_delta("t", d)
+        dv = eng.ivm_upsert("gw")
+        assert "rnk" not in dv.columns
+        got = _rows(eng.merge_view("gw"))
+        eng.apply_delta("t")
+        assert got == _gw_recompute(eng)
+
+
+def test_read_window_save_load_and_guards(spark, tmp_path):
+    from ivm_extension_spark import IVMEngine
+    from ivm_extension_spark.operators.rewrite import IVMError
+
+    eng = _gw_fixture(spark)
+    path = str(tmp_path / "gw_store")
+    eng.save(path)
+    b = IVMEngine.load(spark, path, tables={"t": eng.table("t")})
+    assert b.view("gw").read_windows == eng.view("gw").read_windows
+    assert b.view("gw").public_order == eng.view("gw").public_order
+    assert _rows(b.read_view("gw")) == _rows(eng.read_view("gw"))
+    # CDC over a read-window view is unsound (a global rank moves
+    # outside the touched groups) — rejected loudly
+    d = spark.createDataFrame(
+        [(300, "c2", 10, True)], f"oid int, cust string, cents long, {MULT_COL} boolean"
+    )
+    eng.register_delta("t", d)
+    import pytest
+
+    with pytest.raises(IVMError, match="read-windows"):
+        eng.merge_view_cdc("gw")
+
+
+def test_raw_table_global_window_still_rejected(spark):
+    """No bounded delta region over a raw table — the rejection now
+    points at the aggregate-view read-window path."""
+    import pytest
+
+    from ivm_extension_spark import IVMEngine
+
+    eng = IVMEngine(spark)
+    eng.register_table(
+        "t", spark.createDataFrame([(1, 2)], "a int, b int")
+    )
+    with pytest.raises(NotImplementedError, match="AGGREGATE view"):
+        eng.create_immv("bad", sql="SELECT a, rank() OVER (ORDER BY b) AS r FROM t")
+
+
+def test_partitioned_read_window_over_agg(spark):
+    """PARTITION BY windows over an aggregate view take the same
+    read-window path (state stays windowless)."""
+    from ivm_extension_spark import IVMEngine
+
+    base = spark.createDataFrame(
+        [(i, f"g{i % 3}", f"c{i % 5}", i % 11) for i in range(40)],
+        "oid int, grp string, cust string, cents long",
+    )
+    eng = IVMEngine(spark)
+    eng.register_table("t", base)
+    eng.create_immv(
+        "pw",
+        sql="SELECT grp, cust, sum(cents) AS rev, "
+        "row_number() OVER (PARTITION BY grp ORDER BY rev DESC, cust) AS rk "
+        "FROM t GROUP BY grp, cust",
+    )
+    assert "rk" not in eng.view("pw").output_order
+    d = spark.createDataFrame(
+        [(900, "g0", "c9", 400, True)],
+        f"oid int, grp string, cust string, cents long, {MULT_COL} boolean",
+    )
+    eng.register_delta("t", d)
+    got = _rows(eng.maintain("pw"))
+    eng.table("t").createOrReplaceTempView("__pw_now")
+    want = sorted(
+        tuple(r)
+        for r in spark.sql(
+            "SELECT grp, cust, rev, row_number() OVER (PARTITION BY grp "
+            "ORDER BY rev DESC, cust) AS rk FROM (SELECT grp, cust, "
+            "sum(cents) AS rev FROM __pw_now GROUP BY grp, cust)"
+        ).collect()
+    )
+    assert got == want
