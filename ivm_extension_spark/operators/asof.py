@@ -184,15 +184,15 @@ def asof_join_delta(
     ak = parts[0]
     for p in parts[1:]:
         ak = ak.unionByName(p)
-    ak = ak.distinct().localCheckpoint(eager=False)
+    ak = ak.distinct().localCheckpoint(eager=True)
 
     def _affected(df: DataFrame) -> DataFrame:
         # NULL-safe: a NULL key is a real as-of group (window partitions
         # group NULLs), so NULL-key delta rows must restrict it too
         return _ns_join(df, ak, keys, "leftsemi")
 
-    l_a = _affected(left).localCheckpoint(eager=False)
-    r_a = _affected(right).localCheckpoint(eager=False)
+    l_a = _affected(left).localCheckpoint(eager=True)
+    r_a = _affected(right).localCheckpoint(eager=True)
     l_new = apply_delta_to_table(l_a, d_left) if d_left is not None else l_a
     r_new = apply_delta_to_table(r_a, d_right) if d_right is not None else r_a
 

@@ -323,13 +323,15 @@ def ineq_left_join(
         [*key_cols, left_col, *_extra_refs(extra_cond, left.columns)]
     ))
     # the matched relation feeds BOTH the output union and the anti
-    # probe's matched-key set — a lazy localCheckpoint materializes the
-    # dyadic join once instead of executing it twice (and instead of a
-    # second dyadic join over the distinct left keys)
+    # probe's matched-key set — checkpointed EAGER so the dyadic join
+    # runs exactly once: the anti probe's key set is a concurrent
+    # broadcast-build subjob, and a lazy checkpoint races with the main
+    # stage (each consumer that starts before the first block lands
+    # recomputes the whole join — measured r8 on the range lifecycle)
     matched = ineq_join(
         left, right, left_col, right_col, op, bin_width, max_bins, key_cols,
         None, origin, extra_cond,
-    ).localCheckpoint(eager=False)
+    ).localCheckpoint(eager=True)
     anti = _null_pad_anti(left, matched.select(*kp), kp, right, key_cols)
     return matched.unionByName(anti.select(*matched.columns)).select(*out_cols)
 
@@ -366,7 +368,7 @@ def ineq_full_join(
     matched = ineq_join(
         left, right, left_col, right_col, op, bin_width, max_bins, key_cols,
         None, origin, extra_cond,
-    ).localCheckpoint(eager=False)
+    ).localCheckpoint(eager=True)
     anti_l = _null_pad_anti(left, matched.select(*kp_l), kp_l, right, key_cols)
     anti_r = _null_pad_anti(right, matched.select(*kp_r), kp_r, left, key_cols)
     return (
@@ -691,7 +693,7 @@ def ineq_left_join_delta(
         )
         if dr is not None:
             rprime = rprime.unionByName(dr.withColumn(tag_r, F.lit(True)))
-        A = ij(dl, rprime, "left").localCheckpoint(eager=False)
+        A = ij(dl, rprime, "left").localCheckpoint(eager=True)
         branches.append(
             A.select(
                 *out_cols,
@@ -816,7 +818,7 @@ def ineq_full_join_delta(
         )
         if dr is not None:
             rprime = rprime.unionByName(dr.withColumn(tag_r, F.lit(True)))
-        A = ij(dl, rprime, "left").localCheckpoint(eager=False)
+        A = ij(dl, rprime, "left").localCheckpoint(eager=True)
         branches.append(
             A.select(
                 *out_cols,
@@ -844,7 +846,7 @@ def ineq_full_join_delta(
         )
         if dl is not None:
             lprime = lprime.unionByName(dl.withColumn(tag_l, F.lit(True)))
-        C = ij(lprime, dr, "right").localCheckpoint(eager=False)
+        C = ij(lprime, dr, "right").localCheckpoint(eager=True)
         b2 = C.filter(~F.col(tag_l)) if dl is not None else C
         branches.append(b2.select(*out_cols, F.col("__wr").alias(sign)))
         m_pos_r = (

@@ -667,7 +667,11 @@ def _theta_chain_suffix_delta(
     P = P.select(*pcols)
     if pre_pred:
         P = P.filter(F.expr(pre_pred))
-    P = P.localCheckpoint(eager=False)
+    # EAGER: the theta delta rule probes P from several concurrent
+    # broadcast-build subjobs; a lazy checkpoint races — every build
+    # that starts before the first lands recomputes the whole prefix
+    # join (profiled r8 on the range lifecycle: six full scans for one)
+    P = P.localCheckpoint(eager=True)
 
     dP: DataFrame | None = None
     if with_delta & set(pre_tabs):
@@ -679,7 +683,7 @@ def _theta_chain_suffix_delta(
         dP = (
             dP.withColumn(MULT_COL, F.col(_SIGN) > 0)
             .drop(_SIGN)
-            .localCheckpoint(eager=False)
+            .localCheckpoint(eager=True)  # same fan-out-consumer argument
         )
     dC: DataFrame | None = None
     if last.table in with_delta:
@@ -855,7 +859,11 @@ def _theta_chain_general_delta(
             limit=None,
         ),
         get_table,
-    ).localCheckpoint(eager=False)
+        # EAGER: the downstream rules probe B from several concurrent
+        # broadcast-build subjobs (FULL flip counts, sequential worlds);
+        # a lazy checkpoint races and recomputes the theta core join
+        # once per build that starts before the first materializes
+    ).localCheckpoint(eager=True)
 
     dB: DataFrame | None = None
     if with_delta & set(core_tabs):
@@ -866,7 +874,7 @@ def _theta_chain_general_delta(
             .withColumn(MULT_COL, F.col(_SIGN) > 0)
             .drop(_SIGN)
             .select(*core_cols, MULT_COL)
-            .localCheckpoint(eager=False)
+            .localCheckpoint(eager=True)  # same fan-out-consumer argument
         )
 
     # the virtual core shadows its name in vget_table/vget_delta — a

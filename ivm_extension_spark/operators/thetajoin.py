@@ -227,7 +227,7 @@ def theta_left_join(
     left_on = _probe_on(left_on, cond, left.columns, key_cols)
     kp = [*key_cols, *left_on]
     oc = _out_cols(left, right, key_cols)
-    matched = theta_join(left, right, cond, key_cols).localCheckpoint(eager=False)
+    matched = theta_join(left, right, cond, key_cols).localCheckpoint(eager=True)
     anti = _null_pad(left, matched.select(*kp), kp, right, key_cols)
     return matched.unionByName(anti.select(*oc))
 
@@ -248,7 +248,7 @@ def theta_full_join(
     kp_l = [*key_cols, *left_on]
     kp_r = [*key_cols, *right_on]
     oc = _out_cols(left, right, key_cols)
-    matched = theta_join(left, right, cond, key_cols).localCheckpoint(eager=False)
+    matched = theta_join(left, right, cond, key_cols).localCheckpoint(eager=True)
     anti_l = _null_pad(left, matched.select(*kp_l), kp_l, right, key_cols)
     anti_r = _null_pad(right, matched.select(*kp_r), kp_r, left, key_cols)
     return (
@@ -482,7 +482,7 @@ def theta_left_join_delta(
         rprime = right.withColumn("__wr", F.lit(1)).withColumn(tag_r, F.lit(False))
         if dr is not None:
             rprime = rprime.unionByName(dr.withColumn(tag_r, F.lit(True)))
-        A = theta_join(dl, rprime, cond, key_cols, "left").localCheckpoint(eager=False)
+        A = theta_join(dl, rprime, cond, key_cols, "left").localCheckpoint(eager=True)
         branches.append(
             A.select(
                 *oc,
@@ -572,7 +572,7 @@ def theta_full_join_delta(
         rprime = right.withColumn("__wr", F.lit(1)).withColumn(tag_r, F.lit(False))
         if dr is not None:
             rprime = rprime.unionByName(dr.withColumn(tag_r, F.lit(True)))
-        A = theta_join(dl, rprime, cond, key_cols, "left").localCheckpoint(eager=False)
+        A = theta_join(dl, rprime, cond, key_cols, "left").localCheckpoint(eager=True)
         branches.append(
             A.select(
                 *oc,
@@ -596,7 +596,7 @@ def theta_full_join_delta(
         lprime = left.withColumn("__wl", F.lit(1)).withColumn(tag_l, F.lit(False))
         if dl is not None:
             lprime = lprime.unionByName(dl.withColumn(tag_l, F.lit(True)))
-        C = theta_join(lprime, dr, cond, key_cols, "right").localCheckpoint(eager=False)
+        C = theta_join(lprime, dr, cond, key_cols, "right").localCheckpoint(eager=True)
         b2 = C.filter(~F.col(tag_l)) if dl is not None else C
         branches.append(b2.select(*oc, F.col("__wr").alias(_SIGN)))
         m_pos_r = (
