@@ -987,7 +987,9 @@ def _theta_orders_pts(eng) -> tuple[DataFrame, DataFrame]:
     checkpoint job instead of two each — the delta rules' branch
     fan-out re-reads these relations many times, so they are staged in
     a few fat partitions (at scale: the persisted delta slices, sized
-    by bytes)."""
+    by bytes).  EAGER for the same reason as _range_orders_pts: the
+    branch fan-out probes concurrently, and a lazy checkpoint races
+    (each build re-scans the parquet before any block lands)."""
     pred, mult = DELTA_DEFS["orders"]
     sl = (
         eng.table("orders")
@@ -999,7 +1001,7 @@ def _theta_orders_pts(eng) -> tuple[DataFrame, DataFrame]:
             F.expr(mult).alias(MULT_COL),
         )
         .coalesce(4)
-        .localCheckpoint(eager=False)
+        .localCheckpoint(eager=True)
     )
     pts = sl.select("o_orderkey", "price")
     d_pts = sl.filter("__in_delta").select("o_orderkey", "price", MULT_COL)
@@ -1212,7 +1214,7 @@ def _theta_expr_lifecycle(spark: SparkSession, sf_dir: str, how: str) -> DataFra
             *sel, F.expr(pred).alias("__in_delta"), F.expr(mult).alias(MULT_COL)
         )
         .coalesce(4)
-        .localCheckpoint(eager=False)
+        .localCheckpoint(eager=True)
     )
     cols = [c for c in sl.columns if c not in ("__in_delta", MULT_COL)]
     pts = sl.select(*cols)
@@ -2213,12 +2215,12 @@ def _q_approx_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _engine(spark, sf_dir).table("events")
     # the sketch feeds the probe join AND the totals, the item relation
     # the probe AND the distinct count — materialize each once
-    sketch = cms.cms_sketch(ev, (), "user_id").localCheckpoint(eager=False)
+    sketch = cms.cms_sketch(ev, (), "user_id").localCheckpoint(eager=True)
     items = (
         ev.filter("user_id IS NOT NULL")
         .select("user_id")
         .distinct()
-        .localCheckpoint(eager=False)
+        .localCheckpoint(eager=True)
     )
     est = cms.cms_estimate(sketch, items, (), "user_id")
     stats = (
@@ -3204,7 +3206,7 @@ def _q_ivm_merge_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter("event_id % 10 = 0")
         .groupBy("user_id", "ts")
         .agg(F.max(F.expr("CAST(round(value * 100) AS BIGINT)")).alias("snap_cents"))
-        .localCheckpoint(eager=False)  # feeds the base and both delta halves
+        .localCheckpoint(eager=True)  # feeds the base and both delta halves
     )
     d_snaps = (
         snaps0.filter("user_id % 5 = 0")
@@ -3422,7 +3424,7 @@ def _q_ivm_merge_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter("event_id % 10 = 0")
         .groupBy("user_id", "ts")
         .agg(F.max(F.expr("CAST(round(value * 100) AS BIGINT)")).alias("snap_cents"))
-        .localCheckpoint(eager=False)  # feeds the base and both delta halves
+        .localCheckpoint(eager=True)  # feeds the base and both delta halves
     )
     d_snaps = (
         snaps0.filter("user_id % 5 = 0")

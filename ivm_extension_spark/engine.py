@@ -958,10 +958,14 @@ class IVMEngine:
         meta = self._aux_meta[name]
         # Δaux is O(|Δ| distinct values) — checkpoint it once so the three
         # consumers inside merge_aux (anti-probe, semi-probe, union branch)
-        # reuse one result instead of re-running the delta-source scan
+        # reuse one result instead of re-running the delta-source scan.
+        # Taken LAZY with the size probe as the materializing action:
+        # one job where a checkpoint followed by a count would launch two
+        # (the same fusing merge_view applies to the state checkpoint).
         da = auxstate.delta_aux(
             vdef, self.table, self.delta, meta, self.broadcast_deltas
-        ).localCheckpoint(eager=True)
+        ).localCheckpoint(eager=False)
+        n_da = da.count()  # materializes the checkpoint
         # adaptive advance: the touched-key split (broadcast semi/anti,
         # state never exchanged) wins when Δaux is small relative to the
         # state multiset — the IVM steady state, and the case that matters
@@ -974,11 +978,13 @@ class IVMEngine:
         use_split = (
             self.broadcast_deltas
             and state_n is not None
-            and da.count() * 16 <= state_n
+            and n_da * 16 <= state_n
         )
+        # lazy checkpoint + count: the staged-commit count is needed
+        # anyway, so it doubles as the materializing action (one job)
         new_aux = auxstate.merge_aux(
             self._aux[name], da, broadcast_delta=use_split
-        ).localCheckpoint(eager=True)
+        ).localCheckpoint(eager=False)
         # do NOT assign self._aux yet: merge_view commits the advanced aux
         # together with the new state at the END, so a failed merge leaves
         # the engine unchanged and is safely retryable (a mid-merge

@@ -109,6 +109,11 @@ def multi_window_view_delta(
             out = c if out is None else out | c
         return out
 
+    # pin the delta ONCE, eagerly: the A_i key-set derivations below are
+    # consumed by concurrent broadcast-build subjobs, and a lazy shared
+    # plan races — each build re-runs the delta's source scan (the same
+    # fan-out-consumer rule as the theta prefix pins, SCALE_NOTES r8)
+    delta = delta.localCheckpoint(eager=True)
     a_sets = [
         delta.select(*L).distinct().localCheckpoint(eager=False) for L in lists
     ]
@@ -156,8 +161,12 @@ def window_view_delta(
     from ivm_extension_spark.operators.thetajoin import _ns_join
 
     keys = list(partition_cols)
-    ak = delta.select(*keys).distinct().localCheckpoint(eager=False)
-    t_a = _ns_join(table, ak, keys, "leftsemi").localCheckpoint(eager=False)
+    # EAGER pins: t_a feeds the old- and new-side window recomputes —
+    # independent stage subtrees of the same job that run concurrently,
+    # so a lazy shared checkpoint races and the affected-partition scan
+    # runs twice (the fan-out-consumer rule, SCALE_NOTES r8)
+    ak = delta.select(*keys).distinct().localCheckpoint(eager=True)
+    t_a = _ns_join(table, ak, keys, "leftsemi").localCheckpoint(eager=True)
     t_new = apply_delta_to_table(t_a, delta)
     old = compute(t_a)
     new = compute(t_new)
