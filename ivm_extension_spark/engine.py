@@ -146,6 +146,11 @@ class IVMEngine:
         # driven through the same create/upsert/merge surface as
         # ordinary IMMVs, state in the same store
         self._sketch_specs: dict[str, "SketchSpec"] = {}
+        # delta sources a trusted producer declared INSERT-ONLY (e.g. the
+        # stream adapter stamping the multiplicity itself) — lets the
+        # monotone sketch kinds skip their per-batch delete-probe job.
+        # Cleared whenever the source's delta registration changes.
+        self._insert_only_deltas: set[str] = set()
 
     # -- catalog -----------------------------------------------------------
 
@@ -171,6 +176,7 @@ class IVMEngine:
         missing = [c for c in base_cols if c not in df.columns]
         if missing:
             raise IVMError(f"delta for {name!r} is missing base columns {missing}")
+        self._insert_only_deltas.discard(name)  # new delta: no assumption
         self._deltas[name] = df.select(*base_cols, MULT_COL)
 
     def table(self, name: str) -> DataFrame:
@@ -351,9 +357,14 @@ class IVMEngine:
         dv = delta_v if delta_v is not None else self._delta_views.get(name)
         if dv is None:
             dv = spec.delta_state(self.delta(spec.source), MULT_COL)
-        if not getattr(dv, "_ivm_materialized", False):
-            # ΔV feeds the merge AND (store path) the touched-bucket set —
-            # O(touched coordinates), pin once
+        has_store = self._state_store is not None and name in self._state_store
+        if has_store and not getattr(dv, "_ivm_materialized", False):
+            # store path only: ΔV feeds the merge AND the touched-bucket
+            # set — O(touched coordinates), pin once.  Without a store ΔV
+            # has exactly one consumer (the merge), so the state
+            # checkpoint below materializes it in the SAME job — a
+            # separate eager pin would just be one more job launch per
+            # micro-batch (the streaming sketch keys pay it per batch).
             dv = dv.localCheckpoint(eager=True)
             dv._ivm_materialized = True
         new_state = spec.merge(self._state[name], dv)
@@ -566,7 +577,11 @@ class IVMEngine:
         caches the internal-shape ΔV for a subsequent merge_view()."""
         if name in self._sketch_specs:
             spec = self._sketch_specs[name]
-            dv = spec.delta_state(self.delta(spec.source), MULT_COL)
+            dv = spec.delta_state(
+                self.delta(spec.source),
+                MULT_COL,
+                insert_only=spec.source in self._insert_only_deltas,
+            )
             self._delta_views[name] = dv
             return dv
         vdef = self.view(name)
@@ -925,7 +940,10 @@ class IVMEngine:
         plans = {v: self._delta_plan_for(v) for v in affected}  # may raise
         sk_plans = {  # monotone kinds raise here on delete-bearing deltas
             n: self._sketch_specs[n].delta_state(
-                self.delta(self._sketch_specs[n].source), MULT_COL
+                self.delta(self._sketch_specs[n].source),
+                MULT_COL,
+                insert_only=self._sketch_specs[n].source
+                in self._insert_only_deltas,
             )
             for n in sketch_affected
         }

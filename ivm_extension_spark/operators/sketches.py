@@ -111,13 +111,21 @@ class SketchSpec:
 
     # -- ΔV = sketch(Δ) ------------------------------------------------------
 
-    def delta_state(self, delta: DataFrame, mult_col: str) -> DataFrame:
+    def delta_state(
+        self, delta: DataFrame, mult_col: str, insert_only: bool = False
+    ) -> DataFrame:
+        """ΔV = sketch(Δ), signed for the linear kinds.  ``insert_only``
+        asserts the caller KNOWS the delta carries no deletes (e.g. a
+        stream adapter that stamped the multiplicity itself,
+        streaming/sketchstream.py) and skips the monotone kinds'
+        delete probe — one job per micro-batch otherwise spent
+        confirming what the producer guaranteed by construction."""
         p = self.params
         if self.kind in _MONOTONE:
             # a delete cannot be subtracted from an OR/max state — fail
             # loudly (delta-sized probe) instead of corrupting membership
             alt = "bloom_counting" if self.kind == "bloom" else "full_refresh"
-            if delta.filter(~F.col(mult_col)).limit(1).count() > 0:
+            if not insert_only and delta.filter(~F.col(mult_col)).limit(1).count() > 0:
                 from ivm_extension_spark.operators.rewrite import IVMError
 
                 raise IVMError(

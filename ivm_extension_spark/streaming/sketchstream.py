@@ -58,12 +58,17 @@ def run_sketch_stream(
     n_batches = {"n": 0}
 
     def on_batch(batch_df: DataFrame, batch_id: int) -> None:
+        insert_only = MULT_COL not in batch_df.columns
         eng.register_delta(
             spec.source,
             batch_df
-            if MULT_COL in batch_df.columns
+            if not insert_only
             else batch_df.withColumn(MULT_COL, F.lit(True)),
         )
+        if insert_only:
+            # the adapter stamped the multiplicity itself — declare it so
+            # monotone kinds skip their per-batch delete-probe job
+            eng._insert_only_deltas.add(spec.source)
         eng.ivm_upsert(name)
         eng.merge_view(name)
         eng.discard_delta(spec.source)
