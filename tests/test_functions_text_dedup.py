@@ -1123,3 +1123,67 @@ def test_tfidf_index_views_maintained_equals_recompute(spark):
         tfidf_top_terms(post, k=2, quantize=6).withColumnRenamed("id", "doc_id")
     )
     assert got == want
+
+
+def test_chunk_minhash_finds_shared_segment(spark):
+    """Chunk-granular near-dup (round 8): two documents share one long
+    boilerplate paragraph but differ everywhere else — whole-document
+    MinHash dilutes the overlap below banding, the chunk-level rollup
+    must still pair them; a doc's self-similar chunks never emit an
+    intra-doc pair."""
+    import random
+
+    rng = random.Random(7)
+    words = [f"w{i}" for i in range(500)]
+    boiler = " ".join(rng.choice(words) for _ in range(40))
+    noise = lambda n: " ".join(rng.choice(words) for _ in range(n))  # noqa: E731
+    docs = spark.createDataFrame(
+        [
+            (1, noise(120) + " " + boiler),
+            (2, boiler + " " + noise(120)),
+            (3, noise(140)),
+        ],
+        "doc_id bigint, text string",
+    )
+    out = dedup.chunk_minhash_doc_pairs(
+        docs, chunk_size=16, overlap=4, num_hashes=32, bands=8
+    )
+    got = {(r["doc_a"], r["doc_b"]) for r in out.collect()}
+    assert (1, 2) in got
+    assert all(a != b for a, b in got)
+    # whole-document banding misses the same pair at these parameters
+    doc_level = {
+        (r["id_a"], r["id_b"])
+        for r in dedup.minhash_lsh_pairs(
+            docs, "doc_id", "text", num_hashes=32, bands=8
+        ).collect()
+    }
+    assert (1, 2) not in doc_level
+
+
+def test_knn_graph_paths_agree_and_symmetrize(spark):
+    """The BLAS block path and the expression path must emit identical
+    graphs (same quantization + tiebreak); mutual marks exactly the
+    both-direction edges; every vector's top-1 neighbor edge exists."""
+    import random
+
+    rng = random.Random(3)
+    vecs = [
+        (i, [rng.uniform(-1, 1) for _ in range(8)]) for i in range(40)
+    ] + [(99, [0.0] * 8)]  # zero vector: cos 0 everywhere, must not NaN-rank
+    df = spark.createDataFrame(vecs, "vec_id bigint, embedding array<double>")
+    g_blas = similarity.knn_graph(df, k=3)
+    g_expr = similarity.knn_graph(df, k=3, broadcast_limit=0)
+    assert sorted(map(tuple, g_blas.collect())) == sorted(
+        map(tuple, g_expr.collect())
+    )
+    edges = {(r["src"], r["dst"]): r for r in g_blas.collect()}
+    assert all(s < d for s, d in edges)
+    nn = similarity.brute_force_topk(df, df, k=3)
+    top1 = {(min(r["query_id"], r["neighbor_id"]), max(r["query_id"], r["neighbor_id"]))
+            for r in nn.collect() if r["rank"] == 1}
+    assert top1 <= set(edges)
+    # mutual edges = pairs appearing in both directions of the top-k rows
+    directed = {(r["query_id"], r["neighbor_id"]) for r in nn.collect()}
+    for (s, d), r in edges.items():
+        assert r["mutual"] == ((s, d) in directed and (d, s) in directed)
