@@ -579,15 +579,13 @@ def split_window_stages(
                     f"{expr!r} — split the item across aliases"
                 )
         if alias is None:
-            # an unaliased window item's output column would be the
-            # expression TEXT, and a later cascade stage carrying it by
-            # name would re-evaluate the window via F.expr over that
-            # stage's (differently-partitioned) affected subset —
-            # silently wrong values.  Plain identifiers only.
+            # an unaliased window item's output column would be the raw
+            # expression TEXT — unreadable downstream and fragile to
+            # re-parse.  Plain aliases only (kept from the cascade era;
+            # the fused rule itself would tolerate it).
             raise NotImplementedError(
                 "window expressions in a multi-PARTITION-BY view must "
-                f"each have an AS alias (cascade stages carry them by "
-                f"column name): {expr!r}"
+                f"each have an AS alias: {expr!r}"
             )
         if first not in lists:
             lists.append(first)

@@ -579,3 +579,40 @@ def test_partitioned_read_window_over_agg(spark):
         ).collect()
     )
     assert got == want
+
+
+def test_three_list_fused_window_view(spark):
+    """THREE distinct PARTITION BY lists in one SQL text maintain as one
+    fused view across an insert+delete batch (the closure derivation is
+    per-list, nothing is 2-list-specific)."""
+    from ivm_extension_spark import IVMEngine
+
+    base = spark.createDataFrame(
+        [(i, f"k{i % 4}", f"g{i % 3}", f"h{i % 2}", i % 7, i)
+         for i in range(60)],
+        "rid int, k string, g string, h string, v int, ts int",
+    )
+    eng = IVMEngine(spark)
+    eng.register_table("t", base)
+    sql = (
+        "SELECT rid, "
+        "sum(v) OVER (PARTITION BY k ORDER BY ts, rid "
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS a, "
+        "row_number() OVER (PARTITION BY g ORDER BY v DESC, rid) AS b, "
+        "max(v) OVER (PARTITION BY h) AS c "
+        "FROM t"
+    )
+    eng.create_immv("w3", sql=sql)
+    assert eng.view("w3").window_lists == (("k",), ("g",), ("h",))
+    d = spark.createDataFrame(
+        [(100, "k1", "g0", "h1", 99, 100, True),
+         (7, "k3", "g1", "h1", 0, 7, False)],
+        f"rid int, k string, g string, h string, v int, ts int, {MULT_COL} boolean",
+    )
+    eng.register_delta("t", d)
+    got = _rows(eng.maintain("w3"))
+    eng.table("t").createOrReplaceTempView("__w3_now")
+    want = sorted(
+        tuple(r) for r in spark.sql(sql.replace("FROM t", "FROM __w3_now")).collect()
+    )
+    assert got == want
