@@ -626,13 +626,24 @@ class IVMEngine:
         if dv is None:
             dv = self._delta_plan_for(name)
         vdef = self._views[name]
+        # when the aux advance will run (aux aggregates + a registered
+        # delta), _merge_aggregate's delete-probe is skipped for exactly
+        # the aux-covered aliases — ΔV then has ONE consumer (the merge
+        # union / patch fold) and the pin would be a wasted job per batch
+        # (the TF-IDF dfreq/ndocs views pay it twice per batch otherwise)
+        aux_covered = bool(auxstate.aux_aggregates(vdef)) and any(
+            t in self._deltas for t in vdef.tables
+        )
         multi_consumer = (
             force
             or any(j.how != "inner" for j in vdef.joins)
-            or any(
-                a.fn
-                in ("min", "max", "count_distinct", "sum_distinct", "avg_distinct")
-                for a in vdef.aggregates
+            or (
+                not aux_covered
+                and any(
+                    a.fn
+                    in ("min", "max", "count_distinct", "sum_distinct", "avg_distinct")
+                    for a in vdef.aggregates
+                )
             )
         )
         if multi_consumer:
