@@ -616,3 +616,64 @@ def test_three_list_fused_window_view(spark):
         tuple(r) for r in spark.sql(sql.replace("FROM t", "FROM __w3_now")).collect()
     )
     assert got == want
+
+
+def test_fused_multilist_randomized_lists_and_batches(spark):
+    """Seeded randomized drive of the FUSED multi-list rule: random
+    number of lists (2-3), random inserts of new rows and deletes of
+    live ones across two batches, each compared against a recompute
+    over the advanced base."""
+    import random
+
+    from ivm_extension_spark import IVMEngine
+
+    rng = random.Random(4321)
+    for trial in range(3):
+        n_lists = rng.randint(2, 3)
+        rows_, rid = [], 0
+        for _ in range(rng.randint(25, 45)):
+            rows_.append(
+                (rid, f"k{rng.randint(0, 3)}", f"g{rng.randint(0, 2)}",
+                 f"h{rng.randint(0, 1)}", rng.randint(0, 9), rng.randint(0, 5))
+            )
+            rid += 1
+        base = spark.createDataFrame(
+            rows_, "rid int, k string, g string, h string, v int, ts int"
+        )
+        items = [
+            "sum(v) OVER (PARTITION BY k ORDER BY ts, rid "
+            "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS a",
+            "row_number() OVER (PARTITION BY g ORDER BY v DESC, rid) AS b",
+            "max(v) OVER (PARTITION BY h) AS c",
+        ][:n_lists]
+        sql = "SELECT rid, " + ", ".join(items) + " FROM t"
+        eng = IVMEngine(spark)
+        eng.register_table("t", base)
+        eng.create_immv("w", sql=sql)
+        assert len(eng.view("w").window_lists) == n_lists
+        live = list(rows_)
+        nxt = 1000
+        for _ in range(2):
+            dels = [r + (False,) for r in rng.sample(live, min(2, len(live)))]
+            ins = [
+                (nxt + j, f"k{rng.randint(0, 4)}", f"g{rng.randint(0, 3)}",
+                 f"h{rng.randint(0, 1)}", rng.randint(0, 9), rng.randint(0, 5), True)
+                for j in range(rng.randint(1, 3))
+            ]
+            nxt += 10
+            eng.register_delta(
+                "t",
+                spark.createDataFrame(
+                    dels + ins,
+                    f"rid int, k string, g string, h string, v int, ts int, {MULT_COL} boolean",
+                ),
+            )
+            got = _rows(eng.maintain("w"))
+            eng.table("t").createOrReplaceTempView("__wf_now")
+            want = sorted(
+                tuple(r)
+                for r in spark.sql(sql.replace("FROM t", "FROM __wf_now")).collect()
+            )
+            assert got == want, f"trial {trial} ({n_lists} lists) diverged"
+            dead = {d[:6] for d in dels}
+            live = [r for r in live if r not in dead] + [i[:6] for i in ins]
