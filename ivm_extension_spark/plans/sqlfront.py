@@ -517,9 +517,11 @@ def split_window_stages(
 ) -> tuple[str, str | None, list[tuple[str, str, tuple[str, ...]]], list[tuple[str, ...]]] | None:
     """Detect a window view whose OVER clauses use MORE THAN ONE
     PARTITION BY column list and return the pieces the engine needs to
-    auto-split it into a maintained cascade (round 7 — previously such
-    views were rejected with "all window functions in a view must share
-    ONE PARTITION BY column list").
+    maintain it as one FUSED multi-list view (round 8,
+    windowcdc.multi_window_view_delta via ViewDef.window_lists; round 7
+    built a cascade of per-list IMMVs from the same pieces — previously
+    such views were rejected with "all window functions in a view must
+    share ONE PARTITION BY column list").
 
     Returns ``(source, where, items, lists)`` with ``items`` =
     ``[(expr, alias, partition_list-or-())...]`` in select order and
