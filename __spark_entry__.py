@@ -2023,6 +2023,50 @@ def _q_dedup_minhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_dedup_chunk_minhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental CHUNK-grain near-dup (round 8 —
+    dedup.chunk_minhash_delta_pairs): the chunk banding index of the
+    current corpus absorbs the same document delta the doc-grain
+    incremental key uses (near-dup ' copy' twins of the %10 docs under
+    new ids, %7==3 docs deleted).  Chunking is a stateless map, so
+    Δ(chunks) = chunk(Δdocs) — only the delta's chunks are
+    fingerprinted, the corpus is never re-chunked, and retractions hit
+    exactly the chunk rows the original indexing wrote (deterministic
+    id packing).  Output: the chunk-pair CDC (packed chunk ids,
+    doc = id // 100000).  Oracle = row-level EXCEPT between the post-
+    and pre-delta CHUNKED corpora through the identical md5 pipeline."""
+    from ivm_extension_spark.functions.dedup import (
+        chunk_banded_signatures,
+        chunk_minhash_delta_pairs,
+    )
+
+    docs = _docs(spark, sf_dir)
+    state = chunk_banded_signatures(
+        docs, "doc_id", "text", chunk_size=16, overlap=4,
+        num_hashes=32, bands=8, shingle_hash="md5",
+    )
+    delta = (
+        docs.filter("doc_id % 10 = 0")
+        .select(
+            (F.col("doc_id") + F.lit(100000)).alias("doc_id"),
+            F.concat(F.col("text"), F.lit(" copy")).alias("text"),
+        )
+        .withColumn(MULT_COL, F.lit(True))
+        .unionByName(
+            docs.filter("doc_id % 7 = 3")
+            .select("doc_id", "text")
+            .withColumn(MULT_COL, F.lit(False))
+        )
+    )
+    cdc, _new_state = chunk_minhash_delta_pairs(
+        state, delta, "doc_id", "text", chunk_size=16, overlap=4,
+        num_hashes=32, bands=8, shingle_hash="md5",
+    )
+    return cdc.select(
+        "id_a", "id_b", "n_bands_agree", F.col(MULT_COL).alias("is_insert")
+    )
+
+
 def _q_dedup_embedding_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental embedding near-dup (functions/dedup.py
     embedding_near_dups_delta): the stored vector index absorbs a delta
@@ -3817,6 +3861,7 @@ _EXTRA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_minhash_lsh": _q_dedup_minhash_lsh,
     "dedup_simhash": _q_dedup_simhash,
     "dedup_chunk_minhash": _q_dedup_chunk_minhash,
+    "dedup_chunk_minhash_incremental": _q_dedup_chunk_minhash_incremental,
     "emb_knn_graph": _q_emb_knn_graph,
     "dedup_embedding": _q_dedup_embedding,
     "sim_topk_bruteforce": _q_sim_topk,
@@ -3871,25 +3916,27 @@ _EXTRA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 #
 # ROUND 8 WINDOW, computed by scripts/update_ledger.py (never-graded
 # first, then least-recently-green):
-#   - positions 1-4: the keys registered THIS round, never driver-graded
-#     (dedup_chunk_minhash — chunk-granular MinHash/LSH rolled up to doc
-#     pairs, full value oracle; emb_knn_graph — symmetrized exact k-NN
-#     graph, gated BLAS block path; streaming_counting_bloom_cdc — a
-#     DELETE-BEARING CDC stream into a linear counting-Bloom sketch view;
-#     window_global_over_agg — a GLOBAL partition-less rank over a
-#     maintained aggregate, recomputed on read as a ViewDef.read_window);
-#   - positions 5-50: the round-5-stale cohort the r7 VERDICT queued
+#   - positions 1-5: the keys registered THIS round, never driver-graded
+#     (dedup_chunk_minhash / dedup_chunk_minhash_incremental —
+#     chunk-granular MinHash/LSH, batch rollup + delta-only CDC, full
+#     value oracles; emb_knn_graph — symmetrized exact k-NN graph,
+#     gated BLAS block path; streaming_counting_bloom_cdc — a
+#     DELETE-BEARING CDC stream into a linear counting-Bloom sketch
+#     view; window_global_over_agg — a GLOBAL partition-less rank over
+#     a maintained aggregate, recomputed on read as a read-window);
+#   - positions 6-50: the round-5-stale cohort the r7 VERDICT queued
 #     (its 'What's missing' #1): the original ivm core
 #     (filter/groupby/join/maintain_all/cascade_rollup), q5/q14,
 #     pivot/rollup/unpivot/setops, the text_* and sim_topk_* batch
 #     families, multimodal, range_join_bands, window_running_total,
 #     percentiles, sessionize, sampling/packing.  Rounds 7-8 changed
-#     engine.py (merge checkpoint+count fusing), merge.py (read-window
-#     finalize), sqlfront.py (read-window classification) and the fused
-#     multi-list window path underneath them — these grades confirm the
-#     stale cohort under current code.
+#     engine.py (merge checkpoint+count fusing, pin policy), merge.py
+#     (read-window finalize), sqlfront.py and the fused multi-list
+#     window path underneath them — these grades confirm the stale
+#     cohort under current code.
 _GRADE_FIRST: tuple[str, ...] = (
     "dedup_chunk_minhash",
+    "dedup_chunk_minhash_incremental",
     "emb_knn_graph",
     "streaming_counting_bloom_cdc",
     "window_global_over_agg",
@@ -3938,7 +3985,6 @@ _GRADE_FIRST: tuple[str, ...] = (
     "unpivot_sales",
     "window_running_total",
     "approx_bloom_membership",
-    "approx_distinct_sketch",
 )
 
 
@@ -5106,15 +5152,12 @@ def _minhash_lsh_oracle(num_hashes: int, bands: int, seed: int) -> str:
     return f"SELECT * FROM {_minhash_pairs_block('SELECT doc_id, text FROM documents', num_hashes, bands, seed)} q"
 
 
-def _chunk_minhash_oracle(
-    chunk_size: int, overlap: int, num_hashes: int, bands: int, seed: int,
-    id_stride: int,
+def _chunked_docs_sql(
+    docs_sql: str, chunk_size: int, overlap: int, id_stride: int
 ) -> str:
-    """DuckDB twin of dedup.chunk_minhash_doc_pairs: identical token
-    windows (text.chunk_tokens's size/stride arithmetic), each chunk fed
-    through the SAME md5 MinHash/LSH block the doc-level oracle uses
-    (chunk ids packed as doc_id·stride + chunk_id), then the identical
-    doc-pair rollup — value-exact end-to-end."""
+    """DuckDB twin of the chunked (cid, text) relation — identical token
+    windows to text.chunk_tokens's size/stride arithmetic, chunk ids
+    packed as doc_id·stride + chunk_id."""
     stride = chunk_size - overlap
     chunks_expr = (
         f"list_transform(range(0, ((greatest(len(toks) - {chunk_size}, 0) "
@@ -5122,7 +5165,7 @@ def _chunk_minhash_oracle(
         f"i -> array_to_string(list_slice(toks, i * {stride} + 1, "
         f"i * {stride} + {chunk_size}), ' '))"
     )
-    chunked_sql = f"""
+    return f"""
         SELECT s.cid AS doc_id, s.ct AS text
         FROM (
             SELECT unnest(list_transform(range(0, len(chunks)),
@@ -5131,10 +5174,23 @@ def _chunk_minhash_oracle(
                            ct := chunks[j + 1]))) AS s
             FROM (
                 SELECT doc_id, {chunks_expr} AS chunks
-                FROM (SELECT doc_id, {_TOKS} AS toks FROM documents) t
+                FROM (SELECT doc_id, {_TOKS} AS toks FROM ({docs_sql}) dsrc) t
             ) c
         ) u
     """
+
+
+def _chunk_minhash_oracle(
+    chunk_size: int, overlap: int, num_hashes: int, bands: int, seed: int,
+    id_stride: int,
+) -> str:
+    """DuckDB twin of dedup.chunk_minhash_doc_pairs: identical token
+    windows, each chunk fed through the SAME md5 MinHash/LSH block the
+    doc-level oracle uses, then the identical doc-pair rollup —
+    value-exact end-to-end."""
+    chunked_sql = _chunked_docs_sql(
+        "SELECT doc_id, text FROM documents", chunk_size, overlap, id_stride
+    )
     block = _minhash_pairs_block(chunked_sql, num_hashes, bands, seed)
     return f"""
         SELECT least(id_a // {id_stride}, id_b // {id_stride}) AS doc_a,
@@ -5145,6 +5201,39 @@ def _chunk_minhash_oracle(
         WHERE id_a // {id_stride} <> id_b // {id_stride}
         GROUP BY 1, 2
     """
+
+
+def _chunk_minhash_incremental_oracle(
+    chunk_size: int, overlap: int, num_hashes: int, bands: int, seed: int,
+    id_stride: int,
+) -> str:
+    """Oracle for the chunk-grain candidate-pair CDC: the pair-set
+    difference between the post-delta CHUNKED corpus and the current
+    one (the doc-grain incremental oracle's EXCEPT argument at chunk
+    grain — chunks of unchanged docs band identically in both
+    worlds)."""
+    pre = _minhash_pairs_block(
+        _chunked_docs_sql(
+            "SELECT doc_id, text FROM documents", chunk_size, overlap, id_stride
+        ),
+        num_hashes, bands, seed,
+    )
+    post = _minhash_pairs_block(
+        _chunked_docs_sql(
+            "SELECT doc_id, text FROM documents WHERE NOT (doc_id % 7 = 3) "
+            "UNION ALL SELECT doc_id + 100000 AS doc_id, text || ' copy' AS text "
+            "FROM documents WHERE doc_id % 10 = 0",
+            chunk_size, overlap, id_stride,
+        ),
+        num_hashes, bands, seed,
+    )
+    return f"""
+            SELECT id_a, id_b, n_bands_agree, true AS is_insert
+            FROM (SELECT * FROM {post} p EXCEPT SELECT * FROM {pre} q)
+            UNION ALL
+            SELECT id_a, id_b, n_bands_agree, false AS is_insert
+            FROM (SELECT * FROM {pre} q EXCEPT SELECT * FROM {post} p)
+        """
 
 
 def _minhash_incremental_oracle(num_hashes: int, bands: int, seed: int) -> str:
@@ -5968,6 +6057,10 @@ def _extras_oracle_sql() -> dict[str, str]:
             WHERE round(n_common / (n_a + n_b - n_common) * 1000000.0) / 1000000.0 >= 0.05
         """,
         "dedup_minhash_lsh": _minhash_lsh_oracle(num_hashes=64, bands=16, seed=42),
+        "dedup_chunk_minhash_incremental": _chunk_minhash_incremental_oracle(
+            chunk_size=16, overlap=4, num_hashes=32, bands=8, seed=42,
+            id_stride=100_000,
+        ),
         "dedup_chunk_minhash": _chunk_minhash_oracle(
             chunk_size=16, overlap=4, num_hashes=32, bands=8, seed=42,
             id_stride=100_000,

@@ -373,6 +373,47 @@ def minhash_lsh_pairs(
     return _band_pairs(banded, banded, ordered=True)
 
 
+def _chunked_relation(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    chunk_size: int,
+    overlap: int,
+    id_stride: int,
+    carry: tuple[str, ...] = (),
+) -> DataFrame:
+    """(cid, chunk_text, carry...) rows — one per token window of each
+    document, chunk ids packed as doc_id·id_stride + chunk_id with a
+    loud codegen'd guard (a silent overflow would alias chunks of
+    different documents).  ``carry`` forwards extra columns unchanged
+    (pass the multiplicity column to chunk a delta: the bool threads
+    through the chunk explode untouched — the delta rule for a
+    stateless map, same as tfidf.tokenize_terms)."""
+    from ivm_extension_spark.functions.text import chunk_tokens
+
+    ch = chunk_tokens(
+        docs.select(F.col(id_col), F.col(text_col), *carry),
+        text_col,
+        chunk_size,
+        overlap,
+    )
+    cid = (
+        F.when(
+            F.col("chunk_id") >= id_stride,
+            F.expr(
+                f"raise_error('chunked dedup: chunk_id exceeds "
+                f"id_stride={id_stride} — raise id_stride')"
+            ).cast("bigint"),
+        )
+        .otherwise(
+            F.col(id_col).cast("bigint") * F.lit(id_stride)
+            + F.col("chunk_id").cast("bigint")
+        )
+        .alias("cid")
+    )
+    return ch.select(cid, F.col("chunk_text"), *carry)
+
+
 def chunk_minhash_doc_pairs(
     docs: DataFrame,
     id_col: str = "doc_id",
@@ -407,26 +448,7 @@ def chunk_minhash_doc_pairs(
     (SURVEY.md §2 extras); chunking and MinHash are the same primitives
     the graded dedup_minhash_lsh / pack_documents keys use.
     """
-    from ivm_extension_spark.functions.text import chunk_tokens
-
-    ch = chunk_tokens(
-        docs.select(F.col(id_col), F.col(text_col)), text_col, chunk_size, overlap
-    )
-    cid = (
-        F.when(
-            F.col("chunk_id") >= id_stride,
-            F.expr(
-                f"raise_error('chunk_minhash_doc_pairs: chunk_id exceeds "
-                f"id_stride={id_stride} — raise id_stride')"
-            ).cast("bigint"),
-        )
-        .otherwise(
-            F.col(id_col).cast("bigint") * F.lit(id_stride)
-            + F.col("chunk_id").cast("bigint")
-        )
-        .alias("cid")
-    )
-    chunked = ch.select(cid, F.col("chunk_text"))
+    chunked = _chunked_relation(docs, id_col, text_col, chunk_size, overlap, id_stride)
     pairs = minhash_lsh_pairs(
         chunked, "cid", "chunk_text", num_hashes, bands, shingle_n, seed,
         shingle_hash,
@@ -445,6 +467,76 @@ def chunk_minhash_doc_pairs(
             F.count(F.lit(1)).alias("n_chunk_pairs"),
             F.max("n_bands_agree").alias("max_bands_agree"),
         )
+    )
+
+
+def chunk_banded_signatures(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    chunk_size: int = 16,
+    overlap: int = 4,
+    num_hashes: int = 32,
+    bands: int = 8,
+    shingle_n: int = 3,
+    seed: int = 42,
+    shingle_hash: str = "xxhash64",
+    id_stride: int = 100_000,
+) -> DataFrame:
+    """The chunk-grain banding index — :func:`banded_signatures` over the
+    chunked corpus (chunk ids packed as doc_id·id_stride + chunk_id).
+    This is the STATE a growing corpus persists so later batches only
+    fingerprint their delta (:func:`chunk_minhash_delta_pairs`)."""
+    chunked = _chunked_relation(
+        docs, id_col, text_col, chunk_size, overlap, id_stride
+    )
+    return banded_signatures(
+        chunked, "cid", "chunk_text", num_hashes, bands, shingle_n, seed,
+        shingle_hash,
+    )
+
+
+def chunk_minhash_delta_pairs(
+    state: DataFrame,
+    delta_docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    chunk_size: int = 16,
+    overlap: int = 4,
+    num_hashes: int = 32,
+    bands: int = 8,
+    shingle_n: int = 3,
+    seed: int = 42,
+    broadcast_deltas: bool = True,
+    shingle_hash: str = "xxhash64",
+    id_stride: int = 100_000,
+) -> tuple[DataFrame, DataFrame]:
+    """INCREMENTAL chunk-grain near-dup — the chunk-pair CDC under a
+    document delta, without re-chunking or re-fingerprinting the corpus.
+
+    Chunking is a stateless per-row map, so Δ(chunks) = chunk(Δdocs):
+    the bool multiplicity threads through the chunk explode untouched (a
+    deleted document retracts every chunk it indexed, an inserted one
+    indexes all of its chunks) and the chunk-id packing is deterministic,
+    so retractions hit exactly the state rows the original indexing
+    wrote.  Everything else IS :func:`minhash_lsh_delta_pairs` at chunk
+    grain: only the delta's chunks run the signature UDF, the state is
+    probed by broadcast delta band sets, and
+    pairs(chunks(T)) ⊎ CDC == pairs(chunks(T')) (tested).
+
+    ``state`` is :func:`chunk_banded_signatures` of the current corpus;
+    returns ``(chunk_pair_cdc, new_state)`` — ids in both are packed
+    chunk ids (doc = id // id_stride).
+    """
+    from ivm_extension_spark.operators.rewrite import MULT_COL
+
+    chunked_delta = _chunked_relation(
+        delta_docs, id_col, text_col, chunk_size, overlap, id_stride,
+        carry=(MULT_COL,),
+    )
+    return minhash_lsh_delta_pairs(
+        state, chunked_delta, "cid", "chunk_text", num_hashes, bands,
+        shingle_n, seed, broadcast_deltas, shingle_hash,
     )
 
 

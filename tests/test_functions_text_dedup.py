@@ -1187,3 +1187,67 @@ def test_knn_graph_paths_agree_and_symmetrize(spark):
     directed = {(r["query_id"], r["neighbor_id"]) for r in nn.collect()}
     for (s, d), r in edges.items():
         assert r["mutual"] == ((s, d) in directed and (d, s) in directed)
+
+
+def test_chunk_minhash_delta_pairs_invariant(spark):
+    """pairs(chunks(T)) ⊎ CDC == pairs(chunks(T')) for the chunk-grain
+    incremental dedup: a delete retracts every chunk its document
+    indexed; an inserted doc sharing one paragraph pairs at chunk grain;
+    the advanced state equals a fresh chunk index."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    m = "_duckdb_ivm_multiplicity"
+    rng = random.Random(11)
+    words = [f"w{i}" for i in range(300)]
+    boiler = " ".join(rng.choice(words) for _ in range(40))
+    mk = lambda n: " ".join(rng.choice(words) for _ in range(n))  # noqa: E731
+    base_rows = [
+        (1, mk(80) + " " + boiler),
+        (2, mk(90)),
+        (3, boiler + " " + mk(70)),
+    ]
+    base = spark.createDataFrame(base_rows, "doc_id long, text string")
+    delta_rows = [
+        (10, mk(60) + " " + boiler, True),   # new doc sharing the paragraph
+        (3, base_rows[2][1], False),          # delete doc 3 (breaks 1-3 chunk pairs)
+    ]
+    delta = spark.createDataFrame(delta_rows, f"doc_id long, text string, {m} boolean")
+    kw = dict(chunk_size=16, overlap=4, num_hashes=32, bands=8)
+
+    state = dedup.chunk_banded_signatures(base, "doc_id", "text", **kw)
+    cdc, new_state = dedup.chunk_minhash_delta_pairs(
+        state, delta, "doc_id", "text", **kw
+    )
+
+    def pairs(docs):
+        ch = dedup._chunked_relation(docs, "doc_id", "text", 16, 4, 100_000)
+        return dedup.minhash_lsh_pairs(ch, "cid", "chunk_text", 32, 8)
+
+    applied = spark.createDataFrame(
+        [base_rows[0], base_rows[1], (10, delta_rows[0][1])],
+        "doc_id long, text string",
+    )
+    cols = ["id_a", "id_b", "n_bands_agree"]
+    merged = (
+        pairs(base).withColumn("__s", F.lit(1))
+        .unionByName(
+            cdc.withColumn("__s", F.when(F.col(m), F.lit(1)).otherwise(F.lit(-1)))
+            .drop(m)
+        )
+        .groupBy(*cols)
+        .agg(F.sum("__s").alias("__n"))
+        .filter(F.col("__n") > 0)
+        .select(*cols)
+    )
+    assert sorted(map(tuple, merged.collect())) == sorted(
+        map(tuple, pairs(applied).select(*cols).collect())
+    )
+    got = {(r["id_a"] // 100_000, r["id_b"] // 100_000, r[m]) for r in cdc.collect()}
+    assert (1, 3, False) in got   # deletion retracts the shared-paragraph pairs
+    assert (1, 10, True) in got   # inserted doc pairs with 1 at chunk grain
+    fresh = dedup.chunk_banded_signatures(applied, "doc_id", "text", **kw)
+    assert sorted(map(tuple, new_state.collect())) == sorted(
+        map(tuple, fresh.collect())
+    )
