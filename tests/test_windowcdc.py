@@ -446,6 +446,54 @@ def test_multilist_review_fixes(spark):
     eng.drop_table("t")  # no orphaned inner view blocks the base table
 
 
+def test_sqlfront_window_routing_review_pins(spark):
+    """Round-9 review pins on the window/aggregate routing seams:
+    (a) a bare aggregate mixed with multi-list windows must NOT take
+    the fused multi-list path (which would die later in Spark with an
+    opaque mixed-aggregate AnalysisException) — split_window_stages
+    falls through and the view routes/rejects via parse_view_sql;
+    (b) aggregate detection is quote-aware: the word 'over' inside a
+    string literal does not turn count(...) into a window item, so the
+    view routes to the aggregate/read-window path it was meant for."""
+    from ivm_extension_spark.plans.sqlfront import (
+        parse_view_sql,
+        split_window_stages,
+    )
+
+    # (a) bare aggregate + two partition lists → None (fall through),
+    # never the fused path
+    assert (
+        split_window_stages(
+            "SELECT sum(v) AS s, "
+            "sum(v) OVER (PARTITION BY a ORDER BY ts, rid) AS ra, "
+            "sum(v) OVER (PARTITION BY b ORDER BY ts, rid) AS rb FROM t"
+        )
+        is None
+    )
+
+    # (b) 'over' inside a literal: the count is an aggregate, the view
+    # is an aggregate view, and its companion window lands in
+    # read_windows (not window_partition)
+    vdef = parse_view_sql(
+        "v",
+        "SELECT status, "
+        "count(CASE WHEN note = 'rolled over' THEN 1 END) AS n_roll, "
+        "sum(v) AS s, "
+        "rank() OVER (ORDER BY s DESC, status ASC) AS rnk "
+        "FROM t GROUP BY status",
+    )
+    assert vdef.read_windows and not vdef.window_partition
+
+    # same quote-awareness with NO group by: the aggregate alone must
+    # still mark the view aggregate so the global window is accepted
+    vdef2 = parse_view_sql(
+        "v2",
+        "SELECT count(CASE WHEN note = 'rolled over' THEN 1 END) AS n_roll, "
+        "rank() OVER (ORDER BY n_roll DESC) AS rnk FROM t",
+    )
+    assert vdef2.read_windows and not vdef2.window_partition
+
+
 # --------------------------------------------------------------------------
 # read-windows (round 8): window expressions — GLOBAL ones included — in
 # the select list of an AGGREGATE view, recomputed on read over the
