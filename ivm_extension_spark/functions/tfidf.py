@@ -117,19 +117,26 @@ def tfidf_index_views(
             eng, docs_table, id_col, text_col, min_token_len, terms_table
         )
     tf, dfreq, ndocs = (f"{prefix}tf", f"{prefix}dfreq", f"{prefix}ndocs")
-    eng.create_immv(
-        tf,
-        sql=f"SELECT {id_col}, term, count(*) AS tf "
-        f"FROM {terms_table} GROUP BY {id_col}, term",
-    )
-    eng.create_immv(
-        dfreq,
-        sql=f"SELECT term, count(DISTINCT {id_col}) AS df "
-        f"FROM {terms_table} GROUP BY term",
-    )
-    eng.create_immv(
-        ndocs, sql=f"SELECT count(DISTINCT {id_col}) AS n FROM {docs_table}"
-    )
+    # the three creates are independent (distinct names, each over an
+    # already-registered relation) — materialize their initial states
+    # concurrently, same thread-per-view drive as engine.merge_views
+    from concurrent.futures import ThreadPoolExecutor
+
+    creates = [
+        (
+            tf,
+            f"SELECT {id_col}, term, count(*) AS tf "
+            f"FROM {terms_table} GROUP BY {id_col}, term",
+        ),
+        (
+            dfreq,
+            f"SELECT term, count(DISTINCT {id_col}) AS df "
+            f"FROM {terms_table} GROUP BY term",
+        ),
+        (ndocs, f"SELECT count(DISTINCT {id_col}) AS n FROM {docs_table}"),
+    ]
+    with ThreadPoolExecutor(len(creates)) as ex:
+        list(ex.map(lambda nv: eng.create_immv(nv[0], sql=nv[1]), creates))
     return tf, dfreq, ndocs
 
 

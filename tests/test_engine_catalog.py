@@ -302,3 +302,47 @@ def test_stats_merge_strategy_is_per_view(spark):
     assert eng.stats("big")["last_merge_strategy"] == "patch"
     # per-view: 'small' must NOT report 'big's strategy
     assert eng.stats("small")["last_merge_strategy"] == "shuffle"
+
+
+def test_merge_views_concurrent_equals_sequential(spark):
+    """merge_views drives independent views from a thread per view
+    (Spark's scheduler is thread-safe); the merged public states must
+    equal a sequential drive's, state bookkeeping must advance for
+    every view, and duplicate names are rejected."""
+    from tests.conftest import rows
+
+    from pyspark.sql import functions as F
+
+    def build():
+        eng = IVMEngine(spark)
+        eng.register_table(
+            "t",
+            spark.createDataFrame(
+                [("a", 1), ("a", 2), ("b", 5), ("c", 7)], "k string, x int"
+            ),
+        )
+        eng.create_immv("sums", sql="SELECT k, sum(x) AS s FROM t GROUP BY k")
+        eng.create_immv("cnt", sql="SELECT count(DISTINCT k) AS n FROM t")
+        eng.create_immv("hi", sql="SELECT k, max(x) AS m FROM t GROUP BY k")
+        eng.register_delta(
+            "t",
+            spark.createDataFrame(
+                [("a", 9, True), ("b", 5, False), ("d", 2, True)],
+                f"k string, x int, {MULT_COL} boolean",
+            ),
+        )
+        for v in ("sums", "cnt", "hi"):
+            eng.ivm_upsert(v)
+        return eng
+
+    seq = build()
+    seq_states = [seq.merge_view(v) for v in ("sums", "cnt", "hi")]
+    conc = build()
+    conc_states = conc.merge_views(["sums", "cnt", "hi"])
+    for s, c in zip(seq_states, conc_states):
+        assert sorted(rows(s)) == sorted(rows(c))
+    for v in ("sums", "cnt", "hi"):
+        assert conc._merge_counts[v] == 1
+
+    with pytest.raises(IVMError, match="distinct"):
+        conc.merge_views(["sums", "sums"])
