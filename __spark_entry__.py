@@ -3489,6 +3489,34 @@ def _q_window_global_over_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return eng.merge_view("custrank")
 
 
+def _q_ivm_merge_window_over_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MAINTAINED WINDOW OVER A JOIN from ONE ``CREATE IMMV`` (round 9 —
+    lifts the window-view contract's single-table restriction): rank
+    orders within their customer's market segment.  The engine
+    auto-composes the cascade a user previously hand-assembled
+    (engine._create_composite_window): an inner maintained PROJECTION
+    join view pruned to the referenced base columns (its ΔV IS
+    row-level CDC), an implicit snapshot table of its public state, and
+    the window view over the snapshot — ``maintain`` drives outer-then-
+    inner so the window delta computes against the OLD snapshot plus
+    Δsnap, the textbook cascade ordering.  The WHERE lives in the inner
+    (SQL evaluates WHERE before window functions).  The standard orders
+    delta inserts AND deletes; oracle = full rank recompute over the
+    post-delta join in DuckDB."""
+    eng = _engine(spark, sf_dir, deltas=("orders",))
+    eng.create_immv(
+        "segrank",
+        sql="SELECT o_orderkey, c_mktsegment, "
+        "CAST(round(o_totalprice * 100) AS BIGINT) AS price_cents, "
+        "rank() OVER (PARTITION BY c_mktsegment "
+        "ORDER BY CAST(round(o_totalprice * 100) AS BIGINT) DESC, "
+        "o_orderkey ASC) AS rnk "
+        "FROM orders JOIN customer ON o_custkey = c_custkey "
+        "WHERE o_orderkey % 20 = 0",
+    )
+    return eng.maintain("segrank")
+
+
 def _q_ivm_merge_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MAINTAINED FORWARD as-of join with a staleness bound (round 6):
     the round-5 direction/tolerance surface threaded through the
@@ -3843,6 +3871,7 @@ _OLAP_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ivm_multibatch_window_multilist": _q_ivm_multibatch_window_multilist,
     "ivm_merge_window_cascade": _q_ivm_merge_window_cascade,
     "window_global_over_agg": _q_window_global_over_agg,
+    "ivm_merge_window_over_join": _q_ivm_merge_window_over_join,
     "range_join_bands": _q_range_join,
     "percentiles_by_status": _q_percentiles,
     "approx_distinct_sketch": _q_approx_distinct_sketch,
@@ -3917,77 +3946,71 @@ _EXTRA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 # correctness rows (the rotation ledger lives in GRADING_LEDGER.json and
 # tests/test_registry.py enforces window size + oracle coverage).
 #
-# ROUND 8 WINDOW, computed by scripts/update_ledger.py (never-graded
+# ROUND 9 WINDOW, computed by scripts/update_ledger.py (never-graded
 # first, then least-recently-green):
-#   - positions 1-5: the keys registered THIS round, never driver-graded
-#     (dedup_chunk_minhash / dedup_chunk_minhash_incremental —
-#     chunk-granular MinHash/LSH, batch rollup + delta-only CDC, full
-#     value oracles; emb_knn_graph — symmetrized exact k-NN graph,
-#     gated BLAS block path; streaming_counting_bloom_cdc — a
-#     DELETE-BEARING CDC stream into a linear counting-Bloom sketch
-#     view; window_global_over_agg — a GLOBAL partition-less rank over
-#     a maintained aggregate, recomputed on read as a read-window);
-#   - positions 6-50: the round-5-stale cohort the r7 VERDICT queued
-#     (its 'What's missing' #1): the original ivm core
-#     (filter/groupby/join/maintain_all/cascade_rollup), q5/q14,
-#     pivot/rollup/unpivot/setops, the text_* and sim_topk_* batch
-#     families, multimodal, range_join_bands, window_running_total,
-#     percentiles, sessionize, sampling/packing.  Rounds 7-8 changed
-#     engine.py (merge checkpoint+count fusing, pin policy), merge.py
-#     (read-window finalize), sqlfront.py and the fused multi-list
-#     window path underneath them — these grades confirm the stale
-#     cohort under current code.
+#   - position 1: the key registered THIS round, never driver-graded
+#     (ivm_merge_window_over_join — a window view over a JOIN
+#     auto-composed by the engine into the inner-join-view + snapshot
+#     + window-view cascade, full rank value oracle);
+#   - positions 2-50: the round-6-stale cohort the r8 VERDICT queued
+#     (its 'Next round' #3): the theta_expr/full-chain/sketch-lifecycle
+#     era keys — merge lifecycles for every join type and aggregate
+#     family, the sketch views, q1/q13, asof forward, streaming asof,
+#     sim_topk_ivf, text_fingerprints.  Rounds 8-9 changed engine.py
+#     (merge_views, composite cascades, checkpoint pins), merge.py,
+#     sqlfront.py and windowcdc.py underneath them — these grades
+#     confirm the stale cohort under current code.
 _GRADE_FIRST: tuple[str, ...] = (
-    "dedup_chunk_minhash",
-    "dedup_chunk_minhash_incremental",
-    "emb_knn_graph",
-    "streaming_counting_bloom_cdc",
-    "window_global_over_agg",
-    "ivm_cascade_rollup",
-    "ivm_count_distinct",
-    "ivm_expr_agg",
-    "ivm_filter",
-    "ivm_filter_groupby",
-    "ivm_global_agg",
-    "ivm_groupby_agg",
-    "ivm_join_delta",
-    "ivm_left_join_delta",
-    "ivm_maintain_all",
-    "ivm_merge_anti_join",
-    "ivm_merge_chain_dim",
-    "ivm_merge_chain_semi",
-    "ivm_merge_corpus_stats",
-    "ivm_merge_dedup_index",
-    "ivm_merge_quantile_hist",
-    "ivm_merge_theta_routed_sql",
-    "mix_quota_per_source",
-    "multimodal_decode",
-    "multimodal_meta",
-    "pack_documents",
-    "percentiles_by_status",
-    "pivot_sales",
-    "q14_promo_revenue",
-    "q5_local_supplier_volume",
-    "range_join_bands",
-    "rollup_sales",
-    "sample_stratified",
-    "scalar_functions",
-    "sessionize_users",
-    "setops_active_custkeys",
-    "sim_knn_label_consistency",
-    "sim_topk_bruteforce",
-    "sim_topk_lsh",
-    "streaming_quantile_hist",
-    "text_lang_accuracy",
-    "text_lang_id",
-    "text_quality",
-    "text_repetition",
-    "text_stats",
-    "text_tfidf_keywords",
-    "token_length_histogram",
-    "unpivot_sales",
-    "window_running_total",
-    "approx_bloom_membership",
+    "ivm_merge_window_over_join",
+    "approx_distinct_sketch",
+    "approx_heavy_hitters",
+    "asof_snapshots",
+    "chunk_documents",
+    "contamination_check",
+    "cube_sales",
+    "dedup_clusters",
+    "dedup_embedding",
+    "dedup_embedding_incremental",
+    "ivm_merge_asof_forward",
+    "ivm_merge_bloom",
+    "ivm_merge_bloom_counting",
+    "ivm_merge_distinct",
+    "ivm_merge_doc_quality",
+    "ivm_merge_full_chain",
+    "ivm_merge_full_outer",
+    "ivm_merge_full_pos_chain",
+    "ivm_merge_full_suffix_chain",
+    "ivm_merge_groupby",
+    "ivm_merge_hll_sketch",
+    "ivm_merge_join",
+    "ivm_merge_join_minmax",
+    "ivm_merge_left_join",
+    "ivm_merge_median_mode",
+    "ivm_merge_minmax_distinct",
+    "ivm_merge_multi_delta_chain",
+    "ivm_merge_pivot",
+    "ivm_merge_projection",
+    "ivm_merge_range_full_join",
+    "ivm_merge_range_left_join",
+    "ivm_merge_semi_join",
+    "ivm_merge_sum_distinct",
+    "ivm_merge_tfidf",
+    "ivm_merge_time_window",
+    "ivm_merge_topk",
+    "ivm_merge_union",
+    "ivm_merge_variance",
+    "ivm_merge_window_cascade",
+    "ivm_merge_window_view",
+    "ivm_min_max_insert_only",
+    "ivm_q13_cascade",
+    "ivm_semi_join_delta",
+    "q13_custdist",
+    "q1_pricing_summary",
+    "sim_topk_ivf",
+    "streaming_asof_join",
+    "streaming_dedup_docs",
+    "text_fingerprints",
+    "topk_per_group",
 )
 
 
@@ -4362,6 +4385,18 @@ def oracle_sql() -> dict[str, str]:
                 FROM {_applied_sql('orders')} o
                 WHERE o_custkey % 20 = 0
                 GROUP BY o_custkey
+            )
+        """,
+        "ivm_merge_window_over_join": f"""
+            SELECT o_orderkey, c_mktsegment, price_cents,
+                   CAST(rank() OVER (PARTITION BY c_mktsegment
+                        ORDER BY price_cents DESC, o_orderkey ASC) AS INT) AS rnk
+            FROM (
+                SELECT o_orderkey, c_mktsegment,
+                       CAST(round(o_totalprice * 100) AS BIGINT) AS price_cents
+                FROM {_applied_sql('orders')} o
+                JOIN customer ON o_custkey = c_custkey
+                WHERE o_orderkey % 20 = 0
             )
         """,
         "ivm_merge_join_minmax": f"""

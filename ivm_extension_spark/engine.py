@@ -39,6 +39,7 @@ from ivm_extension_spark.operators.rewrite import (
 from ivm_extension_spark.plans.sqlfront import (
     parse_view_sql,
     split_union_all,
+    split_window_over_join,
     split_window_stages,
 )
 from ivm_extension_spark.plans.viewdef import ViewDef
@@ -151,6 +152,13 @@ class IVMEngine:
         # monotone sketch kinds skip their per-batch delete-probe job.
         # Cleared whenever the source's delta registration changes.
         self._insert_only_deltas: set[str] = set()
+        # window-over-join composites (round 9): outer window view name →
+        # (inner join view, snapshot table).  The engine auto-assembles
+        # the cascade a user previously hand-built: the inner is an
+        # ordinary maintained PROJECTION join view (its ΔV IS row-level
+        # CDC), the snapshot table is its public state, and the outer
+        # window view hangs off the snapshot.
+        self._composites: dict[str, tuple[str, str]] = {}
 
     # -- catalog -----------------------------------------------------------
 
@@ -228,6 +236,14 @@ class IVMEngine:
             self._pending_aux,
         ):
             d.pop(name, None)
+        comp = self._composites.pop(name, None)
+        if comp is not None:
+            # a composite window view owns its inner join view and
+            # snapshot table — dropping the outer drops the whole cascade
+            inner, snap = comp
+            self.drop_view(inner)
+            self._tables.pop(snap, None)
+            self._deltas.pop(snap, None)
 
     def drop_table(self, name: str) -> None:
         self.table(name)
@@ -278,6 +294,9 @@ class IVMEngine:
             parts = split_union_all(sql)
             if len(parts) > 1:
                 return self._create_union_immv(name, parts, materialize)
+            composed = split_window_over_join(sql)
+            if composed is not None:
+                return self._create_composite_window(name, composed, materialize)
             staged = split_window_stages(sql)
             if staged is not None:
                 # multi-PARTITION-BY window view: maintained as ONE fused
@@ -463,6 +482,102 @@ class IVMEngine:
             out = out.unionByName(compute_view(b, self.table))
         return out
 
+    def _create_composite_window(
+        self, name: str, composed: tuple[str, str | None, str], materialize: bool
+    ) -> DataFrame | None:
+        """WINDOW view over a JOIN, auto-composed (round 9; closes the
+        single-table restriction of the window-view contract).  Three
+        engine-owned pieces:
+
+        - ``__<name>_j``   — an ordinary maintained PROJECTION join view
+          carrying exactly the base columns the window select list
+          references (plus nothing: pruned against the source schemas).
+          Being aggregate-free, its ΔV IS row-level CDC.
+        - ``__<name>_snap`` — a registered table holding the inner
+          view's public state (the snapshot a hand-built cascade keeps).
+        - ``<name>``       — the window view (single- or multi-list) over
+          the snapshot, routed through the ordinary create path.
+
+        Lifecycle: ``ivm_upsert(name)`` derives Δsnap = finalize(Δinner)
+        WITHOUT committing the inner (a pure preview, like every other
+        upsert); ``merge_view(name)`` merges the outer, then advances the
+        inner view and the snapshot (:meth:`_advance_composite`).  The
+        WHERE clause lives in the inner view (SQL evaluates WHERE before
+        window functions), so the snapshot — and every affected-
+        partition recompute — holds post-filter rows only.
+        """
+        if not materialize:
+            raise IVMError(
+                "window-over-join views are engine-composed cascades and "
+                "require materialize=True (the snapshot IS state)"
+            )
+        from_clause, where, select_body = composed
+        inner, snap = f"__{name}_j", f"__{name}_snap"
+        probe = parse_view_sql(inner, f"SELECT * FROM {from_clause}")
+        avail: list[str] = []
+        for t in probe.tables:
+            if t not in self._tables:
+                raise IVMError(
+                    f"view {name!r} references unregistered table {t!r}"
+                )
+            avail.extend(self.table(t).columns)
+        idents = set(re.findall(r"[A-Za-z_][A-Za-z0-9_]*", select_body))
+        needed = [c for c in dict.fromkeys(avail) if c in idents]
+        if not needed:
+            raise IVMError(
+                f"window-over-join view {name!r} references no base columns"
+            )
+        inner_sql = f"SELECT {', '.join(needed)} FROM {from_clause}"
+        if where:
+            inner_sql += f" WHERE {where}"
+        self.create_immv(inner, sql=inner_sql)
+        try:
+            self._tables[snap] = merge_ops.finalize(
+                self._state[inner], self._views[inner]
+            )
+            out = self.create_immv(name, sql=f"SELECT {select_body} FROM {snap}")
+        except Exception:
+            # no dangling inner/snapshot when the outer is rejected
+            # (e.g. a global window over a raw relation)
+            self.drop_view(inner)
+            self._tables.pop(snap, None)
+            raise
+        self._composites[name] = (inner, snap)
+        return out
+
+    def _ensure_composite_delta(self, name: str) -> None:
+        """Derive and register the snapshot's delta for a composite
+        window view: Δsnap = finalize(Δinner) — row-level CDC because the
+        inner is a pure projection join view.  The inner ΔV is pinned
+        (it feeds the snapshot delta's several window-rule consumers AND
+        the inner's own later merge) and cached, so preview (upsert) and
+        merge share one computation.  No state advances here."""
+        inner, snap = self._composites[name]
+        if snap in self._deltas:
+            return
+        inner_vdef = self._views[inner]
+        if all(t not in self._deltas for t in inner_vdef.tables):
+            # reference-style missing-delta error via the first base table
+            self.delta(inner_vdef.tables[0])
+        inner_dv = self._materialized_delta(inner, force=True)
+        self.register_delta(snap, merge_ops.finalize(inner_dv, inner_vdef))
+
+    def _advance_composite(self, name: str) -> None:
+        """Post-merge epilogue for a composite window view: the outer
+        state has committed against the OLD snapshot + Δsnap, so advance
+        the inner join view with its cached ΔV and republish the
+        snapshot as the inner's new public state.  Consumes Δsnap; the
+        base-table deltas stay registered (maintain/apply_delta own
+        them, like every other view)."""
+        inner, snap = self._composites[name]
+        if snap not in self._deltas:
+            return
+        self._deltas.pop(snap)
+        self.merge_view(inner)
+        self._tables[snap] = merge_ops.finalize(
+            self._state[inner], self._views[inner]
+        )
+
     def _init_aux(self, name: str, vdef: ViewDef) -> None:
         """Materialize the view's tagged aux relation (ONE shuffle / ONE
         checkpoint job for all MIN/MAX/COUNT DISTINCT aggregates)."""
@@ -590,6 +705,8 @@ class IVMEngine:
         return merge_ops.finalize(dv, vdef)
 
     def _delta_plan_for(self, name: str) -> DataFrame:
+        if name in self._composites:
+            self._ensure_composite_delta(name)
         if name in self._union_branches:
             parts = [
                 delta_plan(b, self.table, self.delta, self.broadcast_deltas)
@@ -769,6 +886,9 @@ class IVMEngine:
         # recorded only after the state swap committed, so stats() never
         # reports a strategy for a merge that failed mid-way
         self._merge_strategy_by_view[name] = strategy
+        if name in self._composites:
+            # outer committed → advance the inner join view + snapshot
+            self._advance_composite(name)
         return merge_ops.finalize(new_state, vdef)
 
     def merge_views(
@@ -960,16 +1080,24 @@ class IVMEngine:
         here (one delta plan, one merge).
         """
         def _tables(v: str) -> tuple[str, ...]:
+            if v in self._composites:
+                # a composite window view is affected through its INNER
+                # join view's base tables (the snapshot delta is derived)
+                return self._views[self._composites[v][0]].tables
             if v in self._union_branches:
                 return tuple(
                     t for b in self._union_branches[v] for t in b.tables
                 )
             return self._views[v].tables
 
+        # composite INNERS advance inside their outer's merge epilogue —
+        # driving them standalone here would double-apply their delta
+        comp_inner = {i for i, _ in self._composites.values()}
         affected = [
             v
             for v in self._views
-            if v in self._state  # ΔV-only views (materialize=False) have no
+            if v not in comp_inner
+            and v in self._state  # ΔV-only views (materialize=False) have no
             # state to advance: skip them — their next ivm_upsert simply
             # runs against the post-apply base with fresh deltas.  Checked
             # up front so merge_view can never raise 'was not materialized'
@@ -1301,6 +1429,7 @@ class IVMEngine:
             "sketches": {
                 n: s.to_dict() for n, s in self._sketch_specs.items()
             },
+            "composites": {n: list(p) for n, p in self._composites.items()},
             "materialized": sorted(self._state),
             "aux": sorted(self._aux),
             "aux_rows": dict(self._aux_rows),
@@ -1388,10 +1517,17 @@ class IVMEngine:
                 "with create_immv (multi-PARTITION-BY window views are now "
                 "maintained as one fused view)"
             )
+        composites = {
+            n: (p[0], p[1]) for n, p in catalog.get("composites", {}).items()
+        }
+        # composite snapshot tables are DERIVED (inner view's public
+        # state) — rebuilt below from the loaded inner states, never
+        # passed in tables=
+        snap_names = {s for _, s in composites.values()}
         for n, d in catalog["views"].items():
             vdef = ViewDef.from_dict(d)
             for t in vdef.tables:
-                if t not in eng._tables:
+                if t not in eng._tables and t not in snap_names:
                     raise IVMError(
                         f"saved view {n!r} references table {t!r}: pass it in tables="
                     )
@@ -1412,6 +1548,11 @@ class IVMEngine:
         for n in catalog["views"]:
             if n not in eng._aux_meta:
                 eng._aux_meta[n] = {}
+        for n, (inner, snap) in composites.items():
+            eng._composites[n] = (inner, snap)
+            eng._tables[snap] = merge_ops.finalize(
+                eng._state[inner], eng._views[inner]
+            )
         return eng
 
     def maintain(self, name: str) -> DataFrame:
@@ -1442,11 +1583,19 @@ class IVMEngine:
         # or a branch-2-only delta raises a bogus missing-delta error
         # and a consumed branch-2 delta stays registered, DOUBLE-
         # applying on the next maintain
-        vtabs = dict.fromkeys(
-            t
-            for b in self._union_branches.get(name, [vdef])
-            for t in b.tables
-        )
+        if name in self._composites:
+            # the user-facing base tables of a composite window view are
+            # the INNER join view's (its snapshot delta is derived, and
+            # consumed by the merge epilogue — never user-applied)
+            vtabs = dict.fromkeys(
+                self._views[self._composites[name][0]].tables
+            )
+        else:
+            vtabs = dict.fromkeys(
+                t
+                for b in self._union_branches.get(name, [vdef])
+                for t in b.tables
+            )
         tabs = [t for t in vtabs if t in self._deltas]
         if not tabs:
             self.delta(next(iter(vtabs)))  # reference-style missing-delta error

@@ -606,6 +606,52 @@ def split_window_stages(
     return source, spans.get("where"), items, lists
 
 
+def split_window_over_join(sql: str) -> tuple[str, str | None, str] | None:
+    """Detect a WINDOW view over a JOIN — ``SELECT … rank() OVER
+    (PARTITION BY …) … FROM a JOIN b ON …`` — and return
+    ``(from_clause, where, select_body)`` for the engine to compose
+    (round 9): an inner maintained JOIN view, an implicit snapshot of
+    its public state, and the window view hung off the snapshot — the
+    exact cascade a user could previously only hand-assemble via
+    merge_view_cdc + register_delta.
+
+    Returns ``None`` when the view is not this shape: no join, no
+    window, any aggregate select item (no composition rule — windows
+    evaluate over the JOIN's rows, not over groups), or clauses outside
+    the window-view grammar (GROUP BY / HAVING / QUALIFY / ORDER BY /
+    LIMIT / DISTINCT) — the ordinary parser then produces its usual
+    routing or rejection."""
+    sql = sql.strip().rstrip(";").strip()
+    spans = _find_clause_spans(sql)
+    if "select" not in spans or "from" not in spans:
+        return None
+    if any(
+        k in spans for k in ("group_by", "having", "qualify", "order_by", "limit")
+    ):
+        return None
+    body = spans["select"]
+    if re.match(r"^\s*distinct\b", body, re.IGNORECASE):
+        return None
+    frm = spans["from"].strip()
+    if not re.search(r"\bjoin\b", frm, re.IGNORECASE):
+        return None
+    saw_window = False
+    for item in _split_top_level(body):
+        expr = item
+        am = _ALIAS_RE.match(item)
+        if am:
+            expr = am.group(1).strip()
+        if _OVER_KW.search(expr) and _window_partitions_of(
+            expr, allow_global=True
+        ):
+            saw_window = True
+        elif _AGG_RE.match(expr):
+            return None
+    if not saw_window:
+        return None
+    return frm, spans.get("where"), body
+
+
 _OVER_KW = re.compile(r"\bover\b", re.IGNORECASE)
 _PLAIN_COL = re.compile(r"^[A-Za-z_][A-Za-z_0-9]*$")
 

@@ -725,3 +725,235 @@ def test_fused_multilist_randomized_lists_and_batches(spark):
             assert got == want, f"trial {trial} ({n_lists} lists) diverged"
             dead = {d[:6] for d in dels}
             live = [r for r in live if r not in dead] + [i[:6] for i in ins]
+
+
+# --------------------------------------------------------------------------
+# window-over-join composites (round 9): the engine auto-assembles the
+# inner-join-view + snapshot + window-view cascade from one CREATE IMMV
+# --------------------------------------------------------------------------
+
+
+def _wj_engine(spark):
+    from ivm_extension_spark import IVMEngine
+
+    eng = IVMEngine(spark)
+    eng.register_table(
+        "o",
+        spark.createDataFrame(
+            [(1, 10, 100), (2, 10, 50), (3, 20, 70), (4, 20, 90), (5, 30, 30)],
+            "oid int, ckey int, cents int",
+        ),
+    )
+    eng.register_table(
+        "c",
+        spark.createDataFrame(
+            [(10, "gold"), (20, "silver"), (30, "gold")], "ckey int, seg string"
+        ),
+    )
+    return eng
+
+
+def _wj_recompute(eng, exprs="rank"):
+    o, c = eng.table("o"), eng.table("c")
+    j = o.join(c, "ckey")
+    w = Window.partitionBy("seg").orderBy(F.col("cents").desc(), F.col("oid").asc())
+    return sorted(
+        map(
+            tuple,
+            j.select(
+                "oid", "seg", "cents", F.rank().over(w).alias("rnk")
+            ).collect(),
+        )
+    )
+
+
+_WJ_SQL = (
+    "SELECT oid, seg, cents, "
+    "rank() OVER (PARTITION BY seg ORDER BY cents DESC, oid ASC) AS rnk "
+    "FROM o JOIN c ON o.ckey = c.ckey"
+)
+
+
+def test_window_over_join_lifecycle(spark):
+    """create → upsert (pure preview) → maintain over fact AND dim
+    deltas equals a full recompute; the cascade is engine-owned (inner
+    view + snapshot appear, drop removes all three)."""
+    eng = _wj_engine(spark)
+    got0 = sorted(map(tuple, eng.create_immv("w", sql=_WJ_SQL).collect()))
+    assert got0 == _wj_recompute(eng)
+    assert "__w_j" in eng.list_views() and "__w_snap" in eng.list_tables()
+
+    # fact-side batch: preview must not advance ANY state
+    eng.register_delta(
+        "o",
+        spark.createDataFrame(
+            [(6, 30, 999, True), (3, 20, 70, False)],
+            f"oid int, ckey int, cents int, {MULT_COL} boolean",
+        ),
+    )
+    dv = eng.ivm_upsert("w")
+    assert any(r[MULT_COL] for r in dv.collect())
+    assert sorted(map(tuple, eng.read_view("w").collect())) == got0
+    assert eng._merge_counts.get("__w_j", 0) == 0
+    out = sorted(map(tuple, eng.maintain("w").collect()))
+    assert out == _wj_recompute(eng)
+
+    # dim-side batch (reseats every order of the touched segment)
+    eng.register_delta(
+        "c",
+        spark.createDataFrame(
+            [(20, "silver", False), (20, "gold", True)],
+            f"ckey int, seg string, {MULT_COL} boolean",
+        ),
+    )
+    res = eng.maintain_all()
+    assert set(res) == {"w"}
+    assert sorted(map(tuple, eng.read_view("w").collect())) == _wj_recompute(eng)
+
+    # drop removes the whole cascade and unblocks the base tables
+    eng.drop_view("w")
+    assert eng.list_views() == [] and "__w_snap" not in eng.list_tables()
+    eng.drop_table("o")
+
+
+def test_window_over_join_where_and_pruning(spark):
+    """The WHERE lives in the inner view (SQL: WHERE before windows), so
+    filtered-out rows never reach the snapshot or the rank; the inner
+    carries only referenced columns (pruned against base schemas)."""
+    eng = _wj_engine(spark)
+    eng.create_immv(
+        "w",
+        sql=(
+            "SELECT oid, seg, "
+            "row_number() OVER (PARTITION BY seg ORDER BY cents DESC, oid ASC) AS rn "
+            "FROM o JOIN c ON o.ckey = c.ckey WHERE cents >= 50"
+        ),
+    )
+    # pruned inner: oid/seg/cents referenced; ckey only in ON → inner
+    # output is exactly the referenced set
+    assert set(eng.view("__w_j").output_order) == {"oid", "seg", "cents"}
+    eng.register_delta(
+        "o",
+        spark.createDataFrame(
+            [(6, 10, 49, True), (7, 10, 60, True)],
+            f"oid int, ckey int, cents int, {MULT_COL} boolean",
+        ),
+    )
+    eng.maintain("w")
+    got = sorted(map(tuple, eng.read_view("w").collect()))
+    j = eng.table("o").join(eng.table("c"), "ckey").filter("cents >= 50")
+    w = Window.partitionBy("seg").orderBy(F.col("cents").desc(), F.col("oid").asc())
+    exp = sorted(
+        map(tuple, j.select("oid", "seg", F.row_number().over(w).alias("rn")).collect())
+    )
+    assert got == exp
+    assert not any(r[0] == 6 for r in got)  # filtered insert never ranked
+
+
+def test_window_over_join_multilist_fused(spark):
+    """Two PARTITION BY lists over a join: the outer routes through the
+    FUSED multi-list path, composed over the same snapshot.  (The
+    partition columns must be unambiguous in the join output — ckey
+    exists on both sides, so the second list uses cents' bucket.)"""
+    eng = _wj_engine(spark)
+    eng.create_immv(
+        "w2",
+        sql=(
+            "SELECT oid, seg, cents, "
+            "rank() OVER (PARTITION BY seg ORDER BY cents DESC, oid ASC) AS seg_rnk, "
+            "rank() OVER (PARTITION BY cents ORDER BY oid ASC) AS cents_rnk "
+            "FROM o JOIN c ON o.ckey = c.ckey"
+        ),
+    )
+    assert eng.view("w2").window_lists  # fused multi-list outer
+    eng.register_delta(
+        "o",
+        spark.createDataFrame(
+            [(6, 20, 95, True), (1, 10, 100, False)],
+            f"oid int, ckey int, cents int, {MULT_COL} boolean",
+        ),
+    )
+    eng.maintain("w2")
+    j = eng.table("o").join(eng.table("c"), "ckey")
+    ws = Window.partitionBy("seg").orderBy(F.col("cents").desc(), F.col("oid").asc())
+    wc = Window.partitionBy("cents").orderBy(F.col("oid").asc())
+    exp = sorted(
+        map(
+            tuple,
+            j.select(
+                "oid",
+                "seg",
+                "cents",
+                F.rank().over(ws).alias("seg_rnk"),
+                F.rank().over(wc).alias("cents_rnk"),
+            ).collect(),
+        )
+    )
+    assert sorted(map(tuple, eng.read_view("w2").collect())) == exp
+
+
+def test_window_over_join_save_load(spark, tmp_path):
+    """Composite persistence: the snapshot is rebuilt from the saved
+    inner state (never passed in tables=); the reloaded composite keeps
+    maintaining."""
+    from ivm_extension_spark import IVMEngine
+
+    eng = _wj_engine(spark)
+    eng.create_immv("w", sql=_WJ_SQL)
+    eng.register_delta(
+        "o",
+        spark.createDataFrame(
+            [(6, 30, 999, True)], f"oid int, ckey int, cents int, {MULT_COL} boolean"
+        ),
+    )
+    eng.maintain("w")
+    path = str(tmp_path / "sav")
+    eng.save(path)
+    b = IVMEngine.load(
+        spark, path, tables={"o": eng.table("o"), "c": eng.table("c")}
+    )
+    assert sorted(map(tuple, b.read_view("w").collect())) == _wj_recompute(eng)
+    b.register_delta(
+        "o",
+        spark.createDataFrame(
+            [(2, 10, 50, False)], f"oid int, ckey int, cents int, {MULT_COL} boolean"
+        ),
+    )
+    b.maintain("w")
+    assert sorted(map(tuple, b.read_view("w").collect())) == _wj_recompute(b)
+
+
+def test_window_over_join_rejections(spark):
+    """aggregate+window+join does NOT compose (windows there evaluate
+    AFTER GROUP BY — it routes to the read-window aggregate path, the
+    correct SQL semantics), and a failed composite outer leaves no
+    dangling inner/snapshot."""
+    import pytest
+
+    eng = _wj_engine(spark)
+    # GROUP BY + window + join → read-window aggregate view, not a
+    # composite (rank over the aggregated rows, per SQL evaluation order)
+    eng.create_immv(
+        "agg_rnk",
+        sql=(
+            "SELECT seg, sum(cents) AS s, "
+            "rank() OVER (ORDER BY s DESC, seg ASC) AS r "
+            "FROM o JOIN c ON o.ckey = c.ckey GROUP BY seg"
+        ),
+    )
+    assert eng.view("agg_rnk").read_windows and "agg_rnk" not in eng._composites
+    got = sorted(map(tuple, eng.read_view("agg_rnk").collect()))
+    assert got == [("gold", 180, 1), ("silver", 160, 2)]
+    eng.drop_view("agg_rnk")
+    # global window over a join → outer (raw-table global window)
+    # rejection propagates AND cleans up the half-built cascade
+    with pytest.raises(NotImplementedError):
+        eng.create_immv(
+            "bad2",
+            sql=(
+                "SELECT oid, rank() OVER (ORDER BY cents DESC) AS r "
+                "FROM o JOIN c ON o.ckey = c.ckey"
+            ),
+        )
+    assert eng.list_views() == []
+    assert "__bad2_snap" not in eng.list_tables()
