@@ -3517,6 +3517,76 @@ def _q_ivm_merge_window_over_join(spark: SparkSession, sf_dir: str) -> DataFrame
     return eng.maintain("segrank")
 
 
+def _q_streaming_window_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MAINTAINED WINDOW VIEW DRIVEN FROM STREAMING MICRO-BATCHES
+    (round 9 — closes the r8 VERDICT gap "no streaming drive for
+    maintained window views"): a CDC file stream of order changes
+    (the %5 slice inserted, the %7=2 remainder deleted) advances a
+    per-customer running-total window view through
+    streaming.StreamingViewMaintainer — the SAME register_delta →
+    ivm_upsert → merge_view → apply_delta loop every batch view uses,
+    here exercising windowcdc.window_view_delta per micro-batch: each
+    batch recomputes ONLY its affected o_custkey partitions against the
+    batch-advanced base (sequential worlds — any partition of the CDC
+    into batches composes).  Oracle = the full window recompute over
+    the post-stream world in DuckDB, bit-exact."""
+    import shutil
+    import tempfile
+
+    from ivm_extension_spark.streaming import StreamingViewMaintainer
+
+    eng = _engine(spark, sf_dir)
+    orders = eng.table("orders").select(
+        "o_custkey", "o_orderkey", "o_orderdate", "o_totalprice"
+    )
+    eng.register_table(
+        "orders_base", orders.filter("NOT (o_orderkey % 5 = 0)")
+    )
+    eng.create_immv(
+        "rt",
+        sql="SELECT o_custkey, o_orderkey, "
+        "sum(CAST(round(o_totalprice * 100) AS BIGINT)) OVER "
+        "(PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey "
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_cents "
+        "FROM orders_base WHERE o_custkey % 20 = 0",
+    )
+    # CDC: insert the held-out %5 slice, delete the %7=2 base remainder
+    # (disjoint sets, so any batch split is replay-safe)
+    cdc = orders.filter("o_orderkey % 5 = 0").withColumn(
+        MULT_COL, F.lit(True)
+    ).unionByName(
+        orders.filter("o_orderkey % 7 = 2 AND NOT (o_orderkey % 5 = 0)")
+        .withColumn(MULT_COL, F.lit(False))
+    )
+    land = tempfile.mkdtemp(prefix="swv_land_")
+    ckpt = tempfile.mkdtemp(prefix="swv_ckpt_")
+    shuffle_before = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        cdc.repartition(4, "o_custkey").write.mode("overwrite").parquet(land)
+        s = (
+            spark.readStream.schema(cdc.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(land)
+        )
+        # micro-batch relations are small: full-width shuffles only pad
+        # the per-batch job floor (same trim as the sketch streams)
+        spark.conf.set("spark.sql.shuffle.partitions", "8")
+        m = StreamingViewMaintainer(eng, "rt", "orders_base")
+        q = m.start(s, ckpt)
+        if not q.awaitTermination(300):
+            q.stop()
+            raise RuntimeError("window-view stream did not finish")
+        if m.batches_applied < 2:
+            raise RuntimeError(
+                f"expected multiple micro-batches, got {m.batches_applied}"
+            )
+        return eng.read_view("rt").localCheckpoint(eager=True)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", shuffle_before)
+        shutil.rmtree(land, ignore_errors=True)
+        shutil.rmtree(ckpt, ignore_errors=True)
+
+
 def _q_ivm_merge_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MAINTAINED FORWARD as-of join with a staleness bound (round 6):
     the round-5 direction/tolerance surface threaded through the
@@ -3872,6 +3942,7 @@ _OLAP_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ivm_merge_window_cascade": _q_ivm_merge_window_cascade,
     "window_global_over_agg": _q_window_global_over_agg,
     "ivm_merge_window_over_join": _q_ivm_merge_window_over_join,
+    "streaming_window_view": _q_streaming_window_view,
     "range_join_bands": _q_range_join,
     "percentiles_by_status": _q_percentiles,
     "approx_distinct_sketch": _q_approx_distinct_sketch,
@@ -3948,11 +4019,14 @@ _EXTRA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 #
 # ROUND 9 WINDOW, computed by scripts/update_ledger.py (never-graded
 # first, then least-recently-green):
-#   - position 1: the key registered THIS round, never driver-graded
-#     (ivm_merge_window_over_join — a window view over a JOIN
-#     auto-composed by the engine into the inner-join-view + snapshot
-#     + window-view cascade, full rank value oracle);
-#   - positions 2-50: the round-6-stale cohort the r8 VERDICT queued
+#   - positions 1-2: the keys registered THIS round, never
+#     driver-graded (ivm_merge_window_over_join — a window view over
+#     a JOIN auto-composed by the engine into the inner-join-view +
+#     snapshot + window-view cascade, full rank value oracle;
+#     streaming_window_view — a CDC micro-batch stream driving
+#     window_view_delta through StreamingViewMaintainer, bit-exact
+#     running-total oracle);
+#   - positions 3-50: the round-6-stale cohort the r8 VERDICT queued
 #     (its 'Next round' #3): the theta_expr/full-chain/sketch-lifecycle
 #     era keys — merge lifecycles for every join type and aggregate
 #     family, the sketch views, q1/q13, asof forward, streaming asof,
@@ -3962,6 +4036,7 @@ _EXTRA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 #     confirm the stale cohort under current code.
 _GRADE_FIRST: tuple[str, ...] = (
     "ivm_merge_window_over_join",
+    "streaming_window_view",
     "approx_distinct_sketch",
     "approx_heavy_hitters",
     "asof_snapshots",
@@ -4010,7 +4085,6 @@ _GRADE_FIRST: tuple[str, ...] = (
     "streaming_asof_join",
     "streaming_dedup_docs",
     "text_fingerprints",
-    "topk_per_group",
 )
 
 
@@ -4386,6 +4460,16 @@ def oracle_sql() -> dict[str, str]:
                 WHERE o_custkey % 20 = 0
                 GROUP BY o_custkey
             )
+        """,
+        "streaming_window_view": """
+            SELECT o_custkey, o_orderkey,
+                   CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) OVER
+                        (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                        AS BIGINT) AS running_cents
+            FROM orders
+            WHERE ((o_orderkey % 5 = 0) OR (o_orderkey % 7 <> 2))
+              AND o_custkey % 20 = 0
         """,
         "ivm_merge_window_over_join": f"""
             SELECT o_orderkey, c_mktsegment, price_cents,
