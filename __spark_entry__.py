@@ -3587,6 +3587,134 @@ def _q_streaming_window_view(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(ckpt, ignore_errors=True)
 
 
+def _q_ivm_lakehouse_endurance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LONG-HORIZON STATE HYGIENE for store-backed views (round 9 — the
+    r8 VERDICT's endurance ask): TEN insert+delete delta batches drive a
+    join-aggregate IMMV whose state lives in the lakehouse store
+    (sources/lakehouse.py — versioned, bucket-granular MERGE INTO over
+    parquet), asserting the properties that matter at month-long stream
+    horizons: state stays O(|V|) (25 nation groups, never O(stream)),
+    ``compact()`` consolidates the scatter of copy-on-write bucket
+    commits into one fresh snapshot, and ``vacuum()`` reclaims every
+    version and file directory no retained manifest references — while
+    reads stay bit-exact through both.  Batch i targets NATION i's
+    orders only (inserts their %10=0 slice, deletes their %10=5 slice —
+    disjoint across batches, so the loop composes), so each merge
+    rewrites ~one bucket and the snapshot chain accumulates exactly the
+    copy-on-write scatter compact exists to consolidate.  Oracle = the
+    join-aggregate over the post-all-batches world in DuckDB."""
+    import os
+    import shutil
+    import tempfile
+
+    from ivm_extension_spark.sources.lakehouse import LakehouseStore
+
+    root = tempfile.mkdtemp(prefix="lake_end_")
+    try:
+        store = LakehouseStore(spark, root, n_buckets=8)
+        eng = IVMEngine(spark, state_store=store)
+        for t in ("orders", "customer"):
+            eng.register_table(t, f"{sf_dir}/{t}.parquet")
+        eng.create_immv(
+            "v",
+            sql="SELECT c_nationkey, count(o_orderkey) AS n_orders, "
+            "sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS cents "
+            "FROM orders JOIN customer ON o_custkey = c_custkey "
+            "GROUP BY c_nationkey",
+        )
+        n_groups = eng.read_view("v").count()
+        # ONE scan builds every batch's rows (the 10 slices are disjoint,
+        # so deltas derived from the original table equal per-world
+        # re-derivations; base advancement itself is other keys' subject
+        # — ivm_maintain_all, the streaming lifecycles — this key
+        # isolates STORE hygiene): nation-tagged candidate rows, pinned,
+        # then filtered per batch
+        nat = (
+            eng.table("customer")
+            .filter("c_nationkey < 10")
+            .select("c_custkey", "c_nationkey")
+        )
+        sl = (
+            eng.table("orders")
+            .join(F.broadcast(nat), F.col("o_custkey") == F.col("c_custkey"))
+            .drop("c_custkey")
+            .filter("o_orderkey % 10 IN (0, 5)")
+            .localCheckpoint(eager=True)
+        )
+        for i in range(10):
+            b = sl.filter(f"c_nationkey = {i}")
+            d = (
+                b.filter("o_orderkey % 10 = 0")
+                .withColumn(MULT_COL, F.lit(True))
+                .unionByName(
+                    b.filter("o_orderkey % 10 = 5")
+                    .withColumn(MULT_COL, F.lit(False))
+                )
+            )
+            eng.register_delta("orders", d)
+            eng.ivm_upsert("v")
+            eng.merge_view("v")
+            eng.discard_delta("orders")
+            if i in (4, 9):
+                # state must stay O(|V|): bounded by the group count
+                # however many batches have flowed through
+                n_state = store.read("v").count()
+                if n_state > n_groups:
+                    raise RuntimeError(
+                        f"state grew past O(|V|): {n_state} rows after "
+                        f"batch {i + 1} vs {n_groups} groups"
+                    )
+            if i == 4:
+                # mid-stream OPTIMIZE: consolidate 5 batches of scattered
+                # copy-on-write bucket commits into one fresh snapshot
+                before = dict(store.bucket_files("v"))
+                if len({rel.split("/")[1] for rel in before.values()}) < 2:
+                    raise RuntimeError(
+                        "expected pre-compact buckets scattered across versions"
+                    )
+                store.compact("v")
+                after = store.bucket_files("v")
+                vdirs = {rel.split("/")[1] for rel in after.values()}
+                if len(vdirs) != 1:
+                    raise RuntimeError(
+                        f"compact left buckets scattered: {sorted(vdirs)}"
+                    )
+                if _rows_differ(store.read("v"), before, store, spark):
+                    raise RuntimeError("compact changed the state contents")
+        versions_before = store.versions("v")
+        if len(versions_before) < 12:  # init + 10 merges + compact
+            raise RuntimeError(
+                f"expected >=12 snapshots before vacuum, got {versions_before}"
+            )
+        dropped = store.vacuum("v", keep_last=1)
+        if len(store.versions("v")) != 1 or not dropped:
+            raise RuntimeError("vacuum did not reclaim old snapshots")
+        files_dir = os.path.join(root, "v", "files")
+        live = {store.bucket_files("v")[b].split("/")[1] for b in store.bucket_files("v")}
+        on_disk = set(os.listdir(files_dir))
+        if not on_disk <= live | {f"v{int(v):06d}" for v in store.versions("v")}:
+            # every surviving version dir must be referenced by the one
+            # retained manifest
+            extra = on_disk - live
+            if extra:
+                raise RuntimeError(f"vacuum left unreferenced file dirs: {sorted(extra)}")
+        return eng.read_view("v").localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+def _rows_differ(new_state, before_files, store, spark) -> bool:
+    """Endurance-key helper: compact must be a pure rewrite — compare the
+    post-compact read against the pre-compact files read directly."""
+    old = spark.read.parquet(
+        *[f"{store.root}/v/{rel}" for rel in set(before_files.values())]
+    ).drop("__ivm_b")
+    cols = [c for c in new_state.columns]
+    a = sorted(map(tuple, new_state.select(*cols).collect()))
+    b = sorted(map(tuple, old.select(*cols).collect()))
+    return a != b
+
+
 def _q_ivm_merge_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MAINTAINED FORWARD as-of join with a staleness bound (round 6):
     the round-5 direction/tolerance surface threaded through the
@@ -3943,6 +4071,7 @@ _OLAP_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "window_global_over_agg": _q_window_global_over_agg,
     "ivm_merge_window_over_join": _q_ivm_merge_window_over_join,
     "streaming_window_view": _q_streaming_window_view,
+    "ivm_lakehouse_endurance": _q_ivm_lakehouse_endurance,
     "range_join_bands": _q_range_join,
     "percentiles_by_status": _q_percentiles,
     "approx_distinct_sketch": _q_approx_distinct_sketch,
@@ -4019,14 +4148,15 @@ _EXTRA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 #
 # ROUND 9 WINDOW, computed by scripts/update_ledger.py (never-graded
 # first, then least-recently-green):
-#   - positions 1-2: the keys registered THIS round, never
+#   - positions 1-3: the keys registered THIS round, never
 #     driver-graded (ivm_merge_window_over_join — a window view over
 #     a JOIN auto-composed by the engine into the inner-join-view +
 #     snapshot + window-view cascade, full rank value oracle;
 #     streaming_window_view — a CDC micro-batch stream driving
 #     window_view_delta through StreamingViewMaintainer, bit-exact
-#     running-total oracle);
-#   - positions 3-50: the round-6-stale cohort the r8 VERDICT queued
+#     running-total oracle; ivm_lakehouse_endurance — ten store-backed
+#     lifecycles with compact/vacuum and an O(|V|) state bound);
+#   - positions 4-50: the round-6-stale cohort the r8 VERDICT queued
 #     (its 'Next round' #3): the theta_expr/full-chain/sketch-lifecycle
 #     era keys — merge lifecycles for every join type and aggregate
 #     family, the sketch views, q1/q13, asof forward, streaming asof,
@@ -4037,6 +4167,7 @@ _EXTRA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 _GRADE_FIRST: tuple[str, ...] = (
     "ivm_merge_window_over_join",
     "streaming_window_view",
+    "ivm_lakehouse_endurance",
     "approx_distinct_sketch",
     "approx_heavy_hitters",
     "asof_snapshots",
@@ -4084,7 +4215,6 @@ _GRADE_FIRST: tuple[str, ...] = (
     "sim_topk_ivf",
     "streaming_asof_join",
     "streaming_dedup_docs",
-    "text_fingerprints",
 )
 
 
@@ -4460,6 +4590,22 @@ def oracle_sql() -> dict[str, str]:
                 WHERE o_custkey % 20 = 0
                 GROUP BY o_custkey
             )
+        """,
+        "ivm_lakehouse_endurance": """
+            WITH j AS (
+                SELECT o_orderkey, o_totalprice, c_nationkey
+                FROM orders JOIN customer ON o_custkey = c_custkey
+            )
+            SELECT c_nationkey, count(o_orderkey) AS n_orders,
+                   CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+            FROM (
+                SELECT * FROM j
+                WHERE NOT (c_nationkey < 10 AND o_orderkey % 10 = 5)
+                UNION ALL
+                SELECT * FROM j
+                WHERE c_nationkey < 10 AND o_orderkey % 10 = 0
+            )
+            GROUP BY c_nationkey
         """,
         "streaming_window_view": """
             SELECT o_custkey, o_orderkey,
