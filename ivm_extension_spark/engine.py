@@ -1119,13 +1119,22 @@ class IVMEngine:
             )
             for n in sketch_affected
         }
-        out: dict[str, DataFrame] = {}
         for v in affected:
             self._delta_views[v] = plans[v]
-            out[v] = self.merge_view(v)
         for n in sketch_affected:
             self._delta_views[n] = sk_plans[n]
-            out[n] = self.merge_view(n)
+        ordered = affected + sketch_affected
+        if len(ordered) > 1:
+            # affected views are pairwise independent by construction
+            # (user cascades stay manual; composite inners advance inside
+            # their outer's epilogue) — merge them concurrently, same
+            # thread-per-view drive as merge_views
+            from concurrent.futures import ThreadPoolExecutor
+
+            with ThreadPoolExecutor(min(8, len(ordered))) as ex:
+                out = dict(zip(ordered, ex.map(self.merge_view, ordered)))
+        else:
+            out = {v: self.merge_view(v) for v in ordered}
         for t in list(self._deltas):
             self.apply_delta(t)
         return out
