@@ -241,8 +241,14 @@ def main() -> int:
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
-    # complete per-query record (all keys) for humans and the repo history
-    Path(__file__).parent.joinpath("BENCH_FULL_local.json").write_text(
+    # complete per-query record (all keys) for humans and the repo history.
+    # A key-filtered run (`python bench.py key ...`) writes a SIDE file so
+    # it cannot clobber the last full-run record, which is both the repo's
+    # per-round history and update_bench_ref.py's input (solo runs are
+    # COLD measurements — see scripts/update_bench_ref.py's protocol note
+    # — and must not silently become reference samples).
+    out_name = "BENCH_SOLO_local.json" if only else "BENCH_FULL_local.json"
+    Path(__file__).parent.joinpath(out_name).write_text(
         json.dumps(
             {
                 "metric": "total_runtime_all_queries",

@@ -957,3 +957,41 @@ def test_window_over_join_rejections(spark):
         )
     assert eng.list_views() == []
     assert "__bad2_snap" not in eng.list_tables()
+
+
+def test_window_over_join_streaming_drive(spark, tmp_path):
+    """The two round-9 features COMPOSE: StreamingViewMaintainer drives a
+    composite window-over-join view from fact-side CDC micro-batches —
+    each batch runs the same upsert (Δsnap preview) → merge (outer, then
+    inner+snapshot advance) → apply_delta loop, and the final state
+    equals the full recompute over the post-stream world."""
+    from ivm_extension_spark.streaming import StreamingViewMaintainer
+
+    eng = _wj_engine(spark)
+    eng.create_immv("w", sql=_WJ_SQL)
+
+    delta_dir = str(tmp_path / "deltas")
+    sch = f"oid int, ckey int, cents int, {MULT_COL} boolean"
+    # batch 1: insert a new top order for silver, delete gold's cheapest;
+    # batch 2: insert into the previously-unseen ckey 30 (gold)
+    spark.createDataFrame(
+        [(6, 20, 95, True), (2, 10, 50, False)], sch
+    ).write.parquet(f"{delta_dir}/b1")
+    spark.createDataFrame([(7, 30, 120, True)], sch).write.parquet(
+        f"{delta_dir}/b2"
+    )
+    stream = (
+        spark.readStream.schema(sch)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{delta_dir}/*")
+    )
+    m = StreamingViewMaintainer(eng, "w", "o")
+    q = m.start(stream, checkpoint_dir=str(tmp_path / "ckpt"))
+    assert q.awaitTermination(180)
+    assert m.batches_applied >= 2
+    assert sorted(map(tuple, eng.read_view("w").collect())) == _wj_recompute(eng)
+    # the cascade advanced under the stream: snapshot equals the live join
+    snap_df = eng.table("__w_snap")
+    snap = sorted(map(tuple, snap_df.collect()))
+    j = eng.table("o").join(eng.table("c"), "ckey").select(*snap_df.columns)
+    assert snap == sorted(map(tuple, j.collect()))
