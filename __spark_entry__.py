@@ -2875,6 +2875,60 @@ def _q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_multimodal_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio decode, oracle-checked (round 9 — audio joins images
+    as a real codec; video stays the documented stub): each document
+    gets a synthetic PCM16 RIFF/WAV clip — channels = 1 + doc_id%2,
+    8 kHz, 50 + doc_id%100 frames, flat sample i =
+    ((doc_id%7 + 1) * i) % 201 - 100 — encoded to genuine WAV bytes by
+    an Arrow pandas_udf and decoded back by the pure struct+numpy RIFF
+    chunk-walker (functions/multimodal.py: decode_wav/audio_features,
+    fail_real=True so nothing silently stubs).  Every output stat is
+    INTEGER-exact (peak = max |sample|, sum_sq = Σ sample², duration =
+    floor ms), so DuckDB recomputes them from the same closed form
+    without touching the bytes."""
+    from pyspark.sql import types as T
+
+    from ivm_extension_spark.functions import multimodal
+
+    @F.pandas_udf(T.BinaryType())
+    def wav_udf(ids: pd.Series) -> pd.Series:
+        out = []
+        for did in ids:
+            did = int(did)
+            ch = 1 + did % 2
+            n = (50 + did % 100) * ch
+            m = did % 7 + 1
+            i = np.arange(n, dtype=np.int64)
+            out.append(
+                multimodal.encode_wav(
+                    ((m * i) % 201 - 100).astype("<i2"), 8000, channels=ch
+                )
+            )
+        return pd.Series(out)
+
+    media = _docs(spark, sf_dir).select(
+        F.col("doc_id").cast("long").alias("media_id"),
+        wav_udf(F.col("doc_id")).alias("payload"),
+        F.struct(
+            F.lit("audio/wav").alias("format"),
+            F.lit(None).cast("long").alias("n_bytes"),
+            F.lit(None).cast("string").alias("checksum"),
+        ).alias("meta"),
+    )
+    return multimodal.audio_features(media, fail_real=True).select(
+        "media_id",
+        "decoded",
+        "n_channels",
+        "sample_rate",
+        "bits_per_sample",
+        "n_frames",
+        "duration_ms",
+        "peak",
+        "sum_sq",
+    )
+
+
 _IVM_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ivm_projection": _q_ivm_projection,
     "ivm_filter": _q_ivm_filter,
@@ -4115,6 +4169,7 @@ _EXTRA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_clusters": _q_dedup_clusters,
     "multimodal_meta": _q_multimodal_meta,
     "multimodal_decode": _q_multimodal_decode,
+    "multimodal_audio": _q_multimodal_audio,
     "streaming_dedup_docs": _q_streaming_dedup_docs,
     "formats_roundtrip": _q_formats_roundtrip,
     "ivm_merge_dedup_index": _q_ivm_merge_dedup_index,
@@ -4148,15 +4203,17 @@ _EXTRA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 #
 # ROUND 9 WINDOW, computed by scripts/update_ledger.py (never-graded
 # first, then least-recently-green):
-#   - positions 1-3: the keys registered THIS round, never
+#   - positions 1-4: the keys registered THIS round, never
 #     driver-graded (ivm_merge_window_over_join — a window view over
 #     a JOIN auto-composed by the engine into the inner-join-view +
 #     snapshot + window-view cascade, full rank value oracle;
 #     streaming_window_view — a CDC micro-batch stream driving
 #     window_view_delta through StreamingViewMaintainer, bit-exact
 #     running-total oracle; ivm_lakehouse_endurance — ten store-backed
-#     lifecycles with compact/vacuum and an O(|V|) state bound);
-#   - positions 4-50: the round-6-stale cohort the r8 VERDICT queued
+#     lifecycles with compact/vacuum and an O(|V|) state bound;
+#     multimodal_audio — REAL RIFF/WAV PCM16 round-trip with
+#     integer-exact signal stats and a closed-form value oracle);
+#   - positions 5-50: the round-6-stale cohort the r8 VERDICT queued
 #     (its 'Next round' #3): the theta_expr/full-chain/sketch-lifecycle
 #     era keys — merge lifecycles for every join type and aggregate
 #     family, the sketch views, q1/q13, asof forward, streaming asof,
@@ -4168,6 +4225,7 @@ _GRADE_FIRST: tuple[str, ...] = (
     "ivm_merge_window_over_join",
     "streaming_window_view",
     "ivm_lakehouse_endurance",
+    "multimodal_audio",
     "approx_distinct_sketch",
     "approx_heavy_hitters",
     "asof_snapshots",
@@ -4214,7 +4272,6 @@ _GRADE_FIRST: tuple[str, ...] = (
     "q1_pricing_summary",
     "sim_topk_ivf",
     "streaming_asof_join",
-    "streaming_dedup_docs",
 )
 
 
@@ -6550,5 +6607,37 @@ def _extras_oracle_sql() -> dict[str, str]:
                         i -> (doc_id * 31 + i) % 256)) AS DOUBLE) / 64)
                      / 255.0 AS mean_intensity
             FROM documents
+        """,
+        # recomputes the REAL WAV decode arithmetically: the Spark side
+        # round-trips flat sample i = ((doc_id%7+1)*i) % 201 - 100
+        # through actual RIFF/WAV PCM16 bytes; every stat is integer
+        # (peak/sum_sq exact, duration_ms = floor division)
+        "multimodal_audio": """
+            WITH d AS (
+              SELECT doc_id, 1 + doc_id % 2 AS channels,
+                     50 + doc_id % 100 AS n_frames,
+                     doc_id % 7 + 1 AS m
+              FROM documents
+            ),
+            s AS (
+              SELECT d.doc_id,
+                     max(abs((d.m * g.i) % 201 - 100)) AS peak,
+                     sum(((d.m * g.i) % 201 - 100)
+                         * ((d.m * g.i) % 201 - 100)) AS sum_sq
+              FROM d, LATERAL (
+                SELECT unnest(range(0, d.n_frames * d.channels)) AS i
+              ) g
+              GROUP BY d.doc_id
+            )
+            SELECT CAST(d.doc_id AS BIGINT) AS media_id,
+                   true AS decoded,
+                   CAST(d.channels AS INT) AS n_channels,
+                   CAST(8000 AS INT) AS sample_rate,
+                   CAST(16 AS INT) AS bits_per_sample,
+                   CAST(d.n_frames AS BIGINT) AS n_frames,
+                   CAST(d.n_frames * 1000 // 8000 AS BIGINT) AS duration_ms,
+                   CAST(s.peak AS BIGINT) AS peak,
+                   CAST(s.sum_sq AS BIGINT) AS sum_sq
+            FROM d JOIN s USING (doc_id)
         """,
     }

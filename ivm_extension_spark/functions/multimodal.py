@@ -10,8 +10,11 @@ schema, the metadata struct, the ``mapInPandas`` batch plumbing (Arrow
 batches in/out, schema declared up front), and the partitioning story
 (decode is a narrow per-partition map — no shuffle; at 100 TB you size
 ``spark.sql.files.maxPartitionBytes`` so one batch of payloads fits
-executor memory).  Video/audio codecs remain out of scope (ffmpeg-class
-work): ``frame_sample`` models the explode shape over opaque payloads.
+executor memory).  AUDIO decode is REAL for RIFF/WAV PCM16 (a pure
+struct+numpy chunk-walker: header fields plus integer-exact signal
+stats, see ``decode_wav`` / ``audio_features``).  Video codecs remain
+out of scope (ffmpeg-class work): ``frame_sample`` models the
+keyframe-sampling explode shape over opaque payloads.
 """
 
 from __future__ import annotations
@@ -318,6 +321,133 @@ def decode_features(media: DataFrame, dim: int = 8, fail_real: bool = False) -> 
             yield pd.DataFrame(out)
 
     return media.mapInPandas(decode_batches, schema=FEATURE_SCHEMA)
+
+
+# --------------------------------------------------------------------------
+# real audio codec (RIFF/WAVE PCM — pure struct+numpy, no audio library)
+# --------------------------------------------------------------------------
+
+AUDIO_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("n_bytes", T.LongType(), True),
+        T.StructField("checksum", T.StringType(), True),
+        T.StructField("decoded", T.BooleanType(), False),
+        T.StructField("n_channels", T.IntegerType(), True),
+        T.StructField("sample_rate", T.IntegerType(), True),
+        T.StructField("bits_per_sample", T.IntegerType(), True),
+        T.StructField("n_frames", T.LongType(), True),
+        T.StructField("duration_ms", T.LongType(), True),
+        T.StructField("peak", T.LongType(), True),
+        T.StructField("sum_sq", T.LongType(), True),
+    ]
+)
+
+
+def encode_wav(samples: np.ndarray, rate: int, channels: int = 1) -> bytes:
+    """Minimal real RIFF/WAVE writer: PCM signed 16-bit little-endian,
+    frames interleaved.  ``samples`` is the FLAT int16 sample stream
+    (length = n_frames * channels)."""
+    arr = np.asarray(samples, dtype="<i2")
+    data = arr.tobytes()
+    block_align = channels * 2
+    fmt = struct.pack(
+        "<HHIIHH", 1, channels, rate, rate * block_align, block_align, 16
+    )
+    body = (
+        b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(data)) + data
+        + (b"\x00" if len(data) % 2 else b"")  # RIFF chunks pad to even
+    )
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def decode_wav(payload: bytes) -> dict | None:
+    """Real RIFF chunk-walker for PCM WAV.  Returns per-clip metadata and
+    integer-exact signal stats, or None when the payload is not a valid
+    PCM 16-bit WAV (wrong magic, non-PCM format tag, truncated data, or
+    a sample stream that doesn't divide into whole frames).  All stats
+    are INTEGER (peak = max |sample|, sum_sq = Σ sample², both exact in
+    int64) so an oracle can recompute them without touching the bytes."""
+    if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        return None
+    pos, end = 12, len(payload)
+    fmt = None
+    data = None
+    while pos + 8 <= end:
+        tag = payload[pos : pos + 4]
+        (size,) = struct.unpack_from("<I", payload, pos + 4)
+        body_end = pos + 8 + size
+        if body_end > end:
+            return None  # truncated chunk
+        if tag == b"fmt " and size >= 16:
+            fmt = struct.unpack_from("<HHIIHH", payload, pos + 8)
+        elif tag == b"data":
+            data = payload[pos + 8 : body_end]
+        pos = body_end + (size % 2)  # chunks pad to even
+    if fmt is None or data is None:
+        return None
+    audio_format, channels, rate, _byte_rate, _block_align, bits = fmt
+    if audio_format != 1 or bits != 16 or channels < 1 or rate <= 0:
+        return None  # only uncompressed PCM16 — anything else is not ours
+    if len(data) % (2 * channels):
+        return None  # partial frame
+    samples = np.frombuffer(data, dtype="<i2").astype(np.int64)
+    n_frames = len(samples) // channels
+    return {
+        "n_channels": int(channels),
+        "sample_rate": int(rate),
+        "bits_per_sample": int(bits),
+        "n_frames": int(n_frames),
+        # integer floor division — Python's round() is half-to-even while
+        # SQL ROUND is half-away-from-zero, so a .5 duration would differ
+        # across engines; floor is exact and identical everywhere
+        "duration_ms": n_frames * 1000 // rate,
+        "peak": int(np.abs(samples).max()) if len(samples) else 0,
+        "sum_sq": int((samples * samples).sum()),
+    }
+
+
+def audio_features(media: DataFrame, fail_real: bool = False) -> DataFrame:
+    """Batch audio decode via mapInPandas — the audio twin of
+    :func:`decode_features`: Arrow batches of (media_id, payload, meta)
+    in, one typed metadata/stats row per clip out.  RIFF/WAV PCM16
+    payloads are REALLY decoded (``decoded`` = true, header fields and
+    integer signal stats filled); unrecognized payloads keep NULL fields
+    with ``decoded`` = false, or raise under ``fail_real=True``.  A
+    narrow per-partition map — no shuffle at any scale; at 100 TB size
+    ``spark.sql.files.maxPartitionBytes`` so a batch of clips fits
+    executor memory."""
+
+    def decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = (
+            "n_channels", "sample_rate", "bits_per_sample",
+            "n_frames", "duration_ms", "peak", "sum_sq",
+        )
+        for pdf in batches:
+            out: dict[str, list] = {
+                "media_id": pdf["media_id"],
+                "n_bytes": [m["n_bytes"] for m in pdf["meta"]],
+                "checksum": [m["checksum"] for m in pdf["meta"]],
+                "decoded": [],
+                **{c: [] for c in cols},
+            }
+            for p in pdf["payload"]:
+                raw = bytes(p) if p is not None else b""
+                meta = decode_wav(raw) if raw else None
+                if meta is None and fail_real:
+                    raise NotImplementedError(
+                        "payload is not a decodable PCM16 RIFF/WAV clip and "
+                        "fail_real=True forbids the stub path; wire a codec "
+                        "for this format into audio_features()"
+                    )
+                out["decoded"].append(meta is not None)
+                for c in cols:
+                    out[c].append(None if meta is None else meta[c])
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(decode_batches, schema=AUDIO_SCHEMA)
 
 
 RESIZED_SCHEMA = T.StructType(

@@ -1282,3 +1282,75 @@ def test_chunk_minhash_delta_pairs_invariant(spark):
     assert sorted(map(tuple, new_state.collect())) == sorted(
         map(tuple, fresh.collect())
     )
+
+
+def test_wav_roundtrip_and_floor_duration():
+    import struct
+
+    import numpy as np
+
+    s = ((3 * np.arange(104)) % 201 - 100).astype("<i2")
+    meta = multimodal.decode_wav(multimodal.encode_wav(s, 8000, channels=2))
+    assert meta == {
+        "n_channels": 2,
+        "sample_rate": 8000,
+        "bits_per_sample": 16,
+        "n_frames": 52,
+        # 52 frames @ 8 kHz = 6.5 ms: FLOOR, not round — Python round()
+        # is half-to-even while SQL ROUND is half-away, so .5 durations
+        # would diverge across engines under either rounding
+        "duration_ms": 6,
+        "peak": int(np.abs(s.astype(np.int64)).max()),
+        "sum_sq": int((s.astype(np.int64) ** 2).sum()),
+    }
+    # chunk walker: an unrelated odd-sized chunk (padded to even) before
+    # fmt/data must be skipped, not break parsing
+    wav = multimodal.encode_wav(s, 8000, channels=2)
+    spliced = wav[:12] + b"LIST" + struct.pack("<I", 3) + b"abc\x00" + wav[12:]
+    spliced = b"RIFF" + struct.pack("<I", len(spliced) - 8) + spliced[8:]
+    assert multimodal.decode_wav(spliced) == meta
+
+
+def test_wav_decode_rejections():
+    import struct
+
+    import numpy as np
+
+    s = np.array([1, -2, 3, -4], dtype="<i2")
+    good = multimodal.encode_wav(s, 8000)
+    assert multimodal.decode_wav(good) is not None
+    assert multimodal.decode_wav(b"hello") is None  # wrong magic
+    assert multimodal.decode_wav(good[:20]) is None  # truncated chunk
+    assert multimodal.decode_wav(b"RIFF" + b"\x04\x00\x00\x00" + b"WAVE") is None
+    # non-PCM format tag (3 = IEEE float) rejected
+    bad_fmt = bytearray(good)
+    bad_fmt[20:22] = struct.pack("<H", 3)
+    assert multimodal.decode_wav(bytes(bad_fmt)) is None
+    # stereo data that doesn't divide into whole frames rejected
+    torn = multimodal.encode_wav(np.array([1, 2, 3], dtype="<i2"), 8000, channels=2)
+    assert multimodal.decode_wav(torn) is None
+
+
+def test_audio_features_spark(spark):
+    import numpy as np
+    import pytest
+
+    s = ((5 * np.arange(80)) % 201 - 100).astype("<i2")
+    wav = multimodal.encode_wav(s, 16000, channels=1)
+    media = spark.createDataFrame(
+        [
+            (1, bytearray(wav), ("audio/wav", len(wav), "x")),
+            (2, bytearray(b"not audio"), ("text/plain", 9, "y")),
+        ],
+        multimodal.MEDIA_SCHEMA,
+    )
+    rows = {r["media_id"]: r for r in multimodal.audio_features(media).collect()}
+    good = rows[1]
+    assert good["decoded"] and good["n_channels"] == 1
+    assert good["sample_rate"] == 16000 and good["n_frames"] == 80
+    assert good["duration_ms"] == 5  # 80/16000 s = 5 ms exactly
+    assert good["peak"] == int(np.abs(s.astype(np.int64)).max())
+    assert good["sum_sq"] == int((s.astype(np.int64) ** 2).sum())
+    assert rows[2]["decoded"] is False and rows[2]["n_frames"] is None
+    with pytest.raises(Exception, match="not a decodable PCM16"):
+        multimodal.audio_features(media, fail_real=True).collect()
