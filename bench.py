@@ -148,9 +148,9 @@ def main() -> int:
         refs = {}
     ref_budget = 120.0
 
-    for name, fn in entrymod.queries().items():
-        if only and name not in only:
-            continue
+    def sample_key(
+        name: str, fn, max_samples: int = 4
+    ) -> list[tuple[float, float]]:
         # min-of-2 (steady-state, codegen cached — see header), plus up
         # to 2 extra samples when the observed runs disagree by >1.8x OR
         # EXTERNAL cpu use exceeded LOAD_FLAG right before every sample
@@ -162,8 +162,9 @@ def main() -> int:
         # per-query figure is the one for the RECORDED (minimum) sample
         # — "external < 8 or flagged" is checkable per query.  An extra
         # sample first waits for the neighbors to drain (bounded).
+        nonlocal cooldown_budget, ref_budget
         samples: list[tuple[float, float]] = []  # (seconds, ext cpus around)
-        while len(samples) < 4:
+        while len(samples) < max_samples:
             ext_before = external_cpus()
             t0 = time.perf_counter()
             try:
@@ -230,14 +231,41 @@ def main() -> int:
                 # transient spike a chance to pass
                 time.sleep(5)
                 cooldown_budget -= 5
+        return samples
+
+    def record(name: str, samples: list[tuple[float, float]]) -> float:
         if samples:
             dt, ext_at_min = min(samples)
         else:
             dt, ext_at_min = float("nan"), external_cpus()
         timings[name] = round(dt, 3)
         loads[name] = round(ext_at_min, 1)
-        if dt == dt:
-            total += dt
+        return dt
+
+    deferred: list[tuple[str, object]] = []
+    for name, fn in entrymod.queries().items():
+        if only and name not in only:
+            continue
+        dt = record(name, sample_key(name, fn))
+        ref = refs.get(name)
+        if dt == dt and ref is not None and dt > max(3.0 * ref, ref + 2.0):
+            # still far above the calm reference after the in-place extra
+            # samples: queue an END-OF-RUN retry.  Root-caused in round 8
+            # (BASELINE.md): the dominant cause is suite-order load decay
+            # — the host's own load from a preceding 32-thread key takes
+            # minutes to drain, so immediate resamples all land in the
+            # same decay window while a retry after the remaining ~100
+            # keys lands calm.
+            deferred.append((name, fn))
+    retry_budget = 90.0
+    for name, fn in deferred:
+        if retry_budget <= 0:
+            break
+        retry_budget -= timings[name]
+        redo = sample_key(name, fn, max_samples=2)
+        if redo and min(redo)[0] < timings[name]:
+            record(name, redo)
+    total = sum(v for v in timings.values() if v == v)
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
