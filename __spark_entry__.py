@@ -2929,6 +2929,82 @@ def _q_multimodal_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _video_media(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synthetic RIFF/AVI clips, one per document, through the REAL
+    encoder: w = 4 + doc_id%3, h = 3 + doc_id%2, n = 2 + doc_id%4
+    frames at 15 fps, pixel (f, y, x, c) = (doc_id%251 + 5f + 3y + 2x
+    + c) % 256 — a closed form DuckDB can recompute per RGB sample
+    without touching the bytes (functions/multimodal.py: encode_avi)."""
+    from pyspark.sql import types as T
+
+    from ivm_extension_spark.functions import multimodal
+
+    @F.pandas_udf(T.BinaryType())
+    def avi_udf(ids: pd.Series) -> pd.Series:
+        out = []
+        for did in ids:
+            did = int(did)
+            w, h, n, a = 4 + did % 3, 3 + did % 2, 2 + did % 4, did % 251
+            fv = np.arange(n)[:, None, None, None]
+            yv = np.arange(h)[None, :, None, None]
+            xv = np.arange(w)[None, None, :, None]
+            cv = np.arange(3)[None, None, None, :]
+            frames = ((a + 5 * fv + 3 * yv + 2 * xv + cv) % 256).astype(np.uint8)
+            out.append(multimodal.encode_avi(frames, rate=15, scale=1))
+        return pd.Series(out)
+
+    return _docs(spark, sf_dir).select(
+        F.col("doc_id").cast("long").alias("media_id"),
+        avi_udf(F.col("doc_id")).alias("payload"),
+        F.struct(
+            F.lit("video/avi").alias("format"),
+            F.lit(None).cast("long").alias("n_bytes"),
+            F.lit(None).cast("string").alias("checksum"),
+        ).alias("meta"),
+    )
+
+
+def _q_multimodal_video(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL video decode, oracle-checked (round 9 — video joins images
+    and audio as a genuine codec: uncompressed 24-bit DIB AVI): clips
+    from :func:`_video_media` decoded back by the pure struct+numpy
+    RIFF walker (functions/multimodal.py: decode_avi/video_features,
+    fail_real=True so nothing silently stubs).  Every stat is
+    INTEGER-exact (pix_sum = Σ byte, pix_sum_sq = Σ byte² over all RGB
+    samples; duration = floor ms), so DuckDB recomputes them from the
+    same closed form."""
+    from ivm_extension_spark.functions import multimodal
+
+    return multimodal.video_features(
+        _video_media(spark, sf_dir), fail_real=True
+    ).select(
+        "media_id",
+        "decoded",
+        "width",
+        "height",
+        "n_frames",
+        "fps_num",
+        "fps_den",
+        "duration_ms",
+        "pix_sum",
+        "pix_sum_sq",
+    )
+
+
+def _q_multimodal_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL keyframe sampling (round 9): every 2nd frame up to 3 per
+    clip, decoded from genuine AVI bytes and emitted with integer-exact
+    per-frame pixel sums (functions/multimodal.py: video_frames — the
+    explode happens inside the mapInPandas batch, a narrow map).  The
+    netpbm re-encode of each frame is exercised in pytest; the driver
+    key checks the sampled frame set and per-frame sums value-exactly."""
+    from ivm_extension_spark.functions import multimodal
+
+    return multimodal.video_frames(
+        _video_media(spark, sf_dir), every_n=2, max_frames=3, fail_real=True
+    ).select("media_id", "frame_no", "width", "height", "frame_sum")
+
+
 _IVM_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ivm_projection": _q_ivm_projection,
     "ivm_filter": _q_ivm_filter,
@@ -3924,6 +4000,45 @@ def _q_events_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_timeseries_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style bucket + gap-fill (round 9; operators/
+    timeseries.py — TimescaleDB time_bucket_gapfill semantics,
+    re-expressed Spark-first): events are bucketed per user to 15-min
+    epoch buckets (integer-exact cents sum + count), then every missing
+    bucket between a user's first and last observation is emitted by
+    the predecessor-explode rule — two shuffles, no join, no dense
+    grid.  One key exercises all three fill methods: cents_locf
+    (carry-forward), cnt (NULL in gaps), cents_lin (linear
+    interpolation toward the lead row — the same IEEE expression the
+    oracle evaluates over the same exact integers)."""
+    from ivm_extension_spark.operators import timeseries as ts
+
+    eng = _engine(spark, sf_dir)
+    b = ts.bucket_resample(
+        eng.table("events"),
+        ["user_id"],
+        "ts",
+        900,
+        {
+            "cents": F.sum(F.expr("CAST(round(value * 100) AS BIGINT)")),
+            "cnt": F.count(F.lit(1)),
+        },
+    ).withColumn("cents_lin", F.col("cents"))
+    return ts.gap_fill(
+        b,
+        ["user_id"],
+        900,
+        {"cents": "locf", "cnt": "null", "cents_lin": "linear"},
+    ).select(
+        "user_id",
+        F.col("bucket").alias("bucket_epoch"),
+        F.col("cents").alias("cents_locf"),
+        "cnt",
+        F.col("cents_lin").cast("double").alias("cents_lin"),
+        "is_gap",
+    )
+
+
 def _q_sim_topk_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Maintained exact top-k under an insert batch (similarity.py:
     incremental_topk_update): state = top-k over the OLD corpus
@@ -4114,6 +4229,7 @@ _OLAP_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "setops_active_custkeys": _q_setops_active_custkeys,
     "sessionize_users": _q_sessionize,
     "events_sliding_window": _q_events_sliding_window,
+    "timeseries_gap_fill": _q_timeseries_gap_fill,
     "asof_snapshots": _q_asof_join,
     "asof_forward_tolerance": _q_asof_forward_tolerance,
     "ivm_merge_asof_join": _q_ivm_merge_asof_join,
@@ -4170,6 +4286,8 @@ _EXTRA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "multimodal_meta": _q_multimodal_meta,
     "multimodal_decode": _q_multimodal_decode,
     "multimodal_audio": _q_multimodal_audio,
+    "multimodal_video": _q_multimodal_video,
+    "multimodal_video_frames": _q_multimodal_video_frames,
     "streaming_dedup_docs": _q_streaming_dedup_docs,
     "formats_roundtrip": _q_formats_roundtrip,
     "ivm_merge_dedup_index": _q_ivm_merge_dedup_index,
@@ -4212,7 +4330,14 @@ _EXTRA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 #     running-total oracle; ivm_lakehouse_endurance — ten store-backed
 #     lifecycles with compact/vacuum and an O(|V|) state bound;
 #     multimodal_audio — REAL RIFF/WAV PCM16 round-trip with
-#     integer-exact signal stats and a closed-form value oracle);
+#     integer-exact signal stats and a closed-form value oracle;
+#     multimodal_video / multimodal_video_frames — REAL RIFF/AVI DIB
+#     round-trip: per-clip integer pixel stats and real keyframe
+#     sampling, both with closed-form value oracles;
+#     timeseries_gap_fill — hypertable bucket + gap-fill with locf /
+#     NULL / linear fills, value-exact oracle — these three displace
+#     sim_topk_ivf, streaming_asof_join and q1_pricing_summary to the
+#     round-10 window under the never-graded-first rule);
 #   - positions 5-50: the round-6-stale cohort the r8 VERDICT queued
 #     (its 'Next round' #3): the theta_expr/full-chain/sketch-lifecycle
 #     era keys — merge lifecycles for every join type and aggregate
@@ -4226,6 +4351,9 @@ _GRADE_FIRST: tuple[str, ...] = (
     "streaming_window_view",
     "ivm_lakehouse_endurance",
     "multimodal_audio",
+    "multimodal_video",
+    "multimodal_video_frames",
+    "timeseries_gap_fill",
     "approx_distinct_sketch",
     "approx_heavy_hitters",
     "asof_snapshots",
@@ -4269,9 +4397,6 @@ _GRADE_FIRST: tuple[str, ...] = (
     "ivm_q13_cascade",
     "ivm_semi_join_delta",
     "q13_custdist",
-    "q1_pricing_summary",
-    "sim_topk_ivf",
-    "streaming_asof_join",
 )
 
 
@@ -5289,6 +5414,42 @@ def oracle_sql() -> dict[str, str]:
                                  time_bucket(INTERVAL 30 MINUTE, ts) - INTERVAL 30 MINUTE]) AS ws
                   FROM events)
             GROUP BY ws, event_type
+        """,
+        # gap-fill: each observed bucket emits itself plus every missing
+        # bucket strictly before its successor (range() excludes its
+        # stop), so gaps appear exactly once.  cents_lin keeps the SAME
+        # IEEE expression shape as the Spark side — (nv - v) * (frac
+        # division) — so doubles match bit-for-bit from identical ints
+        "timeseries_gap_fill": """
+            WITH b AS (
+              SELECT user_id,
+                     (CAST(floor(epoch(ts)) AS BIGINT) // 900) * 900 AS bucket,
+                     CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents,
+                     count(*) AS cnt
+              FROM events GROUP BY 1, 2
+            ),
+            w AS (
+              SELECT b.*,
+                     lead(bucket) OVER pk AS nb,
+                     lead(cents) OVER pk AS nv
+              FROM b WINDOW pk AS (PARTITION BY user_id ORDER BY bucket)
+            ),
+            g AS (
+              SELECT user_id, bucket AS b0, cents, cnt, nb, nv,
+                     unnest(range(bucket, coalesce(nb, bucket + 900), 900)) AS gb
+              FROM w
+            )
+            SELECT user_id,
+                   CAST(gb AS BIGINT) AS bucket_epoch,
+                   CAST(cents AS BIGINT) AS cents_locf,
+                   CASE WHEN gb = b0 THEN cnt END AS cnt,
+                   CASE WHEN gb = b0 THEN CAST(cents AS DOUBLE)
+                        ELSE CAST(cents AS DOUBLE)
+                             + (CAST(nv AS DOUBLE) - CAST(cents AS DOUBLE))
+                               * (CAST(gb - b0 AS DOUBLE) / CAST(nb - b0 AS DOUBLE))
+                   END AS cents_lin,
+                   gb <> b0 AS is_gap
+            FROM g
         """,
         "ivm_merge_asof_join": f"""
             WITH snaps0 AS (
@@ -6639,5 +6800,68 @@ def _extras_oracle_sql() -> dict[str, str]:
                    CAST(s.peak AS BIGINT) AS peak,
                    CAST(s.sum_sq AS BIGINT) AS sum_sq
             FROM d JOIN s USING (doc_id)
+        """,
+        # recomputes the REAL AVI decode arithmetically: the Spark side
+        # round-trips pixel (f,y,x,c) = (doc_id%251 + 5f + 3y + 2x + c)
+        # % 256 through actual RIFF/AVI DIB bytes; the flat sample index
+        # i maps back as c = i%3, x = (i//3)%w, y = (i//(3w))%h,
+        # f = i//(3wh)
+        "multimodal_video": """
+            WITH d AS (
+              SELECT doc_id, 4 + doc_id % 3 AS w, 3 + doc_id % 2 AS h,
+                     2 + doc_id % 4 AS n, doc_id % 251 AS a
+              FROM documents
+            ),
+            s AS (
+              SELECT d.doc_id,
+                     sum(t.v) AS pix_sum, sum(t.v * t.v) AS pix_sum_sq
+              FROM d, LATERAL (
+                SELECT (d.a + 5 * (g.i // (3 * d.w * d.h))
+                            + 3 * ((g.i // (3 * d.w)) % d.h)
+                            + 2 * ((g.i // 3) % d.w)
+                            + (g.i % 3)) % 256 AS v
+                FROM (SELECT unnest(range(0, d.n * d.h * d.w * 3)) AS i) g
+              ) t
+              GROUP BY d.doc_id
+            )
+            SELECT CAST(d.doc_id AS BIGINT) AS media_id,
+                   true AS decoded,
+                   CAST(d.w AS INT) AS width,
+                   CAST(d.h AS INT) AS height,
+                   CAST(d.n AS BIGINT) AS n_frames,
+                   CAST(15 AS INT) AS fps_num,
+                   CAST(1 AS INT) AS fps_den,
+                   CAST(d.n * 1000 // 15 AS BIGINT) AS duration_ms,
+                   CAST(s.pix_sum AS BIGINT) AS pix_sum,
+                   CAST(s.pix_sum_sq AS BIGINT) AS pix_sum_sq
+            FROM d JOIN s USING (doc_id)
+        """,
+        # keyframe sampling twin: frames 0, 2, 4 (every 2nd, max 3 —
+        # ceil(n/2) capped), per-frame sum over the h*w*3 RGB samples of
+        # that frame only
+        "multimodal_video_frames": """
+            WITH d AS (
+              SELECT doc_id, 4 + doc_id % 3 AS w, 3 + doc_id % 2 AS h,
+                     2 + doc_id % 4 AS n, doc_id % 251 AS a
+              FROM documents
+            ),
+            fr AS (
+              SELECT d.*, 2 * g.k AS frame_no
+              FROM d, LATERAL (
+                SELECT unnest(range(0, least(3, (d.n + 1) // 2))) AS k
+              ) g
+            )
+            SELECT CAST(fr.doc_id AS BIGINT) AS media_id,
+                   CAST(fr.frame_no AS INT) AS frame_no,
+                   CAST(fr.w AS INT) AS width,
+                   CAST(fr.h AS INT) AS height,
+                   CAST(s.fsum AS BIGINT) AS frame_sum
+            FROM fr, LATERAL (
+              SELECT sum((fr.a + 5 * fr.frame_no
+                              + 3 * ((g.i // (3 * fr.w)) % fr.h)
+                              + 2 * ((g.i // 3) % fr.w)
+                              + (g.i % 3)) % 256) AS fsum
+              FROM (SELECT unnest(range(0, fr.h * fr.w * 3)) AS i) g
+            ) s
         """,
     }

@@ -1354,3 +1354,83 @@ def test_audio_features_spark(spark):
     assert rows[2]["decoded"] is False and rows[2]["n_frames"] is None
     with pytest.raises(Exception, match="not a decodable PCM16"):
         multimodal.audio_features(media, fail_real=True).collect()
+
+
+def test_avi_roundtrip_and_rejections():
+    import numpy as np
+
+    rng = np.random.default_rng(11)
+    frames = rng.integers(0, 256, size=(4, 3, 5, 3), dtype=np.uint8)
+    raw = multimodal.encode_avi(frames, rate=24000, scale=1001)
+    meta = multimodal.decode_avi(raw)
+    assert meta is not None
+    assert (meta["width"], meta["height"], meta["n_frames"]) == (5, 3, 4)
+    assert (meta["fps_num"], meta["fps_den"]) == (24000, 1001)
+    assert meta["duration_ms"] == 4 * 1000 * 1001 // 24000  # floor ms
+    f64 = frames.astype(np.int64)
+    assert meta["pix_sum"] == int(f64.sum())
+    assert meta["pix_sum_sq"] == int((f64 * f64).sum())
+    assert (meta["frames"] == frames).all()
+    # zero-frame clip still decodes with exact-zero stats
+    empty = multimodal.decode_avi(multimodal.encode_avi(frames[:0], rate=10))
+    assert empty is not None and empty["n_frames"] == 0 and empty["pix_sum"] == 0
+    # rejections: wrong magic, truncation, compressed frame tag
+    assert multimodal.decode_avi(b"nope") is None
+    assert multimodal.decode_avi(raw[:60]) is None
+    assert multimodal.decode_avi(raw.replace(b"00db", b"00dc", 1)) is None
+    # frame chunk whose size disagrees with the strf header: patch the
+    # BITMAPINFOHEADER width in place (strf body sits at a fixed offset
+    # in our writer's layout) so the expected stride no longer matches
+    import struct as _struct
+
+    w_off = raw.index(_struct.pack("<IiiHH", 40, 5, 3, 1, 24)) + 4
+    patched = raw[:w_off] + _struct.pack("<i", 6) + raw[w_off + 4 :]
+    assert multimodal.decode_avi(patched) is None
+
+
+def test_video_features_and_frames_spark(spark):
+    import numpy as np
+    import pytest
+
+    f = np.arange(5 * 2 * 4 * 3, dtype=np.uint8).reshape(5, 2, 4, 3) % 256
+    avi = multimodal.encode_avi(f, rate=15, scale=1)
+    media = spark.createDataFrame(
+        [
+            (1, bytearray(avi), ("video/avi", len(avi), "x")),
+            (2, bytearray(b"not video"), ("text/plain", 9, "y")),
+        ],
+        multimodal.MEDIA_SCHEMA,
+    )
+    rows = {r["media_id"]: r for r in multimodal.video_features(media).collect()}
+    good = rows[1]
+    f64 = f.astype(np.int64)
+    assert good["decoded"] and (good["width"], good["height"]) == (4, 2)
+    assert good["n_frames"] == 5 and good["duration_ms"] == 5 * 1000 // 15
+    assert good["pix_sum"] == int(f64.sum())
+    assert good["pix_sum_sq"] == int((f64 * f64).sum())
+    assert rows[2]["decoded"] is False and rows[2]["n_frames"] is None
+    with pytest.raises(Exception, match="not a decodable DIB"):
+        multimodal.video_features(media, fail_real=True).collect()
+
+    # keyframe sampling: every 2nd frame, max 3 → frames 0, 2, 4; the
+    # re-encoded netpbm frames feed decode_features as real images
+    frames_df = multimodal.video_frames(media, every_n=2, max_frames=3)
+    got = sorted(
+        (r["frame_no"], r["frame_sum"]) for r in frames_df.collect()
+    )
+    assert got == [(k, int(f64[k].sum())) for k in (0, 2, 4)]
+    refed = multimodal.decode_features(
+        frames_df.select(
+            F.col("media_id"),
+            F.col("frame_bytes").alias("payload"),
+            F.struct(
+                F.lit("image/x-portable-pixmap").alias("format"),
+                F.length("frame_bytes").cast("long").alias("n_bytes"),
+                F.md5("frame_bytes").alias("checksum"),
+            ).alias("meta"),
+        ),
+        dim=4,
+        fail_real=True,
+    ).collect()
+    assert len(refed) == 3 and all(r["decoded"] for r in refed)
+    assert all((r["width"], r["height"], r["n_channels"]) == (4, 2, 3) for r in refed)

@@ -1,0 +1,122 @@
+"""Gap-fill / bucket-resample (operators/timeseries.py).
+
+Semantics under test: TimescaleDB-style time_bucket_gapfill — every
+missing bucket between a key's first and last observation appears
+exactly once, locf carries the anchor value, linear interpolates toward
+the successor, null leaves gaps NULL; keys never bleed into each other.
+"""
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from ivm_extension_spark.operators import timeseries as ts
+
+
+def _events(spark, rows):
+    return spark.createDataFrame(
+        [(k, dt.datetime.utcfromtimestamp(sec), float(v)) for k, sec, v in rows],
+        "k int, ts timestamp, v double",
+    )
+
+
+def _bucketed(spark, rows, step=60):
+    df = _events(spark, rows)
+    return ts.bucket_resample(
+        df, ["k"], "ts", step,
+        {"s": F.sum(F.expr("CAST(round(v * 100) AS BIGINT)")), "c": F.count(F.lit(1))},
+    )
+
+
+def test_bucket_resample_exact(spark):
+    b = _bucketed(spark, [(1, 0, 1.0), (1, 59, 2.0), (1, 60, 4.0)])
+    got = {(r["k"], r["bucket"]): (r["s"], r["c"]) for r in b.collect()}
+    assert got == {(1, 0): (300, 2), (1, 60): (400, 1)}
+
+
+def test_gap_fill_locf_linear_null(spark):
+    # key 1: buckets 0, 180 (gap at 60, 120); key 2: single bucket (no gaps)
+    b = _bucketed(spark, [(1, 0, 1.0), (1, 180, 4.0), (2, 60, 9.0)])
+    b = b.withColumn("lin", F.col("s"))
+    out = ts.gap_fill(
+        b, ["k"], 60, {"s": "locf", "c": "null", "lin": "linear"}
+    )
+    rows = {(r["k"], r["bucket"]): r for r in out.collect()}
+    assert set(rows) == {(1, 0), (1, 60), (1, 120), (1, 180), (2, 60)}
+    # anchors keep their values, is_gap False
+    assert rows[(1, 0)]["s"] == 100 and rows[(1, 0)]["c"] == 1
+    assert not rows[(1, 0)]["is_gap"] and not rows[(2, 60)]["is_gap"]
+    # locf carries, null blanks, linear interpolates 100 -> 400 over 3 steps
+    for bk, lin in ((60, 200.0), (120, 300.0)):
+        r = rows[(1, bk)]
+        assert r["is_gap"] and r["s"] == 100 and r["c"] is None
+        assert r["lin"] == pytest.approx(lin, abs=0)
+    # anchor linear value is the exact observation
+    assert rows[(1, 180)]["lin"] == 400.0
+    # single-bucket key emits itself only — no trailing extrapolation
+    assert rows[(2, 60)]["s"] == 900
+
+
+def test_gap_fill_no_gaps_identity(spark):
+    b = _bucketed(spark, [(1, 0, 1.0), (1, 60, 2.0), (1, 120, 3.0)])
+    out = ts.gap_fill(b, ["k"], 60, {"s": "locf"})
+    rows = sorted((r["bucket"], r["s"], r["is_gap"]) for r in out.collect())
+    assert rows == [(0, 100, False), (60, 200, False), (120, 300, False)]
+
+
+def test_gap_fill_rejects_unknown_method(spark):
+    b = _bucketed(spark, [(1, 0, 1.0)])
+    with pytest.raises(ValueError, match="unknown fill methods"):
+        ts.gap_fill(b, ["k"], 60, {"s": "cubic"})
+
+
+def test_gap_fill_matches_duckdb_twin(spark):
+    """Value-exact cross-check of the driver key's shape on a seeded
+    random series (including the double linear column — same IEEE
+    expression shape both engines)."""
+    import random
+
+    import duckdb
+
+    rng = random.Random(42)
+    rows = [
+        (k, rng.randrange(0, 3600), round(rng.uniform(0, 100), 2))
+        for k in (1, 2, 3) for _ in range(12)
+    ]
+    b = _bucketed(spark, rows, step=300).withColumn("lin", F.col("s"))
+    out = ts.gap_fill(b, ["k"], 300, {"s": "locf", "c": "null", "lin": "linear"})
+    got = sorted(
+        (r["k"], r["bucket"], r["s"], r["c"], r["lin"], r["is_gap"])
+        for r in out.collect()
+    )
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE ev(k INT, sec BIGINT, v DOUBLE)"
+    )
+    con.executemany("INSERT INTO ev VALUES (?, ?, ?)", rows)
+    want = con.execute("""
+        WITH b AS (
+          SELECT k, (sec // 300) * 300 AS bucket,
+                 CAST(sum(CAST(round(v * 100) AS BIGINT)) AS BIGINT) AS s,
+                 count(*) AS c
+          FROM ev GROUP BY 1, 2
+        ), w AS (
+          SELECT b.*, lead(bucket) OVER pk AS nb, lead(s) OVER pk AS nv
+          FROM b WINDOW pk AS (PARTITION BY k ORDER BY bucket)
+        ), g AS (
+          SELECT k, bucket AS b0, s, c, nb, nv,
+                 unnest(range(bucket, coalesce(nb, bucket + 300), 300)) AS gb
+          FROM w
+        )
+        SELECT k, CAST(gb AS BIGINT) AS bucket, CAST(s AS BIGINT) AS s,
+               CASE WHEN gb = b0 THEN c END AS c,
+               CASE WHEN gb = b0 THEN CAST(s AS DOUBLE)
+                    ELSE CAST(s AS DOUBLE)
+                         + (CAST(nv AS DOUBLE) - CAST(s AS DOUBLE))
+                           * (CAST(gb - b0 AS DOUBLE) / CAST(nb - b0 AS DOUBLE))
+               END AS lin,
+               gb <> b0 AS is_gap
+        FROM g ORDER BY k, bucket
+    """).fetchall()
+    assert got == [tuple(r) for r in want]
