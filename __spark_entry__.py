@@ -721,6 +721,36 @@ def _q_ivm_merge_time_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     return eng.merge_view("v")
 
 
+def _q_ivm_merge_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maintained hypertable rollup + gap-filled read (round 9; IVM ×
+    time-series): the 15-min bucket aggregate maintains under the event
+    delta (inserts AND deletes) with the plain group-by delta rule —
+    the epoch bucket is just an expression group key — and
+    engine.read_gapfill densifies the merged state on read (locf cents,
+    linearly interpolated count), the same finalize-on-read treatment
+    HAVING and read-windows get.  The oracle recomputes bucket + fill
+    over the applied base, so the value check covers the whole
+    composition: delta rule, merge ⊎, and the fill arithmetic."""
+    eng = _engine(spark, sf_dir, deltas=("events",))
+    eng.create_immv(
+        "v",
+        sql="SELECT user_id, (unix_timestamp(ts) div 900) * 900 AS bucket, "
+        "sum(cast(round(value * 100) AS bigint)) AS cents, count(*) AS cnt "
+        "FROM events GROUP BY user_id, (unix_timestamp(ts) div 900) * 900",
+    )
+    eng.ivm_upsert("v")
+    eng.merge_view("v")
+    return eng.read_gapfill(
+        "v", 900, {"cents": "locf", "cnt": "linear"}, bucket_col="bucket"
+    ).select(
+        "user_id",
+        F.col("bucket").alias("bucket_epoch"),
+        F.col("cents").alias("cents_locf"),
+        F.col("cnt").cast("double").alias("cnt_lin"),
+        "is_gap",
+    )
+
+
 def _q_ivm_merge_ivf_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Maintained IVF cell-occupancy view (IVM × vector index): the
     frozen-quantizer cell assignment (similarity.ivf_cell_sql, the same
@@ -3042,6 +3072,7 @@ _IVM_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ivm_merge_topn_per_group": _q_ivm_merge_topn_per_group,
     "ivm_merge_topk": _q_ivm_merge_topk,
     "ivm_merge_time_window": _q_ivm_merge_time_window,
+    "ivm_merge_gap_fill": _q_ivm_merge_gap_fill,
     "ivm_merge_ivf_cells": _q_ivm_merge_ivf_cells,
     "ivm_merge_chain_semi": _q_ivm_merge_chain_semi,
     "ivm_merge_full_chain": _q_ivm_merge_full_chain,
@@ -4335,8 +4366,11 @@ _EXTRA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 #     round-trip: per-clip integer pixel stats and real keyframe
 #     sampling, both with closed-form value oracles;
 #     timeseries_gap_fill — hypertable bucket + gap-fill with locf /
-#     NULL / linear fills, value-exact oracle — these three displace
-#     sim_topk_ivf, streaming_asof_join and q1_pricing_summary to the
+#     NULL / linear fills, value-exact oracle;
+#     ivm_merge_gap_fill — the IVM × time-series composition: the
+#     bucket rollup maintained under the event delta, gap-filled on
+#     read via engine.read_gapfill — these four displace sim_topk_ivf,
+#     streaming_asof_join, q1_pricing_summary and q13_custdist to the
 #     round-10 window under the never-graded-first rule);
 #   - positions 5-50: the round-6-stale cohort the r8 VERDICT queued
 #     (its 'Next round' #3): the theta_expr/full-chain/sketch-lifecycle
@@ -4354,6 +4388,7 @@ _GRADE_FIRST: tuple[str, ...] = (
     "multimodal_video",
     "multimodal_video_frames",
     "timeseries_gap_fill",
+    "ivm_merge_gap_fill",
     "approx_distinct_sketch",
     "approx_heavy_hitters",
     "asof_snapshots",
@@ -4396,7 +4431,6 @@ _GRADE_FIRST: tuple[str, ...] = (
     "ivm_min_max_insert_only",
     "ivm_q13_cascade",
     "ivm_semi_join_delta",
-    "q13_custdist",
 )
 
 
@@ -4843,6 +4877,39 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS v_cents
             FROM {_applied_sql('events')} t
             GROUP BY date_trunc('hour', ts), event_type
+        """,
+        # the whole composition recomputed from the applied base: bucket
+        # rollup over T' = T ∖ Δ⁻ ⊎ Δ⁺, then the same predecessor-explode
+        # gap-fill; cnt_lin keeps the Spark side's IEEE expression shape
+        "ivm_merge_gap_fill": f"""
+            WITH b AS (
+              SELECT user_id,
+                     (CAST(floor(epoch(ts)) AS BIGINT) // 900) * 900 AS bucket,
+                     CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents,
+                     count(*) AS cnt
+              FROM {_applied_sql('events')} t GROUP BY 1, 2
+            ),
+            w AS (
+              SELECT b.*,
+                     lead(bucket) OVER pk AS nb,
+                     lead(cnt) OVER pk AS ncnt
+              FROM b WINDOW pk AS (PARTITION BY user_id ORDER BY bucket)
+            ),
+            g AS (
+              SELECT user_id, bucket AS b0, cents, cnt, nb, ncnt,
+                     unnest(range(bucket, coalesce(nb, bucket + 900), 900)) AS gb
+              FROM w
+            )
+            SELECT user_id,
+                   CAST(gb AS BIGINT) AS bucket_epoch,
+                   CAST(cents AS BIGINT) AS cents_locf,
+                   CASE WHEN gb = b0 THEN CAST(cnt AS DOUBLE)
+                        ELSE CAST(cnt AS DOUBLE)
+                             + (CAST(ncnt AS DOUBLE) - CAST(cnt AS DOUBLE))
+                               * (CAST(gb - b0 AS DOUBLE) / CAST(nb - b0 AS DOUBLE))
+                   END AS cnt_lin,
+                   gb <> b0 AS is_gap
+            FROM g
         """,
         "ivm_merge_topk": f"""
             SELECT o_custkey, n_orders, sum_cents FROM (

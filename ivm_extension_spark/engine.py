@@ -1300,6 +1300,77 @@ class IVMEngine:
             f"(retained: {self.list_versions(name)})"
         )
 
+    def read_gapfill(
+        self,
+        name: str,
+        step_seconds: int,
+        value_cols: dict[str, str],
+        bucket_col: str,
+        keys: list[str] | None = None,
+        version: int | None = None,
+        emit_is_gap: bool = True,
+    ) -> DataFrame:
+        """Gap-filled read over a maintained bucket-aggregate view — the
+        hypertable-rollup composition (IVM × time-series): the view
+        maintains ``GROUP BY <keys>, <epoch bucket>`` aggregates under
+        inserts AND deletes with the plain group-by delta rule, and the
+        densification (operators/timeseries.gap_fill: locf / linear /
+        null fills by the predecessor-explode rule) is applied on READ
+        over the merged state — the same finalize-on-read treatment
+        HAVING and read-windows get, and for the same reason: gap rows
+        are DERIVED (a dense grid materialized into state is exactly
+        what gap_fill avoids computing), and one late observation
+        landing inside a gap flips its neighbors' fill values — state
+        stays minimal and exact, the fill is always consistent with it.
+
+        Unlike read-windows (global ranks move everywhere), gap-fill is
+        KEY-LOCAL: a delta only reshapes the timelines of the keys it
+        touches, so callers tracking affected keys can pre-filter the
+        read.  Full-read cost is O(state + emitted gaps), two shuffles,
+        no join.  ``bucket_col`` must be one of the view's group keys
+        (an integer epoch bucket, e.g. ``(unix_timestamp(ts) div 900) *
+        900``); ``value_cols`` maps aggregate output columns to fill
+        methods; ``keys`` defaults to the remaining group keys."""
+        from ivm_extension_spark.operators.timeseries import gap_fill
+
+        vdef = self.view(name)
+        if name in self._sketch_specs:
+            raise IVMError(
+                f"view {name!r} is a sketch view — gap-fill reads need a "
+                "bucket-aggregate view (GROUP BY keys + epoch bucket)"
+            )
+        if not vdef.is_aggregate:
+            raise IVMError(
+                f"view {name!r} is not an aggregate view: gap-fill reads "
+                "densify a maintained GROUP BY <keys>, <bucket> rollup — "
+                "create the view with the bucket expression as a group key"
+            )
+        group_aliases = [a for _, a in vdef.select]
+        if bucket_col not in group_aliases:
+            raise IVMError(
+                f"bucket_col {bucket_col!r} is not a group key of view "
+                f"{name!r} (group keys: {group_aliases})"
+            )
+        agg_aliases = {a.alias for a in vdef.aggregates}
+        unknown = [c for c in value_cols if c not in agg_aliases]
+        if unknown:
+            raise IVMError(
+                f"value_cols {unknown} are not aggregate outputs of view "
+                f"{name!r} (aggregates: {sorted(agg_aliases)}); group keys "
+                "cannot be gap-filled"
+            )
+        if keys is None:
+            keys = [a for a in group_aliases if a != bucket_col]
+        pub = self.read_view(name, version=version)
+        return gap_fill(
+            pub,
+            keys,
+            step_seconds,
+            value_cols,
+            bucket_col=bucket_col,
+            emit_is_gap=emit_is_gap,
+        )
+
     def list_versions(self, name: str) -> list[int]:
         """Versions readable for ``name``: retained history + current."""
         if name in self._sketch_specs:  # sketches retain no history

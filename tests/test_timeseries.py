@@ -12,6 +12,7 @@ import pytest
 from pyspark.sql import functions as F
 
 from ivm_extension_spark.operators import timeseries as ts
+from tests.conftest import rows
 
 
 def _events(spark, rows):
@@ -120,3 +121,85 @@ def test_gap_fill_matches_duckdb_twin(spark):
         FROM g ORDER BY k, bucket
     """).fetchall()
     assert got == [tuple(r) for r in want]
+
+
+def _gap_engine(spark):
+    from ivm_extension_spark.engine import IVMEngine
+
+    eng = IVMEngine(spark)
+    base = _events(
+        spark,
+        [(1, 0, 1.0), (1, 30, 2.0), (1, 240, 4.0), (2, 60, 9.0)],
+    ).toDF("user_id", "ts", "value")
+    eng.register_table("ev", base)
+    eng.create_immv(
+        "v",
+        sql="SELECT user_id, (unix_timestamp(ts) div 60) * 60 AS bucket, "
+        "sum(cast(round(value * 100) AS bigint)) AS cents, count(*) AS cnt "
+        "FROM ev GROUP BY user_id, (unix_timestamp(ts) div 60) * 60",
+    )
+    return eng
+
+
+def test_engine_read_gapfill_maintains_and_fills(spark):
+    """The IVM × gap-fill invariant: merged state gap-filled on read ==
+    recompute-from-applied-base gap-filled — including a delta that
+    OPENS a new gap (insert far ahead) and one that lands INSIDE an
+    existing gap (splitting it)."""
+    import datetime as dt
+
+    from ivm_extension_spark.engine import MULT_COL
+    from pyspark.sql import Row
+
+    eng = _gap_engine(spark)
+    delta = spark.createDataFrame(
+        [
+            Row(user_id=2, ts=dt.datetime.utcfromtimestamp(360), value=1.0, m=True),
+            Row(user_id=1, ts=dt.datetime.utcfromtimestamp(120), value=5.0, m=True),
+            Row(user_id=1, ts=dt.datetime.utcfromtimestamp(30), value=2.0, m=False),
+        ],
+    ).withColumnRenamed("m", MULT_COL)
+    eng.register_delta("ev", delta)
+    eng.ivm_upsert("v")
+    eng.merge_view("v")
+    got = rows(
+        eng.read_gapfill("v", 60, {"cents": "locf", "cnt": "linear"}, bucket_col="bucket")
+    )
+    # recompute twin: applied base -> same rollup -> same fill
+    from ivm_extension_spark.engine import IVMEngine
+
+    eng2 = IVMEngine(spark)
+    applied = _events(
+        spark,
+        [(1, 0, 1.0), (1, 240, 4.0), (2, 60, 9.0), (2, 360, 1.0), (1, 120, 5.0)],
+    ).toDF("user_id", "ts", "value")
+    eng2.register_table("ev", applied)
+    eng2.create_immv(
+        "v2",
+        sql="SELECT user_id, (unix_timestamp(ts) div 60) * 60 AS bucket, "
+        "sum(cast(round(value * 100) AS bigint)) AS cents, count(*) AS cnt "
+        "FROM ev GROUP BY user_id, (unix_timestamp(ts) div 60) * 60",
+    )
+    want = rows(
+        eng2.read_gapfill("v2", 60, {"cents": "locf", "cnt": "linear"}, bucket_col="bucket")
+    )
+    assert got == want
+    # the split gap: user 1 now anchors 0, 120, 240 -> gaps at 60 and 180
+    by = {(r[0], r[1]): r for r in got}
+    assert by[(1, 60)][4] is True and by[(1, 180)][4] is True
+    assert by[(1, 60)][2] == 100 and by[(1, 180)][2] == 500  # locf from new anchor
+
+
+def test_engine_read_gapfill_validation(spark):
+    import pytest as _pytest
+
+    from ivm_extension_spark.engine import IVMError
+
+    eng = _gap_engine(spark)
+    with _pytest.raises(IVMError, match="not a group key"):
+        eng.read_gapfill("v", 60, {"cents": "locf"}, bucket_col="nope")
+    with _pytest.raises(IVMError, match="not aggregate outputs"):
+        eng.read_gapfill("v", 60, {"user_id": "locf"}, bucket_col="bucket")
+    eng.create_immv("p", sql="SELECT user_id, value FROM ev")
+    with _pytest.raises(IVMError, match="not an aggregate view"):
+        eng.read_gapfill("p", 60, {"value": "locf"}, bucket_col="user_id")
