@@ -1746,6 +1746,39 @@ def _q_sim_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_sim_topk_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantized ANN, pure ADC stage (round 9; functions/pq.py):
+    neighbors are represented ONLY by their 16 PQ codes against the
+    FROZEN integer codebooks (pq.PRETRAINED_PQ_D64_M16_K16, trained
+    once by scripts/train_pq_codebooks.py); each (query, candidate)
+    score is 16 codebook lookups + integer adds.  Because the whole
+    path lives on an integer grid, adc_score is an exact BIGINT and the
+    oracle replays encode + ADC value-exactly — approximation lives in
+    the quantizer, never the arithmetic."""
+    from ivm_extension_spark.functions import pq
+
+    embs = _embs(spark, sf_dir)
+    queries_df = embs.filter(F.expr("vec_id % 50 = 0"))
+    return pq.pq_adc_topk(embs, queries_df, "vec_id", "embedding", k=5)
+
+
+def _q_sim_topk_pq_refine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ + exact refine (round 9; the FAISS deployment shape): ADC
+    ranks a 100-candidate shortlist per query from the codes table
+    alone, then only those candidates' raw vectors are re-scored with
+    the exact rounded cosine.  Exact work drops O(q*n) -> O(q*100);
+    measured recall@5 = 1.0 on the synthetic embeddings.  Deterministic
+    for the frozen codebooks, so the oracle replays the identical
+    two-stage pipeline."""
+    from ivm_extension_spark.functions import pq
+
+    embs = _embs(spark, sf_dir)
+    queries_df = embs.filter(F.expr("vec_id % 50 = 0"))
+    return pq.pq_refine_topk(
+        embs, queries_df, "vec_id", "embedding", k=5, shortlist=100
+    )
+
+
 def _q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark decontamination: containment of each 'benchmark' doc's
     3-grams inside corpus docs (functions/dedup.py:contamination_pairs)."""
@@ -4301,6 +4334,8 @@ _EXTRA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sim_knn_label_consistency": _q_sim_knn_label_consistency,
     "sim_topk_lsh": _q_sim_topk_lsh,
     "sim_topk_ivf": _q_sim_topk_ivf,
+    "sim_topk_pq_adc": _q_sim_topk_pq_adc,
+    "sim_topk_pq_refine": _q_sim_topk_pq_refine,
     "chunk_documents": _q_chunk_documents,
     "sample_stratified": _q_sample_stratified,
     "sample_weighted": _q_sample_weighted,
@@ -4369,8 +4404,12 @@ _EXTRA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 #     NULL / linear fills, value-exact oracle;
 #     ivm_merge_gap_fill — the IVM × time-series composition: the
 #     bucket rollup maintained under the event delta, gap-filled on
-#     read via engine.read_gapfill — these four displace sim_topk_ivf,
-#     streaming_asof_join, q1_pricing_summary and q13_custdist to the
+#     read via engine.read_gapfill;
+#     sim_topk_pq_adc / sim_topk_pq_refine — product-quantized ANN on
+#     an integer grid (frozen codebooks, exact BIGINT ADC scores) and
+#     the ADC-shortlist + exact-rerank deployment shape — these six
+#     displace sim_topk_ivf, streaming_asof_join, q1_pricing_summary,
+#     q13_custdist, ivm_q13_cascade and ivm_semi_join_delta to the
 #     round-10 window under the never-graded-first rule);
 #   - positions 5-50: the round-6-stale cohort the r8 VERDICT queued
 #     (its 'Next round' #3): the theta_expr/full-chain/sketch-lifecycle
@@ -4389,6 +4428,8 @@ _GRADE_FIRST: tuple[str, ...] = (
     "multimodal_video_frames",
     "timeseries_gap_fill",
     "ivm_merge_gap_fill",
+    "sim_topk_pq_adc",
+    "sim_topk_pq_refine",
     "approx_distinct_sketch",
     "approx_heavy_hitters",
     "asof_snapshots",
@@ -4429,8 +4470,6 @@ _GRADE_FIRST: tuple[str, ...] = (
     "ivm_merge_window_cascade",
     "ivm_merge_window_view",
     "ivm_min_max_insert_only",
-    "ivm_q13_cascade",
-    "ivm_semi_join_delta",
 )
 
 
@@ -4439,6 +4478,98 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     front = {k: all_q[k] for k in _GRADE_FIRST}
     back = {k: v for k, v in all_q.items() if k not in front}
     return {**front, **back}
+
+
+def _pq_oracle_sqls() -> dict[str, str]:
+    """DuckDB twins of the PQ keys, generated from the same frozen
+    integer codebooks the Spark side serves (functions/pq.py): encode =
+    per-subspace argmin of exact integer L2 distances (array_position
+    of list_min — first match, the same lowest-entry tie-break as the
+    Spark struct sort), ADC = per-subspace integer dot against the
+    code-selected entry.  All arithmetic is sums of integer products —
+    exact in any order on any engine."""
+    from ivm_extension_spark.functions.pq import (
+        PRETRAINED_PQ_D64_M16_K16 as CB,
+        SCALE,
+    )
+
+    m, dsub = len(CB), len(CB[0][0])
+
+    def lit(s: int) -> str:
+        return (
+            "(["
+            + ",".join("[" + ",".join(str(v) for v in e) + "]" for e in CB[s])
+            + "])"
+        )
+
+    nrm = "sqrt(list_reduce(list_transform(ev, v -> v * v), (x, y) -> x + y))"
+    nrm = f"(CASE WHEN ({nrm}) = 0 THEN 1.0 ELSE ({nrm}) END)"
+    iq = (
+        f"SELECT vec_id, list_transform(ev, x -> CAST(round(x / {nrm} * "
+        f"{SCALE}.0) AS BIGINT)) AS iv "
+        "FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ev FROM embeddings)"
+    )
+    dcols, ccols, adcterms = [], [], []
+    for s in range(m):
+        a, b = s * dsub + 1, s * dsub + dsub
+        dists = (
+            f"list_transform({lit(s)}, e -> list_reduce(list_transform("
+            f"list_zip(iv[{a}:{b}], e), p -> (p[1]-p[2])*(p[1]-p[2])), "
+            "(x, y) -> x + y))"
+        )
+        dcols.append(f"{dists} AS d{s}")
+        ccols.append(f"array_position(d{s}, list_min(d{s})) - 1 AS c{s}")
+        adcterms.append(
+            f"(list_reduce(list_transform(list_zip(q.iv[{a}:{b}], "
+            f"{lit(s)}[n.c{s}+1]), p -> p[1]*p[2]), (x, y) -> x + y))"
+        )
+    base = f"""
+        WITH iq AS ({iq}),
+        d AS (SELECT vec_id, iv, {",".join(dcols)} FROM iq),
+        c AS (SELECT vec_id, {",".join(ccols)} FROM d),
+        scored AS (
+            SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
+                   CAST({" + ".join(adcterms)} AS BIGINT) AS adc_score
+            FROM (SELECT * FROM iq WHERE vec_id % 50 = 0) q
+            JOIN c n ON n.vec_id <> q.vec_id
+        ),
+        ranked AS (
+            SELECT *, row_number() OVER (PARTITION BY query_id
+                       ORDER BY adc_score DESC, neighbor_id ASC) AS rank
+            FROM scored
+        )"""
+    units = (
+        f"SELECT vec_id, list_transform(ev, x -> x / ({nrm})) AS uv "
+        "FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ev FROM embeddings)"
+    )
+    udot = (
+        "list_reduce(list_transform(list_zip(uq.uv, un.uv), p -> p[1] * p[2]), "
+        "(x, y) -> x + y)"
+    )
+    return {
+        "sim_topk_pq_adc": base
+        + """
+        SELECT query_id, neighbor_id, adc_score, CAST(rank AS INT) AS rank
+        FROM ranked WHERE rank <= 5
+        """,
+        "sim_topk_pq_refine": base
+        + f""",
+        short AS (SELECT query_id, neighbor_id FROM ranked WHERE rank <= 100),
+        units AS ({units}),
+        rescored AS (
+            SELECT s.query_id, s.neighbor_id,
+                   round(({udot}) * 10000.0) / 10000.0 AS cos_sim
+            FROM short s
+            JOIN units uq ON uq.vec_id = s.query_id
+            JOIN units un ON un.vec_id = s.neighbor_id
+        )
+        SELECT query_id, neighbor_id, cos_sim, CAST(rank AS INT) AS rank
+        FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                  ORDER BY cos_sim DESC NULLS LAST, neighbor_id ASC) AS rank
+              FROM rescored) r
+        WHERE rank <= 5
+        """,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
@@ -6931,4 +7062,5 @@ def _extras_oracle_sql() -> dict[str, str]:
               FROM (SELECT unnest(range(0, fr.h * fr.w * 3)) AS i) g
             ) s
         """,
+        **_pq_oracle_sqls(),
     }
