@@ -777,6 +777,29 @@ def _q_ivm_merge_ivf_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     return eng.merge_view("v")
 
 
+def _q_ivm_merge_pq_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MAINTAINED PQ code index (round 9; IVM × PQ — the ANN sibling of
+    ivm_merge_ivf_cells): the packed code halves (functions/pq.py
+    pq_packed_sql — unit-grid quantize + 16-way argmin encode + 4-bit
+    packing, one inlined integer-exact expression per half) are plain
+    projection select items, so the codes table that pq_adc_topk serves
+    from maintains under embedding inserts AND deletes with the
+    identity delta rule — new vectors are encoded as they arrive, no
+    corpus re-encode, codebooks stay frozen (re-train is a separate
+    offline decision, as in any PQ deployment)."""
+    from ivm_extension_spark.functions import pq
+
+    eng = _engine(spark, sf_dir, deltas=("embeddings",))
+    vec = "CAST(embedding AS ARRAY<DOUBLE>)"
+    lo = pq.pq_packed_sql(vec, subspaces=range(0, 8))
+    hi = pq.pq_packed_sql(vec, subspaces=range(8, 16))
+    eng.create_immv(
+        "v", sql=f"SELECT vec_id, {lo} AS pq_lo, {hi} AS pq_hi FROM embeddings"
+    )
+    eng.ivm_upsert("v")
+    return eng.merge_view("v")
+
+
 def _q_ivm_merge_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     # bag-semantics merge of a projection view (dupes kept, deletes removed)
     eng = _engine(spark, sf_dir, deltas=("customer",))
@@ -3110,6 +3133,7 @@ _IVM_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ivm_merge_chain_semi": _q_ivm_merge_chain_semi,
     "ivm_merge_full_chain": _q_ivm_merge_full_chain,
     "ivm_merge_full_pos_chain": _q_ivm_merge_full_pos_chain,
+    "ivm_merge_pq_index": _q_ivm_merge_pq_index,
     "ivm_merge_projection": _q_ivm_merge_projection,
     "ivm_multibatch_rollup": _q_ivm_multibatch_rollup,
     "ivm_multibatch_deletes": _q_ivm_multibatch_deletes,
@@ -4407,9 +4431,11 @@ _EXTRA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 #     read via engine.read_gapfill;
 #     sim_topk_pq_adc / sim_topk_pq_refine — product-quantized ANN on
 #     an integer grid (frozen codebooks, exact BIGINT ADC scores) and
-#     the ADC-shortlist + exact-rerank deployment shape — these six
-#     displace sim_topk_ivf, streaming_asof_join, q1_pricing_summary,
-#     q13_custdist, ivm_q13_cascade and ivm_semi_join_delta to the
+#     the ADC-shortlist + exact-rerank deployment shape;
+#     ivm_merge_pq_index — the maintained packed-code index (IVM × PQ,
+#     identity delta rule) — these seven displace sim_topk_ivf,
+#     streaming_asof_join, q1_pricing_summary, q13_custdist,
+#     ivm_q13_cascade, ivm_semi_join_delta and ivm_merge_join to the
 #     round-10 window under the never-graded-first rule);
 #   - positions 5-50: the round-6-stale cohort the r8 VERDICT queued
 #     (its 'Next round' #3): the theta_expr/full-chain/sketch-lifecycle
@@ -4430,6 +4456,7 @@ _GRADE_FIRST: tuple[str, ...] = (
     "ivm_merge_gap_fill",
     "sim_topk_pq_adc",
     "sim_topk_pq_refine",
+    "ivm_merge_pq_index",
     "approx_distinct_sketch",
     "approx_heavy_hitters",
     "asof_snapshots",
@@ -4450,7 +4477,6 @@ _GRADE_FIRST: tuple[str, ...] = (
     "ivm_merge_full_suffix_chain",
     "ivm_merge_groupby",
     "ivm_merge_hll_sketch",
-    "ivm_merge_join",
     "ivm_merge_join_minmax",
     "ivm_merge_left_join",
     "ivm_merge_median_mode",
@@ -4504,11 +4530,15 @@ def _pq_oracle_sqls() -> dict[str, str]:
 
     nrm = "sqrt(list_reduce(list_transform(ev, v -> v * v), (x, y) -> x + y))"
     nrm = f"(CASE WHEN ({nrm}) = 0 THEN 1.0 ELSE ({nrm}) END)"
-    iq = (
-        f"SELECT vec_id, list_transform(ev, x -> CAST(round(x / {nrm} * "
-        f"{SCALE}.0) AS BIGINT)) AS iv "
-        "FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ev FROM embeddings)"
-    )
+
+    def iq_sql(src: str) -> str:
+        return (
+            f"SELECT vec_id, list_transform(ev, x -> CAST(round(x / {nrm} * "
+            f"{SCALE}.0) AS BIGINT)) AS iv "
+            f"FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ev FROM {src})"
+        )
+
+    iq = iq_sql("embeddings")
     dcols, ccols, adcterms = [], [], []
     for s in range(m):
         a, b = s * dsub + 1, s * dsub + dsub
@@ -4568,6 +4598,20 @@ def _pq_oracle_sqls() -> dict[str, str]:
                   ORDER BY cos_sim DESC NULLS LAST, neighbor_id ASC) AS rank
               FROM rescored) r
         WHERE rank <= 5
+        """,
+        # the maintained index over the APPLIED base: same encode CTEs,
+        # codes packed 4 bits each into two 32-bit halves (the sign-safe
+        # split the Spark expression uses)
+        "ivm_merge_pq_index": f"""
+        WITH iq AS ({iq_sql(_applied_sql("embeddings") + " a")}),
+        d AS (SELECT vec_id, iv, {",".join(dcols)} FROM iq),
+        c AS (SELECT vec_id, {",".join(ccols)} FROM d)
+        SELECT vec_id,
+               CAST({" + ".join(f"CAST(c{s} AS BIGINT) * {16 ** s}" for s in range(8))}
+                    AS BIGINT) AS pq_lo,
+               CAST({" + ".join(f"CAST(c{s + 8} AS BIGINT) * {16 ** s}" for s in range(8))}
+                    AS BIGINT) AS pq_hi
+        FROM c
         """,
     }
 

@@ -3,6 +3,7 @@ from ivm_extension_spark.functions import (
     dedup,
     hll,
     multimodal,
+    pq,
     quantiles,
     sampling,
     similarity,
@@ -15,6 +16,7 @@ __all__ = [
     "dedup",
     "hll",
     "multimodal",
+    "pq",
     "quantiles",
     "sampling",
     "similarity",

@@ -559,3 +559,47 @@ def pq_train(
                     C[c] = members.mean(axis=0)
         books.append([[int(v) for v in np.round(row)] for row in C])
     return books
+
+
+def pq_packed_sql(vec_col: str, codebooks=None, subspaces=None) -> str:
+    """The codes of the given ``subspaces`` (default: all, if they fit)
+    packed into ONE BIGINT — 4 bits per code for ksub <= 16 — as a pure
+    Spark-SQL expression string: the PQ twin of similarity.ivf_cell_sql,
+    usable directly inside ``CREATE IMMV``.  A maintained code index is
+    just a projection view ``SELECT id, <lo half>, <hi half> FROM
+    vectors`` kept current by the ordinary identity delta rule (16
+    subspaces x 4 bits = 64 bits touches the sign bit of a single
+    int64, so the index stores TWO 32-bit halves — still 8 bytes of
+    code per vector).  The whole pipeline (unit-grid quantize,
+    per-subspace argmin encode, packing) inlines into one expression;
+    the grid vector binds ONCE as a lambda variable so the norm fold is
+    not re-evaluated per codebook entry."""
+    cb = PRETRAINED_PQ_D64_M16_K16 if codebooks is None else codebooks
+    subs = list(range(len(cb))) if subspaces is None else list(subspaces)
+    ksub = max(len(cb[s]) for s in subs)
+    if ksub > 16:
+        raise ValueError(f"packed codes need ksub <= 16, got {ksub}")
+    if 4 * len(subs) > 60:
+        raise ValueError(
+            f"{len(subs)} subspaces need {4 * len(subs)} bits — over the "
+            "signed-int64 budget; pack halves, e.g. subspaces=range(0, 8) "
+            "and range(8, 16)"
+        )
+    dsub = len(cb[0][0])
+    n = f"sqrt(aggregate({vec_col}, 0D, (acc, x) -> acc + x * x))"
+    n = f"(CASE WHEN ({n}) = 0D THEN 1D ELSE ({n}) END)"
+    iv = f"transform({vec_col}, x -> CAST(round(x / {n} * {SCALE}) AS BIGINT))"
+    terms = []
+    for pos, s_i in enumerate(subs):
+        dists = "array(" + ",".join(
+            _sub_dist("__piv", s_i * dsub + 1, dsub, e) for e in cb[s_i]
+        ) + ")"
+        ranked = (
+            f"array_sort(zip_with({dists}, sequence(0, {len(cb[s_i]) - 1}), "
+            "(d, i) -> struct(d AS d, i AS i)))"
+        )
+        terms.append(
+            f"(CAST(element_at({ranked}, 1).i AS BIGINT) * {16 ** pos}L)"
+        )
+    packed = " + ".join(terms)
+    return f"element_at(transform(array({iv}), __piv -> {packed}), 1)"

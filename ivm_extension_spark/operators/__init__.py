@@ -27,6 +27,7 @@ from ivm_extension_spark.operators.rewrite import (
     delta_plan,
 )
 from ivm_extension_spark.operators.skew import salted_join, two_phase_agg
+from ivm_extension_spark.operators.timeseries import bucket_resample, gap_fill, time_bucket
 from ivm_extension_spark.operators.thetajoin import (
     theta_anti_join,
     theta_anti_join_delta,
@@ -45,9 +46,11 @@ __all__ = [
     "IVMError",
     "apply_delta_to_table",
     "asof_join",
+    "bucket_resample",
     "compute_view",
     "delta_plan",
     "finalize",
+    "gap_fill",
     "ineq_full_join",
     "ineq_full_join_delta",
     "ineq_join",
@@ -70,5 +73,6 @@ __all__ = [
     "theta_left_join_delta",
     "theta_semi_join",
     "theta_semi_join_delta",
+    "time_bucket",
     "two_phase_agg",
 ]

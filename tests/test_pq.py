@@ -100,3 +100,38 @@ def test_zero_vector_is_total(spark):
     assert len(enc) == 2  # zero vector encodes (all-zero grid point), no NaN
     out = pq.pq_adc_topk(df, df, k=1).collect()
     assert {(r["query_id"], r["neighbor_id"]) for r in out} == {(0, 1), (1, 0)}
+
+
+def test_maintained_pq_index_equals_recompute(spark):
+    """IVM × PQ: the packed-code projection view merged under an
+    insert+delete delta equals a fresh encode of the applied base."""
+    import numpy as np
+
+    from ivm_extension_spark.engine import IVMEngine, MULT_COL
+
+    rng = np.random.default_rng(9)
+    X = rng.normal(size=(30, 64))
+    base = _vecs(spark, X[:20])
+    eng = IVMEngine(spark)
+    eng.register_table("emb", base)
+    vec = "CAST(embedding AS ARRAY<DOUBLE>)"
+    lo = pq.pq_packed_sql(vec, subspaces=range(0, 8))
+    hi = pq.pq_packed_sql(vec, subspaces=range(8, 16))
+    sql = f"SELECT vec_id, {lo} AS pq_lo, {hi} AS pq_hi FROM emb"
+    eng.create_immv("v", sql=sql)
+    delta = (
+        _vecs(spark, X[20:]).withColumn("vec_id", F.col("vec_id") + 20)
+        .withColumn(MULT_COL, F.lit(True))
+        .unionByName(
+            base.filter(F.col("vec_id") < 5).withColumn(MULT_COL, F.lit(False))
+        )
+    )
+    eng.register_delta("emb", delta)
+    eng.ivm_upsert("v")
+    got = sorted(tuple(r) for r in eng.merge_view("v").collect())
+    applied = _vecs(spark, X[5:]).withColumn("vec_id", F.col("vec_id") + 5)
+    eng2 = IVMEngine(spark)
+    eng2.register_table("emb", applied)
+    eng2.create_immv("v", sql=sql)
+    want = sorted(tuple(r) for r in eng2.read_view("v").collect())
+    assert got == want and len(got) == 25
