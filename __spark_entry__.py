@@ -779,23 +779,32 @@ def _q_ivm_merge_ivf_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _q_ivm_merge_pq_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MAINTAINED PQ code index (round 9; IVM × PQ — the ANN sibling of
-    ivm_merge_ivf_cells): the packed code halves (functions/pq.py
-    pq_packed_sql — unit-grid quantize + 16-way argmin encode + 4-bit
-    packing, one inlined integer-exact expression per half) are plain
-    projection select items, so the codes table that pq_adc_topk serves
-    from maintains under embedding inserts AND deletes with the
-    identity delta rule — new vectors are encoded as they arrive, no
-    corpus re-encode, codebooks stay frozen (re-train is a separate
-    offline decision, as in any PQ deployment)."""
+    ivm_merge_ivf_cells): the codes table that pq_adc_topk serves from
+    maintains under embedding inserts AND deletes with the identity
+    delta rule — new vectors are encoded as they arrive, the corpus is
+    never re-encoded, codebooks stay frozen (re-train is a separate
+    offline decision, as in any PQ deployment).
+
+    Encode-at-ingest shape: base and delta are encoded by the
+    Arrow-vectorized pq_encode (+ codegen'd pq_packed_cols packing) —
+    Spark's higher-order functions are CodegenFallback (interpreted,
+    ~1.6 ms/row for the 256 encode folds), so the inline-SQL twin
+    (pq_packed_sql, pytest-covered) is reserved for composing encode
+    inside view SQL where only small deltas pay that rate; a production
+    index encodes in the ingest pipeline exactly like this."""
     from ivm_extension_spark.functions import pq
 
     eng = _engine(spark, sf_dir, deltas=("embeddings",))
-    vec = "CAST(embedding AS ARRAY<DOUBLE>)"
-    lo = pq.pq_packed_sql(vec, subspaces=range(0, 8))
-    hi = pq.pq_packed_sql(vec, subspaces=range(8, 16))
-    eng.create_immv(
-        "v", sql=f"SELECT vec_id, {lo} AS pq_lo, {hi} AS pq_hi FROM embeddings"
+    eng.register_table(
+        "pq_codes", pq.pq_packed_cols(pq.pq_encode(eng.table("embeddings")))
     )
+    eng.register_delta(
+        "pq_codes",
+        pq.pq_packed_cols(
+            pq.pq_encode(eng.delta("embeddings"), passthrough=(MULT_COL,))
+        ),
+    )
+    eng.create_immv("v", sql="SELECT vec_id, pq_lo, pq_hi FROM pq_codes")
     eng.ivm_upsert("v")
     return eng.merge_view("v")
 
