@@ -7,15 +7,18 @@ public literature (Jegou, Douze, Schmid, "Product Quantization for
 Nearest Neighbor Search", TPAMI 2011) re-expressed Spark-first.
 
 Why PQ at 100 TB: a 64-dim float vector is 256-512 B; its PQ code is
-``m`` small integers (here 16 codes of 4 bits = 8 bytes per vector).  The served index is the CODES table — a
-64-128x smaller scan than the raw vectors — and queries never touch
-raw neighbor vectors at all: each query builds an m x ksub lookup table
-against the frozen codebooks and every candidate's score is ``m`` table
-lookups + adds (asymmetric distance computation, ADC).  Here the LUT
-gather is expressed as JVM-side array expressions over inlined codebook
-literals — whole-stage-codegen'd, no Python, no shuffle on the scan
-side; ranking is the same WindowGroupLimit partial top-k every sim_*
-query uses.  Compose with the frozen IVF quantizer
+``m`` small integers (here 16 codes of 4 bits = 8 bytes per vector).
+The served index is the CODES table — a 64-128x smaller scan than the
+raw vectors — and queries never touch raw neighbor vectors at all:
+each query builds an m x ksub lookup table against the frozen
+codebooks and every candidate's score is ``m`` table lookups + adds
+(asymmetric distance computation, ADC).  The big-scan paths (encode,
+ADC) are Arrow-batched numpy — Spark's higher-order functions are
+CodegenFallback, i.e. always interpreted, so fold expressions on the
+scan side cost ~ms/row (see SCALE_NOTES round 9) — while expression
+twins (pq_codes_expr / pq_packed_sql / _adc_expr) compose the same
+exact integer math inside view SQL for delta-sized relations.
+Compose with the frozen IVF quantizer
 (similarity.ivf_probe_cells_expr) to bucket the codes table by cell and
 prune the scan — both pieces are independently maintained/tested.
 
