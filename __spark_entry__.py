@@ -5068,7 +5068,7 @@ def oracle_sql() -> dict[str, str]:
         "ivm_merge_gap_fill": f"""
             WITH b AS (
               SELECT user_id,
-                     (CAST(floor(epoch(ts)) AS BIGINT) // 900) * 900 AS bucket,
+                     CAST(floor(epoch(ts) / 900) AS BIGINT) * 900 AS bucket,
                      CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents,
                      count(*) AS cnt
               FROM {_applied_sql('events')} t GROUP BY 1, 2
@@ -5674,7 +5674,7 @@ def oracle_sql() -> dict[str, str]:
         "timeseries_gap_fill": """
             WITH b AS (
               SELECT user_id,
-                     (CAST(floor(epoch(ts)) AS BIGINT) // 900) * 900 AS bucket,
+                     CAST(floor(epoch(ts) / 900) AS BIGINT) * 900 AS bucket,
                      CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents,
                      count(*) AS cnt
               FROM events GROUP BY 1, 2

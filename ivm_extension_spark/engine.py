@@ -1333,11 +1333,21 @@ class IVMEngine:
         methods; ``keys`` defaults to the remaining group keys."""
         from ivm_extension_spark.operators.timeseries import gap_fill
 
-        vdef = self.view(name)
+        # sketch views live only in _sketch_specs, so this check must
+        # precede self.view() or the user gets a misleading
+        # "not registered" for a view list_views() plainly shows
         if name in self._sketch_specs:
             raise IVMError(
                 f"view {name!r} is a sketch view — gap-fill reads need a "
                 "bucket-aggregate view (GROUP BY keys + epoch bucket)"
+            )
+        vdef = self.view(name)
+        if vdef.grouping_sets:
+            raise IVMError(
+                f"view {name!r} uses ROLLUP/CUBE/GROUPING SETS: its read "
+                "mixes aggregation levels (NULL-padded keys), which a "
+                "per-key gap-fill would treat as ordinary partitions — "
+                "gap-fill the finest-level view and roll up afterwards"
             )
         if not vdef.is_aggregate:
             raise IVMError(

@@ -422,7 +422,16 @@ def pq_encode(
             if not len(pdf):
                 continue
             X = np.array(list(pdf["__v"]), dtype=np.float64)
-            norms = np.linalg.norm(X, axis=1)
+            # norm as the SAME sequential left fold the expression path
+            # and the oracles evaluate (np.linalg.norm sums pairwise —
+            # ~half of 64-dim norms differ in the last ulp, which can
+            # flip a grid coordinate sitting on a .5 rounding boundary);
+            # the dim-loop is the per-row fold order, vectorized across
+            # the batch
+            acc = np.zeros(len(X), dtype=np.float64)
+            for d in range(X.shape[1]):
+                acc = acc + X[:, d] * X[:, d]
+            norms = np.sqrt(acc)
             norms[norms == 0] = 1.0
             # np.round is half-to-even; SQL round() is half-away —
             # replicate half-away exactly so the Arrow path and the
@@ -591,39 +600,32 @@ def pq_refine_topk(
     """The standard PQ deployment shape (FAISS "refine"): ADC ranks a
     SHORTLIST per query from the codes table alone (cheap, approximate),
     then ONLY the shortlisted candidates' raw vectors are fetched and
-    re-scored with the exact rounded cosine every sim_* key emits.
+    re-scored with the exact rounded cosine every sim_* key emits
+    (similarity.unit_vectors + the shared dot/round/tie-break contract).
 
-    Exact work drops from O(q * n) to O(q * shortlist); the raw vector
-    table is touched via an equi-join on the shortlist ids (at real
-    scale: a broadcast of q * shortlist ids against the bucketed vector
-    table — never a full scan of raw floats).  With shortlist ~ 20k the
-    measured recall@5 on the synthetic embeddings is ~1.0 (0.92 at 5k);
-    the output is fully deterministic for the frozen codebooks, so the
+    Exact work drops from O(q * n) to O(q * shortlist): the raw vector
+    table is pre-filtered by a BROADCAST semi-join on the q * shortlist
+    candidate ids BEFORE any normalization, so only shortlisted rows
+    ever pay the norm fold — the raw-float scan the two-stage design
+    exists to avoid never happens.  With shortlist ~ 20k the measured
+    recall@5 on the synthetic embeddings is ~1.0 (0.92 at 5k); the
+    output is fully deterministic for the frozen codebooks, so the
     oracle replays the identical pipeline value-exactly.
     """
+    from ivm_extension_spark.functions.similarity import unit_vectors
+
     cb = PRETRAINED_PQ_D64_M16_K16 if codebooks is None else codebooks
     short = 20 * k if shortlist is None else shortlist
     cand = pq_adc_topk(vectors, queries, id_col, vec_col, short, cb).select(
         "query_id", "neighbor_id"
     )
-    unit = f"transform(__v, x -> x / __n)"
-    def _unit(df: DataFrame, out_id: str, out_vec: str) -> DataFrame:
-        n = "sqrt(aggregate(__v, 0D, (acc, x) -> acc + x * x))"
-        return (
-            df.select(
-                F.col(id_col).alias(out_id),
-                F.col(vec_col).cast("array<double>").alias("__v"),
-            )
-            .withColumn("__n", F.expr(n))
-            .withColumn(
-                "__n",
-                F.when(F.col("__n") == 0.0, F.lit(1.0)).otherwise(F.col("__n")),
-            )
-            .select(out_id, F.expr(unit).alias(out_vec))
-        )
-
-    q = _unit(queries, "query_id", "qv")
-    v = _unit(vectors, "neighbor_id", "nv")
+    hit = vectors.join(
+        F.broadcast(cand.select(F.col("neighbor_id").alias(id_col)).distinct()),
+        id_col,
+        "leftsemi",
+    )
+    q = unit_vectors(queries, id_col, vec_col, "query_id", "qv")
+    v = unit_vectors(hit, id_col, vec_col, "neighbor_id", "nv")
     dot = F.expr(
         "aggregate(zip_with(qv, nv, (x, y) -> x * y), 0D, (acc, v) -> acc + v)"
     )

@@ -42,6 +42,33 @@ def cosine_expr(a: str, b: str) -> Column:
     return F.expr(f"CASE WHEN {denom} = 0D THEN 0D ELSE ({dot}) / {denom} END")
 
 
+def unit_vectors(
+    df: DataFrame, id_col: str, vec_col: str, out_id: str, out_vec: str
+) -> DataFrame:
+    """(id, unit vector) with the EXACT fold/guard contract every
+    value-checked scorer shares: norm is the sequential left fold
+    (mirrored by the oracles' list_reduce), computed in its own
+    projection so the division lambda references a computed column (one
+    fold per row, not one per element); a zero vector keeps "norm" 1 so
+    its dot with anything is 0, not NaN (NaN sorts above every double
+    and would rank the zero vector as everyone's top hit).  Exactness-
+    sensitive — keep the single copy (brute_force_topk, knn paths and
+    pq_refine_topk all ride on it)."""
+    return (
+        df.select(
+            F.col(id_col).alias(out_id),
+            F.col(vec_col).cast("array<double>").alias("__v"),
+        )
+        .withColumn(
+            "__n", F.expr("sqrt(aggregate(__v, 0D, (acc, v) -> acc + v * v))")
+        )
+        .withColumn(
+            "__n", F.when(F.col("__n") == 0.0, F.lit(1.0)).otherwise(F.col("__n"))
+        )
+        .select(out_id, F.expr("transform(__v, x -> x / __n)").alias(out_vec))
+    )
+
+
 def brute_force_topk(
     vectors: DataFrame,
     queries: DataFrame,
@@ -57,30 +84,8 @@ def brute_force_topk(
     # normalize each side ONCE (norm is per-row, not per-pair): cosine of
     # unit vectors is a plain dot product, so the per-pair work drops from
     # three array folds to one — at n·q pairs that is the dominant cost
-    def _unit(df: DataFrame, out_id: str, out_vec: str) -> DataFrame:
-        # norm in its own projection so the division lambda references a
-        # computed column (one fold per row, not one per element)
-        return (
-            df.select(
-                F.col(id_col).alias(out_id),
-                F.col(vec_col).cast("array<double>").alias("__v"),
-            )
-            .withColumn(
-                "__n", F.expr("sqrt(aggregate(__v, 0D, (acc, v) -> acc + v * v))")
-            )
-            # zero-norm guard: leave a zero vector as-is (unit "norm" 1) so
-            # its dot with anything is 0, not NaN (NaN sorts above every
-            # double and would rank the zero vector as everyone's top hit)
-            .withColumn(
-                "__n", F.when(F.col("__n") == 0.0, F.lit(1.0)).otherwise(F.col("__n"))
-            )
-            .select(
-                out_id, F.expr("transform(__v, x -> x / __n)").alias(out_vec)
-            )
-        )
-
-    v = _unit(vectors, "nid", "nv")
-    q = _unit(queries, "qid", "qv")
+    v = unit_vectors(vectors, id_col, vec_col, "nid", "nv")
+    q = unit_vectors(queries, id_col, vec_col, "qid", "qv")
     dot = F.expr(
         "aggregate(zip_with(qv, nv, (x, y) -> x * y), 0D, (acc, v) -> acc + v)"
     )

@@ -46,10 +46,13 @@ FILL_METHODS = ("locf", "linear", "null")
 
 def time_bucket(time_col: str | Column, step_seconds: int) -> Column:
     """Epoch-second bucket start: floor(epoch(ts) / step) * step, as a
-    BIGINT — integer-exact across engines (no timestamp rounding)."""
+    BIGINT — a true FLOOR (a cast would truncate toward zero and put
+    pre-1970 timestamps in a bucket that starts after them; TimescaleDB
+    time_bucket floors).  Exact: |epoch/step| stays far under 2^53, so
+    the double division loses nothing before the floor."""
     col = F.col(time_col) if isinstance(time_col, str) else time_col
     step = int(step_seconds)
-    return (F.unix_timestamp(col) / F.lit(step)).cast("long") * F.lit(step)
+    return F.floor(F.unix_timestamp(col) / F.lit(step)).cast("long") * F.lit(step)
 
 
 def bucket_resample(
@@ -100,13 +103,21 @@ def gap_fill(
             if m == "linear"
         ],
     )
-    # the row's own bucket plus every missing bucket strictly before its
-    # successor; the per-key last row (no successor) emits only itself
-    grid = F.sequence(
+    # the row's own bucket plus every missing grid point strictly before
+    # its successor; the per-key last row (no successor) emits only
+    # itself.  The stop is the LARGEST grid point below _nb — not
+    # `_nb - step` — so inputs whose spacing is not an exact multiple of
+    # step (irregular buckets, or a step coarser than the data) emit a
+    # well-formed grid instead of crashing sequence() with a stop below
+    # its start; greatest() covers a successor closer than one step
+    # (no gap to fill)
+    stop = F.greatest(
+        F.col("_b")
+        + F.floor((F.col("_nb") - F.col("_b") - 1) / F.lit(step)).cast("long")
+        * F.lit(step),
         F.col("_b"),
-        F.coalesce(F.col("_nb") - F.lit(step), F.col("_b")),
-        F.lit(step),
     )
+    grid = F.sequence(F.col("_b"), F.coalesce(stop, F.col("_b")), F.lit(step))
     exploded = cur.select(
         *keys,
         "_b",

@@ -203,3 +203,64 @@ def test_engine_read_gapfill_validation(spark):
     eng.create_immv("p", sql="SELECT user_id, value FROM ev")
     with _pytest.raises(IVMError, match="not an aggregate view"):
         eng.read_gapfill("p", 60, {"value": "locf"}, bucket_col="user_id")
+
+
+def test_time_bucket_floors_pre_epoch(spark):
+    # truncation would put 1969-12-31 23:58:20 (epoch -100) in bucket 0,
+    # which starts AFTER the observation; the floor lands it in -900
+    df = _events(spark, [(1, -100, 1.0)])
+    got = df.select(ts.time_bucket("ts", 900).alias("b")).collect()
+    assert got[0]["b"] == -900
+
+
+def test_gap_fill_step_coarser_than_spacing_no_crash(spark):
+    # buckets 0, 60, 180 with step=120: grid points are _b + k*120 below
+    # the successor — never a sequence() stop below its start
+    b = _bucketed(spark, [(1, 0, 1.0), (1, 60, 2.0), (1, 300, 3.0)])
+    out = ts.gap_fill(b, ["k"], 120, {"s": "locf"})
+    rows = sorted((r["bucket"], r["s"], r["is_gap"]) for r in out.collect())
+    # each run's grid anchors at its own observation: 0 -> successor 60
+    # closer than one step (no gap); 60 -> one grid point (180) before
+    # the 300 anchor; 300 -> itself
+    assert rows == [
+        (0, 100, False),
+        (60, 200, False),
+        (180, 200, True),
+        (300, 300, False),
+    ]
+
+
+def test_gap_fill_duplicate_bucket_rows_no_crash(spark):
+    # duplicate (key, bucket) rows (possible on raw user input that
+    # skipped bucket_resample): successor == own bucket must not build
+    # an empty-bounds sequence
+    import datetime as dt
+
+    df = spark.createDataFrame(
+        [(1, 0, 10), (1, 0, 20), (1, 120, 30)], "k int, bucket long, s long"
+    )
+    out = ts.gap_fill(df, ["k"], 60, {"s": "locf"})
+    got = sorted((r["bucket"], r["s"], r["is_gap"]) for r in out.collect())
+    # both duplicate anchors emit themselves; the gap at 60 fills from
+    # the later duplicate (window order ties are engine-stable)
+    assert (0, 10, False) in got and (0, 20, False) in got
+    assert (120, 30, False) in got
+    assert any(b == 60 and g for b, _, g in got)
+
+
+def test_engine_read_gapfill_rejects_grouping_sets(spark):
+    import pytest as _pytest
+
+    from ivm_extension_spark.engine import IVMEngine, IVMError
+
+    eng = IVMEngine(spark)
+    eng.register_table(
+        "t", spark.createDataFrame([(1, 0, 1.0)], "k int, b long, v double")
+    )
+    eng.create_immv(
+        "r",
+        sql="SELECT k, b, sum(cast(round(v * 100) AS bigint)) AS cents "
+        "FROM t GROUP BY ROLLUP (k, b)",
+    )
+    with _pytest.raises(IVMError, match="ROLLUP/CUBE/GROUPING SETS"):
+        eng.read_gapfill("r", 60, {"cents": "locf"}, bucket_col="b")
