@@ -30,6 +30,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 from pyspark.sql import types as T
 
 from ivm_extension_spark.operators import auxstate, merge as merge_ops
+from ivm_extension_spark.operators.pin import pin_async
 from ivm_extension_spark.operators.rewrite import (
     MULT_COL,
     IVMError,
@@ -779,19 +780,6 @@ class IVMEngine:
         vdef = self.view(name)  # unknown names: 'is not registered'
         if name not in self._state:
             raise IVMError(f"view {name!r} was not materialized (create_immv)")
-        dv = delta_v if delta_v is not None else self._materialized_delta(name)
-        if (
-            self._state_store is not None
-            and name in self._state_store
-            and not getattr(dv, "_ivm_materialized", False)
-        ):
-            # the store path executes ΔV twice (touched-bucket collect +
-            # the commit's filtered write) — pin it so a lazy or
-            # non-deterministic delta plan cannot produce a touched set
-            # that disagrees with the rows the commit writes
-            dv = dv.localCheckpoint(eager=True)
-            dv._ivm_materialized = True
-        derived = self._advance_aux(name)
         strategy = self.merge_strategy
         if strategy == "auto":
             # adaptive (mirrors the aux-state advance policy): the patch
@@ -806,15 +794,35 @@ class IVMEngine:
                 and self._state_rows.get(name, 0) >= self.patch_min_state_rows
                 else "shuffle"
             )
+        st_fut = None
         if strategy == "patch" and self._iviews[name].select:
             # the patch path scans the state narrowly TWICE (combine join +
             # touched-key probe) — pin it first so the second scan reads
-            # checkpointed blocks, not a re-run of the initial aggregation
+            # checkpointed blocks, not a re-run of the initial aggregation.
+            # Pinned ASYNC (pin.py): the state plan is independent of ΔV
+            # (state reads bases/checkpoints, ΔV reads bases+deltas), so
+            # its checkpoint job overlaps the ΔV materialization and the
+            # aux advance below instead of serializing before the merge.
             st = self._state[name]
             if not getattr(st, "_ivm_pinned", False):
-                st = st.localCheckpoint(eager=True)
-                st._ivm_pinned = True
-                self._state[name] = st
+                st_fut = pin_async(st)
+        dv = delta_v if delta_v is not None else self._materialized_delta(name)
+        if (
+            self._state_store is not None
+            and name in self._state_store
+            and not getattr(dv, "_ivm_materialized", False)
+        ):
+            # the store path executes ΔV twice (touched-bucket collect +
+            # the commit's filtered write) — pin it so a lazy or
+            # non-deterministic delta plan cannot produce a touched set
+            # that disagrees with the rows the commit writes
+            dv = dv.localCheckpoint(eager=True)
+            dv._ivm_materialized = True
+        derived = self._advance_aux(name)
+        if st_fut is not None:
+            st = st_fut.result()
+            st._ivm_pinned = True
+            self._state[name] = st
         self._last_merge_strategy = strategy  # observable for tests/telemetry
         new_state = merge_ops.merge(
             self._state[name], dv, self._iviews[name], derived, strategy
@@ -1135,8 +1143,17 @@ class IVMEngine:
                 out = dict(zip(ordered, ex.map(self.merge_view, ordered)))
         else:
             out = {v: self.merge_view(v) for v in ordered}
-        for t in list(self._deltas):
-            self.apply_delta(t)
+        pending = list(self._deltas)
+        if len(pending) > 1:
+            # independent per-table base folds (distinct engine keys) —
+            # concurrent, same argument as the merge drive above
+            from concurrent.futures import ThreadPoolExecutor
+
+            with ThreadPoolExecutor(min(8, len(pending))) as ex:
+                list(ex.map(self.apply_delta, pending))
+        else:
+            for t in pending:
+                self.apply_delta(t)
         return out
 
     def _advance_aux(self, name: str) -> dict[str, DataFrame]:
@@ -1691,8 +1708,19 @@ class IVMEngine:
             self.delta(next(iter(vtabs)))  # reference-style missing-delta error
         self.ivm_upsert(name)
         out = self.merge_view(name)
-        for t in tabs:
-            self.apply_delta(t)
+        if len(tabs) > 1:
+            # the per-table base folds are independent eager checkpoints
+            # over DISTINCT engine keys — drive them concurrently, the
+            # same thread-per-unit submission as merge_views (engine
+            # bookkeeping is per-name keyed; Spark's scheduler is
+            # thread-safe)
+            from concurrent.futures import ThreadPoolExecutor
+
+            with ThreadPoolExecutor(len(tabs)) as ex:
+                list(ex.map(self.apply_delta, tabs))
+        else:
+            for t in tabs:
+                self.apply_delta(t)
         return out
 
 

@@ -191,8 +191,11 @@ def asof_join_delta(
         # group NULLs), so NULL-key delta rows must restrict it too
         return _ns_join(df, ak, keys, "leftsemi")
 
-    l_a = _affected(left).localCheckpoint(eager=True)
-    r_a = _affected(right).localCheckpoint(eager=True)
+    # the two affected-side restrictions are independent plans — pin
+    # them CONCURRENTLY so the narrow checkpoint jobs overlap (pin.py)
+    from ivm_extension_spark.operators.pin import pin_all
+
+    l_a, r_a = pin_all(_affected(left), _affected(right))
     l_new = apply_delta_to_table(l_a, d_left) if d_left is not None else l_a
     r_new = apply_delta_to_table(r_a, d_right) if d_right is not None else r_a
 

@@ -40,6 +40,8 @@ import re
 
 from pyspark.sql import DataFrame, functions as F
 
+from ivm_extension_spark.operators.pin import pin_all
+
 _LVL, _IDX = "__dy_lvl", "__dy_idx"
 _BIN = "__dy_bin"
 
@@ -808,17 +810,31 @@ def ineq_full_join_delta(
         )
 
     branches: list[DataFrame] = []
-    # ---- fused join A = ΔL × (R ∪ ΔR): matched branches ΔL⋈R (sign
-    # __wl) and ΔL⋈ΔR (sign __wl·__wr) in one pass, plus the left anti
-    # term's match counts — ΔL keys with m ≤ 0 matches in R' get the
-    # NULL-padded delta row
+    # A and C are independent plans, each eagerly pinned (fan-out
+    # consumers below) — pin them CONCURRENTLY so the two narrow
+    # checkpoint jobs and their planning prologues overlap (pin.py)
+    A_lazy = C_lazy = None
     if dl is not None:
         rprime = right.withColumn("__wr", F.lit(1)).withColumn(
             tag_r, F.lit(False)
         )
         if dr is not None:
             rprime = rprime.unionByName(dr.withColumn(tag_r, F.lit(True)))
-        A = ij(dl, rprime, "left").localCheckpoint(eager=True)
+        A_lazy = ij(dl, rprime, "left")
+    if dr is not None:
+        lprime = left.withColumn("__wl", F.lit(1)).withColumn(
+            tag_l, F.lit(False)
+        )
+        if dl is not None:
+            lprime = lprime.unionByName(dl.withColumn(tag_l, F.lit(True)))
+        C_lazy = ij(lprime, dr, "right")
+    A, C = pin_all(A_lazy, C_lazy)
+
+    # ---- fused join A = ΔL × (R ∪ ΔR): matched branches ΔL⋈R (sign
+    # __wl) and ΔL⋈ΔR (sign __wl·__wr) in one pass, plus the left anti
+    # term's match counts — ΔL keys with m ≤ 0 matches in R' get the
+    # NULL-padded delta row
+    if A is not None:
         branches.append(
             A.select(
                 *out_cols,
@@ -840,13 +856,7 @@ def ineq_full_join_delta(
     # ---- fused join C = (L ∪ ΔL) × ΔR: the L⋈ΔR matched branch
     # (old-L rows only — ΔL⋈ΔR already came from A) plus the right
     # anti term's match counts against the post-delta left
-    if dr is not None:
-        lprime = left.withColumn("__wl", F.lit(1)).withColumn(
-            tag_l, F.lit(False)
-        )
-        if dl is not None:
-            lprime = lprime.unionByName(dl.withColumn(tag_l, F.lit(True)))
-        C = ij(lprime, dr, "right").localCheckpoint(eager=True)
+    if C is not None:
         b2 = C.filter(~F.col(tag_l)) if dl is not None else C
         branches.append(b2.select(*out_cols, F.col("__wr").alias(sign)))
         m_pos_r = (

@@ -58,6 +58,7 @@ from typing import Callable
 
 from pyspark.sql import Column, DataFrame, functions as F
 
+from ivm_extension_spark.operators.pin import pin_all, pin_async
 from ivm_extension_spark.operators.thetajoin import sub_outside_literals
 from ivm_extension_spark.plans.viewdef import Aggregate, ViewDef
 
@@ -670,9 +671,9 @@ def _theta_chain_suffix_delta(
     # EAGER: the theta delta rule probes P from several concurrent
     # broadcast-build subjobs; a lazy checkpoint races — every build
     # that starts before the first lands recomputes the whole prefix
-    # join (profiled r8 on the range lifecycle: six full scans for one)
-    P = P.localCheckpoint(eager=True)
-
+    # join (profiled r8 on the range lifecycle: six full scans for one).
+    # P and ΔP are independent plans — pin them CONCURRENTLY (pin.py)
+    # so the two checkpoint jobs and their planning prologues overlap.
     dP: DataFrame | None = None
     if with_delta & set(pre_tabs):
         dP = _delta_source(prefix, get_table, get_delta, broadcast_deltas).select(
@@ -680,11 +681,8 @@ def _theta_chain_suffix_delta(
         )
         if pre_pred:
             dP = dP.filter(F.expr(pre_pred))
-        dP = (
-            dP.withColumn(MULT_COL, F.col(_SIGN) > 0)
-            .drop(_SIGN)
-            .localCheckpoint(eager=True)  # same fan-out-consumer argument
-        )
+        dP = dP.withColumn(MULT_COL, F.col(_SIGN) > 0).drop(_SIGN)
+    P, dP = pin_all(P, dP)
     dC: DataFrame | None = None
     if last.table in with_delta:
         dC = get_delta(last.table)
@@ -862,8 +860,13 @@ def _theta_chain_general_delta(
         # EAGER: the downstream rules probe B from several concurrent
         # broadcast-build subjobs (FULL flip counts, sequential worlds);
         # a lazy checkpoint races and recomputes the theta core join
-        # once per build that starts before the first materializes
-    ).localCheckpoint(eager=True)
+        # once per build that starts before the first materializes.
+        # Pinned ASYNC (pin.py): ΔB's construction below runs the core
+        # delta rule — its own eager pins (P/ΔP, the fused A/C joins)
+        # plus hundreds of py4j plan-building round-trips — all of which
+        # can proceed while B's checkpoint job runs on the cluster.
+    )
+    fut_B = pin_async(B)
 
     dB: DataFrame | None = None
     if with_delta & set(core_tabs):
@@ -876,6 +879,7 @@ def _theta_chain_general_delta(
             .select(*core_cols, MULT_COL)
             .localCheckpoint(eager=True)  # same fan-out-consumer argument
         )
+    B = fut_B.result()
 
     # the virtual core shadows its name in vget_table/vget_delta — a
     # clash (a user table called __theta_core, or this rule's own

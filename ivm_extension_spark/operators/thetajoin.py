@@ -44,6 +44,8 @@ import re
 
 from pyspark.sql import Column, DataFrame, functions as F
 
+from ivm_extension_spark.operators.pin import pin_all
+
 _SIGN = "__ivm_sign"
 
 # single-quoted SQL string literals ('' = escaped quote): column-name
@@ -567,12 +569,24 @@ def theta_full_join_delta(
     ]
     branches: list[DataFrame] = []
 
-    # ---- fused A = ΔL × (R ∪ ΔR): matched ΔL branches + left anti 1
+    # A and C are independent plans, each eagerly pinned (fan-out
+    # consumers below) — pin them CONCURRENTLY so the two narrow
+    # checkpoint jobs and their planning prologues overlap (pin.py)
+    A_lazy = C_lazy = None
     if dl is not None:
         rprime = right.withColumn("__wr", F.lit(1)).withColumn(tag_r, F.lit(False))
         if dr is not None:
             rprime = rprime.unionByName(dr.withColumn(tag_r, F.lit(True)))
-        A = theta_join(dl, rprime, cond, key_cols, "left").localCheckpoint(eager=True)
+        A_lazy = theta_join(dl, rprime, cond, key_cols, "left")
+    if dr is not None:
+        lprime = left.withColumn("__wl", F.lit(1)).withColumn(tag_l, F.lit(False))
+        if dl is not None:
+            lprime = lprime.unionByName(dl.withColumn(tag_l, F.lit(True)))
+        C_lazy = theta_join(lprime, dr, cond, key_cols, "right")
+    A, C = pin_all(A_lazy, C_lazy)
+
+    # ---- fused A = ΔL × (R ∪ ΔR): matched ΔL branches + left anti 1
+    if A is not None:
         branches.append(
             A.select(
                 *oc,
@@ -592,11 +606,7 @@ def theta_full_join_delta(
         branches.append(t1.select(*oc, F.col("__wl").alias(_SIGN)))
 
     # ---- fused C = (L ∪ ΔL) × ΔR: L⋈ΔR matched branch + right anti 1
-    if dr is not None:
-        lprime = left.withColumn("__wl", F.lit(1)).withColumn(tag_l, F.lit(False))
-        if dl is not None:
-            lprime = lprime.unionByName(dl.withColumn(tag_l, F.lit(True)))
-        C = theta_join(lprime, dr, cond, key_cols, "right").localCheckpoint(eager=True)
+    if C is not None:
         b2 = C.filter(~F.col(tag_l)) if dl is not None else C
         branches.append(b2.select(*oc, F.col("__wr").alias(_SIGN)))
         m_pos_r = (

@@ -173,8 +173,15 @@ def window_view_delta(
     # EAGER pins: t_a feeds the old- and new-side window recomputes —
     # independent stage subtrees of the same job that run concurrently,
     # so a lazy shared checkpoint races and the affected-partition scan
-    # runs twice (the fan-out-consumer rule, SCALE_NOTES r8)
-    ak = delta.select(*keys).distinct().localCheckpoint(eager=True)
+    # runs twice (the fan-out-consumer rule, SCALE_NOTES r8).  The pin
+    # lands on Δ itself, not on the derived key set: Δ fans out to the
+    # affected-key broadcast build AND the new-side delta application
+    # (executed by both exceptAll subtrees), while the key set has ONE
+    # consumer — pinning Δ covers every consumer at the same job count
+    # (r9 optimization; the key distinct is a narrow op over the pinned
+    # blocks inside t_a's broadcast build)
+    delta = delta.localCheckpoint(eager=True)
+    ak = delta.select(*keys).distinct()
     t_a = _ns_join(table, ak, keys, "leftsemi").localCheckpoint(eager=True)
     t_new = apply_delta_to_table(t_a, delta)
     old = compute(t_a)
