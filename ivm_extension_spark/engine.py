@@ -807,17 +807,32 @@ class IVMEngine:
             if not getattr(st, "_ivm_pinned", False):
                 st_fut = pin_async(st)
         dv = delta_v if delta_v is not None else self._materialized_delta(name)
-        if (
-            self._state_store is not None
-            and name in self._state_store
-            and not getattr(dv, "_ivm_materialized", False)
-        ):
-            # the store path executes ΔV twice (touched-bucket collect +
-            # the commit's filtered write) — pin it so a lazy or
-            # non-deterministic delta plan cannot produce a touched set
-            # that disagrees with the rows the commit writes
-            dv = dv.localCheckpoint(eager=True)
-            dv._ivm_materialized = True
+        touched_fut = None
+        if self._state_store is not None and name in self._state_store:
+            if not getattr(dv, "_ivm_materialized", False):
+                # the store path executes ΔV twice (touched-bucket collect
+                # + the commit's filtered write) — pin it so a lazy or
+                # non-deterministic delta plan cannot produce a touched set
+                # that disagrees with the rows the commit writes
+                dv = dv.localCheckpoint(eager=True)
+                dv._ivm_materialized = True
+            # the touched-bucket collect only needs the pinned ΔV — start
+            # it NOW on a thread so its job overlaps the aux advance and
+            # the merge-plan construction instead of serializing right
+            # before the commit (guide §2.6; resolved at commit below)
+            from concurrent.futures import ThreadPoolExecutor
+
+            from ivm_extension_spark.sources.lakehouse import bucket_expr
+
+            _keys = self._store_keys(name)
+            _probe = dv.select(
+                bucket_expr(_keys, self._state_store.n_buckets).alias("b")
+            ).distinct()
+            _ex = ThreadPoolExecutor(1)
+            touched_fut = _ex.submit(
+                lambda: sorted(r[0] for r in _probe.collect())
+            )
+            _ex.shutdown(wait=False)
         derived = self._advance_aux(name)
         if st_fut is not None:
             st = st_fut.result()
@@ -846,17 +861,8 @@ class IVMEngine:
             # other bucket's files carry over untouched into the new
             # snapshot.  The store-backed scan replaces the checkpoint —
             # parquet files are immutable, so lineage is already cut.
-            from ivm_extension_spark.sources.lakehouse import bucket_expr
-
             keys = self._store_keys(name)
-            touched = sorted(
-                r[0]
-                for r in dv.select(
-                    bucket_expr(keys, self._state_store.n_buckets).alias("b")
-                )
-                .distinct()
-                .collect()
-            )
+            touched = touched_fut.result()  # collect started at ΔV pin time
             self._state_store.commit(name, new_state, keys, touched)
             new_state = self._state_store.read(name)
         else:
