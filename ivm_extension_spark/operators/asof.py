@@ -164,7 +164,8 @@ def asof_join_delta(
     the exact delta region is the key partitions present in either
     delta: restrict both sides (old AND post-delta) to the broadcast
     affected-key set, recompute the as-of there, and emit the minimal
-    CDC as a bag diff (``exceptAll`` both ways).
+    CDC as a bag diff (one fused ±1-tagged aggregation,
+    merge.bag_diff_cdc — each side's as-of recompute runs once).
 
     Scale shape: the big sides are only ever NULL-SAFE-semi-joined
     against the broadcast affected-key set — never shuffled in full —
@@ -173,7 +174,10 @@ def asof_join_delta(
     pruning a key-bucketed store gives a MERGE INTO.  Deltas carry the
     bool multiplicity; output = view columns + the multiplicity bool.
     """
-    from ivm_extension_spark.operators.merge import apply_delta_to_table
+    from ivm_extension_spark.operators.merge import (
+        apply_delta_to_table,
+        bag_diff_cdc,
+    )
     from ivm_extension_spark.operators.rewrite import MULT_COL
     from ivm_extension_spark.operators.thetajoin import _ns_join
 
@@ -207,6 +211,4 @@ def asof_join_delta(
         l_new, r_new, key_cols, ts_col, value_cols, right_ts_alias,
         direction, tolerance,
     )
-    ins = new.exceptAll(old).withColumn(MULT_COL, F.lit(True))
-    dels = old.exceptAll(new).withColumn(MULT_COL, F.lit(False))
-    return ins.unionByName(dels)
+    return bag_diff_cdc(old, new, MULT_COL)

@@ -551,6 +551,39 @@ def _merge_bag(
     return untouched.unionByName(explode_counts(recounted))
 
 
+def bag_diff_cdc(
+    old: DataFrame, new: DataFrame, mult_col: str = MULT_COL
+) -> DataFrame:
+    """CDC bag diff in ONE aggregation:
+    ``new.exceptAll(old)`` tagged True ⊎ ``old.exceptAll(new)`` tagged
+    False, but fused.  The naive two-``exceptAll`` union evaluates BOTH
+    input plans twice (each exceptAll is its own union+count+replicate
+    subtree — Spark's RewriteExceptAll cannot share work across the two
+    calls), which for the window/as-of delta rules means four window
+    recomputes per batch where two suffice.  Here each side is tagged
+    ±1, aggregated once over all columns, and rows with a non-zero net
+    count are replicated |net| times carrying ``sign(net) > 0`` as the
+    multiplicity — exactly the multiset the two exceptAlls produce.
+    NULL/NaN grouping equality matches exceptAll's comparison rules."""
+    cols = [c for c in old.columns]
+    tagged = new.select(*cols).withColumn(_SIGN, F.lit(1)).unionByName(
+        old.select(*cols).withColumn(_SIGN, F.lit(-1))
+    )
+    net = (
+        tagged.groupBy(*cols)
+        .agg(F.sum(_SIGN).alias("__ivm_net"))
+        .filter(F.col("__ivm_net") != 0)
+    )
+    return net.select(
+        *cols,
+        F.explode(
+            F.array_repeat(
+                F.col("__ivm_net") > 0, F.abs(F.col("__ivm_net")).cast("int")
+            )
+        ).alias(mult_col),
+    )
+
+
 def apply_delta_to_table(base: DataFrame, delta: DataFrame) -> DataFrame:
     """Apply a delta table to its base table (bag semantics): the ground
     truth T' = T ∪ Δ⁺ ∖ Δ⁻ used by full refresh and the IVM invariant

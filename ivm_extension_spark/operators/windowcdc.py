@@ -13,8 +13,9 @@ projection):
     ΔV = [ W(σ_affected(T'))  −  W(σ_affected(T)) ]      (bag diff)
 
 with W the windowed projection, σ_affected the null-safe semi join
-against the broadcast affected-key set, and the diff via ``exceptAll``
-both ways.
+against the broadcast affected-key set, and the bag diff fused into a
+single ±1-tagged aggregation (merge.bag_diff_cdc) so each side's window
+recompute runs once, not once per diff direction.
 
 Scale shape: the base is only ever NULL-SAFE-semi-joined against the
 broadcast affected-key set — never shuffled in full — and the window
@@ -84,7 +85,10 @@ def multi_window_view_delta(
     scan once per consumer (SCALE_NOTES r8); the per-list key sets stay
     lazy (their recompute is a distinct over the already-pinned input).
     """
-    from ivm_extension_spark.operators.merge import apply_delta_to_table
+    from ivm_extension_spark.operators.merge import (
+        apply_delta_to_table,
+        bag_diff_cdc,
+    )
 
     def _flag_pass(
         df: DataFrame, keysets: list[DataFrame], prefix: str
@@ -135,8 +139,8 @@ def multi_window_view_delta(
     )
     b_sets = [ckeys.select(*L).distinct().localCheckpoint(eager=False) for L in lists]
     t_b, bflags = _flag_pass(table, b_sets, "b")
-    # r_t fans out to the old-side recompute, r_new, and both exceptAll
-    # subtrees — concurrent consumers again, so eager (same rule)
+    # r_t fans out to the old-side recompute and (via r_new) the new
+    # side — concurrent consumers again, so eager (same rule)
     r_t = t_b.filter(_any(bflags)).drop(*bflags).localCheckpoint(eager=True)
     r_new = apply_delta_to_table(r_t, delta)
 
@@ -148,9 +152,7 @@ def multi_window_view_delta(
 
     old = _emitted(r_t)
     new = _emitted(r_new)
-    ins = new.exceptAll(old).withColumn(mult_col, F.lit(True))
-    dels = old.exceptAll(new).withColumn(mult_col, F.lit(False))
-    return ins.unionByName(dels)
+    return bag_diff_cdc(old, new, mult_col)
 
 
 def window_view_delta(
@@ -166,7 +168,10 @@ def window_view_delta(
     every window it uses partitions by (at least) ``partition_cols``, so
     restricting its input to whole partitions commutes with it.  Returns
     view columns + the bool multiplicity."""
-    from ivm_extension_spark.operators.merge import apply_delta_to_table
+    from ivm_extension_spark.operators.merge import (
+        apply_delta_to_table,
+        bag_diff_cdc,
+    )
     from ivm_extension_spark.operators.thetajoin import _ns_join
 
     keys = list(partition_cols)
@@ -175,8 +180,8 @@ def window_view_delta(
     # so a lazy shared checkpoint races and the affected-partition scan
     # runs twice (the fan-out-consumer rule, SCALE_NOTES r8).  The pin
     # lands on Δ itself, not on the derived key set: Δ fans out to the
-    # affected-key broadcast build AND the new-side delta application
-    # (executed by both exceptAll subtrees), while the key set has ONE
+    # affected-key broadcast build AND the new-side delta application,
+    # while the key set has ONE
     # consumer — pinning Δ covers every consumer at the same job count
     # (r9 optimization; the key distinct is a narrow op over the pinned
     # blocks inside t_a's broadcast build)
@@ -186,6 +191,4 @@ def window_view_delta(
     t_new = apply_delta_to_table(t_a, delta)
     old = compute(t_a)
     new = compute(t_new)
-    ins = new.exceptAll(old).withColumn(mult_col, F.lit(True))
-    dels = old.exceptAll(new).withColumn(mult_col, F.lit(False))
-    return ins.unionByName(dels)
+    return bag_diff_cdc(old, new, mult_col)

@@ -995,3 +995,26 @@ def test_window_over_join_streaming_drive(spark, tmp_path):
     snap = sorted(map(tuple, snap_df.collect()))
     j = eng.table("o").join(eng.table("c"), "ckey").select(*snap_df.columns)
     assert snap == sorted(map(tuple, j.collect()))
+
+
+def test_bag_diff_cdc_equals_two_exceptalls(spark):
+    """The fused ±1 aggregation (merge.bag_diff_cdc) must produce the
+    exact multiset of the two-exceptAll formulation it replaced —
+    duplicates replicated, NULLs grouped, both multiplicity signs."""
+    from ivm_extension_spark.operators.merge import bag_diff_cdc
+
+    old = spark.createDataFrame(
+        [("a", 1), ("a", 1), ("a", 1), ("b", 2), (None, 3), ("c", None)],
+        "k string, v int",
+    )
+    new = spark.createDataFrame(
+        [("a", 1), ("b", 2), ("b", 2), (None, 3), ("d", 4), ("c", None)],
+        "k string, v int",
+    )
+    got = sorted(map(tuple, bag_diff_cdc(old, new, MULT_COL).collect()))
+    ins = new.exceptAll(old).withColumn(MULT_COL, F.lit(True))
+    dels = old.exceptAll(new).withColumn(MULT_COL, F.lit(False))
+    want = sorted(map(tuple, ins.unionByName(dels).collect()))
+    assert got == want
+    # identical sides -> empty CDC
+    assert bag_diff_cdc(old, old, MULT_COL).count() == 0
