@@ -3686,8 +3686,9 @@ def _q_ivm_multibatch_window_multilist(spark: SparkSession, sf_dir: str) -> Data
     for d in (b1, b2):
         eng.register_delta("orders", d)
         eng.ivm_upsert("v")
-        out = eng.merge_view("v")
-        eng.apply_delta("orders")
+        # state merge ∥ base fold (engine.merge_and_advance) — identical
+        # result, the two independent checkpoint jobs overlap per batch
+        out = eng.merge_and_advance("v", "orders")
     return out
 
 

@@ -51,6 +51,12 @@ _PARTITION_RX = re.compile(
 )
 
 
+class BaseFoldError(IVMError):
+    """``merge_and_advance``: the view merge COMMITTED but the base fold
+    did not — the base table and its registered delta are untouched, so
+    recovery must redo only the fold, never the merge."""
+
+
 def _qualify_partition_keys(qualify: str) -> list[str] | None:
     """PARTITION BY keys of a QUALIFY expression's rank window(s), or
     None when they cannot be resolved to plain columns (expression keys,
@@ -1479,6 +1485,43 @@ class IVMEngine:
         self._tables[name] = new_base
         self._deltas.pop(name, None)
         return new_base
+
+    def merge_and_advance(self, name: str, table: str) -> DataFrame:
+        """``merge_view(name)`` ∥ ``apply_delta(table)`` — the per-batch
+        tail of every multi-batch drive.  The two are independent: the
+        merge's ΔV plan captured the PRE-fold base relation (rebinding
+        ``self._tables`` never mutates an existing plan), and the fold
+        never reads view state — so their blocking checkpoint jobs can
+        overlap (guide §2.6, the same thread-per-unit submission
+        ``merge_views`` uses across views).  All engine-dict mutations
+        for the fold happen on the caller thread only after BOTH
+        finished, so a concurrent ``_advance_aux`` still sees the
+        registered delta.
+
+        Failure contract (what a streaming replay needs to know):
+        merge failed → nothing committed, full redo is safe;
+        merge committed but the fold failed → ``BaseFoldError`` — the
+        base and delta are untouched, so the caller must redo ONLY the
+        fold (`register_delta` + `apply_delta`), never the merge."""
+        from concurrent.futures import ThreadPoolExecutor
+
+        fold_plan = merge_ops.apply_delta_to_table(
+            self.table(table), self.delta(table)
+        )
+        with ThreadPoolExecutor(2) as ex:
+            f_merge = ex.submit(self.merge_view, name)
+            f_base = ex.submit(lambda: fold_plan.localCheckpoint(eager=True))
+            out = f_merge.result()  # merge failure: world unchanged, re-raise
+            try:
+                new_base = f_base.result()
+            except Exception as e:
+                raise BaseFoldError(
+                    f"base fold for {table!r} failed after the merge of "
+                    f"{name!r} committed; redo only the fold"
+                ) from e
+        self._tables[table] = new_base
+        self._deltas.pop(table, None)
+        return out
 
     # -- SQL front door (reference entry-point parity) ---------------------
 

@@ -26,7 +26,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, functions as F
 from pyspark.sql.streaming import StreamingQuery
 
-from ivm_extension_spark.engine import IVMEngine
+from ivm_extension_spark.engine import BaseFoldError, IVMEngine
 
 
 class StreamingViewMaintainer:
@@ -104,9 +104,14 @@ class StreamingViewMaintainer:
         # keeps referencing this micro-batch's source after the batch ends
         self.engine.register_delta(self.table, batch_df)
         self.engine.ivm_upsert(self.view_name)
-        self.engine.merge_view(self.view_name)
-        self._merged_batch_id = batch_id
-        self.engine.apply_delta(self.table)
+        try:
+            # state merge ∥ base fold — overlapped (engine.merge_and_advance);
+            # on BaseFoldError the merge committed and only the fold remains,
+            # exactly the state the _merged_batch_id replay path redoes
+            self.engine.merge_and_advance(self.view_name, self.table)
+        except BaseFoldError:
+            self._merged_batch_id = batch_id
+            raise
         self._finish_batch(batch_id)
 
     def _finish_batch(self, batch_id: int) -> None:
