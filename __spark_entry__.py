@@ -2747,6 +2747,7 @@ def _q_streaming_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from ivm_extension_spark.operators.asof import asof_join, asof_join_delta
     from ivm_extension_spark.operators.merge import apply_delta_to_table
+    from ivm_extension_spark.operators.pin import pin_all
 
     eng = _engine(spark, sf_dir)
     ev = eng.table("events").select("event_id", "user_id", "ts")
@@ -2782,19 +2783,24 @@ def _q_streaming_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     }
 
     def on_batch(batch_df: DataFrame, batch_id: int) -> None:
-        if not batch_df.take(1):
-            return
-        # pin the micro-batch source: the CDC rule reads it several
-        # times (affected keys + both worlds) and a streaming source
-        # relation must not leak past its batch
+        # pin the micro-batch source FIRST: the CDC rule reads it several
+        # times (affected keys + both worlds), a streaming source
+        # relation must not leak past its batch, and the empty-batch
+        # probe then reads the checkpointed blocks instead of paying its
+        # own scan of the landing file
         d = batch_df.localCheckpoint(eager=True)
+        if not d.take(1):
+            return
         dv = asof_join_delta(ev, state["snaps"], None, d, keys, "ts", ("snap_cents",))
         v = state["view"]
-        merged = _bag_merge(v, dv)
-        state["view"] = merged.localCheckpoint(eager=True)
-        state["snaps"] = apply_delta_to_table(state["snaps"], d).localCheckpoint(
-            eager=True
+        # view merge ∥ snapshot fold: independent plans (the merge reads
+        # the old view + ΔV, the fold reads the old snapshot + Δ), so
+        # their checkpoint jobs overlap (pin.py, guide §2.6)
+        merged, snaps2 = pin_all(
+            _bag_merge(v, dv), apply_delta_to_table(state["snaps"], d)
         )
+        state["view"] = merged
+        state["snaps"] = snaps2
         state["batches"] += 1
 
     shuffle_before = spark.conf.get("spark.sql.shuffle.partitions")

@@ -889,13 +889,18 @@ class IVMEngine:
             del hist[: max(0, len(hist) - self.keep_history)]
         self._state[name] = new_state
         if self.merge_strategy == "auto":
-            # measured on the just-checkpointed state (store path: a cheap
-            # file scan); feeds the adaptive strategy for the NEXT batch
-            self._state_rows[name] = (
-                n_rows
-                if self._state_store is None or name not in self._state_store
-                else new_state.count()
-            )
+            # measured on the just-checkpointed state; feeds the adaptive
+            # strategy for the NEXT batch.  Store path: the manifest's
+            # add-file statistics (parquet footer counts recorded at
+            # commit, lakehouse.row_count) — zero Spark jobs; a pre-stats
+            # manifest falls back to counting the scan
+            if self._state_store is None or name not in self._state_store:
+                self._state_rows[name] = n_rows
+            else:
+                sc = self._state_store.row_count(name)
+                self._state_rows[name] = (
+                    sc if sc is not None else new_state.count()
+                )
         pend = self._pending_aux.pop(name, None)
         if pend is not None:
             # commit the advanced aux multiset only now, atomically with

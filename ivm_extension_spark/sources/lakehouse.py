@@ -93,9 +93,14 @@ class LakehouseStore:
 
     def _write_buckets(
         self, view: str, df: DataFrame, keys: list[str], version: int
-    ) -> dict[str, str]:
+    ) -> tuple[dict[str, str], dict[str, int]]:
         """Write ``df`` partitioned by bucket under files/v{version};
-        returns {bucket -> relative dir} for buckets that got rows."""
+        returns ({bucket -> relative dir}, {bucket -> row count}) for
+        buckets that got rows.  Counts come from the parquet FOOTERS of
+        the just-written files (driver-local metadata reads, no Spark
+        job) — the add-file statistics a real table format records at
+        commit time, which is what lets the engine's adaptive merge
+        strategy read the state size for free each batch."""
         rel = f"files/v{version:06d}"
         out_dir = os.path.join(self._vdir(view), rel)
         (
@@ -105,18 +110,27 @@ class LakehouseStore:
             .parquet(out_dir)
         )
         present: dict[str, str] = {}
+        rows: dict[str, int] = {}
         if os.path.isdir(out_dir):
+            import pyarrow.parquet as pq
+
             for d in os.listdir(out_dir):
                 if d.startswith(f"{_BUCKET}="):
                     b = d.split("=", 1)[1]
                     present[b] = f"{rel}/{d}"
-        return present
+                    full = os.path.join(out_dir, d)
+                    rows[b] = sum(
+                        pq.ParquetFile(os.path.join(full, f)).metadata.num_rows
+                        for f in os.listdir(full)
+                        if f.endswith(".parquet")
+                    )
+        return present, rows
 
     def write_full(self, view: str, df: DataFrame, keys: list[str]) -> None:
         """Snapshot v1 (or a full rewrite): every bucket written."""
         version = (self.current_version(view) or 0) + 1
-        buckets = self._write_buckets(view, df, keys, version)
-        self._publish(view, version, buckets, keys, df.schema)
+        buckets, rows = self._write_buckets(view, df, keys, version)
+        self._publish(view, version, buckets, keys, df.schema, rows)
 
     def commit(
         self,
@@ -134,11 +148,23 @@ class LakehouseStore:
         touched_df = new_state.filter(
             bucket_expr(keys, self.n_buckets).isin([int(b) for b in touched_set])
         )
-        written = self._write_buckets(view, touched_df, keys, version)
+        written, wrows = self._write_buckets(view, touched_df, keys, version)
         buckets = {
             b: p for b, p in prev["buckets"].items() if b not in touched_set
         }
         buckets.update(written)  # a touched bucket with zero rows vanishes
+        # carry untouched buckets' row counts forward (their files are the
+        # same immutable ones the previous manifest counted); a pre-stats
+        # manifest lacking them leaves the count absent -> row_count None
+        prev_rows = prev.get("bucket_rows")
+        rows = (
+            {
+                **{b: prev_rows[b] for b in buckets if b in prev_rows},
+                **wrows,
+            }
+            if prev_rows is not None
+            else None
+        )
         # publish new_state's schema, not the previous manifest's: untouched
         # buckets' files must still parse under it, so a redefinition that
         # changes the shape while reusing the view name is an error, never a
@@ -157,7 +183,7 @@ class LakehouseStore:
                 f"{new_state.schema.simpleString()}) but untouched buckets "
                 "remain; use write_full to rewrite the snapshot"
             )
-        self._publish(view, version, buckets, keys, new_state.schema)
+        self._publish(view, version, buckets, keys, new_state.schema, rows)
 
     def _publish(
         self,
@@ -166,6 +192,7 @@ class LakehouseStore:
         buckets: dict[str, str],
         keys: list[str],
         schema: T.StructType,
+        bucket_rows: dict[str, int] | None = None,
     ) -> None:
         manifest = {
             "version": version,
@@ -174,6 +201,8 @@ class LakehouseStore:
             "buckets": buckets,
             "schema": json.dumps(schema.jsonValue()),
         }
+        if bucket_rows is not None:
+            manifest["bucket_rows"] = bucket_rows
         path = self._manifest_path(view, version)
         tmp = path + ".tmp"
         os.makedirs(os.path.dirname(path), exist_ok=True)
@@ -199,6 +228,16 @@ class LakehouseStore:
         """{bucket -> relative file dir} of a snapshot — lets tests (and
         operators) verify which buckets a commit actually rewrote."""
         return dict(self.manifest(view, version)["buckets"])
+
+    def row_count(self, view: str, version: int | None = None) -> int | None:
+        """Total state rows of a snapshot from the manifest's add-file
+        statistics — no Spark job.  None for a pre-stats manifest (the
+        caller falls back to counting)."""
+        m = self.manifest(view, version)
+        rows = m.get("bucket_rows")
+        if rows is None:
+            return None
+        return sum(rows.get(b, 0) for b in m["buckets"])
 
     # -- table maintenance ---------------------------------------------------
 

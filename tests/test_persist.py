@@ -320,3 +320,37 @@ def test_lakehouse_compact_and_vacuum(spark, tmp_path):
     # only version-4 file dirs remain on disk
     files_dir = tmp_path / "lake" / "s" / "files"
     assert sorted(os.listdir(files_dir)) == ["v000004"]
+
+
+def test_lakehouse_manifest_row_counts(spark, tmp_path):
+    """The manifest's add-file statistics (bucket_rows) must equal the
+    actual snapshot count after write_full, bucket-granular commits and
+    compaction — the engine's adaptive strategy reads them instead of
+    launching a count job per merge."""
+    from ivm_extension_spark.sources.lakehouse import LakehouseStore
+
+    store = LakehouseStore(spark, str(tmp_path / "lake"), n_buckets=8)
+    eng = IVMEngine(spark, state_store=store)
+    eng.register_table("orders", f"{SF}/orders.parquet")
+    eng.create_immv(
+        "by_cust",
+        sql="SELECT o_custkey, count(*) AS n FROM orders GROUP BY o_custkey",
+    )
+    assert store.row_count("by_cust") == store.read("by_cust").count()
+
+    # a delta that inserts a NEW customer and deletes an existing one
+    ck = eng.table("orders").select("o_custkey").first()[0]
+    d = (
+        eng.table("orders")
+        .filter(F.col("o_custkey") == F.lit(ck))
+        .limit(1)
+        .withColumn("o_custkey", F.lit(999999999))
+        .withColumn(MULT_COL, F.lit(True))
+    )
+    eng.register_delta("orders", d)
+    eng.ivm_upsert("by_cust")
+    eng.merge_view("by_cust")
+    assert store.row_count("by_cust") == store.read("by_cust").count()
+
+    store.compact("by_cust")
+    assert store.row_count("by_cust") == store.read("by_cust").count()
