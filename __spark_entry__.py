@@ -2093,8 +2093,12 @@ def _q_dedup_minhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = _docs(spark, sf_dir)
+    # eager_shingles=False: the delta rule's concurrent state/delta
+    # counts are the single materializing actions, so the corpus shingle
+    # pass overlaps the delta chain instead of serializing before it
     state = banded_signatures(
-        docs, "doc_id", "text", num_hashes=64, bands=16, shingle_hash="md5"
+        docs, "doc_id", "text", num_hashes=64, bands=16, shingle_hash="md5",
+        eager_shingles=False,
     )
     delta = (
         docs.filter("doc_id % 10 = 0")
@@ -2136,9 +2140,12 @@ def _q_dedup_chunk_minhash_incremental(spark: SparkSession, sf_dir: str) -> Data
     )
 
     docs = _docs(spark, sf_dir)
+    # eager_shingles=False: see dedup_minhash_incremental — the corpus
+    # chunk-shingle pass materializes inside the delta rule's concurrent
+    # state count, overlapping the delta chain
     state = chunk_banded_signatures(
         docs, "doc_id", "text", chunk_size=16, overlap=4,
-        num_hashes=32, bands=8, shingle_hash="md5",
+        num_hashes=32, bands=8, shingle_hash="md5", eager_shingles=False,
     )
     delta = (
         docs.filter("doc_id % 10 = 0")

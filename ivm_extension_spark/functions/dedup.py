@@ -216,6 +216,7 @@ def minhash_signatures(
     shingle_n: int = 3,
     seed: int = 42,
     shingle_hash: str = "xxhash64",
+    eager_shingles: bool = True,
 ) -> DataFrame:
     """(id, signature array<long>) via a vectorized Arrow pandas_udf.
 
@@ -279,8 +280,14 @@ def minhash_signatures(
     # materialize the hashed shingles before the UDF: (a) the shingling
     # expression must not be inlined into the UDF argument (plans with
     # lambda-typed UDF args cannot be checkpointed downstream), (b)
-    # consumers self-join the signatures, and the UDF must not run twice
-    sh = sh.localCheckpoint(eager=True)
+    # consumers self-join the signatures, and the UDF must not run twice.
+    # ``eager_shingles=False`` keeps the checkpoint LAZY for callers that
+    # materialize the whole signature chain themselves with a single
+    # action (minhash_lsh_delta_pairs' concurrent counts): the shingle
+    # pass then runs inside that action's job instead of blocking the
+    # driver at plan-construction time — only safe when exactly one
+    # action runs before the relation fans out
+    sh = sh.localCheckpoint(eager=eager_shingles)
     return sh.select("id", sig_udf(F.col("hs")).alias("sig"))
 
 
@@ -293,6 +300,7 @@ def banded_signatures(
     shingle_n: int = 3,
     seed: int = 42,
     shingle_hash: str = "xxhash64",
+    eager_shingles: bool = True,
 ) -> DataFrame:
     """(id, band, bh): the LSH banding relation — one hash per (doc,
     band) over the band's signature slice.  This IS the dedup index
@@ -304,7 +312,8 @@ def banded_signatures(
     instead of xxhash64 of the array — see minhash_signatures."""
     rows_per_band = num_hashes // bands
     sigs = minhash_signatures(
-        df, id_col, text_col, num_hashes, shingle_n, seed, shingle_hash
+        df, id_col, text_col, num_hashes, shingle_n, seed, shingle_hash,
+        eager_shingles,
     )
     exploded = sigs.select(
         "id",
@@ -482,6 +491,7 @@ def chunk_banded_signatures(
     seed: int = 42,
     shingle_hash: str = "xxhash64",
     id_stride: int = 100_000,
+    eager_shingles: bool = True,
 ) -> DataFrame:
     """The chunk-grain banding index — :func:`banded_signatures` over the
     chunked corpus (chunk ids packed as doc_id·id_stride + chunk_id).
@@ -492,7 +502,7 @@ def chunk_banded_signatures(
     )
     return banded_signatures(
         chunked, "cid", "chunk_text", num_hashes, bands, shingle_n, seed,
-        shingle_hash,
+        shingle_hash, eager_shingles,
     )
 
 
@@ -583,9 +593,13 @@ def minhash_lsh_delta_pairs(
     )
     # fingerprint ONLY the inserted docs; deleted docs' bands come from
     # the state itself (no recompute, and bit-identical to what was
-    # originally indexed)
+    # originally indexed).  eager_shingles=False: the count below is this
+    # chain's single materializing action, so the shingle pass runs
+    # inside it (one job, off the driver's critical path) instead of
+    # blocking plan construction
     dp = banded_signatures(
-        ins_docs, id_col, text_col, num_hashes, bands, shingle_n, seed, shingle_hash
+        ins_docs, id_col, text_col, num_hashes, bands, shingle_n, seed,
+        shingle_hash, eager_shingles=False,
     ).persist()
     # materialize the corpus index and the delta fingerprints ONCE, up
     # front: `state` is embedded in dm, surv AND new_state, and the CDC
