@@ -591,8 +591,13 @@ class IVMEngine:
         meta = auxstate.agg_meta(vdef, self.table)
         self._aux_meta[name] = meta
         if meta:
+            # LAZY checkpoint fused with the row count: the count scans
+            # every partition, materializing the checkpoint as its side
+            # effect — one Spark job where eager-then-count launched two
+            # (the merge-path fusing applied to view creation); the aux
+            # fan-out (derive_frames) only happens after the count
             aux = auxstate.init_aux(vdef, self.table, meta).localCheckpoint(
-                eager=True
+                eager=False
             )
             self._aux[name] = aux
             self._aux_rows[name] = aux.count()

@@ -802,11 +802,14 @@ def connected_components(
             .groupBy("src")
             .agg(F.min("label").alias("nbr_label"))
         )
-        # eager checkpoint: the convergence probe's limit(1) would only
-        # materialize SOME partitions of a lazy checkpoint, leaving later
-        # rounds to re-execute the join plan for the rest (measured 3x
-        # slower) — the full materialization here is what every later
-        # consumer reuses
+        # LAZY checkpoint fused with the convergence count: the count
+        # scans every partition, so it materializes the whole checkpoint
+        # as its side effect — one Spark job per round where an eager
+        # checkpoint followed by a probe launched two (the engine's
+        # merge-path fusing).  The probe must stay a FULL count, not
+        # limit(1): a limited action materializes only some partitions
+        # of a lazy checkpoint, leaving later rounds to re-execute the
+        # join plan for the rest (measured 3x slower).
         new_labels = (
             labels.join(
                 F.broadcast(neighbor_min),
@@ -820,11 +823,9 @@ def connected_components(
                     F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))
                 ).alias("label"),
             )
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
-        changed = (
-            new_labels.filter(F.col("label") != F.col("old_label")).limit(1).count()
-        )
+        changed = new_labels.filter(F.col("label") != F.col("old_label")).count()
         labels = new_labels.select("vid", "label")
         if changed == 0:
             break
