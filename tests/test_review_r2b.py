@@ -151,9 +151,15 @@ def test_merge_view_failure_is_retryable_with_aux_aggs(spark, monkeypatch):
 # ---------------------------------------------------------------- streaming
 
 def test_streaming_partial_batch_replay_not_double_applied(spark, tmp_path):
-    """merge committed + apply_delta failed + in-process replay: the
+    """merge committed + base fold failed + in-process replay: the
     replay must skip the merge (flagged by batch id) and only redo the
-    base fold."""
+    base fold.  The fold failure is injected through the real seam —
+    ``merge_and_advance`` builds its fold plan via
+    ``merge_ops.apply_delta_to_table`` and folds it in a thread, so a
+    poisoned fold plan makes the checkpoint job fail AFTER the merge
+    committed, which is exactly the BaseFoldError contract."""
+    from ivm_extension_spark.engine import BaseFoldError
+    from ivm_extension_spark.operators import merge as merge_ops
     from ivm_extension_spark.streaming.continuous import StreamingViewMaintainer
 
     eng = IVMEngine(spark)
@@ -162,18 +168,26 @@ def test_streaming_partial_batch_replay_not_double_applied(spark, tmp_path):
     m = StreamingViewMaintainer(eng, "v", "t")
 
     batch = spark.createDataFrame([(1, 5, True)], f"k int, v int, {MULT_COL} boolean")
-    real_apply = eng.apply_delta
+    real_fold = merge_ops.apply_delta_to_table
     calls = {"n": 0}
 
-    def flaky_apply(name):
+    def flaky_fold(base, delta):
+        out = real_fold(base, delta)
         calls["n"] += 1
         if calls["n"] == 1:
-            raise RuntimeError("injected apply failure")
-        return real_apply(name)
+            # computing this plan raises at runtime, so the fold-side
+            # localCheckpoint job fails while the merge side commits
+            return out.filter(
+                F.assert_true(F.lit(False), F.lit("injected fold failure")).isNull()
+            )
+        return out
 
-    eng.apply_delta = flaky_apply
-    with pytest.raises(RuntimeError, match="injected"):
-        m._process_batch(batch, 0)
+    merge_ops.apply_delta_to_table = flaky_fold
+    try:
+        with pytest.raises(BaseFoldError, match="redo only the fold"):
+            m._process_batch(batch, 0)
+    finally:
+        merge_ops.apply_delta_to_table = real_fold
     assert m._merged_batch_id == 0  # merge committed, batch not finished
     m._process_batch(batch, 0)  # foreachBatch replay
     assert m.last_batch_id == 0 and m._merged_batch_id is None
