@@ -42,6 +42,13 @@ def build_spark(cpus: int) -> SparkSession:
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_MEM", "48g"))
         .config("spark.ui.enabled", "false")
+        # PySpark 4's per-call call-site capture (DataFrame debugging)
+        # costs a Python stack walk + 3 extra py4j round-trips on EVERY
+        # DataFrame method — pure driver-side construction overhead at
+        # any cluster size, measured ~0.3-0.5 s on the deep lifecycle
+        # keys (guide §7.3).  Plans and results are unchanged; error
+        # messages merely lose the user-code call-site line.
+        .config("spark.python.sql.dataFrameDebugging.enabled", "false")
         .getOrCreate()
     )
 

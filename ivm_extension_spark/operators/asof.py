@@ -197,18 +197,22 @@ def asof_join_delta(
 
     # the two affected-side restrictions are independent plans — pin
     # them CONCURRENTLY so the narrow checkpoint jobs overlap (pin.py)
-    from ivm_extension_spark.operators.pin import pin_all
+    from ivm_extension_spark.operators.pin import build_all, pin_all
 
     l_a, r_a = pin_all(_affected(left), _affected(right))
     l_new = apply_delta_to_table(l_a, d_left) if d_left is not None else l_a
     r_new = apply_delta_to_table(r_a, d_right) if d_right is not None else r_a
 
-    old = asof_join(
-        l_a, r_a, key_cols, ts_col, value_cols, right_ts_alias,
-        direction, tolerance,
-    )
-    new = asof_join(
-        l_new, r_new, key_cols, ts_col, value_cols, right_ts_alias,
-        direction, tolerance,
+    # the old-side and new-side recomputes are independent constructions
+    # over the pinned restrictions — build them concurrently (pin.build_all)
+    old, new = build_all(
+        lambda: asof_join(
+            l_a, r_a, key_cols, ts_col, value_cols, right_ts_alias,
+            direction, tolerance,
+        ),
+        lambda: asof_join(
+            l_new, r_new, key_cols, ts_col, value_cols, right_ts_alias,
+            direction, tolerance,
+        ),
     )
     return bag_diff_cdc(old, new, MULT_COL)

@@ -40,7 +40,7 @@ import re
 
 from pyspark.sql import DataFrame, functions as F
 
-from ivm_extension_spark.operators.pin import pin_all
+from ivm_extension_spark.operators.pin import build_all, pin_all
 
 _LVL, _IDX = "__dy_lvl", "__dy_idx"
 _BIN = "__dy_bin"
@@ -577,10 +577,9 @@ def _semi_anti_delta(
         )
 
     rproj = right.select(*key_cols, right_col)
-    branches: list[DataFrame] = []
 
     # ---- term 1: ΔL rows gated on the post-delta match count m'
-    if dl is not None:
+    def _term1() -> DataFrame:
         rprime = rproj.withColumn("__wr", F.lit(1))
         if dr is not None:
             rprime = rprime.unionByName(dr.select(*key_cols, right_col, "__wr"))
@@ -597,10 +596,10 @@ def _semi_anti_delta(
         t1 = dl.join(
             F.broadcast(m_pos), on=kp, how="left_anti" if anti else "leftsemi"
         )
-        branches.append(t1.select(*left.columns, F.col("__wl").alias(sign)))
+        return t1.select(*left.columns, F.col("__wl").alias(sign))
 
     # ---- term 2: existing L keys whose match count crosses zero
-    if dr is not None:
+    def _term2() -> DataFrame:
         dm = (
             ij(
                 left.select(*kp).distinct().filter(F.col(left_col).isNotNull()),
@@ -618,7 +617,15 @@ def _semi_anti_delta(
         flips = _crossings(dm, m_old, kp)
         t2 = left.join(F.broadcast(flips), on=kp, how="inner")
         fsign = -F.col("__flip") if anti else F.col("__flip")
-        branches.append(t2.select(*left.columns, fsign.alias(sign)))
+        return t2.select(*left.columns, fsign.alias(sign))
+
+    # independent constructions — built concurrently (pin.build_all)
+    thunks: list = []
+    if dl is not None:
+        thunks.append(_term1)
+    if dr is not None:
+        thunks.append(_term2)
+    branches: list[DataFrame] = build_all(*thunks)
 
     out = branches[0]
     for b in branches[1:]:
@@ -685,25 +692,22 @@ def ineq_left_join_delta(
             bcast, origin,
         )
 
-    branches: list[DataFrame] = []
     # ---- fused join A = ΔL × (R ∪ ΔR): the ΔL⋈R (sign __wl) and
     # ΔL⋈ΔR (sign __wl·__wr) matched branches plus anti term 1 — ΔL
     # rows with zero matches in R' get the NULL-padded delta row
-    if dl is not None:
+    def _a_group() -> list[DataFrame]:
         rprime = right.withColumn("__wr", F.lit(1)).withColumn(
             tag_r, F.lit(False)
         )
         if dr is not None:
             rprime = rprime.unionByName(dr.withColumn(tag_r, F.lit(True)))
         A = ij(dl, rprime, "left").localCheckpoint(eager=True)
-        branches.append(
-            A.select(
-                *out_cols,
-                (
-                    F.col("__wl")
-                    * F.when(F.col(tag_r), F.col("__wr")).otherwise(F.lit(1))
-                ).alias(sign),
-            )
+        matched = A.select(
+            *out_cols,
+            (
+                F.col("__wl")
+                * F.when(F.col(tag_r), F.col("__wr")).otherwise(F.lit(1))
+            ).alias(sign),
         )
         m_pos = (
             A.groupBy(*kp)
@@ -712,18 +716,19 @@ def ineq_left_join_delta(
             .select(*kp)
         )
         t1 = _null_pad_anti(dl, m_pos, kp, right, key_cols)
-        branches.append(
-            t1.select(*left.columns, *null_r, F.col("__wl").alias(sign))
-        )
+        return [
+            matched,
+            t1.select(*left.columns, *null_r, F.col("__wl").alias(sign)),
+        ]
 
     # ---- matched branch L ⋈ ΔR (old-L rows; ΔL⋈ΔR came from A)
-    if dr is not None:
-        branches.append(
+    def _matched_dr() -> list[DataFrame]:
+        return [
             ij(left, dr, "right").select(*out_cols, F.col("__wr").alias(sign))
-        )
+        ]
 
     # ---- anti term 2: existing L keys whose match count crosses zero
-    if dr is not None:
+    def _anti2() -> list[DataFrame]:
         # Δm per affected DISTINCT left key (several left rows sharing a
         # key flip together — the match count is a per-KEY quantity)
         dm = (
@@ -741,9 +746,19 @@ def ineq_left_join_delta(
         # the preserved-row sign is the crossing's negation
         flips = _crossings(dm, m_old, kp)
         t2 = left.join(F.broadcast(flips), on=kp, how="inner")
-        branches.append(
+        return [
             t2.select(*left.columns, *null_r, (-F.col("__flip")).alias(sign))
-        )
+        ]
+
+    # independent groups, built concurrently (pin.build_all) — the A
+    # group's eager checkpoint job overlaps the sibling constructions
+    thunks: list = []
+    if dl is not None:
+        thunks.append(_a_group)
+    if dr is not None:
+        thunks.append(_matched_dr)
+        thunks.append(_anti2)
+    branches: list[DataFrame] = [b for g in build_all(*thunks) for b in g]
 
     out = branches[0]
     for b in branches[1:]:
@@ -809,7 +824,6 @@ def ineq_full_join_delta(
             bcast, origin,
         )
 
-    branches: list[DataFrame] = []
     # A and C are independent plans, each eagerly pinned (fan-out
     # consumers below) — pin them CONCURRENTLY so the two narrow
     # checkpoint jobs and their planning prologues overlap (pin.py)
@@ -834,15 +848,13 @@ def ineq_full_join_delta(
     # __wl) and ΔL⋈ΔR (sign __wl·__wr) in one pass, plus the left anti
     # term's match counts — ΔL keys with m ≤ 0 matches in R' get the
     # NULL-padded delta row
-    if A is not None:
-        branches.append(
-            A.select(
-                *out_cols,
-                (
-                    F.col("__wl")
-                    * F.when(F.col(tag_r), F.col("__wr")).otherwise(F.lit(1))
-                ).alias(sign),
-            )
+    def _a_group() -> list[DataFrame]:
+        matched = A.select(
+            *out_cols,
+            (
+                F.col("__wl")
+                * F.when(F.col(tag_r), F.col("__wr")).otherwise(F.lit(1))
+            ).alias(sign),
         )
         m_pos = (
             A.groupBy(*kp_l)
@@ -851,14 +863,13 @@ def ineq_full_join_delta(
             .select(*kp_l)
         )
         t1 = _null_pad_anti(dl, m_pos, kp_l, right, key_cols)
-        branches.append(t1.select(*out_cols, F.col("__wl").alias(sign)))
+        return [matched, t1.select(*out_cols, F.col("__wl").alias(sign))]
 
     # ---- fused join C = (L ∪ ΔL) × ΔR: the L⋈ΔR matched branch
     # (old-L rows only — ΔL⋈ΔR already came from A) plus the right
     # anti term's match counts against the post-delta left
-    if C is not None:
+    def _c_group() -> list[DataFrame]:
         b2 = C.filter(~F.col(tag_l)) if dl is not None else C
-        branches.append(b2.select(*out_cols, F.col("__wr").alias(sign)))
         m_pos_r = (
             C.groupBy(*kp_r)
             .agg(F.sum("__wl").alias("__m"))
@@ -866,11 +877,14 @@ def ineq_full_join_delta(
             .select(*kp_r)
         )
         t1r = _null_pad_anti(dr, m_pos_r, kp_r, left, key_cols)
-        branches.append(t1r.select(*out_cols, F.col("__wr").alias(sign)))
+        return [
+            b2.select(*out_cols, F.col("__wr").alias(sign)),
+            t1r.select(*out_cols, F.col("__wr").alias(sign)),
+        ]
 
     # ---- left anti term 2: existing L keys whose match count crosses
     # zero under ΔR (identical to the LEFT rule's term)
-    if dr is not None:
+    def _left_anti2() -> list[DataFrame]:
         dm = (
             ij(left.select(*kp_l).distinct(), dr, "right")
             .groupBy(*kp_l)
@@ -889,15 +903,15 @@ def ineq_full_join_delta(
             for c in right.columns
             if c not in key_cols
         ]
-        branches.append(
+        return [
             t2.select(*left.columns, *null_r, (-F.col("__flip")).alias(sign))
-        )
+        ]
 
     # ---- right anti term 2: existing R keys whose left-match count
     # crosses zero under ΔL (joined against OLD right — deleted right
     # rows intentionally included; their spurious terms cancel against
     # the matched/anti branches exactly as on the left side)
-    if dl is not None:
+    def _right_anti2() -> list[DataFrame]:
         dm_r = (
             ij(dl, right.select(*kp_r).distinct(), "left")
             .groupBy(*kp_r)
@@ -916,13 +930,26 @@ def ineq_full_join_delta(
             else F.lit(None).cast(left.schema[c].dataType).alias(c)
             for c in left.columns
         ]
-        branches.append(
+        return [
             t2r.select(
                 *null_l,
                 *[c for c in right.columns if c not in key_cols],
                 (-F.col("__flip")).alias(sign),
             )
-        )
+        ]
+
+    # independent groups over the pinned A/C — built concurrently
+    # (pin.build_all); flattened order matches the serial construction
+    thunks: list = []
+    if A is not None:
+        thunks.append(_a_group)
+    if C is not None:
+        thunks.append(_c_group)
+    if dr is not None:
+        thunks.append(_left_anti2)
+    if dl is not None:
+        thunks.append(_right_anti2)
+    branches: list[DataFrame] = [b for g in build_all(*thunks) for b in g]
 
     out = branches[0]
     for b in branches[1:]:
@@ -974,21 +1001,28 @@ def ineq_join_delta(
             bcast, origin,
         )
 
-    branches: list[DataFrame] = []
+    # the three matched branches are independent constructions — build
+    # them concurrently (pin.build_all); union order is preserved
+    thunks: list = []
     if dl is not None:
-        branches.append(
-            ij(dl, right, "left").select(*out_cols, F.col("__wl").alias(sign))
+        thunks.append(
+            lambda: ij(dl, right, "left").select(
+                *out_cols, F.col("__wl").alias(sign)
+            )
         )
     if dr is not None:
-        branches.append(
-            ij(left, dr, "right").select(*out_cols, F.col("__wr").alias(sign))
+        thunks.append(
+            lambda: ij(left, dr, "right").select(
+                *out_cols, F.col("__wr").alias(sign)
+            )
         )
     if dl is not None and dr is not None:
-        branches.append(
-            ij(dl, dr, "left").select(
+        thunks.append(
+            lambda: ij(dl, dr, "left").select(
                 *out_cols, (F.col("__wl") * F.col("__wr")).alias(sign)
             )
         )
+    branches: list[DataFrame] = build_all(*thunks)
     out = branches[0]
     for b in branches[1:]:
         out = out.unionByName(b)

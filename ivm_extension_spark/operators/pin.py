@@ -57,3 +57,30 @@ def pin_async(df: DataFrame) -> "Future[DataFrame]":
     fut = ex.submit(lambda: df.localCheckpoint(eager=True))
     ex.shutdown(wait=False)
     return fut
+
+
+def build_all(*thunks):
+    """Run independent plan-CONSTRUCTION thunks concurrently and return
+    their results in input order.
+
+    Profiled on the round-9 state: 40–65 % of the deep lifecycle keys'
+    wall time is jobless driver work — py4j round-trips plus the eager
+    per-call Catalyst analysis every Dataset transformation performs.
+    A delta rule that derives several INDEPENDENT branches (matched
+    terms, anti terms, sequential worlds) pays that construction
+    serially even though no branch reads another's result.  Each thunk
+    runs on its own thread: py4j calls release the GIL at the socket
+    and the JVM analyzes concurrently, so the constructions overlap the
+    same way ``pin_all`` overlaps checkpoint jobs (guide §2.6 applied
+    to the planning prologue itself).  A thunk that also pins (an eager
+    ``localCheckpoint`` inside a branch) overlaps its job with the
+    sibling constructions for free.
+
+    Thunks must be mutually independent and must not mutate shared
+    state; results keep input order, so downstream unions are
+    byte-identical to the serial construction."""
+    if len(thunks) <= 1:
+        return [t() for t in thunks]
+    with ThreadPoolExecutor(len(thunks)) as ex:
+        futs = [ex.submit(t) for t in thunks]
+        return [f.result() for f in futs]

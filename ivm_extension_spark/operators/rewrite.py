@@ -58,7 +58,7 @@ from typing import Callable
 
 from pyspark.sql import Column, DataFrame, functions as F
 
-from ivm_extension_spark.operators.pin import pin_all, pin_async
+from ivm_extension_spark.operators.pin import build_all, pin_all, pin_async
 from ivm_extension_spark.operators.thetajoin import sub_outside_literals
 from ivm_extension_spark.plans.viewdef import Aggregate, ViewDef
 
@@ -964,13 +964,15 @@ def _outer_join_delta(
         acc = lside.join(rside, on=F.expr(join.on), how="inner")
         return acc.withColumn(_SIGN, F.col(wl) * F.col(wr)).drop(wl, wr)
 
-    branches: list[DataFrame] = []
+    inner_thunks: list = []
     if dl is not None:
-        branches.append(_inner(bc(dl.alias(lname)), base_r))
+        inner_thunks.append(lambda: [_inner(bc(dl.alias(lname)), base_r)])
     if dr is not None:
-        branches.append(_inner(base_l, bc(dr.alias(rname))))
+        inner_thunks.append(lambda: [_inner(base_l, bc(dr.alias(rname)))])
     if dl is not None and dr is not None:
-        branches.append(_inner(bc(dl.alias(lname)), bc(dr.alias(rname))))
+        inner_thunks.append(
+            lambda: [_inner(bc(dl.alias(lname)), bc(dr.alias(rname)))]
+        )
 
     def _anti(
         pname: str,
@@ -1068,15 +1070,27 @@ def _outer_join_delta(
             )
         return out
 
-    # L is preserved in both LEFT and FULL
-    branches += _anti(
-        lname, L, dl, wl, rname, R, dr, wr, pairs, lambda pcols: [*pcols, *null_r]
-    )
+    # L is preserved in both LEFT and FULL; R too under FULL.  The
+    # matched branches and each preserved side's anti terms are mutually
+    # independent constructions — build them CONCURRENTLY (pin.build_all,
+    # the §2.6 overlap applied to the planning prologue itself); the
+    # flattened order below matches the serial construction exactly.
+    thunks = [
+        *inner_thunks,
+        lambda: _anti(
+            lname, L, dl, wl, rname, R, dr, wr, pairs,
+            lambda pcols: [*pcols, *null_r],
+        ),
+    ]
     if full:  # R is preserved too
         rpairs = [(be, pe) for (pe, be) in pairs]
-        branches += _anti(
-            rname, R, dr, wr, lname, L, dl, wl, rpairs, lambda pcols: [*null_l, *pcols]
+        thunks.append(
+            lambda: _anti(
+                rname, R, dr, wr, lname, L, dl, wl, rpairs,
+                lambda pcols: [*null_l, *pcols],
+            )
         )
+    branches = [b for part in build_all(*thunks) for b in part]
 
     out = branches[0]
     for b in branches[1:]:
@@ -1115,7 +1129,7 @@ def _sequential_worlds_delta(
     used instead (routed before this fallback).
     """
     tables = view.tables
-    parts: list[DataFrame] = []
+    thunks: list = []
     done: list[str] = []
     for dt in [t for t in tables if t in with_delta]:
         advanced = frozenset(done)
@@ -1135,8 +1149,14 @@ def _sequential_worlds_delta(
                 raise IVMError(f"no delta for table {n!r} (sequential world)")
             return get_delta(n)
 
-        parts.append(_delta_source(view, gt, gd, broadcast_deltas))
+        # each world's step delta is an independent construction (its
+        # world is fixed by `advanced`; the single-delta machinery never
+        # mutates shared state) — build them CONCURRENTLY (pin.build_all)
+        thunks.append(
+            lambda _gt=gt, _gd=gd: _delta_source(view, _gt, _gd, broadcast_deltas)
+        )
         done.append(dt)
+    parts: list[DataFrame] = build_all(*thunks)
 
     # uniform positional flatten: every part projects the same
     # (table, column) refs — qualified when the part kept its aliases,

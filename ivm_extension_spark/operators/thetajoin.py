@@ -44,7 +44,7 @@ import re
 
 from pyspark.sql import Column, DataFrame, functions as F
 
-from ivm_extension_spark.operators.pin import pin_all
+from ivm_extension_spark.operators.pin import build_all, pin_all
 
 _SIGN = "__ivm_sign"
 
@@ -328,23 +328,26 @@ def theta_join_delta(
     dr = _signed(d_right, "__wr") if d_right is not None else None
     oc = _out_cols(left, right, key_cols)
 
-    branches: list[DataFrame] = []
+    # the three matched branches are independent constructions — build
+    # them concurrently (pin.build_all); union order is preserved
+    thunks: list = []
     if dl is not None:
-        branches.append(
-            theta_join(dl, right, cond, key_cols, "left")
+        thunks.append(
+            lambda: theta_join(dl, right, cond, key_cols, "left")
             .select(*oc, F.col("__wl").alias(_SIGN))
         )
     if dr is not None:
-        branches.append(
-            theta_join(left, dr, cond, key_cols, "right")
+        thunks.append(
+            lambda: theta_join(left, dr, cond, key_cols, "right")
             .select(*oc, F.col("__wr").alias(_SIGN))
         )
     if dl is not None and dr is not None:
-        branches.append(
-            theta_join(dl, dr, cond, key_cols, "left").select(
+        thunks.append(
+            lambda: theta_join(dl, dr, cond, key_cols, "left").select(
                 *oc, (F.col("__wl") * F.col("__wr")).alias(_SIGN)
             )
         )
+    branches: list[DataFrame] = build_all(*thunks)
     out = branches[0]
     for b in branches[1:]:
         out = out.unionByName(b)
@@ -371,10 +374,9 @@ def _semi_anti_delta(
     rproj = right.select(*key_cols, *ro)
     dl = _signed(d_left, "__wl") if d_left is not None else None
     dr = _signed(d_right, "__wr") if d_right is not None else None
-    branches: list[DataFrame] = []
 
     # ---- term 1: ΔL rows gated on the post-delta match count m'
-    if dl is not None:
+    def _term1() -> DataFrame:
         rprime = rproj.withColumn("__wr", F.lit(1))
         if dr is not None:
             rprime = rprime.unionByName(dr.select(*key_cols, *ro, "__wr"))
@@ -386,10 +388,10 @@ def _semi_anti_delta(
             .select(*kp)
         )
         t1 = _ns_join(dl, m_pos, kp, "left_anti" if anti else "leftsemi")
-        branches.append(t1.select(*left.columns, F.col("__wl").alias(_SIGN)))
+        return t1.select(*left.columns, F.col("__wl").alias(_SIGN))
 
     # ---- term 2: existing L keys whose match count crosses zero
-    if dr is not None:
+    def _term2() -> DataFrame:
         dm = (
             theta_join(left.select(*kp).distinct(), dr, cond, key_cols, "right")
             .groupBy(*kp)
@@ -404,7 +406,15 @@ def _semi_anti_delta(
         flips = _crossings(dm, m_old, kp)
         t2 = _ns_join(left, flips, kp, "inner")
         fsign = -F.col("__flip") if anti else F.col("__flip")
-        branches.append(t2.select(*left.columns, fsign.alias(_SIGN)))
+        return t2.select(*left.columns, fsign.alias(_SIGN))
+
+    # independent constructions — built concurrently (pin.build_all)
+    thunks: list = []
+    if dl is not None:
+        thunks.append(_term1)
+    if dr is not None:
+        thunks.append(_term2)
+    branches: list[DataFrame] = build_all(*thunks)
 
     out = branches[0]
     for b in branches[1:]:
@@ -477,22 +487,19 @@ def theta_left_join_delta(
     tag_r = "__th_dr"
     dl = _signed(d_left, "__wl") if d_left is not None else None
     dr = _signed(d_right, "__wr") if d_right is not None else None
-    branches: list[DataFrame] = []
 
     # ---- fused A = ΔL × (R ∪ ΔR): matched branches + anti term 1
-    if dl is not None:
+    def _a_group() -> list[DataFrame]:
         rprime = right.withColumn("__wr", F.lit(1)).withColumn(tag_r, F.lit(False))
         if dr is not None:
             rprime = rprime.unionByName(dr.withColumn(tag_r, F.lit(True)))
         A = theta_join(dl, rprime, cond, key_cols, "left").localCheckpoint(eager=True)
-        branches.append(
-            A.select(
-                *oc,
-                (
-                    F.col("__wl")
-                    * F.when(F.col(tag_r), F.col("__wr")).otherwise(F.lit(1))
-                ).alias(_SIGN),
-            )
+        matched = A.select(
+            *oc,
+            (
+                F.col("__wl")
+                * F.when(F.col(tag_r), F.col("__wr")).otherwise(F.lit(1))
+            ).alias(_SIGN),
         )
         m_pos = (
             A.groupBy(*kp)
@@ -501,17 +508,20 @@ def theta_left_join_delta(
             .select(*kp)
         )
         t1 = _null_pad(dl, m_pos, kp, right, key_cols)
-        branches.append(t1.select(*left.columns, *null_r, F.col("__wl").alias(_SIGN)))
+        return [
+            matched,
+            t1.select(*left.columns, *null_r, F.col("__wl").alias(_SIGN)),
+        ]
 
     # ---- matched branch L ⋈ ΔR (old-L rows; ΔL⋈ΔR came from A)
-    if dr is not None:
-        branches.append(
+    def _matched_dr() -> list[DataFrame]:
+        return [
             theta_join(left, dr, cond, key_cols, "right")
             .select(*oc, F.col("__wr").alias(_SIGN))
-        )
+        ]
 
     # ---- anti term 2: existing L keys whose count crosses zero
-    if dr is not None:
+    def _anti2() -> list[DataFrame]:
         dm = (
             theta_join(left.select(*kp).distinct(), dr, cond, key_cols, "right")
             .groupBy(*kp)
@@ -525,9 +535,19 @@ def theta_left_join_delta(
         )
         flips = _crossings(dm, m_old, kp)
         t2 = _ns_join(left, flips, kp, "inner")
-        branches.append(
+        return [
             t2.select(*left.columns, *null_r, (-F.col("__flip")).alias(_SIGN))
-        )
+        ]
+
+    # independent groups, built concurrently (pin.build_all) — the A
+    # group's eager checkpoint job overlaps the sibling constructions
+    thunks: list = []
+    if dl is not None:
+        thunks.append(_a_group)
+    if dr is not None:
+        thunks.append(_matched_dr)
+        thunks.append(_anti2)
+    branches: list[DataFrame] = [b for g in build_all(*thunks) for b in g]
 
     out = branches[0]
     for b in branches[1:]:
@@ -567,7 +587,6 @@ def theta_full_join_delta(
         for c in right.columns
         if c not in key_cols
     ]
-    branches: list[DataFrame] = []
 
     # A and C are independent plans, each eagerly pinned (fan-out
     # consumers below) — pin them CONCURRENTLY so the two narrow
@@ -586,15 +605,13 @@ def theta_full_join_delta(
     A, C = pin_all(A_lazy, C_lazy)
 
     # ---- fused A = ΔL × (R ∪ ΔR): matched ΔL branches + left anti 1
-    if A is not None:
-        branches.append(
-            A.select(
-                *oc,
-                (
-                    F.col("__wl")
-                    * F.when(F.col(tag_r), F.col("__wr")).otherwise(F.lit(1))
-                ).alias(_SIGN),
-            )
+    def _a_group() -> list[DataFrame]:
+        matched = A.select(
+            *oc,
+            (
+                F.col("__wl")
+                * F.when(F.col(tag_r), F.col("__wr")).otherwise(F.lit(1))
+            ).alias(_SIGN),
         )
         m_pos = (
             A.groupBy(*kp_l)
@@ -603,12 +620,11 @@ def theta_full_join_delta(
             .select(*kp_l)
         )
         t1 = _null_pad(dl, m_pos, kp_l, right, key_cols)
-        branches.append(t1.select(*oc, F.col("__wl").alias(_SIGN)))
+        return [matched, t1.select(*oc, F.col("__wl").alias(_SIGN))]
 
     # ---- fused C = (L ∪ ΔL) × ΔR: L⋈ΔR matched branch + right anti 1
-    if C is not None:
+    def _c_group() -> list[DataFrame]:
         b2 = C.filter(~F.col(tag_l)) if dl is not None else C
-        branches.append(b2.select(*oc, F.col("__wr").alias(_SIGN)))
         m_pos_r = (
             C.groupBy(*kp_r)
             .agg(F.sum("__wl").alias("__m"))
@@ -616,10 +632,13 @@ def theta_full_join_delta(
             .select(*kp_r)
         )
         t1r = _null_pad(dr, m_pos_r, kp_r, left, key_cols)
-        branches.append(t1r.select(*oc, F.col("__wr").alias(_SIGN)))
+        return [
+            b2.select(*oc, F.col("__wr").alias(_SIGN)),
+            t1r.select(*oc, F.col("__wr").alias(_SIGN)),
+        ]
 
     # ---- left anti term 2 (identical to the LEFT rule's)
-    if dr is not None:
+    def _left_anti2() -> list[DataFrame]:
         dm = (
             theta_join(left.select(*kp_l).distinct(), dr, cond, key_cols, "right")
             .groupBy(*kp_l)
@@ -635,14 +654,14 @@ def theta_full_join_delta(
         )
         flips = _crossings(dm, m_old, kp_l)
         t2 = _ns_join(left, flips, kp_l, "inner")
-        branches.append(
+        return [
             t2.select(*left.columns, *null_r, (-F.col("__flip")).alias(_SIGN))
-        )
+        ]
 
     # ---- right anti term 2: existing R keys whose left-match count
     # crosses zero under ΔL (against OLD right — deleted right rows'
     # spurious terms cancel exactly as in ineqjoin)
-    if dl is not None:
+    def _right_anti2() -> list[DataFrame]:
         dm_r = (
             theta_join(dl, right.select(*kp_r).distinct(), cond, key_cols, "left")
             .groupBy(*kp_r)
@@ -663,13 +682,26 @@ def theta_full_join_delta(
             else F.lit(None).cast(left.schema[c].dataType).alias(c)
             for c in left.columns
         ]
-        branches.append(
+        return [
             t2r.select(
                 *null_l,
                 *[c for c in right.columns if c not in key_cols],
                 (-F.col("__flip")).alias(_SIGN),
             )
-        )
+        ]
+
+    # independent groups over the pinned A/C — built concurrently
+    # (pin.build_all); flattened order matches the serial construction
+    thunks: list = []
+    if A is not None:
+        thunks.append(_a_group)
+    if C is not None:
+        thunks.append(_c_group)
+    if dr is not None:
+        thunks.append(_left_anti2)
+    if dl is not None:
+        thunks.append(_right_anti2)
+    branches = [b for g in build_all(*thunks) for b in g]
 
     out = branches[0]
     for b in branches[1:]:

@@ -150,8 +150,11 @@ def multi_window_view_delta(
         out = compute(fdf, ("__mw_emit",))
         return out.filter(F.col("__mw_emit")).drop("__mw_emit")
 
-    old = _emitted(r_t)
-    new = _emitted(r_new)
+    # the old- and new-side emitted recomputes are independent
+    # constructions over the pinned r_t — build them concurrently
+    from ivm_extension_spark.operators.pin import build_all
+
+    old, new = build_all(lambda: _emitted(r_t), lambda: _emitted(r_new))
     return bag_diff_cdc(old, new, mult_col)
 
 
@@ -189,6 +192,9 @@ def window_view_delta(
     ak = delta.select(*keys).distinct()
     t_a = _ns_join(table, ak, keys, "leftsemi").localCheckpoint(eager=True)
     t_new = apply_delta_to_table(t_a, delta)
-    old = compute(t_a)
-    new = compute(t_new)
+    # old- and new-side window recomputes: independent constructions
+    # over the pinned t_a — build them concurrently (pin.build_all)
+    from ivm_extension_spark.operators.pin import build_all
+
+    old, new = build_all(lambda: compute(t_a), lambda: compute(t_new))
     return bag_diff_cdc(old, new, mult_col)

@@ -38,6 +38,8 @@ def main() -> int:
         .config("spark.driver.memory", "48g")
         .config("spark.ui.enabled", "true")
         .config("spark.ui.port", "4455")
+        # match bench.py: call-site capture off (driver-side overhead)
+        .config("spark.python.sql.dataFrameDebugging.enabled", "false")
         .getOrCreate()
     )
     spark.sparkContext.setLogLevel("ERROR")

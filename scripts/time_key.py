@@ -36,6 +36,8 @@ def main() -> int:
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_MEM", "48g"))
         .config("spark.ui.enabled", "false")
+        # match bench.py: call-site capture off (driver-side overhead)
+        .config("spark.python.sql.dataFrameDebugging.enabled", "false")
         .getOrCreate()
     )
     spark.sparkContext.setLogLevel("ERROR")
