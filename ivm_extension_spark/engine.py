@@ -191,8 +191,10 @@ class IVMEngine:
         missing = [c for c in base_cols if c not in df.columns]
         if missing:
             raise IVMError(f"delta for {name!r} is missing base columns {missing}")
+        from ivm_extension_spark.operators.colops import q
+
         self._insert_only_deltas.discard(name)  # new delta: no assumption
-        self._deltas[name] = df.select(*base_cols, MULT_COL)
+        self._deltas[name] = df.selectExpr(*[q(c) for c in (*base_cols, MULT_COL)])
 
     def table(self, name: str) -> DataFrame:
         if name not in self._tables:
@@ -1018,14 +1020,12 @@ class IVMEngine:
         """Semi-join ``df`` against ``probe`` on ``keys`` with NULL-safe
         equality (rollup levels and NULL-valued group keys must match),
         the probe broadcast when delta broadcasting is on."""
-        p = probe.select(*[F.col(k).alias(f"__cdc_pk_{k}") for k in keys]).distinct()
+        from ivm_extension_spark.operators import colops
+
+        p = colops.renamed(probe, keys, "__cdc_pk_").distinct()
         if self.broadcast_deltas:
             p = F.broadcast(p)
-        cond = None
-        for k in keys:
-            t = F.col(k).eqNullSafe(F.col(f"__cdc_pk_{k}"))
-            cond = t if cond is None else cond & t
-        return df.join(p, cond, "leftsemi")
+        return df.join(p, colops.ns_eq(keys, "__cdc_pk_"), "leftsemi")
 
     def _cdc_rank_filtered(self, name: str, vdef, dv: DataFrame) -> DataFrame:
         """CDC for QUALIFY / ORDER BY+LIMIT views.  Rank visibility moves

@@ -77,31 +77,35 @@ def asof_join(
     # predicate, but asc ordering sorts NULLS FIRST — unfiltered it
     # would be carried as a phantom as-of match for rows with no true
     # predecessor
-    right = right.filter(F.col(ts_col).isNotNull())
-    payload = F.struct(
-        *[F.col(v).alias(v) for v in value_cols], F.col(ts_col).alias("__ts")
+    from ivm_extension_spark.operators.colops import null_lit_exprs, q
+
+    right = right.filter(f"{q(ts_col)} IS NOT NULL")
+    payload_sql = (
+        "named_struct("
+        + ", ".join(f"'{v}', {q(v)}" for v in value_cols)
+        + f", '__ts', {q(ts_col)})"
+    )
+    payload_ddl = (
+        "struct<"
+        + ",".join(
+            [f"{v}:{right.schema[v].dataType.simpleString()}" for v in value_cols]
+            + [f"__ts:{right.schema[ts_col].dataType.simpleString()}"]
+        )
+        + ">"
     )
 
-    l = left.withColumn(_IS_LEFT, F.lit(1)).withColumn(
-        _PAYLOAD,
-        F.lit(None).cast(
-            "struct<"
-            + ",".join(
-                [f"{v}:{right.schema[v].dataType.simpleString()}" for v in value_cols]
-                + [f"__ts:{right.schema[ts_col].dataType.simpleString()}"]
-            )
-            + ">"
-        ),
+    l = left.selectExpr(
+        "*",
+        f"1 AS {_IS_LEFT}",
+        f"CAST(NULL AS {payload_ddl}) AS {_PAYLOAD}",
     )
-    r = right.select(
-        *[F.col(k) for k in keys],
-        F.col(ts_col),
-        F.lit(0).alias(_IS_LEFT),
-        payload.alias(_PAYLOAD),
+    r = right.selectExpr(
+        *[q(k) for k in keys],
+        q(ts_col),
+        f"0 AS {_IS_LEFT}",
+        f"{payload_sql} AS {_PAYLOAD}",
+        *null_lit_exprs(left, [c for c in lcols if c not in (*keys, ts_col)]),
     )
-    for c in lcols:
-        if c not in (*keys, ts_col):
-            r = r.withColumn(c, F.lit(None).cast(left.schema[c].dataType))
 
     unioned = l.unionByName(r)
     # backward walks time ascending (carry the latest preceding right
@@ -112,20 +116,18 @@ def asof_join(
     # timestamp matches nothing, so it must sort before every right
     # row (asc defaults to NULLS FIRST; desc defaults to NULLS LAST,
     # which would hand NULL-ts left rows the extremal right payload).
-    ts_ord = (
-        F.col(ts_col).asc_nulls_first()
-        if direction == "backward"
-        else F.col(ts_col).desc_nulls_first()
+    ts_dir = "ASC NULLS FIRST" if direction == "backward" else "DESC NULLS FIRST"
+    part = (
+        f"PARTITION BY {', '.join(q(k) for k in keys)} " if keys else ""
     )
-    w = (
-        Window.partitionBy(*keys)
-        .orderBy(ts_ord, F.col(_IS_LEFT).asc())
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    over = (
+        f"OVER ({part}ORDER BY {q(ts_col)} {ts_dir}, {_IS_LEFT} ASC"
+        " ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"
     )
-    carried = unioned.select(
-        *[F.col(c) for c in lcols],
-        F.col(_IS_LEFT),
-        F.last(F.col(_PAYLOAD), ignorenulls=True).over(w).alias("__c"),
+    carried = unioned.selectExpr(
+        *[q(c) for c in lcols],
+        _IS_LEFT,
+        f"last({_PAYLOAD}, true) {over} AS `__c`",
     )
     if tolerance is not None:
         gap = (
@@ -136,10 +138,10 @@ def asof_join(
         carried = carried.withColumn(
             "__c", F.when(F.expr(f"{gap} <= {tolerance}"), F.col("__c"))
         )
-    return carried.filter(F.col(_IS_LEFT) == 1).select(
-        *[F.col(c) for c in lcols],
-        *[F.col(f"__c.{v}").alias(v) for v in value_cols],
-        F.col("__c.__ts").alias(right_ts_alias),
+    return carried.filter(f"{_IS_LEFT} = 1").selectExpr(
+        *[q(c) for c in lcols],
+        *[f"`__c`.{q(v)} AS {q(v)}" for v in value_cols],
+        f"`__c`.`__ts` AS {q(right_ts_alias)}",
     )
 
 

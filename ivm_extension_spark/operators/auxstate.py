@@ -393,11 +393,13 @@ def derive_percentiles(
             )
         )
     per = r.groupBy(*[F.col(k) for k in keys]).agg(*agg_cols)
-    for a in aggs:
+
+    def _interp(a):
         t = F.col(f"__ivm_t_{a.alias}")
         vlo, vhi = F.col(f"__ivm_vlo_{a.alias}"), F.col(f"__ivm_vhi_{a.alias}")
-        per = per.withColumn(a.alias, vlo + (t - F.floor(t)) * (vhi - vlo))
-    return per.select(*keys, *[a.alias for a in aggs])
+        return (vlo + (t - F.floor(t)) * (vhi - vlo)).alias(a.alias)
+
+    return per.select(*keys, *[_interp(a) for a in aggs])
 
 
 def percentile_oracle_sql(
@@ -489,9 +491,19 @@ def patch_merged(
             out = out.join(F.broadcast(d), on=keys, how="left")
         else:
             out = out.crossJoin(F.broadcast(d))
-        for a, p in renames.items():
-            out = out.withColumn(
-                a, F.when(F.col(hit), F.col(p)).otherwise(F.col(a))
-            ).drop(p)
-        out = out.drop(hit)
+        # one fused select: every patched alias reads only ORIGINAL
+        # columns (hit flag + its own __ivm_p_* source), so the old
+        # per-alias withColumn loop is equivalent column-by-column
+        drop = set(renames.values()) | {hit}
+        patched = {
+            a: F.when(F.col(hit), F.col(p)).otherwise(F.col(a))
+            for a, p in renames.items()
+        }
+        out = out.select(
+            *[
+                (patched[c].alias(c) if c in patched else F.col(c))
+                for c in out.columns
+                if c not in drop
+            ]
+        )
     return out.select(*merged.columns)

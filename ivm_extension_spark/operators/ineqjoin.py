@@ -40,6 +40,8 @@ import re
 
 from pyspark.sql import DataFrame, functions as F
 
+from ivm_extension_spark.operators import colops
+from ivm_extension_spark.operators.colops import q
 from ivm_extension_spark.operators.pin import build_all, pin_all
 
 _LVL, _IDX = "__dy_lvl", "__dy_idx"
@@ -151,8 +153,10 @@ def _ancestors(df: DataFrame, levels: int) -> DataFrame:
         f"transform(sequence(0, {levels - 1}), "
         f"l -> named_struct('lvl', CAST(l AS INT), 'idx', shiftright({_BIN}, l))))"
     )
-    return df.select("*", F.explode(nodes).alias("__dy")).select(
-        *df.columns, F.col("__dy.lvl").alias(_LVL), F.col("__dy.idx").alias(_IDX)
+    return df.select("*", F.explode(nodes).alias("__dy")).selectExpr(
+        *[q(c) for c in df.columns],
+        f"`__dy`.`lvl` AS {_LVL}",
+        f"`__dy`.`idx` AS {_IDX}",
     )
 
 
@@ -185,8 +189,10 @@ def _prefix_nodes(df: DataFrame, levels: int) -> DataFrame:
         END)
         """
     )
-    return df.select("*", F.explode(nodes).alias("__dy")).select(
-        *df.columns, F.col("__dy.lvl").alias(_LVL), F.col("__dy.idx").alias(_IDX)
+    return df.select("*", F.explode(nodes).alias("__dy")).selectExpr(
+        *[q(c) for c in df.columns],
+        f"`__dy`.`lvl` AS {_LVL}",
+        f"`__dy`.`idx` AS {_IDX}",
     )
 
 
@@ -255,7 +261,7 @@ def ineq_join(
     )
     if extra_cond:
         out = out.filter(F.expr(extra_cond))
-    return out.select(*out_cols)
+    return out.selectExpr(*[q(c) for c in out_cols])
 
 
 def _probe_back(
@@ -266,12 +272,8 @@ def _probe_back(
     residual a row can match through NULL referenced columns (e.g. a
     condition wrapped in ``coalesce``); plain name-equality would drop
     those keys silently."""
-    mkd = mk.select(*[F.col(c).alias(f"__mk_{c}") for c in kp])
-    cond = None
-    for c in kp:
-        t = F.col(c).eqNullSafe(F.col(f"__mk_{c}"))
-        cond = t if cond is None else cond & t
-    return side.join(F.broadcast(mkd), on=cond, how=how)
+    mkd = colops.renamed(mk, kp, "__mk_")
+    return side.join(F.broadcast(mkd), on=colops.ns_eq(kp, "__mk_"), how=how)
 
 
 def _null_pad_anti(
@@ -285,18 +287,11 @@ def _null_pad_anti(
     (null-safe probe), padded with NULLs for ``other``'s non-key
     columns — the preserved-side construction shared with the banded
     rule (rangejoin._null_pad_anti)."""
-    mkd = mk.select(
-        *[F.col(c).alias(f"__mk_{c}") for c in probe_cols]
-    ).distinct()
-    cond = None
-    for c in probe_cols:
-        t = F.col(c).eqNullSafe(F.col(f"__mk_{c}"))
-        cond = t if cond is None else cond & t
-    out = side.join(F.broadcast(mkd), on=cond, how="left_anti")
-    for c in other.columns:
-        if c not in key_cols:
-            out = out.withColumn(c, F.lit(None).cast(other.schema[c].dataType))
-    return out
+    mkd = colops.renamed(mk, probe_cols, "__mk_").distinct()
+    out = side.join(
+        F.broadcast(mkd), on=colops.ns_eq(probe_cols, "__mk_"), how="left_anti"
+    )
+    return colops.null_pad(out, other, key_cols)
 
 
 def ineq_left_join(
@@ -391,16 +386,14 @@ def _crossings(dm: DataFrame, m_old: DataFrame, kp: list[str]) -> DataFrame:
     semi/anti rules (which use it directly)."""
     return (
         dm.join(m_old, on=kp, how="left")
-        .withColumn("__mold", F.coalesce(F.col("__mold"), F.lit(0)))
-        .withColumn("__mnew", F.col("__mold") + F.col("__dm"))
-        .withColumn(
-            "__flip",
-            F.when(
-                (F.col("__mold") == 0) & (F.col("__mnew") > 0), F.lit(1)
-            ).when((F.col("__mold") > 0) & (F.col("__mnew") <= 0), F.lit(-1)),
+        .selectExpr(
+            *[q(c) for c in kp],
+            "CASE WHEN coalesce(`__mold`, 0) = 0 AND"
+            " coalesce(`__mold`, 0) + `__dm` > 0 THEN 1"
+            " WHEN coalesce(`__mold`, 0) > 0 AND"
+            " coalesce(`__mold`, 0) + `__dm` <= 0 THEN -1 END AS `__flip`",
         )
-        .filter(F.col("__flip").isNotNull())
-        .select(*kp, "__flip")
+        .filter("`__flip` IS NOT NULL")
     )
 
 
@@ -561,11 +554,11 @@ def _semi_anti_delta(
         raise ValueError("at least one side needs a delta")
     sign = "__ivm_sign"
     kp = [*key_cols, left_col]
+    kpq = [q(c) for c in kp]
+    lcq = [q(c) for c in left.columns]
 
     def signed(d: DataFrame, w: str) -> DataFrame:
-        return d.withColumn(
-            w, F.when(F.col(MULT_COL), F.lit(1)).otherwise(F.lit(-1))
-        ).drop(MULT_COL)
+        return colops.signed(d, MULT_COL, w)
 
     dl = signed(d_left, "__wl") if d_left is not None else None
     dr = signed(d_right, "__wr") if d_right is not None else None
@@ -576,33 +569,35 @@ def _semi_anti_delta(
             bcast, origin,
         )
 
-    rproj = right.select(*key_cols, right_col)
+    rproj = right.selectExpr(*[q(c) for c in (*key_cols, right_col)])
 
     # ---- term 1: ΔL rows gated on the post-delta match count m'
     def _term1() -> DataFrame:
-        rprime = rproj.withColumn("__wr", F.lit(1))
+        rprime = rproj.selectExpr("*", "1 AS `__wr`")
         if dr is not None:
-            rprime = rprime.unionByName(dr.select(*key_cols, right_col, "__wr"))
+            rprime = rprime.unionByName(
+                dr.selectExpr(*[q(c) for c in (*key_cols, right_col)], "`__wr`")
+            )
         m_pos = (
             ij(
-                dl.select(*kp).distinct().filter(F.col(left_col).isNotNull()),
+                dl.selectExpr(*kpq).distinct().filter(f"{q(left_col)} IS NOT NULL"),
                 rprime, "left",
             )
             .groupBy(*kp)
             .agg(F.sum("__wr").alias("__m"))
             .filter(F.col("__m") > 0)
-            .select(*kp)
+            .selectExpr(*kpq)
         )
         t1 = dl.join(
             F.broadcast(m_pos), on=kp, how="left_anti" if anti else "leftsemi"
         )
-        return t1.select(*left.columns, F.col("__wl").alias(sign))
+        return t1.selectExpr(*lcq, f"`__wl` AS {sign}")
 
     # ---- term 2: existing L keys whose match count crosses zero
     def _term2() -> DataFrame:
         dm = (
             ij(
-                left.select(*kp).distinct().filter(F.col(left_col).isNotNull()),
+                left.selectExpr(*kpq).distinct().filter(f"{q(left_col)} IS NOT NULL"),
                 dr, "right",
             )
             .groupBy(*kp)
@@ -610,14 +605,14 @@ def _semi_anti_delta(
             .filter(F.col("__dm") != 0)
         )
         m_old = (
-            ij(dm.select(*kp), rproj, "left")
+            ij(dm.selectExpr(*kpq), rproj, "left")
             .groupBy(*kp)
             .agg(F.count(F.lit(1)).alias("__mold"))
         )
         flips = _crossings(dm, m_old, kp)
         t2 = left.join(F.broadcast(flips), on=kp, how="inner")
-        fsign = -F.col("__flip") if anti else F.col("__flip")
-        return t2.select(*left.columns, fsign.alias(sign))
+        fsign = "-`__flip`" if anti else "`__flip`"
+        return t2.selectExpr(*lcq, f"{fsign} AS {sign}")
 
     # independent constructions — built concurrently (pin.build_all)
     thunks: list = []
@@ -630,7 +625,7 @@ def _semi_anti_delta(
     out = branches[0]
     for b in branches[1:]:
         out = out.unionByName(b)
-    return out.select(*left.columns, (F.col(sign) > 0).alias(MULT_COL))
+    return out.selectExpr(*lcq, f"{sign} > 0 AS {q(MULT_COL)}")
 
 
 def ineq_left_join_delta(
@@ -670,18 +665,17 @@ def ineq_left_join_delta(
         raise ValueError("at least one side needs a delta")
     sign = "__ivm_sign"
     kp = [*key_cols, left_col]
+    kpq = [q(c) for c in kp]
+    lcq = [q(c) for c in left.columns]
     out_cols = [*left.columns, *[c for c in right.columns if c not in key_cols]]
-    null_r = [
-        F.lit(None).cast(right.schema[c].dataType).alias(c)
-        for c in right.columns
-        if c not in key_cols
-    ]
+    ocq = [q(c) for c in out_cols]
+    null_r = colops.null_lit_exprs(
+        right, [c for c in right.columns if c not in key_cols]
+    )
     tag_r = "__dy_dr"
 
     def signed(d: DataFrame, w: str) -> DataFrame:
-        return d.withColumn(
-            w, F.when(F.col(MULT_COL), F.lit(1)).otherwise(F.lit(-1))
-        ).drop(MULT_COL)
+        return colops.signed(d, MULT_COL, w)
 
     dl = signed(d_left, "__wl") if d_left is not None else None
     dr = signed(d_right, "__wr") if d_right is not None else None
@@ -696,35 +690,30 @@ def ineq_left_join_delta(
     # ΔL⋈ΔR (sign __wl·__wr) matched branches plus anti term 1 — ΔL
     # rows with zero matches in R' get the NULL-padded delta row
     def _a_group() -> list[DataFrame]:
-        rprime = right.withColumn("__wr", F.lit(1)).withColumn(
-            tag_r, F.lit(False)
-        )
+        rprime = right.selectExpr("*", "1 AS `__wr`", f"false AS {q(tag_r)}")
         if dr is not None:
-            rprime = rprime.unionByName(dr.withColumn(tag_r, F.lit(True)))
+            rprime = rprime.unionByName(dr.selectExpr("*", f"true AS {q(tag_r)}"))
         A = ij(dl, rprime, "left").localCheckpoint(eager=True)
-        matched = A.select(
-            *out_cols,
-            (
-                F.col("__wl")
-                * F.when(F.col(tag_r), F.col("__wr")).otherwise(F.lit(1))
-            ).alias(sign),
+        matched = A.selectExpr(
+            *ocq,
+            f"`__wl` * (CASE WHEN {q(tag_r)} THEN `__wr` ELSE 1 END) AS {sign}",
         )
         m_pos = (
             A.groupBy(*kp)
             .agg(F.sum("__wr").alias("__m"))
             .filter(F.col("__m") > 0)
-            .select(*kp)
+            .selectExpr(*kpq)
         )
         t1 = _null_pad_anti(dl, m_pos, kp, right, key_cols)
         return [
             matched,
-            t1.select(*left.columns, *null_r, F.col("__wl").alias(sign)),
+            t1.selectExpr(*lcq, *null_r, f"`__wl` AS {sign}"),
         ]
 
     # ---- matched branch L ⋈ ΔR (old-L rows; ΔL⋈ΔR came from A)
     def _matched_dr() -> list[DataFrame]:
         return [
-            ij(left, dr, "right").select(*out_cols, F.col("__wr").alias(sign))
+            ij(left, dr, "right").selectExpr(*ocq, f"`__wr` AS {sign}")
         ]
 
     # ---- anti term 2: existing L keys whose match count crosses zero
@@ -732,13 +721,17 @@ def ineq_left_join_delta(
         # Δm per affected DISTINCT left key (several left rows sharing a
         # key flip together — the match count is a per-KEY quantity)
         dm = (
-            ij(left.select(*kp).distinct(), dr, "right")
+            ij(left.selectExpr(*kpq).distinct(), dr, "right")
             .groupBy(*kp)
             .agg(F.sum("__wr").alias("__dm"))
             .filter(F.col("__dm") != 0)
         )
         m_old = (
-            ij(dm.select(*kp), right.select(*key_cols, right_col), "left")
+            ij(
+                dm.selectExpr(*kpq),
+                right.selectExpr(*[q(c) for c in (*key_cols, right_col)]),
+                "left",
+            )
             .groupBy(*kp)
             .agg(F.count(F.lit(1)).alias("__mold"))
         )
@@ -747,7 +740,7 @@ def ineq_left_join_delta(
         flips = _crossings(dm, m_old, kp)
         t2 = left.join(F.broadcast(flips), on=kp, how="inner")
         return [
-            t2.select(*left.columns, *null_r, (-F.col("__flip")).alias(sign))
+            t2.selectExpr(*lcq, *null_r, f"-`__flip` AS {sign}")
         ]
 
     # independent groups, built concurrently (pin.build_all) — the A
@@ -763,7 +756,7 @@ def ineq_left_join_delta(
     out = branches[0]
     for b in branches[1:]:
         out = out.unionByName(b)
-    return out.select(*out_cols, (F.col(sign) > 0).alias(MULT_COL))
+    return out.selectExpr(*ocq, f"{sign} > 0 AS {q(MULT_COL)}")
 
 
 def ineq_full_join_delta(
@@ -807,13 +800,14 @@ def ineq_full_join_delta(
     sign = "__ivm_sign"
     kp_l = [*key_cols, left_col]
     kp_r = [*key_cols, right_col]
+    kp_lq = [q(c) for c in kp_l]
+    kp_rq = [q(c) for c in kp_r]
     out_cols = [*left.columns, *[c for c in right.columns if c not in key_cols]]
+    ocq = [q(c) for c in out_cols]
     tag_l, tag_r = "__dy_dl", "__dy_dr"
 
     def signed(d: DataFrame, w: str) -> DataFrame:
-        return d.withColumn(
-            w, F.when(F.col(MULT_COL), F.lit(1)).otherwise(F.lit(-1))
-        ).drop(MULT_COL)
+        return colops.signed(d, MULT_COL, w)
 
     dl = signed(d_left, "__wl") if d_left is not None else None
     dr = signed(d_right, "__wr") if d_right is not None else None
@@ -829,18 +823,14 @@ def ineq_full_join_delta(
     # checkpoint jobs and their planning prologues overlap (pin.py)
     A_lazy = C_lazy = None
     if dl is not None:
-        rprime = right.withColumn("__wr", F.lit(1)).withColumn(
-            tag_r, F.lit(False)
-        )
+        rprime = right.selectExpr("*", "1 AS `__wr`", f"false AS {q(tag_r)}")
         if dr is not None:
-            rprime = rprime.unionByName(dr.withColumn(tag_r, F.lit(True)))
+            rprime = rprime.unionByName(dr.selectExpr("*", f"true AS {q(tag_r)}"))
         A_lazy = ij(dl, rprime, "left")
     if dr is not None:
-        lprime = left.withColumn("__wl", F.lit(1)).withColumn(
-            tag_l, F.lit(False)
-        )
+        lprime = left.selectExpr("*", "1 AS `__wl`", f"false AS {q(tag_l)}")
         if dl is not None:
-            lprime = lprime.unionByName(dl.withColumn(tag_l, F.lit(True)))
+            lprime = lprime.unionByName(dl.selectExpr("*", f"true AS {q(tag_l)}"))
         C_lazy = ij(lprime, dr, "right")
     A, C = pin_all(A_lazy, C_lazy)
 
@@ -849,62 +839,63 @@ def ineq_full_join_delta(
     # term's match counts — ΔL keys with m ≤ 0 matches in R' get the
     # NULL-padded delta row
     def _a_group() -> list[DataFrame]:
-        matched = A.select(
-            *out_cols,
-            (
-                F.col("__wl")
-                * F.when(F.col(tag_r), F.col("__wr")).otherwise(F.lit(1))
-            ).alias(sign),
+        matched = A.selectExpr(
+            *ocq,
+            f"`__wl` * (CASE WHEN {q(tag_r)} THEN `__wr` ELSE 1 END) AS {sign}",
         )
         m_pos = (
             A.groupBy(*kp_l)
             .agg(F.sum("__wr").alias("__m"))
             .filter(F.col("__m") > 0)
-            .select(*kp_l)
+            .selectExpr(*kp_lq)
         )
         t1 = _null_pad_anti(dl, m_pos, kp_l, right, key_cols)
-        return [matched, t1.select(*out_cols, F.col("__wl").alias(sign))]
+        return [matched, t1.selectExpr(*ocq, f"`__wl` AS {sign}")]
 
     # ---- fused join C = (L ∪ ΔL) × ΔR: the L⋈ΔR matched branch
     # (old-L rows only — ΔL⋈ΔR already came from A) plus the right
     # anti term's match counts against the post-delta left
     def _c_group() -> list[DataFrame]:
-        b2 = C.filter(~F.col(tag_l)) if dl is not None else C
+        b2 = C.filter(f"NOT {q(tag_l)}") if dl is not None else C
         m_pos_r = (
             C.groupBy(*kp_r)
             .agg(F.sum("__wl").alias("__m"))
             .filter(F.col("__m") > 0)
-            .select(*kp_r)
+            .selectExpr(*kp_rq)
         )
         t1r = _null_pad_anti(dr, m_pos_r, kp_r, left, key_cols)
         return [
-            b2.select(*out_cols, F.col("__wr").alias(sign)),
-            t1r.select(*out_cols, F.col("__wr").alias(sign)),
+            b2.selectExpr(*ocq, f"`__wr` AS {sign}"),
+            t1r.selectExpr(*ocq, f"`__wr` AS {sign}"),
         ]
 
     # ---- left anti term 2: existing L keys whose match count crosses
     # zero under ΔR (identical to the LEFT rule's term)
     def _left_anti2() -> list[DataFrame]:
         dm = (
-            ij(left.select(*kp_l).distinct(), dr, "right")
+            ij(left.selectExpr(*kp_lq).distinct(), dr, "right")
             .groupBy(*kp_l)
             .agg(F.sum("__wr").alias("__dm"))
             .filter(F.col("__dm") != 0)
         )
         m_old = (
-            ij(dm.select(*kp_l), right.select(*key_cols, right_col), "left")
+            ij(
+                dm.selectExpr(*kp_lq),
+                right.selectExpr(*[q(c) for c in (*key_cols, right_col)]),
+                "left",
+            )
             .groupBy(*kp_l)
             .agg(F.count(F.lit(1)).alias("__mold"))
         )
         flips = _crossings(dm, m_old, kp_l)
         t2 = left.join(F.broadcast(flips), on=kp_l, how="inner")
-        null_r = [
-            F.lit(None).cast(right.schema[c].dataType).alias(c)
-            for c in right.columns
-            if c not in key_cols
-        ]
+        null_r = colops.null_lit_exprs(
+            right, [c for c in right.columns if c not in key_cols]
+        )
         return [
-            t2.select(*left.columns, *null_r, (-F.col("__flip")).alias(sign))
+            t2.selectExpr(
+                *[q(c) for c in left.columns], *null_r, f"-`__flip` AS {sign}"
+            )
         ]
 
     # ---- right anti term 2: existing R keys whose left-match count
@@ -913,28 +904,33 @@ def ineq_full_join_delta(
     # the matched/anti branches exactly as on the left side)
     def _right_anti2() -> list[DataFrame]:
         dm_r = (
-            ij(dl, right.select(*kp_r).distinct(), "left")
+            ij(dl, right.selectExpr(*kp_rq).distinct(), "left")
             .groupBy(*kp_r)
             .agg(F.sum("__wl").alias("__dm"))
             .filter(F.col("__dm") != 0)
         )
         m_old_r = (
-            ij(left.select(*key_cols, left_col), dm_r.select(*kp_r), "right")
+            ij(
+                left.selectExpr(*[q(c) for c in (*key_cols, left_col)]),
+                dm_r.selectExpr(*kp_rq),
+                "right",
+            )
             .groupBy(*kp_r)
             .agg(F.count(F.lit(1)).alias("__mold"))
         )
         flips_r = _crossings(dm_r, m_old_r, kp_r)
         t2r = right.join(F.broadcast(flips_r), on=kp_r, how="inner")
         null_l = [
-            F.col(c) if c in key_cols
-            else F.lit(None).cast(left.schema[c].dataType).alias(c)
+            q(c)
+            if c in key_cols
+            else f"CAST(NULL AS {left.schema[c].dataType.simpleString()}) AS {q(c)}"
             for c in left.columns
         ]
         return [
-            t2r.select(
+            t2r.selectExpr(
                 *null_l,
-                *[c for c in right.columns if c not in key_cols],
-                (-F.col("__flip")).alias(sign),
+                *[q(c) for c in right.columns if c not in key_cols],
+                f"-`__flip` AS {sign}",
             )
         ]
 
@@ -954,7 +950,7 @@ def ineq_full_join_delta(
     out = branches[0]
     for b in branches[1:]:
         out = out.unionByName(b)
-    return out.select(*out_cols, (F.col(sign) > 0).alias(MULT_COL))
+    return out.selectExpr(*ocq, f"{sign} > 0 AS {q(MULT_COL)}")
 
 
 def ineq_join_delta(
@@ -987,13 +983,12 @@ def ineq_join_delta(
     sign = "__ivm_sign"
 
     def signed(d: DataFrame, w: str) -> DataFrame:
-        return d.withColumn(
-            w, F.when(F.col(MULT_COL), F.lit(1)).otherwise(F.lit(-1))
-        ).drop(MULT_COL)
+        return colops.signed(d, MULT_COL, w)
 
     dl = signed(d_left, "__wl") if d_left is not None else None
     dr = signed(d_right, "__wr") if d_right is not None else None
     out_cols = [*left.columns, *[c for c in right.columns if c not in key_cols]]
+    ocq = [q(c) for c in out_cols]
 
     def ij(a, b, bcast):
         return ineq_join(
@@ -1006,24 +1001,20 @@ def ineq_join_delta(
     thunks: list = []
     if dl is not None:
         thunks.append(
-            lambda: ij(dl, right, "left").select(
-                *out_cols, F.col("__wl").alias(sign)
-            )
+            lambda: ij(dl, right, "left").selectExpr(*ocq, f"`__wl` AS {sign}")
         )
     if dr is not None:
         thunks.append(
-            lambda: ij(left, dr, "right").select(
-                *out_cols, F.col("__wr").alias(sign)
-            )
+            lambda: ij(left, dr, "right").selectExpr(*ocq, f"`__wr` AS {sign}")
         )
     if dl is not None and dr is not None:
         thunks.append(
-            lambda: ij(dl, dr, "left").select(
-                *out_cols, (F.col("__wl") * F.col("__wr")).alias(sign)
+            lambda: ij(dl, dr, "left").selectExpr(
+                *ocq, f"`__wl` * `__wr` AS {sign}"
             )
         )
     branches: list[DataFrame] = build_all(*thunks)
     out = branches[0]
     for b in branches[1:]:
         out = out.unionByName(b)
-    return out.select(*out_cols, (F.col(sign) > 0).alias(MULT_COL))
+    return out.selectExpr(*ocq, f"{sign} > 0 AS {q(MULT_COL)}")

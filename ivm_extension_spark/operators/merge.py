@@ -124,6 +124,8 @@ def finalize(df: DataFrame, view: ViewDef) -> DataFrame:
     public view only, never to ΔV (which carries the multiplicity column):
     maintained state stays pre-HAVING so a group can enter/leave the
     visible result as later deltas move it across the threshold."""
+    from ivm_extension_spark.operators.colops import q
+
     is_delta = MULT_COL in df.columns
     if view.grouping_sets and not is_delta:
         return _read_transforms(_finalize_grouping_sets(df, view), view)
@@ -134,24 +136,29 @@ def finalize(df: DataFrame, view: ViewDef) -> DataFrame:
             # avgcnt == 0 (a live group whose avg inputs are all NULL —
             # avg() over them is NULL): guard the division, or Spark 4's
             # default ANSI mode throws DIVIDE_BY_ZERO on every read
-            cnt = F.col(f"__ivm_avgcnt_{alias}")
+            cnt = q(f"__ivm_avgcnt_{alias}")
             cols.append(
-                F.when(cnt > 0, F.col(f"__ivm_avgsum_{alias}") / cnt).alias(alias)
+                f"CASE WHEN {cnt} > 0 THEN {q(f'__ivm_avgsum_{alias}')} / {cnt}"
+                f" END AS {q(alias)}"
             )
         elif agg is not None and agg.fn in VARIANCE_AGGS:
+            # variance_oracle_sql is variance_col's exact-IEEE-tree SQL
+            # twin (same cast/greatest/sqrt structure) — parsing it here
+            # keeps the read bit-identical to the Column form
             cols.append(
-                variance_col(
+                variance_oracle_sql(
                     agg.fn,
-                    F.col(f"__ivm_vs_{alias}"),
-                    F.col(f"__ivm_vq_{alias}"),
-                    F.col(f"__ivm_vn_{alias}"),
-                ).alias(alias)
+                    q(f"__ivm_vs_{alias}"),
+                    q(f"__ivm_vq_{alias}"),
+                    q(f"__ivm_vn_{alias}"),
+                )
+                + f" AS {q(alias)}"
             )
         else:
-            cols.append(F.col(alias))
+            cols.append(q(alias))
     if is_delta:
-        cols.append(F.col(MULT_COL))
-    out = df.select(*cols)
+        cols.append(q(MULT_COL))
+    out = df.selectExpr(*cols)
     if is_delta:
         return out
     if view.having:
@@ -312,9 +319,9 @@ def _patch_combine(
     """Combine ΔV into grouped state without exchanging the state (see
     :func:`merge`, strategy="patch").  Returns rows in internal shape,
     pre net-zero-group filtering."""
-    d = delta_v.withColumn(
-        _SIGN, F.when(F.col(MULT_COL), F.lit(1)).otherwise(F.lit(-1))
-    ).drop(MULT_COL)
+    from ivm_extension_spark.operators import colops
+
+    d = colops.signed(delta_v, MULT_COL, _SIGN)
     folds = []
     for a in iview.aggregates:
         c = F.col(a.alias)
@@ -437,10 +444,10 @@ def _merge_aggregate(
     if strategy == "patch" and key_aliases:
         out = _patch_combine(state, delta_v, iview, key_aliases)
     else:
-        s = state.withColumn(_SIGN, F.lit(1))
-        d = delta_v.withColumn(
-            _SIGN, F.when(F.col(MULT_COL), F.lit(1)).otherwise(F.lit(-1))
-        ).drop(MULT_COL)
+        from ivm_extension_spark.operators import colops
+
+        s = state.selectExpr("*", f"1 AS {_SIGN}")
+        d = colops.signed(delta_v, MULT_COL, _SIGN)
         unioned = s.unionByName(d)
 
         merged_aggs = []
@@ -481,13 +488,24 @@ def _merge_aggregate(
         # matched by full refresh); when the net count reaches zero every
         # aggregate reverts to its empty-input value: 0 for COUNT /
         # COUNT(DISTINCT), NULL for SUM/MIN/MAX/AVG companions
+        # one fused select: every rewrite reads the ORIGINAL columns
+        # (HIDDEN_COUNT is rewritten last in iview.aggregates, so the
+        # old per-aggregate withColumn loop also fed each rewrite the
+        # original alive test — same values, N fewer analysis passes)
         alive = F.coalesce(F.col(HIDDEN_COUNT), F.lit(0)) > 0
+        rewritten = {}
         for a in iview.aggregates:
             if a.fn in ("count", "count_distinct"):
                 empty_v = F.lit(0).cast("long")
             else:
                 empty_v = F.lit(None).cast(out.schema[a.alias].dataType)
-            out = out.withColumn(a.alias, F.when(alive, F.col(a.alias)).otherwise(empty_v))
+            rewritten[a.alias] = F.when(alive, F.col(a.alias)).otherwise(empty_v)
+        out = out.select(
+            *[
+                rewritten[c].alias(c) if c in rewritten else F.col(c)
+                for c in out.columns
+            ]
+        )
     out = out.select(*[F.col(a) for a in (*key_aliases, *agg_aliases)])
     return auxstate.patch_merged(out, iview, derived)
 
@@ -507,15 +525,16 @@ def _merge_bag(
       grouped patch path, which is what a 100-TB bag view needs.
     All joins/groupings are null-safe (outer-join views legitimately
     carry NULL columns)."""
+    from ivm_extension_spark.operators.colops import q
+
     cols = [a for a in view.output_order]
-    s = state.select(*cols).withColumn(_SIGN, F.lit(1))
-    d = (
-        delta_v.withColumn(_SIGN, F.when(F.col(MULT_COL), F.lit(1)).otherwise(F.lit(-1)))
-        .drop(MULT_COL)
-        .select(*cols, _SIGN)
+    colsq = [q(c) for c in cols]
+    s = state.selectExpr(*colsq, f"1 AS {_SIGN}")
+    d = delta_v.selectExpr(
+        *colsq, f"CASE WHEN {q(MULT_COL)} THEN 1 ELSE -1 END AS {_SIGN}"
     )
-    explode_counts = lambda counts: counts.select(  # noqa: E731
-        *cols, F.explode(F.expr("sequence(1, __ivm_n)")).alias("__ivm_i")
+    explode_counts = lambda counts: counts.selectExpr(  # noqa: E731
+        *colsq, "explode(sequence(1, __ivm_n)) AS `__ivm_i`"
     ).drop("__ivm_i")
     if strategy != "patch":
         counts = (
@@ -527,17 +546,16 @@ def _merge_bag(
         return explode_counts(counts)
     # patch: one row per touched tuple, checkpointed — reused by the
     # anti probe, the semi probe, and the re-count union
+    from ivm_extension_spark.operators import colops
+
     dcnt = (
         d.groupBy(*cols)
         .agg(F.sum(_SIGN).alias("__ivm_n"))
         .localCheckpoint(eager=True)
     )
-    probe = dcnt.select(*[F.col(c).alias(f"__ivm_pk_{c}") for c in cols])
-    cond = None
-    for c in cols:
-        t = F.col(c).eqNullSafe(F.col(f"__ivm_pk_{c}"))
-        cond = t if cond is None else cond & t
-    base = state.select(*cols)
+    probe = colops.renamed(dcnt, cols, "__ivm_pk_")
+    cond = colops.ns_eq(cols, "__ivm_pk_")
+    base = state.selectExpr(*colsq)
     untouched = base.join(F.broadcast(probe), cond, "left_anti")
     touched = base.join(F.broadcast(probe), cond, "left_semi")
     recounted = (
@@ -565,22 +583,22 @@ def bag_diff_cdc(
     count are replicated |net| times carrying ``sign(net) > 0`` as the
     multiplicity — exactly the multiset the two exceptAlls produce.
     NULL/NaN grouping equality matches exceptAll's comparison rules."""
+    from ivm_extension_spark.operators.colops import q
+
     cols = [c for c in old.columns]
-    tagged = new.select(*cols).withColumn(_SIGN, F.lit(1)).unionByName(
-        old.select(*cols).withColumn(_SIGN, F.lit(-1))
+    colsq = [q(c) for c in cols]
+    tagged = new.selectExpr(*colsq, f"1 AS {_SIGN}").unionByName(
+        old.selectExpr(*colsq, f"-1 AS {_SIGN}")
     )
     net = (
         tagged.groupBy(*cols)
         .agg(F.sum(_SIGN).alias("__ivm_net"))
         .filter(F.col("__ivm_net") != 0)
     )
-    return net.select(
-        *cols,
-        F.explode(
-            F.array_repeat(
-                F.col("__ivm_net") > 0, F.abs(F.col("__ivm_net")).cast("int")
-            )
-        ).alias(mult_col),
+    return net.selectExpr(
+        *colsq,
+        "explode(array_repeat(`__ivm_net` > 0, CAST(abs(`__ivm_net`) AS INT)))"
+        f" AS {q(mult_col)}",
     )
 
 
@@ -588,17 +606,20 @@ def apply_delta_to_table(base: DataFrame, delta: DataFrame) -> DataFrame:
     """Apply a delta table to its base table (bag semantics): the ground
     truth T' = T ∪ Δ⁺ ∖ Δ⁻ used by full refresh and the IVM invariant
     tests (merge(q(T), ΔV) == q(T'))."""
+    from ivm_extension_spark.operators.colops import q
+
     cols = [c for c in base.columns]
-    s = base.withColumn(_SIGN, F.lit(1))
-    d = delta.withColumn(
-        _SIGN, F.when(F.col(MULT_COL), F.lit(1)).otherwise(F.lit(-1))
-    ).drop(MULT_COL)
+    colsq = [q(c) for c in cols]
+    s = base.selectExpr("*", f"1 AS {_SIGN}")
+    d = delta.selectExpr(
+        *colsq, f"CASE WHEN {q(MULT_COL)} THEN 1 ELSE -1 END AS {_SIGN}"
+    )
     counts = (
-        s.unionByName(d.select(*cols, _SIGN))
+        s.unionByName(d)
         .groupBy(*cols)
         .agg(F.sum(_SIGN).alias("__ivm_n"))
         .filter(F.col("__ivm_n") > 0)
     )
-    return counts.select(
-        *cols, F.explode(F.expr("sequence(1, __ivm_n)")).alias("__ivm_i")
+    return counts.selectExpr(
+        *colsq, "explode(sequence(1, __ivm_n)) AS `__ivm_i`"
     ).drop("__ivm_i")

@@ -22,6 +22,9 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
+from ivm_extension_spark.operators import colops
+from ivm_extension_spark.operators.colops import q
+
 _BIN = "__rj_bin"
 
 
@@ -179,20 +182,11 @@ def _null_pad_anti(
     """Rows of ``side`` whose ``probe_cols`` never appear among the
     matched rows, padded with NULLs for ``other``'s non-key columns
     (null-safe probe)."""
-    mk = joined.select(
-        *[F.col(c).alias(f"__mk_{c}") for c in probe_cols]
-    ).distinct()
-    cond = None
-    for c in probe_cols:
-        term = F.col(c).eqNullSafe(F.col(f"__mk_{c}"))
-        cond = term if cond is None else cond & term
-    unmatched = side.join(mk, on=cond, how="left_anti")
-    for c in other.columns:
-        if c not in key_cols:
-            unmatched = unmatched.withColumn(
-                c, F.lit(None).cast(other.schema[c].dataType)
-            )
-    return unmatched
+    mk = colops.renamed(joined, probe_cols, "__mk_").distinct()
+    unmatched = side.join(
+        mk, on=colops.ns_eq(probe_cols, "__mk_"), how="left_anti"
+    )
+    return colops.null_pad(unmatched, other, key_cols)
 
 
 def _explode_interval_bins(
@@ -375,16 +369,8 @@ def range_left_join_delta(
         )
         flips = (
             dm.join(m_old, on=kp, how="left")
-            .withColumn("__mold", F.coalesce(F.col("__mold"), F.lit(0)))
-            .withColumn("__mnew", F.col("__mold") + F.col("__dm"))
-            .withColumn(
-                "__flip",
-                F.when(
-                    (F.col("__mold") == 0) & (F.col("__mnew") > 0), F.lit(-1)
-                ).when((F.col("__mold") > 0) & (F.col("__mnew") <= 0), F.lit(1)),
-            )
-            .filter(F.col("__flip").isNotNull())
-            .select(*kp, "__flip")
+            .selectExpr(*[q(c) for c in kp], colops.flip_case(-1))
+            .filter("`__flip` IS NOT NULL")
         )
         t2 = points.join(bc(flips), on=kp, how="inner")
         branches.append(
@@ -464,28 +450,15 @@ def range_left_join_delta(
             )
             flips_i = (
                 dmi.join(mi_old, on=ikey, how="left")
-                .withColumn("__mold", F.coalesce(F.col("__mold"), F.lit(0)))
-                .withColumn("__mnew", F.col("__mold") + F.col("__dm"))
-                .withColumn(
-                    "__flip",
-                    F.when(
-                        (F.col("__mold") == 0) & (F.col("__mnew") > 0), F.lit(-1)
-                    ).when(
-                        (F.col("__mold") > 0) & (F.col("__mnew") <= 0), F.lit(1)
-                    ),
-                )
-                .filter(F.col("__flip").isNotNull())
-                .select(
-                    *[F.col(c).alias(f"__ik_{c}") for c in ikey], "__flip"
+                .selectExpr(*[q(c) for c in ikey], colops.flip_case(-1))
+                .filter("`__flip` IS NOT NULL")
+                .selectExpr(
+                    *[f"{q(c)} AS {q('__ik_' + c)}" for c in ikey], "`__flip`"
                 )
             )
-            cond = None
-            for c in ikey:
-                t = F.col(c).eqNullSafe(F.col(f"__ik_{c}"))
-                cond = t if cond is None else cond & t
-            t2i = intervals.join(bc(flips_i), on=cond, how="inner").drop(
-                *[f"__ik_{c}" for c in ikey]
-            )
+            t2i = intervals.join(
+                bc(flips_i), on=colops.ns_eq(ikey, "__ik_"), how="inner"
+            ).drop(*[f"__ik_{c}" for c in ikey])
             branches.append(_null_points(t2i, "__flip"))
 
     out = branches[0]

@@ -58,6 +58,8 @@ from typing import Callable
 
 from pyspark.sql import Column, DataFrame, functions as F
 
+from ivm_extension_spark.operators import colops
+from ivm_extension_spark.operators.colops import q
 from ivm_extension_spark.operators.pin import build_all, pin_all, pin_async
 from ivm_extension_spark.operators.thetajoin import sub_outside_literals
 from ivm_extension_spark.plans.viewdef import Aggregate, ViewDef
@@ -117,9 +119,9 @@ def _signed_delta(delta: DataFrame, sign_col: str) -> DataFrame:
     delete); the bool survives only at the API surface (SURVEY.md
     section 1.4 mapping table).
     """
-    return delta.withColumn(
-        sign_col, F.when(F.col(MULT_COL), F.lit(1)).otherwise(F.lit(-1))
-    ).drop(MULT_COL)
+    from ivm_extension_spark.operators import colops
+
+    return colops.signed(delta, MULT_COL, sign_col)
 
 
 def _delta_source(
@@ -681,7 +683,7 @@ def _theta_chain_suffix_delta(
         )
         if pre_pred:
             dP = dP.filter(F.expr(pre_pred))
-        dP = dP.withColumn(MULT_COL, F.col(_SIGN) > 0).drop(_SIGN)
+        dP = colops.mult_from_sign(dP, _SIGN, MULT_COL)
     P, dP = pin_all(P, dP)
     dC: DataFrame | None = None
     if last.table in with_delta:
@@ -874,9 +876,7 @@ def _theta_chain_general_delta(
             _theta_chain_suffix_delta(
                 core_view, get_table, get_delta, broadcast_deltas, with_delta
             )
-            .withColumn(MULT_COL, F.col(_SIGN) > 0)
-            .drop(_SIGN)
-            .select(*core_cols, MULT_COL)
+            .selectExpr(*[q(c) for c in core_cols], f"{_SIGN} > 0 AS {q(MULT_COL)}")
             .localCheckpoint(eager=True)  # same fan-out-consumer argument
         )
     B = fut_B.result()
@@ -1045,16 +1045,8 @@ def _outer_join_delta(
             )
             flips = (
                 db_key_dm.join(m_old, on=knames, how="left")
-                .withColumn("__mold", F.coalesce(F.col("__mold"), F.lit(0)))
-                .withColumn("__mnew", F.col("__mold") + F.col("__dm"))
-                .withColumn(
-                    "__flip",
-                    F.when(
-                        (F.col("__mold") == 0) & (F.col("__mnew") > 0), F.lit(-1)
-                    ).when((F.col("__mold") > 0) & (F.col("__mnew") <= 0), F.lit(1)),
-                )
-                .filter(F.col("__flip").isNotNull())
-                .select(*knames, "__flip")
+                .selectExpr(*[q(k) for k in knames], colops.flip_case(-1))
+                .filter("`__flip` IS NOT NULL")
                 .alias("__fl")
             )
             flip_cond = None
@@ -1306,16 +1298,8 @@ def _fold_suffix(
         )
         flips = (
             dm.join(m_old, on=knames, how="left")
-            .withColumn("__mold", F.coalesce(F.col("__mold"), F.lit(0)))
-            .withColumn("__mnew", F.col("__mold") + F.col("__dm"))
-            .withColumn(
-                "__flip",
-                F.when(
-                    (F.col("__mold") == 0) & (F.col("__mnew") > 0), F.lit(-1)
-                ).when((F.col("__mold") > 0) & (F.col("__mnew") <= 0), F.lit(1)),
-            )
-            .filter(F.col("__flip").isNotNull())
-            .select(*knames, "__flip")
+            .selectExpr(*[q(k) for k in knames], colops.flip_case(-1))
+            .filter("`__flip` IS NOT NULL")
             .alias("__fl")
         )
         flip_cond = None
@@ -1525,23 +1509,15 @@ def _chain_single_delta(
         )
         m_old = (
             R_m.alias(rname)
-            .select(*[F.expr(be).alias(k) for (_, be), k in zip(pairs, knames)])
+            .selectExpr(*[f"{be} AS {q(k)}" for (_, be), k in zip(pairs, knames)])
             .join(bc(db_key_dm.select(*knames)), on=knames, how="leftsemi")
             .groupBy(*knames)
             .agg(F.count(F.lit(1)).alias("__mold"))
         )
         flips = (
             db_key_dm.join(m_old, on=knames, how="left")
-            .withColumn("__mold", F.coalesce(F.col("__mold"), F.lit(0)))
-            .withColumn("__mnew", F.col("__mold") + F.col("__dm"))
-            .withColumn(
-                "__flip",
-                F.when(
-                    (F.col("__mold") == 0) & (F.col("__mnew") > 0), F.lit(-1)
-                ).when((F.col("__mold") > 0) & (F.col("__mnew") <= 0), F.lit(1)),
-            )
-            .filter(F.col("__flip").isNotNull())
-            .select(*knames, "__flip")
+            .selectExpr(*[q(k) for k in knames], colops.flip_case(-1))
+            .filter("`__flip` IS NOT NULL")
             .alias("__fl")
         )
         flip_cond = None
@@ -1583,14 +1559,14 @@ def _chain_single_delta(
         # ΔTi key set (narrow scan), never shuffled.
         dr_keys = (
             dR.alias(rname)
-            .select(*[F.expr(be).alias(k) for (_, be), k in zip(pairs, knames)])
+            .selectExpr(*[f"{be} AS {q(k)}" for (_, be), k in zip(pairs, knames)])
             .distinct()
         )
         p_matched = (
-            P.select(*[F.expr(pe).alias(k) for (pe, _), k in zip(pairs, knames)])
+            P.selectExpr(*[f"{pe} AS {q(k)}" for (pe, _), k in zip(pairs, knames)])
             .join(bc(dr_keys), on=knames, how="leftsemi")
             .distinct()
-            .select(*[F.col(k).alias(f"__pm_{k}") for k in knames])
+            .selectExpr(*[f"{q(k)} AS {q('__pm_' + k)}" for k in knames])
         )
         anti_cond = None
         for (_, be), k in zip(pairs, knames):
@@ -1780,7 +1756,7 @@ def _semi_anti_delta(
     if dl is not None:
         dp_keys = (
             dl.alias(lname)
-            .select(*[F.expr(pe).alias(k) for (pe, _), k in zip(pairs, knames)])
+            .selectExpr(*[f"{pe} AS {q(k)}" for (pe, _), k in zip(pairs, knames)])
             .distinct()
         )
         b_prime_keys = _bkeys(R.alias(rname), [F.lit(1).alias("__w")])
@@ -1803,7 +1779,9 @@ def _semi_anti_delta(
             bc(m_pos), on=cond, how="left_anti" if anti else "left_semi"
         )
         branches.append(
-            t1.select(*[F.col(f"{lname}.{c}") for c in lcols], F.col(wl).alias(_SIGN))
+            t1.selectExpr(
+                *[f"{q(lname)}.{q(c)}" for c in lcols], f"{q(wl)} AS {_SIGN}"
+            )
         )
 
     # term 2: existing L rows whose key's match count crosses zero.
@@ -1821,19 +1799,12 @@ def _semi_anti_delta(
             .groupBy(*knames)
             .agg(F.count(F.lit(1)).alias("__mold"))
         )
-        gain, loss = (F.lit(-1), F.lit(1)) if anti else (F.lit(1), F.lit(-1))
         flips = (
             db_key_dm.join(m_old, on=knames, how="left")
-            .withColumn("__mold", F.coalesce(F.col("__mold"), F.lit(0)))
-            .withColumn("__mnew", F.col("__mold") + F.col("__dm"))
-            .withColumn(
-                "__flip",
-                F.when((F.col("__mold") == 0) & (F.col("__mnew") > 0), gain).when(
-                    (F.col("__mold") > 0) & (F.col("__mnew") <= 0), loss
-                ),
+            .selectExpr(
+                *[q(k) for k in knames], colops.flip_case(-1 if anti else 1)
             )
-            .filter(F.col("__flip").isNotNull())
-            .select(*knames, "__flip")
+            .filter("`__flip` IS NOT NULL")
             .alias("__fl")
         )
         cond = None
@@ -1842,9 +1813,9 @@ def _semi_anti_delta(
             cond = c if cond is None else (cond & c)
         t2 = L.alias(lname).join(bc(flips), on=cond, how="inner")
         branches.append(
-            t2.select(
-                *[F.col(f"{lname}.{c}") for c in lcols],
-                F.col("__fl.__flip").alias(_SIGN),
+            t2.selectExpr(
+                *[f"{q(lname)}.{q(c)}" for c in lcols],
+                f"`__fl`.`__flip` AS {_SIGN}",
             )
         )
 
@@ -1922,7 +1893,7 @@ def delta_plan(
         def _compute(df: DataFrame) -> DataFrame:
             if view.where:
                 df = df.filter(F.expr(view.where))
-            return df.select(*[F.expr(e).alias(a) for e, a in view.select])
+            return df.selectExpr(*[f"{e} AS {q(a)}" for e, a in view.select])
 
         delta = get_delta(view.source)
         if view.where:
@@ -1942,7 +1913,7 @@ def delta_plan(
         )
 
     src = _delta_source(view, get_table, get_delta, broadcast_deltas)
-    src = src.withColumn(MULT_COL, F.col(_SIGN) > 0).drop(_SIGN)
+    src = colops.mult_from_sign(src, _SIGN, MULT_COL)
 
     if view.where:
         src = src.filter(F.expr(view.where))
@@ -1953,10 +1924,11 @@ def delta_plan(
         aggs = [_agg_expr(a) for a in view.aggregates]
         out = grouped.agg(*aggs)
     else:
-        cols = [F.expr(e).alias(a) for e, a in view.select]
-        out = src.select(*cols, F.col(MULT_COL))
+        out = src.selectExpr(
+            *[f"{e} AS {q(a)}" for e, a in view.select], q(MULT_COL)
+        )
 
-    return out.select(*[F.col(a) for a in view.output_order], F.col(MULT_COL))
+    return out.selectExpr(*[q(a) for a in view.output_order], q(MULT_COL))
 
 
 # --------------------------------------------------------------------------
@@ -2247,5 +2219,5 @@ def compute_view(
     if view.is_aggregate:
         out = acc.groupBy(*_group_cols(view)).agg(*[_agg_expr(a) for a in view.aggregates])
     else:
-        out = acc.select(*[F.expr(e).alias(a) for e, a in view.select])
-    return out.select(*[F.col(a) for a in view.output_order])
+        out = acc.selectExpr(*[f"{e} AS {q(a)}" for e, a in view.select])
+    return out.selectExpr(*[q(a) for a in view.output_order])

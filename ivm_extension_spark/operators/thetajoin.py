@@ -44,6 +44,8 @@ import re
 
 from pyspark.sql import Column, DataFrame, functions as F
 
+from ivm_extension_spark.operators import colops
+from ivm_extension_spark.operators.colops import q
 from ivm_extension_spark.operators.pin import build_all, pin_all
 
 _SIGN = "__ivm_sign"
@@ -118,15 +120,8 @@ def _ns_join(side: DataFrame, keys: DataFrame, cols: list[str], how: str) -> Dat
     along on inner joins).  NULL-safe because a general theta condition
     can match rows with NULL referenced columns, and those rows must
     still group with their count/flip bookkeeping."""
-    kd = keys.select(
-        *[F.col(c).alias(f"__mk_{c}") for c in cols],
-        *[c for c in keys.columns if c not in cols],
-    )
-    cond: Column | None = None
-    for c in cols:
-        t = side[c].eqNullSafe(F.col(f"__mk_{c}"))
-        cond = t if cond is None else cond & t
-    out = side.join(F.broadcast(kd), on=cond, how=how)
+    kd = colops.renamed(keys, cols, "__mk_", keep_rest=True)
+    out = side.join(F.broadcast(kd), on=colops.ns_eq(cols, "__mk_"), how=how)
     if how == "inner":
         out = out.drop(*[f"__mk_{c}" for c in cols])
     return out
@@ -142,29 +137,25 @@ def _null_pad(
     """Rows of ``side`` whose ``probe_cols`` never appear in
     ``matched_keys``, padded with NULLs for ``other``'s non-key columns
     (the preserved-side construction shared with rangejoin/ineqjoin)."""
-    out = _ns_join(side, matched_keys.select(*probe_cols).distinct(), probe_cols, "left_anti")
-    for c in other.columns:
-        if c not in key_cols:
-            out = out.withColumn(c, F.lit(None).cast(other.schema[c].dataType))
-    return out
+    out = _ns_join(
+        side,
+        matched_keys.selectExpr(*[q(c) for c in probe_cols]).distinct(),
+        probe_cols,
+        "left_anti",
+    )
+    return colops.null_pad(out, other, key_cols)
 
 
 def _crossings(dm: DataFrame, m_old: DataFrame, kp: list[str]) -> DataFrame:
     """Keys whose match count crosses zero: ``__flip`` = +1 entering
     the matched set, −1 leaving (NULL-safe join — see module doc)."""
     j = _ns_join(dm, m_old, kp, "left")
-    return (
-        j.withColumn("__mold", F.coalesce(F.col("__mold"), F.lit(0)))
-        .withColumn("__mnew", F.col("__mold") + F.col("__dm"))
-        .withColumn(
-            "__flip",
-            F.when((F.col("__mold") == 0) & (F.col("__mnew") > 0), F.lit(1)).when(
-                (F.col("__mold") > 0) & (F.col("__mnew") <= 0), F.lit(-1)
-            ),
-        )
-        .filter(F.col("__flip").isNotNull())
-        .select(*kp, "__flip")
-    )
+    return j.selectExpr(
+        *[q(c) for c in kp],
+        "CASE WHEN coalesce(`__mold`, 0) = 0 AND coalesce(`__mold`, 0) + `__dm` > 0"
+        " THEN 1 WHEN coalesce(`__mold`, 0) > 0 AND"
+        " coalesce(`__mold`, 0) + `__dm` <= 0 THEN -1 END AS `__flip`",
+    ).filter("`__flip` IS NOT NULL")
 
 
 def theta_join(
@@ -188,27 +179,30 @@ def theta_join(
     A key column mentioned inside ``cond`` resolves to the LEFT side."""
     _check_disjoint(left, right, key_cols)
     lp, rp = "__tl_", "__tr_"
-    l2 = left.select([F.col(c).alias(lp + c) for c in left.columns])
-    r2 = right.select([F.col(c).alias(rp + c) for c in right.columns])
+    l2 = left.toDF(*[lp + c for c in left.columns])
+    r2 = right.toDF(*[rp + c for c in right.columns])
     cond2 = cond
     for c in left.columns:
         cond2 = sub_outside_literals(rf"\b{re.escape(c)}\b", lp + c, cond2)
     for c in right.columns:
         if c not in key_cols:
             cond2 = sub_outside_literals(rf"\b{re.escape(c)}\b", rp + c, cond2)
-    jc: Column = F.expr(cond2)
-    for k in key_cols:
-        jc = jc & (F.col(lp + k) == F.col(rp + k))
+    jc: Column = F.expr(
+        " AND ".join(
+            [f"({cond2})"]
+            + [f"({q(lp + k)} = {q(rp + k)})" for k in key_cols]
+        )
+    )
     if broadcast == "left":
         l2 = F.broadcast(l2)
     if broadcast == "right":
         r2 = F.broadcast(r2)
     out = [
-        *[F.col(lp + k).alias(k) for k in key_cols],
-        *[F.col(lp + c).alias(c) for c in left.columns if c not in key_cols],
-        *[F.col(rp + c).alias(c) for c in right.columns if c not in key_cols],
+        *[f"{q(lp + k)} AS {q(k)}" for k in key_cols],
+        *[f"{q(lp + c)} AS {q(c)}" for c in left.columns if c not in key_cols],
+        *[f"{q(rp + c)} AS {q(c)}" for c in right.columns if c not in key_cols],
     ]
-    return l2.join(r2, on=jc, how="inner").select(*out)
+    return l2.join(r2, on=jc, how="inner").selectExpr(*out)
 
 
 def _out_cols(left: DataFrame, right: DataFrame, key_cols: tuple[str, ...]) -> list[str]:
@@ -230,8 +224,8 @@ def theta_left_join(
     kp = [*key_cols, *left_on]
     oc = _out_cols(left, right, key_cols)
     matched = theta_join(left, right, cond, key_cols).localCheckpoint(eager=True)
-    anti = _null_pad(left, matched.select(*kp), kp, right, key_cols)
-    return matched.unionByName(anti.select(*oc))
+    anti = _null_pad(left, matched.selectExpr(*[q(c) for c in kp]), kp, right, key_cols)
+    return matched.unionByName(anti.selectExpr(*[q(c) for c in oc]))
 
 
 def theta_full_join(
@@ -251,12 +245,13 @@ def theta_full_join(
     kp_r = [*key_cols, *right_on]
     oc = _out_cols(left, right, key_cols)
     matched = theta_join(left, right, cond, key_cols).localCheckpoint(eager=True)
-    anti_l = _null_pad(left, matched.select(*kp_l), kp_l, right, key_cols)
-    anti_r = _null_pad(right, matched.select(*kp_r), kp_r, left, key_cols)
+    ocq = [q(c) for c in oc]
+    anti_l = _null_pad(left, matched.selectExpr(*[q(c) for c in kp_l]), kp_l, right, key_cols)
+    anti_r = _null_pad(right, matched.selectExpr(*[q(c) for c in kp_r]), kp_r, left, key_cols)
     return (
         matched
-        .unionByName(anti_l.select(*oc))
-        .unionByName(anti_r.select(*oc))
+        .unionByName(anti_l.selectExpr(*ocq))
+        .unionByName(anti_r.selectExpr(*ocq))
     )
 
 
@@ -274,12 +269,16 @@ def _semi_anti(
     relation is never theta-compared row by row."""
     left_on = _probe_on(left_on, cond, left.columns, key_cols)
     kp = [*key_cols, *left_on]
+    kpq = [q(c) for c in kp]
     ro = referenced_cols(cond, right.columns, key_cols)
     mk = (
         theta_join(
-            left.select(*kp).distinct(), right.select(*key_cols, *ro), cond, key_cols
+            left.selectExpr(*kpq).distinct(),
+            right.selectExpr(*[q(c) for c in (*key_cols, *ro)]),
+            cond,
+            key_cols,
         )
-        .select(*kp)
+        .selectExpr(*kpq)
         .distinct()
     )
     return _ns_join(left, mk, kp, "left_anti" if anti else "leftsemi")
@@ -330,28 +329,29 @@ def theta_join_delta(
 
     # the three matched branches are independent constructions — build
     # them concurrently (pin.build_all); union order is preserved
+    ocq = [q(c) for c in oc]
     thunks: list = []
     if dl is not None:
         thunks.append(
             lambda: theta_join(dl, right, cond, key_cols, "left")
-            .select(*oc, F.col("__wl").alias(_SIGN))
+            .selectExpr(*ocq, f"`__wl` AS {_SIGN}")
         )
     if dr is not None:
         thunks.append(
             lambda: theta_join(left, dr, cond, key_cols, "right")
-            .select(*oc, F.col("__wr").alias(_SIGN))
+            .selectExpr(*ocq, f"`__wr` AS {_SIGN}")
         )
     if dl is not None and dr is not None:
         thunks.append(
-            lambda: theta_join(dl, dr, cond, key_cols, "left").select(
-                *oc, (F.col("__wl") * F.col("__wr")).alias(_SIGN)
+            lambda: theta_join(dl, dr, cond, key_cols, "left").selectExpr(
+                *ocq, f"`__wl` * `__wr` AS {_SIGN}"
             )
         )
     branches: list[DataFrame] = build_all(*thunks)
     out = branches[0]
     for b in branches[1:]:
         out = out.unionByName(b)
-    return out.select(*oc, (F.col(_SIGN) > 0).alias(MULT_COL))
+    return out.selectExpr(*ocq, f"{_SIGN} > 0 AS {q(MULT_COL)}")
 
 
 def _semi_anti_delta(
@@ -370,43 +370,47 @@ def _semi_anti_delta(
         raise ValueError("at least one side needs a delta")
     left_on = _probe_on(left_on, cond, left.columns, key_cols)
     kp = [*key_cols, *left_on]
+    kpq = [q(c) for c in kp]
+    lcq = [q(c) for c in left.columns]
     ro = referenced_cols(cond, right.columns, key_cols)
-    rproj = right.select(*key_cols, *ro)
+    rproj = right.selectExpr(*[q(c) for c in (*key_cols, *ro)])
     dl = _signed(d_left, "__wl") if d_left is not None else None
     dr = _signed(d_right, "__wr") if d_right is not None else None
 
     # ---- term 1: ΔL rows gated on the post-delta match count m'
     def _term1() -> DataFrame:
-        rprime = rproj.withColumn("__wr", F.lit(1))
+        rprime = rproj.selectExpr("*", "1 AS `__wr`")
         if dr is not None:
-            rprime = rprime.unionByName(dr.select(*key_cols, *ro, "__wr"))
+            rprime = rprime.unionByName(
+                dr.selectExpr(*[q(c) for c in (*key_cols, *ro)], "`__wr`")
+            )
         m_pos = (
-            theta_join(dl.select(*kp).distinct(), rprime, cond, key_cols, "left")
+            theta_join(dl.selectExpr(*kpq).distinct(), rprime, cond, key_cols, "left")
             .groupBy(*kp)
             .agg(F.sum("__wr").alias("__m"))
             .filter(F.col("__m") > 0)
-            .select(*kp)
+            .selectExpr(*kpq)
         )
         t1 = _ns_join(dl, m_pos, kp, "left_anti" if anti else "leftsemi")
-        return t1.select(*left.columns, F.col("__wl").alias(_SIGN))
+        return t1.selectExpr(*lcq, f"`__wl` AS {_SIGN}")
 
     # ---- term 2: existing L keys whose match count crosses zero
     def _term2() -> DataFrame:
         dm = (
-            theta_join(left.select(*kp).distinct(), dr, cond, key_cols, "right")
+            theta_join(left.selectExpr(*kpq).distinct(), dr, cond, key_cols, "right")
             .groupBy(*kp)
             .agg(F.sum("__wr").alias("__dm"))
             .filter(F.col("__dm") != 0)
         )
         m_old = (
-            theta_join(dm.select(*kp), rproj, cond, key_cols, "left")
+            theta_join(dm.selectExpr(*kpq), rproj, cond, key_cols, "left")
             .groupBy(*kp)
             .agg(F.count(F.lit(1)).alias("__mold"))
         )
         flips = _crossings(dm, m_old, kp)
         t2 = _ns_join(left, flips, kp, "inner")
-        fsign = -F.col("__flip") if anti else F.col("__flip")
-        return t2.select(*left.columns, fsign.alias(_SIGN))
+        fsign = "-`__flip`" if anti else "`__flip`"
+        return t2.selectExpr(*lcq, f"{fsign} AS {_SIGN}")
 
     # independent constructions — built concurrently (pin.build_all)
     thunks: list = []
@@ -419,7 +423,7 @@ def _semi_anti_delta(
     out = branches[0]
     for b in branches[1:]:
         out = out.unionByName(b)
-    return out.select(*left.columns, (F.col(_SIGN) > 0).alias(MULT_COL))
+    return out.selectExpr(*lcq, f"{_SIGN} > 0 AS {q(MULT_COL)}")
 
 
 def theta_semi_join_delta(
@@ -477,66 +481,70 @@ def theta_left_join_delta(
         raise ValueError("at least one side needs a delta")
     left_on = _probe_on(left_on, cond, left.columns, key_cols)
     kp = [*key_cols, *left_on]
+    kpq = [q(c) for c in kp]
+    lcq = [q(c) for c in left.columns]
     ro = referenced_cols(cond, right.columns, key_cols)
     oc = _out_cols(left, right, key_cols)
-    null_r = [
-        F.lit(None).cast(right.schema[c].dataType).alias(c)
-        for c in right.columns
-        if c not in key_cols
-    ]
+    ocq = [q(c) for c in oc]
+    null_r = colops.null_lit_exprs(
+        right, [c for c in right.columns if c not in key_cols]
+    )
     tag_r = "__th_dr"
     dl = _signed(d_left, "__wl") if d_left is not None else None
     dr = _signed(d_right, "__wr") if d_right is not None else None
 
     # ---- fused A = ΔL × (R ∪ ΔR): matched branches + anti term 1
     def _a_group() -> list[DataFrame]:
-        rprime = right.withColumn("__wr", F.lit(1)).withColumn(tag_r, F.lit(False))
+        rprime = right.selectExpr("*", "1 AS `__wr`", f"false AS {q(tag_r)}")
         if dr is not None:
-            rprime = rprime.unionByName(dr.withColumn(tag_r, F.lit(True)))
+            rprime = rprime.unionByName(dr.selectExpr("*", f"true AS {q(tag_r)}"))
         A = theta_join(dl, rprime, cond, key_cols, "left").localCheckpoint(eager=True)
-        matched = A.select(
-            *oc,
-            (
-                F.col("__wl")
-                * F.when(F.col(tag_r), F.col("__wr")).otherwise(F.lit(1))
-            ).alias(_SIGN),
+        matched = A.selectExpr(
+            *ocq,
+            f"`__wl` * (CASE WHEN {q(tag_r)} THEN `__wr` ELSE 1 END) AS {_SIGN}",
         )
         m_pos = (
             A.groupBy(*kp)
             .agg(F.sum("__wr").alias("__m"))
             .filter(F.col("__m") > 0)
-            .select(*kp)
+            .selectExpr(*kpq)
         )
         t1 = _null_pad(dl, m_pos, kp, right, key_cols)
         return [
             matched,
-            t1.select(*left.columns, *null_r, F.col("__wl").alias(_SIGN)),
+            t1.selectExpr(*lcq, *null_r, f"`__wl` AS {_SIGN}"),
         ]
 
     # ---- matched branch L ⋈ ΔR (old-L rows; ΔL⋈ΔR came from A)
     def _matched_dr() -> list[DataFrame]:
         return [
             theta_join(left, dr, cond, key_cols, "right")
-            .select(*oc, F.col("__wr").alias(_SIGN))
+            .selectExpr(*ocq, f"`__wr` AS {_SIGN}")
         ]
 
     # ---- anti term 2: existing L keys whose count crosses zero
     def _anti2() -> list[DataFrame]:
         dm = (
-            theta_join(left.select(*kp).distinct(), dr, cond, key_cols, "right")
+            theta_join(left.selectExpr(*kpq).distinct(), dr, cond, key_cols, "right")
             .groupBy(*kp)
             .agg(F.sum("__wr").alias("__dm"))
             .filter(F.col("__dm") != 0)
         )
         m_old = (
-            theta_join(dm.select(*kp), right.select(*key_cols, *ro), cond, key_cols, "left")
+            theta_join(
+                dm.selectExpr(*kpq),
+                right.selectExpr(*[q(c) for c in (*key_cols, *ro)]),
+                cond,
+                key_cols,
+                "left",
+            )
             .groupBy(*kp)
             .agg(F.count(F.lit(1)).alias("__mold"))
         )
         flips = _crossings(dm, m_old, kp)
         t2 = _ns_join(left, flips, kp, "inner")
         return [
-            t2.select(*left.columns, *null_r, (-F.col("__flip")).alias(_SIGN))
+            t2.selectExpr(*lcq, *null_r, f"-`__flip` AS {_SIGN}")
         ]
 
     # independent groups, built concurrently (pin.build_all) — the A
@@ -552,7 +560,7 @@ def theta_left_join_delta(
     out = branches[0]
     for b in branches[1:]:
         out = out.unionByName(b)
-    return out.select(*oc, (F.col(_SIGN) > 0).alias(MULT_COL))
+    return out.selectExpr(*ocq, f"{_SIGN} > 0 AS {q(MULT_COL)}")
 
 
 def theta_full_join_delta(
@@ -578,76 +586,78 @@ def theta_full_join_delta(
     right_on = _probe_on(right_on, cond, right.columns, key_cols)
     kp_l = [*key_cols, *left_on]
     kp_r = [*key_cols, *right_on]
+    kp_lq = [q(c) for c in kp_l]
+    kp_rq = [q(c) for c in kp_r]
     oc = _out_cols(left, right, key_cols)
+    ocq = [q(c) for c in oc]
     tag_l, tag_r = "__th_dl", "__th_dr"
     dl = _signed(d_left, "__wl") if d_left is not None else None
     dr = _signed(d_right, "__wr") if d_right is not None else None
-    null_r = [
-        F.lit(None).cast(right.schema[c].dataType).alias(c)
-        for c in right.columns
-        if c not in key_cols
-    ]
+    null_r = colops.null_lit_exprs(
+        right, [c for c in right.columns if c not in key_cols]
+    )
 
     # A and C are independent plans, each eagerly pinned (fan-out
     # consumers below) — pin them CONCURRENTLY so the two narrow
     # checkpoint jobs and their planning prologues overlap (pin.py)
     A_lazy = C_lazy = None
     if dl is not None:
-        rprime = right.withColumn("__wr", F.lit(1)).withColumn(tag_r, F.lit(False))
+        rprime = right.selectExpr("*", "1 AS `__wr`", f"false AS {q(tag_r)}")
         if dr is not None:
-            rprime = rprime.unionByName(dr.withColumn(tag_r, F.lit(True)))
+            rprime = rprime.unionByName(dr.selectExpr("*", f"true AS {q(tag_r)}"))
         A_lazy = theta_join(dl, rprime, cond, key_cols, "left")
     if dr is not None:
-        lprime = left.withColumn("__wl", F.lit(1)).withColumn(tag_l, F.lit(False))
+        lprime = left.selectExpr("*", "1 AS `__wl`", f"false AS {q(tag_l)}")
         if dl is not None:
-            lprime = lprime.unionByName(dl.withColumn(tag_l, F.lit(True)))
+            lprime = lprime.unionByName(dl.selectExpr("*", f"true AS {q(tag_l)}"))
         C_lazy = theta_join(lprime, dr, cond, key_cols, "right")
     A, C = pin_all(A_lazy, C_lazy)
 
     # ---- fused A = ΔL × (R ∪ ΔR): matched ΔL branches + left anti 1
     def _a_group() -> list[DataFrame]:
-        matched = A.select(
-            *oc,
-            (
-                F.col("__wl")
-                * F.when(F.col(tag_r), F.col("__wr")).otherwise(F.lit(1))
-            ).alias(_SIGN),
+        matched = A.selectExpr(
+            *ocq,
+            f"`__wl` * (CASE WHEN {q(tag_r)} THEN `__wr` ELSE 1 END) AS {_SIGN}",
         )
         m_pos = (
             A.groupBy(*kp_l)
             .agg(F.sum("__wr").alias("__m"))
             .filter(F.col("__m") > 0)
-            .select(*kp_l)
+            .selectExpr(*kp_lq)
         )
         t1 = _null_pad(dl, m_pos, kp_l, right, key_cols)
-        return [matched, t1.select(*oc, F.col("__wl").alias(_SIGN))]
+        return [matched, t1.selectExpr(*ocq, f"`__wl` AS {_SIGN}")]
 
     # ---- fused C = (L ∪ ΔL) × ΔR: L⋈ΔR matched branch + right anti 1
     def _c_group() -> list[DataFrame]:
-        b2 = C.filter(~F.col(tag_l)) if dl is not None else C
+        b2 = C.filter(f"NOT {q(tag_l)}") if dl is not None else C
         m_pos_r = (
             C.groupBy(*kp_r)
             .agg(F.sum("__wl").alias("__m"))
             .filter(F.col("__m") > 0)
-            .select(*kp_r)
+            .selectExpr(*kp_rq)
         )
         t1r = _null_pad(dr, m_pos_r, kp_r, left, key_cols)
         return [
-            b2.select(*oc, F.col("__wr").alias(_SIGN)),
-            t1r.select(*oc, F.col("__wr").alias(_SIGN)),
+            b2.selectExpr(*ocq, f"`__wr` AS {_SIGN}"),
+            t1r.selectExpr(*ocq, f"`__wr` AS {_SIGN}"),
         ]
 
     # ---- left anti term 2 (identical to the LEFT rule's)
     def _left_anti2() -> list[DataFrame]:
         dm = (
-            theta_join(left.select(*kp_l).distinct(), dr, cond, key_cols, "right")
+            theta_join(left.selectExpr(*kp_lq).distinct(), dr, cond, key_cols, "right")
             .groupBy(*kp_l)
             .agg(F.sum("__wr").alias("__dm"))
             .filter(F.col("__dm") != 0)
         )
         m_old = (
             theta_join(
-                dm.select(*kp_l), right.select(*key_cols, *right_on), cond, key_cols, "left"
+                dm.selectExpr(*kp_lq),
+                right.selectExpr(*[q(c) for c in (*key_cols, *right_on)]),
+                cond,
+                key_cols,
+                "left",
             )
             .groupBy(*kp_l)
             .agg(F.count(F.lit(1)).alias("__mold"))
@@ -655,7 +665,9 @@ def theta_full_join_delta(
         flips = _crossings(dm, m_old, kp_l)
         t2 = _ns_join(left, flips, kp_l, "inner")
         return [
-            t2.select(*left.columns, *null_r, (-F.col("__flip")).alias(_SIGN))
+            t2.selectExpr(
+                *[q(c) for c in left.columns], *null_r, f"-`__flip` AS {_SIGN}"
+            )
         ]
 
     # ---- right anti term 2: existing R keys whose left-match count
@@ -663,14 +675,18 @@ def theta_full_join_delta(
     # spurious terms cancel exactly as in ineqjoin)
     def _right_anti2() -> list[DataFrame]:
         dm_r = (
-            theta_join(dl, right.select(*kp_r).distinct(), cond, key_cols, "left")
+            theta_join(dl, right.selectExpr(*kp_rq).distinct(), cond, key_cols, "left")
             .groupBy(*kp_r)
             .agg(F.sum("__wl").alias("__dm"))
             .filter(F.col("__dm") != 0)
         )
         m_old_r = (
             theta_join(
-                left.select(*key_cols, *left_on), dm_r.select(*kp_r), cond, key_cols, "right"
+                left.selectExpr(*[q(c) for c in (*key_cols, *left_on)]),
+                dm_r.selectExpr(*kp_rq),
+                cond,
+                key_cols,
+                "right",
             )
             .groupBy(*kp_r)
             .agg(F.count(F.lit(1)).alias("__mold"))
@@ -678,15 +694,16 @@ def theta_full_join_delta(
         flips_r = _crossings(dm_r, m_old_r, kp_r)
         t2r = _ns_join(right, flips_r, kp_r, "inner")
         null_l = [
-            F.col(c) if c in key_cols
-            else F.lit(None).cast(left.schema[c].dataType).alias(c)
+            q(c)
+            if c in key_cols
+            else f"CAST(NULL AS {left.schema[c].dataType.simpleString()}) AS {q(c)}"
             for c in left.columns
         ]
         return [
-            t2r.select(
+            t2r.selectExpr(
                 *null_l,
-                *[c for c in right.columns if c not in key_cols],
-                (-F.col("__flip")).alias(_SIGN),
+                *[q(c) for c in right.columns if c not in key_cols],
+                f"-`__flip` AS {_SIGN}",
             )
         ]
 
@@ -706,4 +723,4 @@ def theta_full_join_delta(
     out = branches[0]
     for b in branches[1:]:
         out = out.unionByName(b)
-    return out.select(*oc, (F.col(_SIGN) > 0).alias(MULT_COL))
+    return out.selectExpr(*ocq, f"{_SIGN} > 0 AS {q(MULT_COL)}")

@@ -90,31 +90,26 @@ def multi_window_view_delta(
         bag_diff_cdc,
     )
 
+    from ivm_extension_spark.operators.colops import ns_eq, q
+
     def _flag_pass(
         df: DataFrame, keysets: list[DataFrame], prefix: str
     ) -> tuple[DataFrame, list[str]]:
         flags: list[str] = []
         for n, (L, ks) in enumerate(zip(lists, keysets)):
             fname = f"__mw_{prefix}{n}"
-            kd = ks.select(
-                *[F.col(c).alias(f"__mwk_{prefix}{n}_{c}") for c in L]
-            ).withColumn(fname, F.lit(True))
-            cond = None
-            for c in L:
-                t = F.col(c).eqNullSafe(F.col(f"__mwk_{prefix}{n}_{c}"))
-                cond = t if cond is None else cond & t
-            df = df.join(F.broadcast(kd), on=cond, how="left").drop(
-                *[f"__mwk_{prefix}{n}_{c}" for c in L]
+            kpfx = f"__mwk_{prefix}{n}_"
+            kd = ks.selectExpr(
+                *[f"{q(c)} AS {q(kpfx + c)}" for c in L], f"true AS {q(fname)}"
+            )
+            df = df.join(F.broadcast(kd), on=ns_eq(L, kpfx), how="left").drop(
+                *[kpfx + c for c in L]
             )
             flags.append(fname)
         return df, flags
 
     def _any(flags: list[str]):
-        out = None
-        for f in flags:
-            c = F.coalesce(F.col(f), F.lit(False))
-            out = c if out is None else out | c
-        return out
+        return F.expr(" OR ".join(f"coalesce({q(f)}, false)" for f in flags))
 
     # pin the delta ONCE, eagerly: the A_i key-set derivations below are
     # consumed by concurrent broadcast-build subjobs, and a lazy shared

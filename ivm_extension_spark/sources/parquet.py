@@ -88,8 +88,9 @@ def _read_parquet_uncached(spark: SparkSession, path: str) -> DataFrame:
         return spark.read.parquet(path)
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(path)
-    for c in ns_cols:
-        df = df.withColumn(
-            c, F.timestamp_micros(F.expr(f"`{c}` div 1000")).cast("timestamp_ntz")
-        )
-    return df
+    return df.withColumns(
+        {
+            c: F.timestamp_micros(F.expr(f"`{c}` div 1000")).cast("timestamp_ntz")
+            for c in ns_cols
+        }
+    )
