@@ -655,17 +655,16 @@ class IVMEngine:
                     "not projected by the view (unprojected GROUP BY keys "
                     "are not supported for MIN/MAX/COUNT DISTINCT views)"
                 )
-            renamed = d.select(
-                *[F.col(k).alias(f"__ivm_dk_{k}") for k in keys],
-                *[F.col(a) for a in aliases],
+            from ivm_extension_spark.operators import colops
+            from ivm_extension_spark.operators.colops import q as _q
+
+            renamed = d.selectExpr(
+                *[f"{_q(k)} AS {_q('__ivm_dk_' + k)}" for k in keys],
+                *[_q(a) for a in aliases],
             )
-            cond = None
-            for k in keys:
-                term = F.col(k).eqNullSafe(F.col(f"__ivm_dk_{k}"))
-                cond = term if cond is None else cond & term
-            state = state.join(F.broadcast(renamed), cond, "left").drop(
-                *[f"__ivm_dk_{k}" for k in keys]
-            )
+            state = state.join(
+                F.broadcast(renamed), colops.ns_eq(keys, "__ivm_dk_"), "left"
+            ).drop(*[f"__ivm_dk_{k}" for k in keys])
         return state.select(*[F.col(o) for o in iview.output_order])
 
     def _expand_star(self, vdef: ViewDef) -> ViewDef:

@@ -233,13 +233,10 @@ def merge_aux(
     )
     if not broadcast_delta:
         return refold(state_aux.unionByName(delta_aux_df))
-    probe = delta_aux_df.select(
-        *[F.col(c).alias(f"__ivm_probe_{c}") for c in key_cols]
-    )
-    cond = None
-    for c in key_cols:
-        term = F.col(c).eqNullSafe(F.col(f"__ivm_probe_{c}"))
-        cond = term if cond is None else cond & term
+    from ivm_extension_spark.operators import colops
+
+    probe = colops.renamed(delta_aux_df, key_cols, "__ivm_probe_")
+    cond = colops.ns_eq(key_cols, "__ivm_probe_")
     untouched = state_aux.join(F.broadcast(probe), cond, "left_anti")
     touched = state_aux.join(F.broadcast(probe), cond, "left_semi")
     return untouched.unionByName(refold(touched.unionByName(delta_aux_df)))

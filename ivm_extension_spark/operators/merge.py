@@ -321,23 +321,25 @@ def _patch_combine(
     pre net-zero-group filtering."""
     from ivm_extension_spark.operators import colops
 
+    from ivm_extension_spark.operators.colops import q
+
     d = colops.signed(delta_v, MULT_COL, _SIGN)
     folds = []
     for a in iview.aggregates:
-        c = F.col(a.alias)
+        c = q(a.alias)
         if a.fn in ("sum", "count", "count_distinct"):
-            m = F.sum(c * F.col(_SIGN))
+            e = f"sum({c} * {_SIGN})"
             if a.fn in ("count", "count_distinct"):
-                m = m.cast("long")
+                e = f"CAST({e} AS BIGINT)"
         elif a.fn == "min":
             # insert-side extremum only: deletes either rejected upstream
             # (no aux state) or overwritten by auxstate.patch_merged
-            m = F.min(F.when(F.col(_SIGN) > 0, c))
+            e = f"min(CASE WHEN {_SIGN} > 0 THEN {c} END)"
         elif a.fn == "max":
-            m = F.max(F.when(F.col(_SIGN) > 0, c))
+            e = f"max(CASE WHEN {_SIGN} > 0 THEN {c} END)"
         else:  # avg / variance public columns: finalize() recomputes
-            m = F.first(c)
-        folds.append(m.alias(a.alias))
+            e = f"first({c})"
+        folds.append(F.expr(f"{e} AS {q(a.alias)}"))
     # one row per touched key; eager checkpoint — O(|ΔV|) rows reused by
     # the combine join, the touched-key probe, and the anti join
     dvagg = (
@@ -345,45 +347,52 @@ def _patch_combine(
     )
 
     def _keyed(df: DataFrame, prefix: str) -> DataFrame:
-        return df.select(*[F.col(k).alias(f"{prefix}{k}") for k in keys])
+        return colops.renamed(df, keys, prefix)
 
     def _cond(prefix: str):
-        cond = None
-        for k in keys:
-            t = F.col(k).eqNullSafe(F.col(f"{prefix}{k}"))
-            cond = t if cond is None else cond & t
-        return cond
+        return colops.ns_eq(keys, prefix)
 
     agg_aliases = [a.alias for a in iview.aggregates]
-    dren = dvagg.select(
-        *[F.col(k).alias(f"__ivm_dk_{k}") for k in keys],
-        *[F.col(a).alias(f"__ivm_dv_{a}") for a in agg_aliases],
+    from ivm_extension_spark.operators.colops import q
+
+    dren = dvagg.selectExpr(
+        *[f"{q(k)} AS {q('__ivm_dk_' + k)}" for k in keys],
+        *[f"{q(a)} AS {q('__ivm_dv_' + a)}" for a in agg_aliases],
     )
     joined = state.join(F.broadcast(dren), _cond("__ivm_dk_"), "left")
     combined = []
     for a in iview.aggregates:
-        s, dd = F.col(a.alias), F.col(f"__ivm_dv_{a.alias}")
+        s, dd = q(a.alias), q(f"__ivm_dv_{a.alias}")
         if a.fn in ("sum", "count", "count_distinct"):
-            na = F.when(dd.isNull(), s).when(s.isNull(), dd).otherwise(s + dd)
+            na = (
+                f"CASE WHEN {dd} IS NULL THEN {s} WHEN {s} IS NULL THEN {dd}"
+                f" ELSE {s} + {dd} END"
+            )
             if a.fn in ("count", "count_distinct"):
-                na = na.cast("long")
+                na = f"CAST({na} AS BIGINT)"
         elif a.fn == "min":
-            na = F.when(dd.isNull(), s).when(s.isNull(), dd).otherwise(F.least(s, dd))
+            na = (
+                f"CASE WHEN {dd} IS NULL THEN {s} WHEN {s} IS NULL THEN {dd}"
+                f" ELSE least({s}, {dd}) END"
+            )
         elif a.fn == "max":
-            na = F.when(dd.isNull(), s).when(s.isNull(), dd).otherwise(F.greatest(s, dd))
+            na = (
+                f"CASE WHEN {dd} IS NULL THEN {s} WHEN {s} IS NULL THEN {dd}"
+                f" ELSE greatest({s}, {dd}) END"
+            )
         else:
             na = s
-        combined.append(na.alias(a.alias))
-    existing = joined.select(*[F.col(k) for k in keys], *combined)
+        combined.append(f"{na} AS {q(a.alias)}")
+    existing = joined.selectExpr(*[q(k) for k in keys], *combined)
     # brand-new groups: fold keys with no state row.  The state-side
     # probe is a broadcast SEMI join (state scanned narrowly, never
     # exchanged) whose result is O(|ΔV|); the fold anti-joins against it.
-    touched = state.select(*[F.col(k) for k in keys]).join(
+    touched = state.selectExpr(*[q(k) for k in keys]).join(
         F.broadcast(_keyed(dvagg, "__ivm_dk_")), _cond("__ivm_dk_"), "leftsemi"
     )
     fresh = dvagg.join(
         F.broadcast(_keyed(touched, "__ivm_tk_")), _cond("__ivm_tk_"), "left_anti"
-    ).select(*[F.col(k) for k in keys], *[F.col(a) for a in agg_aliases])
+    ).selectExpr(*[q(k) for k in keys], *[q(a) for a in agg_aliases])
     return existing.unionByName(fresh)
 
 
@@ -450,22 +459,24 @@ def _merge_aggregate(
         d = colops.signed(delta_v, MULT_COL, _SIGN)
         unioned = s.unionByName(d)
 
+        from ivm_extension_spark.operators.colops import q
+
         merged_aggs = []
         for a in iview.aggregates:
-            c = F.col(a.alias)
+            c = q(a.alias)
             if a.fn in ("sum", "count"):
-                m = F.sum(c * F.col(_SIGN))
+                e = f"sum({c} * {_SIGN})"
                 if a.fn == "count":
-                    m = m.cast("long")
+                    e = f"CAST({e} AS BIGINT)"
             elif a.fn == "min":
-                m = F.min(c)
+                e = f"min({c})"
             elif a.fn == "max":
-                m = F.max(c)
+                e = f"max({c})"
             elif a.fn == "count_distinct":
                 # insert-only: distinct counts are NOT additive across batches;
                 # merging them as sum over-counts overcounts overlaps.  Approximate
                 # merge is deliberate and documented; exact needs per-value state.
-                m = F.sum(c * F.col(_SIGN)).cast("long")
+                e = f"CAST(sum({c} * {_SIGN}) AS BIGINT)"
             elif (
                 a.fn == "avg"
                 or a.fn in ("sum_distinct", "avg_distinct")
@@ -475,10 +486,10 @@ def _merge_aggregate(
                 # never merged directly: AVG/variance recompute from hidden
                 # companions in finalize(); median/mode/percentile are
                 # overwritten by the aux-relation patch
-                m = F.first(c)
+                e = f"first({c})"
             else:  # pragma: no cover
                 raise NotImplementedError(a.fn)
-            merged_aggs.append(m.alias(a.alias))
+            merged_aggs.append(F.expr(f"{e} AS {q(a.alias)}"))
 
         out = unioned.groupBy(*[F.col(k) for k in key_aliases]).agg(*merged_aggs)
     if key_aliases:
@@ -506,7 +517,9 @@ def _merge_aggregate(
                 for c in out.columns
             ]
         )
-    out = out.select(*[F.col(a) for a in (*key_aliases, *agg_aliases)])
+    from ivm_extension_spark.operators.colops import q as _q
+
+    out = out.selectExpr(*[_q(a) for a in (*key_aliases, *agg_aliases)])
     return auxstate.patch_merged(out, iview, derived)
 
 

@@ -396,14 +396,10 @@ def range_left_join_delta(
             )
 
         def _ikey_anti(side_df: DataFrame, keys_df: DataFrame) -> DataFrame:
-            mk = keys_df.select(
-                *[F.col(c).alias(f"__ik_{c}") for c in ikey]
-            ).distinct()
-            cond = None
-            for c in ikey:
-                t = F.col(c).eqNullSafe(F.col(f"__ik_{c}"))
-                cond = t if cond is None else cond & t
-            return side_df.join(bc(mk), on=cond, how="left_anti")
+            mk = colops.renamed(keys_df, ikey, "__ik_").distinct()
+            return side_df.join(
+                bc(mk), on=colops.ns_eq(ikey, "__ik_"), how="left_anti"
+            )
 
         # term 1': ΔI rows whose key has ZERO matches in P' = P ∪ ΔP
         # carry their own NULL-padded row in/out with their sign

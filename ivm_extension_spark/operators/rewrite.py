@@ -340,10 +340,10 @@ def _delta_source(
         acc = sides[0]
         for join, side in zip(view.joins, sides[1:]):
             acc = acc.join(side, on=F.expr(join.on), how="inner")
-        sign = F.lit(1)
-        for tname in tables:
-            sign = sign * F.col(f"__w_{tname}")
-        acc = acc.withColumn(_SIGN, sign).drop(*[f"__w_{t}" for t in tables])
+        sign_sql = " * ".join(["1"] + [q(f"__w_{t}") for t in tables])
+        acc = acc.withColumn(_SIGN, F.expr(sign_sql)).drop(
+            *[f"__w_{t}" for t in tables]
+        )
         branches.append(acc)
     out = branches[0]
     for b in branches[1:]:

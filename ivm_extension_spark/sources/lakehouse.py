@@ -45,7 +45,10 @@ def bucket_expr(keys: list[str], n_buckets: int):
     global aggregate: its state is one row, one bucket)."""
     if not keys:
         return F.lit(0)
-    return F.pmod(F.xxhash64(*[F.col(k) for k in keys]), F.lit(n_buckets))
+    from ivm_extension_spark.operators.colops import q
+
+    cols = ", ".join(q(k) for k in keys)
+    return F.expr(f"pmod(xxhash64({cols}), {int(n_buckets)})")
 
 
 class LakehouseStore:
@@ -145,9 +148,19 @@ class LakehouseStore:
         version = (self.current_version(view) or 0) + 1
         prev = self.manifest(view)
         touched_set = [str(b) for b in touched]
-        touched_df = new_state.filter(
-            bucket_expr(keys, self.n_buckets).isin([int(b) for b in touched_set])
-        )
+        if touched:
+            from ivm_extension_spark.operators.colops import q
+
+            cols = ", ".join(q(k) for k in keys)
+            bexpr = (
+                f"pmod(xxhash64({cols}), {int(self.n_buckets)})"
+                if keys
+                else "0"
+            )
+            in_list = ", ".join(str(int(b)) for b in touched_set)
+            touched_df = new_state.filter(f"{bexpr} IN ({in_list})")
+        else:
+            touched_df = new_state.filter(F.lit(False))
         written, wrows = self._write_buckets(view, touched_df, keys, version)
         buckets = {
             b: p for b, p in prev["buckets"].items() if b not in touched_set
