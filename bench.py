@@ -53,10 +53,24 @@ def build_spark(cpus: int) -> SparkSession:
     )
 
 
+def calib_sec() -> float:
+    """Fixed single-core CPython loop (~0.97 s on this host's calm eras,
+    2.9-3.7 s in its degraded multi-hour eras).  Reported in the output
+    JSON so a reader can tell which era a record was measured in —
+    /proc/stat external-load readings look calm during degraded eras
+    (steal/clock-level contention, not neighbor processes)."""
+    t0 = time.perf_counter()
+    x = 0
+    for i in range(30_000_000):
+        x += i
+    return round(time.perf_counter() - t0, 2)
+
+
 def main() -> int:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     only = set(sys.argv[1:])
+    calib_start = calib_sec()
 
     spark = build_spark(cpus)
     spark.sparkContext.setLogLevel("ERROR")
@@ -273,6 +287,7 @@ def main() -> int:
         if redo and min(redo)[0] < timings[name]:
             record(name, redo)
     total = sum(v for v in timings.values() if v == v)
+    calib_end = calib_sec()
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
@@ -293,6 +308,7 @@ def main() -> int:
                 "queries": timings,
                 "external_cpus_at_recorded_sample": loads,
                 "sf": sf_val,
+                "calib_sec": [calib_start, calib_end],
             },
             indent=1,
         )
@@ -316,6 +332,10 @@ def main() -> int:
         # to be recorded while neighbors held 8+ cores even after the
         # cooldown re-samples; self-load is excluded by construction)
         "ext_cpus_max": round(max(loads.values(), default=0.0), 1),
+        # single-core calibration seconds at run start/end: ~0.97 calm,
+        # 2.9-3.7 in this host's degraded-CPU eras (which /proc/stat
+        # cannot see) — lets a reader era-adjust the wall numbers
+        "calib_sec": [calib_start, calib_end],
     }
     line = json.dumps(base, separators=(",", ":"))
     by_cost = sorted(

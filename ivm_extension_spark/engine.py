@@ -30,6 +30,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 from pyspark.sql import types as T
 
 from ivm_extension_spark.operators import auxstate, merge as merge_ops
+from ivm_extension_spark.operators import pin
 from ivm_extension_spark.operators.pin import pin_async
 from ivm_extension_spark.operators.rewrite import (
     MULT_COL,
@@ -832,19 +833,15 @@ class IVMEngine:
             # it NOW on a thread so its job overlaps the aux advance and
             # the merge-plan construction instead of serializing right
             # before the commit (guide §2.6; resolved at commit below)
-            from concurrent.futures import ThreadPoolExecutor
-
             from ivm_extension_spark.sources.lakehouse import bucket_expr
 
             _keys = self._store_keys(name)
             _probe = dv.select(
                 bucket_expr(_keys, self._state_store.n_buckets).alias("b")
             ).distinct()
-            _ex = ThreadPoolExecutor(1)
-            touched_fut = _ex.submit(
+            touched_fut = pin.submit(
                 lambda: sorted(r[0] for r in _probe.collect())
             )
-            _ex.shutdown(wait=False)
         derived = self._advance_aux(name)
         if st_fut is not None:
             st = st_fut.result()
@@ -945,15 +942,21 @@ class IVMEngine:
         is per-view-name keyed and the state store is one directory per
         view, so concurrent drives of DISTINCT names do not contend.
         """
-        from concurrent.futures import ThreadPoolExecutor
+        import threading
 
         names = list(names)
         if len(set(names)) != len(names):
             raise IVMError("merge_views requires distinct view names")
         if len(names) <= 1:
             return [self.merge_view(n) for n in names]
-        with ThreadPoolExecutor(parallelism or len(names)) as ex:
-            return list(ex.map(self.merge_view, names))
+        sem = threading.Semaphore(parallelism or len(names))
+
+        def drive(n: str) -> DataFrame:
+            with sem:
+                return self.merge_view(n)
+
+        futs = [pin.submit(lambda n=n: drive(n)) for n in names]
+        return [f.result() for f in futs]
 
     def merge_view_cdc(self, name: str) -> DataFrame:
         """Merge like :meth:`merge_view`, but return the *view-state CDC*
@@ -1158,20 +1161,32 @@ class IVMEngine:
             # (user cascades stay manual; composite inners advance inside
             # their outer's epilogue) — merge them concurrently, same
             # thread-per-view drive as merge_views
-            from concurrent.futures import ThreadPoolExecutor
+            import threading
 
-            with ThreadPoolExecutor(min(8, len(ordered))) as ex:
-                out = dict(zip(ordered, ex.map(self.merge_view, ordered)))
+            sem = threading.Semaphore(8)
+
+            def drive(v: str) -> DataFrame:
+                with sem:
+                    return self.merge_view(v)
+
+            futs = [pin.submit(lambda v=v: drive(v)) for v in ordered]
+            out = dict(zip(ordered, (f.result() for f in futs)))
         else:
             out = {v: self.merge_view(v) for v in ordered}
         pending = list(self._deltas)
         if len(pending) > 1:
             # independent per-table base folds (distinct engine keys) —
             # concurrent, same argument as the merge drive above
-            from concurrent.futures import ThreadPoolExecutor
+            import threading
 
-            with ThreadPoolExecutor(min(8, len(pending))) as ex:
-                list(ex.map(self.apply_delta, pending))
+            sem2 = threading.Semaphore(8)
+
+            def fold(t: str) -> None:
+                with sem2:
+                    self.apply_delta(t)
+
+            for f in [pin.submit(lambda t=t: fold(t)) for t in pending]:
+                f.result()
         else:
             for t in pending:
                 self.apply_delta(t)
@@ -1512,22 +1527,19 @@ class IVMEngine:
         merge committed but the fold failed → ``BaseFoldError`` — the
         base and delta are untouched, so the caller must redo ONLY the
         fold (`register_delta` + `apply_delta`), never the merge."""
-        from concurrent.futures import ThreadPoolExecutor
-
         fold_plan = merge_ops.apply_delta_to_table(
             self.table(table), self.delta(table)
         )
-        with ThreadPoolExecutor(2) as ex:
-            f_merge = ex.submit(self.merge_view, name)
-            f_base = ex.submit(lambda: fold_plan.localCheckpoint(eager=True))
-            out = f_merge.result()  # merge failure: world unchanged, re-raise
-            try:
-                new_base = f_base.result()
-            except Exception as e:
-                raise BaseFoldError(
-                    f"base fold for {table!r} failed after the merge of "
-                    f"{name!r} committed; redo only the fold"
-                ) from e
+        f_merge = pin.submit(lambda: self.merge_view(name))
+        f_base = pin.submit(lambda: fold_plan.localCheckpoint(eager=True))
+        out = f_merge.result()  # merge failure: world unchanged, re-raise
+        try:
+            new_base = f_base.result()
+        except Exception as e:
+            raise BaseFoldError(
+                f"base fold for {table!r} failed after the merge of "
+                f"{name!r} committed; redo only the fold"
+            ) from e
         self._tables[table] = new_base
         self._deltas.pop(table, None)
         return out
@@ -1772,10 +1784,10 @@ class IVMEngine:
             # same thread-per-unit submission as merge_views (engine
             # bookkeeping is per-name keyed; Spark's scheduler is
             # thread-safe)
-            from concurrent.futures import ThreadPoolExecutor
+            from ivm_extension_spark.operators import pin
 
-            with ThreadPoolExecutor(len(tabs)) as ex:
-                list(ex.map(self.apply_delta, tabs))
+            for f in [pin.submit(lambda t=t: self.apply_delta(t)) for t in tabs]:
+                f.result()
         else:
             for t in tabs:
                 self.apply_delta(t)

@@ -613,10 +613,10 @@ def minhash_lsh_delta_pairs(
     # local emulation, never O(consumers) recomputes.
     if not state.is_cached:
         state = state.persist()
-    from concurrent.futures import ThreadPoolExecutor
+    from ivm_extension_spark.operators import pin
 
-    with ThreadPoolExecutor(2) as ex:
-        list(ex.map(lambda d: d.count(), [state, dp]))
+    for f in [pin.submit(lambda d=d: d.count()) for d in (state, dp)]:
+        f.result()
     dm = state.join(bc(del_ids), on="id", how="leftsemi").persist()
     surv = state.join(bc(del_ids), on="id", how="left_anti")
 

@@ -120,7 +120,7 @@ def tfidf_index_views(
     # the three creates are independent (distinct names, each over an
     # already-registered relation) — materialize their initial states
     # concurrently, same thread-per-view drive as engine.merge_views
-    from concurrent.futures import ThreadPoolExecutor
+    from ivm_extension_spark.operators import pin
 
     creates = [
         (
@@ -135,8 +135,11 @@ def tfidf_index_views(
         ),
         (ndocs, f"SELECT count(DISTINCT {id_col}) AS n FROM {docs_table}"),
     ]
-    with ThreadPoolExecutor(len(creates)) as ex:
-        list(ex.map(lambda nv: eng.create_immv(nv[0], sql=nv[1]), creates))
+    for f in [
+        pin.submit(lambda nv=nv: eng.create_immv(nv[0], sql=nv[1]))
+        for nv in creates
+    ]:
+        f.result()
     return tf, dfreq, ndocs
 
 

@@ -30,6 +30,31 @@ def test_build_all_propagates_the_failing_thunk_error():
         build_all(lambda: 1, boom, lambda: 2)
 
 
+def test_pool_reuses_workers_across_calls():
+    # round-10: submissions run on a shared reusable pool — a fresh
+    # thread (= a fresh pinned py4j socket + JVM thread in real use) per
+    # call was the churn the round-9 verdict flagged.  Two sequential
+    # build_all calls must run on the SAME worker threads.
+    first = set(build_all(lambda: threading.get_ident(), lambda: threading.get_ident()))
+    second = set(build_all(lambda: threading.get_ident(), lambda: threading.get_ident()))
+    assert first == second
+
+
+def test_pool_nested_submissions_do_not_deadlock():
+    # a branch thunk may itself pin/build (nested build_all) — the pool
+    # must never queue a nested submission behind its own caller
+    def outer(i):
+        return sum(build_all(lambda: i, lambda: i * 10))
+
+    t0 = time.perf_counter()
+    assert build_all(lambda: outer(1), lambda: outer(2), lambda: outer(3)) == [
+        11,
+        22,
+        33,
+    ]
+    assert time.perf_counter() - t0 < 5
+
+
 def test_build_all_runs_thunks_concurrently():
     # each thunk waits on the OTHER's start event: serial execution
     # would deadlock (the timeout would fail the assert), concurrent
