@@ -24,12 +24,38 @@ or schema-derived identifiers pass through here, always backtick-quoted
 
 from __future__ import annotations
 
+import threading
+
 from pyspark.sql import Column, DataFrame, functions as F
 
 
 def q(name: str) -> str:
     """Backtick-quote an identifier for SQL-text construction."""
     return "`" + name.replace("`", "``") + "`"
+
+
+def sql_over(text: str, **dfs: DataFrame) -> DataFrame:
+    """Run one SQL text over the given DataFrames — ``{name}``
+    placeholders in ``text`` are bound by registering each frame under a
+    thread-locally REUSED temp-view slot (``spark.sql`` analyzes
+    eagerly, so the returned plan holds the resolved relations and the
+    slot can be overwritten by the next construction).
+
+    Cost model: ``len(dfs) + 1`` round trips and ONE Catalyst analysis
+    pass for the whole construction, however many renames / joins /
+    projections / filters the text composes — the round-10 extension of
+    this module's diet (a fused rule level that took 4 Dataset calls
+    paid 4 analyses of ever-growing trees).  Slots are per (thread,
+    position): concurrent ``build_all`` branches never collide, and at
+    most ``threads x slots`` views ever exist per session."""
+    spark = next(iter(dfs.values())).sparkSession
+    for i, (k, df) in enumerate(dfs.items()):
+        v = f"__ivm_sql_{threading.get_ident()}_{i}"
+        df.createOrReplaceTempView(v)
+        # plain replace, not str.format: a user-supplied theta condition
+        # may legitimately contain braces inside string literals
+        text = text.replace("{" + k + "}", v)
+    return spark.sql(text)
 
 
 def ns_eq(cols, prefix: str) -> Column:

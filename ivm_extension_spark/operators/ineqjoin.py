@@ -117,21 +117,24 @@ def _binned(
     ``origin`` shifts the value axis so negative-valued columns land in
     nonnegative bins (the dyadic decomposition needs unsigned indices;
     the shift is order-preserving so the join predicate is unaffected)."""
-    b = F.floor((F.col(col) - F.lit(origin)) / F.lit(bin_width)).cast("long")
-    guarded = F.when(
-        (b < 0) | (b >= F.lit(1 << levels)),
-        F.raise_error(
-            F.concat(
-                F.lit(
-                    f"value outside the dyadic domain [0, {1 << levels}) bins "
-                    f"at bin_width={bin_width}: "
-                ),
-                F.col(col).cast("string"),
-                F.lit(" — shift/scale the column or raise max_bins"),
-            )
-        ).cast("long"),
-    ).otherwise(b)
-    return df.withColumn(_BIN, guarded)
+    # one parsed expression instead of ~15 Column-op round trips (the
+    # round-10 construction diet).  Float literals carry the D suffix so
+    # Spark parses DOUBLE (bare `0.5` parses as DECIMAL and would change
+    # the arithmetic); repr(float) round-trips bit-exactly.
+    qc = q(col)
+    ow, oo = f"{float(bin_width)!r}D", f"{float(origin)!r}D"
+    b = f"CAST(FLOOR(({qc} - {oo}) / {ow}) AS BIGINT)"
+    msg_pre = (
+        f"value outside the dyadic domain [0, {1 << levels}) bins "
+        f"at bin_width={bin_width}: "
+    )
+    guarded = (
+        f"CASE WHEN ({b} < 0) OR ({b} >= {1 << levels}) THEN "
+        f"CAST(raise_error(concat({msg_pre!r}, CAST({qc} AS STRING), "
+        f"' — shift/scale the column or raise max_bins')) AS BIGINT) "
+        f"ELSE {b} END"
+    )
+    return df.selectExpr("*", f"{guarded} AS {q(_BIN)}")
 
 
 # Both node generators prepend a sentinel (level −1, idx = bin) "self"
@@ -148,12 +151,12 @@ def _ancestors(df: DataFrame, levels: int) -> DataFrame:
     """One row per (level, ancestor-node) of the row's bin — node at
     level l is ``bin >> l`` — plus the sentinel self node.  Runs inside
     codegen (Generate over a transform of a constant-length sequence)."""
-    nodes = F.expr(
+    nodes = (
         f"concat({_SELF_NODE}, "
         f"transform(sequence(0, {levels - 1}), "
         f"l -> named_struct('lvl', CAST(l AS INT), 'idx', shiftright({_BIN}, l))))"
     )
-    return df.select("*", F.explode(nodes).alias("__dy")).selectExpr(
+    return df.selectExpr("*", f"explode({nodes}) AS `__dy`").selectExpr(
         *[q(c) for c in df.columns],
         f"`__dy`.`lvl` AS {_LVL}",
         f"`__dy`.`idx` AS {_IDX}",
@@ -166,7 +169,7 @@ def _prefix_nodes(df: DataFrame, levels: int) -> DataFrame:
     node (level=i, idx=offset >> i) and advances offset by 2^i; ≤ one
     node per bit, an empty prefix (bin 0) contributes nothing — plus the
     sentinel self node."""
-    nodes = F.expr(
+    nodes = (
         f"""
         concat({_SELF_NODE},
         CASE WHEN {_BIN} <= 0 THEN
@@ -189,7 +192,7 @@ def _prefix_nodes(df: DataFrame, levels: int) -> DataFrame:
         END)
         """
     )
-    return df.select("*", F.explode(nodes).alias("__dy")).selectExpr(
+    return df.selectExpr("*", f"explode({nodes}) AS `__dy`").selectExpr(
         *[q(c) for c in df.columns],
         f"`__dy`.`lvl` AS {_LVL}",
         f"`__dy`.`idx` AS {_IDX}",
@@ -241,8 +244,6 @@ def ineq_join(
     right, right_col, _ = _as_column(right, right_col, "__ineq_rv")
     lb = _binned(left, left_col, bin_width, levels, origin)
     rb = _binned(right, right_col, bin_width, levels, origin)
-    bc_l = F.broadcast if broadcast == "left" else (lambda d: d)
-    bc_r = F.broadcast if broadcast == "right" else (lambda d: d)
 
     # ONE equi-join on (level, node) carries both pair classes: the
     # lesser side contributes its ancestors (+ sentinel self node), the
@@ -253,15 +254,25 @@ def ineq_join(
         nl, nr = _ancestors(lb, levels), _prefix_nodes(rb, levels)
     else:
         nl, nr = _prefix_nodes(lb, levels), _ancestors(rb, levels)
-    exact = F.expr(f"{left_col} {op} {right_col}")
-    out = (
-        bc_l(nl)
-        .join(bc_r(nr), on=[*key_cols, _LVL, _IDX])
-        .filter((F.col(_LVL) != -1) | exact)
-    )
+    # join + exact re-check + residual + output projection as ONE SQL
+    # text (round-10 construction diet; plan shape unchanged — USING
+    # join is the same name-equality join as on=[cols])
+    hint = {
+        "left": "/*+ BROADCAST(__l) */ ",
+        "right": "/*+ BROADCAST(__r) */ ",
+        None: "",
+    }[broadcast]
+    using = ", ".join(q(c) for c in [*key_cols, _LVL, _IDX])
+    where = f"({q(_LVL)} != -1) OR ({q(left_col)} {op} {q(right_col)})"
     if extra_cond:
-        out = out.filter(F.expr(extra_cond))
-    return out.selectExpr(*[q(c) for c in out_cols])
+        where = f"({where}) AND ({extra_cond})"
+    proj = ", ".join(q(c) for c in out_cols)
+    return colops.sql_over(
+        f"SELECT {hint}{proj} FROM {{l}} AS __l JOIN {{r}} AS __r "
+        f"USING ({using}) WHERE {where}",
+        l=nl,
+        r=nr,
+    )
 
 
 def _probe_back(

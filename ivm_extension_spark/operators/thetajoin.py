@@ -119,12 +119,35 @@ def _ns_join(side: DataFrame, keys: DataFrame, cols: list[str], how: str) -> Dat
     on ``cols`` (keys is broadcast; its non-key payload columns ride
     along on inner joins).  NULL-safe because a general theta condition
     can match rows with NULL referenced columns, and those rows must
-    still group with their count/flip bookkeeping."""
-    kd = colops.renamed(keys, cols, "__mk_", keep_rest=True)
-    out = side.join(F.broadcast(kd), on=colops.ns_eq(cols, "__mk_"), how=how)
+    still group with their count/flip bookkeeping.
+
+    One SQL text (rename + hinted join + the inner-join drop of the
+    probe's key copies) — same plan as the Dataset-API form it fused."""
+    ksub = ", ".join(
+        [f"{q(c)} AS {q('__mk_' + c)}" for c in cols]
+        + [q(c) for c in keys.columns if c not in cols]
+    )
+    on = " AND ".join(f"__s.{q(c)} <=> __k.{q('__mk_' + c)}" for c in cols)
     if how == "inner":
-        out = out.drop(*[f"__mk_{c}" for c in cols])
-    return out
+        proj = ", ".join(
+            ["__s.*"] + [f"__k.{q(c)}" for c in keys.columns if c not in cols]
+        )
+    elif how in ("left_anti", "leftsemi"):
+        proj = "__s.*"
+    else:
+        proj = "__s.*, __k.*"
+    jkind = {
+        "inner": "JOIN",
+        "left": "LEFT JOIN",
+        "left_anti": "LEFT ANTI JOIN",
+        "leftsemi": "LEFT SEMI JOIN",
+    }[how]
+    return colops.sql_over(
+        f"SELECT /*+ BROADCAST(__k) */ {proj} FROM {{s}} AS __s "
+        f"{jkind} (SELECT {ksub} FROM {{k}}) AS __k ON {on}",
+        s=side,
+        k=keys,
+    )
 
 
 def _null_pad(
@@ -136,26 +159,45 @@ def _null_pad(
 ) -> DataFrame:
     """Rows of ``side`` whose ``probe_cols`` never appear in
     ``matched_keys``, padded with NULLs for ``other``'s non-key columns
-    (the preserved-side construction shared with rangejoin/ineqjoin)."""
-    out = _ns_join(
-        side,
-        matched_keys.selectExpr(*[q(c) for c in probe_cols]).distinct(),
-        probe_cols,
-        "left_anti",
+    (the preserved-side construction shared with rangejoin/ineqjoin).
+    One SQL text: distinct probe keys + anti join + typed null pads."""
+    ksub = ", ".join(f"{q(c)} AS {q('__mk_' + c)}" for c in probe_cols)
+    on = " AND ".join(
+        f"__s.{q(c)} <=> __k.{q('__mk_' + c)}" for c in probe_cols
     )
-    return colops.null_pad(out, other, key_cols)
+    pads = colops.null_lit_exprs(
+        other, [c for c in other.columns if c not in key_cols]
+    )
+    return colops.sql_over(
+        f"SELECT /*+ BROADCAST(__k) */ __s.*, {', '.join(pads)} "
+        f"FROM {{s}} AS __s LEFT ANTI JOIN "
+        f"(SELECT DISTINCT {ksub} FROM {{k}}) AS __k ON {on}",
+        s=side,
+        k=matched_keys,
+    )
 
 
 def _crossings(dm: DataFrame, m_old: DataFrame, kp: list[str]) -> DataFrame:
     """Keys whose match count crosses zero: ``__flip`` = +1 entering
-    the matched set, −1 leaving (NULL-safe join — see module doc)."""
-    j = _ns_join(dm, m_old, kp, "left")
-    return j.selectExpr(
-        *[q(c) for c in kp],
+    the matched set, −1 leaving (NULL-safe join — see module doc).
+    One SQL text: rename + join + flip case + crossing filter."""
+    ksub = ", ".join(
+        [f"{q(c)} AS {q('__mk_' + c)}" for c in kp] + ["`__mold`"]
+    )
+    on = " AND ".join(f"__s.{q(c)} <=> __k.{q('__mk_' + c)}" for c in kp)
+    proj = ", ".join(f"__s.{q(c)}" for c in kp)
+    case = (
         "CASE WHEN coalesce(`__mold`, 0) = 0 AND coalesce(`__mold`, 0) + `__dm` > 0"
         " THEN 1 WHEN coalesce(`__mold`, 0) > 0 AND"
-        " coalesce(`__mold`, 0) + `__dm` <= 0 THEN -1 END AS `__flip`",
-    ).filter("`__flip` IS NOT NULL")
+        " coalesce(`__mold`, 0) + `__dm` <= 0 THEN -1 END AS `__flip`"
+    )
+    return colops.sql_over(
+        f"SELECT * FROM (SELECT /*+ BROADCAST(__k) */ {proj}, {case} "
+        f"FROM {{s}} AS __s LEFT JOIN (SELECT {ksub} FROM {{k}}) AS __k ON {on}) "
+        "WHERE `__flip` IS NOT NULL",
+        s=dm,
+        k=m_old,
+    )
 
 
 def theta_join(
@@ -179,30 +221,37 @@ def theta_join(
     A key column mentioned inside ``cond`` resolves to the LEFT side."""
     _check_disjoint(left, right, key_cols)
     lp, rp = "__tl_", "__tr_"
-    l2 = left.toDF(*[lp + c for c in left.columns])
-    r2 = right.toDF(*[rp + c for c in right.columns])
     cond2 = cond
     for c in left.columns:
         cond2 = sub_outside_literals(rf"\b{re.escape(c)}\b", lp + c, cond2)
     for c in right.columns:
         if c not in key_cols:
             cond2 = sub_outside_literals(rf"\b{re.escape(c)}\b", rp + c, cond2)
-    jc: Column = F.expr(
-        " AND ".join(
-            [f"({cond2})"]
-            + [f"({q(lp + k)} = {q(rp + k)})" for k in key_cols]
-        )
+    # ONE SQL text: rename prologue + hinted join + output projection —
+    # same logical plan as the Dataset-API form (verified: optimized
+    # plans identical), one analysis pass and 3 round trips instead of
+    # six Dataset calls (round-10 construction diet, guide §7.3)
+    lsub = ", ".join(f"{q(c)} AS {q(lp + c)}" for c in left.columns)
+    rsub = ", ".join(f"{q(c)} AS {q(rp + c)}" for c in right.columns)
+    on = " AND ".join(
+        [f"({cond2})"] + [f"({q(lp + k)} = {q(rp + k)})" for k in key_cols]
     )
-    if broadcast == "left":
-        l2 = F.broadcast(l2)
-    if broadcast == "right":
-        r2 = F.broadcast(r2)
-    out = [
-        *[f"{q(lp + k)} AS {q(k)}" for k in key_cols],
-        *[f"{q(lp + c)} AS {q(c)}" for c in left.columns if c not in key_cols],
-        *[f"{q(rp + c)} AS {q(c)}" for c in right.columns if c not in key_cols],
-    ]
-    return l2.join(r2, on=jc, how="inner").selectExpr(*out)
+    out = ", ".join(
+        [f"{q(lp + k)} AS {q(k)}" for k in key_cols]
+        + [f"{q(lp + c)} AS {q(c)}" for c in left.columns if c not in key_cols]
+        + [f"{q(rp + c)} AS {q(c)}" for c in right.columns if c not in key_cols]
+    )
+    hint = {
+        "left": "/*+ BROADCAST(__l) */ ",
+        "right": "/*+ BROADCAST(__r) */ ",
+        None: "",
+    }[broadcast]
+    return colops.sql_over(
+        f"SELECT {hint}{out} FROM (SELECT {lsub} FROM {{l}}) AS __l "
+        f"JOIN (SELECT {rsub} FROM {{r}}) AS __r ON {on}",
+        l=left,
+        r=right,
+    )
 
 
 def _out_cols(left: DataFrame, right: DataFrame, key_cols: tuple[str, ...]) -> list[str]:
